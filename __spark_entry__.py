@@ -1,10 +1,12 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes every implemented operator surface from
+SURVEY.md §2 as (spark, sf_dir) -> DataFrame; ``oracle_sql()`` gives
+the DuckDB-equivalent SQL over the same parquet tables.  Column names
+and types are aligned pairwise (aggregates aliased identically on both
+sides; integer sums CAST to BIGINT in DuckDB to defeat HUGEINT
+promotion; double aggregates rounded on both sides so accumulation
+order can't flip the hash).
 """
 
 from __future__ import annotations
@@ -12,27 +14,202 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+from retail_etl_pipeline_airflow_s3_athena_spark.plans import analytics, gold, retail_views
+from retail_etl_pipeline_airflow_s3_athena_spark.sources import readers
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+# ---------------------------------------------------------------------------
+# Retail gold tables (SURVEY.md §2.4 A1-A5, §2.3 J1-J4, §2.5 O1-O3)
+# ---------------------------------------------------------------------------
+
+def _q_daily_sales_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return gold.daily_sales_summary(retail_views.sale_transactions(spark, sf_dir))
+
+
+def _q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return gold.top_customers(
+        retail_views.sale_transactions(spark, sf_dir),
+        retail_views.customers(spark, sf_dir),
+    )
+
+
+def _q_product_performance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return gold.product_performance(
+        retail_views.sale_transactions(spark, sf_dir),
+        retail_views.products(spark, sf_dir),
+    )
+
+
+def _q_store_performance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return gold.store_performance(
+        retail_views.sale_transactions(spark, sf_dir),
+        retail_views.stores(spark, sf_dir),
+    )
+
+
+def _analytics_query(name: str) -> QueryFn:
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return analytics.run_analytics_query(spark, sf_dir, name)
+
+    return fn
+
+
+# ---------------------------------------------------------------------------
+# Operator-level queries (scans, set ops, cleaning, quality, flagship agg)
+# ---------------------------------------------------------------------------
+
+def _q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship wide aggregation over the raw fact table (TPC-H-Q1-shaped):
+    groupBy two low-cardinality keys, 6 aggregates.  Exercises partial
+    hash-agg + single shuffle — the canonical 100 TB-safe plan."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def _q_union_all_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SET1 — union-all of two slices (reference pd.concat, load.py:93)."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    evens = orders.filter(F.col("o_orderkey") % 2 == 0)
+    urgent = orders.filter(F.col("o_orderstatus") == "F")
+    return evens.unionByName(urgent)
+
+
+def _q_silver_clean_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Silver cleaning semantics (P4 null-fill, P6 date truncation) over
+    the events table (reference transform.py:32-43, load.py:151)."""
+    ev = readers.read_events(spark, sf_dir)
+    return ev.select(
+        "event_id",
+        F.to_date("ts").alias("event_date"),
+        "event_type",
+        F.coalesce(F.col("value"), F.lit(0.0)).alias("value_filled"),
+        F.col("user_id").isNotNull().alias("has_user"),
+    )
+
+
+def _q_dq_summary_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality metrics as a one-row result (reference
+    data_quality.py Q1-Q4: counts, null cells, key cardinality,
+    duplicate rows)."""
+    df = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    null_cells = None
+    for c in df.columns:
+        term = F.sum(F.col(c).isNull().cast("long"))
+        null_cells = term if null_cells is None else null_cells + term
+    base = df.agg(
+        F.count(F.lit(1)).alias("row_count"),
+        F.countDistinct("c_custkey").alias("distinct_keys"),
+        null_cells.alias("null_cells"),
+        F.round(F.min("c_acctbal"), 2).alias("min_acctbal"),
+    )
+    distinct_rows = df.distinct().agg(F.count(F.lit(1)).alias("distinct_rows"))
+    return base.crossJoin(distinct_rows)
+
+
+# ---------------------------------------------------------------------------
+# Contract
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return _q_daily_sales_summary(spark, "/root/testdata/sf0.001")
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+def queries() -> dict[str, QueryFn]:
+    return {
+        "daily_sales_summary": _q_daily_sales_summary,
+        "top_customers": _q_top_customers,
+        "product_performance": _q_product_performance,
+        "store_performance": _q_store_performance,
+        "daily_revenue": _analytics_query("daily_revenue"),
+        "top_performing_customers": _analytics_query("top_performing_customers"),
+        "product_analysis": _analytics_query("product_analysis"),
+        "revenue_by_category": _analytics_query("revenue_by_category"),
+        "pricing_summary": _q_pricing_summary,
+        "union_all_orders": _q_union_all_orders,
+        "silver_clean_events": _q_silver_clean_events,
+        "dq_summary_customer": _q_dq_summary_customer,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    w = retail_views.with_retail_ctes
+    g = analytics.GOLD_CTES
+    oracles = {
+        "daily_sales_summary": w(
+            "SELECT * FROM daily_sales_summary", extra_ctes=g
+        ),
+        "top_customers": w("SELECT * FROM top_customers", extra_ctes=g),
+        "product_performance": w(
+            "SELECT * FROM product_performance", extra_ctes=g
+        ),
+        "store_performance": w(
+            "SELECT * FROM store_performance", extra_ctes=g
+        ),
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   ROUND(SUM(l_quantity), 2)                              AS sum_qty,
+                   ROUND(SUM(l_extendedprice), 2)                         AS sum_base_price,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)      AS sum_disc_price,
+                   ROUND(AVG(l_quantity), 4)                              AS avg_qty,
+                   ROUND(AVG(l_discount), 6)                              AS avg_disc,
+                   COUNT(*)                                               AS count_order
+            FROM lineitem
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "union_all_orders": """
+            SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+            FROM orders WHERE o_orderkey % 2 = 0
+            UNION ALL
+            SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+            FROM orders WHERE o_orderstatus = 'F'
+        """,
+        "silver_clean_events": """
+            SELECT event_id,
+                   CAST(ts AS DATE)            AS event_date,
+                   event_type,
+                   COALESCE(value, 0.0)        AS value_filled,
+                   user_id IS NOT NULL         AS has_user
+            FROM events
+        """,
+        "dq_summary_customer": """
+            SELECT
+              (SELECT COUNT(*) FROM customer)                       AS row_count,
+              (SELECT COUNT(DISTINCT c_custkey) FROM customer)      AS distinct_keys,
+              (SELECT CAST(SUM(
+                   (c_custkey IS NULL)::INT + (c_name IS NULL)::INT +
+                   (c_nationkey IS NULL)::INT + (c_acctbal IS NULL)::INT +
+                   (c_mktsegment IS NULL)::INT) AS BIGINT)
+               FROM customer)                                       AS null_cells,
+              (SELECT ROUND(MIN(c_acctbal), 2) FROM customer)       AS min_acctbal,
+              (SELECT COUNT(*) FROM (SELECT DISTINCT * FROM customer)) AS distinct_rows
+        """,
+    }
+    for name in (
+        "daily_revenue",
+        "top_performing_customers",
+        "product_analysis",
+        "revenue_by_category",
+    ):
+        oracles[name] = analytics.oracle_for(name)
+    return oracles

@@ -1,0 +1,158 @@
+"""The analytical SQL workload (reference scripts/athena_queries.py:74-126).
+
+The reference submits 4 SQL strings to AWS Athena (Presto) against the
+Gold tables registered in Glue.  Here the same queries run via
+``spark.sql`` against temp views of the gold DataFrames — parse/analyze/
+optimize/execute all happen in-process through Catalyst (SURVEY.md §3.3).
+
+Single-source-of-truth design: each query body below is dialect-common
+SQL that runs BOTH in Spark SQL (against registered gold views) and in
+DuckDB (prefixed with the retail + gold CTE chain) — so the engine query
+and its correctness oracle are literally the same text.
+
+Queries (reference sites):
+- daily_revenue             athena_queries.py:75-86
+- top_performing_customers  athena_queries.py:88-100
+- product_analysis          athena_queries.py:102-114 (scalar subquery MAX)
+- revenue_by_category       athena_queries.py:116-125
+
+Tie-breaks: the reference never defines ORDER BY tie order; we add the
+id column as a deterministic secondary key (times_sold ties are common).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from retail_etl_pipeline_airflow_s3_athena_spark.plans import gold, retail_views
+
+# DuckDB CTE fragments for the gold tables, mirroring plans/gold.py.
+# CAST(SUM(int) AS BIGINT): DuckDB promotes integer SUM to HUGEINT;
+# Spark keeps BIGINT — pin the schema.
+GOLD_CTES = """
+daily_sales_summary AS (
+    SELECT CAST(order_date AS DATE)              AS sale_date,
+           COUNT(transaction_id)                 AS total_orders,
+           CAST(SUM(quantity) AS BIGINT)         AS total_items,
+           ROUND(SUM(unit_price * quantity), 2)  AS revenue
+    FROM sale_transactions
+    WHERE CAST(order_date AS DATE) IS NOT NULL
+    GROUP BY 1
+),
+customer_spend AS (
+    SELECT customer_id,
+           COUNT(transaction_id)                 AS order_count,
+           CAST(SUM(quantity) AS BIGINT)         AS total_items,
+           ROUND(SUM(unit_price * quantity), 2)  AS total_spent
+    FROM sale_transactions
+    GROUP BY 1
+),
+top_customers AS (
+    SELECT cs.customer_id, cs.order_count, cs.total_items, cs.total_spent,
+           c.customer_name, c.nation_id, c.account_balance, c.market_segment
+    FROM customer_spend cs LEFT JOIN customers c USING (customer_id)
+    ORDER BY cs.total_spent DESC, cs.customer_id ASC
+    LIMIT 10
+),
+product_performance AS (
+    SELECT pp.product_id, pp.times_sold, pp.total_quantity, pp.avg_price,
+           p.product_name, p.category, p.product_type, p.product_size, p.price
+    FROM (
+        SELECT product_id,
+               COUNT(transaction_id)         AS times_sold,
+               CAST(SUM(quantity) AS BIGINT) AS total_quantity,
+               ROUND(AVG(unit_price), 4)     AS avg_price
+        FROM sale_transactions
+        GROUP BY 1
+    ) pp LEFT JOIN products p USING (product_id)
+),
+store_performance AS (
+    SELECT sp.store_id, sp.total_transactions, sp.total_items, sp.total_revenue,
+           s.store_name, s.nation_id, s.account_balance
+    FROM (
+        SELECT store_id,
+               COUNT(transaction_id)                AS total_transactions,
+               CAST(SUM(quantity) AS BIGINT)        AS total_items,
+               ROUND(SUM(unit_price * quantity), 2) AS total_revenue
+        FROM sale_transactions
+        GROUP BY 1
+    ) sp LEFT JOIN stores s USING (store_id)
+)
+"""
+
+# Dialect-common query bodies: run verbatim by spark.sql AND by DuckDB.
+ANALYTICS_SQL: dict[str, str] = {
+    # Reference athena_queries.py:75-86 — daily revenue trend with
+    # per-item ratio, positive-revenue filter, latest-10 days.
+    "daily_revenue": """
+        SELECT sale_date, total_orders, total_items, revenue,
+               ROUND(revenue / total_items, 2) AS avg_item_value
+        FROM daily_sales_summary
+        WHERE revenue > 0
+        ORDER BY sale_date DESC
+        LIMIT 10
+    """,
+    # Reference athena_queries.py:88-100 — top spenders with avg order value.
+    "top_performing_customers": """
+        SELECT customer_id, customer_name, market_segment,
+               order_count, total_spent,
+               ROUND(total_spent / order_count, 2) AS avg_order_value
+        FROM top_customers
+        ORDER BY total_spent DESC, customer_id ASC
+        LIMIT 5
+    """,
+    # Reference athena_queries.py:102-114 — product popularity normalized
+    # by the max via a scalar subquery.  The reference's `times_sold * 1.0`
+    # int->double promotion (athena_queries.py:110) is written as an
+    # explicit CAST: Spark parses the 1.0 literal as DECIMAL(2,1) while
+    # Presto/DuckDB make it DOUBLE, so the verbatim form changes the
+    # result type.
+    "product_analysis": """
+        SELECT product_id, product_name, category, times_sold, total_quantity,
+               ROUND(avg_price, 2) AS avg_price,
+               ROUND(CAST(times_sold AS DOUBLE) /
+                     (SELECT MAX(times_sold) FROM product_performance),
+                     4) AS popularity_score
+        FROM product_performance
+        ORDER BY times_sold DESC, product_id ASC
+        LIMIT 10
+    """,
+    # Reference athena_queries.py:116-125 — category rollup with a
+    # SUM-over-product-expression aggregate.
+    "revenue_by_category": """
+        SELECT category,
+               CAST(SUM(times_sold) AS BIGINT)      AS total_sales,
+               CAST(SUM(total_quantity) AS BIGINT)  AS total_qty,
+               ROUND(SUM(times_sold * avg_price), 2) AS estimated_revenue
+        FROM product_performance
+        GROUP BY category
+        ORDER BY estimated_revenue DESC
+    """,
+}
+
+
+def register_gold_views(spark: SparkSession, sf_dir: str) -> None:
+    """Build the retail views from fixtures and register the gold tables
+    as temp views (the in-process analog of Glue registration,
+    reference scripts/glue_registry.py:184-226)."""
+    st = retail_views.sale_transactions(spark, sf_dir)
+    cust = retail_views.customers(spark, sf_dir)
+    prod = retail_views.products(spark, sf_dir)
+    strs = retail_views.stores(spark, sf_dir)
+    gold.daily_sales_summary(st).createOrReplaceTempView("daily_sales_summary")
+    gold.top_customers(st, cust).createOrReplaceTempView("top_customers")
+    gold.product_performance(st, prod).createOrReplaceTempView("product_performance")
+    gold.store_performance(st, strs).createOrReplaceTempView("store_performance")
+
+
+def run_analytics_query(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """spark.sql entry point for one of the 4 canonical queries."""
+    register_gold_views(spark, sf_dir)
+    return spark.sql(ANALYTICS_SQL[name])
+
+
+def oracle_for(name: str) -> str:
+    """DuckDB oracle: the same query body over the CTE chain."""
+    return retail_views.with_retail_ctes(
+        ANALYTICS_SQL[name], extra_ctes=GOLD_CTES
+    )

@@ -1,0 +1,57 @@
+"""Catalog registration (reference scripts/glue_registry.py).
+
+The reference registers Gold parquet paths as Glue EXTERNAL_TABLEs with
+hand-pinned column lists (glue_registry.py:40-137) so Athena can query
+them.  On Spark the catalog is ``spark_catalog``:
+
+- create_database        <- GlueRegistry.create_database (S11,
+                            glue_registry.py:21-38)
+- register_parquet_table <- GlueRegistry.register_s3_table (S10,
+                            glue_registry.py:40-87); schema comes from
+                            the parquet footer (no hand-pinned columns,
+                            replacing _infer_columns / the crawler,
+                            S12/S13, glue_registry.py:89-182)
+
+Registration is idempotent (IF NOT EXISTS / CREATE OR REPLACE), like
+the reference's get-then-update dance (glue_registry.py:66-81).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def create_database(spark: SparkSession, name: str) -> None:
+    """Create-if-not-exists (reference glue_registry.py:21-38, S11)."""
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {name}")
+
+
+def register_parquet_table(
+    spark: SparkSession,
+    database: str,
+    table: str,
+    path: str,
+    partition_keys: list[str] | None = None,
+) -> None:
+    """Register an external parquet location as a catalog table
+    (reference glue_registry.py:40-87, S10).
+
+    Schema and partitions are discovered from the files themselves —
+    Spark's replacement for both the hard-coded column lists (S12) and
+    the Glue crawler (S13)."""
+    spark.sql(f"DROP TABLE IF EXISTS {database}.{table}")
+    partition_clause = (
+        f"PARTITIONED BY ({', '.join(partition_keys)}) " if partition_keys else ""
+    )
+    spark.sql(
+        f"CREATE TABLE {database}.{table} USING PARQUET "
+        f"{partition_clause}LOCATION '{path}'"
+    )
+    if partition_keys:
+        spark.sql(f"MSCK REPAIR TABLE {database}.{table}")
+
+
+def register_temp_view(df: DataFrame, name: str) -> None:
+    """Session-scoped registration — the in-process fast path used by
+    tests and the analytics layer."""
+    df.createOrReplaceTempView(name)

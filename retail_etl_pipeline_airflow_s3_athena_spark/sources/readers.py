@@ -1,0 +1,92 @@
+"""Source readers (reference scripts/extract.py, transform.py:25, load.py:56-111).
+
+The reference's sources: a JDBC full-table scan with LIMIT pushed into
+the SQL (S1), bronze CSV with inferred schema (S4), and a recursive
+parquet glob + concat per table (S6).  Spark equivalents:
+
+- S6's glob+concat is just ``spark.read.parquet(dir)`` — partition
+  discovery + multi-file union are native, and Hive-style ``date=...``
+  directories come back as a partition column with pruning for free.
+- S1's LIMIT pushdown is ``.limit(n)`` on a jdbc reader (Spark pushes
+  LIMIT 1 level down) or, better, a pushed-down ``query`` option.
+- S4: inferSchema matches the reference's behavior; production callers
+  should pass a pinned schema (deterministic, single-pass).
+
+Scale notes: parquet scans get predicate pushdown, column pruning and
+the vectorized reader by default; ``maxPartitionBytes`` governs split
+sizing on huge inputs (leave default 128 MB unless proven otherwise).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def read_parquet_table(spark: SparkSession, base_dir: str, table: str) -> DataFrame:
+    """Read one logical table from a layer directory — replaces the
+    reference's glob('**/*.parquet') + filename-prefix grouping +
+    pd.concat (scripts/load.py:56-111, S6+S8+SET1)."""
+    return spark.read.parquet(f"{base_dir}/{table}")
+
+
+def read_bronze_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+) -> DataFrame:
+    """Bronze CSV source (reference scripts/transform.py:25, S4).
+    With no schema, infer — the reference's behavior; pass a pinned
+    StructType for deterministic production reads."""
+    reader = spark.read.option("header", True)
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", True)
+    return reader.csv(path)
+
+
+def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read the events fixture, normalizing its nanosecond parquet
+    timestamp to a Spark (microsecond) timestamp.
+
+    Spark has no TIMESTAMP(NANOS) type; with
+    ``spark.sql.legacy.parquet.nanosAsLong`` the column arrives as raw
+    nanos (long) and ``timestamp_micros(ts div 1000)`` rebuilds it —
+    integer division, so no double-precision loss on epoch-scale values.
+    """
+    try:  # the session may predate us (driver-owned); set at runtime
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # timestamp_micros yields LTZ; pin UTC so the NTZ cast below is
+        # exact even on a session we didn't configure.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:  # noqa: BLE001 — read will fail loudly if unsupported
+        pass
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(df.dtypes)["ts"] == "bigint":
+        df = df.withColumn(
+            "ts",
+            F.expr("CAST(timestamp_micros(ts div 1000) AS TIMESTAMP_NTZ)"),
+        )
+    return df
+
+
+def read_jdbc_table(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    limit: int | None = None,
+    **options: str,
+) -> DataFrame:
+    """JDBC full-table scan with optional LIMIT pushed to the source —
+    the reference's extract (scripts/extract.py:22-91, S1).  The LIMIT
+    goes into the pushed ``query`` exactly as extract.py:45-48 builds it.
+    Requires the JDBC driver jar on the classpath (not bundled here)."""
+    query = f"SELECT * FROM {table}"
+    if limit is not None:
+        query += f" LIMIT {int(limit)}"
+    reader = spark.read.format("jdbc").option("url", url).option("query", query)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load()

@@ -1,0 +1,68 @@
+"""Layer sinks (reference scripts/extract.py:64-69, transform.py:46-56,
+load.py:176-268, aws_upload.py).
+
+- Bronze: header CSV per run (S3).
+- Silver: snappy Parquet under ``<table>/date=YYYYMMDD/`` (S5) — we use
+  ``partitionBy("date")`` so Spark writes the same Hive layout the
+  reference hand-builds with os.path.join (transform.py:46-52).
+- Gold: overwrite Parquet per business table (S7).
+- S3 upload (S9) is not a separate step on Spark: write to
+  ``s3a://bucket/...`` URIs directly and the layer lands in S3.
+
+Scale notes: silver writes append one date partition per run (the
+reference's daily-snapshot story, README.md:205-218); downstream reads
+prune on ``date``.  Gold writes use dynamic partition overwrite
+semantics where partitioned.  No ``coalesce(1)`` anywhere — single-file
+output is a pandas artifact, not a requirement.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _run_date(run_date: str | _dt.date | None) -> str:
+    if run_date is None:
+        return _dt.date.today().strftime("%Y%m%d")
+    if isinstance(run_date, _dt.date):
+        return run_date.strftime("%Y%m%d")
+    return str(run_date)
+
+
+def write_bronze_csv(df: DataFrame, base_dir: str, table: str) -> str:
+    """Bronze CSV sink with header (reference extract.py:64-69, S3)."""
+    path = f"{base_dir}/{table}"
+    df.write.mode("overwrite").option("header", True).csv(path)
+    return path
+
+
+def write_silver(
+    df: DataFrame,
+    base_dir: str,
+    table: str,
+    run_date: str | _dt.date | None = None,
+) -> str:
+    """Silver sink: snappy Parquet partitioned by run date
+    (reference csv_to_parquet write path, transform.py:46-56, S5).
+
+    Append mode: one ``date=YYYYMMDD`` partition per pipeline run — the
+    reference's batch-snapshot model (SURVEY.md §1.1)."""
+    path = f"{base_dir}/{table}"
+    (
+        df.withColumn("date", F.lit(_run_date(run_date)))
+        .write.mode("append")
+        .partitionBy("date")
+        .option("compression", "snappy")
+        .parquet(path)
+    )
+    return path
+
+
+def write_gold(df: DataFrame, base_dir: str, table: str) -> str:
+    """Gold sink: overwrite Parquet (reference load.py:176-177 etc., S7)."""
+    path = f"{base_dir}/{table}"
+    df.write.mode("overwrite").option("compression", "snappy").parquet(path)
+    return path
