@@ -16,6 +16,9 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from retail_etl_pipeline_airflow_s3_athena_spark.operators import dedup as dedup_ops
+from retail_etl_pipeline_airflow_s3_athena_spark.operators import similarity as sim_ops
+from retail_etl_pipeline_airflow_s3_athena_spark.operators import text as text_ops
 from retail_etl_pipeline_airflow_s3_athena_spark.plans import analytics, gold, retail_views
 from retail_etl_pipeline_airflow_s3_athena_spark.sources import readers
 
@@ -126,6 +129,76 @@ def _q_dq_summary_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Text-analysis extensions (documents table)
+# ---------------------------------------------------------------------------
+
+def _q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return text_ops.text_features(docs)
+
+
+def _q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return text_ops.language_id(docs)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup_ops.exact_dedup(_docs(spark, sf_dir))
+
+
+def _q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup_ops.minhash_signatures(_docs(spark, sf_dir))
+
+
+def _q_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup_ops.lsh_candidate_pairs(_docs(spark, sf_dir))
+
+
+def _q_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup_ops.near_dup_pairs(_docs(spark, sf_dir))
+
+
+def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup_ops.simhash_signatures(_docs(spark, sf_dir))
+
+
+def _q_blocked_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup_ops.blocked_jaccard_pairs(_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Similarity-search extensions (embeddings table)
+# ---------------------------------------------------------------------------
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sim_ops.cosine_topk(_emb(spark, sf_dir))
+
+
+def _q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sim_ops.label_centroids(_emb(spark, sf_dir))
+
+
+def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sim_ops.ivf_topk(_emb(spark, sf_dir))
+
+
+def _q_rp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sim_ops.rp_lsh_signatures(_emb(spark, sf_dir))
+
+
+def _q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sim_ops.embedding_near_dup(_emb(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
 # Contract
 # ---------------------------------------------------------------------------
 
@@ -148,6 +221,19 @@ def queries() -> dict[str, QueryFn]:
         "union_all_orders": _q_union_all_orders,
         "silver_clean_events": _q_silver_clean_events,
         "dq_summary_customer": _q_dq_summary_customer,
+        "text_features": _q_text_features,
+        "language_id": _q_language_id,
+        "dedup_exact": _q_dedup_exact,
+        "minhash_signatures": _q_minhash_signatures,
+        "lsh_candidate_pairs": _q_lsh_candidate_pairs,
+        "near_dup_pairs": _q_near_dup_pairs,
+        "simhash_signatures": _q_simhash,
+        "blocked_jaccard_pairs": _q_blocked_jaccard,
+        "cosine_topk": _q_cosine_topk,
+        "label_centroids": _q_label_centroids,
+        "ivf_topk": _q_ivf_topk,
+        "rp_lsh_signatures": _q_rp_lsh,
+        "embedding_near_dup": _q_embedding_near_dup,
     }
 
 
@@ -205,6 +291,19 @@ def oracle_sql() -> dict[str, str]:
               (SELECT COUNT(*) FROM (SELECT DISTINCT * FROM customer)) AS distinct_rows
         """,
     }
+    oracles["text_features"] = text_ops.oracle_text_features_sql()
+    oracles["language_id"] = text_ops.oracle_language_id_sql()
+    oracles["dedup_exact"] = dedup_ops.oracle_exact_dedup_sql()
+    oracles["minhash_signatures"] = dedup_ops.oracle_minhash_signatures_sql()
+    oracles["lsh_candidate_pairs"] = dedup_ops.oracle_lsh_candidate_pairs_sql()
+    oracles["near_dup_pairs"] = dedup_ops.oracle_near_dup_pairs_sql()
+    oracles["simhash_signatures"] = dedup_ops.oracle_simhash_sql()
+    oracles["blocked_jaccard_pairs"] = dedup_ops.oracle_blocked_jaccard_sql()
+    oracles["cosine_topk"] = sim_ops.oracle_cosine_topk_sql()
+    oracles["label_centroids"] = sim_ops.oracle_label_centroids_sql()
+    oracles["ivf_topk"] = sim_ops.oracle_ivf_topk_sql()
+    oracles["rp_lsh_signatures"] = sim_ops.oracle_rp_lsh_sql()
+    oracles["embedding_near_dup"] = sim_ops.oracle_embedding_near_dup_sql()
     for name in (
         "daily_revenue",
         "top_performing_customers",

@@ -1,0 +1,409 @@
+"""Similarity search over embedding columns (``embeddings`` table:
+vec_id BIGINT, embedding ARRAY<FLOAT> (64-dim), label INT).
+
+Operators:
+- cosine_topk        : brute-force exact top-k neighbors for a query set
+- label_centroids    : element-wise mean vector per label (exploded form)
+- ivf_topk           : IVF-style ANN — assign vectors to nearest centroid
+                       cell, probe the query's nprobe nearest cells only
+- rp_lsh_signatures  : random-hyperplane (SimHash-for-vectors) bit
+                       signatures for LSH bucketing
+- embedding_near_dup : all-pairs cosine >= threshold (exact; the scale
+                       path is rp_lsh bucketing first)
+
+All vector math is native Spark higher-order expressions: elements cast
+to double, dot products via zip_with + sequential aggregate fold — the
+same left-to-right accumulation DuckDB's list_reduce performs, so both
+engines produce bit-identical doubles and the oracle can hash-compare.
+
+Scale notes (100 TB / billions of vectors):
+- cosine_topk broadcasts the (small) query set; the corpus is scanned
+  once, no shuffle; per-partition partial top-k then a tiny final merge
+  (TakeOrderedAndProject shape via row_number over a bounded query set).
+- ivf_topk's assignment is a broadcast join against <=K centroids (tiny)
+  and prunes the scan to nprobe/K of the corpus — the standard IVF
+  recall/cost dial.
+- rp_lsh signatures are a narrow map (16 bits/vector); bucket self-join
+  is the only shuffle, on uniform keys.
+- exact all-pairs near-dup exists for verification and small corpora;
+  at scale you ALWAYS bucket first (rp_lsh or ivf cell) — the module
+  deliberately exposes both so the plan choice is explicit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from retail_etl_pipeline_airflow_s3_athena_spark.operators.text import (
+    FP_MOD,
+    dround,
+    sql_dround,
+)
+
+RP_BITS = 16  # random-hyperplane signature width
+RP_MULT = 2654435761  # Knuth multiplicative constant for hyperplane gen
+
+
+def _as_double(arr: Column) -> Column:
+    return F.transform(arr, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product (deterministic accumulation order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dround(dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b))), 6)
+
+
+def cosine_topk(
+    embeddings: DataFrame, n_queries: int = 5, k: int = 10
+) -> DataFrame:
+    """Exact top-k cosine neighbors for the query set vec_id < n_queries.
+
+    Broadcast the queries; one pass over the corpus; rank per query with
+    deterministic tie-break (cosine desc, neighbor id asc)."""
+    corpus = embeddings.select(
+        F.col("vec_id"), _as_double(F.col("embedding")).alias("v")
+    )
+    queries = corpus.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    scored = (
+        corpus.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine(F.col("qv"), F.col("v")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+def label_centroids(embeddings: DataFrame) -> DataFrame:
+    """Element-wise mean vector per label, exploded to (label, pos, val)
+    rows — a distributed vector aggregate: posexplode -> groupBy
+    (label, pos) -> avg.  Scalar output schema keeps it oracle-hashable.
+
+    Values are dround(6) so downstream cosine math sees identical inputs
+    in both engines despite engine-specific summation order."""
+    return (
+        embeddings.select(
+            F.col("label").cast("long").alias("label"),
+            F.posexplode(_as_double(F.col("embedding"))).alias("pos", "x"),
+        )
+        .groupBy("label", "pos")
+        .agg(dround(F.avg("x"), 6).alias("val"))
+        .withColumn("pos", F.col("pos").cast("long"))
+    )
+
+
+def _centroid_vectors(embeddings: DataFrame) -> DataFrame:
+    """(label, cv: array<double>) — centroids reassembled in pos order."""
+    return (
+        label_centroids(embeddings)
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "val"))),
+                lambda s: s.val,
+            ).alias("cv")
+        )
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    n_queries: int = 5,
+    k: int = 10,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF ANN: corpus vectors are assigned to their nearest centroid
+    cell; each query searches only its nprobe nearest cells.
+
+    Both the assignment and probing joins broadcast the tiny centroid
+    set — at a billion vectors the corpus-side work is one narrow pass
+    plus a shuffle-free top-k."""
+    corpus = embeddings.select(
+        F.col("vec_id"), _as_double(F.col("embedding")).alias("v")
+    )
+    cents = _centroid_vectors(embeddings)
+
+    # assign each corpus vector to its best cell (cos desc, label asc)
+    assign_w = Window.partitionBy("vec_id").orderBy(
+        F.desc("c_cos"), F.asc("label")
+    )
+    assigned = (
+        corpus.crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id", "v", "label", cosine(F.col("v"), F.col("cv")).alias("c_cos")
+        )
+        .withColumn("rn", F.row_number().over(assign_w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "v", F.col("label").alias("cell"))
+    )
+
+    # each query probes its nprobe nearest cells
+    queries = corpus.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.desc("c_cos"), F.asc("label")
+    )
+    probed = (
+        queries.crossJoin(F.broadcast(cents))
+        .select(
+            "query_id", "qv", "label",
+            cosine(F.col("qv"), F.col("cv")).alias("c_cos"),
+        )
+        .withColumn("rn", F.row_number().over(probe_w))
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", "qv", F.col("label").alias("cell"))
+    )
+
+    scored = (
+        probed.join(assigned, "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine(F.col("qv"), F.col("v")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+def rp_lsh_signatures(embeddings: DataFrame, bits: int = RP_BITS) -> DataFrame:
+    """Random-hyperplane LSH: bit b = sign(dot(v, h_b)) where h_b is a
+    deterministic pseudo-random ±1 hyperplane:
+    h_b[i] = +1 if ((b*64+i)*RP_MULT) % FP_MOD is even else -1."""
+    v = _as_double(F.col("embedding"))
+    dim = F.size(v)
+    bit_terms = []
+    for b in range(bits):
+        proj = F.aggregate(
+            F.zip_with(
+                v,
+                F.sequence(F.lit(0), dim - 1),
+                lambda x, i: x
+                * F.when(
+                    ((i + F.lit(b * 64)) * RP_MULT % FP_MOD) % 2 == 0,
+                    F.lit(1.0),
+                ).otherwise(F.lit(-1.0)),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bit_terms.append(
+            F.when(proj > 0, F.lit(1 << b).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    sig = bit_terms[0]
+    for t in bit_terms[1:]:
+        sig = sig + t
+    return embeddings.select("vec_id", sig.alias("rp_sig"))
+
+
+def embedding_near_dup(
+    embeddings: DataFrame, threshold: float = 0.4
+) -> DataFrame:
+    """Exact all-pairs cosine near-duplicates (a < b, cos >= threshold).
+    Verification-scale only; at corpus scale bucket by rp_lsh_signatures
+    or ivf cell first so the pair space is bounded."""
+    e = embeddings.select(
+        F.col("vec_id"), _as_double(F.col("embedding")).alias("v")
+    )
+    a = e.alias("a")
+    b = e.alias("b")
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cosine(F.col("a.v"), F.col("b.v")).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Oracle SQL twins (DuckDB)
+# ---------------------------------------------------------------------------
+
+def _sql_vec(e: str) -> str:
+    return f"list_transform({e}, x -> CAST(x AS DOUBLE))"
+
+
+def _sql_dot(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_prepend(0.0, "
+        f"list_transform(range(1, len({a}) + 1), i -> {a}[i] * {b}[i])), "
+        f"(acc, x) -> acc + x)"
+    )
+
+
+def _sql_cosine(a: str, b: str) -> str:
+    return sql_dround(
+        f"{_sql_dot(a, b)} / (SQRT({_sql_dot(a, a)}) * SQRT({_sql_dot(b, b)}))",
+        6,
+    )
+
+
+def oracle_cosine_topk_sql(
+    table: str = "embeddings", n_queries: int = 5, k: int = 10
+) -> str:
+    return f"""
+        WITH corpus AS (
+            SELECT vec_id, {_sql_vec("embedding")} AS v FROM {table}
+        ),
+        queries AS (
+            SELECT vec_id AS query_id, v AS qv FROM corpus
+            WHERE vec_id < {n_queries}
+        ),
+        scored AS (
+            SELECT q.query_id, c.vec_id AS neighbor_id,
+                   {_sql_cosine("q.qv", "c.v")} AS cos_sim
+            FROM queries q JOIN corpus c ON c.vec_id <> q.query_id
+        ),
+        ranked AS (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY query_id
+                ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INT) AS rank
+        FROM ranked WHERE rank <= {k}
+    """
+
+
+# DuckDB 1.0 lacks UNNEST ... WITH ORDINALITY; emulate with a range
+# unnest in the SELECT list (other columns repeat per element).
+_SQL_CENTROIDS = """
+withidx AS (
+    SELECT CAST(label AS BIGINT) AS label, v,
+           unnest(range(1, len(v) + 1)) AS i
+    FROM (SELECT label, list_transform(embedding, e -> CAST(e AS DOUBLE)) AS v
+          FROM {table})
+),
+centroids AS (
+    SELECT label, CAST(i - 1 AS BIGINT) AS pos,
+           {avg_expr} AS val
+    FROM (SELECT label, i, v[i] AS x FROM withidx)
+    GROUP BY label, i
+)
+"""
+
+
+def _sql_centroid_ctes(table: str = "embeddings") -> str:
+    return _SQL_CENTROIDS.format(
+        table=table, avg_expr=sql_dround("AVG(x)", 6)
+    ).strip()
+
+
+def oracle_label_centroids_sql(table: str = "embeddings") -> str:
+    return f"WITH {_sql_centroid_ctes(table)}\nSELECT label, pos, val FROM centroids"
+
+
+def oracle_ivf_topk_sql(
+    table: str = "embeddings", n_queries: int = 5, k: int = 10, nprobe: int = 2
+) -> str:
+    return f"""
+        WITH {_sql_centroid_ctes(table)},
+        cvecs AS (
+            SELECT label, list(val ORDER BY pos) AS cv
+            FROM centroids GROUP BY label
+        ),
+        corpus AS (
+            SELECT vec_id, {_sql_vec("embedding")} AS v FROM {table}
+        ),
+        assigned AS (
+            SELECT vec_id, v, cell FROM (
+                SELECT c.vec_id, c.v, k.label AS cell,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY c.vec_id
+                           ORDER BY {_sql_cosine("c.v", "k.cv")} DESC,
+                                    k.label ASC) AS rn
+                FROM corpus c CROSS JOIN cvecs k
+            ) WHERE rn = 1
+        ),
+        queries AS (
+            SELECT vec_id AS query_id, v AS qv FROM corpus
+            WHERE vec_id < {n_queries}
+        ),
+        probed AS (
+            SELECT query_id, qv, cell FROM (
+                SELECT q.query_id, q.qv, k.label AS cell,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY q.query_id
+                           ORDER BY {_sql_cosine("q.qv", "k.cv")} DESC,
+                                    k.label ASC) AS rn
+                FROM queries q CROSS JOIN cvecs k
+            ) WHERE rn <= {nprobe}
+        ),
+        scored AS (
+            SELECT p.query_id, a.vec_id AS neighbor_id,
+                   {_sql_cosine("p.qv", "a.v")} AS cos_sim
+            FROM probed p JOIN assigned a ON p.cell = a.cell
+            WHERE a.vec_id <> p.query_id
+        ),
+        ranked AS (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY query_id
+                ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INT) AS rank
+        FROM ranked WHERE rank <= {k}
+    """
+
+
+def oracle_rp_lsh_sql(table: str = "embeddings", bits: int = RP_BITS) -> str:
+    terms = []
+    for b in range(bits):
+        proj = (
+            f"list_reduce(list_prepend(0.0, "
+            f"list_transform(range(1, len(v) + 1), "
+            f"i -> v[i] * (CASE WHEN ((i - 1 + {b * 64}) * {RP_MULT} % {FP_MOD}) % 2 = 0 "
+            f"THEN 1.0 ELSE -1.0 END))), (acc, x) -> acc + x)"
+        )
+        terms.append(
+            f"(CASE WHEN {proj} > 0 THEN CAST({1 << b} AS BIGINT) "
+            f"ELSE CAST(0 AS BIGINT) END)"
+        )
+    return f"""
+        WITH e AS (SELECT vec_id, {_sql_vec("embedding")} AS v FROM {table})
+        SELECT vec_id, {" + ".join(terms)} AS rp_sig FROM e
+    """
+
+
+def oracle_embedding_near_dup_sql(
+    table: str = "embeddings", threshold: float = 0.4
+) -> str:
+    return f"""
+        WITH e AS (SELECT vec_id, {_sql_vec("embedding")} AS v FROM {table})
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               {_sql_cosine("a.v", "b.v")} AS cos_sim
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE {_sql_cosine("a.v", "b.v")} >= {threshold}
+    """

@@ -1,0 +1,129 @@
+"""Extension operators: dedup / similarity / text analysis semantics
+on constructed inputs (known duplicates, known vectors)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import Row
+
+from retail_etl_pipeline_airflow_s3_athena_spark.operators import dedup, similarity, text
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = "the quick brown fox jumps over the lazy dog again and again tonight"
+    rows = [
+        Row(doc_id=0, text=base, source="s0"),
+        Row(doc_id=1, text="  THE quick brown fox jumps over the lazy dog again and again today ".lower(), source="s0"),
+        Row(doc_id=2, text=near, source="s0"),
+        Row(doc_id=3, text="completely different words about spark query engines and shuffles", source="s1"),
+        Row(doc_id=4, text=base, source="s1"),
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_exact_dedup_groups(docs):
+    out = {r["doc_id"]: r for r in dedup.exact_dedup(docs).collect()}
+    # 0, 1 (whitespace/case-normalized) and 4 are the same text
+    assert out[0]["keeper_id"] == 0 and not out[0]["is_duplicate"]
+    assert out[1]["keeper_id"] == 0 and out[1]["is_duplicate"]
+    assert out[4]["keeper_id"] == 0 and out[4]["is_duplicate"]
+    assert not out[2]["is_duplicate"]
+    assert not out[3]["is_duplicate"]
+
+
+def test_near_dup_catches_one_word_edit(docs):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.near_dup_pairs(docs, threshold=0.5).collect()
+    }
+    # the one-word edit (0 vs 2) must be found with high jaccard
+    assert (0, 2) in pairs and pairs[(0, 2)] > 0.7
+    # identical texts have jaccard 1.0
+    assert pairs.get((0, 4)) == 1.0
+    # unrelated doc 3 pairs with nothing
+    assert not any(3 in p for p in pairs)
+
+
+def test_simhash_similarity_structure(docs):
+    sigs = {r["doc_id"]: r["simhash"] for r in dedup.simhash_signatures(docs).collect()}
+    assert sigs[0] == sigs[4] == sigs[1]  # same bag of words
+    ham_near = bin(sigs[0] ^ sigs[2]).count("1")
+    ham_far = bin(sigs[0] ^ sigs[3]).count("1")
+    assert ham_near < ham_far  # one-word edit closer than unrelated text
+
+
+def test_minhash_estimates_jaccard(docs):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["est_jaccard"]
+        for r in dedup.lsh_candidate_pairs(docs).collect()
+    }
+    assert pairs.get((0, 4)) == 1.0  # identical docs agree on all hashes
+    assert (0, 2) in pairs  # near-dup shares at least one band
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    rows = [
+        Row(vec_id=0, embedding=[1.0, 0.0, 0.0, 0.0], label=0),
+        Row(vec_id=1, embedding=[0.9, 0.1, 0.0, 0.0], label=0),
+        Row(vec_id=2, embedding=[0.0, 1.0, 0.0, 0.0], label=1),
+        Row(vec_id=3, embedding=[0.0, 0.0, 1.0, 0.0], label=2),
+        Row(vec_id=4, embedding=[0.70710678, 0.70710678, 0.0, 0.0], label=1),
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_cosine_topk_exact(vecs):
+    out = similarity.cosine_topk(vecs, n_queries=1, k=4).collect()
+    ranked = [r["neighbor_id"] for r in sorted(out, key=lambda r: r["rank"])]
+    # query [1,0,0,0]: nearest is [0.9,.1] then the 45° vector, then y, z
+    assert ranked == [1, 4, 2, 3]
+    cos = {r["neighbor_id"]: r["cos_sim"] for r in out}
+    assert abs(cos[1] - 0.9 / math.sqrt(0.82)) < 1e-5
+    assert cos[2] == 0.0
+
+
+def test_label_centroids(vecs):
+    cents = similarity.label_centroids(vecs).collect()
+    by = {(r["label"], r["pos"]): r["val"] for r in cents}
+    assert by[(0, 0)] == pytest.approx(0.95, abs=1e-6)
+    assert by[(2, 2)] == 1.0
+    assert len(cents) == 3 * 4  # 3 labels x dim 4
+
+
+def test_ivf_probes_subset(vecs):
+    out = similarity.ivf_topk(vecs, n_queries=1, k=4, nprobe=2).collect()
+    ids = {r["neighbor_id"] for r in out}
+    # probing 2 of 3 cells: label-2 cell ([0,0,1,0]) is never probed
+    assert 3 not in ids
+    assert 1 in ids
+
+
+def test_text_features_formulas(spark):
+    df = spark.createDataFrame([Row(doc_id=0, text="the cat, sat!")])
+    r = text.text_features(df).first()
+    assert r["n_tokens"] == 3
+    assert r["n_bpe_tokens"] == 5  # the / cat / , / sat / !
+    assert r["n_chars"] == 13
+    assert r["punct_ratio"] == pytest.approx(2 / 13, abs=1e-6)
+    assert r["stopword_ratio"] == pytest.approx(1 / 3, abs=1e-6)
+    # fingerprint is stable
+    assert r["fingerprint"] == text.text_features(df).first()["fingerprint"]
+
+
+def test_language_id_picks_english(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=0, text="the cat is in the house and it is warm"),
+            Row(doc_id=1, text="der hund ist nicht ein kater und das haus"),
+            Row(doc_id=2, text="xyzzy plugh frobozz"),
+        ]
+    )
+    out = {r["doc_id"]: r["predicted_lang"] for r in text.language_id(df).collect()}
+    assert out[0] == "en"
+    assert out[1] == "de"
+    assert out[2] == "und"
