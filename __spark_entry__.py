@@ -17,6 +17,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from retail_etl_pipeline_airflow_s3_athena_spark.operators import dedup as dedup_ops
+from retail_etl_pipeline_airflow_s3_athena_spark.operators import events as event_ops
+from retail_etl_pipeline_airflow_s3_athena_spark.operators import multimodal as mm_ops
 from retail_etl_pipeline_airflow_s3_athena_spark.operators import similarity as sim_ops
 from retail_etl_pipeline_airflow_s3_athena_spark.operators import text as text_ops
 from retail_etl_pipeline_airflow_s3_athena_spark.plans import analytics, gold, retail_views
@@ -199,6 +201,37 @@ def _q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Event-stream extensions (events table)
+# ---------------------------------------------------------------------------
+
+def _q_windowed_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return event_ops.windowed_event_stats(readers.read_events(spark, sf_dir))
+
+
+def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return event_ops.sessionize(readers.read_events(spark, sf_dir))
+
+
+def _q_topk_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return event_ops.topk_events_per_type(readers.read_events(spark, sf_dir))
+
+
+def _q_user_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return event_ops.user_event_pivot(readers.read_events(spark, sf_dir))
+
+
+def _q_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return event_ops.extract_props(readers.read_events(spark, sf_dir))
+
+
+def _q_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Binary fixtures don't exist; the media table is synthesized
+    # deterministically.  No SQL oracle (mapInPandas + binary payloads
+    # aren't SQL-expressible) -> driver records the rows-only check.
+    return mm_ops.media_pipeline(spark, n=60)
+
+
+# ---------------------------------------------------------------------------
 # Contract
 # ---------------------------------------------------------------------------
 
@@ -214,6 +247,8 @@ def queries() -> dict[str, QueryFn]:
         "product_performance": _q_product_performance,
         "store_performance": _q_store_performance,
         "daily_revenue": _analytics_query("daily_revenue"),
+        "daily_revenue_running": _analytics_query("daily_revenue_running"),
+        "segment_sales_rollup": _analytics_query("segment_sales_rollup"),
         "top_performing_customers": _analytics_query("top_performing_customers"),
         "product_analysis": _analytics_query("product_analysis"),
         "revenue_by_category": _analytics_query("revenue_by_category"),
@@ -234,6 +269,12 @@ def queries() -> dict[str, QueryFn]:
         "ivf_topk": _q_ivf_topk,
         "rp_lsh_signatures": _q_rp_lsh,
         "embedding_near_dup": _q_embedding_near_dup,
+        "windowed_event_stats": _q_windowed_event_stats,
+        "sessionize_events": _q_sessionize,
+        "topk_events_per_type": _q_topk_events,
+        "user_event_pivot": _q_user_event_pivot,
+        "extract_props": _q_extract_props,
+        "multimodal_pipeline": _q_multimodal_pipeline,
     }
 
 
@@ -304,8 +345,15 @@ def oracle_sql() -> dict[str, str]:
     oracles["ivf_topk"] = sim_ops.oracle_ivf_topk_sql()
     oracles["rp_lsh_signatures"] = sim_ops.oracle_rp_lsh_sql()
     oracles["embedding_near_dup"] = sim_ops.oracle_embedding_near_dup_sql()
+    oracles["windowed_event_stats"] = event_ops.oracle_windowed_stats_sql()
+    oracles["sessionize_events"] = event_ops.oracle_sessionize_sql()
+    oracles["topk_events_per_type"] = event_ops.oracle_topk_events_sql()
+    oracles["user_event_pivot"] = event_ops.oracle_user_pivot_sql()
+    oracles["extract_props"] = event_ops.oracle_extract_props_sql()
     for name in (
         "daily_revenue",
+        "daily_revenue_running",
+        "segment_sales_rollup",
         "top_performing_customers",
         "product_analysis",
         "revenue_by_category",

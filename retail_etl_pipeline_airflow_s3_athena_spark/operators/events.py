@@ -1,0 +1,219 @@
+"""Event-stream operators (the ``events`` table: event_id, ts, user_id,
+event_type, value, props-JSON).
+
+The reference's only "streaming" is a daily Airflow schedule
+(dags/etl_retail_pipeline.py:97) — no windows, sessions, or late-data
+handling.  This module supplies the batch forms of the standard
+event-analytics operators; ``streaming/`` reuses the same window
+semantics under Structured Streaming.
+
+- windowed_event_stats : tumbling-window aggregate per event_type
+- sessionize           : gap-based sessionization (lag + cumulative sum)
+- topk_events_per_type : per-group top-k via row_number window
+- user_event_pivot     : event-type counts pivoted to columns per user
+- extract_props        : JSON field extraction from the props column
+
+Scale notes:
+- The tumbling-window agg groups on (window, type): partial aggregation
+  map-side, one shuffle; window count is bounded by time range, not rows.
+- Sessionization shuffles once on user_id, then both window functions
+  (lag, running sum) reuse the same sort — Catalyst plans a single
+  Exchange+Sort for the whole chain.
+- Pivot uses an explicit value list (no discovery pass) — at scale an
+  unbounded pivot is a driver OOM; bounding it is part of the operator
+  contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from retail_etl_pipeline_airflow_s3_athena_spark.operators.text import dround, sql_dround
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+SESSION_GAP_SECONDS = 1800
+
+
+def windowed_event_stats(events: DataFrame, window: str = "1 hour") -> DataFrame:
+    """Tumbling-window stats per event_type.  Uses F.window (the same
+    operator Structured Streaming uses), emitting the window start."""
+    return (
+        events.groupBy(
+            F.window("ts", window).alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dround(F.sum("value"), 4).alias("sum_value"),
+            dround(F.avg("value"), 6).alias("avg_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+            "avg_value",
+        )
+    )
+
+
+def sessionize(
+    events: DataFrame, gap_seconds: int = SESSION_GAP_SECONDS
+) -> DataFrame:
+    """Gap-based sessions per user: a new session starts when the time
+    since the previous event exceeds ``gap_seconds``.
+
+    Classic lag + cumulative-sum-of-boundaries; second resolution
+    (floored epoch) defines the gap, matching the oracle exactly."""
+    order_w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sec = F.unix_timestamp("ts")
+    with_gap = events.select(
+        "user_id", "ts", "event_id", "value", sec.alias("sec")
+    ).withColumn(
+        "new_session",
+        F.when(
+            (F.col("sec") - F.lag("sec").over(order_w)) > gap_seconds, 1
+        )
+        .otherwise(0)
+        .cast("long"),
+    )
+    with_id = with_gap.withColumn(
+        "session_seq",
+        F.sum("new_session").over(
+            order_w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return (
+        with_id.groupBy("user_id", "session_seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            (F.max("sec") - F.min("sec")).alias("duration_sec"),
+            dround(F.sum("value"), 4).alias("session_value"),
+        )
+    )
+
+
+def topk_events_per_type(events: DataFrame, k: int = 3) -> DataFrame:
+    """Per-group top-k: highest-value events per type (row_number window,
+    deterministic tie-break on event_id)."""
+    w = Window.partitionBy("event_type").orderBy(
+        F.desc("value"), F.asc("event_id")
+    )
+    return (
+        events.select("event_type", "event_id", "value", "user_id")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def user_event_pivot(events: DataFrame) -> DataFrame:
+    """Event-type counts pivoted to one column per type, per user.
+    The pivot value list is explicit (EVENT_TYPES) — no discovery scan."""
+    out = (
+        events.groupBy("user_id")
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+    )
+    # un-pivoted users with no events of a type get 0, not NULL
+    return out.select(
+        "user_id",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}")
+            for t in EVENT_TYPES
+        ],
+    )
+
+
+def extract_props(events: DataFrame) -> DataFrame:
+    """JSON field extraction from the props string column."""
+    return events.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("prop_k"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Oracle SQL twins (DuckDB).  These read the raw `events` view, whose ts
+# is TIMESTAMP_NS in DuckDB — arithmetic matches the Spark side's
+# micros-normalized NTZ timestamps at second/hour granularity.
+# ---------------------------------------------------------------------------
+
+def oracle_windowed_stats_sql(table: str = "events") -> str:
+    return f"""
+        SELECT date_trunc('hour', ts) AS window_start,
+               event_type,
+               COUNT(*) AS n_events,
+               {sql_dround("SUM(value)", 4)} AS sum_value,
+               {sql_dround("AVG(value)", 6)} AS avg_value
+        FROM {table}
+        GROUP BY 1, 2
+    """
+
+
+def oracle_sessionize_sql(
+    table: str = "events", gap_seconds: int = SESSION_GAP_SECONDS
+) -> str:
+    return f"""
+        WITH e AS (
+            SELECT user_id, ts, event_id, value,
+                   CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec
+            FROM {table}
+        ),
+        g AS (
+            SELECT *,
+                   CASE WHEN sec - LAG(sec) OVER w > {gap_seconds}
+                        THEN 1 ELSE 0 END AS new_session
+            FROM e
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        s AS (
+            SELECT *,
+                   CAST(SUM(new_session) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+            FROM g
+        )
+        SELECT user_id, session_seq,
+               COUNT(*) AS n_events,
+               MIN(ts) AS session_start,
+               MAX(ts) AS session_end,
+               MAX(sec) - MIN(sec) AS duration_sec,
+               {sql_dround("SUM(value)", 4)} AS session_value
+        FROM s GROUP BY user_id, session_seq
+    """
+
+
+def oracle_topk_events_sql(table: str = "events", k: int = 3) -> str:
+    return f"""
+        SELECT event_type, event_id, value, user_id, CAST(rank AS INT) AS rank
+        FROM (
+            SELECT event_type, event_id, value, user_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY event_type
+                       ORDER BY value DESC, event_id ASC) AS rank
+            FROM {table}
+        ) WHERE rank <= {k}
+    """
+
+
+def oracle_user_pivot_sql(table: str = "events") -> str:
+    cols = ",\n               ".join(
+        f"CAST(COUNT(*) FILTER (WHERE event_type = '{t}') AS BIGINT) AS n_{t}"
+        for t in EVENT_TYPES
+    )
+    return f"""
+        SELECT user_id,
+               {cols}
+        FROM {table}
+        GROUP BY user_id
+    """
+
+
+def oracle_extract_props_sql(table: str = "events") -> str:
+    return f"""
+        SELECT event_id,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k
+        FROM {table}
+    """

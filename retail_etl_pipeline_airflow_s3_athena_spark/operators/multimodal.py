@@ -1,0 +1,207 @@
+"""Multimodal column plumbing: image/audio/video as opaque BINARY
+columns with typed metadata, processed through Arrow-batched pandas
+iterators (mapInPandas).
+
+The container has no image/audio codecs, so the *decode* step is
+stubbed: payloads follow a tiny deterministic fake format
+(``MM01`` magic + kind byte + width/height/duration header + body) that
+``_parse_header`` reads; a real deployment swaps ``_parse_header`` for
+PIL/ffmpeg behind the same batch interface.  Everything around the stub
+— schema, batch iteration, partitioning, output contract — is real
+Spark plumbing and is what actually matters at 100 TB:
+
+- payloads never pass through Python row-at-a-time: mapInPandas gets
+  Arrow record batches; memory is bounded by
+  spark.sql.execution.arrow.maxRecordsPerBatch regardless of blob size.
+- feature extraction emits fixed-width vectors (array<float>), ready
+  for operators/similarity.py's ANN path.
+- frame sampling is a 1->N flatMap done inside the batch iterator, so
+  a video row never materializes all frames at once.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MAGIC = b"MM01"
+KINDS = {0: "image", 1: "audio", 2: "video"}
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("duration_ms", T.IntegerType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("checksum", T.StringType()),
+    ]
+)
+
+FEATURE_DIM = 16
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("feature", T.ArrayType(T.FloatType())),
+    ]
+)
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_ms", T.IntegerType()),
+        T.StructField("frame_checksum", T.StringType()),
+    ]
+)
+
+
+def make_payload(media_id: int, kind_code: int) -> bytes:
+    """Deterministic fake media blob: header + pseudo-random body."""
+    width = 64 + (media_id * 17) % 512
+    height = 64 + (media_id * 29) % 512
+    duration = (media_id * 37) % 60000 if kind_code else 0
+    body_len = 128 + (media_id * 13) % 256
+    body = bytes((media_id * 7 + i * 31) % 256 for i in range(body_len))
+    return (
+        MAGIC
+        + struct.pack("<BIII", kind_code, width, height, duration)
+        + body
+    )
+
+
+def synthesize_media(spark: SparkSession, n: int = 60) -> DataFrame:
+    """Deterministic fake media table (no fixture table carries binary
+    payloads; tests and the rows-only contract query build their own)."""
+    rows = [
+        (i, KINDS[i % 3], make_payload(i, i % 3)) for i in range(n)
+    ]
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def _parse_header(payload: bytes) -> tuple[int, int, int, int]:
+    """STUB decode: reads the fake header.  A real build replaces this
+    with PIL / soundfile / ffmpeg probing behind the same signature."""
+    if payload[:4] != MAGIC:
+        raise NotImplementedError(
+            "real media decoding requires imaging/audio libraries not "
+            "present in this environment; payload is not in MM01 stub format"
+        )
+    kind_code, width, height, duration = struct.unpack_from("<BIII", payload, 4)
+    return kind_code, width, height, duration
+
+
+def extract_metadata(media: DataFrame) -> DataFrame:
+    """Decode headers + checksum payloads, batch-at-a-time via Arrow."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for mid, kind, payload in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"]
+            ):
+                b = bytes(payload)
+                _, width, height, duration = _parse_header(b)
+                out.append(
+                    (
+                        int(mid),
+                        kind,
+                        width,
+                        height,
+                        duration,
+                        len(b),
+                        hashlib.sha256(b).hexdigest()[:16],
+                    )
+                )
+            yield pd.DataFrame(
+                out, columns=[f.name for f in META_SCHEMA.fields]
+            )
+
+    return media.mapInPandas(batches, META_SCHEMA)
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """Fixed-width feature vectors from payload bytes (normalized
+    16-bucket byte histogram — a deterministic stand-in for a real
+    vision/audio encoder with the same batch shape)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload)[16:]  # skip header
+                hist = [0] * FEATURE_DIM
+                for byte in b:
+                    hist[byte % FEATURE_DIM] += 1
+                total = float(len(b)) or 1.0
+                rows.append((int(mid), [h / total for h in hist]))
+            yield pd.DataFrame(rows, columns=["media_id", "feature"])
+
+    return media.mapInPandas(batches, FEATURE_SCHEMA)
+
+
+def sample_frames(media: DataFrame, every_ms: int = 10000) -> DataFrame:
+    """1->N frame sampling for video rows (non-video rows emit nothing).
+    Frames are described, not materialized — the real decode hook sits
+    where frame_checksum is computed."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, kind, payload in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"]
+            ):
+                if kind != "video":
+                    continue
+                b = bytes(payload)
+                _, _, _, duration = _parse_header(b)
+                for idx, ms in enumerate(range(0, max(duration, 1), every_ms)):
+                    frame_sig = hashlib.sha256(
+                        b + ms.to_bytes(4, "little")
+                    ).hexdigest()[:12]
+                    rows.append((int(mid), idx, ms, frame_sig))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in FRAME_SCHEMA.fields]
+            )
+
+    return media.mapInPandas(batches, FRAME_SCHEMA)
+
+
+def media_pipeline(spark: SparkSession, n: int = 60) -> DataFrame:
+    """End-to-end: synthesize -> metadata -> join features -> flag big
+    payloads.  The rows-only contract query (no SQL oracle: binary
+    payloads and pandas stubs aren't SQL-expressible)."""
+    media = synthesize_media(spark, n)
+    meta = extract_metadata(media)
+    feats = extract_features(media).select(
+        "media_id", F.element_at("feature", 1).alias("f0")
+    )
+    return (
+        meta.join(feats, "media_id")
+        .select(
+            "media_id",
+            "kind",
+            "width",
+            "height",
+            "duration_ms",
+            "n_bytes",
+            "checksum",
+            F.round("f0", 6).alias("f0"),
+        )
+        .orderBy("media_id")
+    )

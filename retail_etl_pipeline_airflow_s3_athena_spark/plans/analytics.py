@@ -128,6 +128,27 @@ ANALYTICS_SQL: dict[str, str] = {
         GROUP BY category
         ORDER BY estimated_revenue DESC
     """,
+    # --- engine extensions beyond the reference's 4 queries ------------
+    # Cumulative revenue over the daily summary (window function; the
+    # running sum's accumulation order is pinned by ORDER BY, so the
+    # floor-rounding is cross-engine stable).
+    "daily_revenue_running": """
+        SELECT sale_date, revenue,
+               FLOOR(SUM(revenue) OVER (
+                   ORDER BY sale_date ROWS UNBOUNDED PRECEDING
+               ) * 1e2 + 0.5) / 1e2 AS running_revenue
+        FROM daily_sales_summary
+    """,
+    # Market-segment rollup with a grand-total row (GROUPING SETS).
+    "segment_sales_rollup": """
+        SELECT market_segment,
+               CAST(COUNT(transaction_id) AS BIGINT) AS n_transactions,
+               CAST(SUM(quantity) AS BIGINT)         AS total_items,
+               ROUND(SUM(unit_price * quantity), 2)  AS revenue
+        FROM sale_transactions st
+        JOIN customers c USING (customer_id)
+        GROUP BY ROLLUP(market_segment)
+    """,
 }
 
 
@@ -139,6 +160,10 @@ def register_gold_views(spark: SparkSession, sf_dir: str) -> None:
     cust = retail_views.customers(spark, sf_dir)
     prod = retail_views.products(spark, sf_dir)
     strs = retail_views.stores(spark, sf_dir)
+    st.createOrReplaceTempView("sale_transactions")
+    cust.createOrReplaceTempView("customers")
+    prod.createOrReplaceTempView("products")
+    strs.createOrReplaceTempView("stores")
     gold.daily_sales_summary(st).createOrReplaceTempView("daily_sales_summary")
     gold.top_customers(st, cust).createOrReplaceTempView("top_customers")
     gold.product_performance(st, prod).createOrReplaceTempView("product_performance")

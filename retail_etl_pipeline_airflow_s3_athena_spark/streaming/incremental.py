@@ -1,0 +1,128 @@
+"""Incremental (streaming) pipeline stages.
+
+The reference's incremental story is a daily Airflow schedule dropping
+timestamped files (dags/etl_retail_pipeline.py:97, extract.py:64-66) —
+i.e., micro-batch by convention.  Structured Streaming upgrades this:
+the same silver-cleaning and windowed-aggregation plans run as
+streaming queries with exactly-once file sinks, watermarked late-data
+handling, and in-stream deduplication — none of which the reference can
+express.
+
+- stream_events      : file-source readStream with the pinned schema
+- silver_stream      : cleaning plan -> parquet sink, Trigger.AvailableNow
+                       (processes whatever has landed, then stops — the
+                       batch-cron replacement)
+- windowed_stream    : watermark + tumbling window agg (same window
+                       semantics as operators/events.windowed_event_stats)
+- dedup_stream       : dropDuplicatesWithinWatermark on event_id
+
+Scale notes: the file source lists incrementally (maxFilesPerTrigger
+governs batch size); state for window aggs / dedup is bounded by the
+watermark horizon, not stream length.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Pinned source schema for the events stream.  ts arrives as raw nanos
+# (see sources/readers.read_events — same nanosAsLong convention).
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def stream_events(spark: SparkSession, source_dir: str) -> DataFrame:
+    """readStream over a directory of events parquet files."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(source_dir)
+    )
+    # LTZ (session=UTC) rather than NTZ: watermarks require TIMESTAMP,
+    # and with the session pinned to UTC the values are identical.
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def silver_stream(
+    events: DataFrame, output_dir: str, checkpoint_dir: str
+):
+    """Streaming bronze->silver: clean + date-partitioned parquet sink.
+
+    Trigger.AvailableNow = process everything currently available and
+    stop — the idiomatic replacement for the reference's daily batch
+    task, with exactly-once bookkeeping in the checkpoint."""
+    cleaned = events.select(
+        "event_id",
+        "ts",
+        F.to_date("ts").alias("date"),
+        "event_type",
+        F.coalesce(F.col("value"), F.lit(0.0)).alias("value"),
+        "user_id",
+    )
+    return (
+        cleaned.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .partitionBy("date")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def windowed_stream(events: DataFrame, window: str = "1 hour") -> DataFrame:
+    """Watermarked tumbling-window aggregate (append-able output).
+
+    The 2-hour watermark bounds state: windows older than the horizon
+    are finalized and dropped from the state store."""
+    return (
+        events.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def dedup_stream(events: DataFrame) -> DataFrame:
+    """In-stream exact dedup on event_id within the watermark horizon —
+    the streaming upgrade of the reference's duplicate *check* (Q2)."""
+    return events.withWatermark("ts", "2 hours").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def run_to_memory(
+    stream_df: DataFrame, query_name: str, output_mode: str = "append"
+):
+    """Drive a streaming DataFrame to completion against the in-memory
+    sink (test harness): processAllAvailable + stop, then read the
+    result table with spark.sql."""
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return q

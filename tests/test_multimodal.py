@@ -1,0 +1,57 @@
+"""Multimodal binary-column plumbing (mapInPandas, stubbed decode)."""
+
+from __future__ import annotations
+
+import pytest
+
+from retail_etl_pipeline_airflow_s3_athena_spark.operators import multimodal as mm
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    return mm.synthesize_media(spark, n=30)
+
+
+def test_metadata_extraction(media):
+    meta = mm.extract_metadata(media).collect()
+    assert len(meta) == 30
+    by_id = {r["media_id"]: r for r in meta}
+    assert by_id[0]["kind"] == "image"
+    assert by_id[0]["width"] >= 64 and by_id[0]["height"] >= 64
+    assert by_id[0]["duration_ms"] == 0  # images have no duration
+    assert by_id[2]["kind"] == "video" and by_id[2]["duration_ms"] > 0
+    # checksums deterministic across runs
+    again = {r["media_id"]: r["checksum"] for r in mm.extract_metadata(media).collect()}
+    assert all(by_id[i]["checksum"] == again[i] for i in by_id)
+
+
+def test_feature_vectors_fixed_width(media):
+    feats = mm.extract_features(media).collect()
+    assert all(len(r["feature"]) == mm.FEATURE_DIM for r in feats)
+    # histogram features are normalized
+    assert all(abs(sum(r["feature"]) - 1.0) < 1e-5 for r in feats)
+
+
+def test_frame_sampling_video_only(media):
+    frames = mm.sample_frames(media).collect()
+    kinds = {r["media_id"] % 3 for r in frames}
+    assert kinds == {2}  # only video rows emit frames
+    per_media = {}
+    for r in frames:
+        per_media.setdefault(r["media_id"], []).append(r["frame_idx"])
+    for idxs in per_media.values():
+        assert idxs == sorted(idxs)
+
+
+def test_decode_stub_rejects_real_payloads(spark):
+    fake = spark.createDataFrame(
+        [(99, "image", b"\x89PNG fake bytes")], mm.MEDIA_SCHEMA
+    )
+    with pytest.raises(Exception, match="NotImplementedError|MM01|decoding"):
+        mm.extract_metadata(fake).collect()
+
+
+def test_media_pipeline_end_to_end(spark):
+    out = mm.media_pipeline(spark, n=30).collect()
+    assert len(out) == 30
+    assert all(r["n_bytes"] > 0 for r in out)

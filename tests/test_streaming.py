@@ -1,0 +1,72 @@
+"""Structured Streaming stages over the events fixture (file source,
+AvailableNow trigger, memory/parquet sinks)."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from retail_etl_pipeline_airflow_s3_athena_spark.operators import events as event_ops
+from retail_etl_pipeline_airflow_s3_athena_spark.sources import readers
+from retail_etl_pipeline_airflow_s3_athena_spark.streaming import incremental
+
+
+@pytest.fixture(scope="module")
+def events_dir(sf_dir):
+    # streaming file sources watch a DIRECTORY; stage the fixture file
+    d = tempfile.mkdtemp(prefix="events_src_")
+    shutil.copy(f"{sf_dir}/events.parquet", f"{d}/events.parquet")
+    return d
+
+
+@pytest.fixture(scope="module")
+def events_stream(spark, events_dir):
+    return incremental.stream_events(spark, events_dir)
+
+
+def test_silver_stream_writes_partitioned_parquet(spark, events_dir, events_stream):
+    out = tempfile.mkdtemp(prefix="silver_stream_")
+    ckpt = tempfile.mkdtemp(prefix="ckpt_")
+    q = incremental.silver_stream(events_stream, out, ckpt)
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    assert got.count() == 1000
+    assert "date" in got.columns  # hive-partitioned by event date
+    assert got.filter(F.col("value").isNull()).count() == 0
+
+    # exactly-once: a second AvailableNow run over the same input is a no-op
+    q2 = incremental.silver_stream(
+        incremental.stream_events(spark, events_dir), out, ckpt
+    )
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out).count() == 1000
+
+
+def test_windowed_stream_matches_batch(spark, sf_dir, events_stream):
+    agg = incremental.windowed_stream(events_stream)
+    incremental.run_to_memory(agg, "win_out", output_mode="complete")
+    streamed = {
+        (r["window_start"], r["event_type"]): r["n_events"]
+        for r in spark.sql("SELECT * FROM win_out").collect()
+    }
+    batch = {
+        (r["window_start"], r["event_type"]): r["n_events"]
+        for r in event_ops.windowed_event_stats(
+            readers.read_events(spark, sf_dir)
+        ).collect()
+    }
+    assert streamed == batch  # same window semantics, streaming vs batch
+
+
+def test_dedup_stream_drops_duplicates(spark, sf_dir, events_stream):
+    deduped = incremental.dedup_stream(events_stream)
+    incremental.run_to_memory(deduped, "dedup_out")
+    n = spark.sql("SELECT COUNT(*) AS n FROM dedup_out").first()["n"]
+    n_src = readers.read_events(spark, sf_dir).count()
+    distinct_ids = (
+        readers.read_events(spark, sf_dir).select("event_id").distinct().count()
+    )
+    assert n == distinct_ids <= n_src
