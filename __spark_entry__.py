@@ -200,6 +200,12 @@ def _q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim_ops.embedding_near_dup(_emb(spark, sf_dir))
 
 
+def _q_embedding_near_dup_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Rows-only check: float32 BLAS accumulation isn't bit-identical to
+    # the SQL fold; pair-set equality vs the exact operator is tested.
+    return sim_ops.embedding_near_dup_gemm(_emb(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # Event-stream extensions (events table)
 # ---------------------------------------------------------------------------
@@ -269,6 +275,7 @@ def queries() -> dict[str, QueryFn]:
         "ivf_topk": _q_ivf_topk,
         "rp_lsh_signatures": _q_rp_lsh,
         "embedding_near_dup": _q_embedding_near_dup,
+        "embedding_near_dup_gemm": _q_embedding_near_dup_gemm,
         "windowed_event_stats": _q_windowed_event_stats,
         "sessionize_events": _q_sessionize,
         "topk_events_per_type": _q_topk_events,

@@ -22,6 +22,7 @@ import __spark_entry__ as entrymod
 from retail_etl_pipeline_airflow_s3_athena_spark import get_spark
 
 HEADLINE = [
+    # retail surface (reference parity)
     "daily_sales_summary",
     "top_customers",
     "product_performance",
@@ -31,6 +32,15 @@ HEADLINE = [
     "product_analysis",
     "revenue_by_category",
     "pricing_summary",
+    # training-data extensions (one per family)
+    "text_features",
+    "dedup_exact",
+    "minhash_signatures",
+    "near_dup_pairs",
+    "cosine_topk",
+    "embedding_near_dup_gemm",
+    "windowed_event_stats",
+    "sessionize_events",
 ]
 
 

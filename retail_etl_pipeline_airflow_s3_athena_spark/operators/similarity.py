@@ -11,10 +11,11 @@ Operators:
 - embedding_near_dup : all-pairs cosine >= threshold (exact; the scale
                        path is rp_lsh bucketing first)
 
-All vector math is native Spark higher-order expressions: elements cast
-to double, dot products via zip_with + sequential aggregate fold — the
-same left-to-right accumulation DuckDB's list_reduce performs, so both
-engines produce bit-identical doubles and the oracle can hash-compare.
+All vector math is native Spark column expressions: elements cast to
+double, dot products UNROLLED into flat left-associated sums (see
+``dot``) so they stay inside WholeStageCodegen and accumulate in the
+same order as DuckDB's list_reduce fold — both engines produce
+bit-identical doubles and the oracle can hash-compare.
 
 Scale notes (100 TB / billions of vectors):
 - cosine_topk broadcasts the (small) query set; the corpus is scanned
@@ -34,6 +35,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from retail_etl_pipeline_airflow_s3_athena_spark.operators.text import (
     FP_MOD,
@@ -43,44 +45,70 @@ from retail_etl_pipeline_airflow_s3_athena_spark.operators.text import (
 
 RP_BITS = 16  # random-hyperplane signature width
 RP_MULT = 2654435761  # Knuth multiplicative constant for hyperplane gen
+EMB_DIM = 64  # fixture embedding dimensionality
 
 
 def _as_double(arr: Column) -> Column:
     return F.transform(arr, lambda x: x.cast("double"))
 
 
-def dot(a: Column, b: Column) -> Column:
-    """Sequential-fold dot product (deterministic accumulation order)."""
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+def dot(a: Column, b: Column, dim: int = EMB_DIM) -> Column:
+    """Dot product as an UNROLLED left-associated sum of element_at
+    terms.  Two reasons over a zip_with/aggregate fold: (1) flat
+    expressions stay in WholeStageCodegen — array lambdas are
+    interpreted, ~30x slower in the all-pairs hot loop; (2) the
+    left-assoc chain 0+t1+t2+... is the exact accumulation order of
+    DuckDB's list_reduce fold, so both engines produce bit-identical
+    doubles."""
+    terms = [
+        F.element_at(a, i).cast("double") * F.element_at(b, i).cast("double")
+        for i in range(1, dim + 1)
+    ]
+    return sum(terms)  # Python sum: 0 + t1 + t2 + ... left-assoc
+
+
+def cosine(a: Column, b: Column, dim: int = EMB_DIM) -> Column:
+    return dround(
+        dot(a, b, dim) / (F.sqrt(dot(a, a, dim)) * F.sqrt(dot(b, b, dim))), 6
     )
 
 
-def cosine(a: Column, b: Column) -> Column:
-    return dround(dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b))), 6)
+def _normed(embeddings: DataFrame, dim: int = EMB_DIM) -> DataFrame:
+    """(vec_id, v, nrm): corpus with the vector norm precomputed once —
+    pair scoring then only pays the cross-term dot product."""
+    v = F.col("embedding")
+    return embeddings.select(
+        "vec_id",
+        v.alias("v"),
+        F.sqrt(dot(v, v, dim)).alias("nrm"),
+    )
+
+
+def _pair_cosine(av, bv, anrm, bnrm, dim: int = EMB_DIM) -> Column:
+    return dround(dot(av, bv, dim) / (anrm * bnrm), 6)
 
 
 def cosine_topk(
-    embeddings: DataFrame, n_queries: int = 5, k: int = 10
+    embeddings: DataFrame, n_queries: int = 5, k: int = 10, dim: int = EMB_DIM
 ) -> DataFrame:
     """Exact top-k cosine neighbors for the query set vec_id < n_queries.
 
     Broadcast the queries; one pass over the corpus; rank per query with
     deterministic tie-break (cosine desc, neighbor id asc)."""
-    corpus = embeddings.select(
-        F.col("vec_id"), _as_double(F.col("embedding")).alias("v")
-    )
+    corpus = _normed(embeddings, dim)
     queries = corpus.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
     )
     scored = (
         corpus.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            cosine(F.col("qv"), F.col("v")).alias("cos_sim"),
+            _pair_cosine(
+                F.col("qv"), F.col("v"), F.col("qnrm"), F.col("nrm"), dim
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -130,6 +158,7 @@ def ivf_topk(
     n_queries: int = 5,
     k: int = 10,
     nprobe: int = 2,
+    dim: int = EMB_DIM,
 ) -> DataFrame:
     """IVF ANN: corpus vectors are assigned to their nearest centroid
     cell; each query searches only its nprobe nearest cells.
@@ -137,9 +166,7 @@ def ivf_topk(
     Both the assignment and probing joins broadcast the tiny centroid
     set — at a billion vectors the corpus-side work is one narrow pass
     plus a shuffle-free top-k."""
-    corpus = embeddings.select(
-        F.col("vec_id"), _as_double(F.col("embedding")).alias("v")
-    )
+    corpus = _normed(embeddings, dim)
     cents = _centroid_vectors(embeddings)
 
     # assign each corpus vector to its best cell (cos desc, label asc)
@@ -149,16 +176,19 @@ def ivf_topk(
     assigned = (
         corpus.crossJoin(F.broadcast(cents))
         .select(
-            "vec_id", "v", "label", cosine(F.col("v"), F.col("cv")).alias("c_cos")
+            "vec_id", "v", "nrm", "label",
+            cosine(F.col("v"), F.col("cv"), dim).alias("c_cos"),
         )
         .withColumn("rn", F.row_number().over(assign_w))
         .filter(F.col("rn") == 1)
-        .select("vec_id", "v", F.col("label").alias("cell"))
+        .select("vec_id", "v", "nrm", F.col("label").alias("cell"))
     )
 
     # each query probes its nprobe nearest cells
     queries = corpus.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
     )
     probe_w = Window.partitionBy("query_id").orderBy(
         F.desc("c_cos"), F.asc("label")
@@ -166,12 +196,12 @@ def ivf_topk(
     probed = (
         queries.crossJoin(F.broadcast(cents))
         .select(
-            "query_id", "qv", "label",
-            cosine(F.col("qv"), F.col("cv")).alias("c_cos"),
+            "query_id", "qv", "qnrm", "label",
+            cosine(F.col("qv"), F.col("cv"), dim).alias("c_cos"),
         )
         .withColumn("rn", F.row_number().over(probe_w))
         .filter(F.col("rn") <= nprobe)
-        .select("query_id", "qv", F.col("label").alias("cell"))
+        .select("query_id", "qv", "qnrm", F.col("label").alias("cell"))
     )
 
     scored = (
@@ -180,7 +210,9 @@ def ivf_topk(
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            cosine(F.col("qv"), F.col("v")).alias("cos_sim"),
+            _pair_cosine(
+                F.col("qv"), F.col("v"), F.col("qnrm"), F.col("nrm"), dim
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -226,14 +258,12 @@ def rp_lsh_signatures(embeddings: DataFrame, bits: int = RP_BITS) -> DataFrame:
 
 
 def embedding_near_dup(
-    embeddings: DataFrame, threshold: float = 0.4
+    embeddings: DataFrame, threshold: float = 0.4, dim: int = EMB_DIM
 ) -> DataFrame:
     """Exact all-pairs cosine near-duplicates (a < b, cos >= threshold).
     Verification-scale only; at corpus scale bucket by rp_lsh_signatures
     or ivf cell first so the pair space is bounded."""
-    e = embeddings.select(
-        F.col("vec_id"), _as_double(F.col("embedding")).alias("v")
-    )
+    e = _normed(embeddings, dim)
     a = e.alias("a")
     b = e.alias("b")
     return (
@@ -241,9 +271,73 @@ def embedding_near_dup(
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
-            cosine(F.col("a.v"), F.col("b.v")).alias("cos_sim"),
+            _pair_cosine(
+                F.col("a.v"), F.col("b.v"), F.col("a.nrm"), F.col("b.nrm"), dim
+            ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def embedding_near_dup_gemm(
+    embeddings: DataFrame, threshold: float = 0.4
+) -> DataFrame:
+    """All-pairs cosine near-dup via BLOCK-WISE MATRIX MULTIPLY: each
+    Arrow batch of corpus rows is multiplied (numpy GEMM) against the
+    broadcast normalized corpus matrix.
+
+    This is the scale architecture for brute-force similarity: per-pair
+    expression evaluation (embedding_near_dup) costs O(pairs) row
+    operations; GEMM does the same arithmetic at BLAS speed with
+    O(block) memory.  At billions of vectors the broadcast side becomes
+    a block iterator (tile both sides); the batch interface is
+    identical.  Results are float32 BLAS sums — not bit-identical to the
+    SQL fold, hence rows-only verification (pair SET equality vs the
+    exact operator is asserted in tests)."""
+    import numpy as np
+
+    spark = embeddings.sparkSession
+    rows = (
+        embeddings.select("vec_id", "embedding").orderBy("vec_id").collect()
+    )
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float32)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    b_ids = spark.sparkContext.broadcast(ids)
+    b_mat = spark.sparkContext.broadcast(mat)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("vec_a", T.LongType()),
+            T.StructField("vec_b", T.LongType()),
+            T.StructField("cos_sim", T.DoubleType()),
+        ]
+    )
+
+    def batches(it):
+        import pandas as pd
+
+        all_ids = b_ids.value
+        all_mat = b_mat.value
+        for pdf in it:
+            q = np.array(list(pdf["embedding"]), dtype=np.float32)
+            q = q / np.linalg.norm(q, axis=1, keepdims=True)
+            qids = pdf["vec_id"].to_numpy()
+            sims = q @ all_mat.T  # (batch, corpus) GEMM
+            bi, bj = np.nonzero(sims >= threshold)
+            a = qids[bi]
+            b = all_ids[bj]
+            keep = a < b
+            yield pd.DataFrame(
+                {
+                    "vec_a": a[keep],
+                    "vec_b": b[keep],
+                    "cos_sim": np.round(sims[bi, bj][keep].astype(np.float64), 6),
+                }
+            )
+
+    return embeddings.select("vec_id", "embedding").mapInPandas(
+        batches, out_schema
     )
 
 

@@ -78,7 +78,7 @@ def vecs(spark):
 
 
 def test_cosine_topk_exact(vecs):
-    out = similarity.cosine_topk(vecs, n_queries=1, k=4).collect()
+    out = similarity.cosine_topk(vecs, n_queries=1, k=4, dim=4).collect()
     ranked = [r["neighbor_id"] for r in sorted(out, key=lambda r: r["rank"])]
     # query [1,0,0,0]: nearest is [0.9,.1] then the 45° vector, then y, z
     assert ranked == [1, 4, 2, 3]
@@ -96,11 +96,27 @@ def test_label_centroids(vecs):
 
 
 def test_ivf_probes_subset(vecs):
-    out = similarity.ivf_topk(vecs, n_queries=1, k=4, nprobe=2).collect()
+    out = similarity.ivf_topk(vecs, n_queries=1, k=4, nprobe=2, dim=4).collect()
     ids = {r["neighbor_id"] for r in out}
     # probing 2 of 3 cells: label-2 cell ([0,0,1,0]) is never probed
     assert 3 not in ids
     assert 1 in ids
+
+
+def test_gemm_near_dup_matches_exact(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = {
+        (r["vec_a"], r["vec_b"])
+        for r in similarity.embedding_near_dup(emb, threshold=0.4).collect()
+    }
+    gemm = {
+        (r["vec_a"], r["vec_b"])
+        for r in similarity.embedding_near_dup_gemm(emb, threshold=0.4).collect()
+    }
+    # float32 GEMM vs double fold may disagree exactly at the threshold
+    # boundary; the pair sets must agree away from it
+    assert len(exact ^ gemm) <= max(1, len(exact) // 50)
+    assert len(exact & gemm) > 0
 
 
 def test_text_features_formulas(spark):
