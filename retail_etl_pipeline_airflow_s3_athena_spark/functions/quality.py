@@ -70,7 +70,10 @@ def column_is_timestamp(df: DataFrame, column: str) -> bool:
     """Q7: dtype assertion (reference data_quality.py:65-68)."""
     if column not in df.columns:
         return False
-    return isinstance(df.schema[column].dataType, (T.TimestampType, T.DateType))
+    return isinstance(
+        df.schema[column].dataType,
+        (T.TimestampType, T.TimestampNTZType, T.DateType),
+    )
 
 
 def column_non_negative(df: DataFrame, column: str) -> bool:

@@ -44,6 +44,56 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def build_gold_tables(
+    sale_transactions: DataFrame,
+    customers: DataFrame | None = None,
+    products: DataFrame | None = None,
+    stores: DataFrame | None = None,
+) -> dict[str, DataFrame]:
+    """All gold tables with the reference's degrade-gracefully column
+    guards (P10, load.py:166,185,218,246): each aggregate is only built
+    when its required columns exist; missing dims skip the enrichment
+    join (store_performance is skipped entirely without stores data,
+    mirroring load.py:246)."""
+    from pyspark.sql import functions as _F
+
+    cols = set(sale_transactions.columns)
+    out: dict[str, DataFrame] = {}
+    if {"transaction_id", "quantity", "order_date"} <= cols:
+        if "unit_price" in cols:
+            out["daily_sales_summary"] = daily_sales_summary(sale_transactions)
+        else:
+            # reference load.py:166: the revenue block is guarded on
+            # unit_price — without it the summary is counts/items only
+            out["daily_sales_summary"] = (
+                sale_transactions.withColumn(
+                    "sale_date", _F.to_date("order_date")
+                )
+                .filter(_F.col("sale_date").isNotNull())
+                .groupBy("sale_date")
+                .agg(
+                    _F.count("transaction_id").alias("total_orders"),
+                    _F.sum("quantity").alias("total_items"),
+                )
+                .orderBy("sale_date")
+            )
+    if {"customer_id", "unit_price", "quantity"} <= cols:
+        spend = customer_spend(sale_transactions)
+        if customers is not None:
+            out["top_customers"] = top_customers(sale_transactions, customers)
+        else:
+            out["top_customers"] = spend.orderBy(
+                _F.desc("total_spent"), _F.asc("customer_id")
+            ).limit(10)
+    if {"product_id", "quantity", "unit_price"} <= cols and products is not None:
+        out["product_performance"] = product_performance(
+            sale_transactions, products
+        )
+    if {"store_id", "quantity", "unit_price"} <= cols and stores is not None:
+        out["store_performance"] = store_performance(sale_transactions, stores)
+    return out
+
+
 def daily_sales_summary(sale_transactions: DataFrame) -> DataFrame:
     """Per-day order counts, item counts and revenue.
 

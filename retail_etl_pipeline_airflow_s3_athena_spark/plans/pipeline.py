@@ -86,6 +86,11 @@ def run_pipeline(
     # --- register + quality + analytics ----------------------------------
     for name, df in gold_tables.items():
         df.createOrReplaceTempView(name)
+    # base retail views for queries that hit the silver surface directly
+    st.createOrReplaceTempView("sale_transactions")
+    cust.createOrReplaceTempView("customers")
+    prod.createOrReplaceTempView("products")
+    strs.createOrReplaceTempView("stores")
     report = quality.run_data_quality_checks(gold_tables)
     analytics_results = {
         name: spark.sql(sql) for name, sql in analytics.ANALYTICS_SQL.items()

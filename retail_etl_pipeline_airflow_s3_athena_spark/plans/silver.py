@@ -63,7 +63,10 @@ def coerce_dates(
         dt = by_name.get(c)
         if dt is None or isinstance(dt, (T.TimestampType, T.DateType)):
             continue
-        out = out.withColumn(c, F.to_timestamp(F.col(c)))
+        # try_to_timestamp, not to_timestamp: under Spark 4's default
+        # ANSI mode the latter THROWS on malformed input; the reference's
+        # errors='coerce' semantics require malformed -> NULL.
+        out = out.withColumn(c, F.try_to_timestamp(F.col(c)))
     return out
 
 

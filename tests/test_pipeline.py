@@ -1,0 +1,136 @@
+"""End-to-end pipeline (reference DAG semantics), sources/sinks,
+catalog registration, column guards, quality checks."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from retail_etl_pipeline_airflow_s3_athena_spark.functions import quality
+from retail_etl_pipeline_airflow_s3_athena_spark.plans import gold, retail_views, silver
+from retail_etl_pipeline_airflow_s3_athena_spark.plans.pipeline import run_pipeline
+from retail_etl_pipeline_airflow_s3_athena_spark.sources import catalog, readers, writers
+
+
+def test_run_pipeline_in_memory(spark, sf_dir):
+    out = run_pipeline(spark, sf_dir)
+    assert out["quality"]["all_passed"]
+    assert set(out["gold"]) == {
+        "daily_sales_summary",
+        "top_customers",
+        "product_performance",
+        "store_performance",
+    }
+    assert all(df.count() > 0 for df in out["analytics"].values())
+
+
+def test_run_pipeline_with_writes_and_readback(spark, sf_dir):
+    work = tempfile.mkdtemp(prefix="pipe_")
+    out = run_pipeline(spark, sf_dir, work_dir=work, run_date="20260813")
+    # silver is date-partitioned (reference transform.py:46-52, Q6)
+    sil = readers.read_parquet_table(spark, f"{work}/silver", "sale_transactions")
+    assert quality.is_date_partitioned(sil)
+    # write–read-back verification (reference transform.py:63-64)
+    assert sil.count() == 6000
+    assert out["quality"]["all_passed"]
+    # append mode: a second run adds a new date partition
+    run_pipeline(spark, sf_dir, work_dir=work, run_date="20260814")
+    sil2 = readers.read_parquet_table(spark, f"{work}/silver", "sale_transactions")
+    assert sil2.count() == 12000
+    assert sil2.select("date").distinct().count() == 2
+
+
+def test_column_guards_degrade_gracefully(spark, sf_dir):
+    st = retail_views.sale_transactions(spark, sf_dir)
+    # full inputs -> all four tables
+    full = gold.build_gold_tables(
+        st,
+        retail_views.customers(spark, sf_dir),
+        retail_views.products(spark, sf_dir),
+        retail_views.stores(spark, sf_dir),
+    )
+    assert len(full) == 4
+    # no stores data -> store_performance skipped (reference load.py:246)
+    nostores = gold.build_gold_tables(
+        st,
+        retail_views.customers(spark, sf_dir),
+        retail_views.products(spark, sf_dir),
+    )
+    assert "store_performance" not in nostores and len(nostores) == 3
+    # missing unit_price -> only daily summary possible
+    noprice = gold.build_gold_tables(st.drop("unit_price", "customer_id"))
+    assert set(noprice) == {"daily_sales_summary"}
+
+
+def test_catalog_registration(spark, sf_dir):
+    work = tempfile.mkdtemp(prefix="cat_")
+    st = retail_views.sale_transactions(spark, sf_dir)
+    dss = gold.daily_sales_summary(st)
+    path = writers.write_gold(dss, work, "daily_sales_summary")
+    catalog.create_database(spark, "shopease_analytics")
+    catalog.register_parquet_table(
+        spark, "shopease_analytics", "daily_sales_summary", path
+    )
+    got = spark.sql("SELECT COUNT(*) AS n FROM shopease_analytics.daily_sales_summary")
+    assert got.first()["n"] == dss.count()
+    # idempotent re-registration (reference glue_registry.py:66-81)
+    catalog.register_parquet_table(
+        spark, "shopease_analytics", "daily_sales_summary", path
+    )
+
+
+def test_bronze_csv_roundtrip(spark, sf_dir):
+    work = tempfile.mkdtemp(prefix="bronze_")
+    cust = retail_views.customers(spark, sf_dir)
+    path = writers.write_bronze_csv(cust, work, "customers")
+    back = readers.read_bronze_csv(spark, path)
+    assert back.count() == cust.count()
+    assert set(back.columns) == set(cust.columns)
+
+
+def test_silver_cleaning_semantics(spark):
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame(
+        [
+            Row(id=1, created_at="2024-01-01 10:00:00", amount=5.0),
+            Row(id=2, created_at="not-a-date", amount=None),
+            Row(id=3, created_at=None, amount=2.5),
+        ]
+    )
+    cleaned = silver.clean(df)
+    rows = {r["id"]: r for r in cleaned.collect()}
+    # errors='coerce' semantics: unparseable -> NULL (transform.py:35)
+    assert rows[1]["created_at"] is not None
+    assert rows[2]["created_at"] is None
+    # numeric fillna(0) (transform.py:39-43)
+    assert rows[2]["amount"] == 0.0
+    assert rows[3]["amount"] == 2.5
+
+
+def test_pick_date_column_heuristic(spark, sf_dir):
+    st = retail_views.sale_transactions(spark, sf_dir)
+    # first column containing date/created/time (load.py:141-147)
+    assert silver.pick_date_column(st) == "order_date"
+    assert silver.pick_date_column(st.drop("order_date")) is None
+
+
+def test_quality_suite_full(spark, sf_dir):
+    cust = retail_views.customers(spark, sf_dir)
+    st = retail_views.sale_transactions(spark, sf_dir)
+    assert quality.key_is_unique(cust, "customer_id")
+    assert not quality.key_is_unique(st, "customer_id")  # fact FK repeats
+    assert quality.column_not_null(st, "product_id")
+    assert quality.column_is_timestamp(st, "order_date")
+    assert not quality.column_is_timestamp(cust, "customer_name")
+    assert quality.column_non_negative(st, "quantity")
+    assert quality.cardinality_at_most(cust.limit(5), 10)
+    assert not quality.cardinality_at_most(cust, 10)
+    rep = quality.table_report(cust)
+    assert rep["row_count"] == cust.count()
+    assert rep["null_cells"] == 0
+    assert quality.duplicate_row_count(cust) == 0
+    dup = cust.limit(1).unionAll(cust.limit(1))
+    assert quality.duplicate_row_count(dup) == 1
