@@ -16,6 +16,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from retail_etl_pipeline_airflow_s3_athena_spark.operators import asof as asof_ops
 from retail_etl_pipeline_airflow_s3_athena_spark.operators import dedup as dedup_ops
 from retail_etl_pipeline_airflow_s3_athena_spark.operators import events as event_ops
 from retail_etl_pipeline_airflow_s3_athena_spark.operators import multimodal as mm_ops
@@ -230,6 +231,42 @@ def _q_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     return event_ops.extract_props(readers.read_events(spark, sf_dir))
 
 
+def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return asof_ops.asof_join_events(readers.read_events(spark, sf_dir))
+
+
+def _q_event_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return event_ops.event_value_quantiles(readers.read_events(spark, sf_dir))
+
+
+def _q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-join analytical query (TPC-H Q3 shape): segment filter ->
+    3-table join with date predicates pushed to both scans -> grouped
+    revenue -> top-10.  Exercises join ordering, filter pushdown, and
+    TakeOrderedAndProject in one plan."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        F.expr("o_orderdate < TIMESTAMP_NTZ'1998-06-15 00:00:00'")
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        F.expr("l_shipdate > TIMESTAMP_NTZ'1998-06-15 00:00:00'")
+    )
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderdate"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
 def _q_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Binary fixtures don't exist; the media table is synthesized
     # deterministically.  No SQL oracle (mapInPandas + binary payloads
@@ -281,6 +318,9 @@ def queries() -> dict[str, QueryFn]:
         "topk_events_per_type": _q_topk_events,
         "user_event_pivot": _q_user_event_pivot,
         "extract_props": _q_extract_props,
+        "asof_join_events": _q_asof_join,
+        "event_value_quantiles": _q_event_value_quantiles,
+        "shipping_priority": _q_shipping_priority,
         "multimodal_pipeline": _q_multimodal_pipeline,
     }
 
@@ -357,6 +397,21 @@ def oracle_sql() -> dict[str, str]:
     oracles["topk_events_per_type"] = event_ops.oracle_topk_events_sql()
     oracles["user_event_pivot"] = event_ops.oracle_user_pivot_sql()
     oracles["extract_props"] = event_ops.oracle_extract_props_sql()
+    oracles["asof_join_events"] = asof_ops.oracle_asof_join_sql()
+    oracles["event_value_quantiles"] = event_ops.oracle_event_quantiles_sql()
+    oracles["shipping_priority"] = """
+        SELECT l.l_orderkey, o.o_orderdate, o.o_orderpriority,
+               ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < TIMESTAMP '1998-06-15'
+          AND l.l_shipdate > TIMESTAMP '1998-06-15'
+        GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+        ORDER BY revenue DESC, o.o_orderdate ASC, l.l_orderkey ASC
+        LIMIT 10
+    """
     for name in (
         "daily_revenue",
         "daily_revenue_running",

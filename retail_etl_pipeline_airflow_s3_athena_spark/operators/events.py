@@ -126,6 +126,20 @@ def user_event_pivot(events: DataFrame) -> DataFrame:
     )
 
 
+def event_value_quantiles(events: DataFrame) -> DataFrame:
+    """Exact continuous quantiles per event_type (Spark ``percentile``;
+    at 100 TB swap for ``percentile_approx`` — same call shape, bounded
+    memory, but no longer oracle-exact)."""
+    return events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        dround(F.min("value"), 6).alias("v_min"),
+        dround(F.percentile("value", 0.5), 6).alias("p50"),
+        dround(F.percentile("value", 0.9), 6).alias("p90"),
+        dround(F.percentile("value", 0.99), 6).alias("p99"),
+        dround(F.max("value"), 6).alias("v_max"),
+    )
+
+
 def extract_props(events: DataFrame) -> DataFrame:
     """JSON field extraction from the props string column."""
     return events.select(
@@ -208,6 +222,20 @@ def oracle_user_pivot_sql(table: str = "events") -> str:
                {cols}
         FROM {table}
         GROUP BY user_id
+    """
+
+
+def oracle_event_quantiles_sql(table: str = "events") -> str:
+    return f"""
+        SELECT event_type,
+               COUNT(*) AS n,
+               {sql_dround("MIN(value)", 6)} AS v_min,
+               {sql_dround("quantile_cont(value, 0.5)", 6)} AS p50,
+               {sql_dround("quantile_cont(value, 0.9)", 6)} AS p90,
+               {sql_dround("quantile_cont(value, 0.99)", 6)} AS p99,
+               {sql_dround("MAX(value)", 6)} AS v_max
+        FROM {table}
+        GROUP BY event_type
     """
 
 

@@ -110,6 +110,110 @@ def dedup_stream(events: DataFrame) -> DataFrame:
     )
 
 
+SESSION_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_start", T.TimestampType()),
+        T.StructField("session_end", T.TimestampType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("session_value", T.DoubleType()),
+    ]
+)
+
+# state: open session bounds in epoch micros + running aggregates
+SESSION_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("start_us", T.LongType()),
+        T.StructField("end_us", T.LongType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("val", T.DoubleType()),
+    ]
+)
+
+
+def stateful_sessions(
+    events: DataFrame, gap_seconds: int = 1800, watermark: str = "2 hours"
+) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState:
+    per-user gap-based sessions that EMIT as they close (the streaming
+    form of operators/events.sessionize).
+
+    State per user is one open session (4 scalars); an event-time
+    timeout at session_end + gap flushes sessions that can no longer
+    grow once the watermark passes.  State size is O(active users),
+    bounded regardless of stream length — the applyInPandasWithState
+    contract the reference's daily-batch design can't express."""
+    import pandas as pd  # noqa: F401 (imported for the worker closure)
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = gap_seconds * 1_000_000
+
+    def fn(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        (user_id,) = key
+        closed: list[tuple] = []
+
+        def emit(start_us: int, end_us: int, n: int, val: float):
+            closed.append(
+                (
+                    user_id,
+                    pd.Timestamp(start_us, unit="us"),
+                    pd.Timestamp(end_us, unit="us"),
+                    n,
+                    float(val),
+                )
+            )
+
+        if state.hasTimedOut:
+            if state.exists:
+                s, e, n, v = state.get
+                emit(s, e, n, v)
+                state.remove()
+        else:
+            ev = pd.concat(list(pdfs), ignore_index=True)
+            ev = ev.sort_values(["ts", "event_id"])
+            ts_us = ev["ts"].astype("int64") // 1000  # ns -> us
+            vals = ev["value"].fillna(0.0)
+            if state.exists:
+                s, e, n, v = state.get
+            else:
+                s = e = n = v = None
+            for t, val in zip(ts_us, vals):
+                if s is None:
+                    s, e, n, v = int(t), int(t), 1, float(val)
+                elif t - e > gap_us:
+                    emit(s, e, n, v)
+                    s, e, n, v = int(t), int(t), 1, float(val)
+                else:
+                    e, n, v = int(t), n + 1, v + float(val)
+            if s is not None:
+                state.update((s, e, n, v))
+                # flush once the watermark passes the gap horizon; the
+                # timeout must sit strictly above the current watermark
+                # (events near/behind it would otherwise throw)
+                horizon = e // 1000 + gap_seconds * 1000
+                state.setTimeoutTimestamp(
+                    max(horizon, state.getCurrentWatermarkMs() + 1)
+                )
+        if closed:
+            yield pd.DataFrame(
+                closed, columns=[f.name for f in SESSION_OUT_SCHEMA.fields]
+            )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            SESSION_OUT_SCHEMA,
+            SESSION_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def run_to_memory(
     stream_df: DataFrame, query_name: str, output_mode: str = "append"
 ):

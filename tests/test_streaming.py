@@ -61,6 +61,56 @@ def test_windowed_stream_matches_batch(spark, sf_dir, events_stream):
     assert streamed == batch  # same window semantics, streaming vs batch
 
 
+def test_stateful_sessions_match_batch(spark, sf_dir):
+    # multiple source files -> multiple micro-batches -> the watermark
+    # advances between batches and event-time timeouts actually fire
+    from pyspark.sql import types as T
+
+    d = tempfile.mkdtemp(prefix="events_multi_")
+    # 4 chronological chunks so files stream in (roughly) event-time
+    # order and the watermark advances between micro-batches; ts is
+    # written as a plain (LTZ/UTC) timestamp so no conversion on read
+    readers.read_events(spark, sf_dir).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    ).withColumn(
+        "part", ((F.dayofmonth("ts") - 1) / 8).cast("int")
+    ).coalesce(1).write.partitionBy("part").parquet(f"{d}/out")
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+            T.StructField("part", T.IntegerType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{d}/out")
+        .drop("part")
+    )
+    sessions = incremental.stateful_sessions(stream)
+    incremental.run_to_memory(sessions, "sess_out")
+    emitted = spark.sql("SELECT * FROM sess_out").collect()
+    assert len(emitted) > 0
+    batch = {
+        (r["user_id"], r["session_start"]): r
+        for r in event_ops.sessionize(
+            readers.read_events(spark, sf_dir)
+        ).collect()
+    }
+    # every emitted (closed) session must exactly match a batch session
+    for r in emitted:
+        key = (r["user_id"], r["session_start"])
+        assert key in batch, f"streamed session {key} not found in batch"
+        b = batch[key]
+        assert r["n_events"] == b["n_events"]
+        assert r["session_end"] == b["session_end"]
+
+
 def test_dedup_stream_drops_duplicates(spark, sf_dir, events_stream):
     deduped = incremental.dedup_stream(events_stream)
     incremental.run_to_memory(deduped, "dedup_out")
