@@ -1,0 +1,43 @@
+"""Skew-mitigation utilities.
+
+AQE's skew-join splitting (on by default, session.py) handles most hot
+keys by splitting oversized partitions at runtime.  Salting is the
+manual escape hatch for the cases AQE can't fix — e.g., a single key
+holding >x% of the fact table where even a split partition's build side
+is the bottleneck, or pre-AQE writers that need deterministic layout.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    large: DataFrame,
+    small: DataFrame,
+    key: str,
+    salt: int = 8,
+    how: str = "inner",
+    seed: int = 42,
+) -> DataFrame:
+    """Join a skewed large side to a small side on ``key`` with salting:
+    the large side gets a random salt in [0, salt), the small side is
+    replicated across all salt values, and the join key becomes
+    (key, salt) — splitting each hot key's rows across ``salt``
+    reducers.
+
+    Correctness: every large row still meets every matching small row
+    exactly once (the small side is replicated, not split), for any
+    salt assignment — so the random salt does not affect results.
+    Cost: small side inflates x salt; only worth it when the skew
+    stall exceeds that."""
+    salted_large = large.withColumn(
+        "__salt", F.floor(F.rand(seed) * salt).cast("int")
+    )
+    replicated_small = small.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+    )
+    return salted_large.join(
+        replicated_small, on=[key, "__salt"], how=how
+    ).drop("__salt")

@@ -117,6 +117,20 @@ def test_pick_date_column_heuristic(spark, sf_dir):
     assert silver.pick_date_column(st.drop("order_date")) is None
 
 
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    from retail_etl_pipeline_airflow_s3_athena_spark.functions.skew import salted_join
+
+    st = retail_views.sale_transactions(spark, sf_dir)
+    cust = retail_views.customers(spark, sf_dir)
+    plain = st.join(cust, "customer_id").count()
+    salted = salted_join(st, cust, "customer_id", salt=4).count()
+    assert plain == salted
+    # left join keeps unmatched rows too
+    plain_l = st.join(cust, "customer_id", "left").count()
+    salted_l = salted_join(st, cust, "customer_id", salt=4, how="left").count()
+    assert plain_l == salted_l
+
+
 def test_quality_suite_full(spark, sf_dir):
     cust = retail_views.customers(spark, sf_dir)
     st = retail_views.sale_transactions(spark, sf_dir)
