@@ -176,6 +176,16 @@ def run_analytics_query(spark: SparkSession, sf_dir: str, name: str) -> DataFram
     return spark.sql(ANALYTICS_SQL[name])
 
 
+def execute_query(spark: SparkSession, database: str | None, sql: str):
+    """The reference's remote-SQL surface (S14, athena_queries.py:15-68):
+    submit SQL, poll until done, fetch rows.  On Spark this collapses to
+    a synchronous ``spark.sql`` — the wrapper keeps the call shape
+    (optional database scoping, rows out) for pipeline parity."""
+    if database:
+        spark.catalog.setCurrentDatabase(database)
+    return spark.sql(sql).collect()
+
+
 def oracle_for(name: str) -> str:
     """DuckDB oracle: the same query body over the CTE chain."""
     return retail_views.with_retail_ctes(

@@ -49,11 +49,16 @@ def run_pipeline(
     strs = retail_views.stores(spark, source_dir)
 
     # --- silver: clean + (optionally) partitioned write ------------------
+    # nation/region play the reference's extracted-but-never-queried
+    # tables (inventory, sales_managers — SURVEY.md §1.5): they pass
+    # through silver so the 6-table extract shape is preserved.
     silver_tables = {
         "sale_transactions": silver.clean(st),
         "customers": silver.clean(cust),
         "products": silver.clean(prod),
         "stores": silver.clean(strs),
+        "nation": silver.clean(spark.read.parquet(f"{source_dir}/nation.parquet")),
+        "region": silver.clean(spark.read.parquet(f"{source_dir}/region.parquet")),
     }
     if work_dir:
         for name, df in silver_tables.items():

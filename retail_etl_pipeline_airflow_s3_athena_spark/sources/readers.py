@@ -47,6 +47,38 @@ def read_bronze_csv(
     return reader.csv(path)
 
 
+# Reference scripts/load.py:8-38 (S8): filename-prefix -> logical table,
+# including the alias quirks (sale_* -> sale_transactions but sales_* ->
+# sales_managers).  Spark's catalog + partitioned directories make this
+# unnecessary for our layout; kept for parity with bronze files produced
+# by the reference's extract naming (<table>_<YYYYmmdd_HHMMSS>.csv).
+_TABLE_PREFIXES = [
+    "sale_transactions",
+    "sales_managers",
+    "customers",
+    "products",
+    "inventory",
+    "stores",
+]
+
+
+def table_name_from_filename(filename: str) -> str | None:
+    """Resolve a bronze filename to its logical table (reference
+    extract_table_name_from_filename, load.py:8-38)."""
+    import os.path
+
+    base = os.path.basename(filename)
+    base = base.rsplit(".", 1)[0]
+    for t in _TABLE_PREFIXES:
+        if base == t or base.startswith(t + "_"):
+            return t
+    if base.startswith("sales_"):
+        return "sales_managers"
+    if base.startswith("sale"):
+        return "sale_transactions"
+    return None
+
+
 def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Read the events fixture, normalizing its nanosecond parquet
     timestamp to a Spark (microsecond) timestamp.

@@ -117,6 +117,27 @@ def test_pick_date_column_heuristic(spark, sf_dir):
     assert silver.pick_date_column(st.drop("order_date")) is None
 
 
+def test_table_name_resolver():
+    # reference extract_table_name_from_filename quirks (load.py:8-38)
+    f = readers.table_name_from_filename
+    assert f("/data/bronze/customers_20260813_110000.csv") == "customers"
+    assert f("sale_transactions_20260813_110000.csv") == "sale_transactions"
+    assert f("sales_managers_20260813.csv") == "sales_managers"
+    assert f("sale_20260813.csv") == "sale_transactions"  # alias: sale->fact
+    assert f("sales_20260813.csv") == "sales_managers"  # alias: sales->managers
+    assert f("unknown_table.csv") is None
+
+
+def test_execute_query_wrapper(spark, sf_dir):
+    from retail_etl_pipeline_airflow_s3_athena_spark.plans import analytics
+
+    analytics.register_gold_views(spark, sf_dir)
+    rows = analytics.execute_query(
+        spark, None, "SELECT COUNT(*) AS n FROM daily_sales_summary"
+    )
+    assert rows[0]["n"] > 0
+
+
 def test_salted_join_equals_plain_join(spark, sf_dir):
     from retail_etl_pipeline_airflow_s3_athena_spark.functions.skew import salted_join
 
