@@ -89,6 +89,44 @@ def _q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_category_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregation: unique buyers per category (count-distinct
+    shuffles on (category, customer_id) then re-aggregates — the
+    standard two-phase distinct plan; at extreme scale swap for
+    approx_count_distinct)."""
+    st = retail_views.sale_transactions(spark, sf_dir)
+    prod = retail_views.products(spark, sf_dir)
+    return (
+        st.join(F.broadcast(prod), "product_id")
+        .groupBy("category")
+        .agg(
+            F.countDistinct("customer_id").alias("unique_buyers"),
+            F.sum("quantity").alias("total_quantity"),
+        )
+        .orderBy("category")
+    )
+
+
+def _q_repeat_buyers_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set ops: customers with both fulfilled AND open orders
+    (INTERSECT), via DataFrame.intersect."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    f_cust = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    o_cust = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    return f_cust.intersect(o_cust)
+
+
+def _q_user_event_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): the per-user event-type counts back to long form."""
+    wide = event_ops.user_event_pivot(readers.read_events(spark, sf_dir))
+    return wide.unpivot(
+        "user_id",
+        [f"n_{t}" for t in event_ops.EVENT_TYPES],
+        "event_type",
+        "n",
+    ).withColumn("event_type", F.expr("substring(event_type, 3)"))
+
+
 def _q_union_all_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SET1 — union-all of two slices (reference pd.concat, load.py:93)."""
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
@@ -296,6 +334,9 @@ def queries() -> dict[str, QueryFn]:
         "product_analysis": _analytics_query("product_analysis"),
         "revenue_by_category": _analytics_query("revenue_by_category"),
         "pricing_summary": _q_pricing_summary,
+        "category_reach": _q_category_reach,
+        "repeat_buyers_intersect": _q_repeat_buyers_intersect,
+        "user_event_unpivot": _q_user_event_unpivot,
         "union_all_orders": _q_union_all_orders,
         "silver_clean_events": _q_silver_clean_events,
         "dq_summary_customer": _q_dq_summary_customer,
@@ -357,6 +398,28 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
             FROM orders WHERE o_orderstatus = 'F'
+        """,
+        "category_reach": retail_views.with_retail_ctes("""
+            SELECT p.category,
+                   CAST(COUNT(DISTINCT st.customer_id) AS BIGINT) AS unique_buyers,
+                   CAST(SUM(st.quantity) AS BIGINT) AS total_quantity
+            FROM sale_transactions st JOIN products p USING (product_id)
+            GROUP BY p.category
+            ORDER BY p.category
+        """),
+        "repeat_buyers_intersect": """
+            SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+            INTERSECT
+            SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        """,
+        "user_event_unpivot": """
+            SELECT user_id, t.event_type,
+                   CAST(COUNT(*) FILTER (WHERE e.event_type = t.event_type)
+                        AS BIGINT) AS n
+            FROM events e
+            CROSS JOIN (SELECT unnest(['click','error','purchase','signup','view'])
+                        AS event_type) t
+            GROUP BY user_id, t.event_type
         """,
         "silver_clean_events": """
             SELECT event_id,
