@@ -1,0 +1,121 @@
+"""Property-based tests (hypothesis) for algebraic equivalences the
+engine's optimized formulations rely on."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from retail_etl_pipeline_airflow_s3_athena_spark.functions.skew import salted_join
+from retail_etl_pipeline_airflow_s3_athena_spark.operators import dedup
+
+WORDS = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta"]
+
+doc_strategy = st.lists(
+    st.lists(st.sampled_from(WORDS), min_size=0, max_size=12).map(" ".join),
+    min_size=2,
+    max_size=6,
+)
+
+
+@settings(max_examples=5, deadline=None)
+@given(texts=doc_strategy)
+def test_inverted_index_jaccard_equals_array_form(spark, texts):
+    """The flat inverted-index Jaccard (production path) must equal the
+    array_intersect formulation for every pair with overlap."""
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=t, source="s") for i, t in enumerate(texts)]
+    )
+    flat_pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.blocked_jaccard_pairs(
+            docs, block_col="source", threshold=1e-9
+        ).collect()
+    }
+    # array-based reference formulation (empty docs excluded — the
+    # production path emits no rows for them, and 0/0 is undefined)
+    sh = docs.select(
+        "doc_id", F.array_distinct(dedup.shingle_hashes(F.col("text"))).alias("sh")
+    ).filter(F.size("sh") > 0)
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    union = F.size(F.col("a.sh")) + F.size(F.col("b.sh")) - inter
+    from retail_etl_pipeline_airflow_s3_athena_spark.operators.text import dround
+
+    array_pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in (
+            a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                dround(inter / union, 6).alias("jaccard"),
+            )
+            .filter(F.col("jaccard") > 0)
+            .collect()
+        )
+    }
+    assert flat_pairs == array_pairs
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 100)),
+        min_size=0,
+        max_size=30,
+    )
+)
+def test_salted_join_equivalence(spark, rows):
+    """salted_join must return exactly a plain join's multiset of rows
+    for any data and any salt."""
+    large = spark.createDataFrame(
+        [Row(k=k, v=v) for k, v in rows], schema="k int, v int"
+    )
+    small = spark.createDataFrame([Row(k=i, name=f"n{i}") for i in range(4)])
+    plain = sorted(
+        (r["k"], r["v"], r["name"])
+        for r in large.join(small, "k").collect()
+    )
+    salted = sorted(
+        (r["k"], r["v"], r["name"])
+        for r in salted_join(large, small, "k", salt=3).collect()
+    )
+    assert plain == salted
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    deltas=st.lists(st.integers(1, 4000), min_size=1, max_size=25),
+)
+def test_sessionize_partitions_events(spark, deltas):
+    """Sessions must partition a user's events: counts sum to the total,
+    intra-session gaps <= threshold, inter-session gaps > threshold."""
+    import datetime as dt
+
+    from retail_etl_pipeline_airflow_s3_athena_spark.operators.events import sessionize
+
+    t = dt.datetime(2024, 1, 1)
+    ts = []
+    for d in deltas:
+        t = t + dt.timedelta(seconds=d)
+        ts.append(t)
+    events = spark.createDataFrame(
+        [
+            Row(user_id=1, ts=x, event_id=i, value=1.0, event_type="view")
+            for i, x in enumerate(ts)
+        ]
+    )
+    sessions = sorted(
+        sessionize(events, gap_seconds=1800).collect(),
+        key=lambda r: r["session_start"],
+    )
+    assert sum(r["n_events"] for r in sessions) == len(ts)
+    for r in sessions:
+        assert r["session_start"] <= r["session_end"]
+    for prev, nxt in zip(sessions, sessions[1:]):
+        gap = (nxt["session_start"] - prev["session_end"]).total_seconds()
+        assert gap > 1800
