@@ -52,6 +52,11 @@ def get_spark(
         # Parquet: vectorized reader + pushdown are defaults; keep explicit
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
+        # Keep catalog/warehouse artifacts out of the repo tree
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SPARK_WAREHOUSE_DIR", "/tmp/spark-warehouse"),
+        )
         # Quiet progress bars in test output
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.ui.enabled", "false")

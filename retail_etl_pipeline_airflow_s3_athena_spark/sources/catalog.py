@@ -51,6 +51,41 @@ def register_parquet_table(
         spark.sql(f"MSCK REPAIR TABLE {database}.{table}")
 
 
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    key: str,
+    buckets: int = 16,
+    database: str | None = None,
+) -> None:
+    """Persist a DataFrame bucketed (and sorted) by a join key.
+
+    Bucketing is the pre-AQE co-location contract: two tables bucketed
+    on the same key with the same bucket count join WITHOUT a shuffle —
+    at 100 TB that turns the recurring fact⋈fact join from the dominant
+    exchange into a local zip of sorted buckets.  Worth it for keys
+    joined repeatedly (customer_id, product_id); not for one-shot joins.
+    """
+    spark = df.sparkSession
+    name = f"{database}.{table}" if database else table
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    # a previously interrupted write can leave the managed location
+    # behind (DROP only removes metadata it knows about) — clear it
+    warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    loc = f"{warehouse}/{database + '.db/' if database else ''}{table}"
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(loc)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.delete(jpath, True)
+    (
+        df.write.bucketBy(buckets, key)
+        .sortBy(key)
+        .option("compression", "snappy")
+        .format("parquet")
+        .saveAsTable(name)
+    )
+
+
 def register_temp_view(df: DataFrame, name: str) -> None:
     """Session-scoped registration — the in-process fast path used by
     tests and the analytics layer."""

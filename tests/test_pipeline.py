@@ -117,6 +117,32 @@ def test_pick_date_column_heuristic(spark, sf_dir):
     assert silver.pick_date_column(st.drop("order_date")) is None
 
 
+def test_bucketed_join_avoids_shuffle(spark, sf_dir):
+    """Two tables bucketed on the same key must join with no Exchange
+    on either side (the bucketing co-location contract)."""
+    st = retail_views.sale_transactions(spark, sf_dir)
+    spend = st.groupBy("customer_id").count()
+    catalog.write_bucketed_table(st, "b_fact", "customer_id", buckets=4)
+    catalog.write_bucketed_table(spend, "b_spend", "customer_id", buckets=4)
+    # fixture tables are small enough to auto-broadcast, which bypasses
+    # buckets entirely — disable it to exercise the big-table plan shape
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("b_fact").join(
+            spark.table("b_spend"), "customer_id"
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # co-located: no shuffle either side
+        assert joined.count() == st.count()
+        # and the non-bucketed equivalent DOES shuffle
+        unbucketed = st.join(spend, "customer_id")
+        plan2 = unbucketed._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" in plan2
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
 def test_table_name_resolver():
     # reference extract_table_name_from_filename quirks (load.py:8-38)
     f = readers.table_name_from_filename
