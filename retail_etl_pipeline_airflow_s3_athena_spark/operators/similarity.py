@@ -169,19 +169,26 @@ def ivf_topk(
     corpus = _normed(embeddings, dim)
     cents = _centroid_vectors(embeddings)
 
-    # assign each corpus vector to its best cell (cos desc, label asc)
-    assign_w = Window.partitionBy("vec_id").orderBy(
-        F.desc("c_cos"), F.asc("label")
-    )
+    # assign each corpus vector to its best cell (cos desc, label asc).
+    # max_by aggregation, NOT a row_number window: the argmax gets
+    # map-side partial aggregation, so the corpus x K scored rows never
+    # shuffle — only (vec_id, best) pairs do.  The (c_cos, -label)
+    # ordering struct pins the tie-break.
     assigned = (
         corpus.crossJoin(F.broadcast(cents))
         .select(
             "vec_id", "v", "nrm", "label",
             cosine(F.col("v"), F.col("cv"), dim).alias("c_cos"),
         )
-        .withColumn("rn", F.row_number().over(assign_w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "v", "nrm", F.col("label").alias("cell"))
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(
+                F.col("label"), F.struct(F.col("c_cos"), (-F.col("label")))
+            ).alias("cell"),
+            F.first("v").alias("v"),
+            F.first("nrm").alias("nrm"),
+        )
+        .select("vec_id", "v", "nrm", "cell")
     )
 
     # each query probes its nprobe nearest cells
