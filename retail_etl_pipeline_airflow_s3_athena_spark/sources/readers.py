@@ -104,6 +104,21 @@ def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+def read_json(
+    spark: SparkSession, path: str, schema: T.StructType | None = None
+) -> DataFrame:
+    """JSON source (schema-pinned preferred; inference scans twice)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC source — same columnar pushdown/pruning story as parquet."""
+    return spark.read.orc(path)
+
+
 def read_jdbc_table(
     spark: SparkSession,
     url: str,

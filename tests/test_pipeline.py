@@ -90,6 +90,19 @@ def test_bronze_csv_roundtrip(spark, sf_dir):
     assert set(back.columns) == set(cust.columns)
 
 
+def test_orc_and_json_roundtrip(spark, sf_dir):
+    import tempfile as tf
+
+    work = tf.mkdtemp(prefix="fmt_")
+    cust = retail_views.customers(spark, sf_dir)
+    cust.write.mode("overwrite").orc(f"{work}/orc")
+    assert readers.read_orc(spark, f"{work}/orc").count() == cust.count()
+    cust.write.mode("overwrite").json(f"{work}/json")
+    back = readers.read_json(spark, f"{work}/json", schema=cust.schema)
+    assert back.count() == cust.count()
+    assert back.schema == cust.schema
+
+
 def test_silver_cleaning_semantics(spark):
     from pyspark.sql import Row
 
