@@ -82,10 +82,19 @@ def main() -> None:
         "product_performance": gold.product_performance(st, prod),
         "store_performance": gold.store_performance(st, strs),
     }
-    for name, df in gold_tables.items():
+    # materialize the four tables concurrently — the driver-side analog
+    # of the reference's parallel Airflow tasks; Spark's scheduler
+    # interleaves the jobs across the same executor pool
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _materialize(item):
+        name, df = item
         cached = df.cache()
-        cached.count()  # materialize
+        cached.count()
         cached.createOrReplaceTempView(name)
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        list(pool.map(_materialize, gold_tables.items()))
     timings["gold_materialize"] = round(time.time() - t0, 3)
 
     # --- analytics SQL over materialized gold --------------------------
