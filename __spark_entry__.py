@@ -261,6 +261,10 @@ def _q_topk_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return event_ops.topk_events_per_type(readers.read_events(spark, sf_dir))
 
 
+def _q_session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return event_ops.session_window_stats(readers.read_events(spark, sf_dir))
+
+
 def _q_user_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return event_ops.user_event_pivot(readers.read_events(spark, sf_dir))
 
@@ -357,6 +361,7 @@ def queries() -> dict[str, QueryFn]:
         "windowed_event_stats": _q_windowed_event_stats,
         "sessionize_events": _q_sessionize,
         "topk_events_per_type": _q_topk_events,
+        "session_window_stats": _q_session_window_stats,
         "user_event_pivot": _q_user_event_pivot,
         "extract_props": _q_extract_props,
         "asof_join_events": _q_asof_join,
@@ -458,6 +463,7 @@ def oracle_sql() -> dict[str, str]:
     oracles["windowed_event_stats"] = event_ops.oracle_windowed_stats_sql()
     oracles["sessionize_events"] = event_ops.oracle_sessionize_sql()
     oracles["topk_events_per_type"] = event_ops.oracle_topk_events_sql()
+    oracles["session_window_stats"] = event_ops.oracle_session_window_sql()
     oracles["user_event_pivot"] = event_ops.oracle_user_pivot_sql()
     oracles["extract_props"] = event_ops.oracle_extract_props_sql()
     oracles["asof_join_events"] = asof_ops.oracle_asof_join_sql()

@@ -95,6 +95,30 @@ def sessionize(
     )
 
 
+def session_window_stats(
+    events: DataFrame, gap: str = "30 minutes"
+) -> DataFrame:
+    """Per-user sessions via Spark's NATIVE session_window (merging
+    windows in the aggregate, no window-function sort) — same session
+    boundaries as ``sessionize``; window end is last_event + gap by
+    session_window's definition.  This is also the streaming-compatible
+    form (works under a watermark)."""
+    return (
+        events.groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dround(F.sum("value"), 4).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("window_end"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
 def topk_events_per_type(events: DataFrame, k: int = 3) -> DataFrame:
     """Per-group top-k: highest-value events per type (row_number window,
     deterministic tie-break on event_id)."""
@@ -194,6 +218,36 @@ def oracle_sessionize_sql(
                MIN(ts) AS session_start,
                MAX(ts) AS session_end,
                MAX(sec) - MIN(sec) AS duration_sec,
+               {sql_dround("SUM(value)", 4)} AS session_value
+        FROM s GROUP BY user_id, session_seq
+    """
+
+
+def oracle_session_window_sql(
+    table: str = "events", gap_seconds: int = 1800
+) -> str:
+    """Same sessions as oracle_sessionize_sql; window_end follows
+    session_window's last_event + gap convention.  Gap comparison uses
+    raw timestamps (session_window's semantics), not floored seconds."""
+    return f"""
+        WITH g AS (
+            SELECT user_id, ts, value,
+                   CASE WHEN epoch(ts) - epoch(LAG(ts) OVER w)
+                             > {gap_seconds}
+                        THEN 1 ELSE 0 END AS new_session
+            FROM {table}
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        s AS (
+            SELECT *, SUM(new_session) OVER (
+                PARTITION BY user_id ORDER BY ts
+                ROWS UNBOUNDED PRECEDING) AS session_seq
+            FROM g
+        )
+        SELECT user_id,
+               MIN(ts) AS session_start,
+               MAX(ts) + INTERVAL {gap_seconds} SECOND AS window_end,
+               COUNT(*) AS n_events,
                {sql_dround("SUM(value)", 4)} AS session_value
         FROM s GROUP BY user_id, session_seq
     """
