@@ -98,8 +98,10 @@ def oracle_asof_join_sql(table: str = "events") -> str:
             SELECT event_id AS purchase_event_id, user_id, ts AS purchase_ts
             FROM {table} WHERE event_type = 'purchase'
         )
-        SELECT p.purchase_event_id, p.user_id, p.purchase_ts,
-               v.view_event_id, v.view_ts,
+        SELECT p.purchase_event_id, p.user_id,
+               CAST(p.purchase_ts AS TIMESTAMP) AS purchase_ts,
+               v.view_event_id,
+               CAST(v.view_ts AS TIMESTAMP) AS view_ts,
                CAST(FLOOR(epoch(p.purchase_ts)) AS BIGINT)
                  - CAST(FLOOR(epoch(v.view_ts)) AS BIGINT) AS gap_sec
         FROM purchases p

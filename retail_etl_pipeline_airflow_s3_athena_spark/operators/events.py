@@ -180,7 +180,7 @@ def extract_props(events: DataFrame) -> DataFrame:
 
 def oracle_windowed_stats_sql(table: str = "events") -> str:
     return f"""
-        SELECT date_trunc('hour', ts) AS window_start,
+        SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
                event_type,
                COUNT(*) AS n_events,
                {sql_dround("SUM(value)", 4)} AS sum_value,
@@ -215,8 +215,8 @@ def oracle_sessionize_sql(
         )
         SELECT user_id, session_seq,
                COUNT(*) AS n_events,
-               MIN(ts) AS session_start,
-               MAX(ts) AS session_end,
+               CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+               CAST(MAX(ts) AS TIMESTAMP) AS session_end,
                MAX(sec) - MIN(sec) AS duration_sec,
                {sql_dround("SUM(value)", 4)} AS session_value
         FROM s GROUP BY user_id, session_seq
@@ -245,8 +245,9 @@ def oracle_session_window_sql(
             FROM g
         )
         SELECT user_id,
-               MIN(ts) AS session_start,
-               MAX(ts) + INTERVAL {gap_seconds} SECOND AS window_end,
+               CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+               CAST(MAX(ts) AS TIMESTAMP) + INTERVAL {gap_seconds} SECOND
+                   AS window_end,
                COUNT(*) AS n_events,
                {sql_dround("SUM(value)", 4)} AS session_value
         FROM s GROUP BY user_id, session_seq
