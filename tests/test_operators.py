@@ -7,6 +7,7 @@ import math
 
 import pytest
 from pyspark.sql import Row
+from pyspark.sql import functions as F
 
 from retail_etl_pipeline_airflow_s3_athena_spark.operators import dedup, similarity, text
 
@@ -129,6 +130,31 @@ def test_text_features_formulas(spark):
     assert r["stopword_ratio"] == pytest.approx(1 / 3, abs=1e-6)
     # fingerprint is stable
     assert r["fingerprint"] == text.text_features(df).first()["fingerprint"]
+
+
+def test_fingerprint_udf_matches_expr(spark):
+    """The Arrow-vectorized fingerprint must be bit-identical to the
+    expression formula-of-record (which the oracle SQL mirrors),
+    including unicode, whitespace-only, empty, and null texts."""
+    rows = [
+        Row(doc_id=0, text="The quick brown fox"),
+        Row(doc_id=1, text="  MiXeD  Case   with   runs  "),
+        Row(doc_id=2, text=""),
+        Row(doc_id=3, text="   "),
+        Row(doc_id=4, text=None),
+        Row(doc_id=5, text="Ünïcødé tèst İstanbul ß"),
+        Row(doc_id=6, text="x" * 5000),
+    ]
+    df = spark.createDataFrame(rows)
+    bad = (
+        df.select(
+            text.fingerprint(F.col("text")).alias("fast"),
+            text.fingerprint_expr(F.col("text")).alias("ref"),
+        )
+        .filter("fast IS DISTINCT FROM ref")
+        .count()
+    )
+    assert bad == 0
 
 
 def test_language_id_picks_english(spark):
