@@ -239,6 +239,13 @@ def _q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim_ops.embedding_near_dup(_emb(spark, sf_dir))
 
 
+def _q_cosine_topk_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Arrow/numpy physical plan for the same logical query; bit-identical
+    # to cosine_topk (cumsum mirrors the left-assoc fold), so it shares
+    # the full value-hash oracle.
+    return sim_ops.cosine_topk_gemm(_emb(spark, sf_dir))
+
+
 def _q_embedding_near_dup_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Rows-only check: float32 BLAS accumulation isn't bit-identical to
     # the SQL fold; pair-set equality vs the exact operator is tested.
@@ -353,6 +360,7 @@ def queries() -> dict[str, QueryFn]:
         "simhash_signatures": _q_simhash,
         "blocked_jaccard_pairs": _q_blocked_jaccard,
         "cosine_topk": _q_cosine_topk,
+        "cosine_topk_gemm": _q_cosine_topk_gemm,
         "label_centroids": _q_label_centroids,
         "ivf_topk": _q_ivf_topk,
         "rp_lsh_signatures": _q_rp_lsh,
@@ -456,6 +464,7 @@ def oracle_sql() -> dict[str, str]:
     oracles["simhash_signatures"] = dedup_ops.oracle_simhash_sql()
     oracles["blocked_jaccard_pairs"] = dedup_ops.oracle_blocked_jaccard_sql()
     oracles["cosine_topk"] = sim_ops.oracle_cosine_topk_sql()
+    oracles["cosine_topk_gemm"] = sim_ops.oracle_cosine_topk_sql()
     oracles["label_centroids"] = sim_ops.oracle_label_centroids_sql()
     oracles["ivf_topk"] = sim_ops.oracle_ivf_topk_sql()
     oracles["rp_lsh_signatures"] = sim_ops.oracle_rp_lsh_sql()

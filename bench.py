@@ -43,7 +43,7 @@ STANDALONE = [
     "dedup_exact",
     "minhash_signatures",
     "near_dup_pairs",
-    "cosine_topk",
+    "cosine_topk_gemm",
     "embedding_near_dup_gemm",
     "windowed_event_stats",
     "sessionize_events",

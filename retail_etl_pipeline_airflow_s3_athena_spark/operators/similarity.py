@@ -121,6 +121,87 @@ def cosine_topk(
     )
 
 
+def cosine_topk_gemm(
+    embeddings: DataFrame, n_queries: int = 5, k: int = 10, dim: int = EMB_DIM
+) -> DataFrame:
+    """``cosine_topk`` with the per-pair math done by Arrow-batched
+    numpy instead of a ~400-node codegen expression — same plan shape
+    (broadcast queries, one corpus pass, partial top-k per partition,
+    tiny global merge) but no multi-second codegen compile and BLAS-rate
+    arithmetic.
+
+    BIT-IDENTICAL to ``cosine_topk`` and the DuckDB oracle, not merely
+    close: float32→float64 casts are exact, and ``np.cumsum`` along the
+    vector axis accumulates strictly left-associated — the same order as
+    the unrolled expression chain and the SQL ``list_reduce`` fold
+    (0.0 + t1 ≡ t1).  ``dround`` is mirrored with the same binary ops.
+    Equality is test-enforced against the expression operator.
+
+    The query set is collected to the driver (bounded: ``n_queries``
+    rows) and numpy-broadcast to executors; at a billion-vector corpus
+    this is the standard dense-retrieval sharding — queries ride along,
+    the corpus never shuffles, only parts×queries×k candidate rows move."""
+    import numpy as np
+    import pandas as pd
+
+    q_rows = (
+        embeddings.filter(F.col("vec_id") < n_queries)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    qids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
+    Q = np.array([r["embedding"] for r in q_rows], dtype=np.float64)
+    qnrm = np.sqrt(np.cumsum(Q * Q, axis=1)[:, -1])
+    bq = embeddings.sparkSession.sparkContext.broadcast((qids, Q, qnrm))
+
+    schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("cos_sim", T.DoubleType()),
+        ]
+    )
+
+    def part(it):
+        p_qids, p_Q, p_qnrm = bq.value
+        scale = 1e6
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            C = np.array(list(pdf["embedding"]), dtype=np.float64)
+            ids = pdf["vec_id"].to_numpy()
+            cnrm = np.sqrt(np.cumsum(C * C, axis=1)[:, -1])
+            frames = []
+            for qi in range(len(p_qids)):
+                dots = np.cumsum(C * p_Q[qi], axis=1)[:, -1]
+                cos = np.floor(dots / (p_qnrm[qi] * cnrm) * scale + 0.5) / scale
+                mask = ids != p_qids[qi]
+                c, nid = cos[mask], ids[mask]
+                top = np.lexsort((nid, -c))[:k]  # partial top-k, same
+                # total order as the global merge → exact
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": p_qids[qi],
+                            "neighbor_id": nid[top],
+                            "cos_sim": c[top],
+                        }
+                    )
+                )
+            if frames:
+                yield pd.concat(frames)
+
+    scored = embeddings.select("vec_id", "embedding").mapInPandas(part, schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
 def label_centroids(embeddings: DataFrame) -> DataFrame:
     """Element-wise mean vector per label, exploded to (label, pos, val)
     rows — a distributed vector aggregate: posexplode -> groupBy

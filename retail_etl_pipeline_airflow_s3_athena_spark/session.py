@@ -39,10 +39,26 @@ def get_spark(
         .master(master)
         # Determinism / oracle parity
         .config("spark.sql.session.timeZone", "UTC")
+        # Local-mode driver IS the executor fleet: the 1g JVM default
+        # starves caches/broadcasts long before the machine does.
+        # (No-op if a JVM already exists; the cluster path sets this
+        # through spark-submit instead.)
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_DRIVER_MEMORY", "32g"),
+        )
         # Adaptive execution: the scale story
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Broadcast policy: estimate-driven static broadcasts are OFF —
+        # pre-shuffle size estimates under-count exploded/derived tables
+        # by orders of magnitude (a mis-broadcast corpus table OOMs the
+        # driver at scale).  AQE instead converts shuffle joins to
+        # broadcast from MEASURED map-stage output sizes, which is the
+        # decision we'd want on a 1000-executor cluster too.
+        .config("spark.sql.autoBroadcastJoinThreshold", "-1")
+        .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "32m")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # Arrow for any pandas-UDF path (extensions only; parity needs none)
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

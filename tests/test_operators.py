@@ -104,6 +104,25 @@ def test_ivf_probes_subset(vecs):
     assert 1 in ids
 
 
+def test_cosine_topk_gemm_bit_identical(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    expr = [
+        (r["query_id"], r["neighbor_id"], r["cos_sim"], r["rank"])
+        for r in similarity.cosine_topk(emb, n_queries=3, k=5)
+        .orderBy("query_id", "rank")
+        .collect()
+    ]
+    gemm = [
+        (r["query_id"], r["neighbor_id"], r["cos_sim"], r["rank"])
+        for r in similarity.cosine_topk_gemm(emb, n_queries=3, k=5)
+        .orderBy("query_id", "rank")
+        .collect()
+    ]
+    # float64 cumsum accumulates in the same left-assoc order as the
+    # unrolled expression chain: EXACT equality, including the doubles
+    assert expr == gemm
+
+
 def test_gemm_near_dup_matches_exact(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     exact = {
