@@ -174,17 +174,17 @@ def _q_dq_summary_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def _q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return text_ops.text_features(docs)
+    return text_ops.text_features(readers.read_documents(spark, sf_dir))
 
 
 def _q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return text_ops.language_id(docs)
+    return text_ops.language_id(readers.read_documents(spark, sf_dir))
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # fan_out: byte-sized splits starve the hash-dense operators of
+    # cores on small single-file scans; no-op on real multi-split tables
+    return readers.read_documents(spark, sf_dir)
 
 
 def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -216,7 +216,7 @@ def _q_blocked_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return readers.read_embeddings(spark, sf_dir)
 
 
 def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

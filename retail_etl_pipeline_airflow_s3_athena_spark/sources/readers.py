@@ -79,6 +79,36 @@ def table_name_from_filename(filename: str) -> str | None:
     return None
 
 
+def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Raise scan parallelism for CPU-DENSE downstream work (hashing,
+    tokenization, vector math).
+
+    Spark sizes scan splits by BYTES (maxPartitionBytes), which is the
+    right proxy for IO-bound plans but starves compute-bound ones: a
+    594 KB documents file is one split, so md5-ing 300k tokens runs on
+    1 of 32 cores.  This helper is conditional — when the source already
+    has >= defaultParallelism splits (any real at-scale table), it is a
+    no-op; only small single-file scans pay the cheap up-front
+    round-robin shuffle."""
+    sc = df.sparkSession.sparkContext
+    target = min_partitions or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
+def read_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents fixture, fanned out for the tokenize/hash-heavy
+    dedup and text-analysis operators."""
+    return fan_out(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+def read_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings fixture, fanned out for vector math (unrolled
+    expression dot products / Arrow-batched GEMM)."""
+    return fan_out(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+
+
 def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Read the events fixture, normalizing its nanosecond parquet
     timestamp to a Spark (microsecond) timestamp.
