@@ -21,7 +21,14 @@ from retail_etl_pipeline_airflow_s3_athena_spark.operators import dedup as dedup
 from retail_etl_pipeline_airflow_s3_athena_spark.operators import events as event_ops
 from retail_etl_pipeline_airflow_s3_athena_spark.operators import multimodal as mm_ops
 from retail_etl_pipeline_airflow_s3_athena_spark.operators import similarity as sim_ops
+from retail_etl_pipeline_airflow_s3_athena_spark.operators import (
+    rangejoin as rangejoin_ops,
+)
 from retail_etl_pipeline_airflow_s3_athena_spark.operators import text as text_ops
+from retail_etl_pipeline_airflow_s3_athena_spark.operators import (
+    training as training_ops,
+)
+from retail_etl_pipeline_airflow_s3_athena_spark.functions import sampling, sketches
 from retail_etl_pipeline_airflow_s3_athena_spark.plans import analytics, gold, retail_views
 from retail_etl_pipeline_airflow_s3_athena_spark.sources import readers
 
@@ -316,6 +323,47 @@ def _q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Training-data prep extensions (chunking, packing, sampling, sketches,
+# range join)
+# ---------------------------------------------------------------------------
+
+def _q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return training_ops.doc_chunks(readers.read_documents(spark, sf_dir))
+
+
+def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return training_ops.pack_sequences(readers.read_documents(spark, sf_dir))
+
+
+def _q_hash_sample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sampling.hash_sample(
+        readers.read_events(spark, sf_dir), ["event_id"], 0.1
+    ).select("event_id", "user_id", "event_type", "value")
+
+
+def _q_stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sampling.stratified_hash_sample(
+        readers.read_documents(spark, sf_dir),
+        stratum_col="lang",
+        rates={"en": 0.25, "de": 0.75},
+        key_cols=["doc_id"],
+        default_rate=1.0,
+    ).select("doc_id", "lang", "source")
+
+
+def _q_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sketches.hll_distinct(
+        readers.read_events(spark, sf_dir), "user_id", ["event_type"]
+    )
+
+
+def _q_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rangejoin_ops.concurrent_session_activity(
+        readers.read_events(spark, sf_dir)
+    )
+
+
 def _q_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Binary fixtures don't exist; the media table is synthesized
     # deterministically.  No SQL oracle (mapInPandas + binary payloads
@@ -376,6 +424,12 @@ def queries() -> dict[str, QueryFn]:
         "event_value_quantiles": _q_event_value_quantiles,
         "shipping_priority": _q_shipping_priority,
         "multimodal_pipeline": _q_multimodal_pipeline,
+        "doc_chunks": _q_doc_chunks,
+        "pack_sequences": _q_pack_sequences,
+        "hash_sample_events": _q_hash_sample_events,
+        "stratified_sample_docs": _q_stratified_sample_docs,
+        "hll_distinct_users": _q_hll_distinct_users,
+        "concurrent_sessions": _q_concurrent_sessions,
     }
 
 
@@ -477,6 +531,20 @@ def oracle_sql() -> dict[str, str]:
     oracles["extract_props"] = event_ops.oracle_extract_props_sql()
     oracles["asof_join_events"] = asof_ops.oracle_asof_join_sql()
     oracles["event_value_quantiles"] = event_ops.oracle_event_quantiles_sql()
+    oracles["doc_chunks"] = training_ops.oracle_doc_chunks_sql()
+    oracles["pack_sequences"] = training_ops.oracle_pack_sequences_sql()
+    oracles["hash_sample_events"] = sampling.oracle_hash_sample_sql(
+        "events", ["event_id"], 0.1,
+        select="event_id, user_id, event_type, value",
+    )
+    oracles["stratified_sample_docs"] = sampling.oracle_stratified_sample_sql(
+        "documents", "lang", {"en": 0.25, "de": 0.75}, ["doc_id"],
+        default_rate=1.0, select="doc_id, lang, source",
+    )
+    oracles["hll_distinct_users"] = sketches.oracle_hll_distinct_sql(
+        "events", "user_id", ["event_type"]
+    )
+    oracles["concurrent_sessions"] = rangejoin_ops.oracle_concurrent_sessions_sql()
     oracles["shipping_priority"] = """
         SELECT l.l_orderkey, o.o_orderdate, o.o_orderpriority,
                ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue

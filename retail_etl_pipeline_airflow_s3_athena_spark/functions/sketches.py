@@ -1,0 +1,189 @@
+"""Deterministic HyperLogLog distinct-count sketch.
+
+``approx_count_distinct`` is engine-specific (Spark's HLL++ and
+DuckDB's HLL hash differently — results can't be cross-checked).  This
+module implements classic HLL (Flajolet et al. 2007) from first
+principles with a DETERMINISTIC md5-derived hash and integer-exact
+register combination, so Spark and the DuckDB oracle produce the SAME
+estimate and the correctness gate can hash-compare an *approximate*
+operator — the sketch itself becomes testable.
+
+Construction (m = 2^B registers, B=8):
+- h      = 60-bit md5 prefix of the key (integer, no float anywhere)
+- bucket = h & (m-1)               (low B bits)
+- rest   = h >> B                  (52 bits)
+- rank   = index of lowest set bit of rest, 1-based, capped at RANK_CAP
+           (rest == 0 -> RANK_CAP); arithmetic CASE chain — no
+           engine-specific ctz/clz builtins
+- register M_j = max(rank) per bucket
+- SUM(2^-M_j) is computed as the INTEGER sum of 2^(RANK_CAP - M_j)
+  (scaled by 2^RANK_CAP) — integer addition is order-independent, so
+  Spark's partial aggregation and DuckDB's serial sum agree exactly;
+  a float sum here would be accumulation-order-dependent and flip the
+  value hash.
+- estimate = alpha_m * m^2 * 2^RANK_CAP / scaled_sum, with the standard
+  small-range linear-counting correction (E <= 2.5m and empty registers
+  exist -> m * ln(m/V)).
+
+Scale notes: the sketch is ONE hash-aggregate pass — (group, bucket)
+partial max map-side (at most groups x 256 rows shuffle), then a
+256-row combine per group.  This is the mergeable-sketch pattern:
+registers from independent partitions/days combine by MAX, so daily
+sketches roll up without rescanning (the same property HLL++ sinks rely
+on).  Exact countDistinct is emitted alongside for error inspection —
+drop it at 100 TB (it's the expensive column; the sketch is the cheap
+one).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+B_BITS = 8
+M_REGISTERS = 1 << B_BITS  # 256
+RANK_CAP = 30
+_ALPHA = 0.7213 / (1.0 + 1.079 / M_REGISTERS)
+# linear-counting threshold: 2.5 * m
+_LC_THRESHOLD = 2.5 * M_REGISTERS
+
+
+def _md5_60(s: Column) -> Column:
+    """60-bit integer from the md5 hex prefix — full width, NOT reduced
+    mod a prime (HLL needs uniform low bits AND uniform trailing-zero
+    geometry in the high bits)."""
+    return F.conv(F.substring(F.md5(F.encode(s, "UTF-8")), 1, 15), 16, 10).cast(
+        "long"
+    )
+
+
+def _rank_expr(rest: Column) -> Column:
+    """1-based index of the lowest set bit via an arithmetic CASE chain
+    (portable: no ctz builtin in either engine's shared surface)."""
+    expr = F.lit(RANK_CAP)
+    for i in range(RANK_CAP - 1, 0, -1):
+        # bit (i-1) is the lowest set bit iff rest mod 2^i == 2^(i-1)
+        expr = F.when(
+            rest % F.lit(1 << i) == F.lit(1 << (i - 1)), F.lit(i)
+        ).otherwise(expr)
+    return expr
+
+
+def hll_distinct(
+    df: DataFrame, key_col: str, group_cols: list[str]
+) -> DataFrame:
+    """Per-group HLL distinct estimate next to the exact count.
+
+    Output: group_cols + est_distinct (double, 2dp) + exact_distinct."""
+    key = F.col(key_col).cast("string")
+    h = _md5_60(key)
+    hashed = df.select(
+        *group_cols,
+        (h % F.lit(M_REGISTERS)).alias("bucket"),
+        F.shiftright(h, B_BITS).alias("rest"),
+    )
+    registers = hashed.groupBy(*group_cols, "bucket").agg(
+        F.max(_rank_expr(F.col("rest"))).alias("m_j")
+    )
+    # integer-exact register sum: sum(2^(CAP - M_j)) + empty * 2^CAP
+    scaled = registers.groupBy(*group_cols).agg(
+        F.sum(
+            F.expr(f"CAST(shiftleft(1L, {RANK_CAP} - m_j) AS BIGINT)")
+        ).alias("present_sum"),
+        F.count(F.lit(1)).alias("n_present"),
+    )
+    empty = F.lit(M_REGISTERS) - F.col("n_present")
+    total = F.col("present_sum") + empty * F.lit(1 << RANK_CAP).cast("long")
+    e_raw = F.lit(_ALPHA * M_REGISTERS * M_REGISTERS * float(1 << RANK_CAP)) / total
+    est = F.when(
+        (e_raw <= F.lit(_LC_THRESHOLD)) & (empty > 0),
+        F.lit(float(M_REGISTERS)) * F.log(F.lit(float(M_REGISTERS)) / empty),
+    ).otherwise(e_raw)
+    sketched = scaled.select(
+        *group_cols,
+        F.floor(est * 100 + F.lit(0.5)).cast("double").alias("est_scaled"),
+    ).withColumn("est_distinct", F.col("est_scaled") / 100).drop("est_scaled")
+    exact = df.groupBy(*group_cols).agg(
+        F.count_distinct(F.col(key_col)).alias("exact_distinct")
+    )
+    return sketched.join(exact, group_cols)
+
+
+# ---------------------------------------------------------------------------
+# Oracle SQL twin (DuckDB) — identical arithmetic
+# ---------------------------------------------------------------------------
+
+def _sql_rank(rest: str) -> str:
+    branches = "\n                ".join(
+        f"WHEN {rest} % {1 << i} = {1 << (i - 1)} THEN {i}"
+        for i in range(1, RANK_CAP)
+    )
+    return f"(CASE\n                {branches}\n                ELSE {RANK_CAP} END)"
+
+
+def oracle_hll_distinct_sql(
+    table: str, key_col: str, group_cols: list[str]
+) -> str:
+    groups = ", ".join(group_cols)
+    h = (
+        f"CAST(('0x' || substr(md5(CAST({key_col} AS VARCHAR)), 1, 15)) "
+        f"AS BIGINT)"
+    )
+    return f"""
+        WITH hashed AS (
+            SELECT {groups},
+                   {h} % {M_REGISTERS} AS bucket,
+                   {h} >> {B_BITS} AS rest
+            FROM {table}
+        ),
+        registers AS (
+            SELECT {groups}, bucket, MAX({_sql_rank("rest")}) AS m_j
+            FROM hashed GROUP BY {groups}, bucket
+        ),
+        scaled AS (
+            SELECT {groups},
+                   CAST(SUM(CAST(1 AS BIGINT) << ({RANK_CAP} - m_j))
+                        AS BIGINT) AS present_sum,
+                   COUNT(*) AS n_present
+            FROM registers GROUP BY {groups}
+        ),
+        est AS (
+            SELECT {groups},
+                   present_sum + ({M_REGISTERS} - n_present)
+                       * CAST({1 << RANK_CAP} AS BIGINT) AS total,
+                   {M_REGISTERS} - n_present AS empty
+            FROM scaled
+        ),
+        raw AS (
+            -- CAST AS DOUBLE: bare float literals parse as DECIMAL in
+            -- DuckDB (Spark parses them as DOUBLE) — the arithmetic
+            -- must run in binary doubles on both engines
+            SELECT {groups}, empty,
+                   CAST({_ALPHA!r} AS DOUBLE) * {M_REGISTERS} * {M_REGISTERS}
+                       * CAST({float(1 << RANK_CAP)!r} AS DOUBLE) / total
+                       AS e_raw
+            FROM est
+        ),
+        corrected AS (
+            SELECT {groups},
+                   CASE WHEN e_raw <= CAST({_LC_THRESHOLD!r} AS DOUBLE)
+                             AND empty > 0
+                        THEN CAST({float(M_REGISTERS)!r} AS DOUBLE)
+                             * ln(CAST({float(M_REGISTERS)!r} AS DOUBLE)
+                                  / empty)
+                        ELSE e_raw END AS est
+            FROM raw
+        )
+        SELECT c.{', c.'.join(group_cols)},
+               FLOOR(c.est * 100 + 0.5) / 100 AS est_distinct,
+               x.exact_distinct
+        FROM corrected c
+        JOIN (
+            SELECT {groups},
+                   CAST(COUNT(DISTINCT {key_col}) AS BIGINT)
+                       AS exact_distinct
+            FROM {table} GROUP BY {groups}
+        ) x USING ({groups})
+    """

@@ -1,0 +1,172 @@
+"""Training-data preparation operators over the ``documents`` table:
+context-window chunking and sequence packing.
+
+The reference has no text surface at all (it is a retail ETL pipeline —
+SURVEY.md §2.7 "no array/map/json/regex functions"); these are the
+LLM-pipeline extensions the engine adds on top: before tokens reach a
+trainer they are (1) CHUNKED into max-length pieces and (2) PACKED into
+dense bins so short documents don't waste context-window slots.
+
+- doc_chunks     : split each doc into fixed-size token chunks,
+                   preserving token order
+- pack_sequences : assign docs to ~max_tokens bins (streaming first-fit
+                   by running token count, per source partition)
+- bin_stats      : per-bin utilization summary over a packing
+
+Scale notes:
+- doc_chunks is flat-row end to end: posexplode -> chunk_id arithmetic
+  -> one (doc_id, chunk_id) shuffle.  The per-chunk reassembly sorts a
+  bounded array (<= max_tokens elements), so the interpreted-lambda
+  cost is capped per row and the hot path (explode + hash grouping)
+  stays codegen.
+- pack_sequences is one window pass per source partition (running sum
+  ordered by doc_id).  At 100 TB the partition column bounds the sort:
+  each source's docs sort independently — the same shape as any
+  cumulative metric.  The cumsum/div formulation is the STREAMING
+  first-fit pack: deterministic, one pass, no driver state, at the cost
+  of bins straddling the boundary by at most one doc (standard
+  trainer-side packing; exact bin-packing is NP-hard and inherently
+  sequential).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from retail_etl_pipeline_airflow_s3_athena_spark.operators.text import (
+    token_count,
+    tokens,
+)
+
+CHUNK_TOKENS = 32
+PACK_TOKENS = 256
+
+
+def doc_chunks(
+    docs: DataFrame, text_col: str = "text", max_tokens: int = CHUNK_TOKENS
+) -> DataFrame:
+    """(doc_id, chunk_id, n_tokens, chunk_text): each document split
+    into consecutive ``max_tokens``-token chunks, token order preserved.
+    """
+    tk = docs.select(
+        "doc_id", F.posexplode(tokens(F.col(text_col))).alias("pos", "tok")
+    )
+    chunked = tk.withColumn(
+        "chunk_id", F.floor(F.col("pos") / F.lit(max_tokens)).cast("long")
+    )
+    return (
+        chunked.groupBy("doc_id", "chunk_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s.tok,
+                ),
+            ).alias("chunk_text"),
+        )
+        .select("doc_id", "chunk_id", "n_tokens", "chunk_text")
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    text_col: str = "text",
+    max_tokens: int = PACK_TOKENS,
+    part_col: str = "source",
+) -> DataFrame:
+    """(doc_id, source, n_tokens, bin_id): streaming first-fit packing —
+    docs are taken in doc_id order within each ``part_col`` partition
+    and assigned to bin floor(exclusive_running_tokens / max_tokens).
+
+    A bin may exceed max_tokens by at most its last doc (the trainer
+    truncates or overflows); bins are otherwise dense.  Deterministic
+    given the (part_col, doc_id) order."""
+    sized = docs.select(
+        "doc_id",
+        F.col(part_col).alias("source"),
+        token_count(F.col(text_col)).alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_excl = F.coalesce(F.sum("n_tokens").over(w), F.lit(0).cast("long"))
+    return sized.withColumn(
+        "bin_id", F.floor(cum_excl / F.lit(float(max_tokens))).cast("long")
+    )
+
+
+def bin_stats(packed: DataFrame, max_tokens: int = PACK_TOKENS) -> DataFrame:
+    """Per-bin utilization of a ``pack_sequences`` output: docs per bin,
+    token fill, and fill ratio against the target size."""
+    from retail_etl_pipeline_airflow_s3_athena_spark.operators.text import dround
+
+    return (
+        packed.groupBy("source", "bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("bin_tokens"),
+        )
+        .withColumn(
+            "fill_ratio",
+            dround(F.col("bin_tokens") / F.lit(float(max_tokens)), 6),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Oracle SQL twins (DuckDB)
+# ---------------------------------------------------------------------------
+
+_SQL_TOKENS = "list_filter(string_split_regex({t}, '\\s+'), x -> x <> '')"
+
+
+def oracle_doc_chunks_sql(
+    table: str = "documents", max_tokens: int = CHUNK_TOKENS
+) -> str:
+    toks = _SQL_TOKENS.format(t="text")
+    return f"""
+        WITH t AS (
+            SELECT doc_id, {toks} AS toks FROM {table}
+        ),
+        tk AS (
+            SELECT doc_id, unnest(range(1, len(toks) + 1)) AS i, toks
+            FROM t
+        ),
+        flat AS (
+            SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, toks[i] AS tok
+            FROM tk
+        )
+        SELECT doc_id,
+               CAST((pos - pos % {max_tokens}) / {max_tokens} AS BIGINT)
+                   AS chunk_id,
+               COUNT(*) AS n_tokens,
+               string_agg(tok, ' ' ORDER BY pos) AS chunk_text
+        FROM flat
+        GROUP BY doc_id, chunk_id
+    """
+
+
+def oracle_pack_sequences_sql(
+    table: str = "documents",
+    max_tokens: int = PACK_TOKENS,
+    part_col: str = "source",
+) -> str:
+    toks = _SQL_TOKENS.format(t="text")
+    return f"""
+        WITH sized AS (
+            SELECT doc_id, {part_col} AS source,
+                   CAST(len({toks}) AS BIGINT) AS n_tokens
+            FROM {table}
+        )
+        SELECT doc_id, source, n_tokens,
+               CAST(FLOOR(COALESCE(SUM(n_tokens) OVER (
+                        PARTITION BY source ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) / CAST({max_tokens} AS DOUBLE)) AS BIGINT) AS bin_id
+        FROM sized
+    """

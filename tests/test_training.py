@@ -1,0 +1,167 @@
+"""Tests for training-data prep operators: chunking, packing, sampling,
+HLL sketch, range join."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from retail_etl_pipeline_airflow_s3_athena_spark.functions import sampling, sketches
+from retail_etl_pipeline_airflow_s3_athena_spark.operators import rangejoin, training
+
+
+def test_doc_chunks_sizes_and_order(spark):
+    text = " ".join(f"t{i}" for i in range(70))
+    docs = spark.createDataFrame([Row(doc_id=1, text=text)])
+    out = sorted(
+        training.doc_chunks(docs, max_tokens=32).collect(),
+        key=lambda r: r["chunk_id"],
+    )
+    assert [r["n_tokens"] for r in out] == [32, 32, 6]
+    assert out[0]["chunk_text"].startswith("t0 t1 ")
+    assert out[2]["chunk_text"] == " ".join(f"t{i}" for i in range(64, 70))
+    # token order is preserved across the chunk boundary
+    assert out[1]["chunk_text"].split(" ")[0] == "t32"
+
+
+def test_pack_sequences_streaming_first_fit(spark):
+    mk = lambda i, n: Row(doc_id=i, source="s", text=" ".join(["w"] * n))
+    docs = spark.createDataFrame([mk(1, 60), mk(2, 60), mk(3, 10), mk(4, 100)])
+    out = {
+        r["doc_id"]: r["bin_id"]
+        for r in training.pack_sequences(docs, max_tokens=100).collect()
+    }
+    # exclusive cumsum: 0, 60, 120, 130 -> bins 0, 0, 1, 1
+    assert out == {1: 0, 2: 0, 3: 1, 4: 1}
+
+
+def test_bin_stats_fill(spark):
+    mk = lambda i, n: Row(doc_id=i, source="s", text=" ".join(["w"] * n))
+    docs = spark.createDataFrame([mk(1, 60), mk(2, 60)])
+    packed = training.pack_sequences(docs, max_tokens=100)
+    [b] = training.bin_stats(packed, max_tokens=100).collect()
+    assert b["n_docs"] == 2 and b["bin_tokens"] == 120
+    assert b["fill_ratio"] == 1.2
+
+
+@pytest.fixture(scope="module")
+def keyed(spark):
+    return spark.range(0, 2000).withColumnRenamed("id", "k")
+
+
+def test_hash_sample_rate_and_stability(spark, keyed):
+    s = sampling.hash_sample(keyed, ["k"], 0.5)
+    n = s.count()
+    assert 850 <= n <= 1150  # ~Binomial(2000, .5)
+    # partitioning-independent: same rows after a repartition
+    ids = {r["k"] for r in s.collect()}
+    ids2 = {
+        r["k"] for r in sampling.hash_sample(keyed.repartition(13), ["k"], 0.5).collect()
+    }
+    assert ids == ids2
+
+
+def test_hash_sample_rate_monotone_nesting(spark, keyed):
+    """A lower-rate sample is a SUBSET of a higher-rate one (same salt) —
+    the property that makes hash sampling safe for incremental rates."""
+    small = {r["k"] for r in sampling.hash_sample(keyed, ["k"], 0.1).collect()}
+    big = {r["k"] for r in sampling.hash_sample(keyed, ["k"], 0.4).collect()}
+    assert small <= big
+    assert len(small) < len(big)
+
+
+def test_hash_sample_salt_decorrelates(spark, keyed):
+    a = {r["k"] for r in sampling.hash_sample(keyed, ["k"], 0.5, salt="a").collect()}
+    b = {r["k"] for r in sampling.hash_sample(keyed, ["k"], 0.5, salt="b").collect()}
+    assert a != b
+    # independent halves overlap ~25% of the population
+    assert 300 <= len(a & b) <= 700
+
+
+def test_stratified_rates(spark):
+    rows = [Row(k=i, g="a" if i % 2 == 0 else "b") for i in range(2000)]
+    df = spark.createDataFrame(rows)
+    out = sampling.stratified_hash_sample(
+        df, "g", {"a": 0.1, "b": 0.9}, ["k"]
+    ).groupBy("g").count().collect()
+    by = {r["g"]: r["count"] for r in out}
+    assert 50 <= by["a"] <= 160
+    assert 830 <= by["b"] <= 970
+
+
+def test_hll_estimate_accuracy(spark):
+    # 1000 distinct keys, one group: classic HLL at m=256 has ~6.5%
+    # relative error; assert a generous 3-sigma band
+    df = spark.range(0, 1000).select(
+        F.lit("g").alias("grp"), F.col("id").alias("k")
+    )
+    [r] = sketches.hll_distinct(df, "k", ["grp"]).collect()
+    assert r["exact_distinct"] == 1000
+    assert 800 <= r["est_distinct"] <= 1200
+
+
+def test_hll_small_range_linear_counting(spark):
+    df = spark.range(0, 20).select(
+        F.lit("g").alias("grp"), F.col("id").alias("k")
+    )
+    [r] = sketches.hll_distinct(df, "k", ["grp"]).collect()
+    # linear counting is near-exact at tiny cardinalities
+    assert abs(r["est_distinct"] - 20) <= 3
+
+
+def _ts(h, m=0, s=0):
+    return dt.datetime(2024, 1, 1, h, m, s)
+
+
+def test_range_join_binned_matches_naive(spark):
+    iv = spark.createDataFrame(
+        [
+            Row(iv_id=1, lo=_ts(0, 30), hi=_ts(2, 30)),  # spans 3 bins
+            Row(iv_id=2, lo=_ts(5, 0), hi=_ts(5, 0)),    # degenerate point
+            Row(iv_id=3, lo=_ts(1, 0), hi=_ts(1, 59)),   # nested in iv1
+        ]
+    )
+    pr = spark.createDataFrame(
+        [Row(p_id=i, pts=_ts(h, mm)) for i, (h, mm) in enumerate(
+            [(0, 29), (0, 30), (1, 15), (2, 30), (2, 31), (5, 0), (7, 0)]
+        )]
+    )
+    binned = {
+        (r["p_id"], r["iv_id"])
+        for r in rangejoin.range_join_binned(
+            pr, iv, "pts", "lo", "hi", bin_seconds=3600
+        ).collect()
+    }
+    naive = {
+        (r["p_id"], r["iv_id"])
+        for r in pr.join(
+            iv, (F.col("pts") >= F.col("lo")) & (F.col("pts") <= F.col("hi"))
+        ).collect()
+    }
+    assert binned == naive
+    assert (1, 1) in binned and (3, 1) in binned  # closed bounds
+    assert (5, 2) in binned  # degenerate interval matches its instant
+    assert (0, 1) not in binned
+
+
+def test_concurrent_sessions_counts_other_users_only(spark):
+    rows = [
+        # user 1: one session [10:00, 10:10]
+        Row(event_id=1, ts=_ts(10, 0), user_id=1, event_type="view", value=1.0),
+        Row(event_id=2, ts=_ts(10, 10), user_id=1, event_type="view", value=1.0),
+        # user 2: session [10:05, 10:12] + an isolated one at 23:00
+        Row(event_id=3, ts=_ts(10, 5), user_id=2, event_type="view", value=1.0),
+        Row(event_id=4, ts=_ts(10, 12), user_id=2, event_type="view", value=1.0),
+        Row(event_id=5, ts=_ts(23, 0), user_id=2, event_type="view", value=1.0),
+    ]
+    ev = spark.createDataFrame(rows)
+    out = {
+        (r["user_id"], r["session_start"].hour, r["n_concurrent"])
+        for r in rangejoin.concurrent_session_activity(ev).collect()
+    }
+    # u1 session contains u2's 10:05 event; u2's [10:05,10:12] session
+    # contains u1's 10:10; the 23:00 session matches nothing and drops
+    assert out == {(1, 10, 1), (2, 10, 1)}
