@@ -48,6 +48,11 @@ STANDALONE = [
     "windowed_event_stats",
     "sessionize_events",
     "asof_join_events",
+    "doc_chunks",
+    "pack_sequences",
+    "hash_sample_events",
+    "hll_distinct_users",
+    "concurrent_sessions",
 ]
 
 
