@@ -218,6 +218,10 @@ def _q_blocked_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_ops.blocked_jaccard_pairs(_docs(spark, sf_dir))
 
 
+def _q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup_ops.simhash_near_dup(_docs(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # Similarity-search extensions (embeddings table)
 # ---------------------------------------------------------------------------
@@ -406,6 +410,7 @@ def queries() -> dict[str, QueryFn]:
         "lsh_candidate_pairs": _q_lsh_candidate_pairs,
         "near_dup_pairs": _q_near_dup_pairs,
         "simhash_signatures": _q_simhash,
+        "simhash_near_dup": _q_simhash_near_dup,
         "blocked_jaccard_pairs": _q_blocked_jaccard,
         "cosine_topk": _q_cosine_topk,
         "cosine_topk_gemm": _q_cosine_topk_gemm,
@@ -516,6 +521,7 @@ def oracle_sql() -> dict[str, str]:
     oracles["lsh_candidate_pairs"] = dedup_ops.oracle_lsh_candidate_pairs_sql()
     oracles["near_dup_pairs"] = dedup_ops.oracle_near_dup_pairs_sql()
     oracles["simhash_signatures"] = dedup_ops.oracle_simhash_sql()
+    oracles["simhash_near_dup"] = dedup_ops.oracle_simhash_near_dup_sql()
     oracles["blocked_jaccard_pairs"] = dedup_ops.oracle_blocked_jaccard_sql()
     oracles["cosine_topk"] = sim_ops.oracle_cosine_topk_sql()
     oracles["cosine_topk_gemm"] = sim_ops.oracle_cosine_topk_sql()

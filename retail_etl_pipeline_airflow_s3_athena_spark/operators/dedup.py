@@ -315,6 +315,61 @@ def simhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return per_bit.select("doc_id", sim.alias("simhash"))
 
 
+def simhash_near_dup(
+    docs: DataFrame, text_col: str = "text", max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by simhash Hamming distance <= max_hamming.
+
+    Scale path: the pigeonhole band trick — split the 32-bit signature
+    into 4 bands of 8 bits; any pair within Hamming distance 3 agrees
+    EXACTLY on at least one band (3 flipped bits can dirty at most 3 of
+    4 bands), so candidate generation is an equi-join on (band_idx,
+    band_bits) — uniform 8-bit keys, no all-pairs scan.  Candidates are
+    then verified with bit_count(xor), and a pair colliding in several
+    bands dedupes through ``distinct``.  Same recall guarantee as
+    MinHash banding but on the cheaper bag-of-words signature."""
+    n_bands = max_hamming + 1  # pigeonhole: d flips dirty <= d bands
+    band_bits = SIMHASH_BITS // n_bands
+    sig = simhash_signatures(docs, text_col)
+    bands = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("simhash", b * band_bits)
+                        .bitwiseAND(F.lit((1 << band_bits) - 1))
+                        .alias("bits"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "simhash", "b.band", "b.bits")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    ham = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    ).cast("long")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bits") == F.col("b.bits"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 def blocked_jaccard_pairs(
     docs: DataFrame,
     block_col: str = "source",
@@ -486,6 +541,28 @@ def oracle_simhash_sql(table: str = "documents", t: str = "text") -> str:
     return f"""
         WITH th_t AS (SELECT doc_id, {_sql_token_hashes(t)} AS th FROM {table})
         SELECT doc_id, {bit_terms} AS simhash FROM th_t
+    """
+
+
+def oracle_simhash_near_dup_sql(
+    table: str = "documents", t: str = "text", max_hamming: int = 3
+) -> str:
+    """Naive all-pairs Hamming check — banding is Spark's physical
+    strategy; the semantics are just bit_count(xor) <= d."""
+    bit_terms = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(th, "
+        f"h -> CASE WHEN (h & {1 << b}) > 0 THEN 1 ELSE -1 END)) > 0 "
+        f"THEN CAST({1 << b} AS BIGINT) ELSE 0 END)"
+        for b in range(SIMHASH_BITS)
+    )
+    return f"""
+        WITH th_t AS (SELECT doc_id, {_sql_token_hashes(t)} AS th FROM {table}),
+        sig AS (SELECT doc_id, {bit_terms} AS simhash FROM th_t)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT)
+                   AS hamming
+        FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
     """
 
 

@@ -57,6 +57,22 @@ def test_simhash_similarity_structure(docs):
     assert ham_near < ham_far  # one-word edit closer than unrelated text
 
 
+def test_simhash_near_dup_bands_find_identical_docs(spark):
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=0, text="the quick brown fox jumps over the lazy dog"),
+            Row(doc_id=1, text="the quick brown fox jumps over the lazy dog"),
+            Row(doc_id=2, text="completely different content about spark engines"),
+        ]
+    )
+    out = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in dedup.simhash_near_dup(docs, max_hamming=3).collect()
+    }
+    assert out.get((0, 1)) == 0  # identical text -> identical signature
+    assert (0, 2) not in out and (1, 2) not in out
+
+
 def test_minhash_estimates_jaccard(docs):
     pairs = {
         (r["doc_a"], r["doc_b"]): r["est_jaccard"]
