@@ -340,6 +340,11 @@ def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return training_ops.pack_sequences(readers.read_documents(spark, sf_dir))
 
 
+def _q_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    packed = training_ops.pack_sequences(readers.read_documents(spark, sf_dir))
+    return training_ops.bin_stats(packed)
+
+
 def _q_hash_sample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.hash_sample(
         readers.read_events(spark, sf_dir), ["event_id"], 0.1
@@ -431,6 +436,7 @@ def queries() -> dict[str, QueryFn]:
         "multimodal_pipeline": _q_multimodal_pipeline,
         "doc_chunks": _q_doc_chunks,
         "pack_sequences": _q_pack_sequences,
+        "pack_bins": _q_pack_bins,
         "hash_sample_events": _q_hash_sample_events,
         "stratified_sample_docs": _q_stratified_sample_docs,
         "hll_distinct_users": _q_hll_distinct_users,
@@ -539,6 +545,7 @@ def oracle_sql() -> dict[str, str]:
     oracles["event_value_quantiles"] = event_ops.oracle_event_quantiles_sql()
     oracles["doc_chunks"] = training_ops.oracle_doc_chunks_sql()
     oracles["pack_sequences"] = training_ops.oracle_pack_sequences_sql()
+    oracles["pack_bins"] = training_ops.oracle_pack_bins_sql()
     oracles["hash_sample_events"] = sampling.oracle_hash_sample_sql(
         "events", ["event_id"], 0.1,
         select="event_id, user_id, event_type, value",

@@ -170,3 +170,25 @@ def oracle_pack_sequences_sql(
                     0) / CAST({max_tokens} AS DOUBLE)) AS BIGINT) AS bin_id
         FROM sized
     """
+
+
+def oracle_pack_bins_sql(
+    table: str = "documents",
+    max_tokens: int = PACK_TOKENS,
+    part_col: str = "source",
+) -> str:
+    from retail_etl_pipeline_airflow_s3_athena_spark.operators.text import sql_dround
+
+    packed = oracle_pack_sequences_sql(table, max_tokens, part_col)
+    fill = sql_dround(
+        f"CAST(SUM(n_tokens) AS BIGINT) / CAST({max_tokens} AS DOUBLE)", 6
+    )
+    return f"""
+        WITH packed AS ({packed})
+        SELECT source, bin_id,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
+               {fill} AS fill_ratio
+        FROM packed
+        GROUP BY source, bin_id
+    """
