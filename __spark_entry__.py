@@ -373,6 +373,73 @@ def _q_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """6-table join (TPC-H Q5 shape): revenue by nation where customer
+    and supplier are co-national, one region.  Exercises deep join
+    reordering: region→nation prune first (broadcast), the
+    customer⋈orders⋈lineitem⋈supplier chain shuffles on its keys; the
+    co-nationality predicate rides the supplier join.  dround(4): the
+    true sum is a multiple of 1e-4 (2dp price x 2dp discount), so 4dp
+    rounding is exact under any accumulation order."""
+    from retail_etl_pipeline_airflow_s3_athena_spark.operators.text import dround
+
+    region = spark.read.parquet(f"{sf_dir}/region.parquet").filter(
+        F.col("r_name") == "ASIA"
+    )
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .join(
+            supp,
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            dround(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+def _q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem⋈part with a conditional aggregate (TPC-H Q14 shape):
+    PROMO revenue share.  One fact-dim join (part broadcastable at
+    fixture scale, AQE decides) + a single global aggregate."""
+    from retail_etl_pipeline_airflow_s3_athena_spark.operators.text import dround
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .agg(
+            dround(
+                F.sum(F.when(F.col("p_type") == "PROMO", disc).otherwise(0.0)),
+                4,
+            ).alias("promo_revenue"),
+            dround(F.sum(disc), 4).alias("total_revenue"),
+        )
+        .select(
+            "promo_revenue",
+            "total_revenue",
+            dround(
+                F.lit(100.0) * F.col("promo_revenue") / F.col("total_revenue"),
+                4,
+            ).alias("promo_pct"),
+        )
+    )
+
+
 def _q_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Binary fixtures don't exist; the media table is synthesized
     # deterministically.  No SQL oracle (mapInPandas + binary payloads
@@ -433,6 +500,8 @@ def queries() -> dict[str, QueryFn]:
         "asof_join_events": _q_asof_join,
         "event_value_quantiles": _q_event_value_quantiles,
         "shipping_priority": _q_shipping_priority,
+        "local_supplier_volume": _q_local_supplier_volume,
+        "promo_revenue": _q_promo_revenue,
         "multimodal_pipeline": _q_multimodal_pipeline,
         "doc_chunks": _q_doc_chunks,
         "pack_sequences": _q_pack_sequences,
@@ -570,6 +639,38 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
         ORDER BY revenue DESC, o.o_orderdate ASC, l.l_orderkey ASC
         LIMIT 10
+    """
+    dround4 = lambda e: f"FLOOR(({e}) * 10000.0 + 0.5) / 10000.0"  # noqa: E731
+    oracles["local_supplier_volume"] = f"""
+        SELECT n.n_name,
+               {dround4("SUM(l.l_extendedprice * (1 - l.l_discount))")}
+                   AS revenue
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                       AND c.c_nationkey = s.s_nationkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'ASIA'
+        GROUP BY n.n_name
+        ORDER BY revenue DESC, n.n_name ASC
+    """
+    oracles["promo_revenue"] = f"""
+        WITH agg AS (
+            SELECT
+                {dround4(
+                    "SUM(CASE WHEN p.p_type = 'PROMO' "
+                    "THEN l.l_extendedprice * (1 - l.l_discount) "
+                    "ELSE 0.0 END)"
+                )} AS promo_revenue,
+                {dround4("SUM(l.l_extendedprice * (1 - l.l_discount))")}
+                    AS total_revenue
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        )
+        SELECT promo_revenue, total_revenue,
+               {dround4("100.0 * promo_revenue / total_revenue")} AS promo_pct
+        FROM agg
     """
     for name in (
         "daily_revenue",

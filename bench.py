@@ -39,6 +39,8 @@ ANALYTICS = [
 STANDALONE = [
     "pricing_summary",
     "shipping_priority",
+    "local_supplier_volume",
+    "promo_revenue",
     "text_features",
     "dedup_exact",
     "minhash_signatures",
