@@ -119,3 +119,66 @@ def test_sessionize_partitions_events(spark, deltas):
     for prev, nxt in zip(sessions, sessions[1:]):
         gap = (nxt["session_start"] - prev["session_end"]).total_seconds()
         assert gap > 1800
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    texts=st.lists(
+        st.lists(st.sampled_from(WORDS), min_size=1, max_size=40).map(" ".join),
+        min_size=1,
+        max_size=5,
+    ),
+    max_tokens=st.integers(2, 16),
+)
+def test_doc_chunks_reassemble_to_original(spark, texts, max_tokens):
+    """Concatenating a doc's chunks in chunk_id order must reproduce the
+    whitespace-normalized original text; every chunk except the last is
+    exactly max_tokens long."""
+    from retail_etl_pipeline_airflow_s3_athena_spark.operators.training import doc_chunks
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    )
+    by_doc: dict[int, list] = {}
+    for r in doc_chunks(docs, max_tokens=max_tokens).collect():
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for i, t in enumerate(texts):
+        chunks = sorted(by_doc[i], key=lambda r: r["chunk_id"])
+        assert " ".join(c["chunk_text"] for c in chunks) == " ".join(t.split())
+        for c in chunks[:-1]:
+            assert c["n_tokens"] == max_tokens
+        assert 1 <= chunks[-1]["n_tokens"] <= max_tokens
+        assert [c["chunk_id"] for c in chunks] == list(range(len(chunks)))
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    sizes=st.lists(st.integers(1, 30), min_size=1, max_size=20),
+    max_tokens=st.integers(5, 40),
+)
+def test_pack_sequences_bin_invariants(spark, sizes, max_tokens):
+    """Bins are contiguous in doc_id order, every doc appears exactly
+    once, and a bin only opens when the previous one has reached the
+    target (streaming first-fit: fill < max_tokens implies the NEXT doc
+    still joins this bin)."""
+    from retail_etl_pipeline_airflow_s3_athena_spark.operators.training import pack_sequences
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=i, source="s", text=" ".join(["w"] * n))
+            for i, n in enumerate(sizes)
+        ]
+    )
+    rows = sorted(
+        pack_sequences(docs, max_tokens=max_tokens).collect(),
+        key=lambda r: r["doc_id"],
+    )
+    assert [r["doc_id"] for r in rows] == list(range(len(sizes)))
+    # bin ids are non-decreasing in doc order and start at 0
+    bins = [r["bin_id"] for r in rows]
+    assert bins[0] == 0
+    assert all(b2 >= b1 for b1, b2 in zip(bins, bins[1:]))
+    # first-fit invariant: the bin is the exclusive running total
+    # divided by the target — a bin only closes once it reaches it
+    for r in rows:
+        assert r["bin_id"] == sum(sizes[: r["doc_id"]]) // max_tokens
