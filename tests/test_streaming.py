@@ -120,3 +120,25 @@ def test_dedup_stream_drops_duplicates(spark, sf_dir, events_stream):
         readers.read_events(spark, sf_dir).select("event_id").distinct().count()
     )
     assert n == distinct_ids <= n_src
+
+
+def test_hash_sample_is_streaming_safe(spark, sf_dir, events_stream):
+    """Content-hash sampling is a stateless filter, so it runs
+    unchanged under Structured Streaming AND selects exactly the same
+    rows as the batch plan — the property that lets one sampling
+    definition govern both the backfill and the live pipeline."""
+    from retail_etl_pipeline_airflow_s3_athena_spark.functions.sampling import hash_sample
+
+    sampled = hash_sample(events_stream, ["event_id"], 0.2).select("event_id")
+    incremental.run_to_memory(sampled, "sample_out", output_mode="append")
+    streamed = {
+        r["event_id"] for r in spark.sql("SELECT * FROM sample_out").collect()
+    }
+    batch = {
+        r["event_id"]
+        for r in hash_sample(
+            readers.read_events(spark, sf_dir), ["event_id"], 0.2
+        ).select("event_id").collect()
+    }
+    assert streamed == batch
+    assert 0 < len(batch) < 1000
