@@ -345,6 +345,12 @@ def _q_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     return training_ops.bin_stats(packed)
 
 
+def _q_quality_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return training_ops.quality_percentile_filter(
+        readers.read_documents(spark, sf_dir)
+    )
+
+
 def _q_hash_sample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.hash_sample(
         readers.read_events(spark, sf_dir), ["event_id"], 0.1
@@ -506,6 +512,7 @@ def queries() -> dict[str, QueryFn]:
         "doc_chunks": _q_doc_chunks,
         "pack_sequences": _q_pack_sequences,
         "pack_bins": _q_pack_bins,
+        "quality_filter_docs": _q_quality_filter_docs,
         "hash_sample_events": _q_hash_sample_events,
         "stratified_sample_docs": _q_stratified_sample_docs,
         "hll_distinct_users": _q_hll_distinct_users,
@@ -615,6 +622,7 @@ def oracle_sql() -> dict[str, str]:
     oracles["doc_chunks"] = training_ops.oracle_doc_chunks_sql()
     oracles["pack_sequences"] = training_ops.oracle_pack_sequences_sql()
     oracles["pack_bins"] = training_ops.oracle_pack_bins_sql()
+    oracles["quality_filter_docs"] = training_ops.oracle_quality_percentile_sql()
     oracles["hash_sample_events"] = sampling.oracle_hash_sample_sql(
         "events", ["event_id"], 0.1,
         select="event_id, user_id, event_type, value",

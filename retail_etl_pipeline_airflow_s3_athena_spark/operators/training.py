@@ -118,6 +118,39 @@ def bin_stats(packed: DataFrame, max_tokens: int = PACK_TOKENS) -> DataFrame:
     )
 
 
+def quality_percentile_filter(
+    docs: DataFrame,
+    text_col: str = "text",
+    stratum_col: str = "lang",
+    min_pct: float = 0.5,
+) -> DataFrame:
+    """Keep documents at or above the ``min_pct`` quality percentile of
+    their stratum — corpus curation with a PER-LANGUAGE bar, so a
+    high-resource language's score distribution doesn't starve the
+    tail languages (absolute thresholds do).
+
+    percent_rank over (stratum / quality, doc_id) — deterministic
+    tie-break; one shuffle on the stratum.  At 100 TB swap the exact
+    window for approx quantile cutoffs computed per stratum and joined
+    back (same filter, bounded memory)."""
+    from retail_etl_pipeline_airflow_s3_athena_spark.operators.text import (
+        dround,
+        quality_score,
+    )
+
+    scored = docs.select(
+        "doc_id",
+        F.col(stratum_col).alias("stratum"),
+        quality_score(F.col(text_col)).alias("quality"),
+    )
+    w = Window.partitionBy("stratum").orderBy("quality", "doc_id")
+    return (
+        scored.withColumn("pct", dround(F.percent_rank().over(w), 6))
+        .filter(F.col("pct") >= min_pct)
+        .select("doc_id", "stratum", "quality", "pct")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Oracle SQL twins (DuckDB)
 # ---------------------------------------------------------------------------
@@ -169,6 +202,42 @@ def oracle_pack_sequences_sql(
                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
                     0) / CAST({max_tokens} AS DOUBLE)) AS BIGINT) AS bin_id
         FROM sized
+    """
+
+
+def oracle_quality_percentile_sql(
+    table: str = "documents",
+    t: str = "text",
+    stratum_col: str = "lang",
+    min_pct: float = 0.5,
+) -> str:
+    from retail_etl_pipeline_airflow_s3_athena_spark.operators.text import (
+        _sql_punct_ratio,
+        _sql_stopword_ratio,
+        _sql_token_count,
+        sql_dround,
+    )
+
+    ntok = _sql_token_count(t)
+    quality = sql_dround(
+        f"LEAST(1.0, {ntok} / 50.0) * (1.0 - {_sql_punct_ratio(t)})"
+        f" * (0.5 + 0.5 * LEAST(1.0, {_sql_stopword_ratio(t, 'en')} * 5.0))",
+        6,
+    )
+    pct = sql_dround(
+        "PERCENT_RANK() OVER (PARTITION BY stratum ORDER BY quality, doc_id)",
+        6,
+    )
+    return f"""
+        WITH scored AS (
+            SELECT doc_id, {stratum_col} AS stratum, {quality} AS quality
+            FROM {table}
+        ),
+        ranked AS (
+            SELECT doc_id, stratum, quality, {pct} AS pct FROM scored
+        )
+        SELECT doc_id, stratum, quality, pct
+        FROM ranked WHERE pct >= {min_pct}
     """
 
 
