@@ -55,6 +55,8 @@ STANDALONE = [
     "hash_sample_events",
     "hll_distinct_users",
     "concurrent_sessions",
+    "simhash_near_dup",
+    "quality_filter_docs",
 ]
 
 
