@@ -25,6 +25,7 @@ from retail_etl_pipeline_airflow_s3_athena_spark.operators import (
     rangejoin as rangejoin_ops,
 )
 from retail_etl_pipeline_airflow_s3_athena_spark.operators import text as text_ops
+from retail_etl_pipeline_airflow_s3_athena_spark.operators.text import dround, sql_dround
 from retail_etl_pipeline_airflow_s3_athena_spark.operators import (
     training as training_ops,
 )
@@ -83,13 +84,13 @@ def _q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(
+            dround(F.sum("l_quantity"), 2).alias("sum_qty"),
+            dround(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            dround(
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
             ).alias("sum_disc_price"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            dround(F.avg("l_quantity"), 4).alias("avg_qty"),
+            dround(F.avg("l_discount"), 6).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -170,7 +171,7 @@ def _q_dq_summary_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("row_count"),
         F.countDistinct("c_custkey").alias("distinct_keys"),
         null_cells.alias("null_cells"),
-        F.round(F.min("c_acctbal"), 2).alias("min_acctbal"),
+        dround(F.min("c_acctbal"), 2).alias("min_acctbal"),
     )
     distinct_rows = df.distinct().agg(F.count(F.lit(1)).alias("distinct_rows"))
     return base.crossJoin(distinct_rows)
@@ -318,7 +319,7 @@ def _q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(li, orders.o_orderkey == li.l_orderkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
-            F.round(
+            dround(
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
             ).alias("revenue")
         )
@@ -534,13 +535,13 @@ def oracle_sql() -> dict[str, str]:
         "store_performance": w(
             "SELECT * FROM store_performance", extra_ctes=g
         ),
-        "pricing_summary": """
+        "pricing_summary": f"""
             SELECT l_returnflag, l_linestatus,
-                   ROUND(SUM(l_quantity), 2)                              AS sum_qty,
-                   ROUND(SUM(l_extendedprice), 2)                         AS sum_base_price,
-                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)      AS sum_disc_price,
-                   ROUND(AVG(l_quantity), 4)                              AS avg_qty,
-                   ROUND(AVG(l_discount), 6)                              AS avg_disc,
+                   {sql_dround('SUM(l_quantity)', 2)}                              AS sum_qty,
+                   {sql_dround('SUM(l_extendedprice)', 2)}                         AS sum_base_price,
+                   {sql_dround('SUM(l_extendedprice * (1 - l_discount))', 2)}      AS sum_disc_price,
+                   {sql_dround('AVG(l_quantity)', 4)}                              AS avg_qty,
+                   {sql_dround('AVG(l_discount)', 6)}                              AS avg_disc,
                    COUNT(*)                                               AS count_order
             FROM lineitem
             GROUP BY l_returnflag, l_linestatus
@@ -583,7 +584,7 @@ def oracle_sql() -> dict[str, str]:
                    user_id IS NOT NULL         AS has_user
             FROM events
         """,
-        "dq_summary_customer": """
+        "dq_summary_customer": f"""
             SELECT
               (SELECT COUNT(*) FROM customer)                       AS row_count,
               (SELECT COUNT(DISTINCT c_custkey) FROM customer)      AS distinct_keys,
@@ -592,7 +593,7 @@ def oracle_sql() -> dict[str, str]:
                    (c_nationkey IS NULL)::INT + (c_acctbal IS NULL)::INT +
                    (c_mktsegment IS NULL)::INT) AS BIGINT)
                FROM customer)                                       AS null_cells,
-              (SELECT ROUND(MIN(c_acctbal), 2) FROM customer)       AS min_acctbal,
+              (SELECT {sql_dround('MIN(c_acctbal)', 2)} FROM customer)       AS min_acctbal,
               (SELECT COUNT(*) FROM (SELECT DISTINCT * FROM customer)) AS distinct_rows
         """,
     }
@@ -635,9 +636,9 @@ def oracle_sql() -> dict[str, str]:
         "events", "user_id", ["event_type"]
     )
     oracles["concurrent_sessions"] = rangejoin_ops.oracle_concurrent_sessions_sql()
-    oracles["shipping_priority"] = """
+    oracles["shipping_priority"] = f"""
         SELECT l.l_orderkey, o.o_orderdate, o.o_orderpriority,
-               ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+               {sql_dround('SUM(l.l_extendedprice * (1 - l.l_discount))', 2)} AS revenue
         FROM customer c
         JOIN orders o ON c.c_custkey = o.o_custkey
         JOIN lineitem l ON o.o_orderkey = l.l_orderkey

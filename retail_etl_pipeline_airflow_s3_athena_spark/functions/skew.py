@@ -30,8 +30,21 @@ def salted_join(
     Correctness: every large row still meets every matching small row
     exactly once (the small side is replicated, not split), for any
     salt assignment — so the random salt does not affect results.
-    Cost: small side inflates x salt; only worth it when the skew
-    stall exceeds that."""
+    This claim holds only for large-side-preserving joins: under
+    ``right``/``full``/``right_semi``/``right_anti`` an unmatched small
+    row would surface once PER REPLICA (``salt`` duplicated
+    null-extended rows), which is wrong output — those modes are
+    rejected.  Cost: small side inflates x salt; only worth it when
+    the skew stall exceeds that."""
+    allowed = {"inner", "left", "left_outer", "leftouter", "semi",
+               "left_semi", "leftsemi", "anti", "left_anti", "leftanti",
+               "cross"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join supports large-side-preserving joins only "
+            f"({sorted(allowed)}); how={how!r} would emit each unmatched "
+            f"small-side row {salt} times"
+        )
     salted_large = large.withColumn(
         "__salt", F.floor(F.rand(seed) * salt).cast("int")
     )

@@ -31,6 +31,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 MAGIC = b"MM01"
+# Full MM01 header: 4-byte magic + packed (kind, width, height, duration).
+HEADER_LEN = len(MAGIC) + struct.calcsize("<BIII")
 KINDS = {0: "image", 1: "audio", 2: "video"}
 
 MEDIA_SCHEMA = T.StructType(
@@ -144,7 +146,7 @@ def extract_features(media: DataFrame) -> DataFrame:
         for pdf in it:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                b = bytes(payload)[16:]  # skip header
+                b = bytes(payload)[HEADER_LEN:]  # body only, header excluded
                 hist = [0] * FEATURE_DIM
                 for byte in b:
                     hist[byte % FEATURE_DIM] += 1

@@ -40,8 +40,11 @@ def dround(col: Column, digits: int) -> Column:
 
 
 def sql_dround(expr: str, digits: int) -> str:
-    scale = 10 ** digits
-    return f"FLOOR(({expr}) * {scale}.0 + 0.5) / {scale}.0"
+    # 1eN-style literals, not "100.0": Spark SQL parses decimal-form
+    # literals as DECIMAL (making FLOOR(...)/100.0 a DECIMAL result)
+    # while DuckDB makes them DOUBLE; e-notation is DOUBLE in both, so
+    # the same text is schema-stable when run dialect-common.
+    return f"FLOOR(({expr}) * 1e{digits} + 0.5) / 1e{digits}"
 
 
 # Polynomial rolling-hash modulus (2^31 - 1, Mersenne prime).
@@ -85,8 +88,15 @@ def bpe_token_count(col: Column) -> Column:
 
 
 def punct_ratio(col: Column) -> Column:
+    """Punctuation-character share of the text.  The GREATEST(len,1)
+    guard matters: empty/whitespace-only docs are routine in corpus
+    curation, and under Spark 4's ANSI mode a bare len division raises
+    DIVIDE_BY_ZERO and aborts the job (ratio is 0 either way — the
+    regexp count is 0 when length is 0)."""
     return dround(
-        F.regexp_count(col, F.lit(PUNCT_PATTERN)) / F.length(col), 6
+        F.regexp_count(col, F.lit(PUNCT_PATTERN))
+        / F.greatest(F.length(col), F.lit(1)),
+        6,
     )
 
 
@@ -250,7 +260,9 @@ def _sql_token_count(t: str) -> str:
 
 def _sql_punct_ratio(t: str) -> str:
     return sql_dround(
-        f"len(regexp_extract_all({t}, '{PUNCT_PATTERN}')) / LENGTH({t})", 6
+        f"len(regexp_extract_all({t}, '{PUNCT_PATTERN}'))"
+        f" / GREATEST(LENGTH({t}), 1)",
+        6,
     )
 
 

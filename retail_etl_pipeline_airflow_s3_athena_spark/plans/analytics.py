@@ -24,17 +24,22 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from retail_etl_pipeline_airflow_s3_athena_spark.operators.text import sql_dround
 from retail_etl_pipeline_airflow_s3_athena_spark.plans import gold, retail_views
 
 # DuckDB CTE fragments for the gold tables, mirroring plans/gold.py.
 # CAST(SUM(int) AS BIGINT): DuckDB promotes integer SUM to HUGEINT;
 # Spark keeps BIGINT — pin the schema.
-GOLD_CTES = """
+# Rounding goes through sql_dround (floor(x*10^d+0.5)/10^d), NOT native
+# ROUND: Spark and DuckDB ROUND disagree on non-representable near-ties
+# (repo determinism policy — README / operators/text.dround), and any
+# rounded double here feeds the oracle value hash.
+GOLD_CTES = f"""
 daily_sales_summary AS (
     SELECT CAST(order_date AS DATE)              AS sale_date,
            COUNT(transaction_id)                 AS total_orders,
            CAST(SUM(quantity) AS BIGINT)         AS total_items,
-           ROUND(SUM(unit_price * quantity), 2)  AS revenue
+           {sql_dround('SUM(unit_price * quantity)', 2)}  AS revenue
     FROM sale_transactions
     WHERE CAST(order_date AS DATE) IS NOT NULL
     GROUP BY 1
@@ -43,7 +48,7 @@ customer_spend AS (
     SELECT customer_id,
            COUNT(transaction_id)                 AS order_count,
            CAST(SUM(quantity) AS BIGINT)         AS total_items,
-           ROUND(SUM(unit_price * quantity), 2)  AS total_spent
+           {sql_dround('SUM(unit_price * quantity)', 2)}  AS total_spent
     FROM sale_transactions
     GROUP BY 1
 ),
@@ -61,7 +66,7 @@ product_performance AS (
         SELECT product_id,
                COUNT(transaction_id)         AS times_sold,
                CAST(SUM(quantity) AS BIGINT) AS total_quantity,
-               ROUND(AVG(unit_price), 4)     AS avg_price
+               {sql_dround('AVG(unit_price)', 4)}     AS avg_price
         FROM sale_transactions
         GROUP BY 1
     ) pp LEFT JOIN products p USING (product_id)
@@ -73,7 +78,7 @@ store_performance AS (
         SELECT store_id,
                COUNT(transaction_id)                AS total_transactions,
                CAST(SUM(quantity) AS BIGINT)        AS total_items,
-               ROUND(SUM(unit_price * quantity), 2) AS total_revenue
+               {sql_dround('SUM(unit_price * quantity)', 2)} AS total_revenue
         FROM sale_transactions
         GROUP BY 1
     ) sp LEFT JOIN stores s USING (store_id)
@@ -84,19 +89,19 @@ store_performance AS (
 ANALYTICS_SQL: dict[str, str] = {
     # Reference athena_queries.py:75-86 — daily revenue trend with
     # per-item ratio, positive-revenue filter, latest-10 days.
-    "daily_revenue": """
+    "daily_revenue": f"""
         SELECT sale_date, total_orders, total_items, revenue,
-               ROUND(revenue / total_items, 2) AS avg_item_value
+               {sql_dround('revenue / total_items', 2)} AS avg_item_value
         FROM daily_sales_summary
         WHERE revenue > 0
         ORDER BY sale_date DESC
         LIMIT 10
     """,
     # Reference athena_queries.py:88-100 — top spenders with avg order value.
-    "top_performing_customers": """
+    "top_performing_customers": f"""
         SELECT customer_id, customer_name, market_segment,
                order_count, total_spent,
-               ROUND(total_spent / order_count, 2) AS avg_order_value
+               {sql_dround('total_spent / order_count', 2)} AS avg_order_value
         FROM top_customers
         ORDER BY total_spent DESC, customer_id ASC
         LIMIT 5
@@ -107,23 +112,23 @@ ANALYTICS_SQL: dict[str, str] = {
     # explicit CAST: Spark parses the 1.0 literal as DECIMAL(2,1) while
     # Presto/DuckDB make it DOUBLE, so the verbatim form changes the
     # result type.
-    "product_analysis": """
+    "product_analysis": f"""
         SELECT product_id, product_name, category, times_sold, total_quantity,
-               ROUND(avg_price, 2) AS avg_price,
-               ROUND(CAST(times_sold AS DOUBLE) /
-                     (SELECT MAX(times_sold) FROM product_performance),
-                     4) AS popularity_score
+               {sql_dround('avg_price', 2)} AS avg_price,
+               {sql_dround('CAST(times_sold AS DOUBLE) / '
+                           '(SELECT MAX(times_sold) FROM product_performance)',
+                           4)} AS popularity_score
         FROM product_performance
         ORDER BY times_sold DESC, product_id ASC
         LIMIT 10
     """,
     # Reference athena_queries.py:116-125 — category rollup with a
     # SUM-over-product-expression aggregate.
-    "revenue_by_category": """
+    "revenue_by_category": f"""
         SELECT category,
                CAST(SUM(times_sold) AS BIGINT)      AS total_sales,
                CAST(SUM(total_quantity) AS BIGINT)  AS total_qty,
-               ROUND(SUM(times_sold * avg_price), 2) AS estimated_revenue
+               {sql_dround('SUM(times_sold * avg_price)', 2)} AS estimated_revenue
         FROM product_performance
         GROUP BY category
         ORDER BY estimated_revenue DESC
@@ -140,11 +145,11 @@ ANALYTICS_SQL: dict[str, str] = {
         FROM daily_sales_summary
     """,
     # Market-segment rollup with a grand-total row (GROUPING SETS).
-    "segment_sales_rollup": """
+    "segment_sales_rollup": f"""
         SELECT market_segment,
                CAST(COUNT(transaction_id) AS BIGINT) AS n_transactions,
                CAST(SUM(quantity) AS BIGINT)         AS total_items,
-               ROUND(SUM(unit_price * quantity), 2)  AS revenue
+               {sql_dround('SUM(unit_price * quantity)', 2)}  AS revenue
         FROM sale_transactions st
         JOIN customers c USING (customer_id)
         GROUP BY ROLLUP(market_segment)

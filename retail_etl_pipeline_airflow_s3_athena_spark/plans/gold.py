@@ -43,6 +43,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from retail_etl_pipeline_airflow_s3_athena_spark.operators.text import dround
+
 
 def build_gold_tables(
     sale_transactions: DataFrame,
@@ -108,7 +110,7 @@ def daily_sales_summary(sale_transactions: DataFrame) -> DataFrame:
         .agg(
             F.count("transaction_id").alias("total_orders"),
             F.sum("quantity").alias("total_items"),
-            F.round(F.sum("line_revenue"), 2).alias("revenue"),
+            dround(F.sum("line_revenue"), 2).alias("revenue"),
         )
         .orderBy("sale_date")
     )
@@ -124,7 +126,7 @@ def customer_spend(sale_transactions: DataFrame) -> DataFrame:
         .agg(
             F.count("transaction_id").alias("order_count"),
             F.sum("quantity").alias("total_items"),
-            F.round(F.sum("line_revenue"), 2).alias("total_spent"),
+            dround(F.sum("line_revenue"), 2).alias("total_spent"),
         )
     )
 
@@ -157,7 +159,7 @@ def product_performance(
     perf = sale_transactions.groupBy("product_id").agg(
         F.count("transaction_id").alias("times_sold"),
         F.sum("quantity").alias("total_quantity"),
-        F.round(F.avg("unit_price"), 4).alias("avg_price"),
+        dround(F.avg("unit_price"), 4).alias("avg_price"),
     )
     return perf.join(F.broadcast(products), "product_id", "left").orderBy(
         F.desc("times_sold"), F.asc("product_id")
@@ -178,7 +180,7 @@ def store_performance(sale_transactions: DataFrame, stores: DataFrame) -> DataFr
         .agg(
             F.count("transaction_id").alias("total_transactions"),
             F.sum("quantity").alias("total_items"),
-            F.round(F.sum("line_revenue"), 2).alias("total_revenue"),
+            dround(F.sum("line_revenue"), 2).alias("total_revenue"),
         )
     )
     return perf.join(F.broadcast(stores), "store_id", "left").orderBy(

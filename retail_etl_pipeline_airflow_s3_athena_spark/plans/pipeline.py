@@ -72,6 +72,15 @@ def run_pipeline(
         cust = silver_tables["customers"].drop("date")
         prod = silver_tables["products"].drop("date")
         strs = silver_tables["stores"].drop("date")
+    else:
+        # Gold must read the CLEANED silver surface in both modes —
+        # binding the raw views here would silently diverge from the
+        # work_dir branch on dirty input (unparseable dates, numeric
+        # nulls), breaking medallion semantics.
+        st = silver_tables["sale_transactions"]
+        cust = silver_tables["customers"]
+        prod = silver_tables["products"]
+        strs = silver_tables["stores"]
 
     # --- gold: the four business tables ----------------------------------
     gold_tables: dict[str, DataFrame] = {
