@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from retail_etl_pipeline_airflow_s3_athena_spark.operators import asof as asof_ops
+from retail_etl_pipeline_airflow_s3_athena_spark.operators import cluster as cluster_ops
 from retail_etl_pipeline_airflow_s3_athena_spark.operators import dedup as dedup_ops
 from retail_etl_pipeline_airflow_s3_athena_spark.operators import events as event_ops
 from retail_etl_pipeline_airflow_s3_athena_spark.operators import multimodal as mm_ops
@@ -209,6 +210,10 @@ def _q_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_ops.near_dup_pairs(_docs(spark, sf_dir))
+
+
+def _q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cluster_ops.near_dup_clusters(_docs(spark, sf_dir))
 
 
 def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -488,6 +493,7 @@ def queries() -> dict[str, QueryFn]:
         "minhash_signatures": _q_minhash_signatures,
         "lsh_candidate_pairs": _q_lsh_candidate_pairs,
         "near_dup_pairs": _q_near_dup_pairs,
+        "near_dup_clusters": _q_near_dup_clusters,
         "simhash_signatures": _q_simhash,
         "simhash_near_dup": _q_simhash_near_dup,
         "blocked_jaccard_pairs": _q_blocked_jaccard,
@@ -603,6 +609,7 @@ def oracle_sql() -> dict[str, str]:
     oracles["minhash_signatures"] = dedup_ops.oracle_minhash_signatures_sql()
     oracles["lsh_candidate_pairs"] = dedup_ops.oracle_lsh_candidate_pairs_sql()
     oracles["near_dup_pairs"] = dedup_ops.oracle_near_dup_pairs_sql()
+    oracles["near_dup_clusters"] = cluster_ops.oracle_near_dup_clusters_sql()
     oracles["simhash_signatures"] = dedup_ops.oracle_simhash_sql()
     oracles["simhash_near_dup"] = dedup_ops.oracle_simhash_near_dup_sql()
     oracles["blocked_jaccard_pairs"] = dedup_ops.oracle_blocked_jaccard_sql()

@@ -1,0 +1,178 @@
+"""Near-duplicate clustering: connected components over the near-dup
+pair graph, plus the canonical keep-list that actual corpus dedup needs.
+
+The reference stops at the duplicate *check* (scripts/data_quality.py:22);
+``operators/dedup.py`` finds near-dup PAIRS; this module closes the loop:
+pairs form an undirected graph, each connected component is one
+"duplicate cluster", and dedup keeps exactly one canonical document per
+cluster (the minimum doc_id — deterministic, engine-independent).
+
+Algorithm: iterative min-label propagation (Pregel-style).  Every node
+starts labeled with its own doc_id; each round, a node adopts the
+minimum label among itself and its neighbors; at fixpoint every node in
+a component carries the component's minimum doc_id.  The fixpoint is
+unique regardless of iteration order, so the result is deterministic
+and oracle-checkable (DuckDB computes the same fixpoint with a
+recursive CTE).
+
+Plan-shape / 100 TB notes:
+- The iteration runs ONLY over nodes that touch an edge.  Near-dup
+  edges are a tiny fraction of a deduplicated corpus (collision pairs,
+  not rows), so the loop's working set is orders of magnitude smaller
+  than the corpus; untouched docs are appended afterwards as
+  singleton clusters with a single cheap anti-join — no per-iteration
+  cost scales with corpus size.
+- Each round is one shuffle (edge ⋈ label on dst, groupBy src MIN) —
+  partial aggregation collapses neighbor lists map-side.  Rounds needed
+  = graph diameter; near-dup clusters are shallow (pairwise-similar
+  docs), so a handful of rounds converges.  ``max_iter`` bounds the
+  worst case; a driver-side count checks convergence per round (an
+  aggregate, not a data collect).
+- Labels persist per round and unpersist the previous round, keeping
+  lineage flat (each round reads the cached previous round, not the
+  full history).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from retail_etl_pipeline_airflow_s3_athena_spark.operators.dedup import (
+    near_dup_pairs,
+    oracle_near_dup_pairs_sql,
+)
+
+
+def connected_components(
+    edges: DataFrame, max_iter: int = 20
+) -> DataFrame:
+    """Min-label connected components over the edge-touched node set.
+
+    ``edges``: (doc_a, doc_b) undirected pairs.  Returns (doc_id,
+    cluster_id) for every node that appears in an edge, with cluster_id
+    = min doc_id of its component.  Isolated nodes are the CALLER's
+    singletons — handling them here would drag the full corpus through
+    every iteration.
+
+    Each round fully materializes the new label table into cache (the
+    convergence statistic rides the same single action), so no round —
+    and no downstream consumer — ever re-evaluates upstream lineage.
+    """
+    # Both directions once; every round's join reads this cached table.
+    und = (
+        edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(
+            edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    active = (
+        und.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .select("doc_id", F.col("doc_id").alias("cluster_id"))
+        .persist()
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            und.join(active, und.dst == active.doc_id)
+            .groupBy("src")
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        new = (
+            active.join(nbr_min, active.doc_id == nbr_min.src, "left")
+            .select(
+                "doc_id",
+                F.col("cluster_id").alias("old_label"),
+                F.least(
+                    F.col("cluster_id"),
+                    F.coalesce(F.col("nbr_min"), F.col("cluster_id")),
+                ).alias("cluster_id"),
+            )
+            .persist()
+        )
+        # One action: materializes the round AND yields the change count.
+        changed = new.agg(
+            F.sum((F.col("cluster_id") != F.col("old_label")).cast("int"))
+        ).first()[0]
+        active.unpersist()
+        active = new.select("doc_id", "cluster_id")
+        if not changed:
+            break
+    und.unpersist()
+    return active
+
+
+def near_dup_clusters(
+    docs: DataFrame, text_col: str = "text", threshold: float = 0.5
+) -> DataFrame:
+    """Duplicate clusters over the corpus: (doc_id, cluster_id,
+    cluster_size, is_canonical).  ``is_canonical`` marks the one kept
+    doc per cluster (min doc_id); filtering on it IS the dedup.
+
+    Cluster sizes are aggregated over the edge-touched nodes only;
+    untouched docs join in as size-1 singletons via one anti-join —
+    the corpus-sized side of the plan is a single pass."""
+    pairs = near_dup_pairs(docs, text_col, threshold).select("doc_a", "doc_b")
+    comp = connected_components(pairs)  # cached by the final round
+    sizes = comp.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    clustered = comp.join(sizes, "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        "cluster_size",
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
+    )
+    singletons = (
+        docs.select("doc_id")
+        .join(comp.select("doc_id"), "doc_id", "left_anti")
+        .select(
+            "doc_id",
+            F.col("doc_id").alias("cluster_id"),
+            F.lit(1).cast("long").alias("cluster_size"),
+            F.lit(True).alias("is_canonical"),
+        )
+    )
+    return clustered.union(singletons)
+
+
+def dedup_keep(docs: DataFrame, text_col: str = "text",
+               threshold: float = 0.5) -> DataFrame:
+    """The deduplicated corpus: canonical doc per near-dup cluster.
+    Non-canonical ids are a tiny set (edge-touched losers), so the
+    corpus-side filter is one anti-join against a broadcastable list."""
+    clusters = near_dup_clusters(docs, text_col, threshold)
+    drop = clusters.filter(~F.col("is_canonical")).select("doc_id")
+    return docs.join(drop, "doc_id", "left_anti")
+
+
+def oracle_near_dup_clusters_sql(
+    table: str = "documents", t: str = "text", threshold: float = 0.5
+) -> str:
+    """DuckDB oracle: same fixpoint via a recursive CTE — walk the
+    undirected edge set from every node; MIN(reached label) per node is
+    the component minimum (identical to the propagation fixpoint)."""
+    nd = oracle_near_dup_pairs_sql(table, t, threshold)
+    return f"""
+        WITH RECURSIVE nd AS ({nd}),
+        edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM nd
+            UNION ALL
+            SELECT doc_b AS src, doc_a AS dst FROM nd
+        ),
+        walk(doc_id, label) AS (
+            SELECT doc_id, doc_id FROM {table}
+            UNION
+            SELECT e.dst, w.label
+            FROM walk w JOIN edges e ON e.src = w.doc_id
+        ),
+        comp AS (
+            SELECT doc_id, MIN(label) AS cluster_id FROM walk GROUP BY doc_id
+        )
+        SELECT doc_id, cluster_id,
+               COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+               doc_id = cluster_id AS is_canonical
+        FROM comp
+    """

@@ -9,7 +9,7 @@ import pytest
 from pyspark.sql import Row
 from pyspark.sql import functions as F
 
-from retail_etl_pipeline_airflow_s3_athena_spark.operators import dedup, similarity, text
+from retail_etl_pipeline_airflow_s3_athena_spark.operators import cluster, dedup, similarity, text
 
 
 @pytest.fixture(scope="module")
@@ -204,3 +204,26 @@ def test_language_id_picks_english(spark):
     assert out[0] == "en"
     assert out[1] == "de"
     assert out[2] == "und"
+
+
+def test_connected_components_transitive_chain(spark):
+    # chain 1-2-3 plus isolated pair 10-11: transitivity must merge the
+    # chain even though (1, 3) is never a direct edge
+    edges = spark.createDataFrame(
+        [Row(doc_a=1, doc_b=2), Row(doc_a=2, doc_b=3), Row(doc_a=10, doc_b=11)]
+    )
+    out = {r["doc_id"]: r["cluster_id"]
+           for r in cluster.connected_components(edges).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_near_dup_clusters_and_keep(docs):
+    out = {r["doc_id"]: r for r in cluster.near_dup_clusters(docs).collect()}
+    # 0/1/4 identical, 2 a one-word edit: one cluster, canonical 0
+    for d in (0, 1, 2, 4):
+        assert out[d]["cluster_id"] == 0 and out[d]["cluster_size"] == 4
+    assert out[0]["is_canonical"] and not out[1]["is_canonical"]
+    # unrelated doc 3 is its own singleton
+    assert out[3]["cluster_id"] == 3 and out[3]["cluster_size"] == 1
+    kept = sorted(r["doc_id"] for r in cluster.dedup_keep(docs).collect())
+    assert kept == [0, 3]
