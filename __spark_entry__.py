@@ -196,6 +196,10 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return readers.read_documents(spark, sf_dir)
 
 
+def _q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_ops.repetition_signals(_docs(spark, sf_dir))
+
+
 def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_ops.exact_dedup(_docs(spark, sf_dir))
 
@@ -489,6 +493,7 @@ def queries() -> dict[str, QueryFn]:
         "dq_summary_customer": _q_dq_summary_customer,
         "text_features": _q_text_features,
         "language_id": _q_language_id,
+        "repetition_signals": _q_repetition_signals,
         "dedup_exact": _q_dedup_exact,
         "minhash_signatures": _q_minhash_signatures,
         "lsh_candidate_pairs": _q_lsh_candidate_pairs,
@@ -605,6 +610,7 @@ def oracle_sql() -> dict[str, str]:
     }
     oracles["text_features"] = text_ops.oracle_text_features_sql()
     oracles["language_id"] = text_ops.oracle_language_id_sql()
+    oracles["repetition_signals"] = text_ops.oracle_repetition_signals_sql()
     oracles["dedup_exact"] = dedup_ops.oracle_exact_dedup_sql()
     oracles["minhash_signatures"] = dedup_ops.oracle_minhash_signatures_sql()
     oracles["lsh_candidate_pairs"] = dedup_ops.oracle_lsh_candidate_pairs_sql()

@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
 
@@ -246,6 +246,61 @@ def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def repetition_signals(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition quality signals per document:
+
+    - ``top_token_share``     most frequent token's share of all tokens
+    - ``repeated_token_frac`` share of token occurrences whose token
+                              appears >= 2 times in the doc
+    - ``top_bigram_share``    most frequent token-bigram's share of all
+                              bigrams
+
+    High values mark boilerplate/spam (repeated nav bars, keyword
+    stuffing) — standard corpus-curation filters alongside
+    ``quality_score``.
+
+    Plan shape: flat token rows (posexplode) -> two hash aggregates
+    (doc+token counts, then per-doc stats) with map-side partial
+    aggregation; bigrams via window lead() over the token stream (no
+    arrays, fully codegen).  Shuffles on doc_id only.  Docs with zero
+    tokens drop out (same as the oracle); one-token docs have no
+    bigrams -> share 0.
+    """
+    tk = docs.select(
+        "doc_id", F.posexplode(tokens(F.col(text_col))).alias("pos", "tok")
+    )
+    tok_counts = tk.groupBy("doc_id", "tok").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    tok_stats = tok_counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.max("c").alias("max_tok"),
+        F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(0)).alias("rep"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bg = tk.select(
+        "doc_id",
+        F.concat_ws(" ", F.col("tok"), F.lead("tok", 1).over(w)).alias("bigram"),
+        F.lead("tok", 1).over(w).isNotNull().alias("keep"),
+    ).filter("keep")
+    bg_stats = (
+        bg.groupBy("doc_id", "bigram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("max_bg"), F.sum("c").alias("n_bigrams"))
+    )
+    joined = tok_stats.join(bg_stats, "doc_id", "left")
+    return joined.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        dround(F.col("max_tok") / F.col("n_tokens"), 6).alias("top_token_share"),
+        dround(F.col("rep") / F.col("n_tokens"), 6).alias("repeated_token_frac"),
+        dround(
+            F.coalesce(F.col("max_bg") / F.col("n_bigrams"), F.lit(0.0)), 6
+        ).alias("top_bigram_share"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Oracle SQL twins (DuckDB dialect), same formulas
 # ---------------------------------------------------------------------------
@@ -313,4 +368,51 @@ def oracle_language_id_sql(table: str = "documents", t: str = "text") -> str:
                {score_cols}
             FROM {table}
         )
+    """
+
+
+def oracle_repetition_signals_sql(
+    table: str = "documents", t: str = "text"
+) -> str:
+    """Same repetition stats from flat unnested rows; bigrams from a
+    1-based list_transform over the token list (empty for < 2 tokens),
+    LEFT JOIN + COALESCE mirroring the Spark side's no-bigram case."""
+    toks = _sql_tokens(t)
+    return f"""
+        WITH tl AS (
+            SELECT doc_id, {toks} AS ts FROM {table}
+        ),
+        tok_counts AS (
+            SELECT doc_id, tok, COUNT(*) AS c
+            FROM (SELECT doc_id, unnest(ts) AS tok FROM tl)
+            GROUP BY doc_id, tok
+        ),
+        tok_stats AS (
+            SELECT doc_id,
+                   CAST(SUM(c) AS BIGINT) AS n_tokens,
+                   MAX(c) AS max_tok,
+                   SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS rep
+            FROM tok_counts GROUP BY doc_id
+        ),
+        bg_counts AS (
+            SELECT doc_id, bigram, COUNT(*) AS c
+            FROM (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(ts)),
+                              i -> ts[i] || ' ' || ts[i + 1])) AS bigram
+                FROM tl
+            )
+            GROUP BY doc_id, bigram
+        ),
+        bg_stats AS (
+            SELECT doc_id, MAX(c) AS max_bg, SUM(c) AS n_bigrams
+            FROM bg_counts GROUP BY doc_id
+        )
+        SELECT s.doc_id,
+               s.n_tokens,
+               {sql_dround("s.max_tok / s.n_tokens", 6)} AS top_token_share,
+               {sql_dround("s.rep / s.n_tokens", 6)} AS repeated_token_frac,
+               COALESCE({sql_dround("b.max_bg / b.n_bigrams", 6)}, 0.0)
+                   AS top_bigram_share
+        FROM tok_stats s LEFT JOIN bg_stats b USING (doc_id)
     """
