@@ -196,6 +196,16 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return readers.read_documents(spark, sf_dir)
 
 
+def _q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sampling.corpus_shuffle(
+        _docs(spark, sf_dir).select("doc_id", "source"), ["doc_id"]
+    )
+
+
+def _q_source_cap_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sampling.source_cap_docs(_docs(spark, sf_dir))
+
+
 def _q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.repetition_signals(_docs(spark, sf_dir))
 
@@ -494,6 +504,8 @@ def queries() -> dict[str, QueryFn]:
         "text_features": _q_text_features,
         "language_id": _q_language_id,
         "repetition_signals": _q_repetition_signals,
+        "source_cap_docs": _q_source_cap_docs,
+        "corpus_shuffle": _q_corpus_shuffle,
         "dedup_exact": _q_dedup_exact,
         "minhash_signatures": _q_minhash_signatures,
         "lsh_candidate_pairs": _q_lsh_candidate_pairs,
@@ -611,6 +623,10 @@ def oracle_sql() -> dict[str, str]:
     oracles["text_features"] = text_ops.oracle_text_features_sql()
     oracles["language_id"] = text_ops.oracle_language_id_sql()
     oracles["repetition_signals"] = text_ops.oracle_repetition_signals_sql()
+    oracles["source_cap_docs"] = sampling.oracle_source_cap_sql()
+    oracles["corpus_shuffle"] = sampling.oracle_corpus_shuffle_sql(
+        "documents", ["doc_id"], select="doc_id, source"
+    )
     oracles["dedup_exact"] = dedup_ops.oracle_exact_dedup_sql()
     oracles["minhash_signatures"] = dedup_ops.oracle_minhash_signatures_sql()
     oracles["lsh_candidate_pairs"] = dedup_ops.oracle_lsh_candidate_pairs_sql()

@@ -20,7 +20,7 @@ Pushed below any downstream shuffle, they cut the data volume first.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from retail_etl_pipeline_airflow_s3_athena_spark.operators.dedup import (
@@ -115,4 +115,96 @@ def oracle_stratified_sample_sql(
         WHERE {bucket} < (CASE
             {branches}
             ELSE {int(default_rate * RES)} END)
+    """
+
+
+def group_cap(
+    df: DataFrame,
+    group_col: str,
+    k: int,
+    order_by: list[tuple[str, bool]],
+    tiebreak_col: str,
+) -> DataFrame:
+    """Frequency capping: keep at most ``k`` rows per ``group_col``
+    value, by deterministic priority (``order_by`` = [(col, ascending)],
+    with ``tiebreak_col`` pinned ascending last so rank order is total).
+
+    The standard per-domain / per-source cap of web-corpus curation —
+    one over-represented domain can't dominate the training mix.
+
+    Scale notes: the rank-filter compiles to a WindowGroupLimit
+    (Spark >= 3.5) — each map task keeps only its local top-k per group
+    BEFORE the shuffle, so shuffle volume is bounded by groups x k,
+    not corpus size; a single hot group never materializes beyond k
+    rows per task.  Priority must be deterministic (no F.rand) or the
+    kept set changes across retries/engines."""
+    cols = [
+        F.col(c).asc() if asc else F.col(c).desc() for c, asc in order_by
+    ]
+    w = Window.partitionBy(group_col).orderBy(*cols, F.col(tiebreak_col).asc())
+    return (
+        df.withColumn("rank_in_group", F.row_number().over(w))
+        .filter(F.col("rank_in_group") <= k)
+    )
+
+
+def source_cap_docs(docs: DataFrame, k: int = 10) -> DataFrame:
+    """Cap the corpus at k docs per source, preferring longer documents
+    (a crude quality prior) — deterministic via the doc_id tiebreak."""
+    capped = group_cap(
+        docs, "source", k, order_by=[("n_chars", False)], tiebreak_col="doc_id"
+    )
+    return capped.select("doc_id", "source", "n_chars", "rank_in_group")
+
+
+def oracle_source_cap_sql(table: str = "documents", k: int = 10) -> str:
+    return f"""
+        SELECT doc_id, source, n_chars, rank_in_group
+        FROM (
+            SELECT doc_id, source, n_chars,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY source
+                       ORDER BY n_chars DESC, doc_id ASC
+                   ) AS rank_in_group
+            FROM {table}
+        )
+        WHERE rank_in_group <= {k}
+    """
+
+
+def corpus_shuffle(
+    df: DataFrame,
+    key_cols: list[str],
+    n_shards: int = 64,
+    salt: str = "epoch0",
+) -> DataFrame:
+    """Deterministic global training-order shuffle: each row gets a
+    content-hash ``shuffle_key`` and a ``shard`` assignment.  Writing
+    partitioned by shard, sorted by shuffle_key, yields a reproducible
+    pseudo-random order; a new ``salt`` (epoch) re-shuffles with zero
+    correlation to the previous order.
+
+    This replaces orderBy(rand()) — which is neither reproducible nor
+    retry-safe (a recomputed partition would re-roll its randoms).
+    Pure narrow map + hash: no global sort; the per-shard sort happens
+    in the writer (sortWithinPartitions), parallel across shards."""
+    key = _md5_hash(_sample_key(key_cols, salt))
+    return df.withColumn("shuffle_key", key).withColumn(
+        "shard", (F.col("shuffle_key") % n_shards).cast("int")
+    )
+
+
+def oracle_corpus_shuffle_sql(
+    table: str,
+    key_cols: list[str],
+    n_shards: int = 64,
+    salt: str = "epoch0",
+    select: str = "*",
+) -> str:
+    key = _sql_md5_hash(_sql_sample_key(key_cols, salt))
+    return f"""
+        SELECT {select},
+               {key} AS shuffle_key,
+               CAST({key} % {n_shards} AS INT) AS shard
+        FROM {table}
     """
