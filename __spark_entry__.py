@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from retail_etl_pipeline_airflow_s3_athena_spark.operators import asof as asof_ops
 from retail_etl_pipeline_airflow_s3_athena_spark.operators import cluster as cluster_ops
+from retail_etl_pipeline_airflow_s3_athena_spark.operators import decontam as decontam_ops
 from retail_etl_pipeline_airflow_s3_athena_spark.operators import dedup as dedup_ops
 from retail_etl_pipeline_airflow_s3_athena_spark.operators import events as event_ops
 from retail_etl_pipeline_airflow_s3_athena_spark.operators import multimodal as mm_ops
@@ -194,6 +195,10 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fan_out: byte-sized splits starve the hash-dense operators of
     # cores on small single-file scans; no-op on real multi-split tables
     return readers.read_documents(spark, sf_dir)
+
+
+def _q_decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return decontam_ops.decontaminate(_docs(spark, sf_dir), "source = 'src0'")
 
 
 def _q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -506,6 +511,7 @@ def queries() -> dict[str, QueryFn]:
         "repetition_signals": _q_repetition_signals,
         "source_cap_docs": _q_source_cap_docs,
         "corpus_shuffle": _q_corpus_shuffle,
+        "decontaminate_docs": _q_decontaminate_docs,
         "dedup_exact": _q_dedup_exact,
         "minhash_signatures": _q_minhash_signatures,
         "lsh_candidate_pairs": _q_lsh_candidate_pairs,
@@ -626,6 +632,9 @@ def oracle_sql() -> dict[str, str]:
     oracles["source_cap_docs"] = sampling.oracle_source_cap_sql()
     oracles["corpus_shuffle"] = sampling.oracle_corpus_shuffle_sql(
         "documents", ["doc_id"], select="doc_id, source"
+    )
+    oracles["decontaminate_docs"] = decontam_ops.oracle_decontaminate_sql(
+        "source = 'src0'"
     )
     oracles["dedup_exact"] = dedup_ops.oracle_exact_dedup_sql()
     oracles["minhash_signatures"] = dedup_ops.oracle_minhash_signatures_sql()
