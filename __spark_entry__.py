@@ -197,6 +197,10 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return readers.read_documents(spark, sf_dir)
 
 
+def _q_pii_redact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_ops.pii_redact(_docs(spark, sf_dir))
+
+
 def _q_decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontam_ops.decontaminate(_docs(spark, sf_dir), "source = 'src0'")
 
@@ -512,6 +516,7 @@ def queries() -> dict[str, QueryFn]:
         "source_cap_docs": _q_source_cap_docs,
         "corpus_shuffle": _q_corpus_shuffle,
         "decontaminate_docs": _q_decontaminate_docs,
+        "pii_redact_docs": _q_pii_redact_docs,
         "dedup_exact": _q_dedup_exact,
         "minhash_signatures": _q_minhash_signatures,
         "lsh_candidate_pairs": _q_lsh_candidate_pairs,
@@ -629,6 +634,7 @@ def oracle_sql() -> dict[str, str]:
     oracles["text_features"] = text_ops.oracle_text_features_sql()
     oracles["language_id"] = text_ops.oracle_language_id_sql()
     oracles["repetition_signals"] = text_ops.oracle_repetition_signals_sql()
+    oracles["pii_redact_docs"] = text_ops.oracle_pii_redact_sql()
     oracles["source_cap_docs"] = sampling.oracle_source_cap_sql()
     oracles["corpus_shuffle"] = sampling.oracle_corpus_shuffle_sql(
         "documents", ["doc_id"], select="doc_id, source"

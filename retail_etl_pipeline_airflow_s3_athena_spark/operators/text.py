@@ -416,3 +416,53 @@ def oracle_repetition_signals_sql(
                    AS top_bigram_share
         FROM tok_stats s LEFT JOIN bg_stats b USING (doc_id)
     """
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+# Patterns restricted to syntax Java regex (Spark) and RE2 (DuckDB)
+# interpret identically: no lookaround, no backrefs.  Order matters and
+# is part of the contract: URLs first (so an email inside a URL is
+# consumed as URL), then email, IPv4, phone.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("url", r"https?://[^\s]+", "<URL>"),
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b", "<PHONE>"),
+]
+
+
+def pii_redact(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Mask PII-shaped spans (URL/email/IPv4/phone) with typed
+    placeholder tokens and report per-kind match counts.  Pure narrow
+    map — sequential codegen'd regexp_replace passes, no shuffle, no
+    Python.  Counts are taken on the ORIGINAL text (before any
+    replacement) so kinds don't steal each other's counts; the
+    replacement chain applies in PII_PATTERNS order on both engines."""
+    c = F.col(text_col)
+    counts = [
+        F.regexp_count(c, F.lit(pat)).cast("long").alias(f"n_{kind}")
+        for kind, pat, _ in PII_PATTERNS
+    ]
+    red = c
+    for _, pat, repl in PII_PATTERNS:
+        red = F.regexp_replace(red, pat, repl)
+    return docs.select("doc_id", *counts, red.alias("redacted_text"))
+
+
+def oracle_pii_redact_sql(table: str = "documents", t: str = "text") -> str:
+    counts = ",\n               ".join(
+        f"CAST(len(regexp_extract_all({t}, '{pat}')) AS BIGINT) AS n_{kind}"
+        for kind, pat, _ in PII_PATTERNS
+    )
+    red = t
+    for _, pat, repl in PII_PATTERNS:
+        red = f"regexp_replace({red}, '{pat}', '{repl}', 'g')"
+    return f"""
+        SELECT doc_id,
+               {counts},
+               {red} AS redacted_text
+        FROM {table}
+    """

@@ -227,3 +227,40 @@ def test_near_dup_clusters_and_keep(docs):
     assert out[3]["cluster_id"] == 3 and out[3]["cluster_size"] == 1
     kept = sorted(r["doc_id"] for r in cluster.dedup_keep(docs).collect())
     assert kept == [0, 3]
+
+
+def test_pii_redact_masks_and_counts(spark):
+    rows = [
+        Row(doc_id=0, text="contact me at jane.doe+x@example.co.uk or visit https://ex.com/a?b=1 now"),
+        Row(doc_id=1, text="server 10.0.255.3 called 415-555-1234 twice"),
+        Row(doc_id=2, text="nothing sensitive here"),
+    ]
+    docs = spark.createDataFrame(rows)
+    out = {r["doc_id"]: r for r in text.pii_redact(docs).collect()}
+    assert out[0]["n_email"] == 1 and out[0]["n_url"] == 1
+    assert out[0]["redacted_text"] == "contact me at <EMAIL> or visit <URL> now"
+    assert out[1]["n_ipv4"] == 1 and out[1]["n_phone"] == 1
+    assert out[1]["redacted_text"] == "server <IP> called <PHONE> twice"
+    assert out[2]["redacted_text"] == "nothing sensitive here"
+
+    # cross-engine: DuckDB oracle yields byte-identical redactions
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents(doc_id BIGINT, text VARCHAR)"
+    )
+    con.executemany(
+        "INSERT INTO documents VALUES (?, ?)",
+        [(r.doc_id, r.text) for r in rows],
+    )
+    ora = {
+        r[0]: r
+        for r in con.execute(text.oracle_pii_redact_sql()).fetchall()
+    }
+    for d in (0, 1, 2):
+        assert ora[d][-1] == out[d]["redacted_text"]
+        assert list(ora[d][1:5]) == [
+            out[d]["n_url"], out[d]["n_email"],
+            out[d]["n_ipv4"], out[d]["n_phone"],
+        ]
