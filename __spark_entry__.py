@@ -22,6 +22,7 @@ from retail_etl_pipeline_airflow_s3_athena_spark.operators import decontam as de
 from retail_etl_pipeline_airflow_s3_athena_spark.operators import dedup as dedup_ops
 from retail_etl_pipeline_airflow_s3_athena_spark.operators import events as event_ops
 from retail_etl_pipeline_airflow_s3_athena_spark.operators import multimodal as mm_ops
+from retail_etl_pipeline_airflow_s3_athena_spark.operators import scd as scd_ops
 from retail_etl_pipeline_airflow_s3_athena_spark.operators import similarity as sim_ops
 from retail_etl_pipeline_airflow_s3_athena_spark.operators import (
     rangejoin as rangejoin_ops,
@@ -195,6 +196,41 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fan_out: byte-sized splits starve the hash-dense operators of
     # cores on small single-file scans; no-op on real multi-split tables
     return readers.read_documents(spark, sf_dir)
+
+
+def _q_scd2_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 MERGE step: customers seeded as the live dimension; the
+    update snapshot bumps acctbal by 10 per open order (deterministic
+    delta derived from the fixtures), so customers with open orders get
+    a closed-out old version + a new live one, the rest pass through."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    current = cust.select(
+        "c_custkey",
+        F.col("c_acctbal").alias("acctbal"),
+        F.col("c_mktsegment").alias("segment"),
+        F.lit("1995-01-01").cast("date").alias("effective_from"),
+        F.lit(None).cast("date").alias("effective_to"),
+        F.lit(True).alias("is_current"),
+    )
+    open_cnt = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .filter(F.col("o_orderstatus") == "O")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_open"))
+    )
+    updates = cust.join(
+        open_cnt, cust.c_custkey == open_cnt.o_custkey, "left"
+    ).select(
+        "c_custkey",
+        (
+            F.col("c_acctbal")
+            + F.coalesce(F.col("n_open"), F.lit(0)) * F.lit(10.0)
+        ).alias("acctbal"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    return scd_ops.scd2_merge(
+        current, updates, "c_custkey", ["acctbal", "segment"], "1998-08-01"
+    )
 
 
 def _q_pii_redact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -517,6 +553,7 @@ def queries() -> dict[str, QueryFn]:
         "corpus_shuffle": _q_corpus_shuffle,
         "decontaminate_docs": _q_decontaminate_docs,
         "pii_redact_docs": _q_pii_redact_docs,
+        "scd2_customers": _q_scd2_customers,
         "dedup_exact": _q_dedup_exact,
         "minhash_signatures": _q_minhash_signatures,
         "lsh_candidate_pairs": _q_lsh_candidate_pairs,
@@ -635,6 +672,25 @@ def oracle_sql() -> dict[str, str]:
     oracles["language_id"] = text_ops.oracle_language_id_sql()
     oracles["repetition_signals"] = text_ops.oracle_repetition_signals_sql()
     oracles["pii_redact_docs"] = text_ops.oracle_pii_redact_sql()
+    oracles["scd2_customers"] = scd_ops.oracle_scd2_sql(
+        current_cte=(
+            "SELECT c_custkey, c_acctbal AS acctbal, "
+            "c_mktsegment AS segment, DATE '1995-01-01' AS effective_from, "
+            "CAST(NULL AS DATE) AS effective_to, TRUE AS is_current "
+            "FROM customer"
+        ),
+        updates_cte=(
+            "SELECT c.c_custkey, "
+            "c.c_acctbal + COALESCE(o.n_open, 0) * 10.0 AS acctbal, "
+            "c.c_mktsegment AS segment FROM customer c LEFT JOIN ("
+            "SELECT o_custkey, COUNT(*) AS n_open FROM orders "
+            "WHERE o_orderstatus = 'O' GROUP BY 1) o "
+            "ON c.c_custkey = o.o_custkey"
+        ),
+        key="c_custkey",
+        tracked=["acctbal", "segment"],
+        effective_date="1998-08-01",
+    )
     oracles["source_cap_docs"] = sampling.oracle_source_cap_sql()
     oracles["corpus_shuffle"] = sampling.oracle_corpus_shuffle_sql(
         "documents", ["doc_id"], select="doc_id, source"

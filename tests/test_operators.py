@@ -9,7 +9,7 @@ import pytest
 from pyspark.sql import Row
 from pyspark.sql import functions as F
 
-from retail_etl_pipeline_airflow_s3_athena_spark.operators import cluster, dedup, similarity, text
+from retail_etl_pipeline_airflow_s3_athena_spark.operators import cluster, dedup, scd, similarity, text
 
 
 @pytest.fixture(scope="module")
@@ -264,3 +264,36 @@ def test_pii_redact_masks_and_counts(spark):
             out[d]["n_url"], out[d]["n_email"],
             out[d]["n_ipv4"], out[d]["n_phone"],
         ]
+
+
+def test_scd2_merge_state_transitions(spark):
+    import datetime as dt
+
+    cur = spark.createDataFrame(
+        [
+            # history row for key 1 (must pass through untouched)
+            Row(k=1, v="old", effective_from=dt.date(2020, 1, 1),
+                effective_to=dt.date(2021, 1, 1), is_current=False),
+            # live rows: 1 will change, 2 stays identical
+            Row(k=1, v="a", effective_from=dt.date(2021, 1, 1),
+                effective_to=None, is_current=True),
+            Row(k=2, v="b", effective_from=dt.date(2021, 1, 1),
+                effective_to=None, is_current=True),
+        ]
+    )
+    upd = spark.createDataFrame(
+        [Row(k=1, v="a2"), Row(k=2, v="b"), Row(k=3, v="c")]
+    )
+    out = scd.scd2_merge(cur, upd, "k", ["v"], "2022-06-01").collect()
+    rows = {(r["k"], r["v"], r["is_current"]): r for r in out}
+    assert len(out) == 5
+    # history untouched
+    assert rows[(1, "old", False)]["effective_to"] == dt.date(2021, 1, 1)
+    # changed key: old version closed at merge date, new live version
+    assert rows[(1, "a", False)]["effective_to"] == dt.date(2022, 6, 1)
+    assert rows[(1, "a2", True)]["effective_from"] == dt.date(2022, 6, 1)
+    assert rows[(1, "a2", True)]["effective_to"] is None
+    # unchanged key: original live row intact
+    assert rows[(2, "b", True)]["effective_from"] == dt.date(2021, 1, 1)
+    # brand-new key inserted live
+    assert rows[(3, "c", True)]["effective_from"] == dt.date(2022, 6, 1)
