@@ -33,7 +33,12 @@ from retail_etl_pipeline_airflow_s3_athena_spark.operators import (
     training as training_ops,
 )
 from retail_etl_pipeline_airflow_s3_athena_spark.functions import sampling, sketches
-from retail_etl_pipeline_airflow_s3_athena_spark.plans import analytics, gold, retail_views
+from retail_etl_pipeline_airflow_s3_athena_spark.plans import (
+    analytics,
+    gold,
+    relational,
+    retail_views,
+)
 from retail_etl_pipeline_airflow_s3_athena_spark.sources import readers
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -589,6 +594,13 @@ def queries() -> dict[str, QueryFn]:
         "stratified_sample_docs": _q_stratified_sample_docs,
         "hll_distinct_users": _q_hll_distinct_users,
         "concurrent_sessions": _q_concurrent_sessions,
+        "late_shipment_priority": relational.late_shipment_priority,
+        "dormant_customers": relational.dormant_customers,
+        "churned_buyers": relational.churned_buyers,
+        "small_quantity_revenue": relational.small_quantity_revenue,
+        "big_orders": relational.big_orders,
+        "daily_revenue_delta": relational.daily_revenue_delta,
+        "customer_value_tiles": relational.customer_value_tiles,
     }
 
 
@@ -736,6 +748,19 @@ def oracle_sql() -> dict[str, str]:
         "events", "user_id", ["event_type"]
     )
     oracles["concurrent_sessions"] = rangejoin_ops.oracle_concurrent_sessions_sql()
+    oracles["late_shipment_priority"] = (
+        relational.oracle_late_shipment_priority_sql()
+    )
+    oracles["dormant_customers"] = relational.oracle_dormant_customers_sql()
+    oracles["churned_buyers"] = relational.oracle_churned_buyers_sql()
+    oracles["small_quantity_revenue"] = (
+        relational.oracle_small_quantity_revenue_sql()
+    )
+    oracles["big_orders"] = relational.oracle_big_orders_sql()
+    oracles["daily_revenue_delta"] = relational.oracle_daily_revenue_delta_sql()
+    oracles["customer_value_tiles"] = (
+        relational.oracle_customer_value_tiles_sql()
+    )
     oracles["shipping_priority"] = f"""
         SELECT l.l_orderkey, o.o_orderdate, o.o_orderpriority,
                {sql_dround('SUM(l.l_extendedprice * (1 - l.l_discount))', 2)} AS revenue

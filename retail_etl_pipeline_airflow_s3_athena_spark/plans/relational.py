@@ -1,0 +1,366 @@
+"""Relational-breadth queries: semi/anti joins, EXCEPT, decorrelated
+subqueries, HAVING-filtered aggregate joins, and lag/rank windows.
+
+The reference's query surface is plain SELECT/JOIN/GROUP BY Athena SQL
+(`scripts/athena_queries.py:74-126`); a user migrating from Athena to
+this engine brings the rest of ANSI SQL with them — EXISTS / NOT
+EXISTS, EXCEPT, scalar subqueries, HAVING, window ranks.  Each
+operator here is the Spark-first expression of one of those shapes,
+with the TPC-H query it rhymes with noted:
+
+- EXISTS            -> ``left_semi`` join          (Q4 shape)
+- NOT EXISTS        -> ``left_anti`` join          (Q22 shape)
+- EXCEPT            -> ``DataFrame.subtract``      (set-op breadth)
+- correlated scalar -> decorrelated agg + join     (Q17 shape)
+- HAVING subquery   -> agg → filter → join back    (Q18 shape)
+- lag/ntile windows -> window over daily rollup    (trend analysis)
+
+Scale notes (100 TB): semi/anti joins shuffle both sides on the join
+key exactly like inner joins and benefit from the same broadcast /
+AQE decisions; the decorrelated Q17 aggregate is a map-side-combinable
+groupBy whose output is |parts| rows — broadcastable back against
+lineitem.  The windows in ``daily_revenue_delta`` run over a
+*daily-grain rollup* (rows = #days), so the single-partition window
+is bounded by the calendar, not the fact table; ``customer_value_tiles``
+partitions its rank computation only after a distributed aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from retail_etl_pipeline_airflow_s3_athena_spark.operators.text import dround, sql_dround
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# EXISTS -> left_semi (TPC-H Q4 shape)
+# ---------------------------------------------------------------------------
+
+def late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders placed in 1996 with at least one line item shipped after
+    the order date, counted by priority.  EXISTS becomes a
+    ``left_semi`` join: Spark keeps each order at most once no matter
+    how many line items match, and the date filter is pushed to the
+    orders scan."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.expr(
+            "o_orderdate >= TIMESTAMP_NTZ'1996-01-01 00:00:00' AND "
+            "o_orderdate < TIMESTAMP_NTZ'1997-01-01 00:00:00'"
+        )
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        orders.join(
+            li,
+            (orders.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate > orders.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def oracle_late_shipment_priority_sql() -> str:
+    return """
+        SELECT o.o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS order_count
+        FROM orders o
+        WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+          AND EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_shipdate > o.o_orderdate)
+        GROUP BY o.o_orderpriority
+        ORDER BY o.o_orderpriority
+    """
+
+
+# ---------------------------------------------------------------------------
+# NOT EXISTS -> left_anti (TPC-H Q22 shape)
+# ---------------------------------------------------------------------------
+
+DORMANT_CUTOFF = "2000-06-01"
+
+
+def dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no order since DORMANT_CUTOFF, rolled up by
+    market segment.  NOT EXISTS becomes ``left_anti``; the cutoff
+    filter shrinks the orders side before the shuffle, and the anti
+    join output feeds a small groupBy."""
+    cust = _t(spark, sf_dir, "customer")
+    recent = _t(spark, sf_dir, "orders").filter(
+        F.expr(f"o_orderdate >= TIMESTAMP_NTZ'{DORMANT_CUTOFF} 00:00:00'")
+    )
+    return (
+        cust.join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_customers"),
+            dround(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+def oracle_dormant_customers_sql() -> str:
+    return f"""
+        SELECT c.c_mktsegment,
+               CAST(COUNT(*) AS BIGINT) AS n_customers,
+               {sql_dround('SUM(c.c_acctbal)', 2)} AS total_acctbal
+        FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderdate >=
+                                TIMESTAMP '{DORMANT_CUTOFF}')
+        GROUP BY c.c_mktsegment
+        ORDER BY c.c_mktsegment
+    """
+
+
+# ---------------------------------------------------------------------------
+# EXCEPT -> subtract
+# ---------------------------------------------------------------------------
+
+CHURN_SPLIT = "1998-01-01"
+
+
+def churned_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers who ordered before CHURN_SPLIT but never after —
+    EXCEPT DISTINCT via ``DataFrame.subtract`` (hash-distinct both
+    sides, then a left-anti on all columns), joined back to the
+    broadcast customer dim for the segment."""
+    orders = _t(spark, sf_dir, "orders")
+    before = orders.filter(
+        F.expr(f"o_orderdate < TIMESTAMP_NTZ'{CHURN_SPLIT} 00:00:00'")
+    ).select("o_custkey")
+    after = orders.filter(
+        F.expr(f"o_orderdate >= TIMESTAMP_NTZ'{CHURN_SPLIT} 00:00:00'")
+    ).select("o_custkey")
+    churned = before.subtract(after)
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        churned.join(F.broadcast(cust), churned.o_custkey == cust.c_custkey)
+        .select(
+            F.col("c_custkey"),
+            F.col("c_name"),
+            F.col("c_mktsegment"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+def oracle_churned_buyers_sql() -> str:
+    return f"""
+        WITH churned AS (
+            SELECT o_custkey FROM orders
+            WHERE o_orderdate < TIMESTAMP '{CHURN_SPLIT}'
+            EXCEPT
+            SELECT o_custkey FROM orders
+            WHERE o_orderdate >= TIMESTAMP '{CHURN_SPLIT}'
+        )
+        SELECT c.c_custkey, c.c_name, c.c_mktsegment
+        FROM churned ch JOIN customer c ON ch.o_custkey = c.c_custkey
+        ORDER BY c.c_custkey
+    """
+
+
+# ---------------------------------------------------------------------------
+# Correlated scalar subquery -> decorrelated agg + join (TPC-H Q17 shape)
+# ---------------------------------------------------------------------------
+
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue locked in below-half-average-quantity line items.  The
+    correlated ``(SELECT AVG(..) WHERE same part)`` decorrelates into
+    one per-part aggregate joined back to lineitem — the aggregate is
+    map-side combinable and its |parts|-row output broadcasts.  The
+    0.5*avg comparison is deterministic across engines because
+    l_quantity is integer-valued, so the per-part sums (and hence the
+    averages) are exact doubles under any accumulation order."""
+    li = _t(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        F.avg("l_quantity").alias("avg_qty")
+    )
+    return (
+        li.join(
+            F.broadcast(per_part),
+            on="l_partkey",
+        )
+        .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .agg(
+            F.count("*").alias("n_small_lines"),
+            dround(F.sum("l_extendedprice"), 2).alias("total_revenue"),
+        )
+    )
+
+
+def oracle_small_quantity_revenue_sql() -> str:
+    return f"""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_small_lines,
+               {sql_dround('SUM(l.l_extendedprice)', 2)} AS total_revenue
+        FROM lineitem l
+        WHERE l.l_quantity < (
+            SELECT 0.5 * AVG(l2.l_quantity) FROM lineitem l2
+            WHERE l2.l_partkey = l.l_partkey)
+    """
+
+
+# ---------------------------------------------------------------------------
+# HAVING-filtered aggregate join-back (TPC-H Q18 shape)
+# ---------------------------------------------------------------------------
+
+BIG_ORDER_QTY = 300
+
+
+def big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders whose total line quantity exceeds BIG_ORDER_QTY, with
+    the customer attached — ``IN (GROUP BY .. HAVING)`` becomes an
+    aggregate, a filter, and an inner join back.  The HAVING aggregate
+    output is tiny (heavy orders are rare), so it broadcasts against
+    orders; quantity sums are exact (integer-valued doubles), making
+    the threshold deterministic."""
+    li = _t(spark, sf_dir, "lineitem")
+    heavy = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > BIG_ORDER_QTY)
+    )
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        orders.join(
+            F.broadcast(heavy), orders.o_orderkey == heavy.l_orderkey
+        )
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            "total_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
+def oracle_big_orders_sql() -> str:
+    return f"""
+        SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+               o.o_totalprice, h.total_qty
+        FROM orders o
+        JOIN (SELECT l_orderkey, SUM(l_quantity) AS total_qty
+              FROM lineitem GROUP BY l_orderkey
+              HAVING SUM(l_quantity) > {BIG_ORDER_QTY}) h
+          ON o.o_orderkey = h.l_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        ORDER BY o.o_totalprice DESC, o.o_orderkey ASC
+        LIMIT 20
+    """
+
+
+# ---------------------------------------------------------------------------
+# Lag / delta trend window over a daily rollup
+# ---------------------------------------------------------------------------
+
+def daily_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day order revenue with absolute and percent change.
+    The lag window runs over the *daily rollup* (rows = #days), so the
+    unpartitioned window is calendar-bounded, not data-bounded; the
+    revenue is rounded before the lag so the delta maths is on
+    identical inputs in both engines."""
+    orders = _t(spark, sf_dir, "orders")
+    daily = (
+        orders.groupBy(F.to_date("o_orderdate").alias("order_day"))
+        .agg(dround(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+    w = Window.orderBy("order_day")
+    prev = F.lag("revenue").over(w)
+    return (
+        daily.select(
+            "order_day",
+            "revenue",
+            dround(F.col("revenue") - prev, 2).alias("delta"),
+            dround(
+                F.lit(100.0) * (F.col("revenue") - prev)
+                / F.greatest(prev, F.lit(1.0)),
+                4,
+            ).alias("pct_change"),
+        )
+        .orderBy("order_day")
+    )
+
+
+def oracle_daily_revenue_delta_sql() -> str:
+    rev = sql_dround("SUM(o_totalprice)", 2)
+    return f"""
+        WITH daily AS (
+            SELECT CAST(o_orderdate AS DATE) AS order_day,
+                   {rev} AS revenue
+            FROM orders GROUP BY 1
+        ), lagged AS (
+            SELECT order_day, revenue,
+                   LAG(revenue) OVER (ORDER BY order_day) AS prev
+            FROM daily
+        )
+        SELECT order_day, revenue,
+               {sql_dround('revenue - prev', 2)} AS delta,
+               {sql_dround('100.0 * (revenue - prev) / GREATEST(prev, 1.0)', 4)}
+                   AS pct_change
+        FROM lagged
+        ORDER BY order_day
+    """
+
+
+# ---------------------------------------------------------------------------
+# ntile / percent_rank customer tiers
+# ---------------------------------------------------------------------------
+
+def customer_value_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer lifetime spend quartiles: distributed aggregate first,
+    then rank windows over the |customers|-row rollup with a total
+    (tie-broken) order so NTILE and PERCENT_RANK are deterministic.
+    At 100 TB the single-partition window is the textbook bottleneck —
+    the aggregate reduces cardinality by orders of magnitude first,
+    and a range-partitioned sort would replace it if customers
+    themselves didn't fit one partition."""
+    orders = _t(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        dround(F.sum("o_totalprice"), 2).alias("total_spend"),
+        F.count("*").alias("n_orders"),
+    )
+    w = Window.orderBy(F.desc("total_spend"), F.asc("o_custkey"))
+    return (
+        spend.select(
+            F.col("o_custkey").alias("custkey"),
+            "total_spend",
+            "n_orders",
+            F.ntile(4).over(w).alias("quartile"),
+            dround(F.percent_rank().over(w), 6).alias("pct_rank"),
+        )
+        .orderBy("custkey")
+    )
+
+
+def oracle_customer_value_tiles_sql() -> str:
+    return f"""
+        WITH spend AS (
+            SELECT o_custkey AS custkey,
+                   {sql_dround('SUM(o_totalprice)', 2)} AS total_spend,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders
+            FROM orders GROUP BY 1
+        )
+        SELECT custkey, total_spend, n_orders,
+               CAST(NTILE(4) OVER w AS INT) AS quartile,
+               {sql_dround('PERCENT_RANK() OVER w', 6)} AS pct_rank
+        FROM spend
+        WINDOW w AS (ORDER BY total_spend DESC, custkey ASC)
+        ORDER BY custkey
+    """

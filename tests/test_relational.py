@@ -1,0 +1,101 @@
+"""Semantics tests for plans/relational.py — semi/anti/except shapes,
+decorrelation, and window determinism (conftest SF_DIR fixtures)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from retail_etl_pipeline_airflow_s3_athena_spark.plans import relational
+
+
+def test_semi_join_never_duplicates_orders(spark, sf_dir):
+    # EXISTS semantics: each qualifying order counted once even when
+    # several line items match the ship-after-order predicate.
+    out = relational.late_shipment_priority(spark, sf_dir)
+    total = out.agg(F.sum("order_count")).collect()[0][0]
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        F.expr(
+            "o_orderdate >= TIMESTAMP_NTZ'1996-01-01 00:00:00' AND "
+            "o_orderdate < TIMESTAMP_NTZ'1997-01-01 00:00:00'"
+        )
+    )
+    assert total <= orders.count()
+    # and no order key could appear twice: counts are per-priority of a
+    # semi join, so the sum over priorities is a distinct-order count.
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    manual = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate"))
+        .select("o_orderkey")
+        .distinct()
+        .count()
+    )
+    assert total == manual
+
+
+def test_anti_join_complement(spark, sf_dir):
+    # dormant + active partitions the customer table exactly.
+    dormant_n = (
+        relational.dormant_customers(spark, sf_dir)
+        .agg(F.sum("n_customers"))
+        .collect()[0][0]
+    ) or 0
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    recent = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        F.expr(
+            f"o_orderdate >= TIMESTAMP_NTZ'{relational.DORMANT_CUTOFF}"
+            " 00:00:00'"
+        )
+    )
+    active_n = (
+        cust.join(recent, cust.c_custkey == recent.o_custkey, "left_semi")
+        .count()
+    )
+    assert dormant_n + active_n == cust.count()
+
+
+def test_churned_buyers_truly_churned(spark, sf_dir):
+    churned = relational.churned_buyers(spark, sf_dir)
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    after = orders.filter(
+        F.expr(
+            f"o_orderdate >= TIMESTAMP_NTZ'{relational.CHURN_SPLIT} 00:00:00'"
+        )
+    )
+    overlap = churned.join(
+        after, churned.c_custkey == after.o_custkey, "left_semi"
+    ).count()
+    assert overlap == 0
+
+
+def test_small_quantity_filter_is_strict_subset(spark, sf_dir):
+    row = relational.small_quantity_revenue(spark, sf_dir).collect()[0]
+    li_n = spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    assert 0 < row["n_small_lines"] < li_n
+    assert row["total_revenue"] > 0
+
+
+def test_big_orders_threshold_and_order(spark, sf_dir):
+    rows = relational.big_orders(spark, sf_dir).collect()
+    assert all(r["total_qty"] > relational.BIG_ORDER_QTY for r in rows)
+    prices = [r["o_totalprice"] for r in rows]
+    assert prices == sorted(prices, reverse=True)
+
+
+def test_daily_delta_reconstructs_revenue(spark, sf_dir):
+    rows = relational.daily_revenue_delta(spark, sf_dir).collect()
+    assert rows[0]["delta"] is None  # no predecessor for the first day
+    for prev, cur in zip(rows, rows[1:]):
+        if cur["delta"] is not None:
+            assert abs((cur["revenue"] - prev["revenue"]) - cur["delta"]) < 1e-6
+
+
+def test_quartiles_balanced_and_ranked(spark, sf_dir):
+    rows = relational.customer_value_tiles(spark, sf_dir).collect()
+    counts = {}
+    for r in rows:
+        counts[r["quartile"]] = counts.get(r["quartile"], 0) + 1
+    assert set(counts) == {1, 2, 3, 4}
+    assert max(counts.values()) - min(counts.values()) <= 1  # NTILE balance
+    top = min(rows, key=lambda r: r["pct_rank"])
+    assert top["total_spend"] == max(r["total_spend"] for r in rows)
