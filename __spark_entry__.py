@@ -32,6 +32,8 @@ from retail_etl_pipeline_airflow_s3_athena_spark.operators.text import dround, s
 from retail_etl_pipeline_airflow_s3_athena_spark.operators import (
     training as training_ops,
 )
+from retail_etl_pipeline_airflow_s3_athena_spark.operators import quantize as quant_ops
+from retail_etl_pipeline_airflow_s3_athena_spark.operators import vocab as vocab_ops
 from retail_etl_pipeline_airflow_s3_athena_spark.functions import sampling, sketches
 from retail_etl_pipeline_airflow_s3_athena_spark.plans import (
     analytics,
@@ -594,6 +596,12 @@ def queries() -> dict[str, QueryFn]:
         "stratified_sample_docs": _q_stratified_sample_docs,
         "hll_distinct_users": _q_hll_distinct_users,
         "concurrent_sessions": _q_concurrent_sessions,
+        "bigram_vocab": lambda spark, sf_dir: vocab_ops.ngram_vocab(
+            _docs(spark, sf_dir), n=2
+        ),
+        "quantize_embeddings": lambda spark, sf_dir: (
+            quant_ops.quantize_embeddings(_emb(spark, sf_dir))
+        ),
         "late_shipment_priority": relational.late_shipment_priority,
         "dormant_customers": relational.dormant_customers,
         "churned_buyers": relational.churned_buyers,
@@ -748,6 +756,8 @@ def oracle_sql() -> dict[str, str]:
         "events", "user_id", ["event_type"]
     )
     oracles["concurrent_sessions"] = rangejoin_ops.oracle_concurrent_sessions_sql()
+    oracles["bigram_vocab"] = vocab_ops.oracle_ngram_vocab_sql(n=2)
+    oracles["quantize_embeddings"] = quant_ops.oracle_quantize_sql()
     oracles["late_shipment_priority"] = (
         relational.oracle_late_shipment_priority_sql()
     )

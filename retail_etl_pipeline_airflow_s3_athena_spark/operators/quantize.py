@@ -1,0 +1,120 @@
+"""Embedding compression: per-vector symmetric int8 quantization.
+
+Large-scale similarity search stores don't keep float32 vectors — they
+quantize (int8 scalar quantization is the standard first step, 4x
+smaller, dot products in integer SIMD).  This operator computes, per
+vector: the max-abs scale, the int8 codes, and the L2 reconstruction
+error, entirely in codegen'd JVM expressions.
+
+Determinism/plan notes:
+- All arithmetic is UNROLLED per dimension (64 literal column
+  expressions, like similarity.dot): no interpreted array lambdas,
+  and addition chains associate left-to-right identically in Spark's
+  codegen and DuckDB's list_reduce fold, so the error sums are
+  bit-identical across engines.
+- Quantization is embarrassingly parallel — no shuffle at all; the
+  operator is a pure projection that pipelines with whatever scan or
+  join precedes it.
+- Codes are emitted as a comma-joined string (the stable cross-engine
+  canonical form); a production sink would pack them to BINARY.
+- floor(x + 0.5) rounding (round-half-up) is used on both engines
+  rather than engine-native round() half-even/half-away variance.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from retail_etl_pipeline_airflow_s3_athena_spark.operators.similarity import EMB_DIM
+from retail_etl_pipeline_airflow_s3_athena_spark.operators.text import dround, sql_dround
+
+Q_MAX = 127  # int8 symmetric range
+
+
+def quantize_embeddings(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = EMB_DIM,
+) -> DataFrame:
+    """(vec_id, scale, codes, recon_err): max-abs int8 quantization.
+
+    ``codes[i] = floor(x[i] / scale + 0.5)`` with ``scale =
+    max(|x|)/127``; zero vectors quantize to all-zero codes with
+    scale 0.  ``recon_err`` is the L2 distance between the vector and
+    ``codes * scale``.
+    """
+    x = [F.col(vec_col)[i].cast("double") for i in range(dim)]
+    max_abs = F.greatest(*[F.abs(xi) for xi in x])
+    scale = max_abs / F.lit(float(Q_MAX))
+    zero = max_abs == F.lit(0.0)
+
+    def code(xi: Column) -> Column:
+        return F.when(zero, F.lit(0)).otherwise(
+            F.floor(xi / scale + F.lit(0.5)).cast("int")
+        )
+
+    codes = [code(xi) for xi in x]
+    err_terms = [
+        (xi - ci.cast("double") * scale) * (xi - ci.cast("double") * scale)
+        for xi, ci in zip(x, codes)
+    ]
+    sq_sum = err_terms[0]
+    for t in err_terms[1:]:
+        sq_sum = sq_sum + t
+    return embeddings.select(
+        F.col(id_col),
+        dround(scale, 8).alias("scale"),
+        F.concat_ws(",", *[c.cast("string") for c in codes]).alias("codes"),
+        dround(F.sqrt(sq_sum), 6).alias("recon_err"),
+    )
+
+
+def oracle_quantize_sql(
+    table: str = "embeddings",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = EMB_DIM,
+) -> str:
+    raw = [f"CAST({vec_col}[{i + 1}] AS DOUBLE)" for i in range(dim)]
+    max_abs = "GREATEST(" + ", ".join(f"ABS({e})" for e in raw) + ")"
+    base_cols = ", ".join(f"{e} AS x{i}" for i, e in enumerate(raw))
+    codes = ",\n                   ".join(
+        f"CASE WHEN m = 0.0 THEN 0 "
+        f"ELSE CAST(FLOOR(x{i} / (m / {Q_MAX}.0) + 0.5) AS INT) END AS c{i}"
+        for i in range(dim)
+    )
+    xs = ", ".join(f"x{i}" for i in range(dim))
+    cs = ", ".join(f"c{i}" for i in range(dim))
+    # Per-term squared errors as named columns in their own CTE: keeps
+    # DuckDB's binder recursion shallow (a 64-term nested expression of
+    # CASE sub-expressions exceeds its depth-128 limit).  The final sum
+    # over simple column refs associates left-to-right, matching the
+    # Spark expression chain bit-for-bit.
+    errs = ",\n                   ".join(
+        f"(x{i} - CAST(c{i} AS DOUBLE) * (m / {Q_MAX}.0)) * "
+        f"(x{i} - CAST(c{i} AS DOUBLE) * (m / {Q_MAX}.0)) AS e{i}"
+        for i in range(dim)
+    )
+    err = " + ".join(f"e{i}" for i in range(dim))
+    concat = ("concat_ws(',', " + ", ".join(f"CAST(c{i} AS VARCHAR)" for i in range(dim)) + ")")
+    return f"""
+        WITH base AS MATERIALIZED (
+            SELECT {id_col}, {max_abs} AS m, {base_cols}
+            FROM {table}
+        ), coded AS MATERIALIZED (
+            SELECT {id_col}, m, {xs},
+                   {codes}
+            FROM base
+        ), errs AS MATERIALIZED (
+            SELECT {id_col}, m, {cs},
+                   {errs}
+            FROM coded
+        )
+        SELECT {id_col},
+               {sql_dround(f"m / {Q_MAX}.0", 8)} AS scale,
+               {concat} AS codes,
+               {sql_dround(f"SQRT({err})", 6)} AS recon_err
+        FROM errs
+    """
