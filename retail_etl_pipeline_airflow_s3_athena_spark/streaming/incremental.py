@@ -27,12 +27,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-# Pinned source schema for the events stream.  ts arrives as raw nanos
-# (see sources/readers.read_events — same nanosAsLong convention).
+# Pinned source schema for the events stream.  The fixture stores ts as
+# parquet TIMESTAMP (micros); pinning TIMESTAMP_NTZ mirrors the batch
+# reader exactly (sources/readers.read_events guards on the actual
+# dtype, so both paths agree on event time).
 EVENTS_RAW_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
+        T.StructField("ts", T.TimestampNTZType()),
         T.StructField("user_id", T.LongType()),
         T.StructField("event_type", T.StringType()),
         T.StructField("value", T.DoubleType()),
@@ -43,16 +45,15 @@ EVENTS_RAW_SCHEMA = T.StructType(
 
 def stream_events(spark: SparkSession, source_dir: str) -> DataFrame:
     """readStream over a directory of events parquet files."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     raw = (
         spark.readStream.schema(EVENTS_RAW_SCHEMA)
         .option("maxFilesPerTrigger", 4)
         .parquet(source_dir)
     )
-    # LTZ (session=UTC) rather than NTZ: watermarks require TIMESTAMP,
-    # and with the session pinned to UTC the values are identical.
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    # Watermarks require TIMESTAMP (LTZ); with the session pinned to UTC
+    # the NTZ -> LTZ cast is an identity on the stored values.
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def silver_stream(
