@@ -11,6 +11,11 @@ pre-aggregated tables.  Extension operators each run standalone.
 The comparable baseline is the reference's compute path: pandas
 transform + gold + quality ~= 9 s for ~11.6k input rows; we run ~600k
 lineitem rows (sf0.1) plus operator families the reference doesn't have.
+
+Each stage is timed twice and the MIN is reported: the sandbox host is
+shared (co-tenant load swings wall-clock 2x run-to-run — r1 vs r2 bench
+showed a uniform ~2x shift on unchanged code), and min-of-N is the
+standard estimator for steady-state cost under external interference.
 """
 
 from __future__ import annotations
@@ -101,56 +106,68 @@ def main() -> None:
     # phase starts with empty storage memory
     spark.catalog.clearCache()
 
+    ITERS = 2  # report min-of-2 (co-tenant interference, see docstring)
     timings: dict[str, float] = {}
 
-    # --- create_gold_layer: materialize the 4 gold tables once --------
-    t0 = time.time()
-    # cache the fact view: all four gold builders read it (the in-memory
-    # silver analog of the reference's create_gold_layer, load.py:87-93)
-    st = retail_views.sale_transactions(spark, sf_dir).cache()
-    cust = retail_views.customers(spark, sf_dir)
-    prod = retail_views.products(spark, sf_dir)
-    strs = retail_views.stores(spark, sf_dir)
-    st.createOrReplaceTempView("sale_transactions")
-    cust.createOrReplaceTempView("customers")
-    gold_tables = {
-        "daily_sales_summary": gold.daily_sales_summary(st),
-        "top_customers": gold.top_customers(st, cust),
-        "product_performance": gold.product_performance(st, prod),
-        "store_performance": gold.store_performance(st, strs),
-    }
-    # materialize the four tables concurrently — the driver-side analog
-    # of the reference's parallel Airflow tasks; Spark's scheduler
-    # interleaves the jobs across the same executor pool
+    def record(name: str, seconds: float) -> None:
+        prev = timings.get(name)
+        if prev is None or seconds < prev:
+            timings[name] = round(seconds, 3)
+
     from concurrent.futures import ThreadPoolExecutor
 
-    def _materialize(item):
-        name, df = item
-        cached = df.cache()
-        cached.count()
-        cached.createOrReplaceTempView(name)
-
-    with ThreadPoolExecutor(max_workers=4) as pool:
-        list(pool.map(_materialize, gold_tables.items()))
-    timings["gold_materialize"] = round(time.time() - t0, 3)
-
-    # --- analytics SQL over materialized gold --------------------------
-    for name in ANALYTICS:
+    for _ in range(ITERS):
+        # --- create_gold_layer: materialize the 4 gold tables once ----
+        spark.catalog.clearCache()
         t0 = time.time()
-        spark.sql(analytics.ANALYTICS_SQL[name]).collect()
-        timings[name] = round(time.time() - t0, 3)
+        # cache the fact view: all four gold builders read it (the
+        # in-memory silver analog of the reference's create_gold_layer,
+        # load.py:87-93)
+        st = retail_views.sale_transactions(spark, sf_dir).cache()
+        cust = retail_views.customers(spark, sf_dir)
+        prod = retail_views.products(spark, sf_dir)
+        strs = retail_views.stores(spark, sf_dir)
+        st.createOrReplaceTempView("sale_transactions")
+        cust.createOrReplaceTempView("customers")
+        gold_tables = {
+            "daily_sales_summary": gold.daily_sales_summary(st),
+            "top_customers": gold.top_customers(st, cust),
+            "product_performance": gold.product_performance(st, prod),
+            "store_performance": gold.store_performance(st, strs),
+        }
+        # materialize the four tables concurrently — the driver-side
+        # analog of the reference's parallel Airflow tasks; Spark's
+        # scheduler interleaves the jobs across the same executor pool
+
+        def _materialize(item):
+            name, df = item
+            cached = df.cache()
+            cached.count()
+            cached.createOrReplaceTempView(name)
+
+        with ThreadPoolExecutor(max_workers=4) as pool:
+            list(pool.map(_materialize, gold_tables.items()))
+        record("gold_materialize", time.time() - t0)
+
+        # --- analytics SQL over materialized gold ----------------------
+        for name in ANALYTICS:
+            t0 = time.time()
+            spark.sql(analytics.ANALYTICS_SQL[name]).collect()
+            record(name, time.time() - t0)
 
     # --- standalone operator queries -----------------------------------
     # gold caches are no longer needed; free storage memory so operator
     # persists don't evict under pressure
     spark.catalog.clearCache()
-    for name in STANDALONE:
-        fn = qs.get(name)
-        if fn is None:
-            continue
-        t0 = time.time()
-        fn(spark, sf_dir).collect()
-        timings[name] = round(time.time() - t0, 3)
+    for _ in range(ITERS):
+        for name in STANDALONE:
+            fn = qs.get(name)
+            if fn is None:
+                continue
+            t0 = time.time()
+            fn(spark, sf_dir).collect()
+            record(name, time.time() - t0)
+        spark.catalog.clearCache()
 
     print(
         json.dumps(

@@ -323,35 +323,35 @@ def ivf_topk(
     )
 
 
-def rp_lsh_signatures(embeddings: DataFrame, bits: int = RP_BITS) -> DataFrame:
+def _rp_sign(b: int, i: int) -> float:
+    """±1 hyperplane element — a plan-time CONSTANT per (bit, dim)."""
+    return 1.0 if ((i + b * 64) * RP_MULT % FP_MOD) % 2 == 0 else -1.0
+
+
+def rp_lsh_signatures(
+    embeddings: DataFrame, bits: int = RP_BITS, dim: int = EMB_DIM
+) -> DataFrame:
     """Random-hyperplane LSH: bit b = sign(dot(v, h_b)) where h_b is a
     deterministic pseudo-random ±1 hyperplane:
-    h_b[i] = +1 if ((b*64+i)*RP_MULT) % FP_MOD is even else -1."""
-    v = _as_double(F.col("embedding"))
-    dim = F.size(v)
-    bit_terms = []
+    h_b[i] = +1 if ((b*64+i)*RP_MULT) % FP_MOD is even else -1.
+
+    The hyperplane elements are plan-time constants, so each projection
+    UNROLLS to a flat left-associated sum (same policy as ``dot``):
+    stays in WholeStageCodegen — no interpreted array lambdas — and
+    accumulates in the oracle fold's exact order, so signatures are
+    bit-identical across engines."""
+    v = F.col("embedding")
+    sig = None
     for b in range(bits):
-        proj = F.aggregate(
-            F.zip_with(
-                v,
-                F.sequence(F.lit(0), dim - 1),
-                lambda x, i: x
-                * F.when(
-                    ((i + F.lit(b * 64)) * RP_MULT % FP_MOD) % 2 == 0,
-                    F.lit(1.0),
-                ).otherwise(F.lit(-1.0)),
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+        terms = [
+            F.element_at(v, i + 1).cast("double") * F.lit(_rp_sign(b, i))
+            for i in range(dim)
+        ]
+        proj = sum(terms)  # 0 + t0 + t1 + ... left-assoc, = the SQL fold
+        bit = F.when(proj > 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
         )
-        bit_terms.append(
-            F.when(proj > 0, F.lit(1 << b).cast("long")).otherwise(
-                F.lit(0).cast("long")
-            )
-        )
-    sig = bit_terms[0]
-    for t in bit_terms[1:]:
-        sig = sig + t
+        sig = bit if sig is None else sig + bit
     return embeddings.select("vec_id", sig.alias("rp_sig"))
 
 
@@ -378,31 +378,37 @@ def embedding_near_dup(
 
 
 def embedding_near_dup_gemm(
-    embeddings: DataFrame, threshold: float = 0.4
+    embeddings: DataFrame, threshold: float = 0.4, tile_rows: int = 65536
 ) -> DataFrame:
-    """All-pairs cosine near-dup via BLOCK-WISE MATRIX MULTIPLY: each
-    Arrow batch of corpus rows is multiplied (numpy GEMM) against the
-    broadcast normalized corpus matrix.
+    """All-pairs cosine near-dup via TILED block matrix products: the
+    corpus is hash-split into bounded tiles; each tile (≤ ``tile_rows``
+    vectors, ~32 MB at dim 64) is broadcast in turn and every Arrow
+    batch of the corpus scan is multiplied against it with vectorized
+    fp64 numpy.
 
-    This is the scale architecture for brute-force similarity: per-pair
-    expression evaluation (embedding_near_dup) costs O(pairs) row
-    operations; GEMM does the same arithmetic at BLAS speed with
-    O(block) memory.  At billions of vectors the broadcast side becomes
-    a block iterator (tile both sides); the batch interface is
-    identical.  Results are float32 BLAS sums — not bit-identical to the
-    SQL fold, hence rows-only verification (pair SET equality vs the
-    exact operator is asserted in tests)."""
+    Scale story (billions of vectors): driver memory is O(tile), never
+    O(corpus) — each pass collects ONE hash-bounded tile, and a pair
+    (a,b) is emitted exactly once, in the pass owning b's tile, so no
+    dedup step is needed.  The corpus side streams; only matching pairs
+    ever shuffle.  Cost is ntiles corpus scans — the standard blocked
+    all-pairs trade (at extreme scale you bucket first: rp_lsh / ivf).
+
+    BIT-IDENTICAL to ``embedding_near_dup`` and the DuckDB oracle: fp64
+    element products accumulated with ``np.cumsum`` along the vector
+    axis (strictly left-associated — the SQL ``list_reduce`` fold's
+    order), norms from the same fold, and ``dround(6)`` mirrored with
+    the same binary ops.  It therefore shares
+    ``oracle_embedding_near_dup_sql`` with the expression operator."""
+    import math
+    from functools import reduce
+
     import numpy as np
 
     spark = embeddings.sparkSession
-    rows = (
-        embeddings.select("vec_id", "embedding").orderBy("vec_id").collect()
-    )
-    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
-    mat = np.array([r["embedding"] for r in rows], dtype=np.float32)
-    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-    b_ids = spark.sparkContext.broadcast(ids)
-    b_mat = spark.sparkContext.broadcast(mat)
+    src = embeddings.select("vec_id", "embedding")
+    n = src.count()
+    ntiles = max(1, math.ceil(n / tile_rows))
+    tiled = src.withColumn("_tile", F.pmod(F.xxhash64("vec_id"), F.lit(ntiles)))
 
     out_schema = T.StructType(
         [
@@ -411,32 +417,64 @@ def embedding_near_dup_gemm(
             T.StructField("cos_sim", T.DoubleType()),
         ]
     )
+    scale = 1e6  # dround(6): floor(x*1e6 + 0.5)/1e6, same ops both engines
 
-    def batches(it):
-        import pandas as pd
+    def _fold_dots(prod: "np.ndarray") -> "np.ndarray":
+        # left-associated sum along the last axis == the SQL fold
+        return np.cumsum(prod, axis=-1)[..., -1]
 
-        all_ids = b_ids.value
-        all_mat = b_mat.value
-        for pdf in it:
-            q = np.array(list(pdf["embedding"]), dtype=np.float32)
-            q = q / np.linalg.norm(q, axis=1, keepdims=True)
-            qids = pdf["vec_id"].to_numpy()
-            sims = q @ all_mat.T  # (batch, corpus) GEMM
-            bi, bj = np.nonzero(sims >= threshold)
-            a = qids[bi]
-            b = all_ids[bj]
-            keep = a < b
-            yield pd.DataFrame(
-                {
-                    "vec_a": a[keep],
-                    "vec_b": b[keep],
-                    "cos_sim": np.round(sims[bi, bj][keep].astype(np.float64), 6),
-                }
-            )
+    def _tile_pass(bcast):
+        def batches(it):
+            import pandas as pd
 
-    return embeddings.select("vec_id", "embedding").mapInPandas(
-        batches, out_schema
-    )
+            t_ids, t_mat, t_nrm = bcast.value
+            sub = 256  # tile sub-block: (batch, sub, dim) fp64 stays ~10 MB
+            for pdf in it:
+                if len(pdf) == 0:
+                    continue
+                C = np.array(list(pdf["embedding"]), dtype=np.float64)
+                c_ids = pdf["vec_id"].to_numpy()
+                c_nrm = np.sqrt(_fold_dots(C * C))
+                frames = []
+                for s in range(0, len(t_ids), sub):
+                    Tm = t_mat[s : s + sub]
+                    dots = _fold_dots(C[:, None, :] * Tm[None, :, :])
+                    cos = np.floor(
+                        dots / (c_nrm[:, None] * t_nrm[None, s : s + sub])
+                        * scale + 0.5
+                    ) / scale
+                    keep = (cos >= threshold) & (
+                        c_ids[:, None] < t_ids[None, s : s + sub]
+                    )
+                    ai, bj = np.nonzero(keep)
+                    if len(ai):
+                        frames.append(
+                            pd.DataFrame(
+                                {
+                                    "vec_a": c_ids[ai],
+                                    "vec_b": t_ids[s : s + sub][bj],
+                                    "cos_sim": cos[ai, bj],
+                                }
+                            )
+                        )
+                if frames:
+                    yield pd.concat(frames)
+
+        return batches
+
+    passes = []
+    for t in range(ntiles):
+        rows = tiled.filter(F.col("_tile") == t).drop("_tile").collect()
+        if not rows:
+            continue
+        t_ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+        t_mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+        t_nrm = np.sqrt(_fold_dots(t_mat * t_mat))
+        bcast = spark.sparkContext.broadcast((t_ids, t_mat, t_nrm))
+        passes.append(src.mapInPandas(_tile_pass(bcast), out_schema))
+    if not passes:
+        return spark.createDataFrame([], out_schema)
+    return reduce(DataFrame.unionByName, passes)
 
 
 # ---------------------------------------------------------------------------

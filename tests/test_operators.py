@@ -142,17 +142,34 @@ def test_cosine_topk_gemm_bit_identical(spark, sf_dir):
 def test_gemm_near_dup_matches_exact(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     exact = {
-        (r["vec_a"], r["vec_b"])
+        (r["vec_a"], r["vec_b"], r["cos_sim"])
         for r in similarity.embedding_near_dup(emb, threshold=0.4).collect()
     }
     gemm = {
-        (r["vec_a"], r["vec_b"])
+        (r["vec_a"], r["vec_b"], r["cos_sim"])
         for r in similarity.embedding_near_dup_gemm(emb, threshold=0.4).collect()
     }
-    # float32 GEMM vs double fold may disagree exactly at the threshold
-    # boundary; the pair sets must agree away from it
-    assert len(exact ^ gemm) <= max(1, len(exact) // 50)
-    assert len(exact & gemm) > 0
+    # fp64 cumsum accumulates in the fold's left-assoc order: EXACT
+    # equality, including the rounded doubles
+    assert exact == gemm
+    assert len(exact) > 0
+
+
+def test_gemm_near_dup_tiling_invariant(spark, sf_dir):
+    # forcing many tiny tiles must not change the result (each pair is
+    # emitted exactly once, in the pass owning b's tile)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    one = {
+        (r["vec_a"], r["vec_b"], r["cos_sim"])
+        for r in similarity.embedding_near_dup_gemm(emb, threshold=0.4).collect()
+    }
+    many = {
+        (r["vec_a"], r["vec_b"], r["cos_sim"])
+        for r in similarity.embedding_near_dup_gemm(
+            emb, threshold=0.4, tile_rows=64
+        ).collect()
+    }
+    assert one == many
 
 
 def test_text_features_formulas(spark):
