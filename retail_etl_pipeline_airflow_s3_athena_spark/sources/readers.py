@@ -149,6 +149,25 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.orc(path)
 
 
+def jdbc_extract_query(table: str, limit: int | None = None) -> str:
+    """The pushed-down extract SQL, exactly the reference's contract
+    (scripts/extract.py:45-48): ``SELECT * FROM <schema.table>`` with
+    the optional LIMIT inside the source SQL so the database never
+    ships more than ``limit`` rows."""
+    query = f"SELECT * FROM {table}"
+    if limit is not None:
+        query += f" LIMIT {int(limit)}"
+    return query
+
+
+def jdbc_reader_options(
+    url: str, table: str, limit: int | None = None, **options: str
+) -> dict[str, str]:
+    """The full option map handed to the jdbc reader — pure function so
+    the pushdown contract is testable without a live database/driver."""
+    return {"url": url, "query": jdbc_extract_query(table, limit), **options}
+
+
 def read_jdbc_table(
     spark: SparkSession,
     url: str,
@@ -160,10 +179,7 @@ def read_jdbc_table(
     the reference's extract (scripts/extract.py:22-91, S1).  The LIMIT
     goes into the pushed ``query`` exactly as extract.py:45-48 builds it.
     Requires the JDBC driver jar on the classpath (not bundled here)."""
-    query = f"SELECT * FROM {table}"
-    if limit is not None:
-        query += f" LIMIT {int(limit)}"
-    reader = spark.read.format("jdbc").option("url", url).option("query", query)
-    for k, v in options.items():
+    reader = spark.read.format("jdbc")
+    for k, v in jdbc_reader_options(url, table, limit, **options).items():
         reader = reader.option(k, v)
     return reader.load()

@@ -55,3 +55,52 @@ def test_media_pipeline_end_to_end(spark):
     out = mm.media_pipeline(spark, n=30).collect()
     assert len(out) == 30
     assert all(r["n_bytes"] > 0 for r in out)
+
+
+# Hard-coded golden outputs for media_ids 0/1/2 (one per kind): any
+# regression in the payload format, header parsing, hashing, histogram
+# or frame-sampling arithmetic shows up as a literal mismatch here.
+_GOLD_META = {
+    0: ("image", 64, 64, 0, 145, "6b7d035c99fcfef0"),
+    1: ("audio", 81, 93, 37, 158, "297a090b481bcd89"),
+    2: ("video", 98, 122, 74, 171, "8ca5713341b186b7"),
+}
+_GOLD_FEAT = {
+    0: [0.0625] * 16,
+    1: [0.06383] * 8 + [0.056738] * 3 + [0.06383] * 5,
+    2: [0.058442] * 5 + [0.064935] * 10 + [0.058442],
+}
+_GOLD_FRAMES = [(2, 0, 0, "e82831e6df32")]  # video 2: 74 ms -> 1 frame
+
+
+def test_metadata_golden(spark):
+    media = mm.synthesize_media(spark, n=3)
+    got = {
+        r["media_id"]: (
+            r["kind"], r["width"], r["height"], r["duration_ms"],
+            r["n_bytes"], r["checksum"],
+        )
+        for r in mm.extract_metadata(media).collect()
+    }
+    assert got == _GOLD_META
+
+
+def test_features_golden(spark):
+    media = mm.synthesize_media(spark, n=3)
+    got = {
+        r["media_id"]: r["feature"]
+        for r in mm.extract_features(media).collect()
+    }
+    assert set(got) == set(_GOLD_FEAT)
+    for mid, want in _GOLD_FEAT.items():
+        # feature is array<float>; compare at float32 precision
+        assert got[mid] == pytest.approx(want, abs=1e-6)
+
+
+def test_frames_golden(spark):
+    media = mm.synthesize_media(spark, n=3)
+    got = [
+        (r["media_id"], r["frame_idx"], r["frame_ms"], r["frame_checksum"])
+        for r in mm.sample_frames(media).collect()
+    ]
+    assert got == _GOLD_FRAMES
