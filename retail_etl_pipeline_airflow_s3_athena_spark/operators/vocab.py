@@ -76,6 +76,99 @@ def ngram_vocab(
     )
 
 
+def tfidf_top_terms(
+    docs: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``k`` TF-IDF terms per document:
+    tfidf = tf * ln(n_docs / doc_freq), rounded to 4dp (the rounded
+    value also drives the rank ordering, so ranking is cross-engine
+    stable; residual risk is ln() differing between libms within 1e-15
+    — far inside the rounding guard for fixture-scale values).
+
+    Plan shape (100 TB notes): tf is a (doc_id, term) partial-agg
+    groupBy; doc_freq re-aggregates tf's output (two-level, both
+    map-side combinable, no COUNT DISTINCT); n_docs is a one-row
+    aggregate crossJoined (broadcast NestedLoop over 1 row); the
+    doc-frequency table is vocab-sized and rides a key shuffle; the
+    per-doc top-k rank filter compiles to WindowGroupLimit, so each
+    map task keeps k rows per doc before the final shuffle."""
+    flat = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
+    )
+    tf = flat.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("doc_freq"))
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(n_docs)
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "doc_freq",
+            _dround4(
+                F.col("tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("doc_freq"))
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _dround4(c):
+    from retail_etl_pipeline_airflow_s3_athena_spark.operators.text import dround
+
+    return dround(c, 4)
+
+
+def oracle_tfidf_sql(
+    table: str = "documents",
+    k: int = 5,
+    t: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    from retail_etl_pipeline_airflow_s3_athena_spark.operators.text import sql_dround
+
+    toks = f"list_filter(string_split_regex(lower({t}), '\\s+'), x -> x <> '')"
+    tfidf = sql_dround(
+        "tf * ln(CAST(n_docs AS DOUBLE) / doc_freq)", 4
+    )
+    return f"""
+        WITH flat AS (
+            SELECT {id_col} AS doc_id, unnest({toks}) AS term FROM {table}
+        ),
+        tf AS (
+            SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+            FROM flat GROUP BY doc_id, term
+        ),
+        dfreq AS (
+            SELECT term, CAST(COUNT(*) AS BIGINT) AS doc_freq
+            FROM tf GROUP BY term
+        ),
+        n AS (SELECT COUNT(*) AS n_docs FROM {table}),
+        scored AS (
+            SELECT f.doc_id, f.term, f.tf, d.doc_freq,
+                   {tfidf} AS tfidf
+            FROM tf f JOIN dfreq d USING (term) CROSS JOIN n
+        )
+        SELECT doc_id, term, tf, doc_freq, tfidf, CAST(rank AS INT) AS rank
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rank
+            FROM scored
+        )
+        WHERE rank <= {k}
+    """
+
+
 def oracle_ngram_vocab_sql(
     table: str = "documents",
     n: int = 2,
