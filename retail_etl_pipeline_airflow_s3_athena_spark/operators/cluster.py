@@ -38,6 +38,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from retail_etl_pipeline_airflow_s3_athena_spark.functions.caching import release_cached
 from retail_etl_pipeline_airflow_s3_athena_spark.operators.dedup import (
     near_dup_pairs,
     oracle_near_dup_pairs_sql,
@@ -114,8 +115,13 @@ def near_dup_clusters(
     Cluster sizes are aggregated over the edge-touched nodes only;
     untouched docs join in as size-1 singletons via one anti-join —
     the corpus-sized side of the plan is a single pass."""
-    pairs = near_dup_pairs(docs, text_col, threshold).select("doc_a", "doc_b")
+    nd = near_dup_pairs(docs, text_col, threshold)
+    pairs = nd.select("doc_a", "doc_b")
     comp = connected_components(pairs)  # cached by the final round
+    # components are materialized (persisted by the final round), so the
+    # shingle cache near_dup_pairs owns can be released here — downstream
+    # reads comp, not the pair plan
+    release_cached(nd)
     sizes = comp.groupBy("cluster_id").agg(
         F.count(F.lit(1)).alias("cluster_size")
     )

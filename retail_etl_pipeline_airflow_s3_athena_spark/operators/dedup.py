@@ -39,6 +39,9 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from retail_etl_pipeline_airflow_s3_athena_spark.functions.caching import (
+    attach_cached_deps as _owned_cache,
+)
 from retail_etl_pipeline_airflow_s3_athena_spark.operators.text import (
     FP_BASE,
     FP_MOD,
@@ -60,6 +63,14 @@ B_COEF = [((j + 1) * 12345 + 67890) % FP_MOD for j in range(NUM_HASHES)]
 # LSH banding: 4 bands x 4 rows.
 NUM_BANDS = 4
 ROWS_PER_BAND = NUM_HASHES // NUM_BANDS
+
+# Stop-shingle cap for the inverted-index Jaccard joins: shingles in
+# more than MAX_SHINGLE_DF docs are dropped before the pair join (and
+# from the Jaccard universe — both |A∩B| and |A∪B|), bounding the
+# join fanout that stop-phrase shingles cause at corpus scale (a
+# shingle with document frequency f contributes O(f^2) candidate rows).
+# Mirrored in the oracle SQL so results stay hash-identical.
+MAX_SHINGLE_DF = 1000
 
 # SimHash width.  Token hashes carry only 31 usable bits (FP_MOD is
 # 2^31 - 1), so wide signatures CANNOT read raw bits of h — bit b is
@@ -204,13 +215,41 @@ def _candidates_from(sig: DataFrame) -> DataFrame:
     )
 
 
+def _cap_frequent_shingles(flat: DataFrame, max_df: int | None) -> DataFrame:
+    """Drop shingles whose document frequency exceeds ``max_df``.
+
+    The over-cap set is tiny by construction (only stop-phrase shingles
+    can exceed a 1000-doc cap), so it broadcasts and the cap is a
+    map-side anti-join — no extra shuffle on the big flat table beyond
+    the df groupBy's map-side-combined partials."""
+    if max_df is None:
+        return flat
+    over = (
+        flat.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > max_df)
+        .select("s")
+    )
+    return flat.join(F.broadcast(over), "s", "left_anti")
+
+
 def _jaccard_from_flat(
-    pairs: DataFrame, flat: DataFrame, threshold: float
+    pairs: DataFrame,
+    flat: DataFrame,
+    threshold: float,
+    max_df: int | None = MAX_SHINGLE_DF,
 ) -> DataFrame:
     """Exact Jaccard for given (doc_a, doc_b) pairs over flat distinct
     shingle rows: |A∩B| by joining both docs' shingles, |A∪B| from
     per-doc sizes.  Zero-overlap pairs drop out (jaccard 0 — below any
-    positive threshold)."""
+    positive threshold).
+
+    Shingles with document frequency > ``max_df`` are excluded from the
+    Jaccard universe entirely (numerator AND denominator) — the
+    standard stop-shingle mitigation that bounds the inverted-index
+    join's O(df^2) fanout; docs left with zero sub-cap shingles drop
+    out.  Requires threshold > 0."""
+    flat = _cap_frequent_shingles(flat, max_df)
     sizes = flat.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     fa = flat.alias("fa")
     fb = flat.alias("fb")
@@ -269,7 +308,9 @@ def lsh_candidate_pairs(docs: DataFrame, text_col: str = "text") -> DataFrame:
     The signature table is persisted — it feeds both the band explode
     and both sides of the estimate join.  At corpus scale this is the
     standard "materialize the signature table" step (write it to storage
-    instead of memory; the plan shape is identical)."""
+    instead of memory; the plan shape is identical).  Cache ownership
+    transfers to the caller: release via
+    ``functions.caching.release_cached`` after materializing."""
     sig = _signatures_from(_flat_shingles(docs, text_col)).persist()
     pairs = _candidates_from(sig)
     sa = sig.alias("sa")
@@ -278,28 +319,35 @@ def lsh_candidate_pairs(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.when(F.col(f"sa.mh_{j}") == F.col(f"sb.mh_{j}"), 1).otherwise(0)
         for j in range(NUM_HASHES)
     )
-    return (
+    return _owned_cache(
         pairs.join(sa, pairs.doc_a == F.col("sa.doc_id"))
         .join(sb, pairs.doc_b == F.col("sb.doc_id"))
         .select(
             "doc_a",
             "doc_b",
             (matches / F.lit(float(NUM_HASHES))).alias("est_jaccard"),
-        )
+        ),
+        sig,
     )
 
 
 def near_dup_pairs(
-    docs: DataFrame, text_col: str = "text", threshold: float = 0.5
+    docs: DataFrame,
+    text_col: str = "text",
+    threshold: float = 0.5,
+    max_df: int | None = MAX_SHINGLE_DF,
 ) -> DataFrame:
     """Full near-dup pipeline: LSH candidates verified with exact
     3-shingle Jaccard >= threshold.  The flat shingle table is computed
     once and persisted — signatures, candidates, and verification all
-    read it."""
+    read it.  Verification Jaccard is computed over the sub-``max_df``
+    shingle universe (see ``_jaccard_from_flat``); signatures stay
+    uncapped (banding keys must not shift when a shingle crosses the
+    cap)."""
     flat = _flat_shingles(docs, text_col).persist()
     sig = _signatures_from(flat)
     cands = _candidates_from(sig).select("doc_a", "doc_b")
-    return _jaccard_from_flat(cands, flat, threshold)
+    return _owned_cache(_jaccard_from_flat(cands, flat, threshold, max_df), flat)
 
 
 def _sim_bit(h: Column, b: int) -> Column:
@@ -400,14 +448,20 @@ def blocked_jaccard_pairs(
     block_col: str = "source",
     text_col: str = "text",
     threshold: float = 0.5,
+    max_df: int | None = MAX_SHINGLE_DF,
 ) -> DataFrame:
     """Exact n-gram (3-shingle) Jaccard over pairs sharing a blocking
     key — inverted-index join within the block: pair space is bounded by
-    actual shingle co-occurrence, not block_size^2."""
+    actual shingle co-occurrence, not block_size^2.  Shingles with
+    corpus-wide document frequency > ``max_df`` are dropped from the
+    Jaccard universe before the join (stop-shingle fanout bound, same
+    contract as ``_jaccard_from_flat``).  Cache ownership transfers to
+    the caller (``functions.caching.release_cached``)."""
     flat = _flat_shingles(docs, text_col, extra_cols=(block_col,)).persist()
-    sizes = flat.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = flat.alias("a")
-    b = flat.alias("b")
+    capped = _cap_frequent_shingles(flat, max_df)
+    sizes = capped.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = capped.alias("a")
+    b = capped.alias("b")
     inter = (
         a.join(
             b,
@@ -425,11 +479,12 @@ def blocked_jaccard_pairs(
     jac = dround(
         F.col("n_inter") / (F.col("na.n") + F.col("nb.n") - F.col("n_inter")), 6
     )
-    return (
+    return _owned_cache(
         inter.join(na, F.col("doc_a") == F.col("na.doc_id"))
         .join(nb, F.col("doc_b") == F.col("nb.doc_id"))
         .select("doc_a", "doc_b", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
+        .filter(F.col("jaccard") >= threshold),
+        flat,
     )
 
 
@@ -526,8 +581,26 @@ def oracle_lsh_candidate_pairs_sql(table: str = "documents", t: str = "text") ->
     """
 
 
+_SQL_CAPPED_SHINGLES = """
+sh_flat AS (
+    SELECT doc_id, unnest(sh) AS s FROM {src}
+),
+over_cap AS (
+    SELECT s FROM sh_flat GROUP BY s HAVING COUNT(*) > {max_df}
+),
+{out} AS (
+    SELECT doc_id, list(s) AS sh FROM sh_flat
+    WHERE s NOT IN (SELECT s FROM over_cap)
+    GROUP BY doc_id
+)
+"""
+
+
 def oracle_near_dup_pairs_sql(
-    table: str = "documents", t: str = "text", threshold: float = 0.5
+    table: str = "documents",
+    t: str = "text",
+    threshold: float = 0.5,
+    max_df: int = MAX_SHINGLE_DF,
 ) -> str:
     band_selects = "\n    UNION ALL\n".join(
         f"    SELECT doc_id, {b} AS band, {_sql_band_hash(b)} AS bh FROM sig"
@@ -538,6 +611,9 @@ def oracle_near_dup_pairs_sql(
         "(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))",
         6,
     )
+    capped = _SQL_CAPPED_SHINGLES.format(
+        src="sh_t", max_df=max_df, out="shc"
+    ).strip()
     return f"""
         WITH {_sql_signature_cte(table, t).strip()},
         bands AS (
@@ -547,11 +623,12 @@ def oracle_near_dup_pairs_sql(
             SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
             FROM bands l JOIN bands r
               ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id
-        )
+        ),
+        {capped}
         SELECT p.doc_a, p.doc_b, {jac} AS jaccard
         FROM pairs p
-        JOIN sh_t a ON p.doc_a = a.doc_id
-        JOIN sh_t b ON p.doc_b = b.doc_id
+        JOIN shc a ON p.doc_a = a.doc_id
+        JOIN shc b ON p.doc_b = b.doc_id
         WHERE {jac} >= {threshold}
     """
 
@@ -598,6 +675,7 @@ def oracle_blocked_jaccard_sql(
     block_col: str = "source",
     t: str = "text",
     threshold: float = 0.5,
+    max_df: int = MAX_SHINGLE_DF,
 ) -> str:
     jac = sql_dround(
         "len(list_intersect(a.sh, b.sh)) / "
@@ -613,8 +691,19 @@ def oracle_blocked_jaccard_sql(
             SELECT doc_id, blk,
                    list_distinct({_SQL_SHINGLES.strip()}) AS sh
             FROM th_t
+        ),
+        sh_flat AS (
+            SELECT doc_id, blk, unnest(sh) AS s FROM dsh
+        ),
+        over_cap AS (
+            SELECT s FROM sh_flat GROUP BY s HAVING COUNT(*) > {max_df}
+        ),
+        shc AS (
+            SELECT doc_id, blk, list(s) AS sh FROM sh_flat
+            WHERE s NOT IN (SELECT s FROM over_cap)
+            GROUP BY doc_id, blk
         )
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, {jac} AS jaccard
-        FROM dsh a JOIN dsh b ON a.blk = b.blk AND a.doc_id < b.doc_id
+        FROM shc a JOIN shc b ON a.blk = b.blk AND a.doc_id < b.doc_id
         WHERE {jac} >= {threshold}
     """

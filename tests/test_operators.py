@@ -73,6 +73,57 @@ def test_simhash_near_dup_bands_find_identical_docs(spark):
     assert (0, 2) not in out and (1, 2) not in out
 
 
+def test_shingle_df_cap_drops_stop_shingles(spark):
+    # 4 docs share one stop phrase; two of them also share unique
+    # content.  With the cap at 3 the stop shingle (df=4) leaves the
+    # Jaccard universe: the content-sharing pair keeps jaccard 1.0 and
+    # pairs related ONLY by the stop phrase vanish.
+    stop = "click here to subscribe now"
+    rows = [
+        Row(doc_id=0, text=f"{stop} alpha beta gamma delta", source="s0"),
+        Row(doc_id=1, text=f"{stop} alpha beta gamma delta", source="s0"),
+        Row(doc_id=2, text=f"{stop} epsilon zeta eta theta", source="s0"),
+        Row(doc_id=3, text=f"{stop} iota kappa lambda mu", source="s0"),
+    ]
+    docs = spark.createDataFrame(rows)
+    # blocked_jaccard compares ALL within-block pairs (no LSH recall
+    # noise), so the cap's effect is deterministic
+    capped = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.blocked_jaccard_pairs(
+            docs, threshold=0.2, max_df=3
+        ).collect()
+    }
+    assert capped.get((0, 1)) == 1.0  # unique-content dup survives
+    assert (2, 3) not in capped  # stop-phrase-only pair gone
+    assert (0, 2) not in capped
+    uncapped = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.blocked_jaccard_pairs(
+            docs, threshold=0.2, max_df=None
+        ).collect()
+    }
+    assert (2, 3) in uncapped  # sanity: only the cap removed it
+    # the LSH pipeline honors the same cap on its verification step
+    nd = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.near_dup_pairs(docs, threshold=0.3, max_df=3).collect()
+    }
+    assert nd.get((0, 1)) == 1.0
+
+
+def test_cache_ownership_release(docs):
+    from retail_etl_pipeline_airflow_s3_athena_spark.functions.caching import release_cached
+
+    out = dedup.near_dup_pairs(docs, threshold=0.5)
+    out.collect()
+    deps = getattr(out, "_spark_graft_cached_deps")
+    assert deps and all(d.storageLevel.useMemory for d in deps)
+    release_cached(out, blocking=True)
+    assert all(not d.storageLevel.useMemory for d in deps)
+    assert getattr(out, "_spark_graft_cached_deps") == ()
+
+
 def test_minhash_estimates_jaccard(docs):
     pairs = {
         (r["doc_a"], r["doc_b"]): r["est_jaccard"]
