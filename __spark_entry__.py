@@ -294,6 +294,10 @@ def _q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_ops.simhash_near_dup(_docs(spark, sf_dir))
 
 
+def _q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return vocab_ops.tfidf_top_terms(_docs(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # Similarity-search extensions (embeddings table)
 # ---------------------------------------------------------------------------
@@ -534,14 +538,108 @@ def entry(spark: SparkSession) -> DataFrame:
     return _q_daily_sales_summary(spark, "/root/testdata/sf0.001")
 
 
-def queries() -> dict[str, QueryFn]:
-    # Dict ORDER is load-bearing: the driver's correctness gate reports
-    # only the first 50 entries.  Entries verified green in BOTH r1 and
-    # r2 with since-unchanged code sit at the tail; entries with no
-    # driver-recorded oracle row yet lead.  tools/check_oracle.py always
-    # runs ALL entries regardless of this ordering.
+# ---------------------------------------------------------------------------
+# Driver correctness-gate ordering.
+#
+# The driver's gate reports only the FIRST 50 queries() entries, so the
+# ordering is load-bearing.  It is pinned EXPLICITLY here (r3 advice:
+# insertion-order selection was fragile — an insertion anywhere before
+# the boundary silently pushed entry #50 out of the gate).
+# tests/test_pipeline.py asserts queries() honors these lists exactly;
+# tools/check_oracle.py always runs ALL entries regardless.
+#
+# Rotation policy: entries lead when (a) they have never been
+# driver-verified, (b) their implementing module changed this round, or
+# (c) they are reference-parity core (kept fresh every round).  The
+# tail holds entries whose driver evidence is exactly one round old.
+# ---------------------------------------------------------------------------
+
+GATE_FIRST_50 = [
+    # never driver-verified (new this round)
+    "tfidf_top_terms",
+    # r4 rotation: the r1/r2-verified tail from round 3
+    "language_id",
+    "repetition_signals",
+    "pii_redact_docs",
+    "source_cap_docs",
+    "corpus_shuffle",
+    "minhash_signatures",
+    "lsh_candidate_pairs",
+    "simhash_signatures",
+    "cosine_topk_gemm",
+    "topk_events_per_type",
+    "session_window_stats",
+    "user_event_pivot",
+    "user_event_unpivot",
+    "extract_props",
+    "category_reach",
+    "repeat_buyers_intersect",
+    "union_all_orders",
+    "silver_clean_events",
+    "dq_summary_customer",
+    # implementing module changed this round (dedup cap + 60-bit
+    # simhash, similarity guard/chunking, readers fan_out)
+    "simhash_near_dup",
+    "near_dup_pairs",
+    "blocked_jaccard_pairs",
+    "near_dup_clusters",
+    "embedding_near_dup",
+    "embedding_near_dup_gemm",
+    "rp_lsh_signatures",
+    "dedup_exact",
+    "decontaminate_docs",
+    "cosine_topk",
+    "label_centroids",
+    "ivf_topk",
+    "text_features",
+    "windowed_event_stats",
+    "sessionize_events",
+    "asof_join_events",
+    "event_value_quantiles",
+    "scd2_customers",
+    # reference parity core (gold tables + Athena workload + joins)
+    "daily_sales_summary",
+    "top_customers",
+    "product_performance",
+    "store_performance",
+    "daily_revenue",
+    "daily_revenue_running",
+    "segment_sales_rollup",
+    "top_performing_customers",
+    "product_analysis",
+    "revenue_by_category",
+    "pricing_summary",
+    "shipping_priority",
+]
+
+GATE_TAIL = [
+    # driver evidence from r3 (one round old) — rotate forward in r5
+    "local_supplier_volume",
+    "promo_revenue",
+    "late_shipment_priority",
+    "dormant_customers",
+    "churned_buyers",
+    "small_quantity_revenue",
+    "big_orders",
+    "daily_revenue_delta",
+    "customer_value_tiles",
+    "bigram_vocab",
+    "quantize_embeddings",
+    "hll_distinct_users",
+    "concurrent_sessions",
+    "stratified_sample_docs",
+    "doc_chunks",
+    "pack_sequences",
+    "pack_bins",
+    "quality_filter_docs",
+    "hash_sample_events",
+    "multimodal_pipeline",
+]
+
+
+def _all_queries() -> dict[str, QueryFn]:
+    """Unordered name -> callable map; queries() applies the gate order."""
     return {
-        # -- never driver-verified (r2 additions + 50-entry truncation) --
         "late_shipment_priority": relational.late_shipment_priority,
         "dormant_customers": relational.dormant_customers,
         "churned_buyers": relational.churned_buyers,
@@ -552,6 +650,7 @@ def queries() -> dict[str, QueryFn]:
         "bigram_vocab": lambda spark, sf_dir: vocab_ops.ngram_vocab(
             _docs(spark, sf_dir), n=2
         ),
+        "tfidf_top_terms": _q_tfidf_top_terms,
         "quantize_embeddings": lambda spark, sf_dir: (
             quant_ops.quantize_embeddings(_emb(spark, sf_dir))
         ),
@@ -565,7 +664,6 @@ def queries() -> dict[str, QueryFn]:
         "quality_filter_docs": _q_quality_filter_docs,
         "hash_sample_events": _q_hash_sample_events,
         "multimodal_pipeline": _q_multimodal_pipeline,
-        # -- reference parity core (gold tables + Athena workload) --
         "daily_sales_summary": _q_daily_sales_summary,
         "top_customers": _q_top_customers,
         "product_performance": _q_product_performance,
@@ -576,11 +674,9 @@ def queries() -> dict[str, QueryFn]:
         "top_performing_customers": _analytics_query("top_performing_customers"),
         "product_analysis": _analytics_query("product_analysis"),
         "revenue_by_category": _analytics_query("revenue_by_category"),
-        # -- analytical join/agg breadth --
         "pricing_summary": _q_pricing_summary,
         "shipping_priority": _q_shipping_priority,
         "local_supplier_volume": _q_local_supplier_volume,
-        # -- LLM-pipeline operator families --
         "dedup_exact": _q_dedup_exact,
         "near_dup_pairs": _q_near_dup_pairs,
         "near_dup_clusters": _q_near_dup_clusters,
@@ -599,8 +695,6 @@ def queries() -> dict[str, QueryFn]:
         "sessionize_events": _q_sessionize,
         "asof_join_events": _q_asof_join,
         "event_value_quantiles": _q_event_value_quantiles,
-        # ---- 50-entry driver gate boundary is here ----
-        # tail: green in BOTH r1 and r2, code unchanged since
         "language_id": _q_language_id,
         "repetition_signals": _q_repetition_signals,
         "pii_redact_docs": _q_pii_redact_docs,
@@ -621,6 +715,17 @@ def queries() -> dict[str, QueryFn]:
         "silver_clean_events": _q_silver_clean_events,
         "dq_summary_customer": _q_dq_summary_customer,
     }
+
+
+def queries() -> dict[str, QueryFn]:
+    all_q = _all_queries()
+    ordered_names = GATE_FIRST_50 + GATE_TAIL
+    assert len(GATE_FIRST_50) == 50, len(GATE_FIRST_50)
+    assert set(ordered_names) == set(all_q), (
+        set(ordered_names) ^ set(all_q)
+    )
+    assert len(ordered_names) == len(all_q)
+    return {name: all_q[name] for name in ordered_names}
 
 
 def oracle_sql() -> dict[str, str]:
@@ -769,6 +874,7 @@ def oracle_sql() -> dict[str, str]:
     )
     oracles["concurrent_sessions"] = rangejoin_ops.oracle_concurrent_sessions_sql()
     oracles["bigram_vocab"] = vocab_ops.oracle_ngram_vocab_sql(n=2)
+    oracles["tfidf_top_terms"] = vocab_ops.oracle_tfidf_sql()
     oracles["quantize_embeddings"] = quant_ops.oracle_quantize_sql()
     oracles["late_shipment_priority"] = (
         relational.oracle_late_shipment_priority_sql()

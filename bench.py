@@ -62,6 +62,15 @@ STANDALONE = [
     "concurrent_sessions",
     "simhash_near_dup",
     "quality_filter_docs",
+    # r4: previously correctness-verified but never timed (VERDICT r3 #5)
+    "late_shipment_priority",
+    "customer_value_tiles",
+    "daily_revenue_delta",
+    "ivf_topk",
+    "scd2_customers",
+    "bigram_vocab",
+    "quantize_embeddings",
+    "tfidf_top_terms",
 ]
 
 

@@ -339,7 +339,13 @@ def rp_lsh_signatures(
     UNROLLS to a flat left-associated sum (same policy as ``dot``):
     stays in WholeStageCodegen — no interpreted array lambdas — and
     accumulates in the oracle fold's exact order, so signatures are
-    bit-identical across engines."""
+    bit-identical across engines.
+
+    Precondition: every embedding has exactly ``dim`` elements.  The
+    unrolled element_at(i) chain returns NULL past the end of a short
+    vector, which would silently zero the bit — so rows with a
+    mismatched size raise instead (fails the job loudly rather than
+    emitting wrong signatures)."""
     v = F.col("embedding")
     sig = None
     for b in range(bits):
@@ -352,7 +358,17 @@ def rp_lsh_signatures(
             F.lit(0).cast("long")
         )
         sig = bit if sig is None else sig + bit
-    return embeddings.select("vec_id", sig.alias("rp_sig"))
+    guarded = F.when(F.size(v) == dim, sig).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"rp_lsh_signatures: embedding dim != {dim} (got "),
+                F.size(v).cast("string"),
+                F.lit(f") for vec_id "),
+                F.col("vec_id").cast("string"),
+            )
+        )
+    )
+    return embeddings.select("vec_id", guarded.alias("rp_sig"))
 
 
 def embedding_near_dup(
@@ -428,35 +444,46 @@ def embedding_near_dup_gemm(
             import pandas as pd
 
             t_ids, t_mat, t_nrm = bcast.value
-            sub = 256  # tile sub-block: (batch, sub, dim) fp64 stays ~10 MB
+            # Both block axes are chunked so the 3-D product is bounded
+            # by CONSTANTS, not by Spark's Arrow batch size: a
+            # (128, 256, 64) fp64 product is 16 MB (x2 for the cumsum
+            # copy) per task regardless of maxRecordsPerBatch.  An
+            # unchunked corpus axis at the default 10k-row Arrow batch
+            # would allocate 10000x256x64 fp64 twice ≈ 2.6 GB/task.
+            sub = 256  # tile-axis chunk
+            csub = 128  # corpus-axis chunk
             for pdf in it:
                 if len(pdf) == 0:
                     continue
-                C = np.array(list(pdf["embedding"]), dtype=np.float64)
-                c_ids = pdf["vec_id"].to_numpy()
-                c_nrm = np.sqrt(_fold_dots(C * C))
+                C_all = np.array(list(pdf["embedding"]), dtype=np.float64)
+                ids_all = pdf["vec_id"].to_numpy()
+                nrm_all = np.sqrt(_fold_dots(C_all * C_all))
                 frames = []
-                for s in range(0, len(t_ids), sub):
-                    Tm = t_mat[s : s + sub]
-                    dots = _fold_dots(C[:, None, :] * Tm[None, :, :])
-                    cos = np.floor(
-                        dots / (c_nrm[:, None] * t_nrm[None, s : s + sub])
-                        * scale + 0.5
-                    ) / scale
-                    keep = (cos >= threshold) & (
-                        c_ids[:, None] < t_ids[None, s : s + sub]
-                    )
-                    ai, bj = np.nonzero(keep)
-                    if len(ai):
-                        frames.append(
-                            pd.DataFrame(
-                                {
-                                    "vec_a": c_ids[ai],
-                                    "vec_b": t_ids[s : s + sub][bj],
-                                    "cos_sim": cos[ai, bj],
-                                }
-                            )
+                for cs in range(0, len(ids_all), csub):
+                    C = C_all[cs : cs + csub]
+                    c_ids = ids_all[cs : cs + csub]
+                    c_nrm = nrm_all[cs : cs + csub]
+                    for s in range(0, len(t_ids), sub):
+                        Tm = t_mat[s : s + sub]
+                        dots = _fold_dots(C[:, None, :] * Tm[None, :, :])
+                        cos = np.floor(
+                            dots / (c_nrm[:, None] * t_nrm[None, s : s + sub])
+                            * scale + 0.5
+                        ) / scale
+                        keep = (cos >= threshold) & (
+                            c_ids[:, None] < t_ids[None, s : s + sub]
                         )
+                        ai, bj = np.nonzero(keep)
+                        if len(ai):
+                            frames.append(
+                                pd.DataFrame(
+                                    {
+                                        "vec_a": c_ids[ai],
+                                        "vec_b": t_ids[s : s + sub][bj],
+                                        "cos_sim": cos[ai, bj],
+                                    }
+                                )
+                            )
                 if frames:
                     yield pd.concat(frames)
 

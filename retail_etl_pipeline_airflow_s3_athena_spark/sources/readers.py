@@ -79,6 +79,38 @@ def table_name_from_filename(filename: str) -> str | None:
     return None
 
 
+def _estimated_scan_splits(df: DataFrame) -> int | None:
+    """Estimate the scan's split count from the source file listing —
+    no ``df.rdd`` conversion (which forces a full plan analysis per
+    read; measurable driver overhead at query rates).
+
+    Returns None when the estimate can't be made cheaply (non-local
+    files, no file source) — callers should treat None as "big enough"
+    so at-scale tables never pay an unnecessary shuffle."""
+    import math
+    import os
+
+    files = df.inputFiles()
+    if not files:
+        return None
+    conf = df.sparkSession.conf.get(
+        "spark.sql.files.maxPartitionBytes", "134217728b"
+    )
+    max_pb = int("".join(ch for ch in conf if ch.isdigit()) or "134217728")
+    total = 0
+    for f in files:
+        path = f[len("file:"):] if f.startswith("file:") else f
+        if "://" in path:
+            return None  # remote store: don't stat, assume at-scale
+        try:
+            total += os.path.getsize(path)
+        except OSError:
+            return None
+    # Spark packs small files into maxPartitionBytes bins and splits
+    # large ones by bytes; total/max_pb is the monotone proxy for both
+    return max(1, math.ceil(total / max_pb))
+
+
 def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Raise scan parallelism for CPU-DENSE downstream work (hashing,
     tokenization, vector math).
@@ -86,13 +118,15 @@ def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     Spark sizes scan splits by BYTES (maxPartitionBytes), which is the
     right proxy for IO-bound plans but starves compute-bound ones: a
     594 KB documents file is one split, so md5-ing 300k tokens runs on
-    1 of 32 cores.  This helper is conditional — when the source already
-    has >= defaultParallelism splits (any real at-scale table), it is a
-    no-op; only small single-file scans pay the cheap up-front
-    round-robin shuffle."""
+    1 of 32 cores.  This helper is conditional — when the source's
+    estimated split count already reaches defaultParallelism (any real
+    at-scale table) or can't be estimated cheaply, it is a no-op; only
+    provably-small local scans pay the cheap up-front round-robin
+    shuffle."""
     sc = df.sparkSession.sparkContext
     target = min_partitions or sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    est = _estimated_scan_splits(df)
+    if est is not None and est < target:
         return df.repartition(target)
     return df
 
@@ -110,22 +144,28 @@ def read_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Read the events fixture, normalizing its nanosecond parquet
-    timestamp to a Spark (microsecond) timestamp.
+    """Read the events fixture.
 
-    Spark has no TIMESTAMP(NANOS) type; with
-    ``spark.sql.legacy.parquet.nanosAsLong`` the column arrives as raw
-    nanos (long) and ``timestamp_micros(ts div 1000)`` rebuilds it —
-    integer division, so no double-precision loss on epoch-scale values.
-    """
-    try:  # the session may predate us (driver-owned); set at runtime
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        # timestamp_micros yields LTZ; pin UTC so the NTZ cast below is
-        # exact even on a session we didn't configure.
+    The current fixture stores ``ts`` as microsecond (timestamp[us])
+    parquet, which Spark reads natively as ``timestamp_ntz`` — the
+    common path does no conversion.  A LEGACY fallback handles
+    nanosecond fixtures (Spark has no TIMESTAMP(NANOS): the first read
+    fails, we set ``spark.sql.legacy.parquet.nanosAsLong`` so the
+    column arrives as raw nanos, and ``timestamp_micros(ts div 1000)``
+    rebuilds a timestamp — integer division, no double-precision loss).
+    The conf is only touched when that fallback actually triggers."""
+    try:  # the session may predate us (driver-owned); set at runtime.
+        # timestamp_micros yields LTZ; pin UTC so NTZ casts are exact
+        # even on a session we didn't configure.
         spark.conf.set("spark.sql.session.timeZone", "UTC")
     except Exception:  # noqa: BLE001 — read will fail loudly if unsupported
         pass
-    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    path = f"{sf_dir}/events.parquet"
+    try:
+        df = spark.read.parquet(path)
+    except Exception:  # noqa: BLE001 — legacy nanos fixture
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
     if dict(df.dtypes)["ts"] == "bigint":
         df = df.withColumn(
             "ts",

@@ -223,6 +223,43 @@ def test_gemm_near_dup_tiling_invariant(spark, sf_dir):
     assert one == many
 
 
+def test_tfidf_top_terms_formula_and_topk(spark):
+    from collections import Counter
+
+    from retail_etl_pipeline_airflow_s3_athena_spark.operators import vocab
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=0, text="apple banana apple"),
+            Row(doc_id=1, text="banana cherry"),
+            Row(doc_id=2, text="cherry durian cherry cherry"),
+        ]
+    )
+    out = vocab.tfidf_top_terms(docs, k=2).collect()
+    by = {(r["doc_id"], r["term"]): r for r in out}
+    # 'apple' unique to doc0: tf=2, doc_freq=1, n_docs=3 -> 2*ln(3), 4dp
+    r = by[(0, "apple")]
+    assert r["rank"] == 1 and r["tf"] == 2 and r["doc_freq"] == 1
+    assert r["tfidf"] == pytest.approx(
+        math.floor(2 * math.log(3) * 1e4 + 0.5) / 1e4
+    )
+    # ubiquitous-ish terms score below unique ones; k bounds per doc
+    cnt = Counter(r["doc_id"] for r in out)
+    assert all(v <= 2 for v in cnt.values())
+
+
+def test_rp_lsh_rejects_wrong_dim(spark):
+    df = spark.createDataFrame(
+        [Row(vec_id=0, embedding=[1.0, 2.0, 3.0, 4.0]),
+         Row(vec_id=1, embedding=[1.0, 2.0])],
+        "vec_id long, embedding array<double>",
+    )
+    ok = similarity.rp_lsh_signatures(df.filter("vec_id = 0"), dim=4).collect()
+    assert len(ok) == 1 and ok[0]["rp_sig"] is not None
+    with pytest.raises(Exception, match="dim"):
+        similarity.rp_lsh_signatures(df, dim=4).collect()
+
+
 def test_text_features_formulas(spark):
     df = spark.createDataFrame([Row(doc_id=0, text="the cat, sat!")])
     r = text.text_features(df).first()
