@@ -248,8 +248,16 @@ def _jaccard_from_flat(
     Jaccard universe entirely (numerator AND denominator) — the
     standard stop-shingle mitigation that bounds the inverted-index
     join's O(df^2) fanout; docs left with zero sub-cap shingles drop
-    out.  Requires threshold > 0."""
-    flat = _cap_frequent_shingles(flat, max_df)
+    out.  Requires threshold > 0.
+
+    The capped table is persisted when the cap is active — it feeds
+    three plan branches (sizes + both sides of the intersection join)
+    and the df-groupBy + anti-join would otherwise run per branch.
+    Ownership is attached to the returned DataFrame."""
+    deps = ()
+    if max_df is not None:
+        flat = _cap_frequent_shingles(flat, max_df).persist()
+        deps = (flat,)
     sizes = flat.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     fa = flat.alias("fa")
     fb = flat.alias("fb")
@@ -268,11 +276,12 @@ def _jaccard_from_flat(
     jac = dround(
         F.col("n_inter") / (F.col("na.n") + F.col("nb.n") - F.col("n_inter")), 6
     )
-    return (
+    return _owned_cache(
         inter.join(na, F.col("doc_a") == F.col("na.doc_id"))
         .join(nb, F.col("doc_b") == F.col("nb.doc_id"))
         .select("doc_a", "doc_b", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
+        .filter(F.col("jaccard") >= threshold),
+        *deps,
     )
 
 
@@ -458,7 +467,11 @@ def blocked_jaccard_pairs(
     contract as ``_jaccard_from_flat``).  Cache ownership transfers to
     the caller (``functions.caching.release_cached``)."""
     flat = _flat_shingles(docs, text_col, extra_cols=(block_col,)).persist()
+    deps = [flat]
     capped = _cap_frequent_shingles(flat, max_df)
+    if max_df is not None:
+        capped = capped.persist()  # 3 consumers: sizes + both join sides
+        deps.append(capped)
     sizes = capped.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = capped.alias("a")
     b = capped.alias("b")
@@ -484,7 +497,7 @@ def blocked_jaccard_pairs(
         .join(nb, F.col("doc_b") == F.col("nb.doc_id"))
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold),
-        flat,
+        *deps,
     )
 
 

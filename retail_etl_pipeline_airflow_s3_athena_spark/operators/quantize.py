@@ -44,11 +44,19 @@ def quantize_embeddings(
     max(|x|)/127``; zero vectors quantize to all-zero codes with
     scale 0.  ``recon_err`` is the L2 distance between the vector and
     ``codes * scale``.
-    """
+
+    The max-abs reduction is STAGED into its own projection: inlining
+    the 64-term ``greatest`` into all 128 downstream code/error
+    expressions builds a ~10k-node tree that Catalyst re-evaluates per
+    reference (4x slower measured at sf0.1).  CollapseProject keeps the
+    stage because ``m`` is non-cheap and multiply-referenced."""
     x = [F.col(vec_col)[i].cast("double") for i in range(dim)]
     max_abs = F.greatest(*[F.abs(xi) for xi in x])
-    scale = max_abs / F.lit(float(Q_MAX))
-    zero = max_abs == F.lit(0.0)
+    staged = embeddings.select(
+        F.col(id_col), F.col(vec_col), max_abs.alias("m")
+    )
+    scale = F.col("m") / F.lit(float(Q_MAX))
+    zero = F.col("m") == F.lit(0.0)
 
     def code(xi: Column) -> Column:
         return F.when(zero, F.lit(0)).otherwise(
@@ -63,7 +71,7 @@ def quantize_embeddings(
     sq_sum = err_terms[0]
     for t in err_terms[1:]:
         sq_sum = sq_sum + t
-    return embeddings.select(
+    return staged.select(
         F.col(id_col),
         dround(scale, 8).alias("scale"),
         F.concat_ws(",", *[c.cast("string") for c in codes]).alias("codes"),

@@ -246,7 +246,15 @@ def ivf_topk(
 
     Both the assignment and probing joins broadcast the tiny centroid
     set — at a billion vectors the corpus-side work is one narrow pass
-    plus a shuffle-free top-k."""
+    plus a shuffle-free top-k.  The centroid table is persisted (K
+    rows): it feeds BOTH broadcast joins, and without the persist the
+    centroid aggregation — a full corpus pass — runs twice.  Cache
+    ownership transfers to the caller
+    (``functions.caching.release_cached``)."""
+    from retail_etl_pipeline_airflow_s3_athena_spark.functions.caching import (
+        attach_cached_deps,
+    )
+
     corpus = _normed(embeddings, dim)
     # centroid norms precomputed ONCE: per-pair scoring then pays a
     # single unrolled dot (the cross term) instead of three — same
@@ -254,7 +262,7 @@ def ivf_topk(
     # expression, just not re-evaluated per pair), 3x less codegen.
     cents = _centroid_vectors(embeddings).select(
         "label", "cv", F.sqrt(dot(F.col("cv"), F.col("cv"), dim)).alias("cnrm")
-    )
+    ).persist()
 
     # assign each corpus vector to its best cell (cos desc, label asc).
     # max_by aggregation, NOT a row_number window: the argmax gets
@@ -316,10 +324,11 @@ def ivf_topk(
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos_sim"), F.asc("neighbor_id")
     )
-    return (
+    return attach_cached_deps(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cos_sim", "rank")
+        .select("query_id", "neighbor_id", "cos_sim", "rank"),
+        cents,
     )
 
 

@@ -111,6 +111,112 @@ def test_stateful_sessions_match_batch(spark, sf_dir):
         assert r["session_end"] == b["session_end"]
 
 
+def test_stateful_sessions_golden_equivalence(spark):
+    """Deterministic batch-equivalence: with a controlled watermark
+    progression, the emitted (closed) session set must EXACTLY equal
+    the batch sessionize() sessions that can no longer grow — both
+    keys and every aggregate, not just soundness of a sample."""
+    import datetime as dt
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import types as T
+
+    t0 = dt.datetime(2025, 1, 1, 0, 0, 0)
+
+    def rows(*evts):
+        return pa.table(
+            {
+                "event_id": pa.array([e[0] for e in evts], pa.int64()),
+                "ts": pa.array([e[1] for e in evts], pa.timestamp("us")),
+                "user_id": pa.array([e[2] for e in evts], pa.int64()),
+                "event_type": pa.array(["click"] * len(evts), pa.string()),
+                "value": pa.array([e[3] for e in evts], pa.float64()),
+                "props": pa.array(["{}"] * len(evts), pa.string()),
+            }
+        )
+
+    d = tempfile.mkdtemp(prefix="sess_golden_")
+    # f1: user 1 session (2 events, 10 min apart), user 2 session (1 ev)
+    pq.write_table(
+        rows(
+            (1, t0, 1, 2.5),
+            (2, t0 + dt.timedelta(minutes=10), 1, 1.5),
+            (3, t0 + dt.timedelta(minutes=5), 2, 4.0),
+        ),
+        f"{d}/f1.parquet",
+    )
+    # f2/f3: watermark pushers 10 and 20 days later — each advances the
+    # watermark far past the f1 sessions' gap horizon, so their
+    # event-time timeouts must fire mid-stream
+    pq.write_table(
+        rows((4, t0 + dt.timedelta(days=10), 99, 0.0)), f"{d}/f2.parquet"
+    )
+    pq.write_table(
+        rows((5, t0 + dt.timedelta(days=20), 99, 0.0)), f"{d}/f3.parquet"
+    )
+    for i, f in enumerate(["f1", "f2", "f3"]):
+        os.utime(f"{d}/{f}.parquet", (1_700_000_000 + i, 1_700_000_000 + i))
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    incremental.run_to_memory(
+        incremental.stateful_sessions(stream), "sess_golden_out"
+    )
+    emitted = {
+        (r["user_id"], r["session_start"], r["session_end"],
+         r["n_events"], r["session_value"])
+        for r in spark.sql("SELECT * FROM sess_golden_out").collect()
+    }
+    batch_df = event_ops.sessionize(
+        spark.read.schema(schema).parquet(d).select(
+            "event_id", F.col("ts").cast("timestamp_ntz").alias("ts"),
+            "user_id", "event_type", "value", "props",
+        )
+    )
+    # closed sessions: users 1/2 close via event-time timeout once the
+    # pushers advance the watermark; user 99's day-10 session closes
+    # in-data when the day-20 event opens a new one.  Only the final
+    # day-20 session is still open (nothing advances the watermark past
+    # it), so expected = every batch session except that one.
+    expected = {
+        (r["user_id"],
+         r["session_start"].replace(tzinfo=None)
+         if r["session_start"].tzinfo else r["session_start"],
+         r["session_end"].replace(tzinfo=None)
+         if r["session_end"].tzinfo else r["session_end"],
+         r["n_events"], r["session_value"])
+        for r in batch_df.collect()
+    }
+    last_open = max(expected, key=lambda t: t[1])
+    assert last_open[0] == 99
+    expected.discard(last_open)
+    normalized = {
+        (u,
+         s.replace(tzinfo=None) if getattr(s, "tzinfo", None) else s,
+         e.replace(tzinfo=None) if getattr(e, "tzinfo", None) else e,
+         n, v)
+        for (u, s, e, n, v) in emitted
+    }
+    assert normalized == expected
+    # user 1 (n=2, value 4.0), user 2 (n=1), user 99's day-10 session
+    assert len(expected) == 3
+
+
 def test_dedup_stream_drops_duplicates(spark, sf_dir, events_stream):
     deduped = incremental.dedup_stream(events_stream)
     incremental.run_to_memory(deduped, "dedup_out")
