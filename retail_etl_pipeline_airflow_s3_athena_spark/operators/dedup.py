@@ -73,17 +73,23 @@ ROWS_PER_BAND = NUM_HASHES // NUM_BANDS
 MAX_SHINGLE_DF = 1000
 
 # SimHash width.  Token hashes carry only 31 usable bits (FP_MOD is
-# 2^31 - 1), so wide signatures CANNOT read raw bits of h — bit b is
-# instead the parity of an affine rehash (h * SIM_A[b] + SIM_B[b]) mod
-# FP_MOD, an independent pseudo-random bit per (token, b).  60 bits keeps
-# every band mask and the signature itself inside non-negative BIGINT in
-# both engines, and 60 = 4 * 15 bands at the default max_hamming=3:
-# 2^15 = 32768 buckets per band (the r3-flagged 8-bit/256-bucket banding
-# made candidate generation O(n^2/256) at corpus scale).
+# 2^31 - 1), so wide signatures CANNOT read raw bits of h.  Instead,
+# TWO affine rehashes g_r = (h * SIM_A[r] + SIM_B[r]) mod FP_MOD supply
+# 30 pseudo-random bits each (bits 0..29 of a mod-2^31-1 residue); bit
+# b of the signature votes by bit (b % 30) of g_(b // 30).  Hot-loop
+# cost per token is 2 multiply+mods plus 60 shift/ands — unrolling the
+# rehash per bit (60 multiply+mods) measured ~2x slower at sf0.1.
+# 60 bits keeps every band mask and the signature itself inside
+# non-negative BIGINT in both engines, and 60 = 4 * 15 bands at the
+# default max_hamming=3: 2^15 = 32768 buckets per band (the r3-flagged
+# 8-bit/256-bucket banding made candidate generation O(n^2/256) at
+# corpus scale).
 SIMHASH_BITS = 60
+SIM_BITS_PER_REHASH = 30
 SIM_MULT = 2654435761  # Knuth multiplicative constant
-SIM_A = [((2 * b + 1) * SIM_MULT) % FP_MOD for b in range(SIMHASH_BITS)]
-SIM_B = [(b * 1000003 + 12345) % FP_MOD for b in range(SIMHASH_BITS)]
+NUM_SIM_REHASH = SIMHASH_BITS // SIM_BITS_PER_REHASH
+SIM_A = [((2 * r + 1) * SIM_MULT) % FP_MOD for r in range(NUM_SIM_REHASH)]
+SIM_B = [(r * 1000003 + 12345) % FP_MOD for r in range(NUM_SIM_REHASH)]
 
 
 # ---------------------------------------------------------------------------
@@ -359,24 +365,39 @@ def near_dup_pairs(
     return _owned_cache(_jaccard_from_flat(cands, flat, threshold, max_df), flat)
 
 
-def _sim_bit(h: Column, b: int) -> Column:
-    """±1 vote for signature bit ``b``: parity of the affine rehash
-    (h * SIM_A[b] + SIM_B[b]) mod FP_MOD.  Plain BIGINT arithmetic
-    (products stay < 2^62), identical in the oracle SQL."""
-    g = (h * SIM_A[b] + SIM_B[b]) % FP_MOD
-    return F.when(g % 2 == 1, 1).otherwise(-1)
+def _sim_rehash(h: Column, r: int) -> Column:
+    """Affine rehash r of the token hash — BIGINT-safe (products stay
+    < 2^62), identical arithmetic in the oracle SQL."""
+    return (h * SIM_A[r] + SIM_B[r]) % FP_MOD
 
 
 def simhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """doc_id + 60-bit simhash (as BIGINT), bag-of-words semantics
     (token multiplicity counts).  Flat rows + 60 conditional SUM
-    aggregates — all codegen, one doc_id shuffle.  Bit b votes by the
-    parity of an affine rehash of the token hash (see SIMHASH_BITS
+    aggregates — all codegen, one doc_id shuffle.  The two rehash
+    columns are STAGED as their own projection (multiply-referenced,
+    non-cheap — CollapseProject keeps the stage) so each token pays 2
+    multiply+mods, then 60 shift/and bit probes (see SIMHASH_BITS
     note: h itself has only 31 bits)."""
-    tk = _flat_tokens(docs, text_col)
+    tk = _flat_tokens(docs, text_col).select(
+        "doc_id",
+        *[
+            _sim_rehash(F.col("h"), r).alias(f"g{r}")
+            for r in range(NUM_SIM_REHASH)
+        ],
+    )
     per_bit = tk.groupBy("doc_id").agg(
         *[
-            F.sum(_sim_bit(F.col("h"), b)).alias(f"b{b}")
+            F.sum(
+                F.when(
+                    F.shiftright(
+                        F.col(f"g{b // SIM_BITS_PER_REHASH}"),
+                        b % SIM_BITS_PER_REHASH,
+                    ).bitwiseAND(F.lit(1).cast("long"))
+                    == 1,
+                    1,
+                ).otherwise(-1)
+            ).alias(f"b{b}")
             for b in range(SIMHASH_BITS)
         ]
     )
@@ -647,12 +668,18 @@ def oracle_near_dup_pairs_sql(
 
 
 def _sql_simhash_bit_terms() -> str:
-    """The 60 per-bit vote sums, same affine-rehash parity as Spark's
-    ``_sim_bit`` (h carries only 31 bits, so raw h&mask is unusable
-    past bit 30)."""
+    """The 60 per-bit vote sums — bit b probes bit (b % 30) of affine
+    rehash g_(b // 30), the same two-rehash formula as Spark's
+    ``simhash_signatures`` (h carries only 31 bits, so raw h&mask is
+    unusable past bit 30)."""
+
+    def g(r: str) -> str:
+        return f"(h * {SIM_A[int(r)]} + {SIM_B[int(r)]}) % {FP_MOD}"
+
     return " + ".join(
         f"(CASE WHEN list_sum(list_transform(th, "
-        f"h -> CASE WHEN ((h * {SIM_A[b]} + {SIM_B[b]}) % {FP_MOD}) % 2 = 1 "
+        f"h -> CASE WHEN (({g(str(b // SIM_BITS_PER_REHASH))}) "
+        f">> {b % SIM_BITS_PER_REHASH}) & 1 = 1 "
         f"THEN 1 ELSE -1 END)) > 0 "
         f"THEN CAST({1 << b} AS BIGINT) ELSE 0 END)"
         for b in range(SIMHASH_BITS)
