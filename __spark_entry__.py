@@ -326,6 +326,12 @@ def _q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim_ops.embedding_near_dup(_emb(spark, sf_dir))
 
 
+def _q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the bucketed (rp-LSH bands -> exact verify) scale path; the oracle
+    # twin applies the identical banding, so the gate stays hash-exact
+    return sim_ops.embedding_near_dup_lsh(_emb(spark, sf_dir))
+
+
 def _q_cosine_topk_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Arrow/numpy physical plan for the same logical query; bit-identical
     # to cosine_topk (cumsum mirrors the left-assoc fold), so it shares
@@ -557,6 +563,7 @@ def entry(spark: SparkSession) -> DataFrame:
 GATE_FIRST_50 = [
     # never driver-verified (new this round)
     "tfidf_top_terms",
+    "embedding_near_dup_lsh",
     # r4 rotation: the r1/r2-verified tail from round 3
     "language_id",
     "repetition_signals",
@@ -586,7 +593,6 @@ GATE_FIRST_50 = [
     "embedding_near_dup",
     "embedding_near_dup_gemm",
     "rp_lsh_signatures",
-    "dedup_exact",
     "decontaminate_docs",
     "cosine_topk",
     "label_centroids",
@@ -614,6 +620,7 @@ GATE_FIRST_50 = [
 
 GATE_TAIL = [
     # driver evidence from r3 (one round old) — rotate forward in r5
+    "dedup_exact",
     "local_supplier_volume",
     "promo_revenue",
     "late_shipment_priority",
@@ -689,6 +696,7 @@ def _all_queries() -> dict[str, QueryFn]:
         "ivf_topk": _q_ivf_topk,
         "rp_lsh_signatures": _q_rp_lsh,
         "embedding_near_dup": _q_embedding_near_dup,
+        "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
         "embedding_near_dup_gemm": _q_embedding_near_dup_gemm,
         "text_features": _q_text_features,
         "windowed_event_stats": _q_windowed_event_stats,
@@ -848,6 +856,9 @@ def oracle_sql() -> dict[str, str]:
     oracles["ivf_topk"] = sim_ops.oracle_ivf_topk_sql()
     oracles["rp_lsh_signatures"] = sim_ops.oracle_rp_lsh_sql()
     oracles["embedding_near_dup"] = sim_ops.oracle_embedding_near_dup_sql()
+    oracles["embedding_near_dup_lsh"] = (
+        sim_ops.oracle_embedding_near_dup_lsh_sql()
+    )
     oracles["embedding_near_dup_gemm"] = sim_ops.oracle_embedding_near_dup_sql()
     oracles["windowed_event_stats"] = event_ops.oracle_windowed_stats_sql()
     oracles["sessionize_events"] = event_ops.oracle_sessionize_sql()

@@ -402,6 +402,76 @@ def embedding_near_dup(
     )
 
 
+def embedding_near_dup_lsh(
+    embeddings: DataFrame,
+    threshold: float = 0.4,
+    bits: int = RP_BITS,
+    bands: int = 2,
+    dim: int = EMB_DIM,
+) -> DataFrame:
+    """The BUCKETED near-dup path: rp-LSH band collision generates
+    candidates, exact cosine verifies — the extreme-scale architecture
+    the all-pairs/GEMM operators document as their successor.
+
+    Candidate generation is an equi-join on (band, band_bits): a pair
+    is compared ONLY if its signatures agree on all ``bits/bands`` bits
+    of some band, so the pair space is bucket-bounded instead of
+    O(n^2).  Recall is the standard LSH trade (sign-random-projection:
+    P[bit agrees] = 1 - angle/pi, per-band p^(bits/bands), amplified
+    across bands) — at corpus scale you raise ``bits`` and ``bands``
+    to tune it; the verify step keeps precision exact.
+
+    The oracle twin implements the SAME banding over the bit-identical
+    rp signatures, so the correctness gate hash-matches exactly — the
+    probabilistic recall is part of the operator's defined semantics,
+    not engine noise."""
+    band_bits = bits // bands
+    sig = rp_lsh_signatures(embeddings, bits, dim)
+    banded = sig.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("rp_sig", b * band_bits)
+                        .bitwiseAND(F.lit((1 << band_bits) - 1))
+                        .alias("bb"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("s"),
+    ).select("vec_id", "s.band", "s.bb")
+    l, r = banded.alias("l"), banded.alias("r")
+    cands = (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bb") == F.col("r.bb"))
+            & (F.col("l.vec_id") < F.col("r.vec_id")),
+        )
+        .select(
+            F.col("l.vec_id").alias("vec_a"), F.col("r.vec_id").alias("vec_b")
+        )
+        .distinct()
+    )
+    e = _normed(embeddings, dim)
+    a, b = e.alias("a"), e.alias("b")
+    return (
+        cands.join(a, cands.vec_a == F.col("a.vec_id"))
+        .join(b, cands.vec_b == F.col("b.vec_id"))
+        .select(
+            "vec_a",
+            "vec_b",
+            _pair_cosine(
+                F.col("a.v"), F.col("b.v"), F.col("a.nrm"), F.col("b.nrm"), dim
+            ).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
 def embedding_near_dup_gemm(
     embeddings: DataFrame, threshold: float = 0.4, tile_rows: int = 65536
 ) -> DataFrame:
@@ -671,5 +741,39 @@ def oracle_embedding_near_dup_sql(
         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                {_sql_cosine("a.v", "b.v")} AS cos_sim
         FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE {_sql_cosine("a.v", "b.v")} >= {threshold}
+    """
+
+
+def oracle_embedding_near_dup_lsh_sql(
+    table: str = "embeddings",
+    threshold: float = 0.4,
+    bits: int = RP_BITS,
+    bands: int = 2,
+) -> str:
+    """Same banding over the bit-identical rp signatures as the Spark
+    operator — the bucket restriction is part of the semantics."""
+    band_bits = bits // bands
+    rp = oracle_rp_lsh_sql(table, bits).strip()
+    band_selects = "\n            UNION ALL\n".join(
+        f"            SELECT vec_id, {b} AS band, "
+        f"(rp_sig >> {b * band_bits}) & {(1 << band_bits) - 1} AS bb FROM sig"
+        for b in range(bands)
+    )
+    return f"""
+        WITH sig AS ({rp}),
+        banded AS (
+        {band_selects}
+        ),
+        cands AS (
+            SELECT DISTINCT l.vec_id AS vec_a, r.vec_id AS vec_b
+            FROM banded l JOIN banded r
+              ON l.band = r.band AND l.bb = r.bb AND l.vec_id < r.vec_id
+        ),
+        e AS (SELECT vec_id, {_sql_vec("embedding")} AS v FROM {table})
+        SELECT c.vec_a, c.vec_b, {_sql_cosine("a.v", "b.v")} AS cos_sim
+        FROM cands c
+        JOIN e a ON c.vec_a = a.vec_id
+        JOIN e b ON c.vec_b = b.vec_id
         WHERE {_sql_cosine("a.v", "b.v")} >= {threshold}
     """

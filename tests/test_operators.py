@@ -248,6 +248,26 @@ def test_tfidf_top_terms_formula_and_topk(spark):
     assert all(v <= 2 for v in cnt.values())
 
 
+def test_embedding_near_dup_lsh_subset_and_exact_dups(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # plant an exact duplicate: identical vectors -> identical rp
+    # signature -> every band collides -> the pair MUST be found
+    dup = emb.filter("vec_id = 0").withColumn("vec_id", F.lit(999999).cast("long"))
+    withdup = emb.unionByName(dup)
+    lsh = {
+        (r["vec_a"], r["vec_b"]): r["cos_sim"]
+        for r in similarity.embedding_near_dup_lsh(withdup, threshold=0.4).collect()
+    }
+    allp = {
+        (r["vec_a"], r["vec_b"]): r["cos_sim"]
+        for r in similarity.embedding_near_dup(withdup, threshold=0.4).collect()
+    }
+    # precision exact: every LSH pair is an all-pairs pair, same value
+    assert set(lsh) <= set(allp)
+    assert all(allp[k] == v for k, v in lsh.items())
+    assert lsh[(0, 999999)] == 1.0
+
+
 def test_rp_lsh_rejects_wrong_dim(spark):
     df = spark.createDataFrame(
         [Row(vec_id=0, embedding=[1.0, 2.0, 3.0, 4.0]),
