@@ -71,6 +71,7 @@ STANDALONE = [
     "bigram_vocab",
     "quantize_embeddings",
     "tfidf_top_terms",
+    "embedding_near_dup_lsh",
 ]
 
 

@@ -402,6 +402,64 @@ def embedding_near_dup(
     )
 
 
+def rp_lsh_signatures_gemm(
+    embeddings: DataFrame, bits: int = RP_BITS, dim: int = EMB_DIM
+) -> DataFrame:
+    """``rp_lsh_signatures`` with the projections done by Arrow-batched
+    numpy instead of a 1024-node expression tree (which exceeds
+    whole-stage codegen limits and evaluates interpreted — ~50x slower
+    measured at sf0.1).  BIT-IDENTICAL to the expression operator and
+    its oracle: fp64 products accumulated with ``np.cumsum`` along the
+    vector axis (strictly left-associated, the fold's order), the same
+    ``proj > 0`` bit rule, and the same ±1 hyperplane constants.
+    Equality is test-enforced against the expression form.
+
+    Same loud-failure precondition as the expression form: a row whose
+    embedding size differs from ``dim`` raises."""
+    import numpy as np
+    import pandas as pd
+
+    H = np.array(
+        [[_rp_sign(b, i) for i in range(dim)] for b in range(bits)],
+        dtype=np.float64,
+    )  # bits x dim, plan-time constants
+    weights = (1 << np.arange(bits, dtype=np.int64))
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("rp_sig", T.LongType()),
+        ]
+    )
+    sub = 1024  # (sub, bits, dim) fp64 stays ~8 MB regardless of batch
+
+    def part(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            embs = list(pdf["embedding"])
+            for vid, e in zip(pdf["vec_id"], embs):
+                if len(e) != dim:
+                    raise ValueError(
+                        f"rp_lsh_signatures: embedding dim != {dim} "
+                        f"(got {len(e)}) for vec_id {vid}"
+                    )
+            out = []
+            for s in range(0, len(embs), sub):
+                C = np.array(embs[s : s + sub], dtype=np.float64)
+                proj = np.cumsum(C[:, None, :] * H[None, :, :], axis=-1)[
+                    :, :, -1
+                ]
+                out.append(((proj > 0) * weights).sum(axis=1))
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "rp_sig": np.concatenate(out),
+                }
+            )
+
+    return embeddings.select("vec_id", "embedding").mapInPandas(part, schema)
+
+
 def embedding_near_dup_lsh(
     embeddings: DataFrame,
     threshold: float = 0.4,
@@ -424,9 +482,20 @@ def embedding_near_dup_lsh(
     The oracle twin implements the SAME banding over the bit-identical
     rp signatures, so the correctness gate hash-matches exactly — the
     probabilistic recall is part of the operator's defined semantics,
-    not engine noise."""
+    not engine noise.
+
+    Both persisted intermediates are multiply-consumed (the banded
+    signature table feeds both sides of the self-join; the normed
+    corpus both sides of the verify join) — without the persists the
+    1024-term signature projection and the norm computation each run
+    twice.  Cache ownership transfers to the caller
+    (``functions.caching.release_cached``)."""
+    from retail_etl_pipeline_airflow_s3_athena_spark.functions.caching import (
+        attach_cached_deps,
+    )
+
     band_bits = bits // bands
-    sig = rp_lsh_signatures(embeddings, bits, dim)
+    sig = rp_lsh_signatures_gemm(embeddings, bits, dim).persist()
     banded = sig.select(
         "vec_id",
         F.explode(
@@ -456,9 +525,9 @@ def embedding_near_dup_lsh(
         )
         .distinct()
     )
-    e = _normed(embeddings, dim)
+    e = _normed(embeddings, dim).persist()
     a, b = e.alias("a"), e.alias("b")
-    return (
+    return attach_cached_deps(
         cands.join(a, cands.vec_a == F.col("a.vec_id"))
         .join(b, cands.vec_b == F.col("b.vec_id"))
         .select(
@@ -468,7 +537,9 @@ def embedding_near_dup_lsh(
                 F.col("a.v"), F.col("b.v"), F.col("a.nrm"), F.col("b.nrm"), dim
             ).alias("cos_sim"),
         )
-        .filter(F.col("cos_sim") >= threshold)
+        .filter(F.col("cos_sim") >= threshold),
+        sig,
+        e,
     )
 
 

@@ -268,6 +268,35 @@ def test_embedding_near_dup_lsh_subset_and_exact_dups(spark, sf_dir):
     assert lsh[(0, 999999)] == 1.0
 
 
+def test_rp_lsh_gemm_bit_identical(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    expr = {
+        (r["vec_id"], r["rp_sig"])
+        for r in similarity.rp_lsh_signatures(emb).collect()
+    }
+    gemm = {
+        (r["vec_id"], r["rp_sig"])
+        for r in similarity.rp_lsh_signatures_gemm(emb).collect()
+    }
+    assert expr == gemm
+    with pytest.raises(Exception, match="dim"):
+        bad = spark.createDataFrame(
+            [(0, [1.0, 2.0])], "vec_id long, embedding array<double>"
+        )
+        similarity.rp_lsh_signatures_gemm(bad).collect()
+
+
+def test_embedding_near_dup_lsh_plan_is_equijoin(spark, sf_dir):
+    """The band-collision candidate join must plan as an equi-join
+    (shuffle or broadcast HASH join) — a BroadcastNestedLoopJoin would
+    mean the bucket restriction fell out of the join condition and the
+    plan is O(n^2) at scale."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    plan = similarity.embedding_near_dup_lsh(emb)._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_rp_lsh_rejects_wrong_dim(spark):
     df = spark.createDataFrame(
         [Row(vec_id=0, embedding=[1.0, 2.0, 3.0, 4.0]),
