@@ -641,6 +641,11 @@ GATE_TAIL = [
     "quality_filter_docs",
     "hash_sample_events",
     "multimodal_pipeline",
+    # new in r4 (locally oracle-verified; lead the r5 gate rotation)
+    "cheapest_part_supplier",
+    "nation_trade_volume",
+    "part_supplier_breadth",
+    "promo_part_suppliers",
 ]
 
 
@@ -654,6 +659,10 @@ def _all_queries() -> dict[str, QueryFn]:
         "big_orders": relational.big_orders,
         "daily_revenue_delta": relational.daily_revenue_delta,
         "customer_value_tiles": relational.customer_value_tiles,
+        "cheapest_part_supplier": relational.cheapest_part_supplier,
+        "nation_trade_volume": relational.nation_trade_volume,
+        "part_supplier_breadth": relational.part_supplier_breadth,
+        "promo_part_suppliers": relational.promo_part_suppliers,
         "bigram_vocab": lambda spark, sf_dir: vocab_ops.ngram_vocab(
             _docs(spark, sf_dir), n=2
         ),
@@ -899,6 +908,16 @@ def oracle_sql() -> dict[str, str]:
     oracles["daily_revenue_delta"] = relational.oracle_daily_revenue_delta_sql()
     oracles["customer_value_tiles"] = (
         relational.oracle_customer_value_tiles_sql()
+    )
+    oracles["cheapest_part_supplier"] = (
+        relational.oracle_cheapest_part_supplier_sql()
+    )
+    oracles["nation_trade_volume"] = relational.oracle_nation_trade_volume_sql()
+    oracles["part_supplier_breadth"] = (
+        relational.oracle_part_supplier_breadth_sql()
+    )
+    oracles["promo_part_suppliers"] = (
+        relational.oracle_promo_part_suppliers_sql()
     )
     oracles["shipping_priority"] = f"""
         SELECT l.l_orderkey, o.o_orderdate, o.o_orderpriority,

@@ -364,3 +364,208 @@ def oracle_customer_value_tiles_sql() -> str:
         WINDOW w AS (ORDER BY total_spend DESC, custkey ASC)
         ORDER BY custkey
     """
+
+
+# ---------------------------------------------------------------------------
+# Correlated argmin retrieval (TPC-H Q2 shape)
+# ---------------------------------------------------------------------------
+
+def cheapest_part_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each size-1 part, the supplier behind the CHEAPEST unit-price
+    line item (Q2's correlated-MIN-then-retrieve shape, over lineitem
+    since the fixture has no partsupp).  The argmin is a per-part
+    row_number over (rounded unit price, tie-break keys) — the rounded
+    value drives the ordering on BOTH engines so float noise can't flip
+    ties; dim joins (part filter, supplier, nation) broadcast."""
+    part = _t(spark, sf_dir, "part").filter(F.col("p_size") == 1)
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    unit = dround(F.col("l_extendedprice") / F.col("l_quantity"), 6)
+    w = Window.partitionBy("p_partkey").orderBy(
+        F.asc("unit_price"), F.asc("l_suppkey"),
+        F.asc("l_orderkey"), F.asc("l_linenumber"),
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select(
+            "p_partkey", "p_name", "l_suppkey", "l_orderkey", "l_linenumber",
+            unit.alias("unit_price"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .select("p_partkey", "p_name", "unit_price", "s_name", "n_name")
+        .orderBy("p_partkey")
+    )
+
+
+def oracle_cheapest_part_supplier_sql() -> str:
+    return f"""
+        WITH lines AS (
+            SELECT p.p_partkey, p.p_name, l.l_suppkey,
+                   {sql_dround('l.l_extendedprice / l.l_quantity', 6)}
+                       AS unit_price,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY p.p_partkey
+                       ORDER BY {sql_dround('l.l_extendedprice / l.l_quantity', 6)} ASC,
+                                l.l_suppkey ASC, l.l_orderkey ASC,
+                                l.l_linenumber ASC) AS rn
+            FROM lineitem l
+            JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE p.p_size = 1
+        )
+        SELECT x.p_partkey, x.p_name, x.unit_price, s.s_name, n.n_name
+        FROM lines x
+        JOIN supplier s ON x.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        WHERE x.rn = 1
+        ORDER BY x.p_partkey
+    """
+
+
+# ---------------------------------------------------------------------------
+# Bi-nation trade volume by year (TPC-H Q7 shape)
+# ---------------------------------------------------------------------------
+
+def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue between (supplier nation, customer nation) pairs per
+    order year — Q7's shape: the fact chain shuffles on its join keys,
+    both nation dims broadcast, and the output is bounded by
+    nations^2 x years regardless of fact scale.  Year extraction
+    happens AFTER the joins on the grouped key only."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), supp.s_nationkey == F.col("sn_key"))
+        .join(F.broadcast(n2), cust.c_nationkey == F.col("cn_key"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("o_orderdate").cast("long").alias("order_year"),
+        )
+        .agg(dround(F.sum(rev), 4).alias("volume"))
+        .orderBy("supp_nation", "cust_nation", "order_year")
+    )
+
+
+def oracle_nation_trade_volume_sql() -> str:
+    return f"""
+        SELECT ns.n_name AS supp_nation,
+               nc.n_name AS cust_nation,
+               CAST(EXTRACT(YEAR FROM o.o_orderdate) AS BIGINT) AS order_year,
+               {sql_dround('SUM(l.l_extendedprice * (1 - l.l_discount))', 4)}
+                   AS volume
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+        JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+        WHERE ns.n_name <> nc.n_name
+        GROUP BY 1, 2, 3
+        ORDER BY 1, 2, 3
+    """
+
+
+# ---------------------------------------------------------------------------
+# NOT IN + distinct-count rollup (TPC-H Q16 shape)
+# ---------------------------------------------------------------------------
+
+def part_supplier_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct suppliers who shipped each (brand, type) part group,
+    EXCLUDING suppliers with negative account balance — Q16's
+    NOT IN (subquery) becomes a ``left_anti`` join; the distinct count
+    is the standard two-phase plan.  The excluded-supplier set is tiny
+    and broadcasts."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    bad = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_type")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), F.asc("p_brand"), F.asc("p_type"))
+    )
+
+
+def oracle_part_supplier_breadth_sql() -> str:
+    return """
+        SELECT p.p_brand, p.p_type,
+               CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE l.l_suppkey NOT IN (
+            SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        GROUP BY p.p_brand, p.p_type
+        ORDER BY supplier_cnt DESC, p.p_brand ASC, p.p_type ASC
+    """
+
+
+# ---------------------------------------------------------------------------
+# HAVING-qualified semi-join (TPC-H Q20 shape)
+# ---------------------------------------------------------------------------
+
+PROMO_QTY_THRESHOLD = 50
+
+
+def promo_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers whose total shipped PROMO-part quantity exceeds a
+    threshold — Q20's nested IN (… HAVING …) becomes: fact-side
+    aggregate -> threshold filter -> ``left_semi`` back to the
+    supplier dim.  The qualifying-supplier set is aggregate-bounded
+    and broadcasts into the semi join."""
+    li = _t(spark, sf_dir, "lineitem")
+    promo = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO").select(
+        "p_partkey"
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    qual = (
+        li.join(F.broadcast(promo), li.l_partkey == promo.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("promo_qty"))
+        .filter(F.col("promo_qty") > PROMO_QTY_THRESHOLD)
+    )
+    return (
+        supp.join(
+            F.broadcast(qual), supp.s_suppkey == qual.l_suppkey, "left_semi"
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .select("s_suppkey", "s_name", "n_name")
+        .orderBy("s_suppkey")
+    )
+
+
+def oracle_promo_part_suppliers_sql() -> str:
+    return f"""
+        SELECT s.s_suppkey, s.s_name, n.n_name
+        FROM supplier s
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        WHERE s.s_suppkey IN (
+            SELECT l.l_suppkey
+            FROM lineitem l
+            JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE p.p_type = 'PROMO'
+            GROUP BY l.l_suppkey
+            HAVING SUM(l.l_quantity) > {PROMO_QTY_THRESHOLD}
+        )
+        ORDER BY s.s_suppkey
+    """

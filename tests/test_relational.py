@@ -99,3 +99,77 @@ def test_quartiles_balanced_and_ranked(spark, sf_dir):
     assert max(counts.values()) - min(counts.values()) <= 1  # NTILE balance
     top = min(rows, key=lambda r: r["pct_rank"])
     assert top["total_spend"] == max(r["total_spend"] for r in rows)
+
+
+def test_cheapest_part_supplier_is_true_argmin(spark, sf_dir):
+    rows = relational.cheapest_part_supplier(spark, sf_dir).collect()
+    assert len(rows) > 0
+    # one row per part, and the chosen unit price is the true minimum
+    parts = [r["p_partkey"] for r in rows]
+    assert len(parts) == len(set(parts))
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").filter("p_size = 1")
+    true_min = {
+        r["l_partkey"]: r["m"]
+        for r in li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy("l_partkey")
+        .agg(F.min(F.floor(F.col("l_extendedprice") / F.col("l_quantity") * 1e6 + 0.5) / 1e6).alias("m"))
+        .collect()
+    }
+    for r in rows:
+        assert r["unit_price"] == true_min[r["p_partkey"]]
+
+
+def test_nation_trade_volume_excludes_domestic(spark, sf_dir):
+    rows = relational.nation_trade_volume(spark, sf_dir).collect()
+    assert len(rows) > 0
+    assert all(r["supp_nation"] != r["cust_nation"] for r in rows)
+    years = {r["order_year"] for r in rows}
+    assert all(1990 < y < 2100 for y in years)
+
+
+def test_part_supplier_breadth_excludes_negative_balance(spark, sf_dir):
+    bad = {
+        r["s_suppkey"]
+        for r in spark.read.parquet(f"{sf_dir}/supplier.parquet")
+        .filter("s_acctbal < 0")
+        .collect()
+    }
+    # (sf0.001 has no negative-balance suppliers — the exclusion set may
+    # legitimately be empty; sf0.01+ exercise it, as does the oracle)
+    # recompute one group's count manually including exclusion
+    rows = relational.part_supplier_breadth(spark, sf_dir).collect()
+    assert len(rows) > 0
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    g0 = rows[0]
+    manual = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .filter(
+            (F.col("p_brand") == g0["p_brand"])
+            & (F.col("p_type") == g0["p_type"])
+            & (~F.col("l_suppkey").isin(list(bad)))
+        )
+        .select("l_suppkey")
+        .distinct()
+        .count()
+    )
+    assert manual == g0["supplier_cnt"]
+
+
+def test_promo_part_suppliers_meet_threshold(spark, sf_dir):
+    rows = relational.promo_part_suppliers(spark, sf_dir).collect()
+    assert len(rows) > 0
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    promo = spark.read.parquet(f"{sf_dir}/part.parquet").filter(
+        "p_type = 'PROMO'"
+    )
+    qty = {
+        r["l_suppkey"]: r["q"]
+        for r in li.join(promo, li.l_partkey == promo.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .collect()
+    }
+    qualifying = {k for k, v in qty.items() if v > relational.PROMO_QTY_THRESHOLD}
+    assert {r["s_suppkey"] for r in rows} == qualifying
