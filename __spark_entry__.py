@@ -646,6 +646,7 @@ GATE_TAIL = [
     "nation_trade_volume",
     "part_supplier_breadth",
     "promo_part_suppliers",
+    "daily_revenue_ma7",
 ]
 
 
@@ -686,6 +687,7 @@ def _all_queries() -> dict[str, QueryFn]:
         "store_performance": _q_store_performance,
         "daily_revenue": _analytics_query("daily_revenue"),
         "daily_revenue_running": _analytics_query("daily_revenue_running"),
+        "daily_revenue_ma7": _analytics_query("daily_revenue_ma7"),
         "segment_sales_rollup": _analytics_query("segment_sales_rollup"),
         "top_performing_customers": _analytics_query("top_performing_customers"),
         "product_analysis": _analytics_query("product_analysis"),
@@ -967,6 +969,7 @@ def oracle_sql() -> dict[str, str]:
     for name in (
         "daily_revenue",
         "daily_revenue_running",
+        "daily_revenue_ma7",
         "segment_sales_rollup",
         "top_performing_customers",
         "product_analysis",

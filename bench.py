@@ -38,6 +38,7 @@ ANALYTICS = [
     "product_analysis",
     "revenue_by_category",
     "daily_revenue_running",
+    "daily_revenue_ma7",
     "segment_sales_rollup",
 ]
 

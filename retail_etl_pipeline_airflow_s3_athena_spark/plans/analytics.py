@@ -146,6 +146,21 @@ ANALYTICS_SQL: dict[str, str] = {
                ) * 1e2 + 0.5) / 1e2 AS running_revenue
         FROM daily_sales_summary
     """,
+    # 7-day moving average over the daily gold rollup — a RANGE frame
+    # (interval-bounded, gap-aware: missing days shrink the frame) as
+    # opposed to daily_revenue_running's ROWS frame.  Dialect-shared:
+    # Spark and DuckDB both parse INTERVAL-bounded RANGE frames over a
+    # DATE order key.  AVG inputs are 2dp-rounded gold revenue and the
+    # 7-value frame sum stays far inside double precision, so the 4dp
+    # round is accumulation-order-safe.
+    "daily_revenue_ma7": """
+        SELECT sale_date, revenue,
+               FLOOR(AVG(revenue) OVER (
+                   ORDER BY sale_date
+                   RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW
+               ) * 1e4 + 0.5) / 1e4 AS ma7_revenue
+        FROM daily_sales_summary
+    """,
     # Market-segment rollup with a grand-total row (GROUPING SETS).
     "segment_sales_rollup": f"""
         SELECT market_segment,

@@ -41,3 +41,23 @@ def test_revenue_by_category(spark):
     assert len(rows) > 1
     revs = [r["estimated_revenue"] for r in rows]
     assert revs == sorted(revs, reverse=True)
+
+
+def test_daily_revenue_ma7_gap_aware(spark):
+    import datetime as dt
+
+    rows = spark.sql(analytics.ANALYTICS_SQL["daily_revenue_ma7"]).collect()
+    assert len(rows) > 7
+    by_date = {r["sale_date"]: r["revenue"] for r in rows}
+    # recompute the RANGE frame manually: all days within 6 calendar
+    # days BEFORE each row's date (gap-aware, unlike a ROWS frame)
+    for r in rows[:50]:
+        frame = [
+            v
+            for d, v in by_date.items()
+            if dt.timedelta(0) <= r["sale_date"] - d <= dt.timedelta(days=6)
+        ]
+        import math
+
+        expected = math.floor(sum(frame) / len(frame) * 1e4 + 0.5) / 1e4
+        assert abs(r["ma7_revenue"] - expected) < 1e-9
