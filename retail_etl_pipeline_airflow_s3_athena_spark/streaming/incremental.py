@@ -215,6 +215,44 @@ def stateful_sessions(
     )
 
 
+def gold_stream(
+    events: DataFrame, gold_dir: str, checkpoint_dir: str
+):
+    """Streaming gold maintenance: the daily (event_date, event_type)
+    aggregate kept current as files land, via ``foreachBatch`` — the
+    incremental form of the reference's daily create_gold_layer task
+    (scripts/load.py:137-180 recomputes gold from scratch every run).
+
+    Complete output mode: streaming state holds the FULL aggregate —
+    bounded by days x event types, not stream length — and each
+    micro-batch updates only the groups the new files touch, then the
+    cardinality-bounded result atomically overwrites the gold parquet.
+    At 100 TB of events the state is still calendar-sized; the sink
+    rewrite cost is O(gold), never O(stream).  A MERGE-capable table
+    format would turn the overwrite into an upsert; the plan shape is
+    unchanged."""
+
+    def overwrite_gold(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(gold_dir)
+
+    daily = (
+        events.groupBy(
+            F.to_date("ts").alias("event_date"),
+            "event_type",
+        ).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.coalesce(F.col("value"), F.lit(0.0))).alias("sum_value"),
+        )
+    )
+    return (
+        daily.writeStream.outputMode("complete")
+        .foreachBatch(overwrite_gold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def run_to_memory(
     stream_df: DataFrame, query_name: str, output_mode: str = "append"
 ):

@@ -217,6 +217,32 @@ def test_stateful_sessions_golden_equivalence(spark):
     assert len(expected) == 3
 
 
+def test_gold_stream_matches_batch_aggregate(spark, sf_dir, events_dir):
+    """Streaming gold maintenance must converge to exactly the batch
+    aggregate of everything that has landed."""
+    gold_dir = tempfile.mkdtemp(prefix="gold_stream_")
+    ckpt = tempfile.mkdtemp(prefix="gold_ckpt_")
+    q = incremental.gold_stream(
+        incremental.stream_events(spark, events_dir), gold_dir, ckpt
+    )
+    q.awaitTermination(120)
+    streamed = {
+        (r["event_date"], r["event_type"]): (r["n_events"], round(r["sum_value"], 6))
+        for r in spark.read.parquet(gold_dir).collect()
+    }
+    batch = {
+        (r["event_date"], r["event_type"]): (r["n_events"], round(r["sum_value"], 6))
+        for r in readers.read_events(spark, sf_dir)
+        .groupBy(F.to_date("ts").alias("event_date"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.coalesce(F.col("value"), F.lit(0.0))).alias("sum_value"),
+        )
+        .collect()
+    }
+    assert streamed == batch
+
+
 def test_dedup_stream_drops_duplicates(spark, sf_dir, events_stream):
     deduped = incremental.dedup_stream(events_stream)
     incremental.run_to_memory(deduped, "dedup_out")
