@@ -298,6 +298,13 @@ def _q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab_ops.tfidf_top_terms(_docs(spark, sf_dir))
 
 
+def _q_incremental_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # src1 plays the incoming batch; the rest is the existing corpus
+    return dedup_ops.incremental_near_dups(
+        _docs(spark, sf_dir), "source = 'src1'"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Similarity-search extensions (embeddings table)
 # ---------------------------------------------------------------------------
@@ -647,6 +654,7 @@ GATE_TAIL = [
     "part_supplier_breadth",
     "promo_part_suppliers",
     "daily_revenue_ma7",
+    "incremental_near_dups",
 ]
 
 
@@ -697,6 +705,7 @@ def _all_queries() -> dict[str, QueryFn]:
         "local_supplier_volume": _q_local_supplier_volume,
         "dedup_exact": _q_dedup_exact,
         "near_dup_pairs": _q_near_dup_pairs,
+        "incremental_near_dups": _q_incremental_near_dups,
         "near_dup_clusters": _q_near_dup_clusters,
         "simhash_near_dup": _q_simhash_near_dup,
         "blocked_jaccard_pairs": _q_blocked_jaccard,
@@ -857,6 +866,9 @@ def oracle_sql() -> dict[str, str]:
     oracles["minhash_signatures"] = dedup_ops.oracle_minhash_signatures_sql()
     oracles["lsh_candidate_pairs"] = dedup_ops.oracle_lsh_candidate_pairs_sql()
     oracles["near_dup_pairs"] = dedup_ops.oracle_near_dup_pairs_sql()
+    oracles["incremental_near_dups"] = (
+        dedup_ops.oracle_incremental_near_dups_sql("source = 'src1'")
+    )
     oracles["near_dup_clusters"] = cluster_ops.oracle_near_dup_clusters_sql()
     oracles["simhash_signatures"] = dedup_ops.oracle_simhash_sql()
     oracles["simhash_near_dup"] = dedup_ops.oracle_simhash_near_dup_sql()

@@ -371,6 +371,114 @@ def _sim_rehash(h: Column, r: int) -> Column:
     return (h * SIM_A[r] + SIM_B[r]) % FP_MOD
 
 
+def incremental_near_dups(
+    docs: DataFrame,
+    new_filter: str,
+    text_col: str = "text",
+    threshold: float = 0.5,
+    max_df: int | None = MAX_SHINGLE_DF,
+) -> DataFrame:
+    """Incremental-ingest dedup: near-dup matches of a NEW batch
+    against the EXISTING corpus — (new_doc_id, old_doc_id, jaccard).
+
+    ``new_filter`` is a boolean SQL expression selecting the new batch;
+    the complement is the existing corpus.  Unlike the self-join
+    pipeline (``near_dup_pairs``), candidate generation is an
+    ASYMMETRIC band join (new x old only): old-old pairs — the
+    overwhelming majority at steady state — are never generated, so
+    per-ingest cost scales with the batch, not the corpus.  At
+    production scale the old side's signatures/bands are precomputed
+    and stored; here both sides derive from one flat-shingle pass
+    (persisted — ownership transfers to the caller, see
+    ``functions.caching.release_cached``)."""
+    flagged = docs.withColumn("_is_new", F.expr(new_filter))
+    flat = _flat_shingles(flagged, text_col, extra_cols=("_is_new",)).persist()
+    sig = _signatures_from(flat.drop("_is_new"))
+    is_new = flagged.select("doc_id", "_is_new")
+    bands = (
+        sig.join(is_new, "doc_id")
+        .select(
+            "doc_id",
+            "_is_new",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            _band_hash_expr(b).alias("bh"),
+                        )
+                        for b in range(NUM_BANDS)
+                    ]
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", "_is_new", "b.band", "b.bh")
+    )
+    new_side = bands.filter("_is_new").alias("n")
+    old_side = bands.filter("NOT _is_new").alias("o")
+    cands = (
+        new_side.join(
+            old_side,
+            (F.col("n.band") == F.col("o.band"))
+            & (F.col("n.bh") == F.col("o.bh")),
+        )
+        .select(
+            F.col("n.doc_id").alias("doc_a"),
+            F.col("o.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    verified = _jaccard_from_flat(
+        cands, flat.drop("_is_new"), threshold, max_df
+    ).select(
+        F.col("doc_a").alias("new_doc_id"),
+        F.col("doc_b").alias("old_doc_id"),
+        "jaccard",
+    )
+    return _owned_cache(verified, flat)
+
+
+def oracle_incremental_near_dups_sql(
+    new_filter: str,
+    table: str = "documents",
+    t: str = "text",
+    threshold: float = 0.5,
+    max_df: int = MAX_SHINGLE_DF,
+) -> str:
+    band_selects = "\n    UNION ALL\n".join(
+        f"    SELECT doc_id, {b} AS band, {_sql_band_hash(b)} AS bh FROM sig"
+        for b in range(NUM_BANDS)
+    )
+    jac = sql_dround(
+        "len(list_intersect(a.sh, b.sh)) / "
+        "(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))",
+        6,
+    )
+    capped = _SQL_CAPPED_SHINGLES.format(
+        src="sh_t", max_df=max_df, out="shc"
+    ).strip()
+    return f"""
+        WITH {_sql_signature_cte(table, t).strip()},
+        flags AS (SELECT doc_id, ({new_filter}) AS is_new FROM {table}),
+        bands AS (
+        {band_selects}
+        ),
+        pairs AS (
+            SELECT DISTINCT n.doc_id AS doc_a, o.doc_id AS doc_b
+            FROM bands n
+            JOIN flags fn ON n.doc_id = fn.doc_id AND fn.is_new
+            JOIN bands o ON n.band = o.band AND n.bh = o.bh
+            JOIN flags fo ON o.doc_id = fo.doc_id AND NOT fo.is_new
+        ),
+        {capped}
+        SELECT p.doc_a AS new_doc_id, p.doc_b AS old_doc_id, {jac} AS jaccard
+        FROM pairs p
+        JOIN shc a ON p.doc_a = a.doc_id
+        JOIN shc b ON p.doc_b = b.doc_id
+        WHERE {jac} >= {threshold}
+    """
+
+
 def simhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """doc_id + 60-bit simhash (as BIGINT), bag-of-words semantics
     (token multiplicity counts).  Flat rows + 60 conditional SUM

@@ -124,6 +124,20 @@ def test_cache_ownership_release(docs):
     assert getattr(out, "_spark_graft_cached_deps") == ()
 
 
+def test_incremental_near_dups_asymmetric(docs):
+    # docs fixture: 0,1,2 in s0 (existing); 3,4 in s1 (new batch).
+    # doc 4 duplicates doc 0 -> must match; doc 3 is unrelated.
+    out = {
+        (r["new_doc_id"], r["old_doc_id"]): r["jaccard"]
+        for r in dedup.incremental_near_dups(docs, "source = 's1'").collect()
+    }
+    assert out.get((4, 0)) == 1.0
+    assert out.get((4, 1)) == 1.0  # normalized dup of the same text
+    assert not any(n == 3 for n, _ in out)  # unrelated new doc matches nothing
+    # asymmetric: old docs never appear on the new side and vice versa
+    assert all(n in (3, 4) and o in (0, 1, 2) for n, o in out)
+
+
 def test_minhash_estimates_jaccard(docs):
     pairs = {
         (r["doc_a"], r["doc_b"]): r["est_jaccard"]
