@@ -1,0 +1,82 @@
+"""Physical-plan shape assertions: the scale properties SCALE.md
+claims (broadcasts, pushdown, column pruning, no nested loops) pinned
+against the plans Catalyst actually produces, so a regression in plan
+shape fails CI even while results stay correct."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entry
+from retail_etl_pipeline_airflow_s3_athena_spark.plans import gold, retail_views
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_gold_dim_joins_broadcast(spark, sf_dir):
+    st = retail_views.sale_transactions(spark, sf_dir)
+    cust = retail_views.customers(spark, sf_dir)
+    plan = _plan(gold.top_customers(st, cust))
+    # the spend ⋈ customers dim join must build a broadcast side; the
+    # upstream fact⋈fact join inside the view legitimately plans
+    # sort-merge pre-AQE (AQE converts it at runtime from real sizes)
+    dim_join_lines = [
+        l for l in plan.splitlines() if "Join" in l and "customer_id" in l
+    ]
+    assert dim_join_lines, plan
+    assert all("BroadcastHashJoin" in l for l in dim_join_lines)
+
+
+def test_top_customers_plans_take_ordered(spark, sf_dir):
+    st = retail_views.sale_transactions(spark, sf_dir)
+    cust = retail_views.customers(spark, sf_dir)
+    plan = _plan(gold.top_customers(st, cust))
+    # top-k must be TakeOrderedAndProject (per-partition heap + k-row
+    # driver merge), never a global sort feeding a limit
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_pricing_summary_prunes_and_partially_aggregates(spark, sf_dir):
+    qs = entry.queries()
+    df = qs["pricing_summary"](spark, sf_dir)
+    plan = _plan(df)
+    # column pruning reaches the parquet scan: unreferenced columns
+    # (shipdate, partkey, suppkey) are absent from ReadSchema
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read_schema, plan
+    assert "l_shipdate" not in read_schema[0]
+    assert "l_partkey" not in read_schema[0]
+    # two-phase hash aggregation (map-side partial before the shuffle)
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_shipping_priority_pushes_date_filters(spark, sf_dir):
+    qs = entry.queries()
+    df = qs["shipping_priority"](spark, sf_dir)
+    plan = _plan(df)
+    # the date predicates must reach the parquet scans as pushed filters
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert any("o_orderdate" in l for l in pushed), plan
+    assert any("l_shipdate" in l for l in pushed), plan
+
+
+def test_no_nested_loop_joins_in_relational_queries(spark, sf_dir):
+    qs = entry.queries()
+    for name in (
+        "late_shipment_priority",
+        "part_supplier_breadth",
+        "promo_part_suppliers",
+        "nation_trade_volume",
+        "local_supplier_volume",
+    ):
+        plan = _plan(qs[name](spark, sf_dir))
+        assert "CartesianProduct" not in plan, name
+        # (BroadcastNestedLoopJoin appears legitimately only for
+        # 1-row scalar-aggregate cross joins, which none of these use)
+        assert "BroadcastNestedLoopJoin" not in plan, name
