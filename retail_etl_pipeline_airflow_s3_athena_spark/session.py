@@ -69,6 +69,12 @@ def get_spark(
         # Parquet: vectorized reader + pushdown are defaults; keep explicit
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
+        # Generated-class cache: the default 100 entries thrashes when a
+        # workload cycles through many expression-heavy queries (this
+        # engine's unrolled vector math and wide aggregates generate
+        # several classes per query) — each revisit then pays a full
+        # janino recompile.  Static conf: takes effect at JVM start.
+        .config("spark.sql.codegen.cache.maxEntries", "2000")
         # Keep catalog/warehouse artifacts out of the repo tree
         .config(
             "spark.sql.warehouse.dir",
