@@ -73,6 +73,7 @@ STANDALONE = [
     "quantize_embeddings",
     "tfidf_top_terms",
     "embedding_near_dup_lsh",
+    "incremental_near_dups",
 ]
 
 

@@ -182,3 +182,28 @@ def test_pack_sequences_bin_invariants(spark, sizes, max_tokens):
     # divided by the target — a bin only closes once it reaches it
     for r in rows:
         assert r["bin_id"] == sum(sizes[: r["doc_id"]]) // max_tokens
+
+
+@settings(max_examples=5, deadline=None)
+@given(texts=doc_strategy)
+def test_shingle_cap_noop_when_above_corpus_size(spark, texts):
+    """A document-frequency cap at or above the corpus size can never
+    exclude a shingle (df <= n_docs), so the capped Jaccard must equal
+    the uncapped one exactly — the cap only ever removes genuinely
+    high-df stop shingles."""
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=t, source="s") for i, t in enumerate(texts)]
+    )
+    capped = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.blocked_jaccard_pairs(
+            docs, threshold=1e-9, max_df=len(texts)
+        ).collect()
+    }
+    uncapped = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.blocked_jaccard_pairs(
+            docs, threshold=1e-9, max_df=None
+        ).collect()
+    }
+    assert capped == uncapped
