@@ -282,6 +282,14 @@ def _q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cluster_ops.near_dup_clusters(_docs(spark, sf_dir))
 
 
+def _q_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the end-product: canonical doc per near-dup cluster, i.e. the
+    # corpus a training run would actually consume
+    return cluster_ops.dedup_keep(_docs(spark, sf_dir)).select(
+        "doc_id", "source", "lang"
+    )
+
+
 def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_ops.simhash_signatures(_docs(spark, sf_dir))
 
@@ -655,6 +663,7 @@ GATE_TAIL = [
     "promo_part_suppliers",
     "daily_revenue_ma7",
     "incremental_near_dups",
+    "dedup_corpus",
 ]
 
 
@@ -707,6 +716,7 @@ def _all_queries() -> dict[str, QueryFn]:
         "near_dup_pairs": _q_near_dup_pairs,
         "incremental_near_dups": _q_incremental_near_dups,
         "near_dup_clusters": _q_near_dup_clusters,
+        "dedup_corpus": _q_dedup_corpus,
         "simhash_near_dup": _q_simhash_near_dup,
         "blocked_jaccard_pairs": _q_blocked_jaccard,
         "decontaminate_docs": _q_decontaminate_docs,
@@ -870,6 +880,7 @@ def oracle_sql() -> dict[str, str]:
         dedup_ops.oracle_incremental_near_dups_sql("source = 'src1'")
     )
     oracles["near_dup_clusters"] = cluster_ops.oracle_near_dup_clusters_sql()
+    oracles["dedup_corpus"] = cluster_ops.oracle_dedup_keep_sql()
     oracles["simhash_signatures"] = dedup_ops.oracle_simhash_sql()
     oracles["simhash_near_dup"] = dedup_ops.oracle_simhash_near_dup_sql()
     oracles["blocked_jaccard_pairs"] = dedup_ops.oracle_blocked_jaccard_sql()

@@ -154,6 +154,24 @@ def dedup_keep(docs: DataFrame, text_col: str = "text",
     return docs.join(drop, "doc_id", "left_anti")
 
 
+def oracle_dedup_keep_sql(
+    table: str = "documents",
+    t: str = "text",
+    threshold: float = 0.5,
+    select: str = "d.doc_id, d.source, d.lang",
+) -> str:
+    """DuckDB oracle for the deduplicated corpus: docs whose cluster
+    row is canonical (singletons included — every doc appears in the
+    cluster result)."""
+    clusters = oracle_near_dup_clusters_sql(table, t, threshold)
+    return f"""
+        SELECT {select}
+        FROM {table} d
+        JOIN ({clusters}) cl ON d.doc_id = cl.doc_id
+        WHERE cl.is_canonical
+    """
+
+
 def oracle_near_dup_clusters_sql(
     table: str = "documents", t: str = "text", threshold: float = 0.5
 ) -> str:
