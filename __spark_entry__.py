@@ -396,6 +396,14 @@ def _q_event_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return event_ops.event_value_quantiles(readers.read_events(spark, sf_dir))
 
 
+def _q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return event_ops.funnel_conversion(readers.read_events(spark, sf_dir))
+
+
+def _q_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return event_ops.weekly_retention(readers.read_events(spark, sf_dir))
+
+
 def _q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-join analytical query (TPC-H Q3 shape): segment filter ->
     3-table join with date predicates pushed to both scans -> grouped
@@ -664,6 +672,8 @@ GATE_TAIL = [
     "daily_revenue_ma7",
     "incremental_near_dups",
     "dedup_corpus",
+    "funnel_conversion",
+    "weekly_retention",
 ]
 
 
@@ -733,6 +743,8 @@ def _all_queries() -> dict[str, QueryFn]:
         "sessionize_events": _q_sessionize,
         "asof_join_events": _q_asof_join,
         "event_value_quantiles": _q_event_value_quantiles,
+        "funnel_conversion": _q_funnel_conversion,
+        "weekly_retention": _q_weekly_retention,
         "language_id": _q_language_id,
         "repetition_signals": _q_repetition_signals,
         "pii_redact_docs": _q_pii_redact_docs,
@@ -902,6 +914,8 @@ def oracle_sql() -> dict[str, str]:
     oracles["extract_props"] = event_ops.oracle_extract_props_sql()
     oracles["asof_join_events"] = asof_ops.oracle_asof_join_sql()
     oracles["event_value_quantiles"] = event_ops.oracle_event_quantiles_sql()
+    oracles["funnel_conversion"] = event_ops.oracle_funnel_sql()
+    oracles["weekly_retention"] = event_ops.oracle_weekly_retention_sql()
     oracles["doc_chunks"] = training_ops.oracle_doc_chunks_sql()
     oracles["pack_sequences"] = training_ops.oracle_pack_sequences_sql()
     oracles["pack_bins"] = training_ops.oracle_pack_bins_sql()

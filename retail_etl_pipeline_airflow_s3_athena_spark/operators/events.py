@@ -300,3 +300,117 @@ def oracle_extract_props_sql(table: str = "events") -> str:
                CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k
         FROM {table}
     """
+
+
+def funnel_conversion(events: DataFrame) -> DataFrame:
+    """Ordered-funnel conversion: how many users did view -> click ->
+    purchase IN THAT ORDER (each later stage strictly after the
+    earliest qualifying time of the previous one).
+
+    Plan shape: three chained per-user conditional MIN aggregates —
+    each stage is a map-side-combinable groupBy on user_id joined back
+    to the (user-partitioned) event stream; stage tables are
+    user-cardinality-bounded.  No window sort over raw events, no UDF.
+    Output is a single funnel row, so whatever the event volume, only
+    per-user stage times ever shuffle."""
+    ev = events.select("user_id", "event_type", "ts").filter(
+        F.col("user_id").isNotNull()
+    )
+    viewed = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("t_view")
+    )
+    clicked = (
+        ev.filter(F.col("event_type") == "click")
+        .join(viewed, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    purchased = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(clicked, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    n_users = ev.select("user_id").distinct().count()
+    return viewed.sparkSession.createDataFrame(
+        [(n_users, viewed.count(), clicked.count(), purchased.count())],
+        "n_users bigint, n_viewed bigint, n_clicked bigint, n_purchased bigint",
+    )
+
+
+def oracle_funnel_sql(table: str = "events") -> str:
+    return f"""
+        WITH ev AS (
+            SELECT user_id, event_type, ts FROM {table}
+            WHERE user_id IS NOT NULL
+        ),
+        viewed AS (
+            SELECT user_id, MIN(ts) AS t_view FROM ev
+            WHERE event_type = 'view' GROUP BY user_id
+        ),
+        clicked AS (
+            SELECT e.user_id, MIN(e.ts) AS t_click
+            FROM ev e JOIN viewed v ON e.user_id = v.user_id
+            WHERE e.event_type = 'click' AND e.ts > v.t_view
+            GROUP BY e.user_id
+        ),
+        purchased AS (
+            SELECT e.user_id, MIN(e.ts) AS t_purchase
+            FROM ev e JOIN clicked c ON e.user_id = c.user_id
+            WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+            GROUP BY e.user_id
+        )
+        SELECT (SELECT COUNT(DISTINCT user_id) FROM ev) AS n_users,
+               (SELECT COUNT(*) FROM viewed)    AS n_viewed,
+               (SELECT COUNT(*) FROM clicked)   AS n_clicked,
+               (SELECT COUNT(*) FROM purchased) AS n_purchased
+    """
+
+
+def weekly_retention(events: DataFrame) -> DataFrame:
+    """Cohort retention: users grouped by first-seen week, counted in
+    each later activity week as an offset — the classic retention
+    triangle, (cohort_week, week_offset, n_users).
+
+    Plan shape: first-seen is one user_id groupBy; the activity grid is
+    a distinct over (user_id, week) — both map-side combinable; the
+    join key is user_id and the output is bounded by weeks^2, not by
+    events."""
+    ev = events.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("week")
+    ).filter(F.col("user_id").isNotNull())
+    first_seen = ev.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    activity = ev.distinct()
+    return (
+        activity.join(first_seen, "user_id")
+        .groupBy(
+            F.to_date("cohort_week").alias("cohort_week"),
+            (
+                F.datediff(F.to_date("week"), F.to_date("cohort_week")) / 7
+            ).cast("long").alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+def oracle_weekly_retention_sql(table: str = "events") -> str:
+    return f"""
+        WITH ev AS (
+            SELECT DISTINCT user_id, date_trunc('week', ts) AS week
+            FROM {table} WHERE user_id IS NOT NULL
+        ),
+        first_seen AS (
+            SELECT user_id, MIN(week) AS cohort_week FROM ev GROUP BY user_id
+        )
+        SELECT CAST(f.cohort_week AS DATE) AS cohort_week,
+               CAST(datediff('day', CAST(f.cohort_week AS DATE),
+                             CAST(e.week AS DATE)) // 7 AS BIGINT)
+                   AS week_offset,
+               CAST(COUNT(*) AS BIGINT) AS n_users
+        FROM ev e JOIN first_seen f ON e.user_id = f.user_id
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+    """

@@ -465,3 +465,46 @@ def test_scd2_merge_state_transitions(spark):
     assert rows[(2, "b", True)]["effective_from"] == dt.date(2021, 1, 1)
     # brand-new key inserted live
     assert rows[(3, "c", True)]["effective_from"] == dt.date(2022, 6, 1)
+
+
+def test_funnel_conversion_is_order_sensitive(spark):
+    import datetime as dt
+
+    from retail_etl_pipeline_airflow_s3_athena_spark.operators import events as ev_ops
+
+    t0 = dt.datetime(2025, 1, 1)
+
+    def e(i, user, typ, minutes):
+        return Row(
+            event_id=i, ts=t0 + dt.timedelta(minutes=minutes), user_id=user,
+            event_type=typ, value=1.0, props="{}",
+        )
+
+    rows = [
+        # user 1: view -> click -> purchase (full funnel)
+        e(1, 1, "view", 0), e(2, 1, "click", 10), e(3, 1, "purchase", 20),
+        # user 2: purchase BEFORE click -> stops at click stage
+        e(4, 2, "view", 0), e(5, 2, "purchase", 5), e(6, 2, "click", 10),
+        # user 3: click without prior view -> stops at view-missing
+        e(7, 3, "click", 0), e(8, 3, "purchase", 5),
+    ]
+    df = spark.createDataFrame(rows)
+    r = ev_ops.funnel_conversion(df).first()
+    assert (r["n_users"], r["n_viewed"], r["n_clicked"], r["n_purchased"]) == (
+        3, 2, 2, 1,
+    )
+
+
+def test_weekly_retention_offsets(spark, sf_dir):
+    from retail_etl_pipeline_airflow_s3_athena_spark.operators import events as ev_ops
+    from retail_etl_pipeline_airflow_s3_athena_spark.sources import readers as rd
+
+    rows = ev_ops.weekly_retention(rd.read_events(spark, sf_dir)).collect()
+    assert len(rows) > 0
+    assert all(r["week_offset"] >= 0 for r in rows)
+    # offset-0 count per cohort == cohort size (everyone is active in
+    # their first week by definition)
+    first = {r["cohort_week"]: r["n_users"] for r in rows if r["week_offset"] == 0}
+    assert set(first) == {r["cohort_week"] for r in rows}
+    for r in rows:
+        assert r["n_users"] <= first[r["cohort_week"]]
