@@ -30,6 +30,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import __spark_entry__ as entrymod
 from retail_etl_pipeline_airflow_s3_athena_spark import get_spark
+from retail_etl_pipeline_airflow_s3_athena_spark.functions.caching import release_cached
 from retail_etl_pipeline_airflow_s3_athena_spark.plans import analytics, gold, retail_views
 
 ANALYTICS = [
@@ -113,7 +114,9 @@ def main() -> None:
     for name in STANDALONE:
         fn = qs.get(name)
         if fn is not None:
-            fn(spark, warm_dir).collect()
+            wdf = fn(spark, warm_dir)
+            wdf.collect()
+            release_cached(wdf)
     # drop warmup caches (operators persist intermediates) so the timed
     # phase starts with empty storage memory
     spark.catalog.clearCache()
@@ -177,8 +180,12 @@ def main() -> None:
             if fn is None:
                 continue
             t0 = time.time()
-            fn(spark, sf_dir).collect()
+            df = fn(spark, sf_dir)
+            df.collect()
             record(name, time.time() - t0)
+            # release operator-owned caches (the documented ownership
+            # contract) so queries don't compete for storage memory
+            release_cached(df)
         spark.catalog.clearCache()
 
     print(
