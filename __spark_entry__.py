@@ -240,6 +240,39 @@ def _q_scd2_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level diff of two customer snapshots: the old side drops
+    custkey%97==0 (-> 'added' in new), the new side applies the SCD2
+    acctbal bump (-> 'changed' where open orders exist) and drops
+    custkey%101==0 (-> 'removed') — all four statuses exercised
+    deterministically."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    old = cust.filter(F.col("c_custkey") % 97 != 0).select(
+        "c_custkey",
+        F.col("c_acctbal").alias("acctbal"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    open_cnt = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .filter(F.col("o_orderstatus") == "O")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_open"))
+    )
+    new = (
+        cust.join(open_cnt, cust.c_custkey == open_cnt.o_custkey, "left")
+        .select(
+            "c_custkey",
+            (
+                F.col("c_acctbal")
+                + F.coalesce(F.col("n_open"), F.lit(0)) * F.lit(10.0)
+            ).alias("acctbal"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+        .filter(F.col("c_custkey") % 101 != 0)
+    )
+    return scd_ops.snapshot_diff(old, new, "c_custkey", ["acctbal", "segment"])
+
+
 def _q_pii_redact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.pii_redact(_docs(spark, sf_dir))
 
@@ -674,6 +707,7 @@ GATE_TAIL = [
     "dedup_corpus",
     "funnel_conversion",
     "weekly_retention",
+    "snapshot_diff_customers",
 ]
 
 
@@ -731,6 +765,7 @@ def _all_queries() -> dict[str, QueryFn]:
         "blocked_jaccard_pairs": _q_blocked_jaccard,
         "decontaminate_docs": _q_decontaminate_docs,
         "scd2_customers": _q_scd2_customers,
+        "snapshot_diff_customers": _q_snapshot_diff,
         "cosine_topk": _q_cosine_topk,
         "label_centroids": _q_label_centroids,
         "ivf_topk": _q_ivf_topk,
@@ -876,6 +911,22 @@ def oracle_sql() -> dict[str, str]:
         key="c_custkey",
         tracked=["acctbal", "segment"],
         effective_date="1998-08-01",
+    )
+    oracles["snapshot_diff_customers"] = scd_ops.oracle_snapshot_diff_sql(
+        old_cte=(
+            "SELECT c_custkey, c_acctbal AS acctbal, "
+            "c_mktsegment AS segment FROM customer WHERE c_custkey % 97 <> 0"
+        ),
+        new_cte=(
+            "SELECT c.c_custkey, "
+            "c.c_acctbal + COALESCE(o.n_open, 0) * 10.0 AS acctbal, "
+            "c.c_mktsegment AS segment FROM customer c LEFT JOIN ("
+            "SELECT o_custkey, COUNT(*) AS n_open FROM orders "
+            "WHERE o_orderstatus = 'O' GROUP BY 1) o "
+            "ON c.c_custkey = o.o_custkey WHERE c.c_custkey % 101 <> 0"
+        ),
+        key="c_custkey",
+        compared=["acctbal", "segment"],
     )
     oracles["source_cap_docs"] = sampling.oracle_source_cap_sql()
     oracles["corpus_shuffle"] = sampling.oracle_corpus_shuffle_sql(

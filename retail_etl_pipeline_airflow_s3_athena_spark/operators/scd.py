@@ -134,3 +134,66 @@ def oracle_scd2_sql(
         UNION ALL SELECT * FROM closed
         UNION ALL SELECT * FROM fresh
     """
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key: str,
+    compared: list[str],
+) -> DataFrame:
+    """Row-level table diff between two snapshots of the same entity:
+    (key, status) for every key present in either side, with status in
+    {added, removed, changed, unchanged} — the validation primitive the
+    reference's count-based quality checks (scripts/data_quality.py:
+    18-24 row counts, :22 duplicate flags) cannot express.
+
+    Null-safe comparison on the ``compared`` columns (NULL == NULL is
+    a match, NULL vs value is a change — eqNullSafe semantics, mirrored
+    with IS NOT DISTINCT FROM in the oracle).
+
+    Plan shape: one full-outer join on the key — both sides shuffle
+    once on the key (or AQE broadcasts the smaller snapshot); status
+    derivation is a pure projection.  Output is key-cardinality-
+    bounded."""
+    o = old.select(key, *compared).alias("o")
+    n = new.select(key, *compared).alias("n")
+    same = None
+    for c in compared:
+        t = F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}"))
+        same = t if same is None else same & t
+    status = (
+        F.when(F.col(f"o.{key}").isNull(), F.lit("added"))
+        .when(F.col(f"n.{key}").isNull(), F.lit("removed"))
+        .when(same, F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return (
+        o.join(n, F.col(f"o.{key}") == F.col(f"n.{key}"), "full_outer")
+        .select(
+            F.coalesce(F.col(f"o.{key}"), F.col(f"n.{key}")).alias(key),
+            status.alias("status"),
+        )
+    )
+
+
+def oracle_snapshot_diff_sql(
+    old_cte: str,
+    new_cte: str,
+    key: str,
+    compared: list[str],
+) -> str:
+    """DuckDB twin: FULL OUTER JOIN with IS NOT DISTINCT FROM compare."""
+    same = " AND ".join(
+        f"o.{c} IS NOT DISTINCT FROM n.{c}" for c in compared
+    )
+    return f"""
+        WITH old_snap AS ({old_cte}),
+        new_snap AS ({new_cte})
+        SELECT COALESCE(o.{key}, n.{key}) AS {key},
+               CASE WHEN o.{key} IS NULL THEN 'added'
+                    WHEN n.{key} IS NULL THEN 'removed'
+                    WHEN {same} THEN 'unchanged'
+                    ELSE 'changed' END AS status
+        FROM old_snap o FULL OUTER JOIN new_snap n ON o.{key} = n.{key}
+    """

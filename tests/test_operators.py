@@ -508,3 +508,25 @@ def test_weekly_retention_offsets(spark, sf_dir):
     assert set(first) == {r["cohort_week"] for r in rows}
     for r in rows:
         assert r["n_users"] <= first[r["cohort_week"]]
+
+
+def test_snapshot_diff_statuses(spark):
+    old = spark.createDataFrame(
+        [(1, 10.0, "A"), (2, 20.0, "B"), (3, None, "C"), (4, 40.0, "D")],
+        "k long, bal double, seg string",
+    )
+    new = spark.createDataFrame(
+        [(1, 10.0, "A"), (2, 25.0, "B"), (3, None, "C"), (5, 50.0, "E")],
+        "k long, bal double, seg string",
+    )
+    out = {
+        r["k"]: r["status"]
+        for r in scd.snapshot_diff(old, new, "k", ["bal", "seg"]).collect()
+    }
+    assert out == {
+        1: "unchanged",
+        2: "changed",
+        3: "unchanged",  # NULL == NULL under eqNullSafe
+        4: "removed",
+        5: "added",
+    }
