@@ -437,6 +437,10 @@ def _q_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return event_ops.weekly_retention(readers.read_events(spark, sf_dir))
 
 
+def _q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return event_ops.value_histogram(readers.read_events(spark, sf_dir))
+
+
 def _q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-join analytical query (TPC-H Q3 shape): segment filter ->
     3-table join with date predicates pushed to both scans -> grouped
@@ -708,6 +712,7 @@ GATE_TAIL = [
     "funnel_conversion",
     "weekly_retention",
     "snapshot_diff_customers",
+    "value_histogram",
 ]
 
 
@@ -780,6 +785,7 @@ def _all_queries() -> dict[str, QueryFn]:
         "event_value_quantiles": _q_event_value_quantiles,
         "funnel_conversion": _q_funnel_conversion,
         "weekly_retention": _q_weekly_retention,
+        "value_histogram": _q_value_histogram,
         "language_id": _q_language_id,
         "repetition_signals": _q_repetition_signals,
         "pii_redact_docs": _q_pii_redact_docs,
@@ -967,6 +973,7 @@ def oracle_sql() -> dict[str, str]:
     oracles["event_value_quantiles"] = event_ops.oracle_event_quantiles_sql()
     oracles["funnel_conversion"] = event_ops.oracle_funnel_sql()
     oracles["weekly_retention"] = event_ops.oracle_weekly_retention_sql()
+    oracles["value_histogram"] = event_ops.oracle_value_histogram_sql()
     oracles["doc_chunks"] = training_ops.oracle_doc_chunks_sql()
     oracles["pack_sequences"] = training_ops.oracle_pack_sequences_sql()
     oracles["pack_bins"] = training_ops.oracle_pack_bins_sql()

@@ -414,3 +414,58 @@ def oracle_weekly_retention_sql(table: str = "events") -> str:
         GROUP BY 1, 2
         ORDER BY 1, 2
     """
+
+
+HIST_LO, HIST_HI, HIST_BINS = 0.0, 500.0, 20
+
+
+def value_histogram(
+    events: DataFrame,
+    lo: float = HIST_LO,
+    hi: float = HIST_HI,
+    bins: int = HIST_BINS,
+) -> DataFrame:
+    """Fixed-bound histogram of event values per event type — one
+    map-side-combinable groupBy on (event_type, bucket); output bounded
+    by types x (bins + 2) (bucket 0 = below range, bins + 1 = above).
+    Fixed literal bounds keep the bucketing identical across engines —
+    a data-derived range would need a separate (and order-stable)
+    min/max pass first.  The bucket arithmetic is written out
+    explicitly (width_bucket semantics) with the SAME expression text
+    as the oracle, since DuckDB has no width_bucket and two different
+    formulations could floor boundary values differently."""
+    v = F.col("value")
+    bucket = (
+        F.when(v < lo, F.lit(0))
+        .when(v >= hi, F.lit(bins + 1))
+        .otherwise(
+            (F.floor((v - F.lit(lo)) / F.lit(hi - lo) * bins) + 1).cast("int")
+        )
+        .cast("long")
+    )
+    return (
+        events.filter(v.isNotNull())
+        .groupBy("event_type", bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("event_type", "bucket")
+    )
+
+
+def oracle_value_histogram_sql(
+    table: str = "events",
+    lo: float = HIST_LO,
+    hi: float = HIST_HI,
+    bins: int = HIST_BINS,
+) -> str:
+    return f"""
+        SELECT event_type,
+               CAST(CASE WHEN value < {lo} THEN 0
+                         WHEN value >= {hi} THEN {bins + 1}
+                         ELSE FLOOR((value - {lo}) / {hi - lo} * {bins}) + 1
+                    END AS BIGINT) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM {table}
+        WHERE value IS NOT NULL
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+    """
