@@ -530,3 +530,25 @@ def test_snapshot_diff_statuses(spark):
         4: "removed",
         5: "added",
     }
+
+
+def test_value_histogram_boundaries(spark):
+    import datetime as dt
+
+    from retail_etl_pipeline_airflow_s3_athena_spark.operators import events as ev_ops
+
+    t0 = dt.datetime(2025, 1, 1)
+    rows = [
+        Row(event_id=i, ts=t0, user_id=1, event_type="view", value=v, props="{}")
+        for i, v in enumerate([-5.0, 0.0, 24.9, 25.0, 499.9, 500.0, 600.0, None])
+    ]
+    out = {
+        r["bucket"]: r["n"]
+        for r in ev_ops.value_histogram(
+            spark.createDataFrame(rows), lo=0.0, hi=500.0, bins=20
+        ).collect()
+    }
+    # -5 -> bucket 0 (below); 0 and 24.9 -> bucket 1; 25.0 -> bucket 2
+    # (boundary goes up); 499.9 -> bucket 20; 500 and 600 -> bucket 21
+    # (at/above hi); None dropped
+    assert out == {0: 1, 1: 2, 2: 1, 20: 1, 21: 2}
