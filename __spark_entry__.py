@@ -713,6 +713,7 @@ GATE_TAIL = [
     "weekly_retention",
     "snapshot_diff_customers",
     "value_histogram",
+    "brand_basket_revenue",
 ]
 
 
@@ -730,6 +731,7 @@ def _all_queries() -> dict[str, QueryFn]:
         "nation_trade_volume": relational.nation_trade_volume,
         "part_supplier_breadth": relational.part_supplier_breadth,
         "promo_part_suppliers": relational.promo_part_suppliers,
+        "brand_basket_revenue": relational.brand_basket_revenue,
         "bigram_vocab": lambda spark, sf_dir: vocab_ops.ngram_vocab(
             _docs(spark, sf_dir), n=2
         ),
@@ -1015,6 +1017,9 @@ def oracle_sql() -> dict[str, str]:
     )
     oracles["promo_part_suppliers"] = (
         relational.oracle_promo_part_suppliers_sql()
+    )
+    oracles["brand_basket_revenue"] = (
+        relational.oracle_brand_basket_revenue_sql()
     )
     oracles["shipping_priority"] = f"""
         SELECT l.l_orderkey, o.o_orderdate, o.o_orderpriority,

@@ -569,3 +569,57 @@ def oracle_promo_part_suppliers_sql() -> str:
         )
         ORDER BY s.s_suppkey
     """
+
+
+# ---------------------------------------------------------------------------
+# Disjunctive join predicates (TPC-H Q19 shape)
+# ---------------------------------------------------------------------------
+
+def brand_basket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue from three disjoint (brand, size-range, quantity-range)
+    baskets — Q19's OR-of-ANDs shape.  The equi-join key (partkey)
+    stays conjunctive so Catalyst still plans a hash join; the
+    disjunction is a post-join filter the optimizer can partially push
+    (the common `p_size >= 1` and quantity bounds reach the scans).
+    One aggregate row out."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    j = li.join(part, li.l_partkey == part.p_partkey)
+    basket = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & (F.col("p_size").between(1, 10))
+            & (F.col("l_quantity").between(1, 15))
+        )
+        | (
+            (F.col("p_brand") == "Brand#7")
+            & (F.col("p_size").between(5, 25))
+            & (F.col("l_quantity").between(10, 30))
+        )
+        | (
+            (F.col("p_brand") == "Brand#20")
+            & (F.col("p_size").between(20, 50))
+            & (F.col("l_quantity").between(25, 50))
+        )
+    )
+    return j.filter(basket).agg(
+        dround(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+def oracle_brand_basket_revenue_sql() -> str:
+    return f"""
+        SELECT {sql_dround('SUM(l.l_extendedprice * (1 - l.l_discount))', 4)}
+                   AS revenue,
+               CAST(COUNT(*) AS BIGINT) AS n_lines
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 10
+               AND l.l_quantity BETWEEN 1 AND 15)
+           OR (p.p_brand = 'Brand#7' AND p.p_size BETWEEN 5 AND 25
+               AND l.l_quantity BETWEEN 10 AND 30)
+           OR (p.p_brand = 'Brand#20' AND p.p_size BETWEEN 20 AND 50
+               AND l.l_quantity BETWEEN 25 AND 50)
+    """
