@@ -195,6 +195,10 @@ def _q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.text_features(readers.read_documents(spark, sf_dir))
 
 
+def _q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_ops.corpus_stats(readers.read_documents(spark, sf_dir))
+
+
 def _q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.language_id(readers.read_documents(spark, sf_dir))
 
@@ -714,6 +718,7 @@ GATE_TAIL = [
     "snapshot_diff_customers",
     "value_histogram",
     "brand_basket_revenue",
+    "corpus_stats",
 ]
 
 
@@ -781,6 +786,7 @@ def _all_queries() -> dict[str, QueryFn]:
         "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
         "embedding_near_dup_gemm": _q_embedding_near_dup_gemm,
         "text_features": _q_text_features,
+        "corpus_stats": _q_corpus_stats,
         "windowed_event_stats": _q_windowed_event_stats,
         "sessionize_events": _q_sessionize,
         "asof_join_events": _q_asof_join,
@@ -898,6 +904,7 @@ def oracle_sql() -> dict[str, str]:
         """,
     }
     oracles["text_features"] = text_ops.oracle_text_features_sql()
+    oracles["corpus_stats"] = text_ops.oracle_corpus_stats_sql()
     oracles["language_id"] = text_ops.oracle_language_id_sql()
     oracles["repetition_signals"] = text_ops.oracle_repetition_signals_sql()
     oracles["pii_redact_docs"] = text_ops.oracle_pii_redact_sql()

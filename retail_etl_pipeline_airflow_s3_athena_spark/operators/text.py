@@ -466,3 +466,37 @@ def oracle_pii_redact_sql(table: str = "documents", t: str = "text") -> str:
                {red} AS redacted_text
         FROM {table}
     """
+
+
+def corpus_stats(docs: DataFrame) -> DataFrame:
+    """Corpus-composition rollup per (source, lang): doc count, total
+    and average token count, total characters — the curation dashboard
+    a training-data pipeline checks before and after every filter
+    stage.  One map-side-combinable groupBy; token counting is the
+    codegen regex scan (no arrays); output bounded by
+    sources x languages."""
+    ntok = token_count(F.col("text"))
+    return (
+        docs.groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(ntok).alias("total_tokens"),
+            dround(F.avg(ntok), 4).alias("avg_tokens"),
+            F.sum(F.length("text").cast("long")).alias("total_chars"),
+        )
+        .orderBy("source", "lang")
+    )
+
+
+def oracle_corpus_stats_sql(table: str = "documents", t: str = "text") -> str:
+    ntok = _sql_token_count(t)
+    return f"""
+        SELECT source, lang,
+               CAST(COUNT(*) AS BIGINT)      AS n_docs,
+               CAST(SUM({ntok}) AS BIGINT)   AS total_tokens,
+               {sql_dround(f"AVG({ntok})", 4)} AS avg_tokens,
+               CAST(SUM(LENGTH({t})) AS BIGINT) AS total_chars
+        FROM {table}
+        GROUP BY source, lang
+        ORDER BY source, lang
+    """
