@@ -20,6 +20,9 @@ import duckdb  # noqa: E402
 
 import __spark_entry__ as entrymod  # noqa: E402
 from retail_etl_pipeline_airflow_s3_athena_spark import get_spark  # noqa: E402
+from retail_etl_pipeline_airflow_s3_athena_spark.functions.caching import (  # noqa: E402
+    release_cached,
+)
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
@@ -74,6 +77,7 @@ def main() -> int:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
             srows = [tuple(r) for r in sdf.collect()]
+            release_cached(sdf)  # the documented ownership contract
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: spark error: {e}")
             failures += 1
