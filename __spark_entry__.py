@@ -719,6 +719,7 @@ GATE_TAIL = [
     "value_histogram",
     "brand_basket_revenue",
     "corpus_stats",
+    "nation_market_share",
 ]
 
 
@@ -737,6 +738,7 @@ def _all_queries() -> dict[str, QueryFn]:
         "part_supplier_breadth": relational.part_supplier_breadth,
         "promo_part_suppliers": relational.promo_part_suppliers,
         "brand_basket_revenue": relational.brand_basket_revenue,
+        "nation_market_share": relational.nation_market_share,
         "bigram_vocab": lambda spark, sf_dir: vocab_ops.ngram_vocab(
             _docs(spark, sf_dir), n=2
         ),
@@ -1027,6 +1029,9 @@ def oracle_sql() -> dict[str, str]:
     )
     oracles["brand_basket_revenue"] = (
         relational.oracle_brand_basket_revenue_sql()
+    )
+    oracles["nation_market_share"] = (
+        relational.oracle_nation_market_share_sql()
     )
     oracles["shipping_priority"] = f"""
         SELECT l.l_orderkey, o.o_orderdate, o.o_orderpriority,

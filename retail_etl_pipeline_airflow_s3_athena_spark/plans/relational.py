@@ -623,3 +623,90 @@ def oracle_brand_basket_revenue_sql() -> str:
            OR (p.p_brand = 'Brand#20' AND p.p_size BETWEEN 20 AND 50
                AND l.l_quantity BETWEEN 25 AND 50)
     """
+
+
+# ---------------------------------------------------------------------------
+# Per-group market share (TPC-H Q8 shape)
+# ---------------------------------------------------------------------------
+
+MARKET_SHARE_NATION = "NATION_3"  # fixture nations are NATION_0..24
+
+
+def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One nation's supplier-revenue share per order year within
+    ASIA-customer orders — Q8's conditional-share shape: the ratio of a
+    CASE-gated sum to the group total, computed in ONE aggregate pass
+    (no self-join, no window).  Rounding happens only on the final
+    share; the two sums are exact-order-independent after dround(4)
+    because prices are 2dp x discounts 2dp."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation_c = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cr_key")
+    )
+    nation_s = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation_c), cust.c_nationkey == F.col("cn_key"))
+        .join(F.broadcast(region), F.col("cr_key") == region.r_regionkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation_s), supp.s_nationkey == F.col("sn_key"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("order_year"))
+        .agg(
+            dround(
+                F.sum(
+                    F.when(
+                        F.col("supp_nation") == MARKET_SHARE_NATION, rev
+                    ).otherwise(0.0)
+                ),
+                4,
+            ).alias("nation_revenue"),
+            dround(F.sum(rev), 4).alias("total_revenue"),
+        )
+        .select(
+            "order_year",
+            "nation_revenue",
+            "total_revenue",
+            dround(
+                F.col("nation_revenue") / F.col("total_revenue"), 6
+            ).alias("market_share"),
+        )
+        .orderBy("order_year")
+    )
+
+
+def oracle_nation_market_share_sql() -> str:
+    share = sql_dround("nation_revenue / total_revenue", 6)
+    return f"""
+        WITH agg AS (
+            SELECT CAST(EXTRACT(YEAR FROM o.o_orderdate) AS BIGINT)
+                       AS order_year,
+                   {sql_dround(
+                       "SUM(CASE WHEN ns.n_name = '" + MARKET_SHARE_NATION
+                       + "' THEN l.l_extendedprice * (1 - l.l_discount) "
+                       "ELSE 0.0 END)", 4)} AS nation_revenue,
+                   {sql_dround(
+                       "SUM(l.l_extendedprice * (1 - l.l_discount))", 4)}
+                       AS total_revenue
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+            JOIN region r ON nc.n_regionkey = r.r_regionkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+            WHERE r.r_name = 'ASIA'
+            GROUP BY 1
+        )
+        SELECT order_year, nation_revenue, total_revenue,
+               {share} AS market_share
+        FROM agg
+        ORDER BY order_year
+    """
