@@ -371,7 +371,12 @@ def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_rp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return sim_ops.rp_lsh_signatures(_emb(spark, sf_dir))
+    # The Arrow/numpy form is the production path (also used inside
+    # embedding_near_dup_lsh): the unrolled 16x64 expression form
+    # overflows janino's 64 KB method limit and evaluates interpreted
+    # (~50x slower, measured at sf0.1).  Both forms are bit-identical
+    # (test-enforced) and share the same DuckDB oracle.
+    return sim_ops.rp_lsh_signatures_gemm(_emb(spark, sf_dir))
 
 
 def _q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -625,65 +630,26 @@ def entry(spark: SparkSession) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 GATE_FIRST_50 = [
-    # never driver-verified (new this round)
-    "tfidf_top_terms",
-    "embedding_near_dup_lsh",
-    # r4 rotation: the r1/r2-verified tail from round 3
-    "language_id",
-    "repetition_signals",
-    "pii_redact_docs",
-    "source_cap_docs",
-    "corpus_shuffle",
-    "minhash_signatures",
-    "lsh_candidate_pairs",
-    "simhash_signatures",
-    "cosine_topk_gemm",
-    "topk_events_per_type",
-    "session_window_stats",
-    "user_event_pivot",
-    "user_event_unpivot",
-    "extract_props",
-    "category_reach",
-    "repeat_buyers_intersect",
-    "union_all_orders",
-    "silver_clean_events",
-    "dq_summary_customer",
-    # implementing module changed this round (dedup cap + 60-bit
-    # simhash, similarity guard/chunking, readers fan_out)
-    "simhash_near_dup",
-    "near_dup_pairs",
-    "blocked_jaccard_pairs",
-    "near_dup_clusters",
-    "embedding_near_dup",
-    "embedding_near_dup_gemm",
+    # never driver-verified (added in r4; locally oracle-verified only)
+    "cheapest_part_supplier",
+    "nation_trade_volume",
+    "part_supplier_breadth",
+    "promo_part_suppliers",
+    "daily_revenue_ma7",
+    "incremental_near_dups",
+    "dedup_corpus",
+    "funnel_conversion",
+    "weekly_retention",
+    "snapshot_diff_customers",
+    "value_histogram",
+    "brand_basket_revenue",
+    "corpus_stats",
+    "nation_market_share",
+    # implementing module changed this round (rp_lsh gate entry now the
+    # Arrow/numpy form; connected_components loop re-partitioning)
     "rp_lsh_signatures",
-    "decontaminate_docs",
-    "cosine_topk",
-    "label_centroids",
-    "ivf_topk",
-    "text_features",
-    "windowed_event_stats",
-    "sessionize_events",
-    "asof_join_events",
-    "event_value_quantiles",
-    "scd2_customers",
-    # reference parity core (gold tables + Athena workload + joins)
-    "daily_sales_summary",
-    "top_customers",
-    "product_performance",
-    "store_performance",
-    "daily_revenue",
-    "daily_revenue_running",
-    "segment_sales_rollup",
-    "top_performing_customers",
-    "product_analysis",
-    "revenue_by_category",
-    "pricing_summary",
-    "shipping_priority",
-]
-
-GATE_TAIL = [
-    # driver evidence from r3 (one round old) — rotate forward in r5
+    "near_dup_clusters",
+    # r5 rotation: the r3-verified tail (driver evidence two rounds old)
     "dedup_exact",
     "local_supplier_volume",
     "promo_revenue",
@@ -705,21 +671,59 @@ GATE_TAIL = [
     "quality_filter_docs",
     "hash_sample_events",
     "multimodal_pipeline",
-    # new in r4 (locally oracle-verified; lead the r5 gate rotation)
-    "cheapest_part_supplier",
-    "nation_trade_volume",
-    "part_supplier_breadth",
-    "promo_part_suppliers",
-    "daily_revenue_ma7",
-    "incremental_near_dups",
-    "dedup_corpus",
-    "funnel_conversion",
-    "weekly_retention",
-    "snapshot_diff_customers",
-    "value_histogram",
-    "brand_basket_revenue",
-    "corpus_stats",
-    "nation_market_share",
+    # reference parity core (gold tables + Athena workload + joins)
+    "daily_sales_summary",
+    "top_customers",
+    "product_performance",
+    "store_performance",
+    "daily_revenue",
+    "daily_revenue_running",
+    "segment_sales_rollup",
+    "top_performing_customers",
+    "product_analysis",
+    "revenue_by_category",
+    "pricing_summary",
+    "shipping_priority",
+    "silver_clean_events",
+]
+
+GATE_TAIL = [
+    # driver evidence from r4 (one round old) — rotate forward in r6
+    "tfidf_top_terms",
+    "embedding_near_dup_lsh",
+    "language_id",
+    "repetition_signals",
+    "pii_redact_docs",
+    "source_cap_docs",
+    "corpus_shuffle",
+    "minhash_signatures",
+    "lsh_candidate_pairs",
+    "simhash_signatures",
+    "cosine_topk_gemm",
+    "topk_events_per_type",
+    "session_window_stats",
+    "user_event_pivot",
+    "user_event_unpivot",
+    "extract_props",
+    "category_reach",
+    "repeat_buyers_intersect",
+    "union_all_orders",
+    "dq_summary_customer",
+    "simhash_near_dup",
+    "near_dup_pairs",
+    "blocked_jaccard_pairs",
+    "embedding_near_dup",
+    "embedding_near_dup_gemm",
+    "decontaminate_docs",
+    "cosine_topk",
+    "label_centroids",
+    "ivf_topk",
+    "text_features",
+    "windowed_event_stats",
+    "sessionize_events",
+    "asof_join_events",
+    "event_value_quantiles",
+    "scd2_customers",
 ]
 
 

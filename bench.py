@@ -75,6 +75,23 @@ STANDALONE = [
     "tfidf_top_terms",
     "embedding_near_dup_lsh",
     "incremental_near_dups",
+    # r5: previously correctness-verified but never timed (VERDICT r4 #4)
+    # — includes the two most expensive operators in the repo (the
+    # connected-components family), so regressions there are visible
+    "rp_lsh_signatures",
+    "near_dup_clusters",
+    "dedup_corpus",
+    "funnel_conversion",
+    "weekly_retention",
+    "snapshot_diff_customers",
+    "value_histogram",
+    "corpus_stats",
+    "cheapest_part_supplier",
+    "nation_trade_volume",
+    "part_supplier_breadth",
+    "promo_part_suppliers",
+    "brand_basket_revenue",
+    "nation_market_share",
 ]
 
 

@@ -34,6 +34,15 @@ def attach_cached_deps(result: DataFrame, *deps: DataFrame) -> DataFrame:
     return result
 
 
+def carried_deps(df: DataFrame) -> tuple[DataFrame, ...]:
+    """The persisted deps tagged on ``df`` (empty tuple if none).  Use
+    to re-attach ownership when a transformation produces a NEW
+    DataFrame — select/withColumnRenamed return fresh Python objects
+    that do not carry the tag, so a rename after ``attach_cached_deps``
+    would silently leak the persist."""
+    return tuple(getattr(df, _ATTR, ()))
+
+
 def release_cached(result: DataFrame, blocking: bool = False) -> None:
     """Unpersist every cached dependency tagged on ``result``.  Call
     after the result has been materialized; the plan stays valid (a

@@ -38,15 +38,59 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from retail_etl_pipeline_airflow_s3_athena_spark.functions.caching import release_cached
+from retail_etl_pipeline_airflow_s3_athena_spark.functions.caching import (
+    attach_cached_deps,
+    carried_deps,
+    release_cached,
+)
 from retail_etl_pipeline_airflow_s3_athena_spark.operators.dedup import (
     near_dup_pairs,
     oracle_near_dup_pairs_sql,
 )
 
 
+DRIVER_CC_MAX_EDGES = 1_000_000
+
+
+def _driver_components(pairs: list) -> list[tuple[int, int]]:
+    """Union-find over a BOUNDED edge list: (doc_id, min doc_id of its
+    component) for every edge-touched node — the same fixpoint the
+    distributed loop converges to, so the two paths are
+    interchangeable.  Union by size + path compression: effectively
+    O(edges)."""
+    parent: dict[int, int] = {}
+    size: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra == rb:
+            continue
+        if size.get(ra, 1) < size.get(rb, 1):
+            ra, rb = rb, ra
+        parent[rb] = ra
+        size[ra] = size.get(ra, 1) + size.get(rb, 1)
+
+    nodes = {n for pair in pairs for n in pair}
+    comp_min: dict[int, int] = {}
+    for n in nodes:
+        r = find(n)
+        if n < comp_min.get(r, n + 1):
+            comp_min[r] = n
+    return [(n, comp_min[find(n)]) for n in sorted(nodes)]
+
+
 def connected_components(
-    edges: DataFrame, max_iter: int = 20
+    edges: DataFrame,
+    max_iter: int = 20,
+    max_driver_edges: int = DRIVER_CC_MAX_EDGES,
 ) -> DataFrame:
     """Min-label connected components over the edge-touched node set.
 
@@ -56,12 +100,30 @@ def connected_components(
     singletons — handling them here would drag the full corpus through
     every iteration.
 
-    Each round fully materializes the new label table into cache (the
-    convergence statistic rides the same single action), so no round —
-    and no downstream consumer — ever re-evaluates upstream lineage.
-    """
+    TWO physical paths behind one contract, picked by the materialized
+    edge count:
+
+    - ``n_edges <= max_driver_edges``: driver union-find.  The edge
+      list is a COLLECT-SAFE bounded set (1M directed pairs ≈ 16 MB —
+      smaller than sides Spark routinely auto-broadcasts), and the
+      distributed loop's per-round job overhead (join + groupBy + join
+      + convergence action, times graph diameter) is orders of
+      magnitude slower than linear union-find at this size.  Same
+      fixpoint, test-enforced against the distributed path.
+    - larger graphs: the Pregel-style min-label loop below.  Each round
+      is one shuffle (edge ⋈ label on dst, groupBy src MIN) with
+      map-side partial aggregation; rounds = graph diameter; labels
+      persist per round and unpersist the previous round.  The loop
+      runs at the fewest partitions that bound per-task edge counts
+      (~100k edges/task) — at the threshold boundary that is a handful
+      of partitions, scaling back up to full parallelism for genuinely
+      large dup graphs.
+
+    The returned label table is persisted (downstream consumers fan out
+    over it); ownership transfers to the caller per the
+    ``functions.caching`` contract."""
     # Both directions once; every round's join reads this cached table.
-    und = (
+    base = (
         edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .union(
             edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
@@ -69,12 +131,30 @@ def connected_components(
         .distinct()
         .persist()
     )
+    n_edges = base.count()
+    spark = base.sparkSession
+    if n_edges <= max_driver_edges:
+        labeled = _driver_components(
+            [(r["src"], r["dst"]) for r in base.collect()]
+        )
+        base.unpersist()
+        out = spark.createDataFrame(
+            labeled, "doc_id bigint, cluster_id bigint"
+        ).persist()
+        return attach_cached_deps(out, out)
+    sc = spark.sparkContext
+    p = int(max(1, min(sc.defaultParallelism, n_edges // 100_000 + 1)))
+    und = base.repartition(p, "dst").persist()
+    und.count()  # materialize from the cached base before dropping it
+    base.unpersist()
     active = (
         und.select(F.col("src").alias("doc_id"))
         .distinct()
         .select("doc_id", F.col("doc_id").alias("cluster_id"))
+        .repartition(p, "doc_id")
         .persist()
     )
+    prev = active
     for _ in range(max_iter):
         nbr_min = (
             und.join(active, und.dst == active.doc_id)
@@ -97,12 +177,15 @@ def connected_components(
         changed = new.agg(
             F.sum((F.col("cluster_id") != F.col("old_label")).cast("int"))
         ).first()[0]
-        active.unpersist()
+        # unpersist the PERSISTED previous-round object (a derived
+        # select would silently no-op and leak every round's cache)
+        prev.unpersist()
+        prev = new
         active = new.select("doc_id", "cluster_id")
         if not changed:
             break
     und.unpersist()
-    return active
+    return attach_cached_deps(active, prev)
 
 
 def near_dup_clusters(
@@ -117,10 +200,10 @@ def near_dup_clusters(
     the corpus-sized side of the plan is a single pass."""
     nd = near_dup_pairs(docs, text_col, threshold)
     pairs = nd.select("doc_a", "doc_b")
-    comp = connected_components(pairs)  # cached by the final round
-    # components are materialized (persisted by the final round), so the
-    # shingle cache near_dup_pairs owns can be released here — downstream
-    # reads comp, not the pair plan
+    comp = connected_components(pairs)  # persisted; ownership tagged
+    # components are materialized, so the shingle cache near_dup_pairs
+    # owns can be released here — downstream reads comp, not the pair
+    # plan
     release_cached(nd)
     sizes = comp.groupBy("cluster_id").agg(
         F.count(F.lit(1)).alias("cluster_size")
@@ -141,7 +224,9 @@ def near_dup_clusters(
             F.lit(True).alias("is_canonical"),
         )
     )
-    return clustered.union(singletons)
+    return attach_cached_deps(
+        clustered.union(singletons), *carried_deps(comp)
+    )
 
 
 def dedup_keep(docs: DataFrame, text_col: str = "text",
@@ -151,7 +236,9 @@ def dedup_keep(docs: DataFrame, text_col: str = "text",
     corpus-side filter is one anti-join against a broadcastable list."""
     clusters = near_dup_clusters(docs, text_col, threshold)
     drop = clusters.filter(~F.col("is_canonical")).select("doc_id")
-    return docs.join(drop, "doc_id", "left_anti")
+    return attach_cached_deps(
+        docs.join(drop, "doc_id", "left_anti"), *carried_deps(clusters)
+    )
 
 
 def oracle_dedup_keep_sql(

@@ -41,6 +41,7 @@ from pyspark.sql import functions as F
 
 from retail_etl_pipeline_airflow_s3_athena_spark.functions.caching import (
     attach_cached_deps as _owned_cache,
+    carried_deps as _carried_deps,
 )
 from retail_etl_pipeline_airflow_s3_athena_spark.operators.text import (
     FP_BASE,
@@ -428,14 +429,15 @@ def incremental_near_dups(
         )
         .distinct()
     )
-    verified = _jaccard_from_flat(
-        cands, flat.drop("_is_new"), threshold, max_df
-    ).select(
+    jac = _jaccard_from_flat(cands, flat.drop("_is_new"), threshold, max_df)
+    verified = jac.select(
         F.col("doc_a").alias("new_doc_id"),
         F.col("doc_b").alias("old_doc_id"),
         "jaccard",
     )
-    return _owned_cache(verified, flat)
+    # the rename above returns a fresh DataFrame that drops jac's tag,
+    # so carry the capped-shingle persist through alongside flat
+    return _owned_cache(verified, *_carried_deps(jac), flat)
 
 
 def oracle_incremental_near_dups_sql(

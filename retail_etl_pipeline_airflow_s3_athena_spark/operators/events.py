@@ -311,8 +311,15 @@ def funnel_conversion(events: DataFrame) -> DataFrame:
     each stage is a map-side-combinable groupBy on user_id joined back
     to the (user-partitioned) event stream; stage tables are
     user-cardinality-bounded.  No window sort over raw events, no UDF.
-    Output is a single funnel row, so whatever the event volume, only
-    per-user stage times ever shuffle."""
+
+    LAZY and single-job (like every other operator here): the stage
+    tables left-join into one per-user funnel row counted by a single
+    aggregate, cross-joined with the 1-row distinct-user count —
+    clicked/purchased are subsets of viewed by construction, so the
+    left joins lose nothing.  Spark's ReuseExchange dedupes the
+    repeated viewed/clicked sub-aggregates within the one job, so the
+    event stream is scanned twice (distinct users + stage chain)
+    instead of the previous four eager ``.count()`` actions."""
     ev = events.select("user_id", "event_type", "ts").filter(
         F.col("user_id").isNotNull()
     )
@@ -333,10 +340,18 @@ def funnel_conversion(events: DataFrame) -> DataFrame:
         .groupBy("user_id")
         .agg(F.min("ts").alias("t_purchase"))
     )
-    n_users = ev.select("user_id").distinct().count()
-    return viewed.sparkSession.createDataFrame(
-        [(n_users, viewed.count(), clicked.count(), purchased.count())],
-        "n_users bigint, n_viewed bigint, n_clicked bigint, n_purchased bigint",
+    stage_counts = (
+        viewed.join(clicked.select("user_id", "t_click"), "user_id", "left")
+        .join(purchased.select("user_id", "t_purchase"), "user_id", "left")
+        .agg(
+            F.count("t_view").alias("n_viewed"),
+            F.count("t_click").alias("n_clicked"),
+            F.count("t_purchase").alias("n_purchased"),
+        )
+    )
+    n_users = ev.agg(F.countDistinct("user_id").alias("n_users"))
+    return n_users.crossJoin(stage_counts).select(
+        "n_users", "n_viewed", "n_clicked", "n_purchased"
     )
 
 

@@ -586,8 +586,11 @@ def embedding_near_dup_gemm(
     scale = 1e6  # dround(6): floor(x*1e6 + 0.5)/1e6, same ops both engines
 
     def _fold_dots(prod: "np.ndarray") -> "np.ndarray":
-        # left-associated sum along the last axis == the SQL fold
-        return np.cumsum(prod, axis=-1)[..., -1]
+        # left-associated sum along the last axis == the SQL fold.
+        # In-place (mutates ``prod`` — callers always pass a fresh
+        # product temporary): halves peak task memory vs an out-of-
+        # place cumsum copy.
+        return np.cumsum(prod, axis=-1, out=prod)[..., -1]
 
     def _tile_pass(bcast):
         def batches(it):
@@ -596,12 +599,17 @@ def embedding_near_dup_gemm(
             t_ids, t_mat, t_nrm = bcast.value
             # Both block axes are chunked so the 3-D product is bounded
             # by CONSTANTS, not by Spark's Arrow batch size: a
-            # (128, 256, 64) fp64 product is 16 MB (x2 for the cumsum
-            # copy) per task regardless of maxRecordsPerBatch.  An
-            # unchunked corpus axis at the default 10k-row Arrow batch
-            # would allocate 10000x256x64 fp64 twice ≈ 2.6 GB/task.
-            sub = 256  # tile-axis chunk
-            csub = 128  # corpus-axis chunk
+            # (256, 512, 64) fp64 product is 64 MB per task (the fold
+            # is an IN-PLACE cumsum, so there is no 2x copy) regardless
+            # of maxRecordsPerBatch.  An unchunked corpus axis at the
+            # default 10k-row Arrow batch would allocate 10000x512x64
+            # fp64 ≈ 2.6 GB/task.  The r4 constants (128x256) bounded
+            # memory at 16 MB but quadrupled the Python chunk-loop
+            # iterations and measurably regressed the bench (+71% at
+            # sf0.1); 256x512 keeps the bound while restoring most of
+            # the batch-size throughput.
+            sub = 512  # tile-axis chunk
+            csub = 256  # corpus-axis chunk
             for pdf in it:
                 if len(pdf) == 0:
                     continue

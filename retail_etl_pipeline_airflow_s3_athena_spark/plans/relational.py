@@ -134,8 +134,9 @@ CHURN_SPLIT = "1998-01-01"
 def churned_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Customers who ordered before CHURN_SPLIT but never after —
     EXCEPT DISTINCT via ``DataFrame.subtract`` (hash-distinct both
-    sides, then a left-anti on all columns), joined back to the
-    broadcast customer dim for the segment."""
+    sides, then a left-anti on all columns), joined back to customer
+    for the segment.  Customer scales with SF (~15M rows at sf100),
+    so no broadcast hint — AQE chooses per scale."""
     orders = _t(spark, sf_dir, "orders")
     before = orders.filter(
         F.expr(f"o_orderdate < TIMESTAMP_NTZ'{CHURN_SPLIT} 00:00:00'")
@@ -146,7 +147,7 @@ def churned_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
     churned = before.subtract(after)
     cust = _t(spark, sf_dir, "customer")
     return (
-        churned.join(F.broadcast(cust), churned.o_custkey == cust.c_custkey)
+        churned.join(cust, churned.o_custkey == cust.c_custkey)
         .select(
             F.col("c_custkey"),
             F.col("c_name"),
@@ -179,8 +180,10 @@ def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Revenue locked in below-half-average-quantity line items.  The
     correlated ``(SELECT AVG(..) WHERE same part)`` decorrelates into
     one per-part aggregate joined back to lineitem — the aggregate is
-    map-side combinable and its |parts|-row output broadcasts.  The
-    0.5*avg comparison is deterministic across engines because
+    map-side combinable.  Its output is |parts| rows, which GROWS WITH
+    DATA (~20M at sf100), so it carries no broadcast hint: AQE picks
+    broadcast at small scale and shuffle join once the side is big.
+    The 0.5*avg comparison is deterministic across engines because
     l_quantity is integer-valued, so the per-part sums (and hence the
     averages) are exact doubles under any accumulation order."""
     li = _t(spark, sf_dir, "lineitem")
@@ -189,7 +192,7 @@ def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(
-            F.broadcast(per_part),
+            per_part,
             on="l_partkey",
         )
         .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
@@ -222,9 +225,11 @@ def big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Orders whose total line quantity exceeds BIG_ORDER_QTY, with
     the customer attached — ``IN (GROUP BY .. HAVING)`` becomes an
     aggregate, a filter, and an inner join back.  The HAVING aggregate
-    output is tiny (heavy orders are rare), so it broadcasts against
-    orders; quantity sums are exact (integer-valued doubles), making
-    the threshold deterministic."""
+    output is "rare" but still O(data) — like customer, it scales with
+    SF — so neither side carries a broadcast hint: AQE broadcasts them
+    while they fit and switches to shuffle join at scale.  Quantity
+    sums are exact (integer-valued doubles), making the threshold
+    deterministic."""
     li = _t(spark, sf_dir, "lineitem")
     heavy = (
         li.groupBy("l_orderkey")
@@ -234,10 +239,8 @@ def big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer")
     return (
-        orders.join(
-            F.broadcast(heavy), orders.o_orderkey == heavy.l_orderkey
-        )
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        orders.join(heavy, orders.o_orderkey == heavy.l_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .select(
             "c_name",
             "c_custkey",
@@ -376,7 +379,9 @@ def cheapest_part_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     since the fixture has no partsupp).  The argmin is a per-part
     row_number over (rounded unit price, tie-break keys) — the rounded
     value drives the ordering on BOTH engines so float noise can't flip
-    ties; dim joins (part filter, supplier, nation) broadcast."""
+    ties.  Part and supplier scale with SF, so their joins carry no
+    broadcast hint (AQE decides); only the fixed-size nation dim keeps
+    its hint."""
     part = _t(spark, sf_dir, "part").filter(F.col("p_size") == 1)
     li = _t(spark, sf_dir, "lineitem")
     supp = _t(spark, sf_dir, "supplier")
@@ -387,14 +392,14 @@ def cheapest_part_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.asc("l_orderkey"), F.asc("l_linenumber"),
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .select(
             "p_partkey", "p_name", "l_suppkey", "l_orderkey", "l_linenumber",
             unit.alias("unit_price"),
         )
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .join(supp, F.col("l_suppkey") == supp.s_suppkey)
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .select("p_partkey", "p_name", "unit_price", "s_name", "n_name")
         .orderBy("p_partkey")
@@ -490,16 +495,16 @@ def part_supplier_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct suppliers who shipped each (brand, type) part group,
     EXCLUDING suppliers with negative account balance — Q16's
     NOT IN (subquery) becomes a ``left_anti`` join; the distinct count
-    is the standard two-phase plan.  The excluded-supplier set is tiny
-    and broadcasts."""
+    is the standard two-phase plan.  Part and the excluded-supplier
+    set both scale with SF, so no broadcast hints — AQE decides."""
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part")
     bad = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
         "s_suppkey"
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(bad, li.l_suppkey == bad.s_suppkey, "left_anti")
         .groupBy("p_brand", "p_type")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.desc("supplier_cnt"), F.asc("p_brand"), F.asc("p_type"))
@@ -530,8 +535,10 @@ def promo_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Suppliers whose total shipped PROMO-part quantity exceeds a
     threshold — Q20's nested IN (… HAVING …) becomes: fact-side
     aggregate -> threshold filter -> ``left_semi`` back to the
-    supplier dim.  The qualifying-supplier set is aggregate-bounded
-    and broadcasts into the semi join."""
+    supplier dim.  The promo-part set and the qualifying-supplier
+    aggregate both scale with data, so they carry no broadcast hints
+    (AQE decides per scale); nation is a true fixed-size dim and
+    keeps its hint."""
     li = _t(spark, sf_dir, "lineitem")
     promo = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO").select(
         "p_partkey"
@@ -539,15 +546,13 @@ def promo_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = _t(spark, sf_dir, "supplier")
     nation = _t(spark, sf_dir, "nation")
     qual = (
-        li.join(F.broadcast(promo), li.l_partkey == promo.p_partkey)
+        li.join(promo, li.l_partkey == promo.p_partkey)
         .groupBy("l_suppkey")
         .agg(F.sum("l_quantity").alias("promo_qty"))
         .filter(F.col("promo_qty") > PROMO_QTY_THRESHOLD)
     )
     return (
-        supp.join(
-            F.broadcast(qual), supp.s_suppkey == qual.l_suppkey, "left_semi"
-        )
+        supp.join(qual, supp.s_suppkey == qual.l_suppkey, "left_semi")
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .select("s_suppkey", "s_name", "n_name")
         .orderBy("s_suppkey")

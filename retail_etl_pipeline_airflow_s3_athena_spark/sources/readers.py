@@ -79,6 +79,27 @@ def table_name_from_filename(filename: str) -> str | None:
     return None
 
 
+def _parse_byte_conf(conf: str, default: int = 134217728) -> int:
+    """Parse a Spark byte-size conf value the way Spark's
+    ``byteStringAs`` does for the common cases: bare digits are bytes,
+    and k/m/g/t (optionally followed by ``b``, any case — '128m',
+    '64MB', '1g') are binary multipliers.  Falls back to ``default``
+    on anything unrecognized rather than misreading '128m' as 128
+    bytes (which would explode the split estimate and silently turn
+    ``fan_out`` into a permanent no-op)."""
+    s = conf.strip().lower()
+    mult = 1
+    if s.endswith("b"):
+        s = s[:-1]
+    units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+    if s and s[-1] in units:
+        mult = units[s[-1]]
+        s = s[:-1]
+    if not s.isdigit():
+        return default
+    return int(s) * mult
+
+
 def _estimated_scan_splits(df: DataFrame) -> int | None:
     """Estimate the scan's split count from the source file listing —
     no ``df.rdd`` conversion (which forces a full plan analysis per
@@ -96,7 +117,7 @@ def _estimated_scan_splits(df: DataFrame) -> int | None:
     conf = df.sparkSession.conf.get(
         "spark.sql.files.maxPartitionBytes", "134217728b"
     )
-    max_pb = int("".join(ch for ch in conf if ch.isdigit()) or "134217728")
+    max_pb = _parse_byte_conf(conf)
     total = 0
     for f in files:
         path = f[len("file:"):] if f.startswith("file:") else f

@@ -226,14 +226,45 @@ def gold_stream(
     Complete output mode: streaming state holds the FULL aggregate —
     bounded by days x event types, not stream length — and each
     micro-batch updates only the groups the new files touch, then the
-    cardinality-bounded result atomically overwrites the gold parquet.
-    At 100 TB of events the state is still calendar-sized; the sink
-    rewrite cost is O(gold), never O(stream).  A MERGE-capable table
-    format would turn the overwrite into an upsert; the plan shape is
-    unchanged."""
+    cardinality-bounded result replaces the gold parquet.  At 100 TB
+    of events the state is still calendar-sized; the sink rewrite cost
+    is O(gold), never O(stream).
+
+    Sink atomicity: on a LOCAL filesystem each batch writes to a fresh
+    versioned directory and swaps it in with an atomic symlink
+    ``os.replace`` — readers resolving ``gold_dir`` see either the old
+    or the new table, never a partial one (the only non-atomic window
+    is the one-time migration of a pre-existing plain directory to the
+    symlink scheme).  On object-store URIs a POSIX rename doesn't
+    exist, so the write falls back to a plain (non-atomic) overwrite —
+    production there wants a MERGE/commit-capable table format, which
+    changes the sink call only, not the plan shape."""
 
     def overwrite_gold(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.write.mode("overwrite").parquet(gold_dir)
+        if "://" in gold_dir:
+            # object store: no atomic rename primitive; see docstring
+            batch_df.write.mode("overwrite").parquet(gold_dir)
+            return
+        import os
+        import shutil
+
+        vdir = os.path.abspath(f"{gold_dir}.v{batch_id}")
+        batch_df.write.mode("overwrite").parquet(vdir)
+        swap = f"{gold_dir}.swap"
+        if os.path.lexists(swap):
+            os.remove(swap)
+        os.symlink(vdir, swap)
+        prev = None
+        if os.path.islink(gold_dir):
+            prev = os.path.realpath(gold_dir)
+        elif os.path.exists(gold_dir):
+            # one-time migration of a plain directory (brief window
+            # where gold_dir is absent; every later swap is atomic)
+            prev = gold_dir + ".migrated"
+            os.rename(gold_dir, prev)
+        os.replace(swap, gold_dir)  # atomic symlink swap
+        if prev and os.path.realpath(prev) != vdir:
+            shutil.rmtree(prev, ignore_errors=True)
 
     daily = (
         events.groupBy(

@@ -385,6 +385,31 @@ def test_connected_components_transitive_chain(spark):
     assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
 
 
+def test_connected_components_paths_agree(spark):
+    # the driver union-find fast path and the distributed min-label
+    # loop must compute the IDENTICAL fixpoint — force the distributed
+    # path with max_driver_edges=0 and compare on a graph with a chain,
+    # a triangle, and out-of-order ids
+    edges = spark.createDataFrame(
+        [
+            Row(doc_a=5, doc_b=2),
+            Row(doc_a=2, doc_b=9),
+            Row(doc_a=9, doc_b=7),
+            Row(doc_a=20, doc_b=21),
+            Row(doc_a=21, doc_b=22),
+            Row(doc_a=22, doc_b=20),
+        ]
+    )
+    fast = {r["doc_id"]: r["cluster_id"]
+            for r in cluster.connected_components(edges).collect()}
+    dist = cluster.connected_components(edges, max_driver_edges=0)
+    dist_out = {r["doc_id"]: r["cluster_id"] for r in dist.collect()}
+    cluster.release_cached(dist)
+    assert fast == dist_out == {
+        5: 2, 2: 2, 9: 2, 7: 2, 20: 20, 21: 20, 22: 20,
+    }
+
+
 def test_near_dup_clusters_and_keep(docs):
     out = {r["doc_id"]: r for r in cluster.near_dup_clusters(docs).collect()}
     # 0/1/4 identical, 2 a one-word edit: one cluster, canonical 0
