@@ -688,6 +688,11 @@ GATE_FIRST_50 = [
 ]
 
 GATE_TAIL = [
+    # new in r5 (locally oracle-verified; lead the r6 gate rotation)
+    "customer_order_distribution",
+    "lone_late_supplier",
+    "above_avg_dormant_value",
+    "supplier_revenue_share",
     # driver evidence from r4 (one round old) — rotate forward in r6
     "tfidf_top_terms",
     "embedding_near_dup_lsh",
@@ -743,6 +748,10 @@ def _all_queries() -> dict[str, QueryFn]:
         "promo_part_suppliers": relational.promo_part_suppliers,
         "brand_basket_revenue": relational.brand_basket_revenue,
         "nation_market_share": relational.nation_market_share,
+        "customer_order_distribution": relational.customer_order_distribution,
+        "lone_late_supplier": relational.lone_late_supplier,
+        "above_avg_dormant_value": relational.above_avg_dormant_value,
+        "supplier_revenue_share": relational.supplier_revenue_share,
         "bigram_vocab": lambda spark, sf_dir: vocab_ops.ngram_vocab(
             _docs(spark, sf_dir), n=2
         ),
@@ -1036,6 +1045,18 @@ def oracle_sql() -> dict[str, str]:
     )
     oracles["nation_market_share"] = (
         relational.oracle_nation_market_share_sql()
+    )
+    oracles["customer_order_distribution"] = (
+        relational.oracle_customer_order_distribution_sql()
+    )
+    oracles["lone_late_supplier"] = (
+        relational.oracle_lone_late_supplier_sql()
+    )
+    oracles["above_avg_dormant_value"] = (
+        relational.oracle_above_avg_dormant_value_sql()
+    )
+    oracles["supplier_revenue_share"] = (
+        relational.oracle_supplier_revenue_share_sql()
     )
     oracles["shipping_priority"] = f"""
         SELECT l.l_orderkey, o.o_orderdate, o.o_orderpriority,

@@ -92,6 +92,11 @@ STANDALONE = [
     "promo_part_suppliers",
     "brand_basket_revenue",
     "nation_market_share",
+    # r5 additions (Q13 / Q21 / Q22 / Q11 shapes)
+    "customer_order_distribution",
+    "lone_late_supplier",
+    "above_avg_dormant_value",
+    "supplier_revenue_share",
 ]
 
 

@@ -715,3 +715,274 @@ def oracle_nation_market_share_sql() -> str:
         FROM agg
         ORDER BY order_year
     """
+
+
+# ---------------------------------------------------------------------------
+# Outer-join zero-preserving count distribution (TPC-H Q13 shape)
+# ---------------------------------------------------------------------------
+
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How many customers placed exactly N orders (urgent orders
+    excluded) — Q13's custdist: a LEFT OUTER join so zero-order
+    customers survive with count 0, then a second aggregation over the
+    per-customer counts.
+
+    Plan shape: the outer join shuffles on custkey; the first groupBy
+    is map-side combinable on the same key (no extra exchange after the
+    join); the second groupBy's input is |customers| rows collapsing to
+    |distinct counts| — tiny.  Counts are integers, so every value is
+    exact and the gate hash is stable."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+def oracle_customer_order_distribution_sql() -> str:
+    return """
+        SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+        FROM (
+            SELECT c.c_custkey,
+                   CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+            FROM customer c
+            LEFT OUTER JOIN orders o
+              ON c.c_custkey = o.o_custkey
+             AND o.o_orderpriority <> '1-URGENT'
+            GROUP BY c.c_custkey
+        )
+        GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC
+    """
+
+
+# ---------------------------------------------------------------------------
+# Semi + anti against the same fact (TPC-H Q21 shape)
+# ---------------------------------------------------------------------------
+
+LATE_DAYS = 30
+
+
+def lone_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers who were the ONLY late shipper in finished
+    multi-supplier orders — Q21's stacked EXISTS / NOT EXISTS against
+    the same lineitem table, decorrelated into ONE per-order aggregate:
+    n_supp = distinct suppliers in the order, n_late = distinct LATE
+    suppliers (shipped > LATE_DAYS after the order date).  A late
+    (order, supplier) pair qualifies iff n_supp > 1 and n_late = 1 —
+    set algebra instead of two correlated subqueries, so lineitem is
+    scanned once, not three times.
+
+    Determinism: lateness compares whole-day timestamps (exact), and
+    numwait is an integer count; ties in the top-20 break on s_name."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    lo = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr(f"INTERVAL {LATE_DAYS} DAYS")
+            ).alias("late"),
+        )
+    )
+    per_order = lo.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("late"), F.col("l_suppkey"))
+        ).alias("n_late"),
+    )
+    late_pairs = (
+        lo.filter("late").select("l_orderkey", "l_suppkey").distinct()
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    return (
+        late_pairs.join(
+            per_order.filter(
+                (F.col("n_supp") > 1) & (F.col("n_late") == 1)
+            ),
+            "l_orderkey",
+        )
+        .join(supp, late_pairs.l_suppkey == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(20)
+    )
+
+
+def oracle_lone_late_supplier_sql() -> str:
+    return f"""
+        WITH lo AS (
+            SELECT l.l_orderkey, l.l_suppkey,
+                   (l.l_shipdate > o.o_orderdate
+                       + INTERVAL {LATE_DAYS} DAYS) AS late
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE o.o_orderstatus = 'F'
+        ),
+        per_order AS (
+            SELECT l_orderkey,
+                   COUNT(DISTINCT l_suppkey) AS n_supp,
+                   COUNT(DISTINCT CASE WHEN late THEN l_suppkey END)
+                       AS n_late
+            FROM lo GROUP BY l_orderkey
+        ),
+        late_pairs AS (
+            SELECT DISTINCT l_orderkey, l_suppkey FROM lo WHERE late
+        )
+        SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+        FROM late_pairs lp
+        JOIN per_order p
+          ON lp.l_orderkey = p.l_orderkey
+         AND p.n_supp > 1 AND p.n_late = 1
+        JOIN supplier s ON lp.l_suppkey = s.s_suppkey
+        GROUP BY s.s_name
+        ORDER BY numwait DESC, s.s_name
+        LIMIT 20
+    """
+
+
+# ---------------------------------------------------------------------------
+# Scalar-subquery threshold + NOT EXISTS (full TPC-H Q22 shape)
+# ---------------------------------------------------------------------------
+
+def above_avg_dormant_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Untapped-value rollup: customers with an above-average positive
+    account balance and no order since DORMANT_CUTOFF, by market
+    segment — the full Q22: a scalar subquery (avg positive balance)
+    gates the customer scan, NOT EXISTS becomes ``left_anti``.
+
+    The scalar threshold is rounded to 2 dp with the cross-engine
+    ``dround`` BEFORE the comparison: balances are 2-dp money, so the
+    only way the qualifying set could differ between engines is a
+    balance sitting within one ulp of the unrounded engine-dependent
+    average — rounding removes that edge.  The 1-row average
+    cross-joins (broadcast) against customer; at any scale the scalar
+    side is 1 row."""
+    cust = _t(spark, sf_dir, "customer")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        dround(F.avg("c_acctbal"), 2).alias("avg_bal")
+    )
+    recent = _t(spark, sf_dir, "orders").filter(
+        F.expr(f"o_orderdate >= TIMESTAMP_NTZ'{DORMANT_CUTOFF} 00:00:00'")
+    ).select("o_custkey")
+    return (
+        cust.crossJoin(avg_bal)
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            dround(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+def oracle_above_avg_dormant_value_sql() -> str:
+    return f"""
+        SELECT c.c_mktsegment,
+               CAST(COUNT(*) AS BIGINT) AS n_customers,
+               {sql_dround('SUM(c.c_acctbal)', 2)} AS total_acctbal
+        FROM customer c
+        WHERE c.c_acctbal > (
+                SELECT {sql_dround('AVG(c2.c_acctbal)', 2)}
+                FROM customer c2 WHERE c2.c_acctbal > 0.0)
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderdate >=
+                                TIMESTAMP '{DORMANT_CUTOFF}')
+        GROUP BY c.c_mktsegment
+        ORDER BY c.c_mktsegment
+    """
+
+
+# ---------------------------------------------------------------------------
+# HAVING against a global scalar (TPC-H Q11 shape)
+# ---------------------------------------------------------------------------
+
+REVENUE_SHARE_FACTOR = 1.05
+
+
+def supplier_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers whose discounted revenue exceeds
+    REVENUE_SHARE_FACTOR x the MEAN supplier revenue — Q11's
+    HAVING-against-global-scalar: the per-supplier aggregate, the mean
+    threshold, and the grand total all come from the SAME
+    map-side-combinable groupBy (one fact scan), cross-joined back as a
+    1-row scalar.  The threshold is relative to the supplier
+    population, so the query stays selective at every scale factor (a
+    fixed share cutoff goes empty as |suppliers| grows).
+
+    Determinism: per-supplier revenue, the mean threshold, and the
+    total are all rounded to 2 dp with the cross-engine ``dround``
+    before comparison/division, so accumulation order can't flip a
+    borderline supplier; the reported share of total is rounded to
+    6 dp."""
+    li = _t(spark, sf_dir, "lineitem")
+    per_supp = li.groupBy("l_suppkey").agg(
+        dround(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("supp_revenue")
+    )
+    scalars = per_supp.agg(
+        dround(F.sum("supp_revenue"), 2).alias("total_revenue"),
+        dround(
+            F.lit(REVENUE_SHARE_FACTOR) * F.avg("supp_revenue"), 2
+        ).alias("rev_cutoff"),
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    share = dround(F.col("supp_revenue") / F.col("total_revenue"), 6)
+    return (
+        per_supp.crossJoin(scalars)
+        .filter(F.col("supp_revenue") > F.col("rev_cutoff"))
+        .withColumn("revenue_share", share)
+        .join(supp, F.col("l_suppkey") == supp.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            "supp_revenue",
+            "revenue_share",
+        )
+        .orderBy(F.desc("revenue_share"), F.asc("s_suppkey"))
+    )
+
+
+def oracle_supplier_revenue_share_sql() -> str:
+    return f"""
+        WITH per_supp AS (
+            SELECT l_suppkey,
+                   {sql_dround(
+                       "SUM(l_extendedprice * (1 - l_discount))", 2)}
+                       AS supp_revenue
+            FROM lineitem GROUP BY l_suppkey
+        ),
+        scalars AS (
+            SELECT {sql_dround('SUM(supp_revenue)', 2)} AS total_revenue,
+                   {sql_dround(
+                       f'{REVENUE_SHARE_FACTOR} * AVG(supp_revenue)', 2)}
+                       AS rev_cutoff
+            FROM per_supp
+        )
+        SELECT s.s_suppkey, s.s_name, p.supp_revenue,
+               {sql_dround('p.supp_revenue / t.total_revenue', 6)}
+                   AS revenue_share
+        FROM per_supp p CROSS JOIN scalars t
+        JOIN supplier s ON p.l_suppkey = s.s_suppkey
+        WHERE p.supp_revenue > t.rev_cutoff
+        ORDER BY revenue_share DESC, s.s_suppkey
+    """

@@ -173,3 +173,103 @@ def test_promo_part_suppliers_meet_threshold(spark, sf_dir):
     }
     qualifying = {k for k, v in qty.items() if v > relational.PROMO_QTY_THRESHOLD}
     assert {r["s_suppkey"] for r in rows} == qualifying
+
+
+def test_customer_order_distribution_preserves_zero_bucket(spark, sf_dir):
+    # Q13 shape: the left outer join must keep customers with no
+    # qualifying orders in a c_count=0 bucket, and the distribution
+    # must cover every customer exactly once.
+    out = relational.customer_order_distribution(spark, sf_dir).collect()
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        "o_orderpriority <> '1-URGENT'"
+    )
+    assert sum(r["custdist"] for r in out) == cust.count()
+    with_orders = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey, "left_semi")
+        .select("o_custkey").distinct().count()
+    )
+    zero = {r["c_count"]: r["custdist"] for r in out}.get(0, 0)
+    assert zero == cust.count() - with_orders
+
+
+def test_lone_late_supplier_counts_are_sole_late(spark, sf_dir):
+    # every (order, supplier) credited to numwait must be the ONLY late
+    # supplier in a multi-supplier finished order — recompute one
+    # supplier's count by brute force
+    rows = relational.lone_late_supplier(spark, sf_dir).collect()
+    assert rows, "expected non-empty top-20"
+    # descending numwait with s_name tie-break
+    pairs = [(r["numwait"], r["s_name"]) for r in rows]
+    assert pairs == sorted(pairs, key=lambda p: (-p[0], p[1]))
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        "o_orderstatus = 'F'"
+    )
+    lo = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_shipdate")
+            > F.col("o_orderdate")
+            + F.expr(f"INTERVAL {relational.LATE_DAYS} DAYS")
+        ).alias("late"),
+    )
+    per_order = lo.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("late"), F.col("l_suppkey"))
+        ).alias("n_late"),
+    ).collect()
+    ok_orders = {
+        r["l_orderkey"] for r in per_order
+        if r["n_supp"] > 1 and r["n_late"] == 1
+    }
+    supp = {
+        r["s_suppkey"]: r["s_name"]
+        for r in spark.read.parquet(f"{sf_dir}/supplier.parquet").collect()
+    }
+    late = (
+        lo.filter("late").select("l_orderkey", "l_suppkey").distinct()
+        .collect()
+    )
+    manual: dict[str, int] = {}
+    for r in late:
+        if r["l_orderkey"] in ok_orders:
+            name = supp[r["l_suppkey"]]
+            manual[name] = manual.get(name, 0) + 1
+    top = sorted(manual.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    assert [(n, c) for c, n in pairs] == [(n, c) for n, c in top]
+
+
+def test_above_avg_dormant_value_threshold_and_dormancy(spark, sf_dir):
+    out = relational.above_avg_dormant_value(spark, sf_dir).collect()
+    assert out, "expected non-empty rollup"
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    avg_bal = cust.filter("c_acctbal > 0").agg(F.avg("c_acctbal")).collect()[0][0]
+    recent = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        f"o_orderdate >= TIMESTAMP_NTZ'{relational.DORMANT_CUTOFF} 00:00:00'"
+    )
+    manual = (
+        cust.filter(F.col("c_acctbal") > round(avg_bal, 2))
+        .join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
+        .count()
+    )
+    assert sum(r["n_customers"] for r in out) == manual
+
+
+def test_supplier_revenue_share_cutoff_is_relative(spark, sf_dir):
+    out = relational.supplier_revenue_share(spark, sf_dir).collect()
+    assert out, "expected suppliers above the relative cutoff"
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    per = li.groupBy("l_suppkey").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("r")
+    ).collect()
+    revs = [r["r"] for r in per]
+    cutoff = round(relational.REVENUE_SHARE_FACTOR * sum(revs) / len(revs), 2)
+    expected = {r["l_suppkey"] for r in per if r["r"] > cutoff}
+    assert {r["s_suppkey"] for r in out} == expected
+    # shares sum to less than 1 and every reported share beats 1/n
+    assert all(0 < r["revenue_share"] < 1 for r in out)
