@@ -693,6 +693,14 @@ GATE_TAIL = [
     "lone_late_supplier",
     "above_avg_dormant_value",
     "supplier_revenue_share",
+    "discount_band_revenue",
+    "nation_year_profit",
+    "returned_item_customers",
+    "linestatus_priority_mix",
+    "top_revenue_supplier",
+    "segment_year_cube",
+    "anomalous_revenue_days",
+    "customer_order_gaps",
     # driver evidence from r4 (one round old) — rotate forward in r6
     "tfidf_top_terms",
     "embedding_near_dup_lsh",
@@ -752,6 +760,14 @@ def _all_queries() -> dict[str, QueryFn]:
         "lone_late_supplier": relational.lone_late_supplier,
         "above_avg_dormant_value": relational.above_avg_dormant_value,
         "supplier_revenue_share": relational.supplier_revenue_share,
+        "discount_band_revenue": relational.discount_band_revenue,
+        "nation_year_profit": relational.nation_year_profit,
+        "returned_item_customers": relational.returned_item_customers,
+        "linestatus_priority_mix": relational.linestatus_priority_mix,
+        "top_revenue_supplier": relational.top_revenue_supplier,
+        "segment_year_cube": relational.segment_year_cube,
+        "anomalous_revenue_days": relational.anomalous_revenue_days,
+        "customer_order_gaps": relational.customer_order_gaps,
         "bigram_vocab": lambda spark, sf_dir: vocab_ops.ngram_vocab(
             _docs(spark, sf_dir), n=2
         ),
@@ -1057,6 +1073,26 @@ def oracle_sql() -> dict[str, str]:
     )
     oracles["supplier_revenue_share"] = (
         relational.oracle_supplier_revenue_share_sql()
+    )
+    oracles["discount_band_revenue"] = (
+        relational.oracle_discount_band_revenue_sql()
+    )
+    oracles["nation_year_profit"] = relational.oracle_nation_year_profit_sql()
+    oracles["returned_item_customers"] = (
+        relational.oracle_returned_item_customers_sql()
+    )
+    oracles["linestatus_priority_mix"] = (
+        relational.oracle_linestatus_priority_mix_sql()
+    )
+    oracles["top_revenue_supplier"] = (
+        relational.oracle_top_revenue_supplier_sql()
+    )
+    oracles["segment_year_cube"] = relational.oracle_segment_year_cube_sql()
+    oracles["anomalous_revenue_days"] = (
+        relational.oracle_anomalous_revenue_days_sql()
+    )
+    oracles["customer_order_gaps"] = (
+        relational.oracle_customer_order_gaps_sql()
     )
     oracles["shipping_priority"] = f"""
         SELECT l.l_orderkey, o.o_orderdate, o.o_orderpriority,

@@ -97,6 +97,16 @@ STANDALONE = [
     "lone_late_supplier",
     "above_avg_dormant_value",
     "supplier_revenue_share",
+    # r5 additions (Q6 / Q9 / Q10 / Q12 / Q15 shapes, CUBE, MAD
+    # anomaly detection, inter-order gap windows)
+    "discount_band_revenue",
+    "nation_year_profit",
+    "returned_item_customers",
+    "linestatus_priority_mix",
+    "top_revenue_supplier",
+    "segment_year_cube",
+    "anomalous_revenue_days",
+    "customer_order_gaps",
 ]
 
 

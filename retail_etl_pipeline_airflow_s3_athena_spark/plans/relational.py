@@ -30,6 +30,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from retail_etl_pipeline_airflow_s3_athena_spark.functions.caching import (
+    attach_cached_deps,
+)
 from retail_etl_pipeline_airflow_s3_athena_spark.operators.text import dround, sql_dround
 
 
@@ -985,4 +988,439 @@ def oracle_supplier_revenue_share_sql() -> str:
         JOIN supplier s ON p.l_suppkey = s.s_suppkey
         WHERE p.supp_revenue > t.rev_cutoff
         ORDER BY revenue_share DESC, s.s_suppkey
+    """
+
+
+# ---------------------------------------------------------------------------
+# Scan-only aggregate (TPC-H Q6 shape)
+# ---------------------------------------------------------------------------
+
+def discount_band_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue that would be recovered by eliminating mid-band
+    discounts on small orders in 1997 — Q6's shape: a single fact
+    scan whose three predicates (date range, discount band, quantity
+    cap) ALL push down to the parquet reader, followed by one
+    map-side-combinable global aggregate.  No join, no wide shuffle —
+    at 100 TB this is the cheapest query in the workload because the
+    scan reads only 4 columns and row groups outside the ship-date
+    range are skipped on footer statistics."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.expr(
+            "l_shipdate >= TIMESTAMP_NTZ'1997-01-01 00:00:00' AND "
+            "l_shipdate < TIMESTAMP_NTZ'1998-01-01 00:00:00'"
+        )
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        dround(
+            F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2
+        ).alias("forecast_revenue"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+def oracle_discount_band_revenue_sql() -> str:
+    return f"""
+        SELECT {sql_dround('SUM(l_extendedprice * l_discount)', 2)}
+                   AS forecast_revenue,
+               CAST(COUNT(*) AS BIGINT) AS n_lines
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate <  TIMESTAMP '1998-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+    """
+
+
+# ---------------------------------------------------------------------------
+# Product-line profit by nation and year (TPC-H Q9 shape)
+# ---------------------------------------------------------------------------
+
+Q9_PART_TOKEN = "gear"
+
+
+def nation_year_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discounted revenue of parts whose name contains
+    ``Q9_PART_TOKEN``, by supplier nation and order year — Q9's join
+    topology (lineitem ⋈ part ⋈ supplier ⋈ nation ⋈ orders) with the
+    part-name filter pushed into the part scan.  The filtered part
+    side is O(|parts|/k) — data-scaling, so it carries NO broadcast
+    hint (AQE broadcasts it at small SF and shuffles at large); only
+    the fixed-size nation dim is hinted.  Output is bounded by
+    nations × years."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(
+        F.col("p_name").contains(Q9_PART_TOKEN)
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    orders = _t(spark, sf_dir, "orders")
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("order_year"),
+        )
+        .agg(dround(F.sum(profit), 2).alias("sum_profit"))
+        .orderBy("nation", F.desc("order_year"))
+    )
+
+
+def oracle_nation_year_profit_sql() -> str:
+    return f"""
+        SELECT n.n_name AS nation,
+               CAST(YEAR(o.o_orderdate) AS BIGINT) AS order_year,
+               {sql_dround(
+                   'SUM(l.l_extendedprice * (1 - l.l_discount))', 2)}
+                   AS sum_profit
+        FROM lineitem l
+        JOIN part p     ON l.l_partkey = p.p_partkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n   ON s.s_nationkey = n.n_nationkey
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        WHERE p.p_name LIKE '%{Q9_PART_TOKEN}%'
+        GROUP BY n.n_name, YEAR(o.o_orderdate)
+        ORDER BY nation, order_year DESC
+    """
+
+
+# ---------------------------------------------------------------------------
+# Returned-item reporting (TPC-H Q10 shape)
+# ---------------------------------------------------------------------------
+
+def returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top 20 customers by revenue lost to returned line items for
+    orders placed in 1997H1 — Q10's shape: the order-date filter
+    shrinks the orders side BEFORE its join to lineitem, the
+    returnflag filter prunes lineitem at the scan, and the final
+    top-20 runs as TakeOrderedAndProject (per-partition partial
+    top-k, no full sort).  Revenue is dround-ed BEFORE ordering and
+    ties broken by c_custkey so the limit is cross-engine stable."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.expr(
+            "o_orderdate >= TIMESTAMP_NTZ'1997-01-01 00:00:00' AND "
+            "o_orderdate < TIMESTAMP_NTZ'1997-07-01 00:00:00'"
+        )
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy(
+            "c_custkey", "c_name", "c_acctbal", "c_mktsegment",
+            F.col("n_name").alias("nation"),
+        )
+        .agg(dround(F.sum(rev), 2).alias("lost_revenue"))
+        .orderBy(F.desc("lost_revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+def oracle_returned_item_customers_sql() -> str:
+    return f"""
+        SELECT c.c_custkey, c.c_name, c.c_acctbal, c.c_mktsegment,
+               n.n_name AS nation,
+               {sql_dround(
+                   'SUM(l.l_extendedprice * (1 - l.l_discount))', 2)}
+                   AS lost_revenue
+        FROM lineitem l
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n   ON c.c_nationkey = n.n_nationkey
+        WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o.o_orderdate <  TIMESTAMP '1997-07-01'
+          AND l.l_returnflag = 'R'
+        GROUP BY c.c_custkey, c.c_name, c.c_acctbal, c.c_mktsegment,
+                 n.n_name
+        ORDER BY lost_revenue DESC, c.c_custkey
+        LIMIT 20
+    """
+
+
+# ---------------------------------------------------------------------------
+# Priority mix by line status (TPC-H Q12 shape)
+# ---------------------------------------------------------------------------
+
+def linestatus_priority_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count of high- vs low-priority orders behind each line status
+    for lines shipped in 1997 — Q12's conditional-aggregation shape
+    (the reference schema has no ship-mode column, so line status
+    stands in as the grouping).  One fact⋈orders shuffle; the CASE
+    sums combine map-side, and output is bounded by |statuses|."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.expr(
+            "l_shipdate >= TIMESTAMP_NTZ'1997-01-01 00:00:00' AND "
+            "l_shipdate < TIMESTAMP_NTZ'1998-01-01 00:00:00'"
+        )
+    )
+    orders = _t(spark, sf_dir, "orders")
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(is_high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(is_high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+def oracle_linestatus_priority_mix_sql() -> str:
+    return """
+        SELECT l.l_linestatus,
+               CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS high_line_count,
+               CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH')
+                             THEN 0 ELSE 1 END) AS BIGINT)
+                   AS low_line_count
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+        GROUP BY l.l_linestatus
+        ORDER BY l.l_linestatus
+    """
+
+
+# ---------------------------------------------------------------------------
+# Top supplier by windowed revenue (TPC-H Q15 shape)
+# ---------------------------------------------------------------------------
+
+def top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier(s) whose 1997Q1 shipped revenue equals the maximum —
+    Q15's scalar-subquery-on-a-view shape: the per-supplier aggregate
+    is computed ONCE and feeds both the 1-row MAX and the equality
+    filter (Spark reuses the exchange under AQE).  Revenue is
+    dround-ed before the MAX comparison so both engines agree on
+    exact equality at the cent grain."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.expr(
+            "l_shipdate >= TIMESTAMP_NTZ'1997-01-01 00:00:00' AND "
+            "l_shipdate < TIMESTAMP_NTZ'1997-04-01 00:00:00'"
+        )
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    per_supp = li.groupBy("l_suppkey").agg(
+        dround(F.sum(rev), 2).alias("total_revenue")
+    )
+    max_rev = per_supp.agg(
+        F.max("total_revenue").alias("max_revenue")
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    return (
+        per_supp.crossJoin(max_rev)
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .join(supp, F.col("l_suppkey") == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+def oracle_top_revenue_supplier_sql() -> str:
+    return f"""
+        WITH per_supp AS (
+            SELECT l_suppkey,
+                   {sql_dround(
+                       'SUM(l_extendedprice * (1 - l_discount))', 2)}
+                       AS total_revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate <  TIMESTAMP '1997-04-01'
+            GROUP BY l_suppkey
+        )
+        SELECT s.s_suppkey, s.s_name, p.total_revenue
+        FROM per_supp p
+        JOIN supplier s ON p.l_suppkey = s.s_suppkey
+        WHERE p.total_revenue = (SELECT MAX(total_revenue) FROM per_supp)
+        ORDER BY s.s_suppkey
+    """
+
+
+# ---------------------------------------------------------------------------
+# CUBE rollup (multi-dimensional grouping-set breadth)
+# ---------------------------------------------------------------------------
+
+def segment_year_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order revenue by (market segment × order year) with ALL
+    grouping-set margins — ``DataFrame.cube``: one shuffle produces
+    the full lattice (detail, per-segment, per-year, grand total) via
+    partial aggregation; at 100 TB the expansion factor is the
+    lattice size (4), applied at the map-side-combined grain, not the
+    fact grain."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .cube(
+            "c_mktsegment",
+            F.year("o_orderdate").cast("long").alias("order_year"),
+        )
+        .agg(
+            dround(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+        .orderBy(
+            F.asc_nulls_first("c_mktsegment"),
+            F.asc_nulls_first("order_year"),
+        )
+    )
+
+
+def oracle_segment_year_cube_sql() -> str:
+    return f"""
+        SELECT c.c_mktsegment,
+               CAST(YEAR(o.o_orderdate) AS BIGINT) AS order_year,
+               {sql_dround('SUM(o.o_totalprice)', 2)} AS revenue,
+               CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY CUBE (c.c_mktsegment, YEAR(o.o_orderdate))
+        ORDER BY c_mktsegment NULLS FIRST, order_year NULLS FIRST
+    """
+
+
+# ---------------------------------------------------------------------------
+# Integer-exact daily anomaly detection (MAD z-score)
+# ---------------------------------------------------------------------------
+
+ANOMALY_K = 3
+
+
+def anomalous_revenue_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ship days whose revenue deviates from the period mean by more
+    than ``ANOMALY_K`` mean-absolute-deviations.
+
+    Cross-engine determinism by construction: daily revenue is
+    rounded to integer CENTS, and every statistic is then integer
+    arithmetic — ``dev_i = |cents_i·n − S|`` (S = Σcents) and
+    ``T = Σdev`` stay exact in 64-bit (cents ≈ 1e8, n ≈ 2.5e3,
+    T ≈ 2.5e15 < 2^53), so the filter ``n·dev > K·T`` (equivalent to
+    |x−mean| > K·MAD without any division) cannot flip on float
+    accumulation order.  Scale: the fact scan reduces to a days-grain
+    rollup (rows = calendar days) which is PERSISTED so the three
+    consumers (scalar pass, deviation pass, total pass) share ONE
+    fact scan instead of re-reading 100 TB four times; the caller
+    releases it via the cache-ownership contract."""
+    li = _t(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    daily = li.groupBy(
+        F.to_date("l_shipdate").alias("sale_date")
+    ).agg(
+        F.floor(F.sum(rev) * 100 + F.lit(0.5)).alias("cents")
+    ).persist()
+    scalars = daily.agg(
+        F.count("*").alias("n"), F.sum("cents").alias("s")
+    )
+    dev = daily.crossJoin(scalars).withColumn(
+        "dev", F.abs(F.col("cents") * F.col("n") - F.col("s"))
+    )
+    total = dev.agg(F.sum("dev").alias("t"))
+    out = (
+        dev.crossJoin(total)
+        .filter(F.col("n") * F.col("dev") > F.lit(ANOMALY_K) * F.col("t"))
+        .select(
+            F.col("sale_date"),
+            (F.col("cents") / 100).alias("revenue"),
+            dround(
+                F.col("n") * F.col("dev") / F.col("t"), 4
+            ).alias("mad_ratio"),
+        )
+        .orderBy("sale_date")
+    )
+    return attach_cached_deps(out, daily)
+
+
+def oracle_anomalous_revenue_days_sql() -> str:
+    return f"""
+        WITH daily AS (
+            SELECT CAST(l_shipdate AS DATE) AS sale_date,
+                   CAST(FLOOR(
+                       SUM(l_extendedprice * (1 - l_discount)) * 100 + 0.5
+                   ) AS BIGINT) AS cents
+            FROM lineitem GROUP BY 1
+        ),
+        scalars AS (SELECT COUNT(*) AS n, SUM(cents) AS s FROM daily),
+        dev AS (
+            SELECT d.sale_date, d.cents,
+                   ABS(d.cents * sc.n - sc.s) AS dev, sc.n
+            FROM daily d CROSS JOIN scalars sc
+        ),
+        total AS (SELECT SUM(dev) AS t FROM dev)
+        SELECT d.sale_date,
+               d.cents / 100.0 AS revenue,
+               {sql_dround('d.n * d.dev / t.t', 4)} AS mad_ratio
+        FROM dev d CROSS JOIN total t
+        WHERE d.n * d.dev > {ANOMALY_K} * t.t
+        ORDER BY d.sale_date
+    """
+
+
+# ---------------------------------------------------------------------------
+# Inter-order gap analysis (lag window at fact grain)
+# ---------------------------------------------------------------------------
+
+def customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Days between consecutive orders per customer, rolled up to
+    market segment — a lag window PARTITIONED BY customer (bounded
+    per-partition work: a customer's order history, not the fact
+    table) feeding a segment-grain aggregate.  The gap multiset is
+    invariant under reordering of equal order dates, and the window
+    sort is pinned by (o_orderdate, o_orderkey) anyway."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = (
+        orders.withColumn("prev_date", F.lag("o_orderdate").over(w))
+        .filter(F.col("prev_date").isNotNull())
+        .withColumn(
+            "gap_days",
+            F.datediff(
+                F.to_date("o_orderdate"), F.to_date("prev_date")
+            ).cast("long"),
+        )
+    )
+    return (
+        gaps.join(cust, gaps.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_gaps"),
+            dround(F.avg("gap_days"), 2).alias("avg_gap_days"),
+            F.max("gap_days").alias("max_gap_days"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+def oracle_customer_order_gaps_sql() -> str:
+    return f"""
+        WITH gaps AS (
+            SELECT o_custkey,
+                   CAST(date_diff('day',
+                       LAG(o_orderdate) OVER (
+                           PARTITION BY o_custkey
+                           ORDER BY o_orderdate, o_orderkey),
+                       o_orderdate) AS BIGINT) AS gap_days
+            FROM orders
+        )
+        SELECT c.c_mktsegment,
+               CAST(COUNT(*) AS BIGINT) AS n_gaps,
+               {sql_dround('AVG(g.gap_days)', 2)} AS avg_gap_days,
+               MAX(g.gap_days) AS max_gap_days
+        FROM gaps g
+        JOIN customer c ON g.o_custkey = c.c_custkey
+        WHERE g.gap_days IS NOT NULL
+        GROUP BY c.c_mktsegment
+        ORDER BY c.c_mktsegment
     """

@@ -273,3 +273,150 @@ def test_supplier_revenue_share_cutoff_is_relative(spark, sf_dir):
     assert {r["s_suppkey"] for r in out} == expected
     # shares sum to less than 1 and every reported share beats 1/n
     assert all(0 < r["revenue_share"] < 1 for r in out)
+
+
+def test_discount_band_revenue_scan_only(spark, sf_dir):
+    out = relational.discount_band_revenue(spark, sf_dir)
+    row = out.collect()[0]
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        F.expr(
+            "l_shipdate >= TIMESTAMP_NTZ'1997-01-01 00:00:00' AND "
+            "l_shipdate < TIMESTAMP_NTZ'1998-01-01 00:00:00'"
+        )
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    assert row["n_lines"] == li.count()
+    assert row["forecast_revenue"] > 0
+    # scan-only query: the optimized plan must contain no join at all
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "Join" not in plan
+
+
+def test_nation_year_profit_bounded_output(spark, sf_dir):
+    out = relational.nation_year_profit(spark, sf_dir).collect()
+    assert out
+    nations = spark.read.parquet(f"{sf_dir}/nation.parquet").count()
+    years = 8  # 1995..2002 data span
+    assert len(out) <= nations * years
+    # only parts whose name carries the token contribute
+    assert all(r["sum_profit"] > 0 for r in out)
+
+
+def test_returned_item_customers_top20_deterministic(spark, sf_dir):
+    a = relational.returned_item_customers(spark, sf_dir).collect()
+    b = relational.returned_item_customers(spark, sf_dir).collect()
+    assert a == b
+    assert len(a) <= 20
+    revs = [r["lost_revenue"] for r in a]
+    assert revs == sorted(revs, reverse=True)
+
+
+def test_linestatus_priority_mix_partitions_lines(spark, sf_dir):
+    out = relational.linestatus_priority_mix(spark, sf_dir).collect()
+    total = sum(r["high_line_count"] + r["low_line_count"] for r in out)
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        F.expr(
+            "l_shipdate >= TIMESTAMP_NTZ'1997-01-01 00:00:00' AND "
+            "l_shipdate < TIMESTAMP_NTZ'1998-01-01 00:00:00'"
+        )
+    )
+    # every 1997-shipped line lands in exactly one (status, priority) cell
+    assert total == li.count()
+
+
+def test_top_revenue_supplier_is_argmax(spark, sf_dir):
+    out = relational.top_revenue_supplier(spark, sf_dir).collect()
+    assert out
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        F.expr(
+            "l_shipdate >= TIMESTAMP_NTZ'1997-01-01 00:00:00' AND "
+            "l_shipdate < TIMESTAMP_NTZ'1997-04-01 00:00:00'"
+        )
+    )
+    per = li.groupBy("l_suppkey").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("r")
+    ).collect()
+    best = max(r["r"] for r in per)
+    expect = {r["l_suppkey"] for r in per if r["r"] == best}
+    assert {r["s_suppkey"] for r in out} == expect
+
+
+def test_segment_year_cube_lattice(spark, sf_dir):
+    rows = relational.segment_year_cube(spark, sf_dir).collect()
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    n_orders = orders.count()
+    # grand-total cell (both grouping columns NULL) equals the order count
+    gt = [
+        r for r in rows
+        if r["c_mktsegment"] is None and r["order_year"] is None
+    ]
+    assert len(gt) == 1 and gt[0]["n_orders"] == n_orders
+    # per-segment margins sum to the grand total
+    seg_margin = [
+        r for r in rows
+        if r["c_mktsegment"] is not None and r["order_year"] is None
+    ]
+    assert sum(r["n_orders"] for r in seg_margin) == n_orders
+    # detail cells roll up into each segment margin
+    detail = [
+        r for r in rows
+        if r["c_mktsegment"] is not None and r["order_year"] is not None
+    ]
+    by_seg: dict[str, int] = {}
+    for r in detail:
+        by_seg[r["c_mktsegment"]] = (
+            by_seg.get(r["c_mktsegment"], 0) + r["n_orders"]
+        )
+    assert by_seg == {r["c_mktsegment"]: r["n_orders"] for r in seg_margin}
+
+
+def test_anomalous_revenue_days_integer_exact(spark, sf_dir):
+    out = relational.anomalous_revenue_days(spark, sf_dir).collect()
+    # the filter is pure 64-bit integer arithmetic: re-deriving it from
+    # the same cents rollup must agree exactly
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    daily = {
+        r["sale_date"]: r["cents"]
+        for r in li.groupBy(F.to_date("l_shipdate").alias("sale_date"))
+        .agg(F.floor(F.sum(rev) * 100 + F.lit(0.5)).alias("cents"))
+        .collect()
+    }
+    n = len(daily)
+    s = sum(daily.values())
+    devs = {d: abs(c * n - s) for d, c in daily.items()}
+    t = sum(devs.values())
+    expect = sorted(
+        d for d, dev in devs.items()
+        if n * dev > relational.ANOMALY_K * t
+    )
+    assert [r["sale_date"] for r in out] == expect
+    assert all(r["mad_ratio"] > relational.ANOMALY_K for r in out)
+
+
+def test_customer_order_gaps_match_manual(spark, sf_dir):
+    out = {
+        r["c_mktsegment"]: r
+        for r in relational.customer_order_gaps(spark, sf_dir).collect()
+    }
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").collect()
+    cust = {
+        r["c_custkey"]: r["c_mktsegment"]
+        for r in spark.read.parquet(f"{sf_dir}/customer.parquet").collect()
+    }
+    by_cust: dict[int, list] = {}
+    for r in orders:
+        by_cust.setdefault(r["o_custkey"], []).append(
+            (r["o_orderdate"], r["o_orderkey"])
+        )
+    gaps: dict[str, list[int]] = {}
+    for ck, lst in by_cust.items():
+        lst.sort()
+        for (d1, _), (d2, _) in zip(lst, lst[1:]):
+            gaps.setdefault(cust[ck], []).append((d2.date() - d1.date()).days)
+    for seg, lst in gaps.items():
+        assert out[seg]["n_gaps"] == len(lst)
+        assert out[seg]["max_gap_days"] == max(lst)
