@@ -370,6 +370,10 @@ def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim_ops.ivf_topk(_emb(spark, sf_dir))
 
 
+def _q_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sim_ops.kmeans_refine(_emb(spark, sf_dir))
+
+
 def _q_rp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The Arrow/numpy form is the production path (also used inside
     # embedding_near_dup_lsh): the unrolled 16x64 expression form
@@ -701,6 +705,7 @@ GATE_TAIL = [
     "segment_year_cube",
     "anomalous_revenue_days",
     "customer_order_gaps",
+    "kmeans_refine",
     # driver evidence from r4 (one round old) — rotate forward in r6
     "tfidf_top_terms",
     "embedding_near_dup_lsh",
@@ -812,6 +817,7 @@ def _all_queries() -> dict[str, QueryFn]:
         "cosine_topk": _q_cosine_topk,
         "label_centroids": _q_label_centroids,
         "ivf_topk": _q_ivf_topk,
+        "kmeans_refine": _q_kmeans_refine,
         "rp_lsh_signatures": _q_rp_lsh,
         "embedding_near_dup": _q_embedding_near_dup,
         "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
@@ -997,6 +1003,7 @@ def oracle_sql() -> dict[str, str]:
     oracles["cosine_topk_gemm"] = sim_ops.oracle_cosine_topk_sql()
     oracles["label_centroids"] = sim_ops.oracle_label_centroids_sql()
     oracles["ivf_topk"] = sim_ops.oracle_ivf_topk_sql()
+    oracles["kmeans_refine"] = sim_ops.oracle_kmeans_refine_sql()
     oracles["rp_lsh_signatures"] = sim_ops.oracle_rp_lsh_sql()
     oracles["embedding_near_dup"] = sim_ops.oracle_embedding_near_dup_sql()
     oracles["embedding_near_dup_lsh"] = (

@@ -107,6 +107,7 @@ STANDALONE = [
     "segment_year_cube",
     "anomalous_revenue_days",
     "customer_order_gaps",
+    "kmeans_refine",
 ]
 
 

@@ -856,3 +856,99 @@ def oracle_embedding_near_dup_lsh_sql(
         JOIN e b ON c.vec_b = b.vec_id
         WHERE {_sql_cosine("a.v", "b.v")} >= {threshold}
     """
+
+
+# ---------------------------------------------------------------------------
+# K-means refinement (one Lloyd iteration) — the iterative-algorithm
+# shape: broadcast-assign, then a distributed vector mean
+# ---------------------------------------------------------------------------
+
+def kmeans_refine(embeddings: DataFrame, dim: int = EMB_DIM) -> DataFrame:
+    """One Lloyd iteration over the corpus: initialize centroids from
+    the per-label means, reassign every vector to its nearest centroid
+    by cosine, and recompute the element-wise mean of each refined
+    cluster.  Output: (cluster, pos, val, n_members) exploded rows.
+
+    This is the canonical distributed-k-means round: the centroid set
+    (K rows, persisted — it feeds the broadcast) never shuffles, the
+    corpus is scanned once, and the argmax assignment uses ``max_by``
+    so the corpus × K scored rows combine map-side and only
+    (vec_id, cluster) pairs reach the exchange.  Iterating = calling
+    this with the previous round's centroids; each round is one corpus
+    pass, which is the textbook lower bound.  Tie-breaks are pinned
+    (cosine desc, label asc) and means are dround(6) so both engines
+    agree exactly.  Cache ownership transfers to the caller
+    (``functions.caching.release_cached``)."""
+    from retail_etl_pipeline_airflow_s3_athena_spark.functions.caching import (
+        attach_cached_deps,
+    )
+
+    corpus = _normed(embeddings, dim)
+    cents = _centroid_vectors(embeddings).select(
+        "label", "cv",
+        F.sqrt(dot(F.col("cv"), F.col("cv"), dim)).alias("cnrm"),
+    ).persist()
+    assigned = (
+        corpus.crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id", "v", "label",
+            _pair_cosine(
+                F.col("v"), F.col("cv"), F.col("nrm"), F.col("cnrm"), dim
+            ).alias("c_cos"),
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(
+                F.col("label"), F.struct(F.col("c_cos"), (-F.col("label")))
+            ).alias("cluster"),
+            F.first("v").alias("v"),
+        )
+    )
+    out = (
+        assigned.select(
+            F.col("cluster"),
+            F.posexplode(_as_double(F.col("v"))).alias("pos", "x"),
+        )
+        .groupBy("cluster", "pos")
+        .agg(
+            dround(F.avg("x"), 6).alias("val"),
+            F.count("*").alias("n_members"),
+        )
+        .withColumn("pos", F.col("pos").cast("long"))
+        .orderBy("cluster", "pos")
+    )
+    return attach_cached_deps(out, cents)
+
+
+def oracle_kmeans_refine_sql(table: str = "embeddings") -> str:
+    return f"""
+        WITH {_sql_centroid_ctes(table)},
+        cvecs AS (
+            SELECT label, list(val ORDER BY pos) AS cv
+            FROM centroids GROUP BY label
+        ),
+        corpus AS (
+            SELECT vec_id, {_sql_vec("embedding")} AS v FROM {table}
+        ),
+        assigned AS (
+            SELECT vec_id, v, cell FROM (
+                SELECT c.vec_id, c.v, k.label AS cell,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY c.vec_id
+                           ORDER BY {_sql_cosine("c.v", "k.cv")} DESC,
+                                    k.label ASC) AS rn
+                FROM corpus c CROSS JOIN cvecs k
+            ) WHERE rn = 1
+        ),
+        exploded AS (
+            SELECT CAST(cell AS BIGINT) AS cluster, v,
+                   unnest(range(1, len(v) + 1)) AS i
+            FROM assigned
+        )
+        SELECT cluster, CAST(i - 1 AS BIGINT) AS pos,
+               {sql_dround('AVG(x)', 6)} AS val,
+               CAST(COUNT(*) AS BIGINT) AS n_members
+        FROM (SELECT cluster, i, v[i] AS x FROM exploded)
+        GROUP BY cluster, i
+        ORDER BY cluster, pos
+    """

@@ -185,6 +185,27 @@ def test_ivf_probes_subset(vecs):
     assert 1 in ids
 
 
+def test_kmeans_refine_reassigns_and_averages(vecs):
+    from retail_etl_pipeline_airflow_s3_athena_spark.functions.caching import (
+        release_cached,
+    )
+
+    out = similarity.kmeans_refine(vecs, dim=4)
+    rows = out.collect()
+    release_cached(out)
+    by = {(r["cluster"], r["pos"]): r for r in rows}
+    # vec 4 ([.707,.707,0,0]) sits at 45 deg between the label-0 centroid
+    # ([0.95,0.05,0,0]) and the label-1 centroid ([0.354,0.854,0,0]);
+    # cosine to label-1's centroid is higher, so cluster 1 keeps vecs
+    # {2, 4} and cluster 0 keeps {0, 1} after the reassignment round.
+    n_by_cluster = {c: r["n_members"] for (c, p), r in by.items() if p == 0}
+    assert n_by_cluster == {0: 2, 1: 2, 2: 1}
+    # recomputed cluster-0 mean of vecs 0 and 1 on dim 0: (1.0+0.9)/2
+    assert by[(0, 0)]["val"] == pytest.approx(0.95, abs=1e-6)
+    # singleton cluster keeps its member verbatim
+    assert by[(2, 2)]["val"] == 1.0
+
+
 def test_cosine_topk_gemm_bit_identical(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     expr = [
