@@ -592,24 +592,33 @@ def embedding_near_dup_gemm(
         # place cumsum copy.
         return np.cumsum(prod, axis=-1, out=prod)[..., -1]
 
+    def _fold_dot_mat(C: "np.ndarray", Tm: "np.ndarray") -> "np.ndarray":
+        # All pairwise dots with the SAME strictly left-associated
+        # accumulation order as the SQL fold, WITHOUT materializing the
+        # (m, n, dim) tensor: acc_k = acc_{k-1} + C[:,k] ⊗ Tm[:,k] is,
+        # per element, exactly t0 + t1 + ... (cumsum's order), at
+        # O(m·n) memory instead of O(m·n·dim).  Not BLAS matmul — that
+        # would pairwise/block the reduction and break bit-identity
+        # with the oracle.
+        acc = np.multiply.outer(C[:, 0], Tm[:, 0])
+        for k in range(1, C.shape[1]):
+            acc += np.multiply.outer(C[:, k], Tm[:, k])
+        return acc
+
     def _tile_pass(bcast):
         def batches(it):
             import pandas as pd
 
             t_ids, t_mat, t_nrm = bcast.value
-            # Both block axes are chunked so the 3-D product is bounded
-            # by CONSTANTS, not by Spark's Arrow batch size: a
-            # (256, 512, 64) fp64 product is 64 MB per task (the fold
-            # is an IN-PLACE cumsum, so there is no 2x copy) regardless
-            # of maxRecordsPerBatch.  An unchunked corpus axis at the
-            # default 10k-row Arrow batch would allocate 10000x512x64
-            # fp64 ≈ 2.6 GB/task.  The r4 constants (128x256) bounded
-            # memory at 16 MB but quadrupled the Python chunk-loop
-            # iterations and measurably regressed the bench (+71% at
-            # sf0.1); 256x512 keeps the bound while restoring most of
-            # the batch-size throughput.
-            sub = 512  # tile-axis chunk
-            csub = 256  # corpus-axis chunk
+            # Both block axes are chunked so task memory is bounded by
+            # CONSTANTS, not by Spark's Arrow batch size.  With the
+            # k-loop fold the working set is the (csub, sub) accumulator
+            # plus same-shape cos/keep temporaries (~3 x 8 MB at
+            # 512x2048) — the r4 3-D-tensor kernel needed 128x256
+            # chunks for the same bound and paid 16x more Python loop
+            # iterations (the +71% bench regression).
+            sub = 2048  # tile-axis chunk
+            csub = 512  # corpus-axis chunk
             for pdf in it:
                 if len(pdf) == 0:
                     continue
@@ -623,7 +632,7 @@ def embedding_near_dup_gemm(
                     c_nrm = nrm_all[cs : cs + csub]
                     for s in range(0, len(t_ids), sub):
                         Tm = t_mat[s : s + sub]
-                        dots = _fold_dots(C[:, None, :] * Tm[None, :, :])
+                        dots = _fold_dot_mat(C, Tm)
                         cos = np.floor(
                             dots / (c_nrm[:, None] * t_nrm[None, s : s + sub])
                             * scale + 0.5
