@@ -195,6 +195,10 @@ def _q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.text_features(readers.read_documents(spark, sf_dir))
 
 
+def _q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_ops.normalize_text(readers.read_documents(spark, sf_dir))
+
+
 def _q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.corpus_stats(readers.read_documents(spark, sf_dir))
 
@@ -706,6 +710,7 @@ GATE_TAIL = [
     "anomalous_revenue_days",
     "customer_order_gaps",
     "kmeans_refine",
+    "normalize_text",
     # driver evidence from r4 (one round old) — rotate forward in r6
     "tfidf_top_terms",
     "embedding_near_dup_lsh",
@@ -823,6 +828,7 @@ def _all_queries() -> dict[str, QueryFn]:
         "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
         "embedding_near_dup_gemm": _q_embedding_near_dup_gemm,
         "text_features": _q_text_features,
+        "normalize_text": _q_normalize_text,
         "corpus_stats": _q_corpus_stats,
         "windowed_event_stats": _q_windowed_event_stats,
         "sessionize_events": _q_sessionize,
@@ -941,6 +947,7 @@ def oracle_sql() -> dict[str, str]:
         """,
     }
     oracles["text_features"] = text_ops.oracle_text_features_sql()
+    oracles["normalize_text"] = text_ops.oracle_normalize_text_sql()
     oracles["corpus_stats"] = text_ops.oracle_corpus_stats_sql()
     oracles["language_id"] = text_ops.oracle_language_id_sql()
     oracles["repetition_signals"] = text_ops.oracle_repetition_signals_sql()

@@ -108,6 +108,40 @@ STANDALONE = [
     "anomalous_revenue_days",
     "customer_order_gaps",
     "kmeans_refine",
+    "normalize_text",
+    # r5: the remaining previously-untimed queries — EVERY queries()
+    # entry now has a bench row (the four gold tables are timed inside
+    # gold_materialize; the 7 ANALYTICS run against materialized gold)
+    "big_orders",
+    "blocked_jaccard_pairs",
+    "category_reach",
+    "churned_buyers",
+    "corpus_shuffle",
+    "cosine_topk",
+    "decontaminate_docs",
+    "dormant_customers",
+    "dq_summary_customer",
+    "embedding_near_dup",
+    "event_value_quantiles",
+    "extract_props",
+    "label_centroids",
+    "language_id",
+    "lsh_candidate_pairs",
+    "multimodal_pipeline",
+    "pack_bins",
+    "pii_redact_docs",
+    "repeat_buyers_intersect",
+    "repetition_signals",
+    "session_window_stats",
+    "silver_clean_events",
+    "simhash_signatures",
+    "small_quantity_revenue",
+    "source_cap_docs",
+    "stratified_sample_docs",
+    "topk_events_per_type",
+    "union_all_orders",
+    "user_event_pivot",
+    "user_event_unpivot",
 ]
 
 

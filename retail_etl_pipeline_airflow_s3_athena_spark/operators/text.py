@@ -500,3 +500,46 @@ def oracle_corpus_stats_sql(table: str = "documents", t: str = "text") -> str:
         GROUP BY source, lang
         ORDER BY source, lang
     """
+
+
+# ---------------------------------------------------------------------------
+# Text normalization (the standard pre-dedup canonicalization pass)
+# ---------------------------------------------------------------------------
+
+def normalize_text(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Conservative text canonicalization ahead of dedup/fingerprinting:
+    lowercase, control characters stripped, runs of whitespace collapsed
+    to single spaces, ends trimmed.  Pure column expressions (three
+    chained codegen'd regexp passes + lower) — a narrow map, no shuffle,
+    trivially scan-parallel at 100 TB.  Unicode-compat folding (NFKC) is
+    deliberately NOT attempted: it is locale/library-dependent and would
+    break cross-engine reproducibility; pipelines needing it plug a
+    pandas_udf stage in front.
+
+    Output: (doc_id, norm_text, n_chars_norm) with the post-norm length
+    for shrinkage auditing."""
+    c = F.col(text_col)
+    norm = F.lower(c)
+    norm = F.regexp_replace(norm, r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]", " ")
+    norm = F.regexp_replace(norm, r"\s+", " ")
+    norm = F.trim(norm)
+    return docs.select(
+        "doc_id",
+        norm.alias("norm_text"),
+        F.length(norm).cast("long").alias("n_chars_norm"),
+    )
+
+
+def oracle_normalize_text_sql(table: str = "documents", t: str = "text") -> str:
+    return f"""
+        SELECT doc_id,
+               TRIM(REGEXP_REPLACE(REGEXP_REPLACE(
+                   LOWER({t}),
+                   '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', ' ', 'g'),
+                   '\\s+', ' ', 'g')) AS norm_text,
+               CAST(LENGTH(TRIM(REGEXP_REPLACE(REGEXP_REPLACE(
+                   LOWER({t}),
+                   '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', ' ', 'g'),
+                   '\\s+', ' ', 'g'))) AS BIGINT) AS n_chars_norm
+        FROM {table}
+    """

@@ -1256,20 +1256,32 @@ def segment_year_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order revenue by (market segment × order year) with ALL
     grouping-set margins — ``DataFrame.cube``: one shuffle produces
     the full lattice (detail, per-segment, per-year, grand total) via
-    partial aggregation; at 100 TB the expansion factor is the
-    lattice size (4), applied at the map-side-combined grain, not the
-    fact grain."""
+    partial aggregation; the expansion factor is the lattice size (4),
+    applied at the map-side-combined grain, not the fact grain.
+
+    The fact side is PRE-AGGREGATED to (custkey, year) grain BEFORE
+    the customer join — an aggregate push-through-join Catalyst does
+    not perform itself: the join input shrinks from |orders| to the
+    roughly |customers|-sized active grid, so at 100 TB the wide
+    shuffle carries partial sums, not order rows.  Summing partials
+    is safe because Spark's own map-side combine already makes the
+    accumulation order nondeterministic — dround(2) absorbs it either
+    way (the repo-wide contract)."""
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer")
+    pre = orders.groupBy(
+        "o_custkey",
+        F.year("o_orderdate").cast("long").alias("order_year"),
+    ).agg(
+        F.sum("o_totalprice").alias("rev_part"),
+        F.count("*").alias("n_part"),
+    )
     return (
-        orders.join(cust, orders.o_custkey == cust.c_custkey)
-        .cube(
-            "c_mktsegment",
-            F.year("o_orderdate").cast("long").alias("order_year"),
-        )
+        pre.join(cust, pre.o_custkey == cust.c_custkey)
+        .cube("c_mktsegment", "order_year")
         .agg(
-            dround(F.sum("o_totalprice"), 2).alias("revenue"),
-            F.count("*").alias("n_orders"),
+            dround(F.sum("rev_part"), 2).alias("revenue"),
+            F.sum("n_part").alias("n_orders"),
         )
         .orderBy(
             F.asc_nulls_first("c_mktsegment"),

@@ -443,6 +443,22 @@ def test_near_dup_clusters_and_keep(docs):
     assert kept == [0, 3]
 
 
+def test_normalize_text_canonicalizes(spark):
+    rows = [
+        Row(doc_id=0, text="  Hello\tWORLD \x07 bell  "),
+        Row(doc_id=1, text="already clean"),
+        Row(doc_id=2, text="A\n\nB"),
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in text.normalize_text(spark.createDataFrame(rows)).collect()
+    }
+    assert out[0]["norm_text"] == "hello world bell"
+    assert out[0]["n_chars_norm"] == len("hello world bell")
+    assert out[1]["norm_text"] == "already clean"
+    assert out[2]["norm_text"] == "a b"
+
+
 def test_pii_redact_masks_and_counts(spark):
     rows = [
         Row(doc_id=0, text="contact me at jane.doe+x@example.co.uk or visit https://ex.com/a?b=1 now"),
