@@ -207,3 +207,110 @@ def test_shingle_cap_noop_when_above_corpus_size(spark, texts):
         ).collect()
     }
     assert capped == uncapped
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    cents=st.lists(
+        st.integers(min_value=0, max_value=10**11), min_size=3, max_size=40
+    )
+)
+def test_mad_filter_is_integer_exact_and_order_free(spark, cents):
+    """anomalous_revenue_days' n*dev > K*T filter must agree with a
+    pure-Python integer re-derivation for ANY cents profile (including
+    sf100-scale daily magnitudes, ~1e11), and be invariant to row
+    order — the integer arithmetic claim, property-tested."""
+    from retail_etl_pipeline_airflow_s3_athena_spark.plans.relational import ANOMALY_K
+
+    n = len(cents)
+    s = sum(cents)
+    devs = [abs(c * n - s) for c in cents]
+    t = sum(devs)
+    expect = sorted(
+        i for i, d in enumerate(devs) if n * d > ANOMALY_K * t
+    )
+    df = spark.createDataFrame(
+        [Row(day=i, cents=c) for i, c in enumerate(cents)]
+    )
+    scalars = df.agg(
+        F.count("*").alias("n"), F.sum("cents").alias("s")
+    )
+    dev = df.crossJoin(scalars).withColumn(
+        "dev", F.abs(F.col("cents") * F.col("n") - F.col("s"))
+    )
+    total = dev.agg(F.sum("dev").alias("t"))
+    got = sorted(
+        r["day"]
+        for r in dev.crossJoin(total)
+        .filter(F.col("n") * F.col("dev") > F.lit(ANOMALY_K) * F.col("t"))
+        .collect()
+    )
+    assert got == expect
+    # order invariance: reversing input changes nothing
+    df2 = spark.createDataFrame(
+        [Row(day=i, cents=c) for i, c in reversed(list(enumerate(cents)))]
+    )
+    scalars2 = df2.agg(F.count("*").alias("n"), F.sum("cents").alias("s"))
+    dev2 = df2.crossJoin(scalars2).withColumn(
+        "dev", F.abs(F.col("cents") * F.col("n") - F.col("s"))
+    )
+    total2 = dev2.agg(F.sum("dev").alias("t"))
+    got2 = sorted(
+        r["day"]
+        for r in dev2.crossJoin(total2)
+        .filter(F.col("n") * F.col("dev") > F.lit(ANOMALY_K) * F.col("t"))
+        .collect()
+    )
+    assert got2 == expect
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    gaps=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=9),      # customer
+            st.integers(min_value=0, max_value=2000),   # day offset
+        ),
+        min_size=2,
+        max_size=30,
+    )
+)
+def test_order_gap_multiset_invariant_under_shuffle(spark, gaps):
+    """customer_order_gaps' window sort is pinned by (date, key), but
+    the GAP MULTISET must already be invariant to the order equal-date
+    rows arrive in — reversing the input changes nothing."""
+    import datetime as dt
+
+    base = dt.datetime(1995, 1, 1)
+    rows = [
+        Row(
+            o_orderkey=i,
+            o_custkey=c,
+            o_orderdate=base + dt.timedelta(days=off),
+        )
+        for i, (c, off) in enumerate(gaps)
+    ]
+
+    def run(rs):
+        from pyspark.sql import Window
+
+        df = spark.createDataFrame(rs)
+        w = Window.partitionBy("o_custkey").orderBy(
+            "o_orderdate", "o_orderkey"
+        )
+        return sorted(
+            (r["o_custkey"], r["g"])
+            for r in df.withColumn(
+                "prev", F.lag("o_orderdate").over(w)
+            )
+            .filter(F.col("prev").isNotNull())
+            .select(
+                "o_custkey",
+                F.datediff(
+                    F.to_date("o_orderdate"), F.to_date("prev")
+                ).alias("g"),
+            )
+            .collect()
+        )
+
+    assert run(rows) == run(list(reversed(rows)))
