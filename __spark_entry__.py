@@ -504,6 +504,10 @@ def _q_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     return training_ops.bin_stats(packed)
 
 
+def _q_curated_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return training_ops.curated_docs(readers.read_documents(spark, sf_dir))
+
+
 def _q_quality_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return training_ops.quality_percentile_filter(
         readers.read_documents(spark, sf_dir)
@@ -711,6 +715,7 @@ GATE_TAIL = [
     "customer_order_gaps",
     "kmeans_refine",
     "normalize_text",
+    "curated_docs",
     # driver evidence from r4 (one round old) — rotate forward in r6
     "tfidf_top_terms",
     "embedding_near_dup_lsh",
@@ -793,6 +798,7 @@ def _all_queries() -> dict[str, QueryFn]:
         "pack_sequences": _q_pack_sequences,
         "pack_bins": _q_pack_bins,
         "quality_filter_docs": _q_quality_filter_docs,
+        "curated_docs": _q_curated_docs,
         "hash_sample_events": _q_hash_sample_events,
         "multimodal_pipeline": _q_multimodal_pipeline,
         "daily_sales_summary": _q_daily_sales_summary,
@@ -1032,6 +1038,7 @@ def oracle_sql() -> dict[str, str]:
     oracles["pack_sequences"] = training_ops.oracle_pack_sequences_sql()
     oracles["pack_bins"] = training_ops.oracle_pack_bins_sql()
     oracles["quality_filter_docs"] = training_ops.oracle_quality_percentile_sql()
+    oracles["curated_docs"] = training_ops.oracle_curated_docs_sql()
     oracles["hash_sample_events"] = sampling.oracle_hash_sample_sql(
         "events", ["event_id"], 0.1,
         select="event_id, user_id, event_type, value",

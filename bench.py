@@ -109,6 +109,7 @@ STANDALONE = [
     "customer_order_gaps",
     "kmeans_refine",
     "normalize_text",
+    "curated_docs",
     # r5: the remaining previously-untimed queries — EVERY queries()
     # entry now has a bench row (the four gold tables are timed inside
     # gold_materialize; the 7 ANALYTICS run against materialized gold)

@@ -506,6 +506,26 @@ def oracle_corpus_stats_sql(table: str = "documents", t: str = "text") -> str:
 # Text normalization (the standard pre-dedup canonicalization pass)
 # ---------------------------------------------------------------------------
 
+def norm_expr(col: Column) -> Column:
+    """The canonicalization column expression behind
+    :func:`normalize_text`, exposed so composed pipelines
+    (``training.curated_docs``) can inline it without a join back."""
+    norm = F.lower(col)
+    norm = F.regexp_replace(norm, r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]", " ")
+    norm = F.regexp_replace(norm, r"\s+", " ")
+    return F.trim(norm)
+
+
+def sql_norm_expr(t: str) -> str:
+    """DuckDB twin of :func:`norm_expr` (same regexes, same order)."""
+    return (
+        "TRIM(REGEXP_REPLACE(REGEXP_REPLACE("
+        f"LOWER({t}), "
+        "'[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', ' ', 'g'), "
+        "'\\s+', ' ', 'g'))"
+    )
+
+
 def normalize_text(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Conservative text canonicalization ahead of dedup/fingerprinting:
     lowercase, control characters stripped, runs of whitespace collapsed
@@ -518,11 +538,7 @@ def normalize_text(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
     Output: (doc_id, norm_text, n_chars_norm) with the post-norm length
     for shrinkage auditing."""
-    c = F.col(text_col)
-    norm = F.lower(c)
-    norm = F.regexp_replace(norm, r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]", " ")
-    norm = F.regexp_replace(norm, r"\s+", " ")
-    norm = F.trim(norm)
+    norm = norm_expr(F.col(text_col))
     return docs.select(
         "doc_id",
         norm.alias("norm_text"),

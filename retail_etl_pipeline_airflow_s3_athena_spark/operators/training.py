@@ -261,3 +261,101 @@ def oracle_pack_bins_sql(
         FROM packed
         GROUP BY source, bin_id
     """
+
+
+# ---------------------------------------------------------------------------
+# End-to-end curation snapshot: normalize -> exact dedup -> quality gate
+# ---------------------------------------------------------------------------
+
+CURATION_QUALITY_CUTOFF = 0.35
+
+
+def curated_docs(docs: DataFrame) -> DataFrame:
+    """The whole pre-training curation pass as ONE lazy plan:
+
+    1. canonicalize text (``text.norm_expr`` — narrow map, no shuffle);
+    2. exact-dedup on the 8-byte fingerprint of the canonical text,
+       keeping the lowest doc_id per group (one shuffle on the
+       fingerprint — never on the text itself);
+    3. gate on the deterministic quality score
+       (>= ``CURATION_QUALITY_CUTOFF``).
+
+    Output: (doc_id, source, n_chars_norm, quality) for every kept doc.
+
+    Scale notes: stage 1 rides the scan; stage 2's aggregate is
+    map-side-combinable on a uniform 60-bit key; stage 3 is a
+    projection+filter on the survivor set.  Total cost at 100 TB is one
+    scan + one fingerprint-keyed shuffle of (fingerprint, doc_id)
+    pairs — the text column never shuffles because the keeper join is
+    on (fingerprint, doc_id), both carried from the same row.  The
+    composition is what the standalone operators (normalize_text,
+    dedup_exact, quality_filter_docs) do separately; fused here so a
+    user runs curation with one action."""
+    from retail_etl_pipeline_airflow_s3_athena_spark.operators.dedup import _md5_hash
+    from retail_etl_pipeline_airflow_s3_athena_spark.operators.text import (
+        norm_expr,
+        quality_score,
+    )
+
+    base = docs.select(
+        "doc_id", "source", norm_expr(F.col("text")).alias("norm_text")
+    ).withColumn("fingerprint", _md5_hash(F.col("norm_text")))
+    keepers = base.groupBy("fingerprint").agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    kept = base.join(keepers, ["fingerprint", "doc_id"])
+    return (
+        kept.withColumn("quality", quality_score(F.col("norm_text")))
+        .filter(F.col("quality") >= CURATION_QUALITY_CUTOFF)
+        .select(
+            "doc_id",
+            "source",
+            F.length("norm_text").cast("long").alias("n_chars_norm"),
+            "quality",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def oracle_curated_docs_sql(table: str = "documents", t: str = "text") -> str:
+    from retail_etl_pipeline_airflow_s3_athena_spark.operators.dedup import (
+        _sql_md5_hash,
+    )
+    from retail_etl_pipeline_airflow_s3_athena_spark.operators.text import (
+        _sql_punct_ratio,
+        _sql_stopword_ratio,
+        _sql_token_count,
+        sql_dround,
+        sql_norm_expr,
+    )
+
+    nt = "norm_text"
+    quality = sql_dround(
+        f"LEAST(1.0, {_sql_token_count(nt)} / 50.0)"
+        f" * (1.0 - {_sql_punct_ratio(nt)})"
+        f" * (0.5 + 0.5 * LEAST(1.0, {_sql_stopword_ratio(nt, 'en')} * 5.0))",
+        6,
+    )
+    return f"""
+        WITH base AS (
+            SELECT doc_id, source,
+                   {sql_norm_expr(t)} AS norm_text,
+                   {_sql_md5_hash(sql_norm_expr(t))} AS fingerprint
+            FROM {table}
+        ),
+        keepers AS (
+            SELECT fingerprint, MIN(doc_id) AS doc_id
+            FROM base GROUP BY fingerprint
+        ),
+        kept AS (
+            SELECT b.* FROM base b
+            JOIN keepers k
+              ON b.fingerprint = k.fingerprint AND b.doc_id = k.doc_id
+        )
+        SELECT doc_id, source,
+               CAST(LENGTH(norm_text) AS BIGINT) AS n_chars_norm,
+               {quality} AS quality
+        FROM kept
+        WHERE {quality} >= {CURATION_QUALITY_CUTOFF}
+        ORDER BY doc_id
+    """

@@ -165,3 +165,22 @@ def test_concurrent_sessions_counts_other_users_only(spark):
     # u1 session contains u2's 10:05 event; u2's [10:05,10:12] session
     # contains u1's 10:10; the 23:00 session matches nothing and drops
     assert out == {(1, 10, 1), (2, 10, 1)}
+
+
+def test_curated_docs_dedups_and_gates(spark):
+    the = "the a of and to in is it " * 10  # high-stopword, 80 tokens
+    rows = [
+        Row(doc_id=0, text="The A of and to in is it " * 10, source="s1"),
+        Row(doc_id=1, text=the, source="s2"),              # dup of 0 after norm
+        Row(doc_id=2, text="@@ ## !! %%", source="s1"),    # all punct -> gated
+        Row(doc_id=3, text=the + " extra", source="s1"),   # distinct, kept
+    ]
+    out = {r["doc_id"]: r for r in training.curated_docs(
+        spark.createDataFrame(rows)
+    ).collect()}
+    # doc 1 deduped away (same canonical text as 0, higher id); doc 2
+    # fails the quality gate; 0 and 3 survive
+    assert set(out) == {0, 3}
+    assert out[0]["source"] == "s1"
+    assert out[0]["quality"] >= training.CURATION_QUALITY_CUTOFF
+    assert out[0]["n_chars_norm"] == len(the.strip())
