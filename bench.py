@@ -110,6 +110,7 @@ STANDALONE = [
     "kmeans_refine",
     "normalize_text",
     "curated_docs",
+    "fuzzy_part_names",
     # r5: the remaining previously-untimed queries — EVERY queries()
     # entry now has a bench row (the four gold tables are timed inside
     # gold_materialize; the 7 ANALYTICS run against materialized gold)

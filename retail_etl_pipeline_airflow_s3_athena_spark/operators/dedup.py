@@ -857,3 +857,84 @@ def oracle_blocked_jaccard_sql(
         FROM shc a JOIN shc b ON a.blk = b.blk AND a.doc_id < b.doc_id
         WHERE {jac} >= {threshold}
     """
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary-level fuzzy matching (edit-distance join with length bands)
+# ---------------------------------------------------------------------------
+
+FUZZY_MAX_DIST = 2
+
+
+def fuzzy_name_matches(
+    rows: DataFrame, name_col: str = "p_name", max_dist: int = FUZZY_MAX_DIST
+) -> DataFrame:
+    """Variant-spelling detection over a string column: pairs of
+    DISTINCT values within Levenshtein distance ``max_dist``, each with
+    its row count (how much data each variant covers).
+
+    The dictionary is extracted first (one map-side-combinable groupBy
+    — the pair space then scales with |vocabulary|, not |rows|), and
+    candidate pairs come from a LENGTH-BAND equi-join: bands of width
+    ``max_dist``, the left side probing {band-1, band, band+1}.  Since
+    edit distance >= length difference, every pair within ``max_dist``
+    falls in same-or-adjacent bands — the banding is lossless, so the
+    oracle can use the plain |len_a - len_b| <= max_dist join and both
+    engines provably produce the same rows.  A pair matches exactly one
+    (probe, band) combination, so no dedup step is needed.  Spark and
+    DuckDB both implement classic unit-cost Levenshtein, so ``dist``
+    is integer-identical."""
+    names = (
+        rows.groupBy(F.col(name_col).alias("name"))
+        .agg(F.count("*").alias("n_rows"))
+        .withColumn("ln", F.length("name"))
+        .withColumn("band", F.floor(F.col("ln") / max_dist))
+    )
+    left = names.select(
+        F.col("name").alias("name_a"),
+        F.col("n_rows").alias("rows_a"),
+        F.col("ln").alias("ln_a"),
+        F.explode(
+            F.array(
+                F.col("band") - 1, F.col("band"), F.col("band") + 1
+            )
+        ).alias("probe"),
+    )
+    right = names.select(
+        F.col("name").alias("name_b"),
+        F.col("n_rows").alias("rows_b"),
+        F.col("ln").alias("ln_b"),
+        F.col("band").alias("probe"),
+    )
+    return (
+        left.join(right, "probe")
+        .filter(
+            (F.col("name_a") < F.col("name_b"))
+            & (F.abs(F.col("ln_a") - F.col("ln_b")) <= max_dist)
+        )
+        .withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("dist") <= max_dist)
+        .select("name_a", "name_b", "rows_a", "rows_b", "dist")
+        .orderBy("name_a", "name_b")
+    )
+
+
+def oracle_fuzzy_name_matches_sql(
+    table: str = "part", name_col: str = "p_name",
+    max_dist: int = FUZZY_MAX_DIST,
+) -> str:
+    return f"""
+        WITH names AS (
+            SELECT {name_col} AS name,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   LENGTH({name_col}) AS ln
+            FROM {table} GROUP BY {name_col}
+        )
+        SELECT a.name AS name_a, b.name AS name_b,
+               a.n_rows AS rows_a, b.n_rows AS rows_b,
+               CAST(levenshtein(a.name, b.name) AS INT) AS dist
+        FROM names a JOIN names b
+          ON a.name < b.name AND ABS(a.ln - b.ln) <= {max_dist}
+        WHERE levenshtein(a.name, b.name) <= {max_dist}
+        ORDER BY name_a, name_b
+    """

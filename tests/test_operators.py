@@ -443,6 +443,49 @@ def test_near_dup_clusters_and_keep(docs):
     assert kept == [0, 3]
 
 
+def test_fuzzy_name_matches_banding_is_lossless(spark):
+    from retail_etl_pipeline_airflow_s3_athena_spark.operators import dedup as dd
+
+    rows = [Row(p_name=n) for n in [
+        "widget", "widgat", "widgets",      # dist 1 cluster
+        "gear", "bear",                     # dist 1
+        "a", "abc",                         # dist 2, adjacent bands
+        "completely different",             # no match
+        "widget",                           # dup row -> n_rows=2
+    ]]
+    df = spark.createDataFrame(rows)
+    got = {
+        (r["name_a"], r["name_b"]): (r["rows_a"], r["rows_b"], r["dist"])
+        for r in dd.fuzzy_name_matches(df, max_dist=2).collect()
+    }
+    # brute-force reference over the distinct vocabulary
+    import itertools
+
+    def lev(a, b):
+        m = [[0] * (len(b) + 1) for _ in range(len(a) + 1)]
+        for i in range(len(a) + 1):
+            m[i][0] = i
+        for j in range(len(b) + 1):
+            m[0][j] = j
+        for i in range(1, len(a) + 1):
+            for j in range(1, len(b) + 1):
+                m[i][j] = min(
+                    m[i - 1][j] + 1, m[i][j - 1] + 1,
+                    m[i - 1][j - 1] + (a[i - 1] != b[j - 1]),
+                )
+        return m[len(a)][len(b)]
+
+    from collections import Counter
+    counts = Counter(r.p_name for r in rows)
+    expect = {}
+    for a, b in itertools.combinations(sorted(counts), 2):
+        d = lev(a, b)
+        if d <= 2:
+            expect[(a, b)] = (counts[a], counts[b], d)
+    assert got == expect
+    assert got[("widget", "widgets")][0] == 2  # dup row counted
+
+
 def test_normalize_text_canonicalizes(spark):
     rows = [
         Row(doc_id=0, text="  Hello\tWORLD \x07 bell  "),
