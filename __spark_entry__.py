@@ -723,6 +723,7 @@ GATE_TAIL = [
     "normalize_text",
     "curated_docs",
     "fuzzy_part_names",
+    "brand_corr_stats",
     # driver evidence from r4 (one round old) — rotate forward in r6
     "tfidf_top_terms",
     "embedding_near_dup_lsh",
@@ -782,6 +783,7 @@ def _all_queries() -> dict[str, QueryFn]:
         "lone_late_supplier": relational.lone_late_supplier,
         "above_avg_dormant_value": relational.above_avg_dormant_value,
         "supplier_revenue_share": relational.supplier_revenue_share,
+        "brand_corr_stats": relational.brand_corr_stats,
         "discount_band_revenue": relational.discount_band_revenue,
         "nation_year_profit": relational.nation_year_profit,
         "returned_item_customers": relational.returned_item_customers,
@@ -1104,6 +1106,7 @@ def oracle_sql() -> dict[str, str]:
     oracles["supplier_revenue_share"] = (
         relational.oracle_supplier_revenue_share_sql()
     )
+    oracles["brand_corr_stats"] = relational.oracle_brand_corr_stats_sql()
     oracles["discount_band_revenue"] = (
         relational.oracle_discount_band_revenue_sql()
     )

@@ -111,6 +111,7 @@ STANDALONE = [
     "normalize_text",
     "curated_docs",
     "fuzzy_part_names",
+    "brand_corr_stats",
     # r5: the remaining previously-untimed queries — EVERY queries()
     # entry now has a bench row (the four gold tables are timed inside
     # gold_materialize; the 7 ANALYTICS run against materialized gold)

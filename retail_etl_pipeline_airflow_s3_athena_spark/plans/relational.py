@@ -1436,3 +1436,73 @@ def oracle_customer_order_gaps_sql() -> str:
         GROUP BY c.c_mktsegment
         ORDER BY c.c_mktsegment
     """
+
+
+# ---------------------------------------------------------------------------
+# Statistical aggregate: per-brand Pearson correlation via explicit sums
+# ---------------------------------------------------------------------------
+
+def brand_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation of quantity vs extended price per brand,
+    computed from EXPLICIT moment sums (n, Σx, Σy, Σx², Σy², Σxy)
+    rather than the native ``corr`` aggregate: the five sums are
+    map-side-combinable in one fact pass (native corr is too, but its
+    streaming co-moment update is engine-specific — explicit sums +
+    dround give a formula both engines evaluate identically).  Groups
+    with zero variance in either variable are excluded (the guard,
+    not NULL-juggling, keeps div-by-zero semantics out of the
+    comparison).  One fact⋈part join, one groupBy, output = |brands|."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    x = F.col("l_quantity")
+    y = F.col("l_extendedprice")
+    s = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n"),
+            dround(F.sum(x), 2).alias("sx"),
+            dround(F.sum(y), 2).alias("sy"),
+            dround(F.sum(x * x), 2).alias("sxx"),
+            dround(F.sum(y * y), 2).alias("syy"),
+            dround(F.sum(x * y), 2).alias("sxy"),
+        )
+    )
+    var_x = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    var_y = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    cov = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return (
+        s.filter((var_x > 0) & (var_y > 0))
+        .select(
+            "p_brand",
+            "n",
+            dround(cov / F.sqrt(var_x * var_y), 6).alias("corr_qty_price"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+def oracle_brand_corr_stats_sql() -> str:
+    return f"""
+        WITH s AS (
+            SELECT p.p_brand,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   {sql_dround('SUM(l.l_quantity)', 2)} AS sx,
+                   {sql_dround('SUM(l.l_extendedprice)', 2)} AS sy,
+                   {sql_dround('SUM(l.l_quantity * l.l_quantity)', 2)} AS sxx,
+                   {sql_dround(
+                       'SUM(l.l_extendedprice * l.l_extendedprice)', 2)}
+                       AS syy,
+                   {sql_dround(
+                       'SUM(l.l_quantity * l.l_extendedprice)', 2)} AS sxy
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            GROUP BY p.p_brand
+        )
+        SELECT p_brand, n,
+               {sql_dround(
+                   '(n*sxy - sx*sy) / SQRT((n*sxx - sx*sx) * (n*syy - sy*sy))',
+                   6)} AS corr_qty_price
+        FROM s
+        WHERE (n*sxx - sx*sx) > 0 AND (n*syy - sy*sy) > 0
+        ORDER BY p_brand
+    """

@@ -420,3 +420,24 @@ def test_customer_order_gaps_match_manual(spark, sf_dir):
     for seg, lst in gaps.items():
         assert out[seg]["n_gaps"] == len(lst)
         assert out[seg]["max_gap_days"] == max(lst)
+
+
+def test_brand_corr_matches_native_corr(spark, sf_dir):
+    # explicit-moment formula vs Spark's native corr aggregate
+    out = {
+        r["p_brand"]: r["corr_qty_price"]
+        for r in relational.brand_corr_stats(spark, sf_dir).collect()
+    }
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    native = {
+        r["p_brand"]: r["c"]
+        for r in li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(F.corr("l_quantity", "l_extendedprice").alias("c"))
+        .collect()
+    }
+    assert out, "expected per-brand correlations"
+    for brand, c in out.items():
+        assert abs(c - native[brand]) < 1e-4
+        assert -1.0 <= c <= 1.0
