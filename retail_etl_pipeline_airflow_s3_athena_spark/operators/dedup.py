@@ -883,7 +883,14 @@ def fuzzy_name_matches(
     engines provably produce the same rows.  A pair matches exactly one
     (probe, band) combination, so no dedup step is needed.  Spark and
     DuckDB both implement classic unit-cost Levenshtein, so ``dist``
-    is integer-identical."""
+    is integer-identical.
+
+    Scale honesty: length banding bounds candidates at O(Σ band²) —
+    right for the intended use (bounded dictionaries: product names,
+    categorical vocab, titles), but a MILLION same-length strings
+    would need PassJoin-style segment pigeonhole filtering layered on
+    top of this join; the length-band key is where that key would
+    compose in."""
     names = (
         rows.groupBy(F.col(name_col).alias("name"))
         .agg(F.count("*").alias("n_rows"))

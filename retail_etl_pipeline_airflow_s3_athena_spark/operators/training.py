@@ -282,15 +282,16 @@ def curated_docs(docs: DataFrame) -> DataFrame:
 
     Output: (doc_id, source, n_chars_norm, quality) for every kept doc.
 
-    Scale notes: stage 1 rides the scan; stage 2's aggregate is
-    map-side-combinable on a uniform 60-bit key; stage 3 is a
-    projection+filter on the survivor set.  Total cost at 100 TB is one
-    scan + one fingerprint-keyed shuffle of (fingerprint, doc_id)
-    pairs — the text column never shuffles because the keeper join is
-    on (fingerprint, doc_id), both carried from the same row.  The
-    composition is what the standalone operators (normalize_text,
-    dedup_exact, quality_filter_docs) do separately; fused here so a
-    user runs curation with one action."""
+    Scale notes: stage 1 rides the scan; stage 2 is a min-over-window
+    on the fingerprint — ONE scan and ONE shuffle total (the
+    alternative agg-then-join formulation scans the corpus twice and
+    shuffles the text through the join anyway, since the keeper set is
+    data-scaling and can't broadcast); stage 3 is a projection+filter
+    on the survivor set.  The 60-bit fingerprint key is uniform by
+    construction, so the single exchange has no skew.  The composition
+    is what the standalone operators (normalize_text, dedup_exact,
+    quality_filter_docs) do separately; fused here so a user runs
+    curation with one action."""
     from retail_etl_pipeline_airflow_s3_athena_spark.operators.dedup import _md5_hash
     from retail_etl_pipeline_airflow_s3_athena_spark.operators.text import (
         norm_expr,
@@ -300,10 +301,11 @@ def curated_docs(docs: DataFrame) -> DataFrame:
     base = docs.select(
         "doc_id", "source", norm_expr(F.col("text")).alias("norm_text")
     ).withColumn("fingerprint", _md5_hash(F.col("norm_text")))
-    keepers = base.groupBy("fingerprint").agg(
-        F.min("doc_id").alias("doc_id")
+    w = Window.partitionBy("fingerprint")
+    kept = (
+        base.withColumn("keeper_id", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") == F.col("keeper_id"))
     )
-    kept = base.join(keepers, ["fingerprint", "doc_id"])
     return (
         kept.withColumn("quality", quality_score(F.col("norm_text")))
         .filter(F.col("quality") >= CURATION_QUALITY_CUTOFF)
