@@ -300,3 +300,99 @@ def run_to_memory(
     q.processAllAvailable()
     q.stop()
     return q
+
+
+DOCS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+
+def near_dup_stream(
+    spark: SparkSession,
+    source_dir: str,
+    work_dir: str,
+    threshold: float = 0.5,
+):
+    """Streaming near-dup ingest: as document files land, match each
+    micro-batch against the ACCUMULATED corpus and emit
+    (new_doc_id, old_doc_id, jaccard) pairs — the streaming form of
+    ``dedup.incremental_near_dups``.
+
+    Each batch does two bounded pieces of work:
+    - batch × corpus via the ASYMMETRIC band join (old-old pairs never
+      generated — per-batch cost scales with the batch, not the
+      corpus);
+    - batch × batch via the self-join pipeline (the new docs must also
+      be deduped against each other).
+    Their union is exactly the pair set a full self-join over the final
+    corpus would produce restricted to pairs touching this batch, so
+    across all batches every near-dup pair is emitted exactly once
+    (equivalence-tested against ``near_dup_pairs`` on the full corpus).
+
+    Sinks are append-only parquet (pairs + corpus); exactly-once comes
+    from the checkpoint — a replayed batch appends the same rows
+    (idempotent for downstream dedup-by-pair consumers).  At
+    production scale the corpus side's signatures are precomputed and
+    stored instead of re-derived per batch (the operator docstring
+    covers that evolution); the STREAM's state itself is empty — all
+    accumulation lives in the corpus sink."""
+    import os
+
+    from retail_etl_pipeline_airflow_s3_athena_spark.functions.caching import (
+        release_cached,
+    )
+    from retail_etl_pipeline_airflow_s3_athena_spark.operators import dedup
+
+    corpus_dir = os.path.join(work_dir, "corpus")
+    pairs_dir = os.path.join(work_dir, "pairs")
+    ckpt_dir = os.path.join(work_dir, "ckpt")
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        batch = batch_df.persist()
+        try:
+            have_corpus = os.path.isdir(corpus_dir) and any(
+                f.endswith(".parquet") for f in os.listdir(corpus_dir)
+            )
+            if have_corpus:
+                old = sp.read.parquet(corpus_dir)
+                flagged = old.withColumn(
+                    "_nf", F.lit(False)
+                ).unionByName(batch.withColumn("_nf", F.lit(True)))
+                inc = dedup.incremental_near_dups(
+                    flagged, "_nf", threshold=threshold
+                )
+                inc.write.mode("append").parquet(pairs_dir)
+                release_cached(inc)
+            intra = dedup.near_dup_pairs(batch, threshold=threshold)
+            (
+                intra.select(
+                    F.greatest("doc_a", "doc_b").alias("new_doc_id"),
+                    F.least("doc_a", "doc_b").alias("old_doc_id"),
+                    "jaccard",
+                )
+                .write.mode("append")
+                .parquet(pairs_dir)
+            )
+            release_cached(intra)
+            batch.write.mode("append").parquet(corpus_dir)
+        finally:
+            batch.unpersist()
+
+    stream = (
+        spark.readStream.schema(DOCS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_dir)
+    )
+    return (
+        stream.writeStream.foreachBatch(step)
+        .option("checkpointLocation", ckpt_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

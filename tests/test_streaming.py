@@ -274,3 +274,54 @@ def test_hash_sample_is_streaming_safe(spark, sf_dir, events_stream):
     }
     assert streamed == batch
     assert 0 < len(batch) < 1000
+
+
+def test_near_dup_stream_matches_full_self_join(spark):
+    """Union of per-batch pair emissions == the full-corpus self-join
+    pair set, with identical jaccard values (df cap never binds on the
+    tiny corpus, so jaccard is pure set overlap — corpus-independent)."""
+    from pyspark.sql import Row
+
+    from retail_etl_pipeline_airflow_s3_athena_spark.functions.caching import (
+        release_cached,
+    )
+    from retail_etl_pipeline_airflow_s3_athena_spark.operators import dedup
+
+    base = "the quick brown fox jumps over the lazy dog and runs away fast"
+    variant = base + " indeed"
+    other = "completely different text about spark structured streaming state"
+    docs1 = [
+        Row(doc_id=0, text=base, lang="en", source="a", n_chars=len(base)),
+        Row(doc_id=1, text=other, lang="en", source="a", n_chars=len(other)),
+        Row(doc_id=2, text=base, lang="en", source="b", n_chars=len(base)),
+    ]
+    docs2 = [
+        Row(doc_id=10, text=variant, lang="en", source="b", n_chars=len(variant)),
+        Row(doc_id=11, text=other + " with a twist at the end", lang="en",
+            source="a", n_chars=0),
+        Row(doc_id=12, text=base, lang="en", source="c", n_chars=len(base)),
+    ]
+    src = tempfile.mkdtemp(prefix="docs_src_")
+    work = tempfile.mkdtemp(prefix="neardup_stream_")
+    spark.createDataFrame(docs1).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(docs2).coalesce(1).write.mode("append").parquet(src)
+
+    q = incremental.near_dup_stream(spark, src, work, threshold=0.3)
+    q.awaitTermination(180)
+
+    got = {
+        (max(r["new_doc_id"], r["old_doc_id"]),
+         min(r["new_doc_id"], r["old_doc_id"])): r["jaccard"]
+        for r in spark.read.parquet(f"{work}/pairs").collect()
+    }
+    full = spark.createDataFrame(docs1 + docs2)
+    ref_df = dedup.near_dup_pairs(full, threshold=0.3)
+    ref = {
+        (max(r["doc_a"], r["doc_b"]), min(r["doc_a"], r["doc_b"])): r["jaccard"]
+        for r in ref_df.collect()
+    }
+    release_cached(ref_df)
+    assert got == ref
+    assert got, "expected near-dup pairs in the constructed corpus"
+    # corpus sink accumulated every batch exactly once
+    assert spark.read.parquet(f"{work}/corpus").count() == 6
