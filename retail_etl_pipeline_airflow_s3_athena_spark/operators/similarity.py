@@ -355,21 +355,26 @@ def rp_lsh_signatures(
     h_b[i] = +1 if ((b*64+i)*RP_MULT) % FP_MOD is even else -1.
 
     The hyperplane elements are plan-time constants, so each projection
-    UNROLLS to a flat left-associated sum (same policy as ``dot``):
-    stays in WholeStageCodegen — no interpreted array lambdas — and
-    accumulates in the oracle fold's exact order, so signatures are
-    bit-identical across engines.
+    UNROLLS to a flat left-associated sum (same policy as ``dot``)
+    accumulating in the oracle fold's exact order — signatures are
+    bit-identical across engines.  CAVEAT: the 16-bit × 64-dim tree
+    still overflows janino's 64 KB method limit and evaluates
+    interpreted (~1.4s / 2000 rows at sf0.1 after the cast-free
+    rework; was 7.7s).  ``rp_lsh_signatures_gemm`` is the production
+    path (bit-identical, test-enforced) and is what the gate and
+    ``embedding_near_dup_lsh`` use; this form exists as the
+    pure-Catalyst reference implementation.
 
     Precondition: every embedding has exactly ``dim`` elements.  The
     unrolled element_at(i) chain returns NULL past the end of a short
     vector, which would silently zero the bit — so rows with a
     mismatched size raise instead (fails the job loudly rather than
     emitting wrong signatures)."""
-    v = F.col("embedding")
+    v = _as_double(F.col("embedding"))
     sig = None
     for b in range(bits):
         terms = [
-            F.element_at(v, i + 1).cast("double") * F.lit(_rp_sign(b, i))
+            F.element_at(v, i + 1) * F.lit(_rp_sign(b, i))
             for i in range(dim)
         ]
         proj = sum(terms)  # 0 + t0 + t1 + ... left-assoc, = the SQL fold
