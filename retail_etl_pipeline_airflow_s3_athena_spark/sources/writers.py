@@ -66,3 +66,42 @@ def write_gold(df: DataFrame, base_dir: str, table: str) -> str:
     path = f"{base_dir}/{table}"
     df.write.mode("overwrite").option("compression", "snappy").parquet(path)
     return path
+
+
+def backfill_silver_partition(
+    df: DataFrame,
+    base_dir: str,
+    table: str,
+    run_date: str | _dt.date,
+    target_files: int | None = None,
+) -> str:
+    """Idempotent single-partition rewrite (backfill / repair /
+    compaction): replaces EXACTLY the ``date=<run_date>`` partition with
+    ``df``'s rows, leaving every other partition untouched.
+
+    Uses DYNAMIC partition-overwrite (scoped to this write via
+    ``partitionOverwriteMode=dynamic``): Spark deletes only the
+    partitions present in the incoming data — the operational primitive
+    behind reprocessing one bad day out of a 100 TB table without
+    rewriting (or even listing) the rest.  STATIC overwrite here would
+    truncate the whole table; that distinction is the single most
+    expensive silent mistake in partitioned-sink code, so this helper
+    pins the mode per-write instead of relying on session defaults.
+
+    ``target_files`` additionally repartitions the day's rows before
+    writing — the small-file compaction knob (a day re-ingested from
+    many micro-batches can leave hundreds of tiny files; rewriting it
+    through this path at a chosen file count is the standard
+    maintenance job)."""
+    path = f"{base_dir}/{table}"
+    out = df.withColumn("date", F.lit(_run_date(run_date)))
+    if target_files is not None:
+        out = out.repartition(target_files)
+    (
+        out.write.mode("overwrite")
+        .partitionBy("date")
+        .option("partitionOverwriteMode", "dynamic")
+        .option("compression", "snappy")
+        .parquet(path)
+    )
+    return path

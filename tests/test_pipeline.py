@@ -291,3 +291,37 @@ def test_bench_times_every_query():
     # and bench doesn't time phantom queries
     phantom = set(bench.STANDALONE) - set(e.queries())
     assert not phantom, f"bench rows without a query: {sorted(phantom)}"
+
+
+def test_backfill_rewrites_only_target_partition(spark, sf_dir, tmp_path):
+    from pyspark.sql import Row
+
+    from retail_etl_pipeline_airflow_s3_athena_spark.sources import writers
+
+    base = str(tmp_path)
+    day1 = [Row(id=1, v="a"), Row(id=2, v="b")]
+    day2 = [Row(id=3, v="c")]
+    writers.write_silver(spark.createDataFrame(day1), base, "t", "20240101")
+    writers.write_silver(spark.createDataFrame(day2), base, "t", "20240102")
+
+    # backfill day 2 with corrected rows; day 1 must be untouched
+    fixed = [Row(id=3, v="C"), Row(id=4, v="d")]
+    writers.backfill_silver_partition(
+        spark.createDataFrame(fixed), base, "t", "20240102", target_files=1
+    )
+    got = spark.read.parquet(f"{base}/t")
+    d1 = {(r["id"], r["v"]) for r in got.filter("date = '20240101'").collect()}
+    d2 = {(r["id"], r["v"]) for r in got.filter("date = '20240102'").collect()}
+    assert d1 == {(1, "a"), (2, "b")}
+    assert d2 == {(3, "C"), (4, "d")}
+    # compaction knob: the rewritten day is exactly one data file
+    import glob
+
+    files = glob.glob(f"{base}/t/date=20240102/*.parquet")
+    assert len(files) == 1
+    # idempotence: running the same backfill again changes nothing
+    writers.backfill_silver_partition(
+        spark.createDataFrame(fixed), base, "t", "20240102", target_files=1
+    )
+    again = spark.read.parquet(f"{base}/t")
+    assert again.count() == 4
