@@ -384,6 +384,10 @@ def _q_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim_ops.kmeans_refine(_emb(spark, sf_dir))
 
 
+def _q_kmeans_two_round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sim_ops.kmeans_fit(_emb(spark, sf_dir), rounds=2)
+
+
 def _q_rp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The Arrow/numpy form is the production path (also used inside
     # embedding_near_dup_lsh): the unrolled 16x64 expression form
@@ -720,6 +724,7 @@ GATE_TAIL = [
     "anomalous_revenue_days",
     "customer_order_gaps",
     "kmeans_refine",
+    "kmeans_two_round",
     "normalize_text",
     "curated_docs",
     "fuzzy_part_names",
@@ -839,6 +844,7 @@ def _all_queries() -> dict[str, QueryFn]:
         "label_centroids": _q_label_centroids,
         "ivf_topk": _q_ivf_topk,
         "kmeans_refine": _q_kmeans_refine,
+        "kmeans_two_round": _q_kmeans_two_round,
         "rp_lsh_signatures": _q_rp_lsh,
         "embedding_near_dup": _q_embedding_near_dup,
         "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
@@ -1028,6 +1034,7 @@ def oracle_sql() -> dict[str, str]:
     oracles["label_centroids"] = sim_ops.oracle_label_centroids_sql()
     oracles["ivf_topk"] = sim_ops.oracle_ivf_topk_sql()
     oracles["kmeans_refine"] = sim_ops.oracle_kmeans_refine_sql()
+    oracles["kmeans_two_round"] = sim_ops.oracle_kmeans_fit_sql(rounds=2)
     oracles["rp_lsh_signatures"] = sim_ops.oracle_rp_lsh_sql()
     oracles["embedding_near_dup"] = sim_ops.oracle_embedding_near_dup_sql()
     oracles["embedding_near_dup_lsh"] = (

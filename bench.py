@@ -108,6 +108,7 @@ STANDALONE = [
     "anomalous_revenue_days",
     "customer_order_gaps",
     "kmeans_refine",
+    "kmeans_two_round",
     "normalize_text",
     "curated_docs",
     "fuzzy_part_names",

@@ -887,32 +887,19 @@ def oracle_embedding_near_dup_lsh_sql(
 # shape: broadcast-assign, then a distributed vector mean
 # ---------------------------------------------------------------------------
 
-def kmeans_refine(embeddings: DataFrame, dim: int = EMB_DIM) -> DataFrame:
-    """One Lloyd iteration over the corpus: initialize centroids from
-    the per-label means, reassign every vector to its nearest centroid
-    by cosine, and recompute the element-wise mean of each refined
-    cluster.  Output: (cluster, pos, val, n_members) exploded rows.
-
-    This is the canonical distributed-k-means round: the centroid set
-    (K rows, persisted — it feeds the broadcast) never shuffles, the
-    corpus is scanned once, and the argmax assignment uses ``max_by``
-    so the corpus × K scored rows combine map-side and only
-    (vec_id, cluster) pairs reach the exchange.  Iterating = calling
-    this with the previous round's centroids; each round is one corpus
-    pass, which is the textbook lower bound.  Tie-breaks are pinned
-    (cosine desc, label asc) and means are dround(6) so both engines
-    agree exactly.  Cache ownership transfers to the caller
-    (``functions.caching.release_cached``)."""
-    from retail_etl_pipeline_airflow_s3_athena_spark.functions.caching import (
-        attach_cached_deps,
-    )
-
-    corpus = _normed(embeddings, dim)
-    cents = _centroid_vectors(embeddings).select(
+def _cents_norm(cents: DataFrame, dim: int) -> DataFrame:
+    """(label, cv) -> (label, cv, cnrm): centroid norm precomputed once."""
+    return cents.select(
         "label", "cv",
         F.sqrt(dot(F.col("cv"), F.col("cv"), dim)).alias("cnrm"),
-    ).persist()
-    assigned = (
+    )
+
+
+def _assign_to_cents(corpus: DataFrame, cents: DataFrame, dim: int) -> DataFrame:
+    """(vec_id, v, cluster): nearest-centroid argmax via ``max_by`` —
+    the corpus x K scored rows combine map-side; only (vec_id, cluster,
+    v) reaches the exchange.  Tie-break pinned (cos desc, label asc)."""
+    return (
         corpus.crossJoin(F.broadcast(cents))
         .select(
             "vec_id", "v", "label",
@@ -928,7 +915,12 @@ def kmeans_refine(embeddings: DataFrame, dim: int = EMB_DIM) -> DataFrame:
             F.first("v").alias("v"),
         )
     )
-    out = (
+
+
+def _cluster_means(assigned: DataFrame) -> DataFrame:
+    """(cluster, pos, val, n_members): element-wise mean per refined
+    cluster, dround(6) so both engines agree exactly."""
+    return (
         assigned.select(
             F.col("cluster"),
             # v is already array<double> (from _normed)
@@ -940,40 +932,106 @@ def kmeans_refine(embeddings: DataFrame, dim: int = EMB_DIM) -> DataFrame:
             F.count("*").alias("n_members"),
         )
         .withColumn("pos", F.col("pos").cast("long"))
-        .orderBy("cluster", "pos")
     )
-    return attach_cached_deps(out, cents)
 
 
-def oracle_kmeans_refine_sql(table: str = "embeddings") -> str:
-    return f"""
-        WITH {_sql_centroid_ctes(table)},
-        cvecs AS (
-            SELECT label, list(val ORDER BY pos) AS cv
-            FROM centroids GROUP BY label
+def _reassemble_cents(exploded: DataFrame, dim: int) -> DataFrame:
+    """(cluster, pos, val, ...) -> (label, cv, cnrm) for the next round."""
+    return _cents_norm(
+        exploded.groupBy(F.col("cluster").alias("label")).agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "val"))),
+                lambda st: st.val,
+            ).alias("cv")
         ),
-        corpus AS (
-            SELECT vec_id, {_sql_vec("embedding")} AS v FROM {table}
+        dim,
+    )
+
+
+def kmeans_fit(
+    embeddings: DataFrame, rounds: int = 2, dim: int = EMB_DIM
+) -> DataFrame:
+    """``rounds`` Lloyd iterations over the corpus, initialized from
+    the per-label means.  Output: the final round's
+    (cluster, pos, val, n_members) exploded centroid rows.
+
+    The iterative-algorithm shape done right on Spark: the corpus
+    (vec_id, v, nrm) is normalized ONCE and persisted — each round is
+    exactly one pass over it (the textbook lower bound); the K-row
+    centroid table is broadcast; the argmax assignment combines
+    map-side (see ``_assign_to_cents``).  A cluster that loses all its
+    members simply drops out — deterministic in both engines.  Every
+    round's means are dround(6) and tie-breaks integer-pinned, so the
+    whole ITERATION is cross-engine exact: the DuckDB oracle unrolls
+    the same rounds into CTEs and hash-matches.  Cache ownership
+    transfers to the caller (``functions.caching.release_cached``)."""
+    from retail_etl_pipeline_airflow_s3_athena_spark.functions.caching import (
+        attach_cached_deps,
+    )
+
+    corpus = _normed(embeddings, dim).persist()
+    cents = _cents_norm(_centroid_vectors(embeddings), dim)
+    exploded = None
+    for r in range(rounds):
+        assigned = _assign_to_cents(corpus, cents, dim)
+        exploded = _cluster_means(assigned)
+        if r < rounds - 1:
+            cents = _reassemble_cents(exploded, dim)
+    out = exploded.orderBy("cluster", "pos")
+    return attach_cached_deps(out, corpus)
+
+
+def kmeans_refine(embeddings: DataFrame, dim: int = EMB_DIM) -> DataFrame:
+    """One Lloyd iteration (``kmeans_fit(rounds=1)``): initialize
+    centroids from the per-label means, reassign every vector by
+    cosine, recompute the element-wise cluster means.  See
+    ``kmeans_fit`` for the scale/determinism story."""
+    return kmeans_fit(embeddings, rounds=1, dim=dim)
+
+
+def oracle_kmeans_fit_sql(table: str = "embeddings", rounds: int = 2) -> str:
+    """DuckDB twin of ``kmeans_fit``: the rounds unrolled into CTEs —
+    same init means, same argmax tie-break, same dround(6) means."""
+    sql = (
+        f"WITH {_sql_centroid_ctes(table)},\n"
+        f"corpus AS (SELECT vec_id, {_sql_vec('embedding')} AS v FROM {table})"
+    )
+    prev_means, prev_key = "centroids", "label"
+    for r in range(rounds):
+        sql += f""",
+        cvecs{r} AS (
+            SELECT {prev_key} AS label, list(val ORDER BY pos) AS cv
+            FROM {prev_means} GROUP BY {prev_key}
         ),
-        assigned AS (
+        assigned{r} AS (
             SELECT vec_id, v, cell FROM (
                 SELECT c.vec_id, c.v, k.label AS cell,
                        ROW_NUMBER() OVER (
                            PARTITION BY c.vec_id
                            ORDER BY {_sql_cosine("c.v", "k.cv")} DESC,
                                     k.label ASC) AS rn
-                FROM corpus c CROSS JOIN cvecs k
+                FROM corpus c CROSS JOIN cvecs{r} k
             ) WHERE rn = 1
         ),
-        exploded AS (
+        exploded{r} AS (
             SELECT CAST(cell AS BIGINT) AS cluster, v,
                    unnest(range(1, len(v) + 1)) AS i
-            FROM assigned
-        )
-        SELECT cluster, CAST(i - 1 AS BIGINT) AS pos,
-               {sql_dround('AVG(x)', 6)} AS val,
-               CAST(COUNT(*) AS BIGINT) AS n_members
-        FROM (SELECT cluster, i, v[i] AS x FROM exploded)
-        GROUP BY cluster, i
-        ORDER BY cluster, pos
-    """
+            FROM assigned{r}
+        ),
+        means{r} AS (
+            SELECT cluster, CAST(i - 1 AS BIGINT) AS pos,
+                   {sql_dround("AVG(x)", 6)} AS val,
+                   CAST(COUNT(*) AS BIGINT) AS n_members
+            FROM (SELECT cluster, i, v[i] AS x FROM exploded{r})
+            GROUP BY cluster, i
+        )"""
+        prev_means, prev_key = f"means{r}", "cluster"
+    sql += (
+        f"\nSELECT cluster, pos, val, n_members FROM means{rounds - 1}"
+        "\nORDER BY cluster, pos"
+    )
+    return sql
+
+
+def oracle_kmeans_refine_sql(table: str = "embeddings") -> str:
+    return oracle_kmeans_fit_sql(table, rounds=1)

@@ -206,6 +206,27 @@ def test_kmeans_refine_reassigns_and_averages(vecs):
     assert by[(2, 2)]["val"] == 1.0
 
 
+def test_kmeans_fit_two_rounds_preserves_membership(vecs):
+    from retail_etl_pipeline_airflow_s3_athena_spark.functions.caching import (
+        release_cached,
+    )
+
+    out = similarity.kmeans_fit(vecs, rounds=2, dim=4)
+    rows = out.collect()
+    release_cached(out)
+    # every vector is assigned each round: memberships sum to the corpus
+    n_total = sum(r["n_members"] for r in rows if r["pos"] == 0)
+    assert n_total == 5
+    # one round == the refine wrapper, element for element
+    one = similarity.kmeans_fit(vecs, rounds=1, dim=4)
+    ref = similarity.kmeans_refine(vecs, dim=4)
+    a = sorted(map(tuple, one.collect()))
+    b = sorted(map(tuple, ref.collect()))
+    release_cached(one)
+    release_cached(ref)
+    assert a == b
+
+
 def test_cosine_topk_gemm_bit_identical(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     expr = [
