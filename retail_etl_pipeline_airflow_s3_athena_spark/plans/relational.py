@@ -937,11 +937,13 @@ def supplier_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     borderline supplier; the reported share of total is rounded to
     6 dp."""
     li = _t(spark, sf_dir, "lineitem")
+    # persisted: the |suppliers|-row aggregate feeds both the scalar
+    # pass and the filter — without it the fact table is scanned twice
     per_supp = li.groupBy("l_suppkey").agg(
         dround(
             F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
         ).alias("supp_revenue")
-    )
+    ).persist()
     scalars = per_supp.agg(
         dround(F.sum("supp_revenue"), 2).alias("total_revenue"),
         dround(
@@ -950,7 +952,7 @@ def supplier_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     supp = _t(spark, sf_dir, "supplier")
     share = dround(F.col("supp_revenue") / F.col("total_revenue"), 6)
-    return (
+    out = (
         per_supp.crossJoin(scalars)
         .filter(F.col("supp_revenue") > F.col("rev_cutoff"))
         .withColumn("revenue_share", share)
@@ -963,6 +965,7 @@ def supplier_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("revenue_share"), F.asc("s_suppkey"))
     )
+    return attach_cached_deps(out, per_supp)
 
 
 def oracle_supplier_revenue_share_sql() -> str:
@@ -1201,10 +1204,14 @@ def oracle_linestatus_priority_mix_sql() -> str:
 def top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Supplier(s) whose 1997Q1 shipped revenue equals the maximum —
     Q15's scalar-subquery-on-a-view shape: the per-supplier aggregate
-    is computed ONCE and feeds both the 1-row MAX and the equality
-    filter (Spark reuses the exchange under AQE).  Revenue is
-    dround-ed before the MAX comparison so both engines agree on
-    exact equality at the cent grain."""
+    (|suppliers| rows) is PERSISTED so the fact table is scanned once
+    and both consumers — the 1-row MAX and the equality filter — read
+    the materialized view (static planning does NOT reuse the exchange
+    here; without the persist the 100 TB scan would run twice).  Cache
+    ownership transfers to the caller
+    (``functions.caching.release_cached``).  Revenue is dround-ed
+    before the MAX comparison so both engines agree on exact equality
+    at the cent grain."""
     li = _t(spark, sf_dir, "lineitem").filter(
         F.expr(
             "l_shipdate >= TIMESTAMP_NTZ'1997-01-01 00:00:00' AND "
@@ -1214,18 +1221,19 @@ def top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     per_supp = li.groupBy("l_suppkey").agg(
         dround(F.sum(rev), 2).alias("total_revenue")
-    )
+    ).persist()
     max_rev = per_supp.agg(
         F.max("total_revenue").alias("max_revenue")
     )
     supp = _t(spark, sf_dir, "supplier")
-    return (
+    out = (
         per_supp.crossJoin(max_rev)
         .filter(F.col("total_revenue") == F.col("max_revenue"))
         .join(supp, F.col("l_suppkey") == supp.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
     )
+    return attach_cached_deps(out, per_supp)
 
 
 def oracle_top_revenue_supplier_sql() -> str:
