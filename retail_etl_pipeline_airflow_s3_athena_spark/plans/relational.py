@@ -782,8 +782,15 @@ def lone_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_supp = distinct suppliers in the order, n_late = distinct LATE
     suppliers (shipped > LATE_DAYS after the order date).  A late
     (order, supplier) pair qualifies iff n_supp > 1 and n_late = 1 —
-    set algebra instead of two correlated subqueries, so lineitem is
-    scanned once, not three times.
+    set algebra instead of two correlated subqueries.
+
+    Plan: ONE fact scan + join reduces to the DISTINCT
+    (order, supplier, was-late) pair table, which is PERSISTED — it
+    feeds both the per-order rollup and the late-pair filter (without
+    the persist the fact join ran twice).  Both consumers then work on
+    the pair grain, O(orders × suppliers-per-order) ≪ O(lines).
+    Cache ownership transfers to the caller
+    (``functions.caching.release_cached``).
 
     Determinism: lateness compares whole-day timestamps (exact), and
     numwait is an integer count; ties in the top-20 break on s_name."""
@@ -791,7 +798,7 @@ def lone_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderstatus") == "F"
     )
     li = _t(spark, sf_dir, "lineitem")
-    lo = (
+    pairs = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .select(
             "l_orderkey",
@@ -799,20 +806,21 @@ def lone_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             (
                 F.col("l_shipdate")
                 > F.col("o_orderdate") + F.expr(f"INTERVAL {LATE_DAYS} DAYS")
-            ).alias("late"),
+            ).cast("int").alias("late_i"),
         )
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max("late_i").alias("late_i"))
+        .persist()
     )
-    per_order = lo.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(
-            F.when(F.col("late"), F.col("l_suppkey"))
-        ).alias("n_late"),
+    per_order = pairs.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum("late_i").alias("n_late"),
     )
-    late_pairs = (
-        lo.filter("late").select("l_orderkey", "l_suppkey").distinct()
+    late_pairs = pairs.filter(F.col("late_i") == 1).select(
+        "l_orderkey", "l_suppkey"
     )
     supp = _t(spark, sf_dir, "supplier")
-    return (
+    out = (
         late_pairs.join(
             per_order.filter(
                 (F.col("n_supp") > 1) & (F.col("n_late") == 1)
@@ -825,6 +833,7 @@ def lone_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("numwait"), F.asc("s_name"))
         .limit(20)
     )
+    return attach_cached_deps(out, pairs)
 
 
 def oracle_lone_late_supplier_sql() -> str:
