@@ -566,7 +566,7 @@ def simhash_near_dup(
     ham = F.bit_count(
         F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
     ).cast("long")
-    return (
+    out = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -581,6 +581,7 @@ def simhash_near_dup(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+    return _owned_cache(out, sig)
 
 
 def blocked_jaccard_pairs(

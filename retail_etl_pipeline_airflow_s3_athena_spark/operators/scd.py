@@ -47,8 +47,21 @@ def scd2_merge(
     ``current`` columns: key, *tracked, effective_from, effective_to,
     is_current.  ``updates`` columns: key, *tracked.  Returns the new
     dimension state with the same schema.
+
+    The LIVE slice and the update⋈live join are PERSISTED: live feeds
+    three consumers (the join, the close pass, the untouched anti-join)
+    and the join feeds two (fresh rows, changed keys) — without the
+    persists the current dimension is re-scanned up to 8 times.  Both
+    persists are bounded by the live dimension / update batch (the
+    history slice — the unbounded part — is never persisted and never
+    joined).  Cache ownership transfers to the caller
+    (``functions.caching.release_cached``).
     """
-    live = current.filter("is_current")
+    from retail_etl_pipeline_airflow_s3_athena_spark.functions.caching import (
+        attach_cached_deps,
+    )
+
+    live = current.filter("is_current").persist()
     history = current.filter("NOT is_current")
     diff = F.lit(False)
     for c in tracked:
@@ -56,7 +69,7 @@ def scd2_merge(
 
     joined = updates.alias("u").join(
         live.alias("l"), F.col(f"u.{key}") == F.col(f"l.{key}"), "left"
-    )
+    ).persist()
     # new keys (no live row) or changed keys -> fresh live version
     fresh = joined.filter(F.col(f"l.{key}").isNull() | diff).select(
         F.col(f"u.{key}").alias(key),
@@ -78,12 +91,13 @@ def scd2_merge(
     untouched = live.join(changed_keys, key, "left_anti").select(
         key, *tracked, "effective_from", "effective_to", "is_current"
     )
-    return (
+    out = (
         history.select(key, *tracked, "effective_from", "effective_to", "is_current")
         .unionByName(untouched)
         .unionByName(closed)
         .unionByName(fresh)
     )
+    return attach_cached_deps(out, live, joined)
 
 
 def oracle_scd2_sql(

@@ -99,7 +99,11 @@ def tfidf_top_terms(
         F.col(id_col).alias("doc_id"),
         F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
     )
-    tf = flat.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    # persisted: tf feeds BOTH the doc-frequency rollup and the score
+    # join — without it the scan+explode+aggregate runs twice (at scale
+    # this is the materialized term-frequency table every TF-IDF system
+    # stages).  Ownership transfers to the caller (release_cached).
+    tf = flat.groupBy("doc_id", "term").agg(F.count("*").alias("tf")).persist()
     dfreq = tf.groupBy("term").agg(F.count("*").alias("doc_freq"))
     n_docs = docs.agg(F.count("*").alias("n_docs"))
     scored = (
@@ -117,9 +121,14 @@ def tfidf_top_terms(
         )
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
-    return (
+    from retail_etl_pipeline_airflow_s3_athena_spark.functions.caching import (
+        attach_cached_deps,
+    )
+
+    return attach_cached_deps(
         scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+        .filter(F.col("rank") <= k),
+        tf,
     )
 
 
