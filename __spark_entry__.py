@@ -303,6 +303,10 @@ def _q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.repetition_signals(_docs(spark, sf_dir))
 
 
+def _q_dedup_rate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup_ops.dedup_rate_report(readers.read_documents(spark, sf_dir))
+
+
 def _q_fuzzy_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_ops.fuzzy_name_matches(
         spark.read.parquet(f"{sf_dir}/part.parquet")
@@ -728,6 +732,7 @@ GATE_TAIL = [
     "normalize_text",
     "curated_docs",
     "fuzzy_part_names",
+    "dedup_rate_report",
     "brand_corr_stats",
     # driver evidence from r4 (one round old) — rotate forward in r6
     "tfidf_top_terms",
@@ -831,6 +836,7 @@ def _all_queries() -> dict[str, QueryFn]:
         "local_supplier_volume": _q_local_supplier_volume,
         "dedup_exact": _q_dedup_exact,
         "fuzzy_part_names": _q_fuzzy_part_names,
+        "dedup_rate_report": _q_dedup_rate_report,
         "near_dup_pairs": _q_near_dup_pairs,
         "incremental_near_dups": _q_incremental_near_dups,
         "near_dup_clusters": _q_near_dup_clusters,
@@ -1018,6 +1024,7 @@ def oracle_sql() -> dict[str, str]:
     )
     oracles["dedup_exact"] = dedup_ops.oracle_exact_dedup_sql()
     oracles["fuzzy_part_names"] = dedup_ops.oracle_fuzzy_name_matches_sql()
+    oracles["dedup_rate_report"] = dedup_ops.oracle_dedup_rate_report_sql()
     oracles["minhash_signatures"] = dedup_ops.oracle_minhash_signatures_sql()
     oracles["lsh_candidate_pairs"] = dedup_ops.oracle_lsh_candidate_pairs_sql()
     oracles["near_dup_pairs"] = dedup_ops.oracle_near_dup_pairs_sql()

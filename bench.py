@@ -112,6 +112,7 @@ STANDALONE = [
     "normalize_text",
     "curated_docs",
     "fuzzy_part_names",
+    "dedup_rate_report",
     "brand_corr_stats",
     # r5: the remaining previously-untimed queries — EVERY queries()
     # entry now has a bench row (the four gold tables are timed inside

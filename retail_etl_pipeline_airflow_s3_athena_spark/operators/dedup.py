@@ -946,3 +946,35 @@ def oracle_fuzzy_name_matches_sql(
         WHERE levenshtein(a.name, b.name) <= {max_dist}
         ORDER BY name_a, name_b
     """
+
+
+def dedup_rate_report(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-row corpus dedup report: total docs, exact-unique docs (by
+    the normalized-text fingerprint), and the duplicate rate — the
+    number an ingest pipeline tracks per batch to catch crawler loops
+    or re-ingested dumps.  One scan; the distinct count is Spark's
+    standard two-level expansion (both levels map-side combinable on
+    the uniform 60-bit key)."""
+    fp = _md5_hash(F.lower(F.trim(F.col(text_col))))
+    return docs.select(fp.alias("fingerprint")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("fingerprint").alias("n_unique"),
+        dround(
+            1 - F.countDistinct("fingerprint") / F.count(F.lit(1)), 6
+        ).alias("dup_rate"),
+    )
+
+
+def oracle_dedup_rate_report_sql(
+    table: str = "documents", t: str = "text"
+) -> str:
+    fp = _sql_md5_hash(f"LOWER(TRIM({t}))")
+    return f"""
+        WITH f AS (SELECT {fp} AS fingerprint FROM {table})
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COUNT(DISTINCT fingerprint) AS BIGINT) AS n_unique,
+               {sql_dround(
+                   '1 - COUNT(DISTINCT fingerprint) / CAST(COUNT(*) AS DOUBLE)',
+                   6)} AS dup_rate
+        FROM f
+    """

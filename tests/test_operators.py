@@ -678,3 +678,17 @@ def test_value_histogram_boundaries(spark):
     # (boundary goes up); 499.9 -> bucket 20; 500 and 600 -> bucket 21
     # (at/above hi); None dropped
     assert out == {0: 1, 1: 2, 2: 1, 20: 1, 21: 2}
+
+
+def test_dedup_rate_report_counts(spark):
+    rows = [
+        Row(doc_id=0, text="same text"),
+        Row(doc_id=1, text="  SAME   text  ".replace("   ", " ")),  # ws/case variant? no: fingerprint is lower+trim only
+        Row(doc_id=2, text="other"),
+    ]
+    out = dedup.dedup_rate_report(spark.createDataFrame(rows)).collect()[0]
+    assert out["n_docs"] == 3
+    # doc 1 collapses to "same text" under lower+trim -> exact dup of 0
+    assert out["n_unique"] == 2
+    # dup_rate is dround(6) of 1 - unique/total
+    assert abs(out["dup_rate"] - (1 - 2 / 3)) < 1e-6
