@@ -34,6 +34,7 @@ from retail_etl_pipeline_airflow_s3_athena_spark.operators import (
 )
 from retail_etl_pipeline_airflow_s3_athena_spark.operators import quantize as quant_ops
 from retail_etl_pipeline_airflow_s3_athena_spark.operators import vocab as vocab_ops
+from retail_etl_pipeline_airflow_s3_athena_spark.operators import winnow as winnow_ops
 from retail_etl_pipeline_airflow_s3_athena_spark.functions import sampling, sketches
 from retail_etl_pipeline_airflow_s3_athena_spark.plans import (
     analytics,
@@ -305,6 +306,18 @@ def _q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_dedup_rate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_ops.dedup_rate_report(readers.read_documents(spark, sf_dir))
+
+
+def _q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sketches.cms_heavy_hitters(_docs(spark, sf_dir))
+
+
+def _q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return winnow_ops.winnow_fingerprints(_docs(spark, sf_dir))
+
+
+def _q_winnow_shared_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return winnow_ops.winnow_shared_pairs(_docs(spark, sf_dir))
 
 
 def _q_fuzzy_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -734,6 +747,9 @@ GATE_TAIL = [
     "fuzzy_part_names",
     "dedup_rate_report",
     "brand_corr_stats",
+    "winnow_fingerprints",
+    "winnow_shared_pairs",
+    "cms_heavy_hitters",
     # driver evidence from r4 (one round old) — rotate forward in r6
     "tfidf_top_terms",
     "embedding_near_dup_lsh",
@@ -837,6 +853,9 @@ def _all_queries() -> dict[str, QueryFn]:
         "dedup_exact": _q_dedup_exact,
         "fuzzy_part_names": _q_fuzzy_part_names,
         "dedup_rate_report": _q_dedup_rate_report,
+        "cms_heavy_hitters": _q_cms_heavy_hitters,
+        "winnow_fingerprints": _q_winnow_fingerprints,
+        "winnow_shared_pairs": _q_winnow_shared_pairs,
         "near_dup_pairs": _q_near_dup_pairs,
         "incremental_near_dups": _q_incremental_near_dups,
         "near_dup_clusters": _q_near_dup_clusters,
@@ -1025,6 +1044,9 @@ def oracle_sql() -> dict[str, str]:
     oracles["dedup_exact"] = dedup_ops.oracle_exact_dedup_sql()
     oracles["fuzzy_part_names"] = dedup_ops.oracle_fuzzy_name_matches_sql()
     oracles["dedup_rate_report"] = dedup_ops.oracle_dedup_rate_report_sql()
+    oracles["cms_heavy_hitters"] = sketches.oracle_cms_heavy_hitters_sql()
+    oracles["winnow_fingerprints"] = winnow_ops.oracle_winnow_fingerprints_sql()
+    oracles["winnow_shared_pairs"] = winnow_ops.oracle_winnow_shared_pairs_sql()
     oracles["minhash_signatures"] = dedup_ops.oracle_minhash_signatures_sql()
     oracles["lsh_candidate_pairs"] = dedup_ops.oracle_lsh_candidate_pairs_sql()
     oracles["near_dup_pairs"] = dedup_ops.oracle_near_dup_pairs_sql()

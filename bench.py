@@ -147,6 +147,10 @@ STANDALONE = [
     "union_all_orders",
     "user_event_pivot",
     "user_event_unpivot",
+    # r5 second batch
+    "winnow_fingerprints",
+    "winnow_shared_pairs",
+    "cms_heavy_hitters",
 ]
 
 

@@ -187,3 +187,158 @@ def oracle_hll_distinct_sql(
             FROM {table} GROUP BY {groups}
         ) x USING ({groups})
     """
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (Cormode & Muthukrishnan 2005): point-frequency
+# estimation from a fixed-size mergeable summary.
+#
+# Same design goals as the HLL above: deterministic md5-derived hashes
+# with literal coefficients and integer-only arithmetic, so the DuckDB
+# oracle reproduces the sketch cell-for-cell and the gate can
+# hash-compare an approximate operator.
+#
+# Scale notes: the sketch build is one map-side-combinable aggregate —
+# each token row expands to CMS_D (row, cell) pairs and partial
+# aggregation collapses them to at most CMS_D * CMS_W = 4096 cells
+# BEFORE the shuffle, so summarizing a 100 TB token stream shuffles a
+# constant ~4096 rows per partition.  Cells from independent
+# partitions/days merge by SUM (the CMS merge law), giving the same
+# rollup-without-rescan property as the HLL registers.  The estimate
+# (min over rows) never undercounts; overcount is bounded by
+# eps = e/CMS_W of the stream length per the standard analysis.
+# ---------------------------------------------------------------------------
+
+CMS_D = 4        # hash rows
+CMS_W = 1024     # cells per row
+_CMS_MOD = 2147483647  # 2^31 - 1, same prime as the dedup pipeline
+CMS_A = [((2 * j + 1) * 2654435761) % _CMS_MOD for j in range(CMS_D)]
+CMS_B = [((j + 1) * 40503 + 1299709) % _CMS_MOD for j in range(CMS_D)]
+CMS_TOP_K = 20
+
+
+def _cms_cell(h: Column, j: int) -> Column:
+    """Row-j cell index for a (already mod-prime) token hash."""
+    return ((h * CMS_A[j] + CMS_B[j]) % _CMS_MOD) % CMS_W
+
+
+def cms_heavy_hitters(
+    docs: DataFrame, text_col: str = "text", top_k: int = CMS_TOP_K
+) -> DataFrame:
+    """(token, true_cnt, cms_est): the corpus's top_k tokens by exact
+    frequency (count desc, token asc — pinned tie-break) with their
+    count-min estimate alongside; cms_est >= true_cnt always.
+
+    The exact count exists for error inspection (same convention as
+    hll_distinct's exact_distinct); at 100 TB you keep only the sketch
+    and probe it for whatever keys you care about.
+    """
+    from retail_etl_pipeline_airflow_s3_athena_spark.operators.text import tokens
+
+    tok = docs.select(
+        F.explode(tokens(F.col(text_col))).alias("token")
+    )
+    h = (
+        F.conv(
+            F.substring(F.md5(F.encode(F.col("token"), "UTF-8")), 1, 15),
+            16,
+            10,
+        ).cast("long")
+        % _CMS_MOD
+    )
+    hashed = tok.select("token", h.alias("h"))
+    cells = hashed.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"), _cms_cell(F.col("h"), j).alias("c")
+                    )
+                    for j in range(CMS_D)
+                ]
+            )
+        ).alias("rc")
+    ).select("rc.j", "rc.c")
+    sketch = cells.groupBy("j", "c").agg(F.count(F.lit(1)).alias("cnt"))
+
+    true_counts = hashed.groupBy("token").agg(
+        F.count(F.lit(1)).alias("true_cnt"),
+        F.first("h").alias("h"),
+    )
+    # sort+limit compiles to TakeOrderedAndProject: per-partition
+    # partial top-k then a k-row merge — never a single-partition
+    # window over the full vocabulary
+    top = true_counts.orderBy(
+        F.col("true_cnt").desc(), F.col("token").asc()
+    ).limit(top_k)
+    probe = top.select(
+        "token",
+        "true_cnt",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"), _cms_cell(F.col("h"), j).alias("c")
+                    )
+                    for j in range(CMS_D)
+                ]
+            )
+        ).alias("rc"),
+    ).select("token", "true_cnt", "rc.j", "rc.c")
+    # the sketch is <= 4096 rows by construction: broadcast it
+    return (
+        probe.join(F.broadcast(sketch), ["j", "c"])
+        .groupBy("token", "true_cnt")
+        .agg(F.min("cnt").alias("cms_est"))
+    )
+
+
+def oracle_cms_heavy_hitters_sql(
+    table: str = "documents", t: str = "text", top_k: int = CMS_TOP_K
+) -> str:
+    toks = f"list_filter(string_split_regex({t}, '\\s+'), x -> x <> '')"
+    h = (
+        f"(CAST(('0x' || substr(md5(token), 1, 15)) AS BIGINT) % {_CMS_MOD})"
+    )
+    cell_rows = "\n            UNION ALL\n".join(
+        f"            SELECT {j} AS j, "
+        f"((h * {CMS_A[j]} + {CMS_B[j]}) % {_CMS_MOD}) % {CMS_W} AS c "
+        f"FROM hashed"
+        for j in range(CMS_D)
+    )
+    probe_rows = "\n            UNION ALL\n".join(
+        f"            SELECT token, true_cnt, {j} AS j, "
+        f"((h * {CMS_A[j]} + {CMS_B[j]}) % {_CMS_MOD}) % {CMS_W} AS c "
+        f"FROM top"
+        for j in range(CMS_D)
+    )
+    return f"""
+        WITH tok AS (
+            SELECT unnest({toks}) AS token FROM {table}
+        ),
+        hashed AS (
+            SELECT token, {h} AS h FROM tok
+        ),
+        cells AS (
+        {cell_rows}
+        ),
+        sketch AS (
+            SELECT j, c, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM cells GROUP BY j, c
+        ),
+        true_counts AS (
+            SELECT token, CAST(COUNT(*) AS BIGINT) AS true_cnt,
+                   ANY_VALUE(h) AS h
+            FROM hashed GROUP BY token
+        ),
+        top AS (
+            SELECT token, true_cnt, h FROM true_counts
+            ORDER BY true_cnt DESC, token ASC LIMIT {top_k}
+        ),
+        probe AS (
+        {probe_rows}
+        )
+        SELECT p.token, p.true_cnt, MIN(s.cnt) AS cms_est
+        FROM probe p JOIN sketch s ON p.j = s.j AND p.c = s.c
+        GROUP BY p.token, p.true_cnt
+    """

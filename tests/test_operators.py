@@ -692,3 +692,75 @@ def test_dedup_rate_report_counts(spark):
     assert out["n_unique"] == 2
     # dup_rate is dround(6) of 1 - unique/total
     assert abs(out["dup_rate"] - (1 - 2 / 3)) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints
+# ---------------------------------------------------------------------------
+
+def test_winnow_guarantee_shared_run(spark):
+    """Any shared token run of >= W + K - 1 = 6 tokens must yield at
+    least one shared fingerprint (the winnowing recall guarantee)."""
+    from retail_etl_pipeline_airflow_s3_athena_spark.operators import winnow
+
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 tokens
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=0, text=f"unrelated prefix words {shared} tail one"),
+            Row(doc_id=1, text=f"{shared} and a totally different ending here"),
+            Row(doc_id=2, text="no overlap with anything else at all friend"),
+        ]
+    )
+    fps = winnow.winnow_fingerprints(docs).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert by_doc[0] & by_doc[1], "shared 6-token run must share a fingerprint"
+    assert not (by_doc[2] & (by_doc[0] | by_doc[1]))
+
+    pairs = winnow.winnow_shared_pairs(docs, min_shared=1).collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in pairs} == {(0, 1)}
+
+
+def test_winnow_short_doc_single_window(spark):
+    """Docs with fewer than W grams contribute exactly the global-min
+    selection (one window spanning all grams)."""
+    from retail_etl_pipeline_airflow_s3_athena_spark.operators import winnow
+
+    docs = spark.createDataFrame([Row(doc_id=7, text="tiny doc here")])
+    # 3 tokens -> 1 gram -> exactly one fingerprint at gram_pos 0
+    fps = winnow.winnow_fingerprints(docs).collect()
+    assert len(fps) == 1 and fps[0]["gram_pos"] == 0
+
+
+def test_winnow_density(spark):
+    """Selected fingerprints must be far fewer than grams (expected
+    density 2/(W+1)) and every selection must be a window minimum."""
+    from retail_etl_pipeline_airflow_s3_athena_spark.operators import winnow
+
+    words = [f"w{i % 17}x{i % 5}" for i in range(200)]
+    docs = spark.createDataFrame([Row(doc_id=0, text=" ".join(words))])
+    n_grams = 198
+    fps = winnow.winnow_fingerprints(docs).collect()
+    assert 0 < len(fps) < n_grams * 0.75
+    assert all(0 <= r["gram_pos"] < n_grams for r in fps)
+
+
+def test_cms_never_undercounts_and_merges(spark):
+    """CMS estimate >= true count for every probed token; identical
+    corpora summarize to identical sketches (determinism)."""
+    from retail_etl_pipeline_airflow_s3_athena_spark.functions import sketches
+
+    rows = [
+        Row(doc_id=i, text="common common common rare" + f" filler{i % 7}" * 3)
+        for i in range(40)
+    ]
+    docs = spark.createDataFrame(rows)
+    out = {r["token"]: r for r in sketches.cms_heavy_hitters(docs, top_k=5).collect()}
+    assert out["common"]["true_cnt"] == 120
+    for r in out.values():
+        assert r["cms_est"] >= r["true_cnt"]
+    out2 = {r["token"]: r for r in sketches.cms_heavy_hitters(docs, top_k=5).collect()}
+    assert {k: (v["true_cnt"], v["cms_est"]) for k, v in out.items()} == {
+        k: (v["true_cnt"], v["cms_est"]) for k, v in out2.items()
+    }
