@@ -308,6 +308,14 @@ def _q_dedup_rate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_ops.dedup_rate_report(readers.read_documents(spark, sf_dir))
 
 
+def _q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return decontam_ops.bloom_decontaminate(_docs(spark, sf_dir), "source = 'src0'")
+
+
+def _q_fuzzy_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return decontam_ops.fuzzy_decontaminate(_docs(spark, sf_dir), "source = 'src0'")
+
+
 def _q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketches.cms_heavy_hitters(_docs(spark, sf_dir))
 
@@ -750,6 +758,8 @@ GATE_TAIL = [
     "winnow_fingerprints",
     "winnow_shared_pairs",
     "cms_heavy_hitters",
+    "bloom_decontaminate",
+    "fuzzy_decontaminate",
     # driver evidence from r4 (one round old) — rotate forward in r6
     "tfidf_top_terms",
     "embedding_near_dup_lsh",
@@ -854,6 +864,8 @@ def _all_queries() -> dict[str, QueryFn]:
         "fuzzy_part_names": _q_fuzzy_part_names,
         "dedup_rate_report": _q_dedup_rate_report,
         "cms_heavy_hitters": _q_cms_heavy_hitters,
+        "bloom_decontaminate": _q_bloom_decontaminate,
+        "fuzzy_decontaminate": _q_fuzzy_decontaminate,
         "winnow_fingerprints": _q_winnow_fingerprints,
         "winnow_shared_pairs": _q_winnow_shared_pairs,
         "near_dup_pairs": _q_near_dup_pairs,
@@ -1045,6 +1057,12 @@ def oracle_sql() -> dict[str, str]:
     oracles["fuzzy_part_names"] = dedup_ops.oracle_fuzzy_name_matches_sql()
     oracles["dedup_rate_report"] = dedup_ops.oracle_dedup_rate_report_sql()
     oracles["cms_heavy_hitters"] = sketches.oracle_cms_heavy_hitters_sql()
+    oracles["bloom_decontaminate"] = decontam_ops.oracle_bloom_decontaminate_sql(
+        "source = 'src0'"
+    )
+    oracles["fuzzy_decontaminate"] = decontam_ops.oracle_fuzzy_decontaminate_sql(
+        "source = 'src0'"
+    )
     oracles["winnow_fingerprints"] = winnow_ops.oracle_winnow_fingerprints_sql()
     oracles["winnow_shared_pairs"] = winnow_ops.oracle_winnow_shared_pairs_sql()
     oracles["minhash_signatures"] = dedup_ops.oracle_minhash_signatures_sql()

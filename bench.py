@@ -151,6 +151,8 @@ STANDALONE = [
     "winnow_fingerprints",
     "winnow_shared_pairs",
     "cms_heavy_hitters",
+    "bloom_decontaminate",
+    "fuzzy_decontaminate",
 ]
 
 

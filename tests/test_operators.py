@@ -764,3 +764,46 @@ def test_cms_never_undercounts_and_merges(spark):
     assert {k: (v["true_cnt"], v["cms_est"]) for k, v in out.items()} == {
         k: (v["true_cnt"], v["cms_est"]) for k, v in out2.items()
     }
+
+
+def test_bloom_decontaminate_no_false_negatives(spark):
+    """Every doc the exact probe flags must be bloom-flagged with
+    n_exact_hits >= its true overlap > 0 (Bloom filters never miss)."""
+    from retail_etl_pipeline_airflow_s3_athena_spark.operators import decontam
+
+    bench_text = "the secret benchmark passage that must never leak out"
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=0, text=bench_text, source="bench"),
+            Row(doc_id=1, text=f"leading words {bench_text} trailing words", source="train"),
+            Row(doc_id=2, text="fully clean document with no overlap at all here", source="train"),
+        ]
+    )
+    exact = {
+        r["doc_id"]: r["n_overlap"]
+        for r in decontam.decontaminate(docs, "source = 'bench'").collect()
+    }
+    bloom = {
+        r["doc_id"]: r
+        for r in decontam.bloom_decontaminate(docs, "source = 'bench'").collect()
+    }
+    assert exact[1] > 0
+    assert 1 in bloom and bloom[1]["n_exact_hits"] == exact[1]
+    assert bloom[1]["n_bloom_hits"] >= bloom[1]["n_exact_hits"]
+    assert exact[2] == 0 and (2 not in bloom or bloom[2]["n_exact_hits"] == 0)
+
+
+def test_fuzzy_decontaminate_catches_paraphrase(spark):
+    from retail_etl_pipeline_airflow_s3_athena_spark.operators import decontam
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=10, text=base, source="bench"),
+            Row(doc_id=11, text=base + " nu", source="train"),  # near-dup of bench
+            Row(doc_id=12, text="entirely different content words here for testing", source="train"),
+        ]
+    )
+    out = decontam.fuzzy_decontaminate(docs, "source = 'bench'").collect()
+    assert {(r["doc_id"], r["bench_doc_id"]) for r in out} == {(11, 10)}
+    assert all(r["jaccard"] >= 0.5 for r in out)
