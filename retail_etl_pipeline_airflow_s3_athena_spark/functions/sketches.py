@@ -71,12 +71,15 @@ def _rank_expr(rest: Column) -> Column:
     return expr
 
 
-def hll_distinct(
+def hll_registers(
     df: DataFrame, key_col: str, group_cols: list[str]
 ) -> DataFrame:
-    """Per-group HLL distinct estimate next to the exact count.
+    """(group_cols..., bucket, m_j): the per-group register table.
 
-    Output: group_cols + est_distinct (double, 2dp) + exact_distinct."""
+    Registers are the MERGEABLE form of the sketch: register tables
+    from independent partitions/batches/days combine by
+    ``groupBy(group, bucket).max(m_j)`` with no rescan of the raw data
+    — the streaming maintenance path builds on exactly this."""
     key = F.col(key_col).cast("string")
     h = _md5_60(key)
     hashed = df.select(
@@ -84,9 +87,13 @@ def hll_distinct(
         (h % F.lit(M_REGISTERS)).alias("bucket"),
         F.shiftright(h, B_BITS).alias("rest"),
     )
-    registers = hashed.groupBy(*group_cols, "bucket").agg(
+    return hashed.groupBy(*group_cols, "bucket").agg(
         F.max(_rank_expr(F.col("rest"))).alias("m_j")
     )
+
+
+def hll_estimate(registers: DataFrame, group_cols: list[str]) -> DataFrame:
+    """group_cols + est_distinct (double, 2dp) from a register table."""
     # integer-exact register sum: sum(2^(CAP - M_j)) + empty * 2^CAP
     scaled = registers.groupBy(*group_cols).agg(
         F.sum(
@@ -101,10 +108,19 @@ def hll_distinct(
         (e_raw <= F.lit(_LC_THRESHOLD)) & (empty > 0),
         F.lit(float(M_REGISTERS)) * F.log(F.lit(float(M_REGISTERS)) / empty),
     ).otherwise(e_raw)
-    sketched = scaled.select(
+    return scaled.select(
         *group_cols,
         F.floor(est * 100 + F.lit(0.5)).cast("double").alias("est_scaled"),
     ).withColumn("est_distinct", F.col("est_scaled") / 100).drop("est_scaled")
+
+
+def hll_distinct(
+    df: DataFrame, key_col: str, group_cols: list[str]
+) -> DataFrame:
+    """Per-group HLL distinct estimate next to the exact count.
+
+    Output: group_cols + est_distinct (double, 2dp) + exact_distinct."""
+    sketched = hll_estimate(hll_registers(df, key_col, group_cols), group_cols)
     exact = df.groupBy(*group_cols).agg(
         F.count_distinct(F.col(key_col)).alias("exact_distinct")
     )

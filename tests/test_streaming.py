@@ -325,3 +325,34 @@ def test_near_dup_stream_matches_full_self_join(spark):
     assert got, "expected near-dup pairs in the constructed corpus"
     # corpus sink accumulated every batch exactly once
     assert spark.read.parquet(f"{work}/corpus").count() == 6
+
+
+def test_hll_sketch_stream_matches_batch(spark, sf_dir, events_dir):
+    """Streaming register deltas max-merge to EXACTLY the batch sketch
+    (the mergeable-sketch law), in multiple micro-batches."""
+    import os
+
+    from retail_etl_pipeline_airflow_s3_athena_spark.functions import sketches
+
+    work = tempfile.mkdtemp(prefix="hll_stream_")
+    # split the fixture into several files so availableNow runs >1 batch
+    ev = readers.read_events(spark, sf_dir)
+    src = tempfile.mkdtemp(prefix="hll_src_")
+    ev.repartition(5).write.mode("overwrite").parquet(src)
+
+    q = incremental.hll_sketch_stream(spark, src, work)
+    q.awaitTermination(120)
+    n_batches = len(
+        [f for f in os.listdir(os.path.join(work, "ckpt", "commits")) if not f.startswith(".")]
+    )
+    assert n_batches >= 2, "fixture must stream as multiple micro-batches"
+
+    got = {
+        r["event_type"]: r["est_distinct"]
+        for r in incremental.hll_stream_estimates(spark, work).collect()
+    }
+    want = {
+        r["event_type"]: r["est_distinct"]
+        for r in sketches.hll_distinct(ev, "user_id", ["event_type"]).collect()
+    }
+    assert got == want
