@@ -308,6 +308,10 @@ def _q_dedup_rate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_ops.dedup_rate_report(readers.read_documents(spark, sf_dir))
 
 
+def _q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sim_ops.knn_graph(_emb(spark, sf_dir))
+
+
 def _q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontam_ops.bloom_decontaminate(_docs(spark, sf_dir), "source = 'src0'")
 
@@ -760,6 +764,7 @@ GATE_TAIL = [
     "cms_heavy_hitters",
     "bloom_decontaminate",
     "fuzzy_decontaminate",
+    "knn_graph",
     # driver evidence from r4 (one round old) — rotate forward in r6
     "tfidf_top_terms",
     "embedding_near_dup_lsh",
@@ -865,6 +870,7 @@ def _all_queries() -> dict[str, QueryFn]:
         "dedup_rate_report": _q_dedup_rate_report,
         "cms_heavy_hitters": _q_cms_heavy_hitters,
         "bloom_decontaminate": _q_bloom_decontaminate,
+        "knn_graph": _q_knn_graph,
         "fuzzy_decontaminate": _q_fuzzy_decontaminate,
         "winnow_fingerprints": _q_winnow_fingerprints,
         "winnow_shared_pairs": _q_winnow_shared_pairs,
@@ -1057,6 +1063,7 @@ def oracle_sql() -> dict[str, str]:
     oracles["fuzzy_part_names"] = dedup_ops.oracle_fuzzy_name_matches_sql()
     oracles["dedup_rate_report"] = dedup_ops.oracle_dedup_rate_report_sql()
     oracles["cms_heavy_hitters"] = sketches.oracle_cms_heavy_hitters_sql()
+    oracles["knn_graph"] = sim_ops.oracle_knn_graph_sql()
     oracles["bloom_decontaminate"] = decontam_ops.oracle_bloom_decontaminate_sql(
         "source = 'src0'"
     )

@@ -153,6 +153,7 @@ STANDALONE = [
     "cms_heavy_hitters",
     "bloom_decontaminate",
     "fuzzy_decontaminate",
+    "knn_graph",
 ]
 
 

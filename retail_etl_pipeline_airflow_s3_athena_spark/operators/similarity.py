@@ -1035,3 +1035,162 @@ def oracle_kmeans_fit_sql(table: str = "embeddings", rounds: int = 2) -> str:
 
 def oracle_kmeans_refine_sql(table: str = "embeddings") -> str:
     return oracle_kmeans_fit_sql(table, rounds=1)
+
+
+def knn_graph(
+    embeddings: DataFrame,
+    k: int = 3,
+    dim: int = EMB_DIM,
+    tile_rows: int = 65536,
+) -> DataFrame:
+    """Exact k-nearest-neighbor graph: (vec_id, neighbor_id, cos_sim,
+    rank) — every vector's top-k cosine neighbors, rank 1..k with the
+    deterministic (cos_sim desc, neighbor_id asc) tie-break.
+
+    The kNN graph is the substrate for embedding-space curation:
+    density-based quality scoring, semantic-dedup clustering
+    (SemDeDup-style), and graph-based diversity sampling all start
+    from it.
+
+    Plan: the same tiled-GEMM scan as ``embedding_near_dup_gemm``
+    (hash-bounded tiles broadcast in turn, fold-ordered fp64 math,
+    constant task memory), but each (corpus-chunk x tile-chunk) block
+    emits only its per-row PARTIAL top-k (a stable argsort on the
+    rounded cosine with the tile pre-sorted by id — chunk ties resolve
+    id-ascending, so the union of chunk winners provably contains the
+    global winners).  A final window merge over ~n * k * nchunks rows
+    picks the true top-k.  Driver memory O(tile); shuffled rows O(n*k)
+    per tile — never the O(n^2) score matrix.
+
+    BIT-IDENTICAL cosines to the expression/GEMM operators and the
+    DuckDB oracle (cumsum fold order + dround(6) before ranking)."""
+    import math
+    from functools import reduce
+
+    import numpy as np
+
+    spark = embeddings.sparkSession
+    src = embeddings.select("vec_id", "embedding")
+    n = src.count()
+    ntiles = max(1, math.ceil(n / tile_rows))
+    tiled = src.withColumn("_tile", F.pmod(F.xxhash64("vec_id"), F.lit(ntiles)))
+
+    out_schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("cos_sim", T.DoubleType()),
+        ]
+    )
+    scale = 1e6
+
+    def _fold_dots(prod: "np.ndarray") -> "np.ndarray":
+        return np.cumsum(prod, axis=-1, out=prod)[..., -1]
+
+    def _fold_dot_mat(C: "np.ndarray", Tm: "np.ndarray") -> "np.ndarray":
+        acc = np.multiply.outer(C[:, 0], Tm[:, 0])
+        for kk in range(1, C.shape[1]):
+            acc += np.multiply.outer(C[:, kk], Tm[:, kk])
+        return acc
+
+    def _tile_pass(bcast):
+        def batches(it):
+            import pandas as pd
+
+            t_ids, t_mat, t_nrm = bcast.value
+            sub = 2048
+            csub = 512
+            for pdf in it:
+                if len(pdf) == 0:
+                    continue
+                C_all = np.array(list(pdf["embedding"]), dtype=np.float64)
+                ids_all = pdf["vec_id"].to_numpy()
+                nrm_all = np.sqrt(_fold_dots(C_all * C_all))
+                frames = []
+                for cs in range(0, len(ids_all), csub):
+                    C = C_all[cs : cs + csub]
+                    c_ids = ids_all[cs : cs + csub]
+                    c_nrm = nrm_all[cs : cs + csub]
+                    for s in range(0, len(t_ids), sub):
+                        Tm = t_mat[s : s + sub]
+                        tid = t_ids[s : s + sub]
+                        dots = _fold_dot_mat(C, Tm)
+                        cos = np.floor(
+                            dots / (c_nrm[:, None] * t_nrm[None, s : s + sub])
+                            * scale + 0.5
+                        ) / scale
+                        # self-pairs sink below any real cosine
+                        cos[c_ids[:, None] == tid[None, :]] = -2.0
+                        kk = min(k, cos.shape[1])
+                        # tile slice is id-ascending; stable argsort on
+                        # -cos -> ties resolve neighbor-id-ascending,
+                        # matching the global merge's tie-break
+                        order = np.argsort(-cos, axis=1, kind="stable")[
+                            :, :kk
+                        ]
+                        ri = np.repeat(np.arange(cos.shape[0]), kk)
+                        cj = order.ravel()
+                        vals = cos[ri, cj]
+                        keep = vals > -1.5
+                        if keep.any():
+                            frames.append(
+                                pd.DataFrame(
+                                    {
+                                        "vec_id": c_ids[ri[keep]],
+                                        "neighbor_id": tid[cj[keep]],
+                                        "cos_sim": vals[keep],
+                                    }
+                                )
+                            )
+                if frames:
+                    yield pd.concat(frames)
+
+        return batches
+
+    passes = []
+    for t in range(ntiles):
+        rows = tiled.filter(F.col("_tile") == t).drop("_tile").collect()
+        if not rows:
+            continue
+        order = np.argsort(
+            np.array([r["vec_id"] for r in rows], dtype=np.int64)
+        )
+        t_ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)[order]
+        t_mat = np.array([r["embedding"] for r in rows], dtype=np.float64)[
+            order
+        ]
+        t_nrm = np.sqrt(_fold_dots(t_mat * t_mat))
+        bcast = spark.sparkContext.broadcast((t_ids, t_mat, t_nrm))
+        passes.append(src.mapInPandas(_tile_pass(bcast), out_schema))
+    if not passes:
+        return spark.createDataFrame([], out_schema)
+    partials = reduce(DataFrame.unionByName, passes)
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        partials.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .withColumn("rank", F.col("rank").cast("int"))
+    )
+
+
+def oracle_knn_graph_sql(table: str = "embeddings", k: int = 3) -> str:
+    return f"""
+        WITH corpus AS (
+            SELECT vec_id, {_sql_vec("embedding")} AS v FROM {table}
+        ),
+        scored AS (
+            SELECT a.vec_id, b.vec_id AS neighbor_id,
+                   {_sql_cosine("a.v", "b.v")} AS cos_sim
+            FROM corpus a JOIN corpus b ON a.vec_id <> b.vec_id
+        ),
+        ranked AS (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY vec_id
+                ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+            FROM scored
+        )
+        SELECT vec_id, neighbor_id, cos_sim, CAST(rank AS INT) AS rank
+        FROM ranked WHERE rank <= {k}
+    """

@@ -807,3 +807,26 @@ def test_fuzzy_decontaminate_catches_paraphrase(spark):
     out = decontam.fuzzy_decontaminate(docs, "source = 'bench'").collect()
     assert {(r["doc_id"], r["bench_doc_id"]) for r in out} == {(11, 10)}
     assert all(r["jaccard"] >= 0.5 for r in out)
+
+
+def test_knn_graph_exact_neighbors(spark):
+    """Known geometry: ranks follow cosine desc with id-asc tie-break;
+    every vector gets exactly min(k, n-1) neighbors."""
+    from retail_etl_pipeline_airflow_s3_athena_spark.operators import similarity
+
+    rows = [
+        Row(vec_id=0, embedding=[1.0, 0.0] + [0.0] * 62),
+        Row(vec_id=1, embedding=[1.0, 0.1] + [0.0] * 62),   # closest to 0
+        Row(vec_id=2, embedding=[0.0, 1.0] + [0.0] * 62),   # orthogonal to 0
+        Row(vec_id=3, embedding=[-1.0, 0.0] + [0.0] * 62),  # opposite of 0
+    ]
+    emb = spark.createDataFrame(rows)
+    out = similarity.knn_graph(emb, k=2)
+    got = {
+        (r["vec_id"], r["rank"]): r["neighbor_id"] for r in out.collect()
+    }
+    assert got[(0, 1)] == 1 and got[(0, 2)] == 2
+    # 3's neighbors by cosine: 2 (0.0) > 1 (-0.995) > 0 (-1.0)
+    assert got[(3, 1)] == 2 and got[(3, 2)] == 1
+    counts = out.groupBy("vec_id").count().collect()
+    assert all(r["count"] == 2 for r in counts)
