@@ -312,6 +312,10 @@ def _q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim_ops.knn_graph(_emb(spark, sf_dir))
 
 
+def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sim_ops.semantic_dedup(_emb(spark, sf_dir))
+
+
 def _q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontam_ops.bloom_decontaminate(_docs(spark, sf_dir), "source = 'src0'")
 
@@ -765,6 +769,7 @@ GATE_TAIL = [
     "bloom_decontaminate",
     "fuzzy_decontaminate",
     "knn_graph",
+    "semantic_dedup",
     # driver evidence from r4 (one round old) — rotate forward in r6
     "tfidf_top_terms",
     "embedding_near_dup_lsh",
@@ -871,6 +876,7 @@ def _all_queries() -> dict[str, QueryFn]:
         "cms_heavy_hitters": _q_cms_heavy_hitters,
         "bloom_decontaminate": _q_bloom_decontaminate,
         "knn_graph": _q_knn_graph,
+        "semantic_dedup": _q_semantic_dedup,
         "fuzzy_decontaminate": _q_fuzzy_decontaminate,
         "winnow_fingerprints": _q_winnow_fingerprints,
         "winnow_shared_pairs": _q_winnow_shared_pairs,
@@ -1064,6 +1070,7 @@ def oracle_sql() -> dict[str, str]:
     oracles["dedup_rate_report"] = dedup_ops.oracle_dedup_rate_report_sql()
     oracles["cms_heavy_hitters"] = sketches.oracle_cms_heavy_hitters_sql()
     oracles["knn_graph"] = sim_ops.oracle_knn_graph_sql()
+    oracles["semantic_dedup"] = sim_ops.oracle_semantic_dedup_sql()
     oracles["bloom_decontaminate"] = decontam_ops.oracle_bloom_decontaminate_sql(
         "source = 'src0'"
     )

@@ -154,6 +154,7 @@ STANDALONE = [
     "bloom_decontaminate",
     "fuzzy_decontaminate",
     "knn_graph",
+    "semantic_dedup",
 ]
 
 

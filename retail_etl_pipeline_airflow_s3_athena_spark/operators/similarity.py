@@ -1194,3 +1194,80 @@ def oracle_knn_graph_sql(table: str = "embeddings", k: int = 3) -> str:
         SELECT vec_id, neighbor_id, cos_sim, CAST(rank AS INT) AS rank
         FROM ranked WHERE rank <= {k}
     """
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    threshold: float = 0.4,
+    bits: int = RP_BITS,
+    bands: int = 2,
+    dim: int = EMB_DIM,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023, by
+    public description): embeddings whose cosine similarity exceeds
+    ``threshold`` are semantic duplicates; connected components over
+    the duplicate graph form clusters; the minimum vec_id represents
+    each cluster.  Output: (vec_id, cluster_id, is_kept) for EVERY
+    vector (singletons keep themselves).
+
+    Composition of two already-scale-graded stages: rp-LSH bucketed
+    pair generation (pair space bounded by band collisions, never
+    O(n^2)) and the min-label component machinery shared with the text
+    near-dup path (driver union-find under the bounded-edge threshold,
+    Pregel-style loop above it).  The corpus spine re-enters only for
+    one LEFT join against the (tiny, edge-touched) label table."""
+    from retail_etl_pipeline_airflow_s3_athena_spark.functions.caching import (
+        attach_cached_deps,
+        carried_deps,
+    )
+    from retail_etl_pipeline_airflow_s3_athena_spark.operators.cluster import (
+        connected_components,
+    )
+
+    pairs = embedding_near_dup_lsh(embeddings, threshold, bits, bands, dim)
+    edges = pairs.select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    comps = connected_components(edges).select(
+        F.col("doc_id").alias("vec_id"), "cluster_id"
+    )
+    spine = embeddings.select("vec_id")
+    out = (
+        spine.join(comps, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce("cluster_id", F.col("vec_id")).alias("cluster_id"),
+        )
+        .withColumn("is_kept", F.col("vec_id") == F.col("cluster_id"))
+    )
+    return attach_cached_deps(
+        out, *carried_deps(pairs), *carried_deps(comps)
+    )
+
+
+def oracle_semantic_dedup_sql(
+    table: str = "embeddings",
+    threshold: float = 0.4,
+    bits: int = RP_BITS,
+    bands: int = 2,
+) -> str:
+    nd = oracle_embedding_near_dup_lsh_sql(table, threshold, bits, bands)
+    return f"""
+        WITH RECURSIVE nd AS ({nd}),
+        edges AS (
+            SELECT vec_a AS src, vec_b AS dst FROM nd
+            UNION ALL
+            SELECT vec_b AS src, vec_a AS dst FROM nd
+        ),
+        walk(vec_id, label) AS (
+            SELECT vec_id, vec_id FROM {table}
+            UNION
+            SELECT e.dst, w.label
+            FROM walk w JOIN edges e ON e.src = w.vec_id
+        ),
+        comp AS (
+            SELECT vec_id, MIN(label) AS cluster_id FROM walk GROUP BY vec_id
+        )
+        SELECT vec_id, cluster_id, vec_id = cluster_id AS is_kept
+        FROM comp
+    """
