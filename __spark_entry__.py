@@ -312,6 +312,16 @@ def _q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim_ops.knn_graph(_emb(spark, sf_dir))
 
 
+def _q_pagerank_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cluster_ops.pagerank_near_dups(_docs(spark, sf_dir))
+
+
+def _q_dataset_split_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sampling.dataset_split(
+        _docs(spark, sf_dir).select("doc_id", "source"), ["doc_id"]
+    )
+
+
 def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim_ops.semantic_dedup(_emb(spark, sf_dir))
 
@@ -770,6 +780,8 @@ GATE_TAIL = [
     "fuzzy_decontaminate",
     "knn_graph",
     "semantic_dedup",
+    "dataset_split_docs",
+    "pagerank_near_dups",
     # driver evidence from r4 (one round old) — rotate forward in r6
     "tfidf_top_terms",
     "embedding_near_dup_lsh",
@@ -877,6 +889,8 @@ def _all_queries() -> dict[str, QueryFn]:
         "bloom_decontaminate": _q_bloom_decontaminate,
         "knn_graph": _q_knn_graph,
         "semantic_dedup": _q_semantic_dedup,
+        "dataset_split_docs": _q_dataset_split_docs,
+        "pagerank_near_dups": _q_pagerank_near_dups,
         "fuzzy_decontaminate": _q_fuzzy_decontaminate,
         "winnow_fingerprints": _q_winnow_fingerprints,
         "winnow_shared_pairs": _q_winnow_shared_pairs,
@@ -1071,6 +1085,10 @@ def oracle_sql() -> dict[str, str]:
     oracles["cms_heavy_hitters"] = sketches.oracle_cms_heavy_hitters_sql()
     oracles["knn_graph"] = sim_ops.oracle_knn_graph_sql()
     oracles["semantic_dedup"] = sim_ops.oracle_semantic_dedup_sql()
+    oracles["pagerank_near_dups"] = cluster_ops.oracle_pagerank_near_dups_sql()
+    oracles["dataset_split_docs"] = sampling.oracle_dataset_split_sql(
+        "documents", ["doc_id"], select="doc_id, source"
+    )
     oracles["bloom_decontaminate"] = decontam_ops.oracle_bloom_decontaminate_sql(
         "source = 'src0'"
     )

@@ -155,6 +155,8 @@ STANDALONE = [
     "fuzzy_decontaminate",
     "knn_graph",
     "semantic_dedup",
+    "dataset_split_docs",
+    "pagerank_near_dups",
 ]
 
 

@@ -208,3 +208,47 @@ def oracle_corpus_shuffle_sql(
                CAST({key} % {n_shards} AS INT) AS shard
         FROM {table}
     """
+
+
+def dataset_split(
+    df: DataFrame,
+    key_cols: list[str],
+    val_rate: float = 0.1,
+    test_rate: float = 0.1,
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic train/validation/test assignment: the standard
+    final step of a training-data pipeline.  One hash bucket per row
+    (uniform in [0, RES)) cut at the val/test boundaries — assignment
+    is a pure function of the key, so re-runs, late-arriving shards,
+    and incremental ingests land rows in the SAME split (no leakage
+    between splits across pipeline runs).  Narrow map, no shuffle."""
+    bucket = _md5_hash(_sample_key(key_cols, salt)) % RES
+    v = int(val_rate * RES)
+    t = int(test_rate * RES)
+    return df.withColumn(
+        "split",
+        F.when(bucket < v, "validation")
+        .when(bucket < v + t, "test")
+        .otherwise("train"),
+    )
+
+
+def oracle_dataset_split_sql(
+    table: str,
+    key_cols: list[str],
+    val_rate: float = 0.1,
+    test_rate: float = 0.1,
+    salt: str = "split",
+    select: str = "*",
+) -> str:
+    bucket = f"({_sql_md5_hash(_sql_sample_key(key_cols, salt))} % {RES})"
+    v = int(val_rate * RES)
+    t = int(test_rate * RES)
+    return f"""
+        SELECT {select},
+               CASE WHEN {bucket} < {v} THEN 'validation'
+                    WHEN {bucket} < {v + t} THEN 'test'
+                    ELSE 'train' END AS split
+        FROM {table}
+    """

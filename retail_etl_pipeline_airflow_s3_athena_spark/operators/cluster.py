@@ -287,3 +287,105 @@ def oracle_near_dup_clusters_sql(
                doc_id = cluster_id AS is_canonical
         FROM comp
     """
+
+
+# ---------------------------------------------------------------------------
+# PageRank (Page et al. 1999) over the near-duplicate graph — graph
+# centrality beyond component membership: within a duplicate cluster,
+# high-rank nodes are the "hub" variants (copied the most), a useful
+# canonical-pick / provenance signal that cluster_size can't give.
+#
+# INTEGER-EXACT fixed-point arithmetic: ranks are scaled by 10^6 and
+# every operation (the 0.85 damping product, the out-degree division)
+# is 64-bit integer math with a pinned operation order, so Spark's
+# partially-aggregated sums and DuckDB's serial sums agree bit-for-bit
+# and the gate can hash-compare an ITERATIVE float-free algorithm.
+# Fixed iteration count (unrolled as CTEs in the oracle) keeps the
+# result engine-independent — no float-threshold convergence test.
+# ---------------------------------------------------------------------------
+
+PR_SCALE = 1_000_000   # rank fixed-point scale
+PR_DAMP_NUM = 85       # damping 0.85 as 85/100
+PR_DAMP_DEN = 100
+PR_BASE = 150_000      # (1 - 0.85) * PR_SCALE
+PR_ITERS = 3
+
+
+def pagerank_near_dups(
+    docs: DataFrame,
+    text_col: str = "text",
+    threshold: float = 0.5,
+    iters: int = PR_ITERS,
+) -> DataFrame:
+    """(doc_id, pagerank_scaled): fixed-point PageRank over the
+    undirected near-dup graph's edge-touched nodes.
+
+    Plan: the directed edge table joins its out-degrees ONCE and
+    persists; each iteration is then exactly one hash join against the
+    current rank table plus one map-side-combinable SUM — iterations
+    add plan depth, not extra scans.  The undirected graph has no
+    dangling nodes (every edge-touched node has out-degree >= 1), so
+    no dangling-mass correction term is needed."""
+    pairs = near_dup_pairs(docs, text_col, threshold)
+    # doc_a < doc_b and distinct upstream: both directions union-ALL safe
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).union(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    e = edges.join(deg, "src").persist()
+    pr = (
+        deg.select("src")
+        .withColumnRenamed("src", "doc_id")
+        .withColumn("pr", F.lit(PR_SCALE).cast("long"))
+    )
+    for _ in range(iters):
+        contrib = e.join(pr, e.src == pr.doc_id).select(
+            F.col("dst"),
+            F.expr(
+                f"CAST((pr * {PR_DAMP_NUM}) DIV (deg * {PR_DAMP_DEN}) "
+                "AS BIGINT)"
+            ).alias("c"),
+        )
+        pr = contrib.groupBy("dst").agg(
+            (F.lit(PR_BASE) + F.sum("c")).cast("long").alias("pr")
+        ).withColumnRenamed("dst", "doc_id")
+    out = pr.select("doc_id", F.col("pr").alias("pagerank_scaled"))
+    return attach_cached_deps(out, *carried_deps(pairs), e)
+
+
+def oracle_pagerank_near_dups_sql(
+    table: str = "documents",
+    t: str = "text",
+    threshold: float = 0.5,
+    iters: int = PR_ITERS,
+) -> str:
+    nd = oracle_near_dup_pairs_sql(table, t, threshold)
+    steps = []
+    for i in range(iters):
+        steps.append(
+            f"""pr{i + 1} AS (
+            SELECT e.dst AS doc_id,
+                   CAST({PR_BASE} + SUM((p.pr * {PR_DAMP_NUM})
+                        // (e.deg * {PR_DAMP_DEN})) AS BIGINT) AS pr
+            FROM e JOIN pr{i} p ON e.src = p.doc_id
+            GROUP BY e.dst
+        )"""
+        )
+    chain = ",\n        ".join(steps)
+    return f"""
+        WITH nd AS ({nd}),
+        edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM nd
+            UNION ALL
+            SELECT doc_b AS src, doc_a AS dst FROM nd
+        ),
+        deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+        e AS (SELECT edges.src, edges.dst, deg.deg
+              FROM edges JOIN deg USING (src)),
+        pr0 AS (SELECT src AS doc_id, CAST({PR_SCALE} AS BIGINT) AS pr
+                FROM deg),
+        {chain}
+        SELECT doc_id, pr AS pagerank_scaled FROM pr{iters}
+    """

@@ -830,3 +830,16 @@ def test_knn_graph_exact_neighbors(spark):
     assert got[(3, 1)] == 2 and got[(3, 2)] == 1
     counts = out.groupBy("vec_id").count().collect()
     assert all(r["count"] == 2 for r in counts)
+
+
+def test_pagerank_regular_graph_fixed_point(spark):
+    """On a k-regular dup graph (triangle of identical docs) the
+    uniform rank is PageRank's fixed point: base + damping exactly
+    reproduce PR_SCALE every iteration."""
+    same = "the exact same document text repeated across three rows here"
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=same) for i in range(3)]
+        + [Row(doc_id=9, text="an unrelated singleton document with other words")]
+    )
+    out = {r["doc_id"]: r["pagerank_scaled"] for r in cluster.pagerank_near_dups(docs).collect()}
+    assert out == {0: 1_000_000, 1: 1_000_000, 2: 1_000_000}  # 9 is edge-free
