@@ -326,7 +326,12 @@ def pagerank_near_dups(
     add plan depth, not extra scans.  The undirected graph has no
     dangling nodes (every edge-touched node has out-degree >= 1), so
     no dangling-mass correction term is needed."""
-    pairs = near_dup_pairs(docs, text_col, threshold)
+    # The pair table feeds FOUR lineage sites (two union branches, each
+    # read by both the degree agg and the edge join) — persist and
+    # materialize it first or the whole near-dup pipeline re-runs per
+    # site (measured 12s vs ~4s at sf0.1).
+    pairs = near_dup_pairs(docs, text_col, threshold).persist()
+    pairs.count()
     # doc_a < doc_b and distinct upstream: both directions union-ALL safe
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
@@ -334,9 +339,21 @@ def pagerank_near_dups(
         pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
     )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    e = edges.join(deg, "src").persist()
+    # Materialize the edge+degree table ONCE before the iteration plan
+    # reads it from three join sites (an unmaterialized persist would
+    # re-run the whole near-dup pipeline per reader), and run the loop
+    # at partition counts sized to the dup graph — edge-touched nodes
+    # only, the same working-set logic as connected_components.
+    base = edges.join(deg, "src").persist()
+    n_edges = base.count()
+    sc = base.sparkSession.sparkContext
+    p = int(max(1, min(sc.defaultParallelism, n_edges // 100_000 + 1)))
+    e = base.repartition(p, "src").persist()
+    e.count()
+    base.unpersist()
     pr = (
-        deg.select("src")
+        e.select("src")
+        .distinct()
         .withColumnRenamed("src", "doc_id")
         .withColumn("pr", F.lit(PR_SCALE).cast("long"))
     )
@@ -352,7 +369,7 @@ def pagerank_near_dups(
             (F.lit(PR_BASE) + F.sum("c")).cast("long").alias("pr")
         ).withColumnRenamed("dst", "doc_id")
     out = pr.select("doc_id", F.col("pr").alias("pagerank_scaled"))
-    return attach_cached_deps(out, *carried_deps(pairs), e)
+    return attach_cached_deps(out, *carried_deps(pairs), pairs, e)
 
 
 def oracle_pagerank_near_dups_sql(
