@@ -311,27 +311,68 @@ PR_BASE = 150_000      # (1 - 0.85) * PR_SCALE
 PR_ITERS = 3
 
 
+def _driver_pagerank(
+    pairs: list, iters: int
+) -> list[tuple[int, int]]:
+    """Fixed-point PageRank over a BOUNDED undirected edge list, in
+    arbitrary-precision Python ints — bit-identical to the distributed
+    loop and the oracle's BIGINT math (all values positive, division
+    order pinned)."""
+    from collections import defaultdict
+
+    adj: dict[int, list[int]] = defaultdict(list)
+    for a, b in pairs:
+        adj[a].append(b)
+        adj[b].append(a)
+    pr = {v: PR_SCALE for v in adj}
+    for _ in range(iters):
+        nxt = {v: PR_BASE for v in adj}
+        for u, nbrs in adj.items():
+            c = (pr[u] * PR_DAMP_NUM) // (len(nbrs) * PR_DAMP_DEN)
+            for v in nbrs:
+                nxt[v] += c
+        pr = nxt
+    return sorted(pr.items())
+
+
 def pagerank_near_dups(
     docs: DataFrame,
     text_col: str = "text",
     threshold: float = 0.5,
     iters: int = PR_ITERS,
+    max_driver_edges: int = DRIVER_CC_MAX_EDGES,
 ) -> DataFrame:
     """(doc_id, pagerank_scaled): fixed-point PageRank over the
     undirected near-dup graph's edge-touched nodes.
 
-    Plan: the directed edge table joins its out-degrees ONCE and
-    persists; each iteration is then exactly one hash join against the
-    current rank table plus one map-side-combinable SUM — iterations
-    add plan depth, not extra scans.  The undirected graph has no
-    dangling nodes (every edge-touched node has out-degree >= 1), so
-    no dangling-mass correction term is needed."""
+    Same dual-path contract as ``connected_components``: under the
+    bounded-collect threshold the (tiny, edge-touched) pair list runs
+    through a driver fixed-point loop — identical integer arithmetic,
+    test-enforced against the distributed path — because a handful of
+    Spark jobs over a few hundred cached rows costs more wall-clock
+    than the entire computation.  Above it, the distributed loop: the
+    directed edge table joins its out-degrees ONCE and persists at
+    graph-sized partition counts; each iteration is then exactly one
+    hash join plus one map-side-combinable SUM — iterations add plan
+    depth, not extra scans.  The undirected graph has no dangling
+    nodes (every edge-touched node has out-degree >= 1), so no
+    dangling-mass correction term is needed."""
     # The pair table feeds FOUR lineage sites (two union branches, each
     # read by both the degree agg and the edge join) — persist and
     # materialize it first or the whole near-dup pipeline re-runs per
     # site (measured 12s vs ~4s at sf0.1).
     pairs = near_dup_pairs(docs, text_col, threshold).persist()
-    pairs.count()
+    n_pairs = pairs.count()
+    spark = pairs.sparkSession
+    if n_pairs <= max_driver_edges:
+        ranked = _driver_pagerank(
+            [(r["doc_a"], r["doc_b"]) for r in pairs.collect()], iters
+        )
+        release_cached(pairs)
+        pairs.unpersist()
+        return spark.createDataFrame(
+            ranked, "doc_id bigint, pagerank_scaled bigint"
+        )
     # doc_a < doc_b and distinct upstream: both directions union-ALL safe
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
@@ -339,14 +380,9 @@ def pagerank_near_dups(
         pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
     )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    # Materialize the edge+degree table ONCE before the iteration plan
-    # reads it from three join sites (an unmaterialized persist would
-    # re-run the whole near-dup pipeline per reader), and run the loop
-    # at partition counts sized to the dup graph — edge-touched nodes
-    # only, the same working-set logic as connected_components.
     base = edges.join(deg, "src").persist()
     n_edges = base.count()
-    sc = base.sparkSession.sparkContext
+    sc = spark.sparkContext
     p = int(max(1, min(sc.defaultParallelism, n_edges // 100_000 + 1)))
     e = base.repartition(p, "src").persist()
     e.count()

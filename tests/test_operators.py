@@ -843,3 +843,25 @@ def test_pagerank_regular_graph_fixed_point(spark):
     )
     out = {r["doc_id"]: r["pagerank_scaled"] for r in cluster.pagerank_near_dups(docs).collect()}
     assert out == {0: 1_000_000, 1: 1_000_000, 2: 1_000_000}  # 9 is edge-free
+
+
+def test_pagerank_driver_matches_distributed(spark):
+    """The bounded-collect driver loop and the distributed loop are the
+    same fixed point (same contract as connected_components)."""
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        Row(doc_id=0, text=base),
+        Row(doc_id=1, text=base),
+        Row(doc_id=2, text=base + " iota"),
+        Row(doc_id=3, text="unrelated totally different words in this document"),
+    ]
+    docs = spark.createDataFrame(rows)
+    drv = {
+        (r["doc_id"], r["pagerank_scaled"])
+        for r in cluster.pagerank_near_dups(docs).collect()
+    }
+    dist = {
+        (r["doc_id"], r["pagerank_scaled"])
+        for r in cluster.pagerank_near_dups(docs, max_driver_edges=0).collect()
+    }
+    assert drv == dist and len(drv) == 3
