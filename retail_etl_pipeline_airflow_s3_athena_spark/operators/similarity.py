@@ -1224,7 +1224,9 @@ def semantic_dedup(
         connected_components,
     )
 
-    pairs = embedding_near_dup_lsh(embeddings, threshold, bits, bands, dim)
+    # persist the (tiny) pair table: connected_components reads it from
+    # both union branches — unpersisted, the band join + verify re-run
+    pairs = embedding_near_dup_lsh(embeddings, threshold, bits, bands, dim).persist()
     edges = pairs.select(
         F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
     )
@@ -1241,7 +1243,7 @@ def semantic_dedup(
         .withColumn("is_kept", F.col("vec_id") == F.col("cluster_id"))
     )
     return attach_cached_deps(
-        out, *carried_deps(pairs), *carried_deps(comps)
+        out, *carried_deps(pairs), pairs, *carried_deps(comps)
     )
 
 
