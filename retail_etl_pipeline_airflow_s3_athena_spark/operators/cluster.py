@@ -199,12 +199,17 @@ def near_dup_clusters(
     untouched docs join in as size-1 singletons via one anti-join —
     the corpus-sized side of the plan is a single pass."""
     nd = near_dup_pairs(docs, text_col, threshold)
-    pairs = nd.select("doc_a", "doc_b")
+    # materialize the pair table before connected_components reads it
+    # from both union branches (unpersisted, the band join + Jaccard
+    # verify would run twice inside base's first action)
+    pairs = nd.select("doc_a", "doc_b").persist()
+    pairs.count()
     comp = connected_components(pairs)  # persisted; ownership tagged
     # components are materialized, so the shingle cache near_dup_pairs
-    # owns can be released here — downstream reads comp, not the pair
-    # plan
+    # owns — and the pair table itself — can be released here:
+    # downstream reads comp, not the pair plan
     release_cached(nd)
+    pairs.unpersist()
     sizes = comp.groupBy("cluster_id").agg(
         F.count(F.lit(1)).alias("cluster_size")
     )
