@@ -460,3 +460,60 @@ def hll_stream_estimates(spark: SparkSession, work_dir: str) -> DataFrame:
         F.max("m_j").alias("m_j")
     )
     return sketches.hll_estimate(merged, ["event_type"])
+
+
+def attribution_stream(
+    events_a: DataFrame,
+    events_b: DataFrame,
+    horizon: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream interval join: purchase attribution — each
+    ``purchase`` event joined to the same user's ``click`` events that
+    happened in the preceding ``horizon``.  Nothing in the reference's
+    Airflow/Athena stack can express a continuously-maintained
+    stream-stream join.
+
+    Both sides are watermarked, and the join condition bounds the
+    click's age relative to the purchase — the pair of constraints
+    Structured Streaming needs to know when a buffered click can never
+    match a future purchase, so BOTH state stores are bounded by
+    (watermark + horizon), not stream length.  At 100 TB/day the state
+    is the horizon's worth of clicks per user — calendar-bounded, and
+    partitioned by the equi-key (user_id) so the join never shuffles
+    more than the horizon window.
+    """
+    clicks = (
+        events_a.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("click_ts", "2 hours")
+    )
+    purchases = (
+        events_b.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    return clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (
+            F.col("click_ts")
+            >= F.col("purchase_ts") - F.expr(f"INTERVAL {horizon}")
+        ),
+    ).select(
+        F.col("p_user").alias("user_id"),
+        "purchase_id",
+        "purchase_ts",
+        "click_id",
+        "click_ts",
+        "purchase_value",
+    )

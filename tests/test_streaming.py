@@ -356,3 +356,39 @@ def test_hll_sketch_stream_matches_batch(spark, sf_dir, events_dir):
         for r in sketches.hll_distinct(ev, "user_id", ["event_type"]).collect()
     }
     assert got == want
+
+
+def test_attribution_stream_matches_batch_interval_join(spark, sf_dir, events_dir):
+    """Stream-stream interval join (click -> purchase attribution)
+    emits exactly the batch join's pairs."""
+    a = incremental.stream_events(spark, events_dir)
+    b = incremental.stream_events(spark, events_dir)
+    q = incremental.run_to_memory(
+        incremental.attribution_stream(a, b), "attr_out"
+    )
+    got = {
+        (r["purchase_id"], r["click_id"])
+        for r in spark.sql("SELECT * FROM attr_out").collect()
+    }
+
+    ev = readers.read_events(spark, sf_dir).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    clicks = ev.filter("event_type = 'click'").select(
+        F.col("user_id").alias("cu"), F.col("ts").alias("cts"),
+        F.col("event_id").alias("click_id"),
+    )
+    purchases = ev.filter("event_type = 'purchase'").select(
+        F.col("user_id").alias("pu"), F.col("ts").alias("pts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    want = {
+        (r["purchase_id"], r["click_id"])
+        for r in clicks.join(
+            purchases,
+            (F.col("cu") == F.col("pu"))
+            & (F.col("cts") <= F.col("pts"))
+            & (F.col("cts") >= F.col("pts") - F.expr("INTERVAL 1 hour")),
+        ).collect()
+    }
+    assert got == want and len(want) > 0
