@@ -105,3 +105,37 @@ def backfill_silver_partition(
         .parquet(path)
     )
     return path
+
+
+def write_clustered(
+    df: DataFrame,
+    path: str,
+    cluster_cols: list[str],
+    n_files: int | None = None,
+) -> str:
+    """Clustered gold layout: range-repartition on ``cluster_cols`` and
+    sort within each output file, so every parquet file covers a
+    DISJOINT range of the clustering key.
+
+    Why it matters at 100 TB: parquet footers carry per-column min/max;
+    a reader filtering on the clustering key (Spark, DuckDB, Athena,
+    anything) skips every file whose [min, max] misses the predicate —
+    but only if the writer made those ranges tight.  Hive
+    ``partitionBy`` gives coarse pruning on low-cardinality keys; this
+    gives fine-grained skipping on high-cardinality keys (timestamps,
+    customer ids) WITHOUT the small-file explosion per-value
+    partitioning would cause.  The same layout is what table formats
+    call clustering / Z-ordering in the single-key case.
+
+    ``repartitionByRange`` samples the key distribution, so files are
+    balanced under skew (an equal-width split would not be).  The
+    in-file sort additionally makes page-level (row-group) statistics
+    monotone, enabling row-group skipping inside each file."""
+    part = df.repartitionByRange(*([n_files] if n_files else []), *cluster_cols)
+    (
+        part.sortWithinPartitions(*cluster_cols)
+        .write.mode("overwrite")
+        .option("compression", "snappy")
+        .parquet(path)
+    )
+    return path

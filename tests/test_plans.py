@@ -8,6 +8,7 @@ from __future__ import annotations
 import pytest
 
 import __spark_entry__ as entry
+from pyspark.sql import functions as F
 from retail_etl_pipeline_airflow_s3_athena_spark.plans import gold, retail_views
 
 
@@ -80,3 +81,37 @@ def test_no_nested_loop_joins_in_relational_queries(spark, sf_dir):
         # (BroadcastNestedLoopJoin appears legitimately only for
         # 1-row scalar-aggregate cross joins, which none of these use)
         assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_write_clustered_files_cover_disjoint_ranges(spark, sf_dir, tmp_path):
+    """Every output file covers a disjoint o_orderkey range (the
+    property parquet min/max skipping needs), and a point-lookup scan
+    reads a subset of the files."""
+    import os
+
+    from retail_etl_pipeline_airflow_s3_athena_spark.sources import writers
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    out = str(tmp_path / "orders_clustered")
+    writers.write_clustered(orders, out, ["o_orderkey"], n_files=8)
+
+    files = [
+        f"{out}/{f}" for f in os.listdir(out) if f.endswith(".parquet")
+    ]
+    assert len(files) == 8
+    ranges = []
+    for f in files:
+        r = (
+            spark.read.parquet(f)
+            .agg(F.min("o_orderkey"), F.max("o_orderkey"))
+            .collect()[0]
+        )
+        ranges.append((r[0], r[1]))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2, "file key ranges must not overlap"
+
+    # point predicate: Spark's parquet reader prunes to the one file
+    key = ranges[3][0]
+    got = spark.read.parquet(out).filter(F.col("o_orderkey") == key)
+    assert got.count() >= 1
