@@ -312,6 +312,10 @@ def _q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim_ops.knn_graph(_emb(spark, sf_dir))
 
 
+def _q_encode_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return vocab_ops.encode_token_ids(_docs(spark, sf_dir))
+
+
 def _q_pagerank_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cluster_ops.pagerank_near_dups(_docs(spark, sf_dir))
 
@@ -782,6 +786,7 @@ GATE_TAIL = [
     "semantic_dedup",
     "dataset_split_docs",
     "pagerank_near_dups",
+    "encode_token_ids",
     # driver evidence from r4 (one round old) — rotate forward in r6
     "tfidf_top_terms",
     "embedding_near_dup_lsh",
@@ -891,6 +896,7 @@ def _all_queries() -> dict[str, QueryFn]:
         "semantic_dedup": _q_semantic_dedup,
         "dataset_split_docs": _q_dataset_split_docs,
         "pagerank_near_dups": _q_pagerank_near_dups,
+        "encode_token_ids": _q_encode_token_ids,
         "fuzzy_decontaminate": _q_fuzzy_decontaminate,
         "winnow_fingerprints": _q_winnow_fingerprints,
         "winnow_shared_pairs": _q_winnow_shared_pairs,
@@ -1085,6 +1091,7 @@ def oracle_sql() -> dict[str, str]:
     oracles["cms_heavy_hitters"] = sketches.oracle_cms_heavy_hitters_sql()
     oracles["knn_graph"] = sim_ops.oracle_knn_graph_sql()
     oracles["semantic_dedup"] = sim_ops.oracle_semantic_dedup_sql()
+    oracles["encode_token_ids"] = vocab_ops.oracle_encode_token_ids_sql()
     oracles["pagerank_near_dups"] = cluster_ops.oracle_pagerank_near_dups_sql()
     oracles["dataset_split_docs"] = sampling.oracle_dataset_split_sql(
         "documents", ["doc_id"], select="doc_id, source"

@@ -157,6 +157,7 @@ STANDALONE = [
     "semantic_dedup",
     "dataset_split_docs",
     "pagerank_near_dups",
+    "encode_token_ids",
 ]
 
 

@@ -219,3 +219,76 @@ def oracle_ngram_vocab_sql(
         ORDER BY n_occurrences DESC, ngram ASC
         LIMIT {k}
     """
+
+
+VOCAB_SIZE = 1000
+OOV_ID = -1
+
+
+def encode_token_ids(
+    docs: DataFrame,
+    vocab_size: int = VOCAB_SIZE,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Integerization: (doc_id, pos, token_id) — every token position
+    mapped to its frequency-ranked vocabulary id (0 = most frequent;
+    ties broken by token text; out-of-vocabulary -> -1).
+
+    This is the tokenize-to-ids step between corpus statistics and
+    sequence packing: downstream training consumes id arrays, and the
+    id assignment must be DETERMINISTIC so shards encoded on different
+    executors/days agree on the mapping.
+
+    Plan: token counts partial-aggregate map-side; the top-``vocab_size``
+    cut is a TakeOrderedAndProject (per-partition partial top-k, no
+    full sort); ranking the cut is a window over only ``vocab_size``
+    rows (driver-bounded by construction); the corpus-side encode is a
+    BROADCAST left join — the token stream never shuffles."""
+    flat = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokens(F.lower(F.col(text_col)))).alias("pos", "tok"),
+    )
+    counts = flat.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    cut = counts.orderBy(F.desc("cnt"), F.asc("tok")).limit(vocab_size)
+    w = Window.orderBy(F.desc("cnt"), F.asc("tok"))
+    vocab = cut.select(
+        "tok", (F.row_number().over(w) - 1).cast("long").alias("token_id")
+    )
+    return flat.join(F.broadcast(vocab), "tok", "left").select(
+        "doc_id",
+        F.col("pos").cast("long").alias("pos"),
+        F.coalesce("token_id", F.lit(OOV_ID).cast("long")).alias("token_id"),
+    )
+
+
+def oracle_encode_token_ids_sql(
+    table: str = "documents",
+    t: str = "text",
+    vocab_size: int = VOCAB_SIZE,
+) -> str:
+    toks = (
+        f"list_filter(string_split_regex(LOWER({t}), '\\s+'), x -> x <> '')"
+    )
+    return f"""
+        WITH flat AS (
+            SELECT doc_id,
+                   unnest(range(len({toks}))) AS pos,
+                   unnest({toks}) AS tok
+            FROM {table}
+        ),
+        counts AS (
+            SELECT tok, COUNT(*) AS cnt FROM flat GROUP BY tok
+        ),
+        vocab AS (
+            SELECT tok,
+                   CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, tok ASC) - 1
+                        AS BIGINT) AS token_id
+            FROM counts
+            ORDER BY cnt DESC, tok ASC LIMIT {vocab_size}
+        )
+        SELECT f.doc_id,
+               CAST(f.pos AS BIGINT) AS pos,
+               COALESCE(v.token_id, {OOV_ID}) AS token_id
+        FROM flat f LEFT JOIN vocab v USING (tok)
+    """
