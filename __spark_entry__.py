@@ -312,6 +312,14 @@ def _q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim_ops.knn_graph(_emb(spark, sf_dir))
 
 
+def _q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup_ops.containment_pairs(_docs(spark, sf_dir))
+
+
+def _q_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return winnow_ops.dup_span_stats(_docs(spark, sf_dir))
+
+
 def _q_encode_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab_ops.encode_token_ids(_docs(spark, sf_dir))
 
@@ -787,6 +795,8 @@ GATE_TAIL = [
     "dataset_split_docs",
     "pagerank_near_dups",
     "encode_token_ids",
+    "containment_pairs",
+    "dup_span_stats",
     # driver evidence from r4 (one round old) — rotate forward in r6
     "tfidf_top_terms",
     "embedding_near_dup_lsh",
@@ -897,6 +907,8 @@ def _all_queries() -> dict[str, QueryFn]:
         "dataset_split_docs": _q_dataset_split_docs,
         "pagerank_near_dups": _q_pagerank_near_dups,
         "encode_token_ids": _q_encode_token_ids,
+        "containment_pairs": _q_containment_pairs,
+        "dup_span_stats": _q_dup_span_stats,
         "fuzzy_decontaminate": _q_fuzzy_decontaminate,
         "winnow_fingerprints": _q_winnow_fingerprints,
         "winnow_shared_pairs": _q_winnow_shared_pairs,
@@ -1091,6 +1103,8 @@ def oracle_sql() -> dict[str, str]:
     oracles["cms_heavy_hitters"] = sketches.oracle_cms_heavy_hitters_sql()
     oracles["knn_graph"] = sim_ops.oracle_knn_graph_sql()
     oracles["semantic_dedup"] = sim_ops.oracle_semantic_dedup_sql()
+    oracles["containment_pairs"] = dedup_ops.oracle_containment_pairs_sql()
+    oracles["dup_span_stats"] = winnow_ops.oracle_dup_span_stats_sql()
     oracles["encode_token_ids"] = vocab_ops.oracle_encode_token_ids_sql()
     oracles["pagerank_near_dups"] = cluster_ops.oracle_pagerank_near_dups_sql()
     oracles["dataset_split_docs"] = sampling.oracle_dataset_split_sql(

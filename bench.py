@@ -158,6 +158,8 @@ STANDALONE = [
     "dataset_split_docs",
     "pagerank_near_dups",
     "encode_token_ids",
+    "containment_pairs",
+    "dup_span_stats",
 ]
 
 

@@ -978,3 +978,115 @@ def oracle_dedup_rate_report_sql(
                    6)} AS dup_rate
         FROM f
     """
+
+
+def containment_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    threshold: float = 0.8,
+    min_shared: int = 2,
+    max_df: int | None = MAX_SHINGLE_DF,
+) -> DataFrame:
+    """Asymmetric shingle CONTAINMENT: (doc_a, doc_b, cont_a_in_b,
+    cont_b_in_a), kept when either direction >= threshold.
+
+    Jaccard misses the quote/subset case — a short doc fully embedded
+    in a long one has |A∩B|/|A∪B| ≈ |A|/|B|, arbitrarily small — while
+    containment |A∩B|/|A| is 1.0 exactly.  This is the signal for
+    quotation detection, boilerplate-inside-page, and small-doc
+    swallowing.
+
+    Candidate generation deliberately does NOT reuse the minhash band
+    join: banding's collision probability is calibrated to JACCARD, so
+    exactly the pairs containment exists for (extreme size ratios) are
+    the ones it misses.  Instead, candidates come from the df-capped
+    shingle INVERTED INDEX itself — one self-join on the shingle hash
+    producing (pair, n_inter) directly.  Fanout is bounded by the
+    stop-shingle cap (a shingle in f docs contributes O(f^2) pair
+    rows, f <= max_df), and recall is total for any pair sharing
+    >= min_shared sub-cap shingles — which every containment >=
+    threshold pair with a non-trivial contained side does."""
+    flat = _flat_shingles(docs, text_col).persist()
+    deps = (flat,)
+    capped = flat
+    if max_df is not None:
+        capped = _cap_frequent_shingles(flat, max_df).persist()
+        deps = (flat, capped)
+    sizes = capped.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    fa = capped.alias("fa")
+    fb = capped.alias("fb")
+    inter = (
+        fa.join(
+            fb,
+            (F.col("fa.s") == F.col("fb.s"))
+            & (F.col("fa.doc_id") < F.col("fb.doc_id")),
+        )
+        .groupBy(
+            F.col("fa.doc_id").alias("doc_a"),
+            F.col("fb.doc_id").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+        .filter(F.col("n_inter") >= min_shared)
+    )
+    na = sizes.alias("na")
+    nb = sizes.alias("nb")
+    cont_a = dround(F.col("n_inter") / F.col("na.n"), 6)
+    cont_b = dround(F.col("n_inter") / F.col("nb.n"), 6)
+    out = (
+        inter.join(na, F.col("doc_a") == F.col("na.doc_id"))
+        .join(nb, F.col("doc_b") == F.col("nb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            cont_a.alias("cont_a_in_b"),
+            cont_b.alias("cont_b_in_a"),
+        )
+        .filter(
+            (F.col("cont_a_in_b") >= threshold)
+            | (F.col("cont_b_in_a") >= threshold)
+        )
+    )
+    return _owned_cache(out, *deps)
+
+
+def oracle_containment_pairs_sql(
+    table: str = "documents",
+    t: str = "text",
+    threshold: float = 0.8,
+    min_shared: int = 2,
+    max_df: int = MAX_SHINGLE_DF,
+) -> str:
+    capped = _SQL_CAPPED_SHINGLES.format(
+        src="sh_t", max_df=max_df, out="shc"
+    ).strip()
+    ca = sql_dround("i.n_inter / na.n", 6)
+    cb = sql_dround("i.n_inter / nb.n", 6)
+    return f"""
+        WITH th_t AS (
+            SELECT doc_id, {_sql_token_hashes(t)} AS th FROM {table}
+        ),
+        sh_t AS (
+            SELECT doc_id, list_distinct({_SQL_SHINGLES.strip()}) AS sh
+            FROM th_t
+        ),
+        {capped},
+        flat2 AS (
+            SELECT doc_id, unnest(sh) AS s, len(sh) AS n FROM shc
+        ),
+        i AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   COUNT(*) AS n_inter
+            FROM flat2 a JOIN flat2 b
+              ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY doc_a, doc_b
+            HAVING COUNT(*) >= {min_shared}
+        ),
+        sz AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n FROM shc)
+        SELECT i.doc_a, i.doc_b,
+               {ca} AS cont_a_in_b,
+               {cb} AS cont_b_in_a
+        FROM i
+        JOIN sz na ON i.doc_a = na.doc_id
+        JOIN sz nb ON i.doc_b = nb.doc_id
+        WHERE {ca} >= {threshold} OR {cb} >= {threshold}
+    """

@@ -271,3 +271,63 @@ def oracle_winnow_shared_pairs_sql(
         GROUP BY doc_a, doc_b
         HAVING COUNT(*) >= {min_shared}
     """
+
+
+def dup_span_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document duplication LOCALIZATION: (doc_id, n_grams,
+    n_dup_positions, dup_fraction) — how much of each document's token
+    stream is covered by 3-grams that also occur in at least one OTHER
+    document.
+
+    Pair detection says WHICH docs overlap; this says HOW MUCH of each
+    doc is non-original — the signal for partial-copy filtering
+    policies ("drop docs more than 60% boilerplate") that pairwise
+    reports can't drive directly.
+
+    Plan: positional grams (the winnowing builder, narrow pipeline) +
+    a per-gram cross-document document-frequency from a two-level
+    partial aggregate; one equi-join on the gram hash brings df back
+    to the positions, then a per-doc aggregate.  Every aggregate is
+    map-side combinable; the only shuffles are the gram-hash groupBy
+    and the doc_id window the gram builder already pays."""
+    grams = _flat_grams(docs, text_col)
+    df_tab = (
+        grams.select("doc_id", "s")
+        .distinct()
+        .groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    joined = grams.join(df_tab, "s").select(
+        "doc_id", (F.col("df") > 1).cast("long").alias("dup")
+    )
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.sum("dup").alias("n_dup_positions"),
+        F.floor(F.sum("dup") / F.count(F.lit(1)) * 1e6 + F.lit(0.5))
+        .cast("double")
+        .alias("_sc"),
+    ).withColumn("dup_fraction", F.col("_sc") / 1e6).drop("_sc")
+
+
+def oracle_dup_span_stats_sql(
+    table: str = "documents", t: str = "text"
+) -> str:
+    return f"""
+        WITH {_sql_flat_grams(table, t).strip()},
+        df_tab AS (
+            SELECT s, COUNT(*) AS df FROM (
+                SELECT DISTINCT doc_id, s FROM flat
+            ) GROUP BY s
+        ),
+        joined AS (
+            SELECT f.doc_id,
+                   CASE WHEN d.df > 1 THEN 1 ELSE 0 END AS dup
+            FROM flat f JOIN df_tab d USING (s)
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_grams,
+               CAST(SUM(dup) AS BIGINT) AS n_dup_positions,
+               FLOOR(CAST(SUM(dup) AS DOUBLE) / COUNT(*) * 1e6 + 0.5) / 1e6
+                   AS dup_fraction
+        FROM joined GROUP BY doc_id
+    """

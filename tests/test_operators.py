@@ -865,3 +865,49 @@ def test_pagerank_driver_matches_distributed(spark):
         for r in cluster.pagerank_near_dups(docs, max_driver_edges=0).collect()
     }
     assert drv == dist and len(drv) == 3
+
+
+def test_containment_catches_quote_subset(spark):
+    """A short doc fully quoted inside a long one: containment 1.0 even
+    though Jaccard is small."""
+    quote = "alpha beta gamma delta epsilon zeta eta theta"
+    long_doc = (
+        "padding words one two three four five six seven eight nine ten "
+        + quote
+        + " more padding eleven twelve thirteen fourteen fifteen sixteen"
+    )
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=0, text=quote),
+            Row(doc_id=1, text=long_doc),
+            Row(doc_id=2, text="nothing in common with those documents here"),
+        ]
+    )
+    out = {
+        (r["doc_a"], r["doc_b"]): r
+        for r in dedup.containment_pairs(docs, threshold=0.8).collect()
+    }
+    assert (0, 1) in out
+    assert out[(0, 1)]["cont_a_in_b"] == 1.0   # every quote shingle in the long doc
+    assert out[(0, 1)]["cont_b_in_a"] < 0.5
+    assert not any(2 in p for p in out)
+
+
+def test_dup_span_stats_localizes(spark):
+    """Identical docs are 100% duplicated; a half-shared doc sits in
+    between; a unique doc is 0%."""
+    from retail_etl_pipeline_airflow_s3_athena_spark.operators import winnow
+
+    shared = "alpha beta gamma delta epsilon zeta"
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=0, text=shared),
+            Row(doc_id=1, text=shared),
+            Row(doc_id=2, text=shared + " unique tail words here now okay"),
+            Row(doc_id=3, text="entirely original content with no overlap at all"),
+        ]
+    )
+    out = {r["doc_id"]: r for r in winnow.dup_span_stats(docs).collect()}
+    assert out[0]["dup_fraction"] == 1.0 and out[1]["dup_fraction"] == 1.0
+    assert 0 < out[2]["dup_fraction"] < 1.0
+    assert out[3]["dup_fraction"] == 0.0
