@@ -215,6 +215,38 @@ def stateful_sessions(
     )
 
 
+def _versioned_overwrite(df: DataFrame, target_dir: str, batch_id: int) -> None:
+    """Write ``df`` to a fresh versioned directory and swap it in with
+    an atomic symlink ``os.replace`` — readers resolving ``target_dir``
+    see either the old or the new table, never a partial one.  On
+    object-store URIs (no POSIX rename) falls back to a plain,
+    non-atomic overwrite; production there wants a commit-capable table
+    format, which changes this sink call only."""
+    if "://" in target_dir:
+        df.write.mode("overwrite").parquet(target_dir)
+        return
+    import os
+    import shutil
+
+    vdir = os.path.abspath(f"{target_dir}.v{batch_id}")
+    df.write.mode("overwrite").parquet(vdir)
+    swap = f"{target_dir}.swap"
+    if os.path.lexists(swap):
+        os.remove(swap)
+    os.symlink(vdir, swap)
+    prev = None
+    if os.path.islink(target_dir):
+        prev = os.path.realpath(target_dir)
+    elif os.path.exists(target_dir):
+        # one-time migration of a plain directory (brief window where
+        # target_dir is absent; every later swap is atomic)
+        prev = target_dir + ".migrated"
+        os.rename(target_dir, prev)
+    os.replace(swap, target_dir)  # atomic symlink swap
+    if prev and os.path.realpath(prev) != vdir:
+        shutil.rmtree(prev, ignore_errors=True)
+
+
 def gold_stream(
     events: DataFrame, gold_dir: str, checkpoint_dir: str
 ):
@@ -241,30 +273,7 @@ def gold_stream(
     changes the sink call only, not the plan shape."""
 
     def overwrite_gold(batch_df: DataFrame, batch_id: int) -> None:
-        if "://" in gold_dir:
-            # object store: no atomic rename primitive; see docstring
-            batch_df.write.mode("overwrite").parquet(gold_dir)
-            return
-        import os
-        import shutil
-
-        vdir = os.path.abspath(f"{gold_dir}.v{batch_id}")
-        batch_df.write.mode("overwrite").parquet(vdir)
-        swap = f"{gold_dir}.swap"
-        if os.path.lexists(swap):
-            os.remove(swap)
-        os.symlink(vdir, swap)
-        prev = None
-        if os.path.islink(gold_dir):
-            prev = os.path.realpath(gold_dir)
-        elif os.path.exists(gold_dir):
-            # one-time migration of a plain directory (brief window
-            # where gold_dir is absent; every later swap is atomic)
-            prev = gold_dir + ".migrated"
-            os.rename(gold_dir, prev)
-        os.replace(swap, gold_dir)  # atomic symlink swap
-        if prev and os.path.realpath(prev) != vdir:
-            shutil.rmtree(prev, ignore_errors=True)
+        _versioned_overwrite(batch_df, gold_dir, batch_id)
 
     daily = (
         events.groupBy(
@@ -516,4 +525,79 @@ def attribution_stream(
         "click_id",
         "click_ts",
         "purchase_value",
+    )
+
+
+def scd2_stream(
+    spark: SparkSession,
+    source_dir: str,
+    work_dir: str,
+    key: str,
+    tracked: list[str],
+    schema: T.StructType,
+    date_for_batch=None,
+):
+    """Streaming SCD2 dimension maintenance: each micro-batch of update
+    rows merges into the versioned dimension via ``operators.scd.
+    scd2_merge`` and atomically replaces the dimension table — the
+    continuously-maintained form of the batch SCD2 operator (the
+    reference rewrites dimensions wholesale, scripts/load.py).
+
+    ``date_for_batch`` maps batch_id -> effective date (default: day
+    batch_id+1 of 2024-01); in production the effective date comes from
+    the batch's own event time — the mapping is injected so tests and
+    replays are deterministic.
+
+    State: NONE in the stream (the dimension parquet is the state, and
+    it is version-swapped per batch, so a crash mid-batch leaves the
+    previous consistent dimension visible).  Work per batch is bounded
+    by |live slice| + |batch| — the history slice passes through
+    untouched and is never joined (scd2_merge's contract), though this
+    sink does rewrite it; at dimension scale the swap becomes a
+    MERGE into a table format, changing the sink call only."""
+    import os
+
+    from retail_etl_pipeline_airflow_s3_athena_spark.functions.caching import (
+        release_cached,
+    )
+    from retail_etl_pipeline_airflow_s3_athena_spark.operators import scd
+
+    dim_dir = os.path.join(work_dir, "dim")
+    ckpt_dir = os.path.join(work_dir, "ckpt")
+    if date_for_batch is None:
+        def date_for_batch(bid: int) -> str:
+            return f"2024-01-{bid + 1:02d}"
+
+    empty_schema = T.StructType(
+        [f for f in schema.fields if f.name in (key, *tracked)]
+        + [
+            T.StructField("effective_from", T.DateType()),
+            T.StructField("effective_to", T.DateType()),
+            T.StructField("is_current", T.BooleanType()),
+        ]
+    )
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        updates = batch_df.select(key, *tracked).dropDuplicates([key])
+        if os.path.exists(dim_dir):
+            current = sp.read.parquet(dim_dir)
+        else:
+            current = sp.createDataFrame([], empty_schema)
+        merged = scd.scd2_merge(
+            current, updates, key, tracked, date_for_batch(batch_id)
+        )
+        _versioned_overwrite(merged, dim_dir, batch_id)
+        release_cached(merged)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_dir)
+    )
+    return (
+        stream.writeStream.foreachBatch(step)
+        .option("checkpointLocation", ckpt_dir)
+        .trigger(availableNow=True)
+        .start()
     )

@@ -392,3 +392,78 @@ def test_attribution_stream_matches_batch_interval_join(spark, sf_dir, events_di
         ).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_scd2_stream_matches_sequential_batch_merges(spark):
+    """Two update files streamed with maxFilesPerTrigger=1 produce the
+    same dimension as two sequential batch scd2_merge calls."""
+    import os
+    import time
+
+    from pyspark.sql import Row, types as T
+
+    from retail_etl_pipeline_airflow_s3_athena_spark.functions.caching import (
+        release_cached,
+    )
+    from retail_etl_pipeline_airflow_s3_athena_spark.operators import scd
+
+    schema = T.StructType(
+        [
+            T.StructField("cust_id", T.LongType()),
+            T.StructField("segment", T.StringType()),
+        ]
+    )
+    src = tempfile.mkdtemp(prefix="scd2_src_")
+    work = tempfile.mkdtemp(prefix="scd2_stream_")
+    b0 = [Row(cust_id=1, segment="bronze"), Row(cust_id=2, segment="silver")]
+    b1 = [Row(cust_id=1, segment="gold"), Row(cust_id=3, segment="bronze")]
+    spark.createDataFrame(b0, schema).coalesce(1).write.parquet(f"{src}/b0")
+    for f in os.listdir(f"{src}/b0"):
+        if f.endswith(".parquet"):
+            os.rename(f"{src}/b0/{f}", f"{src}/u0.parquet")
+    time.sleep(1.1)  # file-stream ordering is by modification time
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(f"{src}/b1")
+    for f in os.listdir(f"{src}/b1"):
+        if f.endswith(".parquet"):
+            os.rename(f"{src}/b1/{f}", f"{src}/u1.parquet")
+
+    q = incremental.scd2_stream(
+        spark, src, work, "cust_id", ["segment"], schema
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["cust_id"], r["segment"], str(r["effective_from"]),
+         str(r["effective_to"]), r["is_current"])
+        for r in spark.read.parquet(f"{work}/dim").collect()
+    }
+
+    empty = spark.createDataFrame(
+        [],
+        T.StructType(
+            schema.fields
+            + [
+                T.StructField("effective_from", T.DateType()),
+                T.StructField("effective_to", T.DateType()),
+                T.StructField("is_current", T.BooleanType()),
+            ]
+        ),
+    )
+    m1 = scd.scd2_merge(
+        empty, spark.createDataFrame(b0, schema), "cust_id", ["segment"],
+        "2024-01-01",
+    )
+    m2 = scd.scd2_merge(
+        m1, spark.createDataFrame(b1, schema), "cust_id", ["segment"],
+        "2024-01-02",
+    )
+    want = {
+        (r["cust_id"], r["segment"], str(r["effective_from"]),
+         str(r["effective_to"]), r["is_current"])
+        for r in m2.collect()
+    }
+    release_cached(m1)
+    release_cached(m2)
+    assert got == want
+    # the closed v1 row and the live v2 row for cust 1 both exist
+    assert (1, "bronze", "2024-01-01", "2024-01-02", False) in got
+    assert (1, "gold", "2024-01-02", "None", True) in got
