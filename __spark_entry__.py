@@ -312,6 +312,15 @@ def _q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim_ops.knn_graph(_emb(spark, sf_dir))
 
 
+def _q_profile_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from retail_etl_pipeline_airflow_s3_athena_spark.functions import quality
+
+    df = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return quality.table_profile(
+        df, ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
+    )
+
+
 def _q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_ops.containment_pairs(_docs(spark, sf_dir))
 
@@ -797,6 +806,7 @@ GATE_TAIL = [
     "encode_token_ids",
     "containment_pairs",
     "dup_span_stats",
+    "profile_customers",
     # driver evidence from r4 (one round old) — rotate forward in r6
     "tfidf_top_terms",
     "embedding_near_dup_lsh",
@@ -908,6 +918,7 @@ def _all_queries() -> dict[str, QueryFn]:
         "pagerank_near_dups": _q_pagerank_near_dups,
         "encode_token_ids": _q_encode_token_ids,
         "containment_pairs": _q_containment_pairs,
+        "profile_customers": _q_profile_customers,
         "dup_span_stats": _q_dup_span_stats,
         "fuzzy_decontaminate": _q_fuzzy_decontaminate,
         "winnow_fingerprints": _q_winnow_fingerprints,
@@ -1103,6 +1114,11 @@ def oracle_sql() -> dict[str, str]:
     oracles["cms_heavy_hitters"] = sketches.oracle_cms_heavy_hitters_sql()
     oracles["knn_graph"] = sim_ops.oracle_knn_graph_sql()
     oracles["semantic_dedup"] = sim_ops.oracle_semantic_dedup_sql()
+    from retail_etl_pipeline_airflow_s3_athena_spark.functions import quality as _quality
+    oracles["profile_customers"] = _quality.oracle_table_profile_sql(
+        "customer",
+        ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"],
+    )
     oracles["containment_pairs"] = dedup_ops.oracle_containment_pairs_sql()
     oracles["dup_span_stats"] = winnow_ops.oracle_dup_span_stats_sql()
     oracles["encode_token_ids"] = vocab_ops.oracle_encode_token_ids_sql()

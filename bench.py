@@ -160,6 +160,7 @@ STANDALONE = [
     "encode_token_ids",
     "containment_pairs",
     "dup_span_stats",
+    "profile_customers",
 ]
 
 

@@ -126,3 +126,58 @@ def run_data_quality_checks(
         report["all_passed"] &= rep["passed"]
     report["all_passed"] = bool(report["all_passed"])
     return report
+
+
+def table_profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """Long-form per-column statistics — the DataFrame upgrade of the
+    reference's Glue-crawler metadata (glue_registry.py infers only
+    names/types; real catalogs also publish per-column stats, which is
+    what query planners prune and users eyeball first).
+
+    Output: (column, n_rows, n_nulls, n_distinct, min_value, max_value)
+    with min/max rendered as strings so one long-form result covers
+    heterogeneous column types.
+
+    Plan: ONE aggregate pass computes every column's null count, exact
+    distinct count, and min/max (the distincts share the single
+    expand); the wide 1-row result is then unpivoted driver-free with
+    stack().  At extreme scale swap count_distinct for the HLL sketch
+    (``functions.sketches``) — the plan shape (one pass, no joins) is
+    the point."""
+    cols = columns or df.columns
+    aggs: list = [F.count(F.lit(1)).alias("n_rows")]
+    for i, c in enumerate(cols):
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"nn_{i}"),
+            F.count_distinct(F.col(c)).alias(f"nd_{i}"),
+            F.min(F.col(c)).cast("string").alias(f"mn_{i}"),
+            F.max(F.col(c)).cast("string").alias(f"mx_{i}"),
+        ]
+    wide = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', nn_{i}, nd_{i}, mn_{i}, mx_{i}" for i, c in enumerate(cols)
+    )
+    return wide.select(
+        "n_rows",
+        F.expr(
+            f"stack({len(cols)}, {stack_args}) AS "
+            "(column, n_nulls, n_distinct, min_value, max_value)"
+        ),
+    ).select("column", "n_rows", "n_nulls", "n_distinct", "min_value", "max_value")
+
+
+def oracle_table_profile_sql(
+    table: str, columns: list[str]
+) -> str:
+    selects = "\n        UNION ALL\n".join(
+        f"""        SELECT '{c}' AS column,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM {table}) AS n_rows,
+               CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_nulls,
+               CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+               CAST(MIN({c}) AS VARCHAR) AS min_value,
+               CAST(MAX({c}) AS VARCHAR) AS max_value
+        FROM {table}"""
+        for c in columns
+    )
+    return f"\n{selects}\n"

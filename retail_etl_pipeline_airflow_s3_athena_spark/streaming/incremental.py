@@ -601,3 +601,68 @@ def scd2_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def dq_monitor_stream(
+    spark: SparkSession,
+    source_dir: str,
+    work_dir: str,
+):
+    """Streaming data-quality observability: one metrics row APPENDED
+    per micro-batch (batch_id, rows, null cells, duplicate event_ids,
+    negative values) — the continuous form of the reference's
+    run_data_quality_checks Airflow task (scripts/data_quality.py:122),
+    which can only judge a whole layer after the fact.
+
+    Append-only metrics are the monitoring-friendly shape: each batch
+    adds one row, dashboards window over it, and a replayed batch
+    re-appends an identical row (harmless for max/latest consumers).
+    Work per batch is one aggregate pass over the batch — no state, no
+    joins against history."""
+    import os
+
+    metrics_dir = os.path.join(work_dir, "metrics")
+    ckpt_dir = os.path.join(work_dir, "ckpt")
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        b = batch_df.persist()
+        try:
+            row = b.agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.col("value").isNull().cast("long")).alias("n_null_values"),
+                F.sum(F.col("user_id").isNull().cast("long")).alias("n_null_users"),
+                (
+                    F.count("event_id") - F.count_distinct("event_id")
+                ).alias("n_dup_event_ids"),
+                F.sum((F.col("value") < 0).cast("long")).alias("n_negative_values"),
+            ).first()
+            out = b.sparkSession.createDataFrame(
+                [
+                    (
+                        batch_id,
+                        row["n_rows"],
+                        int(row["n_null_values"] or 0),
+                        int(row["n_null_users"] or 0),
+                        int(row["n_dup_event_ids"] or 0),
+                        int(row["n_negative_values"] or 0),
+                    )
+                ],
+                "batch_id bigint, n_rows bigint, n_null_values bigint, "
+                "n_null_users bigint, n_dup_event_ids bigint, "
+                "n_negative_values bigint",
+            )
+            out.coalesce(1).write.mode("append").parquet(metrics_dir)
+        finally:
+            b.unpersist()
+
+    stream = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(source_dir)
+    )
+    return (
+        stream.writeStream.foreachBatch(step)
+        .option("checkpointLocation", ckpt_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -467,3 +467,26 @@ def test_scd2_stream_matches_sequential_batch_merges(spark):
     # the closed v1 row and the live v2 row for cust 1 both exist
     assert (1, "bronze", "2024-01-01", "2024-01-02", False) in got
     assert (1, "gold", "2024-01-02", "None", True) in got
+
+
+def test_dq_monitor_stream_totals_match_batch(spark, sf_dir):
+    """Per-batch metric rows sum to the whole-table metrics."""
+    import os
+
+    ev = readers.read_events(spark, sf_dir)
+    src = tempfile.mkdtemp(prefix="dq_src_")
+    ev.repartition(5).write.mode("overwrite").parquet(src)
+    work = tempfile.mkdtemp(prefix="dq_mon_")
+    q = incremental.dq_monitor_stream(spark, src, work)
+    q.awaitTermination(120)
+    m = spark.read.parquet(os.path.join(work, "metrics"))
+    agg = m.agg(
+        F.sum("n_rows"), F.sum("n_null_values"), F.sum("n_negative_values")
+    ).first()
+    want = ev.agg(
+        F.count(F.lit(1)),
+        F.sum(F.col("value").isNull().cast("long")),
+        F.sum((F.col("value") < 0).cast("long")),
+    ).first()
+    assert (agg[0], agg[1], agg[2]) == (want[0], want[1], want[2] or 0)
+    assert m.count() >= 2  # multiple micro-batches each left a row
