@@ -312,6 +312,10 @@ def _q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim_ops.knn_graph(_emb(spark, sf_dir))
 
 
+def _q_standardize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quant_ops.standardize_embeddings(_emb(spark, sf_dir))
+
+
 def _q_profile_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from retail_etl_pipeline_airflow_s3_athena_spark.functions import quality
 
@@ -807,6 +811,7 @@ GATE_TAIL = [
     "containment_pairs",
     "dup_span_stats",
     "profile_customers",
+    "standardize_embeddings",
     # driver evidence from r4 (one round old) — rotate forward in r6
     "tfidf_top_terms",
     "embedding_near_dup_lsh",
@@ -919,6 +924,7 @@ def _all_queries() -> dict[str, QueryFn]:
         "encode_token_ids": _q_encode_token_ids,
         "containment_pairs": _q_containment_pairs,
         "profile_customers": _q_profile_customers,
+        "standardize_embeddings": _q_standardize_embeddings,
         "dup_span_stats": _q_dup_span_stats,
         "fuzzy_decontaminate": _q_fuzzy_decontaminate,
         "winnow_fingerprints": _q_winnow_fingerprints,
@@ -1115,6 +1121,9 @@ def oracle_sql() -> dict[str, str]:
     oracles["knn_graph"] = sim_ops.oracle_knn_graph_sql()
     oracles["semantic_dedup"] = sim_ops.oracle_semantic_dedup_sql()
     from retail_etl_pipeline_airflow_s3_athena_spark.functions import quality as _quality
+    oracles["standardize_embeddings"] = (
+        quant_ops.oracle_standardize_embeddings_sql()
+    )
     oracles["profile_customers"] = _quality.oracle_table_profile_sql(
         "customer",
         ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"],

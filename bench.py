@@ -161,6 +161,7 @@ STANDALONE = [
     "containment_pairs",
     "dup_span_stats",
     "profile_customers",
+    "standardize_embeddings",
 ]
 
 

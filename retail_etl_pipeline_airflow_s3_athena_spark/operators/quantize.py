@@ -126,3 +126,73 @@ def oracle_quantize_sql(
                {sql_dround(f"SQRT({err})", 6)} AS recon_err
         FROM errs
     """
+
+
+def standardize_embeddings(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Per-DIMENSION standardization (z-scoring) of the corpus:
+    (vec_id, pos, z) with z = (x - mean_pos) / std_pos.
+
+    Whitening-lite: centering + unit variance per dimension is the
+    standard preprocessing before PQ codebook training or IVF
+    clustering when dimensions have wildly different scales.
+
+    Cross-engine determinism: corpus means/variances are double
+    aggregates whose accumulation order differs between Spark's
+    partial aggregation and DuckDB's serial sum — so every derived
+    statistic is ROUNDED (6dp) before it enters the z formula, and the
+    z itself is rounded.  Zero-variance dimensions standardize to 0.
+
+    Plan: one explode -> one groupBy(pos) partial-aggregated stats
+    pass (64 groups), stats broadcast back, pure projection after —
+    the corpus is scanned twice and shuffled never (the 64-row stats
+    exchange is constant-size)."""
+    flat = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.posexplode(F.col(vec_col)).alias("pos", "x"),
+    ).select("vec_id", "pos", F.col("x").cast("double").alias("x"))
+    stats = flat.groupBy("pos").agg(
+        dround(F.avg("x"), 6).alias("mu"),
+        dround(F.avg(F.col("x") * F.col("x")), 6).alias("ex2"),
+    ).select(
+        "pos",
+        "mu",
+        dround(F.sqrt(F.greatest(F.col("ex2") - F.col("mu") * F.col("mu"), F.lit(0.0))), 6).alias("sigma"),
+    )
+    return flat.join(F.broadcast(stats), "pos").select(
+        "vec_id",
+        F.col("pos").cast("long").alias("pos"),
+        F.when(F.col("sigma") > 0, dround((F.col("x") - F.col("mu")) / F.col("sigma"), 6))
+        .otherwise(F.lit(0.0))
+        .alias("z"),
+    )
+
+
+def oracle_standardize_embeddings_sql(table: str = "embeddings") -> str:
+    mu = sql_dround("AVG(x)", 6)
+    ex2 = sql_dround("AVG(x * x)", 6)
+    sigma = sql_dround("SQRT(GREATEST(ex2 - mu * mu, 0.0))", 6)
+    z = sql_dround("(f.x - s.mu) / s.sigma", 6)
+    return f"""
+        WITH flat AS (
+            SELECT vec_id,
+                   unnest(range(len(embedding))) AS pos,
+                   unnest(list_transform(embedding, e -> CAST(e AS DOUBLE)))
+                       AS x
+            FROM {table}
+        ),
+        raw_stats AS (
+            SELECT pos, {mu} AS mu, {ex2} AS ex2
+            FROM flat GROUP BY pos
+        ),
+        stats AS (
+            SELECT pos, mu, {sigma} AS sigma FROM raw_stats
+        )
+        SELECT f.vec_id,
+               CAST(f.pos AS BIGINT) AS pos,
+               CASE WHEN s.sigma > 0 THEN {z} ELSE 0.0 END AS z
+        FROM flat f JOIN stats s USING (pos)
+    """
