@@ -720,7 +720,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 GATE_FIRST_50 = [
-    # never driver-verified (added in r4; locally oracle-verified only)
+    # never driver-verified, r4 additions (led the pre-pinned r5 gate)
     "cheapest_part_supplier",
     "nation_trade_volume",
     "part_supplier_breadth",
@@ -735,50 +735,7 @@ GATE_FIRST_50 = [
     "brand_basket_revenue",
     "corpus_stats",
     "nation_market_share",
-    # implementing module changed this round (rp_lsh gate entry now the
-    # Arrow/numpy form; connected_components loop re-partitioning)
-    "rp_lsh_signatures",
-    "near_dup_clusters",
-    # r5 rotation: the r3-verified tail (driver evidence two rounds old)
-    "dedup_exact",
-    "local_supplier_volume",
-    "promo_revenue",
-    "late_shipment_priority",
-    "dormant_customers",
-    "churned_buyers",
-    "small_quantity_revenue",
-    "big_orders",
-    "daily_revenue_delta",
-    "customer_value_tiles",
-    "bigram_vocab",
-    "quantize_embeddings",
-    "hll_distinct_users",
-    "concurrent_sessions",
-    "stratified_sample_docs",
-    "doc_chunks",
-    "pack_sequences",
-    "pack_bins",
-    "quality_filter_docs",
-    "hash_sample_events",
-    "multimodal_pipeline",
-    # reference parity core (gold tables + Athena workload + joins)
-    "daily_sales_summary",
-    "top_customers",
-    "product_performance",
-    "store_performance",
-    "daily_revenue",
-    "daily_revenue_running",
-    "segment_sales_rollup",
-    "top_performing_customers",
-    "product_analysis",
-    "revenue_by_category",
-    "pricing_summary",
-    "shipping_priority",
-    "silver_clean_events",
-]
-
-GATE_TAIL = [
-    # new in r5 (locally oracle-verified; lead the r6 gate rotation)
+    # never driver-verified, r5 first-batch additions
     "customer_order_distribution",
     "lone_late_supplier",
     "above_avg_dormant_value",
@@ -798,6 +755,7 @@ GATE_TAIL = [
     "fuzzy_part_names",
     "dedup_rate_report",
     "brand_corr_stats",
+    # never driver-verified, r5 second-batch additions
     "winnow_fingerprints",
     "winnow_shared_pairs",
     "cms_heavy_hitters",
@@ -812,7 +770,50 @@ GATE_TAIL = [
     "dup_span_stats",
     "profile_customers",
     "standardize_embeddings",
-    # driver evidence from r4 (one round old) — rotate forward in r6
+    # implementing module changed this round (rp_lsh gate entry on the
+    # numpy twin; cluster loop re-partitioning + pair materialization;
+    # sketches refactored into registers/estimate)
+    "rp_lsh_signatures",
+    "near_dup_clusters",
+    "hll_distinct_users",
+]
+
+GATE_TAIL = [
+    # every entry here has driver evidence from r3/r4 plus this round's
+    # committed sf0.1 local gate log; rotate stalest first in r6
+    "dedup_exact",
+    "local_supplier_volume",
+    "promo_revenue",
+    "late_shipment_priority",
+    "dormant_customers",
+    "churned_buyers",
+    "small_quantity_revenue",
+    "big_orders",
+    "daily_revenue_delta",
+    "customer_value_tiles",
+    "bigram_vocab",
+    "quantize_embeddings",
+    "concurrent_sessions",
+    "stratified_sample_docs",
+    "doc_chunks",
+    "pack_sequences",
+    "pack_bins",
+    "quality_filter_docs",
+    "hash_sample_events",
+    "multimodal_pipeline",
+    "daily_sales_summary",
+    "top_customers",
+    "product_performance",
+    "store_performance",
+    "daily_revenue",
+    "daily_revenue_running",
+    "segment_sales_rollup",
+    "top_performing_customers",
+    "product_analysis",
+    "revenue_by_category",
+    "pricing_summary",
+    "shipping_priority",
+    "silver_clean_events",
     "tfidf_top_terms",
     "embedding_near_dup_lsh",
     "language_id",
