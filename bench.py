@@ -162,6 +162,7 @@ STANDALONE = [
     "dup_span_stats",
     "profile_customers",
     "standardize_embeddings",
+    "event_transitions",
 ]
 
 

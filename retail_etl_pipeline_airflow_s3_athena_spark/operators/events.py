@@ -484,3 +484,45 @@ def oracle_value_histogram_sql(
         GROUP BY 1, 2
         ORDER BY 1, 2
     """
+
+
+def event_transitions(events: DataFrame) -> DataFrame:
+    """First-order event-type transition counts: (prev_type, next_type,
+    n_transitions) over each user's time-ordered event sequence — the
+    Markov matrix behind funnels, next-action prediction features, and
+    journey sankeys.
+
+    Plan: one window lag over (user_id; ts, event_id — the pinned
+    deterministic order every sequence operator here uses) then a
+    map-side-combinable count on a |types|^2-bounded key space.  The
+    only shuffle is the user_id partitioning the sequence operators
+    already share."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.filter(F.col("user_id").isNotNull()).select(
+        "user_id",
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.col("event_type").alias("next_type"),
+    )
+    return (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+
+
+def oracle_event_transitions_sql(table: str = "events") -> str:
+    return f"""
+        WITH seq AS (
+            SELECT user_id,
+                   LAG(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS prev_type,
+                   event_type AS next_type
+            FROM {table}
+            WHERE user_id IS NOT NULL
+        )
+        SELECT prev_type, next_type,
+               CAST(COUNT(*) AS BIGINT) AS n_transitions
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, next_type
+    """
