@@ -115,3 +115,46 @@ def test_write_clustered_files_cover_disjoint_ranges(spark, sf_dir, tmp_path):
     key = ranges[3][0]
     got = spark.read.parquet(out).filter(F.col("o_orderkey") == key)
     assert got.count() >= 1
+
+
+def test_cms_probe_broadcasts_sketch(spark, sf_dir):
+    """The <=4096-row sketch must be the broadcast side of the probe
+    join; the vocabulary cut must plan TakeOrderedAndProject."""
+    qs = entry.queries()
+    plan = _plan(qs["cms_heavy_hitters"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_bloom_bitmap_broadcasts(spark, sf_dir):
+    """The bitmap (<=8192 words) joins broadcast; no shuffle of the
+    corpus probe side against it."""
+    qs = entry.queries()
+    plan = _plan(qs["bloom_decontaminate"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_knn_graph_no_cartesian(spark, sf_dir):
+    """kNN merges per-chunk partial top-k rows — the plan must never
+    contain a cartesian/nested-loop pair join."""
+    qs = entry.queries()
+    plan = _plan(qs["knn_graph"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_winnow_single_doc_shuffle(spark, sf_dir):
+    """Fingerprint selection is a narrow pipeline: exactly one
+    doc_id exchange feeds both the gram window and the selection
+    frame (plus the final distinct's exchange) — no join anywhere."""
+    qs = entry.queries()
+    plan = _plan(qs["winnow_fingerprints"](spark, sf_dir))
+    assert "Join" not in plan, plan
+    # the window sort on (doc_id, gpos) must be reused, not re-shuffled:
+    # hashpartitioning(doc_id) appears once pre-window
+    n_doc_exchanges = sum(
+        1 for l in plan.splitlines()
+        if "Exchange hashpartitioning(doc_id" in l
+    )
+    assert n_doc_exchanges == 1, plan
