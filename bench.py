@@ -276,6 +276,36 @@ def main() -> None:
             release_cached(df)
         spark.catalog.clearCache()
 
+    # Round-over-round comparability: the headline total grows whenever
+    # queries are ADDED, so emit fixed-subset subtotals recomputable
+    # from this artifact alone (VERDICT r4 #8: cite the artifact, not a
+    # side run).  r3 = the 27-query r3 bench set; r4 = the 38-query r4
+    # bench set.
+    R3_SET = [
+        "gold_materialize", "daily_revenue", "top_performing_customers",
+        "product_analysis", "revenue_by_category", "daily_revenue_running",
+        "segment_sales_rollup", "pricing_summary", "shipping_priority",
+        "local_supplier_volume", "promo_revenue", "text_features",
+        "dedup_exact", "minhash_signatures", "near_dup_pairs",
+        "cosine_topk_gemm", "embedding_near_dup_gemm", "windowed_event_stats",
+        "sessionize_events", "asof_join_events", "doc_chunks",
+        "pack_sequences", "hash_sample_events", "hll_distinct_users",
+        "concurrent_sessions", "simhash_near_dup", "quality_filter_docs",
+    ]
+    R4_SET = R3_SET + [
+        "daily_revenue_ma7", "late_shipment_priority", "customer_value_tiles",
+        "daily_revenue_delta", "ivf_topk", "scd2_customers", "bigram_vocab",
+        "quantize_embeddings", "tfidf_top_terms", "embedding_near_dup_lsh",
+        "incremental_near_dups",
+    ]
+    subtotals = {
+        "r3_comparable_27": round(
+            sum(timings.get(q, 0.0) for q in R3_SET), 3
+        ),
+        "r4_comparable_38": round(
+            sum(timings.get(q, 0.0) for q in R4_SET), 3
+        ),
+    }
     print(
         json.dumps(
             {
@@ -283,6 +313,7 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "subtotals": subtotals,
                 "sf": sf,
             }
         )
