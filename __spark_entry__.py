@@ -312,6 +312,10 @@ def _q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim_ops.knn_graph(_emb(spark, sf_dir))
 
 
+def _q_build_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return training_ops.build_training_set(_docs(spark, sf_dir))
+
+
 def _q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return event_ops.event_transitions(readers.read_events(spark, sf_dir))
 
@@ -854,6 +858,7 @@ GATE_TAIL = [
     "event_value_quantiles",
     "scd2_customers",
     "event_transitions",
+    "build_training_set",
 ]
 
 
@@ -932,6 +937,7 @@ def _all_queries() -> dict[str, QueryFn]:
         "profile_customers": _q_profile_customers,
         "standardize_embeddings": _q_standardize_embeddings,
         "event_transitions": _q_event_transitions,
+        "build_training_set": _q_build_training_set,
         "dup_span_stats": _q_dup_span_stats,
         "fuzzy_decontaminate": _q_fuzzy_decontaminate,
         "winnow_fingerprints": _q_winnow_fingerprints,
@@ -1128,6 +1134,9 @@ def oracle_sql() -> dict[str, str]:
     oracles["knn_graph"] = sim_ops.oracle_knn_graph_sql()
     oracles["semantic_dedup"] = sim_ops.oracle_semantic_dedup_sql()
     from retail_etl_pipeline_airflow_s3_athena_spark.functions import quality as _quality
+    oracles["build_training_set"] = (
+        training_ops.oracle_build_training_set_sql()
+    )
     oracles["event_transitions"] = event_ops.oracle_event_transitions_sql()
     oracles["standardize_embeddings"] = (
         quant_ops.oracle_standardize_embeddings_sql()

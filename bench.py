@@ -163,6 +163,7 @@ STANDALONE = [
     "profile_customers",
     "standardize_embeddings",
     "event_transitions",
+    "build_training_set",
 ]
 
 

@@ -361,3 +361,123 @@ def oracle_curated_docs_sql(table: str = "documents", t: str = "text") -> str:
         WHERE {quality} >= {CURATION_QUALITY_CUTOFF}
         ORDER BY doc_id
     """
+
+
+def build_training_set(docs: DataFrame) -> DataFrame:
+    """The END-TO-END corpus -> training-shards pass as ONE lazy plan:
+    (doc_id, split, n_tokens, bin_id).
+
+    1. curation — canonicalize, fingerprint exact-dedup (keep lowest
+       doc_id), quality gate (the ``curated_docs`` stages, inlined so
+       norm_text survives for token counting);
+    2. leakage-free split assignment — ``sampling.dataset_split`` on
+       the doc_id hash (pure function: re-runs and late shards land in
+       the same split);
+    3. per-split sequence packing — the ``pack_sequences``
+       running-cumsum first-fit, partitioned by split so bins never
+       straddle a split boundary.
+
+    Plan cost: one scan + the fingerprint exchange (curation) + the
+    per-split ordered window (packing) — the split column adds NO
+    shuffle (hash projection), so the fused pass pays exactly the same
+    two exchanges the curation and packing operators pay separately,
+    once."""
+    from retail_etl_pipeline_airflow_s3_athena_spark.functions.sampling import (
+        dataset_split,
+    )
+    from retail_etl_pipeline_airflow_s3_athena_spark.operators.dedup import _md5_hash
+    from retail_etl_pipeline_airflow_s3_athena_spark.operators.text import (
+        norm_expr,
+        quality_score,
+        token_count,
+    )
+
+    base = docs.select(
+        "doc_id", norm_expr(F.col("text")).alias("norm_text")
+    ).withColumn("fingerprint", _md5_hash(F.col("norm_text")))
+    w = Window.partitionBy("fingerprint")
+    kept = (
+        base.withColumn("keeper_id", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") == F.col("keeper_id"))
+        .withColumn("quality", quality_score(F.col("norm_text")))
+        .filter(F.col("quality") >= CURATION_QUALITY_CUTOFF)
+    )
+    sized = dataset_split(kept, ["doc_id"]).select(
+        "doc_id",
+        "split",
+        token_count(F.col("norm_text")).alias("n_tokens"),
+    )
+    pw = (
+        Window.partitionBy("split")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_excl = F.coalesce(F.sum("n_tokens").over(pw), F.lit(0).cast("long"))
+    return sized.withColumn(
+        "bin_id", F.floor(cum_excl / F.lit(float(PACK_TOKENS))).cast("long")
+    )
+
+
+def oracle_build_training_set_sql(
+    table: str = "documents", t: str = "text"
+) -> str:
+    from retail_etl_pipeline_airflow_s3_athena_spark.functions.sampling import (
+        RES,
+        _sql_md5_hash as _samp_hash,
+        _sql_sample_key,
+    )
+    from retail_etl_pipeline_airflow_s3_athena_spark.operators.dedup import (
+        _sql_md5_hash,
+    )
+    from retail_etl_pipeline_airflow_s3_athena_spark.operators.text import (
+        _sql_punct_ratio,
+        _sql_stopword_ratio,
+        _sql_token_count,
+        sql_dround,
+        sql_norm_expr,
+    )
+
+    nt = "norm_text"
+    quality = sql_dround(
+        f"LEAST(1.0, {_sql_token_count(nt)} / 50.0)"
+        f" * (1.0 - {_sql_punct_ratio(nt)})"
+        f" * (0.5 + 0.5 * LEAST(1.0, {_sql_stopword_ratio(nt, 'en')} * 5.0))",
+        6,
+    )
+    bucket = f"({_samp_hash(_sql_sample_key(['doc_id'], 'split'))} % {RES})"
+    v = int(0.1 * RES)
+    return f"""
+        WITH base AS (
+            SELECT doc_id,
+                   {sql_norm_expr(t)} AS norm_text,
+                   {_sql_md5_hash(sql_norm_expr(t))} AS fingerprint
+            FROM {table}
+        ),
+        keepers AS (
+            SELECT fingerprint, MIN(doc_id) AS doc_id
+            FROM base GROUP BY fingerprint
+        ),
+        kept AS (
+            SELECT b.* FROM base b
+            JOIN keepers k
+              ON b.fingerprint = k.fingerprint AND b.doc_id = k.doc_id
+        ),
+        gated AS (
+            SELECT doc_id, norm_text FROM kept
+            WHERE {quality} >= {CURATION_QUALITY_CUTOFF}
+        ),
+        sized AS (
+            SELECT doc_id,
+                   CASE WHEN {bucket} < {v} THEN 'validation'
+                        WHEN {bucket} < {2 * v} THEN 'test'
+                        ELSE 'train' END AS split,
+                   CAST({_sql_token_count(nt)} AS BIGINT) AS n_tokens
+            FROM gated
+        )
+        SELECT doc_id, split, n_tokens,
+               CAST(FLOOR(COALESCE(SUM(n_tokens) OVER (
+                        PARTITION BY split ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) / CAST({PACK_TOKENS} AS DOUBLE)) AS BIGINT) AS bin_id
+        FROM sized
+    """
