@@ -312,6 +312,14 @@ def _q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim_ops.knn_graph(_emb(spark, sf_dir))
 
 
+def _q_dup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cluster_ops.dup_triangles(_docs(spark, sf_dir))
+
+
+def _q_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.basket_rules(spark, sf_dir)
+
+
 def _q_build_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     return training_ops.build_training_set(_docs(spark, sf_dir))
 
@@ -859,6 +867,8 @@ GATE_TAIL = [
     "scd2_customers",
     "event_transitions",
     "build_training_set",
+    "basket_rules",
+    "dup_triangles",
 ]
 
 
@@ -938,6 +948,8 @@ def _all_queries() -> dict[str, QueryFn]:
         "standardize_embeddings": _q_standardize_embeddings,
         "event_transitions": _q_event_transitions,
         "build_training_set": _q_build_training_set,
+        "basket_rules": _q_basket_rules,
+        "dup_triangles": _q_dup_triangles,
         "dup_span_stats": _q_dup_span_stats,
         "fuzzy_decontaminate": _q_fuzzy_decontaminate,
         "winnow_fingerprints": _q_winnow_fingerprints,
@@ -1134,6 +1146,8 @@ def oracle_sql() -> dict[str, str]:
     oracles["knn_graph"] = sim_ops.oracle_knn_graph_sql()
     oracles["semantic_dedup"] = sim_ops.oracle_semantic_dedup_sql()
     from retail_etl_pipeline_airflow_s3_athena_spark.functions import quality as _quality
+    oracles["dup_triangles"] = cluster_ops.oracle_dup_triangles_sql()
+    oracles["basket_rules"] = relational.oracle_basket_rules_sql()
     oracles["build_training_set"] = (
         training_ops.oracle_build_training_set_sql()
     )

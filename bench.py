@@ -164,6 +164,8 @@ STANDALONE = [
     "standardize_embeddings",
     "event_transitions",
     "build_training_set",
+    "basket_rules",
+    "dup_triangles",
 ]
 
 

@@ -447,3 +447,72 @@ def oracle_pagerank_near_dups_sql(
         {chain}
         SELECT doc_id, pr AS pagerank_scaled FROM pr{iters}
     """
+
+
+def dup_triangles(
+    docs: DataFrame, text_col: str = "text", threshold: float = 0.5
+) -> DataFrame:
+    """Per-node triangle counts over the near-dup graph:
+    (doc_id, n_triangles) for every node participating in at least one
+    triangle — the local clustering signal that separates tight
+    mutual-duplicate cliques from star-shaped template families (a hub
+    template pairs with many docs that do NOT pair with each other:
+    zero triangles; a true 3-way duplicate group closes them).
+
+    Plan: the ordered (a < b) pair table is materialized once, then
+    triangles enumerate via the standard two-join wedge closure —
+    every triangle a < b < c is counted exactly once as
+    (ab ⋈ bc ⋈ ac).  Join keys are doc ids; with the df-capped pair
+    generation upstream the edge list is duplicate-graph-sized, not
+    corpus-sized."""
+    pairs = near_dup_pairs(docs, text_col, threshold).persist()
+    pairs.count()
+    e = pairs.select("doc_a", "doc_b")
+    ab = e.alias("ab")
+    bc = e.alias("bc")
+    ac = e.alias("ac")
+    tri = (
+        ab.join(bc, F.col("ab.doc_b") == F.col("bc.doc_a"))
+        .join(
+            ac,
+            (F.col("ac.doc_a") == F.col("ab.doc_a"))
+            & (F.col("ac.doc_b") == F.col("bc.doc_b")),
+        )
+        .select(
+            F.col("ab.doc_a").alias("a"),
+            F.col("ab.doc_b").alias("b"),
+            F.col("bc.doc_b").alias("c"),
+        )
+    )
+    nodes = (
+        tri.select(F.col("a").alias("doc_id"))
+        .union(tri.select(F.col("b").alias("doc_id")))
+        .union(tri.select(F.col("c").alias("doc_id")))
+    )
+    out = nodes.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+    return attach_cached_deps(out, *carried_deps(pairs), pairs)
+
+
+def oracle_dup_triangles_sql(
+    table: str = "documents", t: str = "text", threshold: float = 0.5
+) -> str:
+    nd = oracle_near_dup_pairs_sql(table, t, threshold)
+    return f"""
+        WITH nd AS ({nd}),
+        e AS (SELECT doc_a, doc_b FROM nd),
+        tri AS (
+            SELECT ab.doc_a AS a, ab.doc_b AS b, bc.doc_b AS c
+            FROM e ab
+            JOIN e bc ON ab.doc_b = bc.doc_a
+            JOIN e ac ON ac.doc_a = ab.doc_a AND ac.doc_b = bc.doc_b
+        ),
+        nodes AS (
+            SELECT a AS doc_id FROM tri
+            UNION ALL SELECT b FROM tri
+            UNION ALL SELECT c FROM tri
+        )
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_triangles
+        FROM nodes GROUP BY doc_id
+    """

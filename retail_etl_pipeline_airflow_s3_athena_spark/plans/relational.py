@@ -1523,3 +1523,110 @@ def oracle_brand_corr_stats_sql() -> str:
         WHERE (n*sxx - sx*sx) > 0 AND (n*syy - sy*sy) > 0
         ORDER BY p_brand
     """
+
+
+# ---------------------------------------------------------------------------
+# Market-basket association rules (support / confidence / lift)
+# ---------------------------------------------------------------------------
+
+def basket_rules(
+    spark: SparkSession,
+    sf_dir: str,
+    min_pair: int = 2,
+    k: int = 20,
+) -> DataFrame:
+    """Top-k association rules part_a -> part_b by lift:
+    (part_a, part_b, n_ab, support, confidence, lift) — the classic
+    market-basket analysis the reference's SQL stack has no operators
+    for (co-occurrence self-join + three-way ratio metrics).
+
+    Plan / scale notes: baskets are DISTINCT (order, part) pairs — one
+    projection+distinct off the fact scan; the pair space is the
+    within-order self-join, bounded by basket width (TPC-H orders hold
+    <= 7 parts; pair rows ~ W^2/2 per basket).  At extreme scale the
+    Apriori property prunes first (drop items below min support BEFORE
+    pairing); here min_pair filters after the combinable pair count.
+    All three metrics derive from integer counts cast to double with a
+    single rounding each — deterministic ordering (n_ab desc, lift
+    desc, part_a, part_b) with a bounded top-k merge."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("part"))
+        .distinct()
+    )
+    n_baskets = li.select("okey").distinct().agg(
+        F.count(F.lit(1)).alias("n_baskets")
+    )
+    item = li.groupBy("part").agg(F.count(F.lit(1)).alias("n_i"))
+    a = li.alias("a")
+    b = li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.okey") == F.col("b.okey"))
+            & (F.col("a.part") < F.col("b.part")),
+        )
+        .groupBy(
+            F.col("a.part").alias("part_a"), F.col("b.part").alias("part_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= min_pair)
+    )
+    ia = item.select(F.col("part").alias("part_a"), F.col("n_i").alias("n_a"))
+    ib = item.select(F.col("part").alias("part_b"), F.col("n_i").alias("n_b"))
+    scored = (
+        pairs.join(ia, "part_a")
+        .join(ib, "part_b")
+        .crossJoin(F.broadcast(n_baskets))
+        .select(
+            "part_a",
+            "part_b",
+            "n_ab",
+            dround(F.col("n_ab") / F.col("n_baskets"), 6).alias("support"),
+            dround(F.col("n_ab") / F.col("n_a"), 6).alias("confidence"),
+            dround(
+                F.col("n_ab").cast("double")
+                * F.col("n_baskets")
+                / (F.col("n_a").cast("double") * F.col("n_b")),
+                6,
+            ).alias("lift"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("n_ab"), F.desc("lift"), F.asc("part_a"), F.asc("part_b")
+    ).limit(k)
+
+
+def oracle_basket_rules_sql(min_pair: int = 2, k: int = 20) -> str:
+    supp = sql_dround("CAST(p.n_ab AS DOUBLE) / nb.n_baskets", 6)
+    conf = sql_dround("CAST(p.n_ab AS DOUBLE) / ia.n_i", 6)
+    lift = sql_dround(
+        "CAST(p.n_ab AS DOUBLE) * nb.n_baskets "
+        "/ (CAST(ia.n_i AS DOUBLE) * ib.n_i)",
+        6,
+    )
+    return f"""
+        WITH li AS (
+            SELECT DISTINCT l_orderkey AS okey, l_partkey AS part
+            FROM lineitem
+        ),
+        nb AS (SELECT COUNT(DISTINCT okey) AS n_baskets FROM li),
+        item AS (SELECT part, COUNT(*) AS n_i FROM li GROUP BY part),
+        pairs AS (
+            SELECT a.part AS part_a, b.part AS part_b, COUNT(*) AS n_ab
+            FROM li a JOIN li b
+              ON a.okey = b.okey AND a.part < b.part
+            GROUP BY part_a, part_b
+            HAVING COUNT(*) >= {min_pair}
+        )
+        SELECT p.part_a, p.part_b, CAST(p.n_ab AS BIGINT) AS n_ab,
+               {supp} AS support,
+               {conf} AS confidence,
+               {lift} AS lift
+        FROM pairs p
+        JOIN item ia ON p.part_a = ia.part
+        JOIN item ib ON p.part_b = ib.part
+        CROSS JOIN nb
+        ORDER BY n_ab DESC, lift DESC, part_a ASC, part_b ASC
+        LIMIT {k}
+    """
