@@ -314,3 +314,27 @@ def test_order_gap_multiset_invariant_under_shuffle(spark, gaps):
         )
 
     assert run(rows) == run(list(reversed(rows)))
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    prefix=st.lists(st.sampled_from(WORDS), min_size=0, max_size=8),
+    shared=st.lists(st.sampled_from(WORDS), min_size=6, max_size=10),
+    suffix=st.lists(st.sampled_from(WORDS), min_size=0, max_size=8),
+)
+def test_winnow_guarantee_property(spark, prefix, shared, suffix):
+    """Winnowing recall law: any shared run of >= W + K - 1 = 6 tokens
+    between two documents yields at least one shared fingerprint,
+    regardless of surrounding context."""
+    from retail_etl_pipeline_airflow_s3_athena_spark.operators import winnow
+
+    doc_a = " ".join(prefix + shared)
+    doc_b = " ".join(shared + suffix)
+    docs = spark.createDataFrame(
+        [Row(doc_id=0, text=doc_a), Row(doc_id=1, text=doc_b)]
+    )
+    fps = winnow.winnow_fingerprints(docs).collect()
+    by_doc: dict[int, set] = {}
+    for r in fps:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert by_doc.get(0, set()) & by_doc.get(1, set()), (doc_a, doc_b)
