@@ -312,6 +312,10 @@ def _q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim_ops.knn_graph(_emb(spark, sf_dir))
 
 
+def _q_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sketches.rolling_distinct_users(readers.read_events(spark, sf_dir))
+
+
 def _q_dup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cluster_ops.dup_triangles(_docs(spark, sf_dir))
 
@@ -869,6 +873,7 @@ GATE_TAIL = [
     "build_training_set",
     "basket_rules",
     "dup_triangles",
+    "rolling_distinct_users",
 ]
 
 
@@ -950,6 +955,7 @@ def _all_queries() -> dict[str, QueryFn]:
         "build_training_set": _q_build_training_set,
         "basket_rules": _q_basket_rules,
         "dup_triangles": _q_dup_triangles,
+        "rolling_distinct_users": _q_rolling_distinct_users,
         "dup_span_stats": _q_dup_span_stats,
         "fuzzy_decontaminate": _q_fuzzy_decontaminate,
         "winnow_fingerprints": _q_winnow_fingerprints,
@@ -1146,6 +1152,9 @@ def oracle_sql() -> dict[str, str]:
     oracles["knn_graph"] = sim_ops.oracle_knn_graph_sql()
     oracles["semantic_dedup"] = sim_ops.oracle_semantic_dedup_sql()
     from retail_etl_pipeline_airflow_s3_athena_spark.functions import quality as _quality
+    oracles["rolling_distinct_users"] = (
+        sketches.oracle_rolling_distinct_users_sql()
+    )
     oracles["dup_triangles"] = cluster_ops.oracle_dup_triangles_sql()
     oracles["basket_rules"] = relational.oracle_basket_rules_sql()
     oracles["build_training_set"] = (

@@ -166,6 +166,7 @@ STANDALONE = [
     "build_training_set",
     "basket_rules",
     "dup_triangles",
+    "rolling_distinct_users",
 ]
 
 

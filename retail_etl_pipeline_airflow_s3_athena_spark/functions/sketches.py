@@ -358,3 +358,125 @@ def oracle_cms_heavy_hitters_sql(
         FROM probe p JOIN sketch s ON p.j = s.j AND p.c = s.c
         GROUP BY p.token, p.true_cnt
     """
+
+
+def rolling_distinct_users(
+    events: DataFrame, days: int = 7
+) -> DataFrame:
+    """(event_date, est_distinct, exact_distinct): trailing-``days``
+    distinct users per day, estimated from DAILY HLL REGISTERS
+    max-merged across the window.
+
+    Why it matters at 100 TB: exact rolling distinct counts are
+    quadratic-ish (every day re-scans ``days`` days of raw events, and
+    COUNT(DISTINCT) OVER a range frame isn't partial-aggregatable).
+    The register form scans the events ONCE, reduces to |days| x 256
+    rows, and every window combine is a MAX over that tiny table — the
+    mergeable-sketch law again, this time across time windows.  The
+    exact column rides along for error inspection (one bounded
+    day-range join); drop it at scale.
+    """
+    ev = events.select(
+        F.to_date("ts").alias("event_date"), F.col("user_id")
+    )
+    day_regs = hll_registers(ev, "user_id", ["event_date"])
+    days_tab = ev.select("event_date").distinct()
+    d = days_tab.alias("d")
+    r = day_regs.alias("r")
+    in_window = (F.col("r.event_date") <= F.col("d.event_date")) & (
+        F.col("r.event_date") >= F.date_sub(F.col("d.event_date"), days - 1)
+    )
+    merged = (
+        d.join(r, in_window)
+        .groupBy(F.col("d.event_date").alias("event_date"), F.col("r.bucket"))
+        .agg(F.max("r.m_j").alias("m_j"))
+    )
+    est = hll_estimate(merged, ["event_date"])
+    e2 = ev.alias("e")
+    exact = (
+        d.join(
+            e2,
+            (F.col("e.event_date") <= F.col("d.event_date"))
+            & (
+                F.col("e.event_date")
+                >= F.date_sub(F.col("d.event_date"), days - 1)
+            ),
+        )
+        .groupBy(F.col("d.event_date").alias("event_date"))
+        .agg(F.count_distinct("e.user_id").alias("exact_distinct"))
+    )
+    return est.join(exact, "event_date")
+
+
+def oracle_rolling_distinct_users_sql(
+    table: str = "events", days: int = 7
+) -> str:
+    h = "CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT)"
+    return f"""
+        WITH ev AS (
+            SELECT CAST(ts AS DATE) AS event_date, user_id FROM {table}
+        ),
+        hashed AS (
+            SELECT event_date,
+                   {h} % {M_REGISTERS} AS bucket,
+                   {h} >> {B_BITS} AS rest
+            FROM ev
+        ),
+        day_regs AS (
+            SELECT event_date, bucket, MAX({_sql_rank("rest")}) AS m_j
+            FROM hashed GROUP BY event_date, bucket
+        ),
+        days_tab AS (SELECT DISTINCT event_date FROM ev),
+        merged AS (
+            SELECT d.event_date AS event_date, r.bucket,
+                   MAX(r.m_j) AS m_j
+            FROM days_tab d JOIN day_regs r
+              ON r.event_date <= d.event_date
+             AND r.event_date >= d.event_date - {days - 1}
+            GROUP BY d.event_date, r.bucket
+        ),
+        scaled AS (
+            SELECT event_date,
+                   CAST(SUM(CAST(1 AS BIGINT) << ({RANK_CAP} - m_j))
+                        AS BIGINT) AS present_sum,
+                   COUNT(*) AS n_present
+            FROM merged GROUP BY event_date
+        ),
+        est AS (
+            SELECT event_date,
+                   present_sum + ({M_REGISTERS} - n_present)
+                       * CAST({1 << RANK_CAP} AS BIGINT) AS total,
+                   {M_REGISTERS} - n_present AS empty
+            FROM scaled
+        ),
+        raw AS (
+            SELECT event_date, empty,
+                   CAST({_ALPHA!r} AS DOUBLE) * {M_REGISTERS} * {M_REGISTERS}
+                       * CAST({float(1 << RANK_CAP)!r} AS DOUBLE) / total
+                       AS e_raw
+            FROM est
+        ),
+        corrected AS (
+            SELECT event_date,
+                   CASE WHEN e_raw <= CAST({_LC_THRESHOLD!r} AS DOUBLE)
+                             AND empty > 0
+                        THEN CAST({float(M_REGISTERS)!r} AS DOUBLE)
+                             * ln(CAST({float(M_REGISTERS)!r} AS DOUBLE)
+                                  / empty)
+                        ELSE e_raw END AS est
+            FROM raw
+        ),
+        exact AS (
+            SELECT d.event_date AS event_date,
+                   CAST(COUNT(DISTINCT e.user_id) AS BIGINT)
+                       AS exact_distinct
+            FROM days_tab d JOIN ev e
+              ON e.event_date <= d.event_date
+             AND e.event_date >= d.event_date - {days - 1}
+            GROUP BY d.event_date
+        )
+        SELECT c.event_date,
+               FLOOR(c.est * 100 + 0.5) / 100 AS est_distinct,
+               x.exact_distinct
+        FROM corrected c JOIN exact x USING (event_date)
+    """
