@@ -312,6 +312,10 @@ def _q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim_ops.knn_graph(_emb(spark, sf_dir))
 
 
+def _q_bigram_prob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return vocab_ops.bigram_prob_score(_docs(spark, sf_dir))
+
+
 def _q_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketches.rolling_distinct_users(readers.read_events(spark, sf_dir))
 
@@ -874,6 +878,7 @@ GATE_TAIL = [
     "basket_rules",
     "dup_triangles",
     "rolling_distinct_users",
+    "bigram_prob_score",
 ]
 
 
@@ -956,6 +961,7 @@ def _all_queries() -> dict[str, QueryFn]:
         "basket_rules": _q_basket_rules,
         "dup_triangles": _q_dup_triangles,
         "rolling_distinct_users": _q_rolling_distinct_users,
+        "bigram_prob_score": _q_bigram_prob_score,
         "dup_span_stats": _q_dup_span_stats,
         "fuzzy_decontaminate": _q_fuzzy_decontaminate,
         "winnow_fingerprints": _q_winnow_fingerprints,
@@ -1152,6 +1158,7 @@ def oracle_sql() -> dict[str, str]:
     oracles["knn_graph"] = sim_ops.oracle_knn_graph_sql()
     oracles["semantic_dedup"] = sim_ops.oracle_semantic_dedup_sql()
     from retail_etl_pipeline_airflow_s3_athena_spark.functions import quality as _quality
+    oracles["bigram_prob_score"] = vocab_ops.oracle_bigram_prob_score_sql()
     oracles["rolling_distinct_users"] = (
         sketches.oracle_rolling_distinct_users_sql()
     )

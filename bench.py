@@ -167,6 +167,7 @@ STANDALONE = [
     "basket_rules",
     "dup_triangles",
     "rolling_distinct_users",
+    "bigram_prob_score",
 ]
 
 

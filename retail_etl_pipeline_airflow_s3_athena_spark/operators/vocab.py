@@ -23,7 +23,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from retail_etl_pipeline_airflow_s3_athena_spark.operators.text import tokens
+from retail_etl_pipeline_airflow_s3_athena_spark.operators.text import (
+    dround,
+    sql_dround,
+    tokens,
+)
 
 TOP_K = 100
 
@@ -291,4 +295,104 @@ def oracle_encode_token_ids_sql(
                CAST(f.pos AS BIGINT) AS pos,
                COALESCE(v.token_id, {OOV_ID}) AS token_id
         FROM flat f LEFT JOIN vocab v USING (tok)
+    """
+
+
+PROB_SCALE = 1_000_000
+
+
+def bigram_prob_score(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, n_bigrams, fluency_score): language-model-style fluency
+    scoring from the corpus's own bigram statistics — the mean add-one-
+    smoothed conditional probability p(w2|w1) = (c12 + 1)/(c1 + V) over
+    the document's bigram positions, scaled to integers.
+
+    Why not log-prob/perplexity: ln() is not guaranteed correctly
+    rounded and differs in the last ulp across libm implementations, so
+    a float log accumulation can flip a value hash.  Scaled integer
+    probabilities — (c12+1) * SCALE DIV (c1+V) per position, summed as
+    BIGINTs — are bit-exact in any engine, order-independent under
+    partial aggregation, and rank documents identically to mean
+    probability.  Low scores flag disfluent/garbled text exactly like
+    a (corpus-internal) LM perplexity filter would.
+
+    Plan: the flat bigram stream joins the (bounded, vocab-sized)
+    bigram and unigram count tables on their keys; V rides in as a
+    broadcast 1-row aggregate; the per-doc mean is one combinable SUM.
+    Docs with fewer than 2 tokens have no bigram positions and are
+    absent from the output (same in the oracle)."""
+    flat = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokens(F.lower(F.col(text_col)))).alias("pos", "tok"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    big = (
+        flat.select(
+            "doc_id",
+            F.col("tok").alias("w1"),
+            F.lead("tok").over(w).alias("w2"),
+        )
+        .filter(F.col("w2").isNotNull())
+    )
+    c12 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = flat.groupBy("tok").agg(F.count(F.lit(1)).alias("c1"))
+    vocab_n = flat.select("tok").distinct().agg(
+        F.count(F.lit(1)).alias("v")
+    )
+    scored = (
+        big.join(c12, ["w1", "w2"])
+        .join(c1.withColumnRenamed("tok", "w1"), "w1")
+        .crossJoin(F.broadcast(vocab_n))
+        .select(
+            "doc_id",
+            F.expr(
+                f"CAST((c12 + 1) * {PROB_SCALE} DIV (c1 + v) AS BIGINT)"
+            ).alias("s"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        dround(
+            F.sum("s") / F.count(F.lit(1)) / F.lit(float(PROB_SCALE)), 6
+        ).alias("fluency_score"),
+    )
+
+
+def oracle_bigram_prob_score_sql(
+    table: str = "documents", t: str = "text"
+) -> str:
+    toks = (
+        f"list_filter(string_split_regex(LOWER({t}), '\\s+'), x -> x <> '')"
+    )
+    score = sql_dround(
+        f"CAST(SUM(s) AS DOUBLE) / COUNT(*) / CAST({PROB_SCALE} AS DOUBLE)", 6
+    )
+    return f"""
+        WITH flat AS (
+            SELECT doc_id,
+                   unnest(range(len({toks}))) AS pos,
+                   unnest({toks}) AS tok
+            FROM {table}
+        ),
+        big AS (
+            SELECT doc_id, tok AS w1,
+                   LEAD(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+            FROM flat
+        ),
+        big2 AS (SELECT doc_id, w1, w2 FROM big WHERE w2 IS NOT NULL),
+        c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM big2 GROUP BY w1, w2),
+        c1 AS (SELECT tok AS w1, COUNT(*) AS c1 FROM flat GROUP BY tok),
+        vocab_n AS (SELECT COUNT(DISTINCT tok) AS v FROM flat)
+        SELECT b.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               {score} AS fluency_score
+        FROM big2 b
+        JOIN c12 USING (w1, w2)
+        JOIN c1 USING (w1)
+        CROSS JOIN vocab_n
+        , LATERAL (SELECT CAST((c12 + 1) * {PROB_SCALE} // (c1 + v)
+                               AS BIGINT) AS s) x
+        GROUP BY b.doc_id
     """
