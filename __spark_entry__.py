@@ -803,8 +803,10 @@ GATE_FIRST_50 = [
 ]
 
 GATE_TAIL = [
-    # every entry here has driver evidence from r3/r4 plus this round's
-    # committed sf0.1 local gate log; rotate stalest first in r6
+    # Entries here either have r3/r4 driver evidence or (the late-r5
+    # additions appended at the end, event_transitions onward) are
+    # covered by this round's committed sf0.01/sf0.1 local gate logs
+    # only — those lead the r6 rotation, then the stalest r3/r4 rows.
     "dedup_exact",
     "local_supplier_volume",
     "promo_revenue",
