@@ -130,7 +130,7 @@ BL_A = [((2 * i + 1) * 2654435761) % FP_MOD for i in range(BLOOM_K)]
 BL_B = [((i + 1) * 104729 + 7919) % FP_MOD for i in range(BLOOM_K)]
 
 
-def _bloom_pos(s: F.Column, i: int) -> F.Column:
+def _bloom_pos(s, i: int):
     return ((s * BL_A[i] + BL_B[i]) % FP_MOD) % BLOOM_BITS
 
 
