@@ -243,8 +243,24 @@ def _versioned_overwrite(df: DataFrame, target_dir: str, batch_id: int) -> None:
         prev = target_dir + ".migrated"
         os.rename(target_dir, prev)
     os.replace(swap, target_dir)  # atomic symlink swap
-    if prev and os.path.realpath(prev) != vdir:
+    # Retention: keep the immediately-previous version (in-flight
+    # readers hold its files; read_version addresses it for time
+    # travel); purge anything older.  A one-time plain-dir migration
+    # artifact is deleted outright.
+    if prev and prev.endswith(".migrated"):
         shutil.rmtree(prev, ignore_errors=True)
+        prev = None
+    keep = {os.path.abspath(vdir)}
+    if prev:
+        keep.add(os.path.abspath(os.path.realpath(prev)))
+    parent = os.path.dirname(os.path.abspath(target_dir)) or "."
+    base = os.path.basename(target_dir)
+    for f in os.listdir(parent):
+        if not f.startswith(base + ".v"):
+            continue
+        p = os.path.abspath(os.path.join(parent, f))
+        if p not in keep and os.path.isdir(p):
+            shutil.rmtree(p, ignore_errors=True)
 
 
 def gold_stream(
@@ -666,3 +682,64 @@ def dq_monitor_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def list_versions(target_dir: str) -> list[int]:
+    """Batch ids of the retained versions of a ``_versioned_overwrite``
+    sink (newest last).  The current symlink always resolves to the
+    newest; older versions survive until their swap-out (one is kept)
+    so readers mid-query never lose their files."""
+    import os
+
+    parent = os.path.dirname(os.path.abspath(target_dir)) or "."
+    base = os.path.basename(target_dir)
+    out = []
+    for f in os.listdir(parent):
+        if f.startswith(base + ".v"):
+            try:
+                out.append(int(f[len(base) + 2:]))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
+def read_version(spark: SparkSession, target_dir: str, version: int | None = None) -> DataFrame:
+    """Time-travel read of a versioned sink: the table AS OF a batch id
+    (default: newest retained).  This is the poor-man's form of table-
+    format time travel — the versioned-directory scheme retains the
+    previous version across a swap, so the last two states are always
+    addressable; production retention is a policy knob (keep N dirs)."""
+    versions = list_versions(target_dir)
+    if not versions:
+        return spark.read.parquet(target_dir)
+    v = versions[-1] if version is None else version
+    if v not in versions:
+        raise ValueError(f"version {v} not retained; have {versions}")
+    return spark.read.parquet(f"{target_dir}.v{v}")
+
+
+def compact_registers(spark: SparkSession, work_dir: str) -> int:
+    """Compaction for the append-only HLL register sink: read all
+    deltas, MAX-merge to the canonical |types| x 256 rows, atomically
+    swap the merged table in as a fresh single delta — read cost
+    returns to one tiny file while every estimate stays bit-identical
+    (max-merge is idempotent and associative).  Returns the compacted
+    row count.  Run it on any cadence; a crash mid-compaction leaves
+    the old delta directory untouched."""
+    import os
+    import shutil
+
+    reg_dir = os.path.join(work_dir, "registers")
+    merged = (
+        spark.read.parquet(reg_dir)
+        .groupBy("event_type", "bucket")
+        .agg(F.max("m_j").alias("m_j"))
+    )
+    tmp = reg_dir + ".compacting"
+    merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+    n = spark.read.parquet(tmp).count()
+    old = reg_dir + ".old"
+    os.rename(reg_dir, old)
+    os.rename(tmp, reg_dir)
+    shutil.rmtree(old, ignore_errors=True)
+    return n

@@ -490,3 +490,62 @@ def test_dq_monitor_stream_totals_match_batch(spark, sf_dir):
     ).first()
     assert (agg[0], agg[1], agg[2]) == (want[0], want[1], want[2] or 0)
     assert m.count() >= 2  # multiple micro-batches each left a row
+
+
+def test_versioned_sink_time_travel_and_register_compaction(spark, sf_dir):
+    """read_version addresses the previous SCD2 state; compacting the
+    HLL register sink changes file counts, never estimates."""
+    import os
+
+    from pyspark.sql import Row, types as T
+
+    from retail_etl_pipeline_airflow_s3_athena_spark.functions import sketches
+
+    # --- versioned sink time travel (reuse the scd2 stream shape) ----
+    schema = T.StructType(
+        [
+            T.StructField("cust_id", T.LongType()),
+            T.StructField("segment", T.StringType()),
+        ]
+    )
+    src = tempfile.mkdtemp(prefix="tt_src_")
+    work = tempfile.mkdtemp(prefix="tt_work_")
+    spark.createDataFrame([Row(cust_id=1, segment="bronze")], schema)\
+        .coalesce(1).write.mode("overwrite").parquet(f"{src}/a")
+    for f in os.listdir(f"{src}/a"):
+        if f.endswith(".parquet"):
+            os.rename(f"{src}/a/{f}", f"{src}/u0.parquet")
+    import time as _t
+    _t.sleep(1.1)
+    spark.createDataFrame([Row(cust_id=1, segment="gold")], schema)\
+        .coalesce(1).write.mode("overwrite").parquet(f"{src}/b")
+    for f in os.listdir(f"{src}/b"):
+        if f.endswith(".parquet"):
+            os.rename(f"{src}/b/{f}", f"{src}/u1.parquet")
+    q = incremental.scd2_stream(spark, src, work, "cust_id", ["segment"], schema)
+    q.awaitTermination(120)
+    dim = f"{work}/dim"
+    vs = incremental.list_versions(dim)
+    assert len(vs) >= 2
+    v0 = incremental.read_version(spark, dim, vs[0]).collect()
+    latest = incremental.read_version(spark, dim).collect()
+    assert {r["segment"] for r in v0 if r["is_current"]} == {"bronze"}
+    assert {r["segment"] for r in latest if r["is_current"]} == {"gold"}
+
+    # --- register compaction preserves estimates ---------------------
+    ev = readers.read_events(spark, sf_dir)
+    hwork = tempfile.mkdtemp(prefix="hll_c_")
+    src2 = tempfile.mkdtemp(prefix="hll_c_src_")
+    ev.repartition(4).write.mode("overwrite").parquet(src2)
+    q2 = incremental.hll_sketch_stream(spark, src2, hwork)
+    q2.awaitTermination(120)
+    before = {
+        r["event_type"]: r["est_distinct"]
+        for r in incremental.hll_stream_estimates(spark, hwork).collect()
+    }
+    n = incremental.compact_registers(spark, hwork)
+    after = {
+        r["event_type"]: r["est_distinct"]
+        for r in incremental.hll_stream_estimates(spark, hwork).collect()
+    }
+    assert before == after and n <= 5 * 256
