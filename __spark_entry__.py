@@ -424,8 +424,16 @@ def _q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the end-product: canonical doc per near-dup cluster, i.e. the
     # corpus a training run would actually consume
-    return cluster_ops.dedup_keep(_docs(spark, sf_dir)).select(
-        "doc_id", "source", "lang"
+    from retail_etl_pipeline_airflow_s3_athena_spark.functions.caching import (
+        attach_cached_deps,
+        carried_deps,
+    )
+
+    kept = cluster_ops.dedup_keep(_docs(spark, sf_dir))
+    # select() returns a fresh DataFrame without the cache-ownership
+    # tag — carry it or the component label table leaks its persist
+    return attach_cached_deps(
+        kept.select("doc_id", "source", "lang"), *carried_deps(kept)
     )
 
 

@@ -1230,9 +1230,9 @@ def semantic_dedup(
     edges = pairs.select(
         F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
     )
-    comps = connected_components(edges).select(
-        F.col("doc_id").alias("vec_id"), "cluster_id"
-    )
+    cc = connected_components(edges)
+    # select() drops cc's cache-ownership tag; read deps from cc itself
+    comps = cc.select(F.col("doc_id").alias("vec_id"), "cluster_id")
     spine = embeddings.select("vec_id")
     out = (
         spine.join(comps, "vec_id", "left")
@@ -1243,7 +1243,7 @@ def semantic_dedup(
         .withColumn("is_kept", F.col("vec_id") == F.col("cluster_id"))
     )
     return attach_cached_deps(
-        out, *carried_deps(pairs), pairs, *carried_deps(comps)
+        out, *carried_deps(pairs), pairs, *carried_deps(cc)
     )
 
 

@@ -325,3 +325,42 @@ def test_backfill_rewrites_only_target_partition(spark, sf_dir, tmp_path):
     )
     again = spark.read.parquet(f"{base}/t")
     assert again.count() == 4
+
+
+def test_cache_ownership_sweep_no_leaks(spark):
+    """Every cache-owning queries() entry frees ALL persisted state via
+    release_cached — the contract bench.py and check_oracle.py rely on
+    to keep storage memory from accruing across the 100+-query gate."""
+    import __spark_entry__ as entry
+    from retail_etl_pipeline_airflow_s3_athena_spark.functions.caching import (
+        release_cached,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    qs = entry.queries()
+    # operators that persist intermediates (every module family with an
+    # attach_cached_deps site); sf0.001 keeps the sweep fast
+    owners = [
+        "near_dup_pairs",
+        "incremental_near_dups",
+        "near_dup_clusters",
+        "dedup_corpus",
+        "semantic_dedup",
+        "pagerank_near_dups",
+        "dup_triangles",
+        "containment_pairs",
+        "fuzzy_decontaminate",
+        "embedding_near_dup_lsh",
+        "ivf_topk",
+        "scd2_customers",
+        "simhash_near_dup",
+        "tfidf_top_terms",
+    ]
+    jsc = spark.sparkContext._jsc.sc()
+    spark.catalog.clearCache()
+    for name in owners:
+        df = qs[name](spark, sf_dir)
+        df.collect()
+        release_cached(df, blocking=True)
+        leaked = jsc.getPersistentRDDs().size()
+        assert leaked == 0, f"{name} leaked {leaked} persisted RDD(s)"
