@@ -956,11 +956,17 @@ def dedup_rate_report(docs: DataFrame, text_col: str = "text") -> DataFrame:
     standard two-level expansion (both levels map-side combinable on
     the uniform 60-bit key)."""
     fp = _md5_hash(F.lower(F.trim(F.col(text_col))))
+    # try_divide-style guard: an EMPTY batch (routine at partition /
+    # day granularity) reports dup_rate NULL instead of failing the
+    # whole report under ANSI division
     return docs.select(fp.alias("fingerprint")).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.countDistinct("fingerprint").alias("n_unique"),
-        dround(
-            1 - F.countDistinct("fingerprint") / F.count(F.lit(1)), 6
+        F.when(
+            F.count(F.lit(1)) > 0,
+            dround(
+                1 - F.countDistinct("fingerprint") / F.count(F.lit(1)), 6
+            ),
         ).alias("dup_rate"),
     )
 

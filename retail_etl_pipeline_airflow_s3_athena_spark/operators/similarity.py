@@ -159,11 +159,6 @@ def cosine_topk_gemm(
         .select("vec_id", "embedding")
         .collect()
     )
-    qids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
-    Q = np.array([r["embedding"] for r in q_rows], dtype=np.float64)
-    qnrm = np.sqrt(np.cumsum(Q * Q, axis=1)[:, -1])
-    bq = embeddings.sparkSession.sparkContext.broadcast((qids, Q, qnrm))
-
     schema = T.StructType(
         [
             T.StructField("query_id", T.LongType()),
@@ -171,6 +166,13 @@ def cosine_topk_gemm(
             T.StructField("cos_sim", T.DoubleType()),
         ]
     )
+    if not q_rows:
+        # empty corpus / no queries: 0-row result, not a shape error
+        return embeddings.sparkSession.createDataFrame([], schema)
+    qids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
+    Q = np.array([r["embedding"] for r in q_rows], dtype=np.float64)
+    qnrm = np.sqrt(np.cumsum(Q * Q, axis=1)[:, -1])
+    bq = embeddings.sparkSession.sparkContext.broadcast((qids, Q, qnrm))
 
     def part(it):
         p_qids, p_Q, p_qnrm = bq.value

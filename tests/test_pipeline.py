@@ -364,3 +364,33 @@ def test_cache_ownership_sweep_no_leaks(spark):
         release_cached(df, blocking=True)
         leaked = jsc.getPersistentRDDs().size()
         assert leaked == 0, f"{name} leaked {leaked} persisted RDD(s)"
+
+
+def test_all_queries_tolerate_empty_input(spark, tmp_path_factory):
+    """Every queries() entry must run (possibly to an empty result) on
+    EMPTY input tables — at 100 TB, empty partitions/days/batches are
+    routine, and an operator that throws on them kills whole jobs."""
+    import __spark_entry__ as entry
+    from retail_etl_pipeline_airflow_s3_athena_spark.functions.caching import (
+        release_cached,
+    )
+
+    src = "/root/testdata/sf0.001"
+    d = str(tmp_path_factory.mktemp("empty_sf"))
+    for t in [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ]:
+        spark.read.parquet(f"{src}/{t}.parquet").limit(0).write.mode(
+            "overwrite"
+        ).parquet(f"{d}/{t}.parquet")
+    failures = []
+    for name, fn in entry.queries().items():
+        try:
+            df = fn(spark, d)
+            df.collect()
+            release_cached(df)
+        except Exception as ex:  # noqa: BLE001 - collecting all failures
+            failures.append(f"{name}: {str(ex).splitlines()[0][:90]}")
+        spark.catalog.clearCache()
+    assert not failures, failures
