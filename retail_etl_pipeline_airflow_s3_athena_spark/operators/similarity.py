@@ -82,12 +82,20 @@ def cosine(a: Column, b: Column, dim: int = EMB_DIM) -> Column:
     )
 
 
+def _drop_null_vecs(embeddings: DataFrame) -> DataFrame:
+    """NULL embedding rows carry no signal and crash numpy kernels /
+    nullify expression folds — every vector operator drops them up
+    front (a narrow filter pushed to the scan), mirroring how the text
+    operators treat NULL text as an empty token stream."""
+    return embeddings.filter(F.col("embedding").isNotNull())
+
+
 def _normed(embeddings: DataFrame, dim: int = EMB_DIM) -> DataFrame:
     """(vec_id, v: array<double>, nrm): corpus pre-cast to double ONCE
     (dot() then needs no per-term casts) with the vector norm
     precomputed — pair scoring only pays the cross-term dot."""
     v = _as_double(F.col("embedding"))
-    return embeddings.select(
+    return _drop_null_vecs(embeddings).select(
         "vec_id",
         v.alias("v"),
         F.sqrt(dot(v, v, dim)).alias("nrm"),
@@ -154,6 +162,7 @@ def cosine_topk_gemm(
     import numpy as np
     import pandas as pd
 
+    embeddings = _drop_null_vecs(embeddings)
     q_rows = (
         embeddings.filter(F.col("vec_id") < n_queries)
         .select("vec_id", "embedding")
@@ -394,7 +403,7 @@ def rp_lsh_signatures(
             )
         )
     )
-    return embeddings.select("vec_id", guarded.alias("rp_sig"))
+    return _drop_null_vecs(embeddings).select("vec_id", guarded.alias("rp_sig"))
 
 
 def embedding_near_dup(
@@ -474,7 +483,11 @@ def rp_lsh_signatures_gemm(
                 }
             )
 
-    return embeddings.select("vec_id", "embedding").mapInPandas(part, schema)
+    return (
+        _drop_null_vecs(embeddings)
+        .select("vec_id", "embedding")
+        .mapInPandas(part, schema)
+    )
 
 
 def embedding_near_dup_lsh(
@@ -588,7 +601,7 @@ def embedding_near_dup_gemm(
     import numpy as np
 
     spark = embeddings.sparkSession
-    src = embeddings.select("vec_id", "embedding")
+    src = _drop_null_vecs(embeddings).select("vec_id", "embedding")
     n = src.count()
     ntiles = max(1, math.ceil(n / tile_rows))
     tiled = src.withColumn("_tile", F.pmod(F.xxhash64("vec_id"), F.lit(ntiles)))
@@ -1072,7 +1085,7 @@ def knn_graph(
     import numpy as np
 
     spark = embeddings.sparkSession
-    src = embeddings.select("vec_id", "embedding")
+    src = _drop_null_vecs(embeddings).select("vec_id", "embedding")
     n = src.count()
     ntiles = max(1, math.ceil(n / tile_rows))
     tiled = src.withColumn("_tile", F.pmod(F.xxhash64("vec_id"), F.lit(ntiles)))

@@ -394,3 +394,54 @@ def test_all_queries_tolerate_empty_input(spark, tmp_path_factory):
             failures.append(f"{name}: {str(ex).splitlines()[0][:90]}")
         spark.catalog.clearCache()
     assert not failures, failures
+
+
+def test_all_queries_tolerate_null_rows(spark, tmp_path_factory):
+    """NULL text / NULL embedding / NULL ts rows must not crash any
+    query: text ops treat NULL as an empty token stream, vector ops
+    drop NULL vectors, event ops key on non-null ids — dirty rows are
+    a fact of life at ingest scale."""
+    import __spark_entry__ as entry
+    from retail_etl_pipeline_airflow_s3_athena_spark.functions.caching import (
+        release_cached,
+    )
+
+    src = "/root/testdata/sf0.001"
+    d = str(tmp_path_factory.mktemp("null_sf"))
+    for t in [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ]:
+        df = spark.read.parquet(f"{src}/{t}.parquet")
+        if t == "documents":
+            df = df.withColumn(
+                "text",
+                F.when(F.col("doc_id") % 7 == 0, F.lit(None)).otherwise(
+                    F.col("text")
+                ),
+            )
+        if t == "embeddings":
+            df = df.withColumn(
+                "embedding",
+                F.when(F.col("vec_id") % 9 == 0, F.lit(None)).otherwise(
+                    F.col("embedding")
+                ),
+            )
+        if t == "events":
+            df = df.withColumn(
+                "ts",
+                F.when(F.col("event_id") % 11 == 0, F.lit(None)).otherwise(
+                    F.col("ts")
+                ),
+            )
+        df.write.mode("overwrite").parquet(f"{d}/{t}.parquet")
+    failures = []
+    for name, fn in entry.queries().items():
+        try:
+            df = fn(spark, d)
+            df.collect()
+            release_cached(df)
+        except Exception as ex:  # noqa: BLE001
+            failures.append(f"{name}: {str(ex).splitlines()[0][:90]}")
+        spark.catalog.clearCache()
+    assert not failures, failures
