@@ -353,6 +353,10 @@ def _q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_ops.containment_pairs(_docs(spark, sf_dir))
 
 
+def _q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return winnow_ops.ngram_novelty(_docs(spark, sf_dir))
+
+
 def _q_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_ops.dup_span_stats(_docs(spark, sf_dir))
 
@@ -889,6 +893,7 @@ GATE_TAIL = [
     "dup_triangles",
     "rolling_distinct_users",
     "bigram_prob_score",
+    "ngram_novelty",
 ]
 
 
@@ -973,6 +978,7 @@ def _all_queries() -> dict[str, QueryFn]:
         "rolling_distinct_users": _q_rolling_distinct_users,
         "bigram_prob_score": _q_bigram_prob_score,
         "dup_span_stats": _q_dup_span_stats,
+        "ngram_novelty": _q_ngram_novelty,
         "fuzzy_decontaminate": _q_fuzzy_decontaminate,
         "winnow_fingerprints": _q_winnow_fingerprints,
         "winnow_shared_pairs": _q_winnow_shared_pairs,
@@ -1186,6 +1192,7 @@ def oracle_sql() -> dict[str, str]:
         ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"],
     )
     oracles["containment_pairs"] = dedup_ops.oracle_containment_pairs_sql()
+    oracles["ngram_novelty"] = winnow_ops.oracle_ngram_novelty_sql()
     oracles["dup_span_stats"] = winnow_ops.oracle_dup_span_stats_sql()
     oracles["encode_token_ids"] = vocab_ops.oracle_encode_token_ids_sql()
     oracles["pagerank_near_dups"] = cluster_ops.oracle_pagerank_near_dups_sql()

@@ -168,6 +168,7 @@ STANDALONE = [
     "dup_triangles",
     "rolling_distinct_users",
     "bigram_prob_score",
+    "ngram_novelty",
 ]
 
 

@@ -331,3 +331,57 @@ def oracle_dup_span_stats_sql(
                    AS dup_fraction
         FROM joined GROUP BY doc_id
     """
+
+
+def ngram_novelty(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_grams, n_novel, novelty): per-document NOVELTY in
+    doc_id (ingest) order — the fraction of the doc's distinct 3-grams
+    whose FIRST corpus occurrence is this document.
+
+    The corpus-level novelty curve is the standard diminishing-returns
+    diagnostic for crawl scheduling ("are new batches still adding new
+    content?"); per-doc novelty is the row-level filter form (drop docs
+    under a novelty floor — they are re-hashes of what the corpus
+    already holds).
+
+    Plan: distinct (doc_id, gram) rows -> one groupBy(gram) MIN to find
+    each gram's first-owner doc -> an enrich join back (1:1, no fanout)
+    -> per-doc combinable counts.  Two shuffles, both on the uniform
+    gram hash / doc_id keys."""
+    grams = (
+        _flat_grams(docs, text_col)
+        .select("doc_id", "s")
+        .distinct()
+    )
+    first_owner = grams.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
+    joined = grams.join(first_owner, "s").select(
+        "doc_id", (F.col("doc_id") == F.col("first_doc")).cast("long").alias("novel")
+    )
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.sum("novel").alias("n_novel"),
+        F.floor(F.sum("novel") / F.count(F.lit(1)) * 1e6 + F.lit(0.5))
+        .cast("double")
+        .alias("_sc"),
+    ).withColumn("novelty", F.col("_sc") / 1e6).drop("_sc")
+
+
+def oracle_ngram_novelty_sql(table: str = "documents", t: str = "text") -> str:
+    return f"""
+        WITH {_sql_flat_grams(table, t).strip()},
+        g AS (SELECT DISTINCT doc_id, s FROM flat),
+        first_owner AS (
+            SELECT s, MIN(doc_id) AS first_doc FROM g GROUP BY s
+        ),
+        joined AS (
+            SELECT g.doc_id,
+                   CASE WHEN g.doc_id = f.first_doc THEN 1 ELSE 0 END AS novel
+            FROM g JOIN first_owner f USING (s)
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_grams,
+               CAST(SUM(novel) AS BIGINT) AS n_novel,
+               FLOOR(CAST(SUM(novel) AS DOUBLE) / COUNT(*) * 1e6 + 0.5) / 1e6
+                   AS novelty
+        FROM joined GROUP BY doc_id
+    """

@@ -911,3 +911,22 @@ def test_dup_span_stats_localizes(spark):
     assert out[0]["dup_fraction"] == 1.0 and out[1]["dup_fraction"] == 1.0
     assert 0 < out[2]["dup_fraction"] < 1.0
     assert out[3]["dup_fraction"] == 0.0
+
+
+def test_ngram_novelty_orders_by_ingest(spark):
+    """First doc is 100% novel; an exact re-ingest is 0%; partial
+    overlap sits between."""
+    from retail_etl_pipeline_airflow_s3_athena_spark.operators import winnow
+
+    base = "alpha beta gamma delta epsilon zeta"
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=0, text=base),
+            Row(doc_id=1, text=base),  # re-ingest: nothing new
+            Row(doc_id=2, text=base + " fresh tail words here"),
+        ]
+    )
+    out = {r["doc_id"]: r for r in winnow.ngram_novelty(docs).collect()}
+    assert out[0]["novelty"] == 1.0
+    assert out[1]["novelty"] == 0.0
+    assert 0 < out[2]["novelty"] < 1.0
