@@ -353,6 +353,14 @@ def _q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_ops.containment_pairs(_docs(spark, sf_dir))
 
 
+def _q_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cluster_ops.cluster_size_histogram(_docs(spark, sf_dir))
+
+
+def _q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sim_ops.embedding_outliers(_emb(spark, sf_dir))
+
+
 def _q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_ops.ngram_novelty(_docs(spark, sf_dir))
 
@@ -894,6 +902,8 @@ GATE_TAIL = [
     "rolling_distinct_users",
     "bigram_prob_score",
     "ngram_novelty",
+    "cluster_size_histogram",
+    "embedding_outliers",
 ]
 
 
@@ -979,6 +989,8 @@ def _all_queries() -> dict[str, QueryFn]:
         "bigram_prob_score": _q_bigram_prob_score,
         "dup_span_stats": _q_dup_span_stats,
         "ngram_novelty": _q_ngram_novelty,
+        "cluster_size_histogram": _q_cluster_size_histogram,
+        "embedding_outliers": _q_embedding_outliers,
         "fuzzy_decontaminate": _q_fuzzy_decontaminate,
         "winnow_fingerprints": _q_winnow_fingerprints,
         "winnow_shared_pairs": _q_winnow_shared_pairs,
@@ -1192,6 +1204,10 @@ def oracle_sql() -> dict[str, str]:
         ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"],
     )
     oracles["containment_pairs"] = dedup_ops.oracle_containment_pairs_sql()
+    oracles["cluster_size_histogram"] = (
+        cluster_ops.oracle_cluster_size_histogram_sql()
+    )
+    oracles["embedding_outliers"] = sim_ops.oracle_embedding_outliers_sql()
     oracles["ngram_novelty"] = winnow_ops.oracle_ngram_novelty_sql()
     oracles["dup_span_stats"] = winnow_ops.oracle_dup_span_stats_sql()
     oracles["encode_token_ids"] = vocab_ops.oracle_encode_token_ids_sql()

@@ -169,6 +169,8 @@ STANDALONE = [
     "rolling_distinct_users",
     "bigram_prob_score",
     "ngram_novelty",
+    "cluster_size_histogram",
+    "embedding_outliers",
 ]
 
 

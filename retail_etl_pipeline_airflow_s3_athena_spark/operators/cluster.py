@@ -516,3 +516,39 @@ def oracle_dup_triangles_sql(
         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_triangles
         FROM nodes GROUP BY doc_id
     """
+
+
+def cluster_size_histogram(
+    docs: DataFrame, text_col: str = "text", threshold: float = 0.5
+) -> DataFrame:
+    """(cluster_size, n_clusters, n_docs): the near-dup cluster-size
+    distribution — the one-glance corpus-health chart (a heavy tail of
+    giant clusters = template/boilerplate infestation; all-singletons =
+    the dedup already happened).  Derived from near_dup_clusters with
+    one extra tiny aggregate over the cluster table."""
+    clusters = near_dup_clusters(docs, text_col, threshold)
+    per_cluster = clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    out = per_cluster.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        (F.count(F.lit(1)) * F.col("cluster_size")).cast("long").alias("n_docs"),
+    )
+    return attach_cached_deps(out, *carried_deps(clusters))
+
+
+def oracle_cluster_size_histogram_sql(
+    table: str = "documents", t: str = "text", threshold: float = 0.5
+) -> str:
+    clusters = oracle_near_dup_clusters_sql(table, t, threshold)
+    return f"""
+        WITH cl AS ({clusters}),
+        per_cluster AS (
+            SELECT cluster_id, COUNT(*) AS cluster_size
+            FROM cl GROUP BY cluster_id
+        )
+        SELECT cluster_size,
+               CAST(COUNT(*) AS BIGINT) AS n_clusters,
+               CAST(COUNT(*) * cluster_size AS BIGINT) AS n_docs
+        FROM per_cluster GROUP BY cluster_size
+    """

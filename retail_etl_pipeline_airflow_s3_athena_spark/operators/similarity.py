@@ -1288,3 +1288,49 @@ def oracle_semantic_dedup_sql(
         SELECT vec_id, cluster_id, vec_id = cluster_id AS is_kept
         FROM comp
     """
+
+
+def embedding_outliers(
+    embeddings: DataFrame,
+    k: int = 3,
+    n_outliers: int = 20,
+    dim: int = EMB_DIM,
+) -> DataFrame:
+    """(vec_id, mean_topk_cos): the ``n_outliers`` vectors LEAST
+    similar to their own k nearest neighbors — embedding-space
+    isolation scoring.  Vectors whose best neighbors are still far
+    away are the mis-embedded / out-of-distribution rows a curation
+    pass quarantines before clustering or retrieval indexing.
+
+    Derived from ``knn_graph`` (tiled fold-ordered GEMM partial
+    top-k): one combinable AVG over each vector's k rows, then a
+    bounded TakeOrderedAndProject.  The mean is k exact doubles summed
+    in rank order on both engines (ORDER-SENSITIVE: the oracle sums
+    rank-ordered too), then rounded."""
+    knn = knn_graph(embeddings, k, dim)
+    # rank-ordered left-assoc sum: deterministic across engines
+    per_vec = (
+        knn.groupBy("vec_id")
+        .agg(
+            dround(
+                F.sum(F.col("cos_sim")) / F.count(F.lit(1)), 6
+            ).alias("mean_topk_cos")
+        )
+    )
+    return per_vec.orderBy(
+        F.asc("mean_topk_cos"), F.asc("vec_id")
+    ).limit(n_outliers)
+
+
+def oracle_embedding_outliers_sql(
+    table: str = "embeddings", k: int = 3, n_outliers: int = 20
+) -> str:
+    knn = oracle_knn_graph_sql(table, k)
+    mean = sql_dround("SUM(cos_sim) / COUNT(*)", 6)
+    return f"""
+        WITH knn AS ({knn})
+        SELECT vec_id, {mean} AS mean_topk_cos
+        FROM knn GROUP BY vec_id
+        ORDER BY mean_topk_cos ASC, vec_id ASC
+        LIMIT {n_outliers}
+    """
