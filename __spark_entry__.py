@@ -29,6 +29,20 @@ from retail_etl_pipeline_airflow_s3_athena_spark.operators import (
 )
 from retail_etl_pipeline_airflow_s3_athena_spark.operators import text as text_ops
 from retail_etl_pipeline_airflow_s3_athena_spark.operators.text import dround, sql_dround
+from retail_etl_pipeline_airflow_s3_athena_spark.functions.money import (
+    exact_sum,
+    int_avg,
+    money_avg,
+    money_sum,
+    revenue_e4,
+    revenue_sum,
+    sql_exact_sum,
+    sql_int_avg,
+    sql_money_avg,
+    sql_money_sum,
+    sql_revenue_e4,
+    sql_revenue_sum,
+)
 from retail_etl_pipeline_airflow_s3_athena_spark.operators import (
     training as training_ops,
 )
@@ -96,12 +110,12 @@ def _q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
             dround(F.sum("l_quantity"), 2).alias("sum_qty"),
-            dround(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            money_sum("l_extendedprice").alias("sum_base_price"),
             dround(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                revenue_sum("l_extendedprice", "l_discount"), 2
             ).alias("sum_disc_price"),
-            dround(F.avg("l_quantity"), 4).alias("avg_qty"),
-            dround(F.avg("l_discount"), 6).alias("avg_disc"),
+            dround(int_avg("l_quantity"), 4).alias("avg_qty"),
+            dround(money_avg("l_discount"), 6).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -247,6 +261,90 @@ def _q_scd2_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd_ops.scd2_merge(
         current, updates, "c_custkey", ["acctbal", "segment"], "1998-08-01"
     )
+
+
+def _q_scd2_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SCD2 end-state under the driver oracle (VERDICT r5
+    #8): two deterministic update snapshots (initial customer load,
+    then the open-order acctbal bump) streamed through
+    ``scd2_stream``'s merge+atomic-swap sink with maxFilesPerTrigger=1,
+    final dimension returned.  The oracle composes ``oracle_scd2_sql``
+    twice (merge-into-empty, then merge of batch 2), so the STREAMING
+    path is value-hash-checked against pure SQL."""
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from retail_etl_pipeline_airflow_s3_athena_spark.streaming import incremental
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    batch0 = cust.select(
+        "c_custkey",
+        F.col("c_acctbal").alias("acctbal"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    open_cnt = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .filter(F.col("o_orderstatus") == "O")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_open"))
+    )
+    batch1 = cust.join(
+        open_cnt, cust.c_custkey == open_cnt.o_custkey, "left"
+    ).select(
+        "c_custkey",
+        (
+            F.col("c_acctbal")
+            + F.coalesce(F.col("n_open"), F.lit(0)) * F.lit(10.0)
+        ).alias("acctbal"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    src = tempfile.mkdtemp(prefix="scd2rp_src_")
+    work = tempfile.mkdtemp(prefix="scd2rp_wk_")
+
+    def stage(df: DataFrame, name: str) -> None:
+        d = os.path.join(src, "_" + name)
+        df.coalesce(1).write.parquet(d)
+        for f in os.listdir(d):
+            if f.endswith(".parquet"):
+                os.rename(
+                    os.path.join(d, f), os.path.join(src, name + ".parquet")
+                )
+        shutil.rmtree(d, ignore_errors=True)
+
+    stage(batch0, "u0")
+    time.sleep(1.1)  # file-stream batch order is by modification time
+    stage(batch1, "u1")
+    q = incremental.scd2_stream(
+        spark, src, work, "c_custkey", ["acctbal", "segment"], batch0.schema
+    )
+    q.awaitTermination(180)
+    return spark.read.parquet(os.path.join(work, "dim")).select(
+        "c_custkey", "acctbal", "segment",
+        "effective_from", "effective_to", "is_current",
+    )
+
+
+def _q_hll_stream_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming HLL end-state under the driver oracle (VERDICT r5 #8):
+    the events fixture streamed through ``hll_sketch_stream``'s
+    append-only register sink in multiple micro-batches, then
+    max-merged and estimated.  The mergeable-sketch law makes the
+    result IDENTICAL to the one-pass batch sketch, so the batch HLL
+    oracle is its oracle (projected to the streamed columns)."""
+    import tempfile
+
+    from retail_etl_pipeline_airflow_s3_athena_spark.streaming import incremental
+
+    ev = readers.read_events(spark, sf_dir)
+    src = tempfile.mkdtemp(prefix="hllrp_src_")
+    work = tempfile.mkdtemp(prefix="hllrp_wk_")
+    # several files -> several availableNow micro-batches
+    ev.repartition(5).write.mode("overwrite").parquet(src)
+    q = incremental.hll_sketch_stream(spark, src, work)
+    q.awaitTermination(180)
+    return incremental.hll_stream_estimates(spark, work)
 
 
 def _q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -600,7 +698,7 @@ def _q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
             dround(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                revenue_sum("l_extendedprice", "l_discount"), 2
             ).alias("revenue")
         )
         .orderBy(F.desc("revenue"), F.asc("o_orderdate"), F.asc("l_orderkey"))
@@ -669,11 +767,9 @@ def _q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     and supplier are co-national, one region.  Exercises deep join
     reordering: region→nation prune first (broadcast), the
     customer⋈orders⋈lineitem⋈supplier chain shuffles on its keys; the
-    co-nationality predicate rides the supplier join.  dround(4): the
-    true sum is a multiple of 1e-4 (2dp price x 2dp discount), so 4dp
-    rounding is exact under any accumulation order."""
-    from retail_etl_pipeline_airflow_s3_athena_spark.operators.text import dround
-
+    co-nationality predicate rides the supplier join.  Revenue is the
+    exact 1e-4-integer accumulation (functions/money.py) — order
+    independent at any scale."""
     region = spark.read.parquet(f"{sf_dir}/region.parquet").filter(
         F.col("r_name") == "ASIA"
     )
@@ -694,9 +790,7 @@ def _q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
         .agg(
-            dround(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
-            ).alias("revenue")
+            revenue_sum("l_extendedprice", "l_discount").alias("revenue")
         )
         .orderBy(F.desc("revenue"), F.asc("n_name"))
     )
@@ -710,15 +804,21 @@ def _q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     part = spark.read.parquet(f"{sf_dir}/part.parquet")
-    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    disc_e4 = revenue_e4("l_extendedprice", "l_discount")
     return (
         li.join(part, li.l_partkey == part.p_partkey)
         .agg(
-            dround(
-                F.sum(F.when(F.col("p_type") == "PROMO", disc).otherwise(0.0)),
-                4,
+            (
+                exact_sum(
+                    F.when(F.col("p_type") == "PROMO", disc_e4).otherwise(
+                        F.lit(0)
+                    )
+                )
+                / 1e4
             ).alias("promo_revenue"),
-            dround(F.sum(disc), 4).alias("total_revenue"),
+            revenue_sum("l_extendedprice", "l_discount").alias(
+                "total_revenue"
+            ),
         )
         .select(
             "promo_revenue",
@@ -764,81 +864,75 @@ def entry(spark: SparkSession) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 GATE_FIRST_50 = [
-    # never driver-verified, r4 additions (led the pre-pinned r5 gate)
-    "cheapest_part_supplier",
+    # r6 rotation (VERDICT r5 #4): lead with the late-r5 additions
+    # that have zero driver evidence, then every query whose values
+    # or implementation changed this round (the exact integer-cents
+    # monetary-aggregation conversion, functions/money.py).
+    "event_transitions",
+    "build_training_set",
+    "basket_rules",
+    "dup_triangles",
+    "rolling_distinct_users",
+    "bigram_prob_score",
+    "ngram_novelty",
+    "cluster_size_histogram",
+    "embedding_outliers",
+    "nation_year_profit",
+    "dormant_customers",
+    "small_quantity_revenue",
+    "daily_revenue_delta",
+    "customer_value_tiles",
     "nation_trade_volume",
-    "part_supplier_breadth",
-    "promo_part_suppliers",
-    "daily_revenue_ma7",
-    "incremental_near_dups",
-    "dedup_corpus",
-    "funnel_conversion",
-    "weekly_retention",
-    "snapshot_diff_customers",
-    "value_histogram",
     "brand_basket_revenue",
-    "corpus_stats",
     "nation_market_share",
-    # never driver-verified, r5 first-batch additions
-    "customer_order_distribution",
-    "lone_late_supplier",
     "above_avg_dormant_value",
     "supplier_revenue_share",
     "discount_band_revenue",
-    "nation_year_profit",
     "returned_item_customers",
-    "linestatus_priority_mix",
     "top_revenue_supplier",
     "segment_year_cube",
-    "anomalous_revenue_days",
     "customer_order_gaps",
+    "brand_corr_stats",
+    "daily_sales_summary",
+    "top_customers",
+    "product_performance",
+    "store_performance",
+    "daily_revenue",
+    "top_performing_customers",
+    "product_analysis",
+    "revenue_by_category",
+    "daily_revenue_running",
+    "daily_revenue_ma7",
+    "segment_sales_rollup",
+    "pricing_summary",
+    "shipping_priority",
+    "local_supplier_volume",
+    "promo_revenue",
+    "windowed_event_stats",
+    "sessionize_events",
+    "session_window_stats",
+    "label_centroids",
+    "ivf_topk",
+    "standardize_embeddings",
     "kmeans_refine",
     "kmeans_two_round",
-    "normalize_text",
-    "curated_docs",
-    "fuzzy_part_names",
-    "dedup_rate_report",
-    "brand_corr_stats",
-    # never driver-verified, r5 second-batch additions
-    "winnow_fingerprints",
-    "winnow_shared_pairs",
-    "cms_heavy_hitters",
-    "bloom_decontaminate",
-    "fuzzy_decontaminate",
-    "knn_graph",
-    "semantic_dedup",
-    "dataset_split_docs",
-    "pagerank_near_dups",
-    "encode_token_ids",
-    "containment_pairs",
-    "dup_span_stats",
-    "profile_customers",
-    "standardize_embeddings",
-    # implementing module changed this round (rp_lsh gate entry on the
-    # numpy twin; cluster loop re-partitioning + pair materialization;
-    # sketches refactored into registers/estimate)
-    "rp_lsh_signatures",
-    "near_dup_clusters",
-    "hll_distinct_users",
+    # new streaming-end-state oracles (VERDICT r5 #8) — zero evidence
+    "scd2_stream_replay",
+    "hll_stream_estimates",
 ]
 
 GATE_TAIL = [
-    # Entries here either have r3/r4 driver evidence or (the late-r5
-    # additions appended at the end, event_transitions onward) are
-    # covered by this round's committed sf0.01/sf0.1 local gate logs
-    # only — those lead the r6 rotation, then the stalest r3/r4 rows.
-    "dedup_exact",
-    "local_supplier_volume",
-    "promo_revenue",
-    "late_shipment_priority",
-    "dormant_customers",
-    "churned_buyers",
-    "small_quantity_revenue",
-    "big_orders",
-    "daily_revenue_delta",
-    "customer_value_tiles",
-    "bigram_vocab",
+    # rotated out of the r6 window to make room (sf0.1 local-gate
+    # green this round; lowest-risk conversions of the r6 money change)
+    "corpus_stats",
     "quantize_embeddings",
+    # Stalest r3/r4-verified rows first, then the r5-driver-green
+    # window (freshest evidence) last.
+    "dedup_exact",
+    "late_shipment_priority",
+    "churned_buyers",
+    "big_orders",
+    "bigram_vocab",
     "concurrent_sessions",
     "stratified_sample_docs",
     "doc_chunks",
@@ -847,18 +941,6 @@ GATE_TAIL = [
     "quality_filter_docs",
     "hash_sample_events",
     "multimodal_pipeline",
-    "daily_sales_summary",
-    "top_customers",
-    "product_performance",
-    "store_performance",
-    "daily_revenue",
-    "daily_revenue_running",
-    "segment_sales_rollup",
-    "top_performing_customers",
-    "product_analysis",
-    "revenue_by_category",
-    "pricing_summary",
-    "shipping_priority",
     "silver_clean_events",
     "tfidf_top_terms",
     "embedding_near_dup_lsh",
@@ -872,7 +954,6 @@ GATE_TAIL = [
     "simhash_signatures",
     "cosine_topk_gemm",
     "topk_events_per_type",
-    "session_window_stats",
     "user_event_pivot",
     "user_event_unpivot",
     "extract_props",
@@ -887,23 +968,43 @@ GATE_TAIL = [
     "embedding_near_dup_gemm",
     "decontaminate_docs",
     "cosine_topk",
-    "label_centroids",
-    "ivf_topk",
     "text_features",
-    "windowed_event_stats",
-    "sessionize_events",
     "asof_join_events",
     "event_value_quantiles",
     "scd2_customers",
-    "event_transitions",
-    "build_training_set",
-    "basket_rules",
-    "dup_triangles",
-    "rolling_distinct_users",
-    "bigram_prob_score",
-    "ngram_novelty",
-    "cluster_size_histogram",
-    "embedding_outliers",
+    "cheapest_part_supplier",
+    "part_supplier_breadth",
+    "promo_part_suppliers",
+    "incremental_near_dups",
+    "dedup_corpus",
+    "funnel_conversion",
+    "weekly_retention",
+    "snapshot_diff_customers",
+    "value_histogram",
+    "customer_order_distribution",
+    "lone_late_supplier",
+    "linestatus_priority_mix",
+    "anomalous_revenue_days",
+    "normalize_text",
+    "curated_docs",
+    "fuzzy_part_names",
+    "dedup_rate_report",
+    "winnow_fingerprints",
+    "winnow_shared_pairs",
+    "cms_heavy_hitters",
+    "bloom_decontaminate",
+    "fuzzy_decontaminate",
+    "knn_graph",
+    "semantic_dedup",
+    "dataset_split_docs",
+    "pagerank_near_dups",
+    "encode_token_ids",
+    "containment_pairs",
+    "dup_span_stats",
+    "profile_customers",
+    "rp_lsh_signatures",
+    "near_dup_clusters",
+    "hll_distinct_users",
 ]
 
 
@@ -1002,6 +1103,8 @@ def _all_queries() -> dict[str, QueryFn]:
         "blocked_jaccard_pairs": _q_blocked_jaccard,
         "decontaminate_docs": _q_decontaminate_docs,
         "scd2_customers": _q_scd2_customers,
+        "scd2_stream_replay": _q_scd2_stream_replay,
+        "hll_stream_estimates": _q_hll_stream_estimates,
         "snapshot_diff_customers": _q_snapshot_diff,
         "cosine_topk": _q_cosine_topk,
         "label_centroids": _q_label_centroids,
@@ -1072,10 +1175,10 @@ def oracle_sql() -> dict[str, str]:
         "pricing_summary": f"""
             SELECT l_returnflag, l_linestatus,
                    {sql_dround('SUM(l_quantity)', 2)}                              AS sum_qty,
-                   {sql_dround('SUM(l_extendedprice)', 2)}                         AS sum_base_price,
-                   {sql_dround('SUM(l_extendedprice * (1 - l_discount))', 2)}      AS sum_disc_price,
-                   {sql_dround('AVG(l_quantity)', 4)}                              AS avg_qty,
-                   {sql_dround('AVG(l_discount)', 6)}                              AS avg_disc,
+                   {sql_money_sum('l_extendedprice')}                     AS sum_base_price,
+                   {sql_dround(sql_revenue_sum('l_extendedprice', 'l_discount'), 2)} AS sum_disc_price,
+                   {sql_dround(sql_int_avg('l_quantity'), 4)}             AS avg_qty,
+                   {sql_dround(sql_money_avg('l_discount'), 6)}           AS avg_disc,
                    COUNT(*)                                               AS count_order
             FROM lineitem
             GROUP BY l_returnflag, l_linestatus
@@ -1155,6 +1258,41 @@ def oracle_sql() -> dict[str, str]:
         key="c_custkey",
         tracked=["acctbal", "segment"],
         effective_date="1998-08-01",
+    )
+    _scd2_b0 = (
+        "SELECT c_custkey, c_acctbal AS acctbal, "
+        "c_mktsegment AS segment FROM customer"
+    )
+    _scd2_b1 = (
+        "SELECT c.c_custkey, "
+        "c.c_acctbal + COALESCE(o.n_open, 0) * 10.0 AS acctbal, "
+        "c.c_mktsegment AS segment FROM customer c LEFT JOIN ("
+        "SELECT o_custkey, COUNT(*) AS n_open FROM orders "
+        "WHERE o_orderstatus = 'O' GROUP BY 1) o "
+        "ON c.c_custkey = o.o_custkey"
+    )
+    _scd2_empty = (
+        "SELECT CAST(NULL AS BIGINT) AS c_custkey, "
+        "CAST(NULL AS DOUBLE) AS acctbal, "
+        "CAST(NULL AS VARCHAR) AS segment, "
+        "CAST(NULL AS DATE) AS effective_from, "
+        "CAST(NULL AS DATE) AS effective_to, "
+        "CAST(NULL AS BOOLEAN) AS is_current WHERE FALSE"
+    )
+    # streaming replay = the same merge applied twice: nest merge #1's
+    # full SQL as merge #2's current_dim CTE body
+    oracles["scd2_stream_replay"] = scd_ops.oracle_scd2_sql(
+        current_cte=scd_ops.oracle_scd2_sql(
+            current_cte=_scd2_empty,
+            updates_cte=_scd2_b0,
+            key="c_custkey",
+            tracked=["acctbal", "segment"],
+            effective_date="2024-01-01",
+        ),
+        updates_cte=_scd2_b1,
+        key="c_custkey",
+        tracked=["acctbal", "segment"],
+        effective_date="2024-01-02",
     )
     oracles["snapshot_diff_customers"] = scd_ops.oracle_snapshot_diff_sql(
         old_cte=(
@@ -1273,6 +1411,11 @@ def oracle_sql() -> dict[str, str]:
     oracles["hll_distinct_users"] = sketches.oracle_hll_distinct_sql(
         "events", "user_id", ["event_type"]
     )
+    oracles["hll_stream_estimates"] = (
+        "SELECT event_type, est_distinct FROM ("
+        + sketches.oracle_hll_distinct_sql("events", "user_id", ["event_type"])
+        + ")"
+    )
     oracles["concurrent_sessions"] = rangejoin_ops.oracle_concurrent_sessions_sql()
     oracles["bigram_vocab"] = vocab_ops.oracle_ngram_vocab_sql(n=2)
     oracles["tfidf_top_terms"] = vocab_ops.oracle_tfidf_sql()
@@ -1341,7 +1484,7 @@ def oracle_sql() -> dict[str, str]:
     )
     oracles["shipping_priority"] = f"""
         SELECT l.l_orderkey, o.o_orderdate, o.o_orderpriority,
-               {sql_dround('SUM(l.l_extendedprice * (1 - l.l_discount))', 2)} AS revenue
+               {sql_dround(sql_revenue_sum('l.l_extendedprice', 'l.l_discount'), 2)} AS revenue
         FROM customer c
         JOIN orders o ON c.c_custkey = o.o_custkey
         JOIN lineitem l ON o.o_orderkey = l.l_orderkey
@@ -1355,7 +1498,7 @@ def oracle_sql() -> dict[str, str]:
     dround4 = lambda e: f"FLOOR(({e}) * 10000.0 + 0.5) / 10000.0"  # noqa: E731
     oracles["local_supplier_volume"] = f"""
         SELECT n.n_name,
-               {dround4("SUM(l.l_extendedprice * (1 - l.l_discount))")}
+               {sql_revenue_sum("l.l_extendedprice", "l.l_discount")}
                    AS revenue
         FROM customer c
         JOIN orders o ON c.c_custkey = o.o_custkey
@@ -1371,12 +1514,12 @@ def oracle_sql() -> dict[str, str]:
     oracles["promo_revenue"] = f"""
         WITH agg AS (
             SELECT
-                {dround4(
-                    "SUM(CASE WHEN p.p_type = 'PROMO' "
-                    "THEN l.l_extendedprice * (1 - l.l_discount) "
-                    "ELSE 0.0 END)"
-                )} AS promo_revenue,
-                {dround4("SUM(l.l_extendedprice * (1 - l.l_discount))")}
+                {sql_exact_sum(
+                    "CASE WHEN p.p_type = 'PROMO' THEN "
+                    + sql_revenue_e4("l.l_extendedprice", "l.l_discount")
+                    + " ELSE 0 END"
+                )} / 1e4 AS promo_revenue,
+                {sql_revenue_sum("l.l_extendedprice", "l.l_discount")}
                     AS total_revenue
             FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
         )

@@ -171,6 +171,11 @@ STANDALONE = [
     "ngram_novelty",
     "cluster_size_histogram",
     "embedding_outliers",
+    # r6: streaming end-states under the oracle gate (their wall-clock
+    # is dominated by stream startup + the deliberate 1.1s mtime gap in
+    # scd2_stream_replay's two-batch staging — honest fixed overhead)
+    "scd2_stream_replay",
+    "hll_stream_estimates",
 ]
 
 
@@ -314,13 +319,41 @@ def main() -> None:
             sum(timings.get(q, 0.0) for q in R4_SET), 3
         ),
     }
+    # The driver captures only the TAIL of stdout (~2000 chars) and
+    # parses the final JSON line — with 120+ queries the full per-query
+    # dict overflows that window and the headline total is lost
+    # (BENCH_r05.json came back `parsed: null`).  So: write the full
+    # detail to BENCH_DETAIL.json (committed alongside the round docs),
+    # and keep the FINAL printed line compact — total, subtotals, query
+    # count, and only the slowest 15 queries (2dp) — well under the
+    # capture window.
+    total = round(sum(timings.values()), 3)
+    detail = {
+        "metric": "headline_queries_total_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "subtotals": subtotals,
+        "sf": sf,
+    }
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "BENCH_DETAIL.json"), "w"
+    ) as f:
+        json.dump(detail, f, indent=1, sort_keys=True)
+        f.write("\n")
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: -kv[1])[:15]
+    )
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_wall_clock",
-                "value": round(sum(timings.values()), 3),
+                "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": {k: round(v, 2) for k, v in slowest.items()},
+                "n_queries": len(timings),
+                "queries_are": "slowest_15_of_n; full set in BENCH_DETAIL.json",
                 "subtotals": subtotals,
                 "sf": sf,
             }

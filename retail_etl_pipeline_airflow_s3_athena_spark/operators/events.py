@@ -29,6 +29,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from retail_etl_pipeline_airflow_s3_athena_spark.functions.money import (
+    money_avg,
+    money_sum,
+    sql_money_avg,
+    sql_money_sum,
+)
 from retail_etl_pipeline_airflow_s3_athena_spark.operators.text import dround, sql_dround
 
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
@@ -44,8 +50,8 @@ def windowed_event_stats(events: DataFrame, window: str = "1 hour") -> DataFrame
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            dround(F.sum("value"), 4).alias("sum_value"),
-            dround(F.avg("value"), 6).alias("avg_value"),
+            money_sum("value").alias("sum_value"),
+            dround(money_avg("value"), 6).alias("avg_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),
@@ -90,7 +96,7 @@ def sessionize(
             F.min("ts").alias("session_start"),
             F.max("ts").alias("session_end"),
             (F.max("sec") - F.min("sec")).alias("duration_sec"),
-            dround(F.sum("value"), 4).alias("session_value"),
+            money_sum("value").alias("session_value"),
         )
     )
 
@@ -107,7 +113,7 @@ def session_window_stats(
         events.groupBy("user_id", F.session_window("ts", gap).alias("w"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            dround(F.sum("value"), 4).alias("session_value"),
+            money_sum("value").alias("session_value"),
         )
         .select(
             "user_id",
@@ -183,8 +189,8 @@ def oracle_windowed_stats_sql(table: str = "events") -> str:
         SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
                event_type,
                COUNT(*) AS n_events,
-               {sql_dround("SUM(value)", 4)} AS sum_value,
-               {sql_dround("AVG(value)", 6)} AS avg_value
+               {sql_money_sum("value")} AS sum_value,
+               {sql_dround(sql_money_avg("value"), 6)} AS avg_value
         FROM {table}
         GROUP BY 1, 2
     """
@@ -218,7 +224,7 @@ def oracle_sessionize_sql(
                CAST(MIN(ts) AS TIMESTAMP) AS session_start,
                CAST(MAX(ts) AS TIMESTAMP) AS session_end,
                MAX(sec) - MIN(sec) AS duration_sec,
-               {sql_dround("SUM(value)", 4)} AS session_value
+               {sql_money_sum("value")} AS session_value
         FROM s GROUP BY user_id, session_seq
     """
 
@@ -249,7 +255,7 @@ def oracle_session_window_sql(
                CAST(MAX(ts) AS TIMESTAMP) + INTERVAL {gap_seconds} SECOND
                    AS window_end,
                COUNT(*) AS n_events,
-               {sql_dround("SUM(value)", 4)} AS session_value
+               {sql_money_sum("value")} AS session_value
         FROM s GROUP BY user_id, session_seq
     """
 

@@ -27,6 +27,10 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from retail_etl_pipeline_airflow_s3_athena_spark.operators.similarity import EMB_DIM
+from retail_etl_pipeline_airflow_s3_athena_spark.functions.money import (
+    money_avg,
+    sql_money_avg,
+)
 from retail_etl_pipeline_airflow_s3_athena_spark.operators.text import dround, sql_dround
 
 Q_MAX = 127  # int8 symmetric range
@@ -155,8 +159,8 @@ def standardize_embeddings(
         F.posexplode(F.col(vec_col)).alias("pos", "x"),
     ).select("vec_id", "pos", F.col("x").cast("double").alias("x"))
     stats = flat.groupBy("pos").agg(
-        dround(F.avg("x"), 6).alias("mu"),
-        dround(F.avg(F.col("x") * F.col("x")), 6).alias("ex2"),
+        dround(money_avg("x", 8), 6).alias("mu"),
+        dround(money_avg(F.col("x") * F.col("x"), 8), 6).alias("ex2"),
     ).select(
         "pos",
         "mu",
@@ -172,8 +176,8 @@ def standardize_embeddings(
 
 
 def oracle_standardize_embeddings_sql(table: str = "embeddings") -> str:
-    mu = sql_dround("AVG(x)", 6)
-    ex2 = sql_dround("AVG(x * x)", 6)
+    mu = sql_dround(sql_money_avg("x", 8), 6)
+    ex2 = sql_dround(sql_money_avg("x * x", 8), 6)
     sigma = sql_dround("SQRT(GREATEST(ex2 - mu * mu, 0.0))", 6)
     z = sql_dround("(f.x - s.mu) / s.sigma", 6)
     return f"""

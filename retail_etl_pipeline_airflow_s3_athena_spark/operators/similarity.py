@@ -37,6 +37,10 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from retail_etl_pipeline_airflow_s3_athena_spark.functions.money import (
+    money_avg,
+    sql_money_avg,
+)
 from retail_etl_pipeline_airflow_s3_athena_spark.operators.text import (
     FP_MOD,
     dround,
@@ -236,7 +240,7 @@ def label_centroids(embeddings: DataFrame) -> DataFrame:
             F.posexplode(_as_double(F.col("embedding"))).alias("pos", "x"),
         )
         .groupBy("label", "pos")
-        .agg(dround(F.avg("x"), 6).alias("val"))
+        .agg(dround(money_avg("x", 8), 6).alias("val"))
         .withColumn("pos", F.col("pos").cast("long"))
     )
 
@@ -406,12 +410,39 @@ def rp_lsh_signatures(
     return _drop_null_vecs(embeddings).select("vec_id", guarded.alias("rp_sig"))
 
 
+# Above this corpus size the exact all-pairs plan (O(n^2) comparisons)
+# is dispatched to the LSH-bucketed scale path instead — the same
+# bounded-threshold dispatch the connected-components family uses
+# (cluster.py).  Fixture scales (sf0.001-0.1: <= ~6k vectors) stay on
+# the exact path, keeping it the oracle-calibration twin.
+EXACT_NEAR_DUP_MAX_ROWS = 20_000
+
+
 def embedding_near_dup(
+    embeddings: DataFrame,
+    threshold: float = 0.4,
+    dim: int = EMB_DIM,
+    exact_max_rows: int = EXACT_NEAR_DUP_MAX_ROWS,
+) -> DataFrame:
+    """Cosine near-duplicate pairs (a < b, cos >= threshold), with a
+    corpus-size dispatch: EXACT all-pairs under ``exact_max_rows``
+    (verification/calibration scale — the quadratic plan is the oracle
+    twin), the rp-LSH bucketed path above it (recall-bounded but
+    O(bucket) pair space — the only plan that survives 100x scale).
+    The one count() job that sizes the corpus is a single columnar
+    scan of the id column — negligible next to either path."""
+    if embeddings.count() <= exact_max_rows:
+        return embedding_near_dup_exact(embeddings, threshold, dim)
+    return embedding_near_dup_lsh(embeddings, threshold, dim=dim)
+
+
+def embedding_near_dup_exact(
     embeddings: DataFrame, threshold: float = 0.4, dim: int = EMB_DIM
 ) -> DataFrame:
     """Exact all-pairs cosine near-duplicates (a < b, cos >= threshold).
     Verification-scale only; at corpus scale bucket by rp_lsh_signatures
-    or ivf cell first so the pair space is bounded."""
+    or ivf cell first so the pair space is bounded (see
+    ``embedding_near_dup``'s dispatch)."""
     e = _normed(embeddings, dim)
     a = e.alias("a")
     b = e.alias("b")
@@ -771,7 +802,7 @@ centroids AS (
 
 def _sql_centroid_ctes(table: str = "embeddings") -> str:
     return _SQL_CENTROIDS.format(
-        table=table, avg_expr=sql_dround("AVG(x)", 6)
+        table=table, avg_expr=sql_dround(sql_money_avg("x", 8), 6)
     ).strip()
 
 
@@ -943,7 +974,7 @@ def _cluster_means(assigned: DataFrame) -> DataFrame:
         )
         .groupBy("cluster", "pos")
         .agg(
-            dround(F.avg("x"), 6).alias("val"),
+            dround(money_avg("x", 8), 6).alias("val"),
             F.count("*").alias("n_members"),
         )
         .withColumn("pos", F.col("pos").cast("long"))
@@ -1035,7 +1066,7 @@ def oracle_kmeans_fit_sql(table: str = "embeddings", rounds: int = 2) -> str:
         ),
         means{r} AS (
             SELECT cluster, CAST(i - 1 AS BIGINT) AS pos,
-                   {sql_dround("AVG(x)", 6)} AS val,
+                   {sql_dround(sql_money_avg("x", 8), 6)} AS val,
                    CAST(COUNT(*) AS BIGINT) AS n_members
             FROM (SELECT cluster, i, v[i] AS x FROM exploded{r})
             GROUP BY cluster, i
@@ -1312,9 +1343,7 @@ def embedding_outliers(
     per_vec = (
         knn.groupBy("vec_id")
         .agg(
-            dround(
-                F.sum(F.col("cos_sim")) / F.count(F.lit(1)), 6
-            ).alias("mean_topk_cos")
+            dround(money_avg("cos_sim", 8), 6).alias("mean_topk_cos")
         )
     )
     return per_vec.orderBy(
@@ -1326,7 +1355,7 @@ def oracle_embedding_outliers_sql(
     table: str = "embeddings", k: int = 3, n_outliers: int = 20
 ) -> str:
     knn = oracle_knn_graph_sql(table, k)
-    mean = sql_dround("SUM(cos_sim) / COUNT(*)", 6)
+    mean = sql_dround(sql_money_avg("cos_sim", 8), 6)
     return f"""
         WITH knn AS ({knn})
         SELECT vec_id, {mean} AS mean_topk_cos

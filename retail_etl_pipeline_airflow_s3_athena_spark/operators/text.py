@@ -26,6 +26,11 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
 
+from retail_etl_pipeline_airflow_s3_athena_spark.functions.money import (
+    int_avg,
+    sql_int_avg,
+)
+
 def dround(col: Column, digits: int) -> Column:
     """Deterministic cross-engine rounding: floor(x*10^d + 0.5)/10^d.
 
@@ -481,7 +486,7 @@ def corpus_stats(docs: DataFrame) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum(ntok).alias("total_tokens"),
-            dround(F.avg(ntok), 4).alias("avg_tokens"),
+            dround(int_avg(ntok), 4).alias("avg_tokens"),
             F.sum(F.length("text").cast("long")).alias("total_chars"),
         )
         .orderBy("source", "lang")
@@ -494,7 +499,7 @@ def oracle_corpus_stats_sql(table: str = "documents", t: str = "text") -> str:
         SELECT source, lang,
                CAST(COUNT(*) AS BIGINT)      AS n_docs,
                CAST(SUM({ntok}) AS BIGINT)   AS total_tokens,
-               {sql_dround(f"AVG({ntok})", 4)} AS avg_tokens,
+               {sql_dround(sql_int_avg(ntok), 4)} AS avg_tokens,
                CAST(SUM(LENGTH({t})) AS BIGINT) AS total_chars
         FROM {table}
         GROUP BY source, lang

@@ -109,7 +109,22 @@ def winnow_fingerprints(
     window spanning all their grams.
     """
     grams = _flat_grams(docs, text_col)
-    enc = (F.col("s") * POS_ENC + (POS_ENC - 1 - F.col("gpos"))).cast("long")
+    # Loud guard (not silent corruption): gpos >= POS_ENC would alias
+    # into the hash bits of the packed (hash, pos) min and yield wrong
+    # fingerprints in BOTH engines.  A >1M-token document should have
+    # been chunked upstream (operators/training.doc_chunks); fail with
+    # the doc id instead of fingerprinting incorrectly.
+    gpos_ok = F.when(F.col("gpos") < POS_ENC, F.col("gpos")).otherwise(
+        F.raise_error(
+            F.format_string(
+                "winnow_fingerprints: doc %s has >= %d grams; "
+                "chunk oversized docs before fingerprinting",
+                F.col("doc_id").cast("string"),
+                F.lit(POS_ENC),
+            )
+        )
+    )
+    enc = (F.col("s") * POS_ENC + (POS_ENC - 1 - gpos_ok)).cast("long")
     frame = (
         Window.partitionBy("doc_id")
         .orderBy("gpos")

@@ -26,6 +26,10 @@ import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 
+from retail_etl_pipeline_airflow_s3_athena_spark.functions.money import (
+    sql_money_avg,
+    sql_money_sum,
+)
 from retail_etl_pipeline_airflow_s3_athena_spark.operators.text import sql_dround
 from retail_etl_pipeline_airflow_s3_athena_spark.plans import gold, retail_views
 
@@ -41,7 +45,7 @@ daily_sales_summary AS (
     SELECT CAST(order_date AS DATE)              AS sale_date,
            COUNT(transaction_id)                 AS total_orders,
            CAST(SUM(quantity) AS BIGINT)         AS total_items,
-           {sql_dround('SUM(unit_price * quantity)', 2)}  AS revenue
+           {sql_money_sum('unit_price * quantity')}  AS revenue
     FROM sale_transactions
     WHERE CAST(order_date AS DATE) IS NOT NULL
     GROUP BY 1
@@ -50,7 +54,7 @@ customer_spend AS (
     SELECT customer_id,
            COUNT(transaction_id)                 AS order_count,
            CAST(SUM(quantity) AS BIGINT)         AS total_items,
-           {sql_dround('SUM(unit_price * quantity)', 2)}  AS total_spent
+           {sql_money_sum('unit_price * quantity')}  AS total_spent
     FROM sale_transactions
     GROUP BY 1
 ),
@@ -68,7 +72,7 @@ product_performance AS (
         SELECT product_id,
                COUNT(transaction_id)         AS times_sold,
                CAST(SUM(quantity) AS BIGINT) AS total_quantity,
-               {sql_dround('AVG(unit_price)', 4)}     AS avg_price
+               {sql_dround(sql_money_avg('unit_price', 8), 4)}     AS avg_price
         FROM sale_transactions
         GROUP BY 1
     ) pp LEFT JOIN products p USING (product_id)
@@ -80,7 +84,7 @@ store_performance AS (
         SELECT store_id,
                COUNT(transaction_id)                AS total_transactions,
                CAST(SUM(quantity) AS BIGINT)        AS total_items,
-               {sql_dround('SUM(unit_price * quantity)', 2)} AS total_revenue
+               {sql_money_sum('unit_price * quantity')} AS total_revenue
         FROM sale_transactions
         GROUP BY 1
     ) sp LEFT JOIN stores s USING (store_id)
@@ -130,7 +134,7 @@ ANALYTICS_SQL: dict[str, str] = {
         SELECT category,
                CAST(SUM(times_sold) AS BIGINT)      AS total_sales,
                CAST(SUM(total_quantity) AS BIGINT)  AS total_qty,
-               {sql_dround('SUM(times_sold * avg_price)', 2)} AS estimated_revenue
+               {sql_dround(sql_money_sum('times_sold * avg_price', 4), 2)} AS estimated_revenue
         FROM product_performance
         GROUP BY category
         ORDER BY estimated_revenue DESC
@@ -166,7 +170,7 @@ ANALYTICS_SQL: dict[str, str] = {
         SELECT market_segment,
                CAST(COUNT(transaction_id) AS BIGINT) AS n_transactions,
                CAST(SUM(quantity) AS BIGINT)         AS total_items,
-               {sql_dround('SUM(unit_price * quantity)', 2)}  AS revenue
+               {sql_money_sum('unit_price * quantity')}  AS revenue
         FROM sale_transactions st
         JOIN customers c USING (customer_id)
         GROUP BY ROLLUP(market_segment)

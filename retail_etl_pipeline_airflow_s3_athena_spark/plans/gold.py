@@ -22,10 +22,13 @@ Semantic notes (SURVEY.md §7.3):
 - Top-k / sort tie order is undefined in the reference (pandas stable
   sort on arbitrary input order); we pin a deterministic secondary key
   (the id column) so results are reproducible and oracle-comparable.
-- Monetary aggregates are rounded to 2dp (avg price 4dp) at the gold
-  boundary: double summation order differs across engines/partitionings,
-  and gold is a materialized product — stable values are part of its
-  contract.
+- Monetary aggregates use exact integer-cents accumulation
+  (``functions/money.py``): per-row line revenue is recovered to exact
+  cents, summed as DECIMAL(38,0), and divided once — gold is a
+  materialized product, and stable values under ANY partitioning/engine
+  are part of its contract (a plain rounded double SUM is penny-flaky
+  when a group's total lands near a rounding boundary).  avg_price is a
+  1e-8-quantized order-independent average rounded to 4dp.
 
 Scale notes:
 - All aggregations are partial-agg hash aggregates (map-side combine)
@@ -43,6 +46,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from retail_etl_pipeline_airflow_s3_athena_spark.functions.money import (
+    money_avg,
+    money_sum,
+)
 from retail_etl_pipeline_airflow_s3_athena_spark.operators.text import dround
 
 
@@ -110,7 +117,7 @@ def daily_sales_summary(sale_transactions: DataFrame) -> DataFrame:
         .agg(
             F.count("transaction_id").alias("total_orders"),
             F.sum("quantity").alias("total_items"),
-            dround(F.sum("line_revenue"), 2).alias("revenue"),
+            money_sum("line_revenue").alias("revenue"),
         )
         .orderBy("sale_date")
     )
@@ -126,7 +133,7 @@ def customer_spend(sale_transactions: DataFrame) -> DataFrame:
         .agg(
             F.count("transaction_id").alias("order_count"),
             F.sum("quantity").alias("total_items"),
-            dround(F.sum("line_revenue"), 2).alias("total_spent"),
+            money_sum("line_revenue").alias("total_spent"),
         )
     )
 
@@ -159,7 +166,7 @@ def product_performance(
     perf = sale_transactions.groupBy("product_id").agg(
         F.count("transaction_id").alias("times_sold"),
         F.sum("quantity").alias("total_quantity"),
-        dround(F.avg("unit_price"), 4).alias("avg_price"),
+        dround(money_avg("unit_price", 8), 4).alias("avg_price"),
     )
     return perf.join(F.broadcast(products), "product_id", "left").orderBy(
         F.desc("times_sold"), F.asc("product_id")
@@ -180,7 +187,7 @@ def store_performance(sale_transactions: DataFrame, stores: DataFrame) -> DataFr
         .agg(
             F.count("transaction_id").alias("total_transactions"),
             F.sum("quantity").alias("total_items"),
-            dround(F.sum("line_revenue"), 2).alias("total_revenue"),
+            money_sum("line_revenue").alias("total_revenue"),
         )
     )
     return perf.join(F.broadcast(stores), "store_id", "left").orderBy(

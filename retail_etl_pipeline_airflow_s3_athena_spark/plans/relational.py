@@ -33,6 +33,22 @@ from pyspark.sql import functions as F
 from retail_etl_pipeline_airflow_s3_athena_spark.functions.caching import (
     attach_cached_deps,
 )
+from retail_etl_pipeline_airflow_s3_athena_spark.functions.money import (
+    cents,
+    exact_sum,
+    int_avg,
+    money_avg,
+    money_sum,
+    revenue_e4,
+    revenue_sum,
+    sql_cents,
+    sql_exact_sum,
+    sql_int_avg,
+    sql_money_avg,
+    sql_money_sum,
+    sql_revenue_e4,
+    sql_revenue_sum,
+)
 from retail_etl_pipeline_airflow_s3_athena_spark.operators.text import dround, sql_dround
 
 
@@ -106,7 +122,7 @@ def dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.count("*").alias("n_customers"),
-            dround(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+            money_sum("c_acctbal").alias("total_acctbal"),
         )
         .orderBy("c_mktsegment")
     )
@@ -116,7 +132,7 @@ def oracle_dormant_customers_sql() -> str:
     return f"""
         SELECT c.c_mktsegment,
                CAST(COUNT(*) AS BIGINT) AS n_customers,
-               {sql_dround('SUM(c.c_acctbal)', 2)} AS total_acctbal
+               {sql_money_sum('c.c_acctbal')} AS total_acctbal
         FROM customer c
         WHERE NOT EXISTS (SELECT 1 FROM orders o
                           WHERE o.o_custkey = c.c_custkey
@@ -201,7 +217,7 @@ def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
         .agg(
             F.count("*").alias("n_small_lines"),
-            dround(F.sum("l_extendedprice"), 2).alias("total_revenue"),
+            money_sum("l_extendedprice").alias("total_revenue"),
         )
     )
 
@@ -209,7 +225,7 @@ def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 def oracle_small_quantity_revenue_sql() -> str:
     return f"""
         SELECT CAST(COUNT(*) AS BIGINT) AS n_small_lines,
-               {sql_dround('SUM(l.l_extendedprice)', 2)} AS total_revenue
+               {sql_money_sum('l.l_extendedprice')} AS total_revenue
         FROM lineitem l
         WHERE l.l_quantity < (
             SELECT 0.5 * AVG(l2.l_quantity) FROM lineitem l2
@@ -285,7 +301,7 @@ def daily_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     daily = (
         orders.groupBy(F.to_date("o_orderdate").alias("order_day"))
-        .agg(dround(F.sum("o_totalprice"), 2).alias("revenue"))
+        .agg(money_sum("o_totalprice").alias("revenue"))
     )
     w = Window.orderBy("order_day")
     prev = F.lag("revenue").over(w)
@@ -305,7 +321,7 @@ def daily_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def oracle_daily_revenue_delta_sql() -> str:
-    rev = sql_dround("SUM(o_totalprice)", 2)
+    rev = sql_money_sum("o_totalprice")
     return f"""
         WITH daily AS (
             SELECT CAST(o_orderdate AS DATE) AS order_day,
@@ -339,7 +355,7 @@ def customer_value_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     themselves didn't fit one partition."""
     orders = _t(spark, sf_dir, "orders")
     spend = orders.groupBy("o_custkey").agg(
-        dround(F.sum("o_totalprice"), 2).alias("total_spend"),
+        money_sum("o_totalprice").alias("total_spend"),
         F.count("*").alias("n_orders"),
     )
     w = Window.orderBy(F.desc("total_spend"), F.asc("o_custkey"))
@@ -359,7 +375,7 @@ def oracle_customer_value_tiles_sql() -> str:
     return f"""
         WITH spend AS (
             SELECT o_custkey AS custkey,
-                   {sql_dround('SUM(o_totalprice)', 2)} AS total_spend,
+                   {sql_money_sum('o_totalprice')} AS total_spend,
                    CAST(COUNT(*) AS BIGINT) AS n_orders
             FROM orders GROUP BY 1
         )
@@ -453,7 +469,6 @@ def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     n2 = _t(spark, sf_dir, "nation").select(
         F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
     )
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
@@ -466,7 +481,9 @@ def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cust_nation",
             F.year("o_orderdate").cast("long").alias("order_year"),
         )
-        .agg(dround(F.sum(rev), 4).alias("volume"))
+        .agg(
+            revenue_sum("l_extendedprice", "l_discount").alias("volume")
+        )
         .orderBy("supp_nation", "cust_nation", "order_year")
     )
 
@@ -476,7 +493,7 @@ def oracle_nation_trade_volume_sql() -> str:
         SELECT ns.n_name AS supp_nation,
                nc.n_name AS cust_nation,
                CAST(EXTRACT(YEAR FROM o.o_orderdate) AS BIGINT) AS order_year,
-               {sql_dround('SUM(l.l_extendedprice * (1 - l.l_discount))', 4)}
+               {sql_revenue_sum('l.l_extendedprice', 'l.l_discount')}
                    AS volume
         FROM lineitem l
         JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -611,16 +628,14 @@ def brand_basket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return j.filter(basket).agg(
-        dround(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
-        ).alias("revenue"),
+        revenue_sum("l_extendedprice", "l_discount").alias("revenue"),
         F.count(F.lit(1)).alias("n_lines"),
     )
 
 
 def oracle_brand_basket_revenue_sql() -> str:
     return f"""
-        SELECT {sql_dround('SUM(l.l_extendedprice * (1 - l.l_discount))', 4)}
+        SELECT {sql_revenue_sum('l.l_extendedprice', 'l.l_discount')}
                    AS revenue,
                CAST(COUNT(*) AS BIGINT) AS n_lines
         FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
@@ -658,7 +673,7 @@ def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
     )
     region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    rev_e4 = revenue_e4("l_extendedprice", "l_discount")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
@@ -668,15 +683,17 @@ def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation_s), supp.s_nationkey == F.col("sn_key"))
         .groupBy(F.year("o_orderdate").cast("long").alias("order_year"))
         .agg(
-            dround(
-                F.sum(
+            (
+                exact_sum(
                     F.when(
-                        F.col("supp_nation") == MARKET_SHARE_NATION, rev
-                    ).otherwise(0.0)
-                ),
-                4,
+                        F.col("supp_nation") == MARKET_SHARE_NATION, rev_e4
+                    ).otherwise(F.lit(0))
+                )
+                / 1e4
             ).alias("nation_revenue"),
-            dround(F.sum(rev), 4).alias("total_revenue"),
+            revenue_sum("l_extendedprice", "l_discount").alias(
+                "total_revenue"
+            ),
         )
         .select(
             "order_year",
@@ -696,12 +713,13 @@ def oracle_nation_market_share_sql() -> str:
         WITH agg AS (
             SELECT CAST(EXTRACT(YEAR FROM o.o_orderdate) AS BIGINT)
                        AS order_year,
-                   {sql_dround(
-                       "SUM(CASE WHEN ns.n_name = '" + MARKET_SHARE_NATION
-                       + "' THEN l.l_extendedprice * (1 - l.l_discount) "
-                       "ELSE 0.0 END)", 4)} AS nation_revenue,
-                   {sql_dround(
-                       "SUM(l.l_extendedprice * (1 - l.l_discount))", 4)}
+                   {sql_exact_sum(
+                       "CASE WHEN ns.n_name = '" + MARKET_SHARE_NATION
+                       + "' THEN " + sql_revenue_e4(
+                           "l.l_extendedprice", "l.l_discount")
+                       + " ELSE 0 END")} / 1e4 AS nation_revenue,
+                   {sql_revenue_sum(
+                       "l.l_extendedprice", "l.l_discount")}
                        AS total_revenue
             FROM lineitem l
             JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -887,7 +905,7 @@ def above_avg_dormant_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     side is 1 row."""
     cust = _t(spark, sf_dir, "customer")
     avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
-        dround(F.avg("c_acctbal"), 2).alias("avg_bal")
+        dround(money_avg("c_acctbal"), 2).alias("avg_bal")
     )
     recent = _t(spark, sf_dir, "orders").filter(
         F.expr(f"o_orderdate >= TIMESTAMP_NTZ'{DORMANT_CUTOFF} 00:00:00'")
@@ -899,7 +917,7 @@ def above_avg_dormant_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
-            dround(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+            money_sum("c_acctbal").alias("total_acctbal"),
         )
         .orderBy("c_mktsegment")
     )
@@ -909,10 +927,10 @@ def oracle_above_avg_dormant_value_sql() -> str:
     return f"""
         SELECT c.c_mktsegment,
                CAST(COUNT(*) AS BIGINT) AS n_customers,
-               {sql_dround('SUM(c.c_acctbal)', 2)} AS total_acctbal
+               {sql_money_sum('c.c_acctbal')} AS total_acctbal
         FROM customer c
         WHERE c.c_acctbal > (
-                SELECT {sql_dround('AVG(c2.c_acctbal)', 2)}
+                SELECT {sql_dround(sql_money_avg('c2.c_acctbal'), 2)}
                 FROM customer c2 WHERE c2.c_acctbal > 0.0)
           AND NOT EXISTS (SELECT 1 FROM orders o
                           WHERE o.o_custkey = c.c_custkey
@@ -950,13 +968,13 @@ def supplier_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pass and the filter — without it the fact table is scanned twice
     per_supp = li.groupBy("l_suppkey").agg(
         dround(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            revenue_sum("l_extendedprice", "l_discount"), 2
         ).alias("supp_revenue")
     ).persist()
     scalars = per_supp.agg(
-        dround(F.sum("supp_revenue"), 2).alias("total_revenue"),
+        money_sum("supp_revenue").alias("total_revenue"),
         dround(
-            F.lit(REVENUE_SHARE_FACTOR) * F.avg("supp_revenue"), 2
+            F.lit(REVENUE_SHARE_FACTOR) * money_avg("supp_revenue"), 2
         ).alias("rev_cutoff"),
     )
     supp = _t(spark, sf_dir, "supplier")
@@ -981,15 +999,16 @@ def oracle_supplier_revenue_share_sql() -> str:
     return f"""
         WITH per_supp AS (
             SELECT l_suppkey,
-                   {sql_dround(
-                       "SUM(l_extendedprice * (1 - l_discount))", 2)}
+                   {sql_dround(sql_revenue_sum(
+                       "l_extendedprice", "l_discount"), 2)}
                        AS supp_revenue
             FROM lineitem GROUP BY l_suppkey
         ),
         scalars AS (
-            SELECT {sql_dround('SUM(supp_revenue)', 2)} AS total_revenue,
+            SELECT {sql_money_sum('supp_revenue')} AS total_revenue,
                    {sql_dround(
-                       f'{REVENUE_SHARE_FACTOR} * AVG(supp_revenue)', 2)}
+                       f'{REVENUE_SHARE_FACTOR} * '
+                       + sql_money_avg('supp_revenue'), 2)}
                        AS rev_cutoff
             FROM per_supp
         )
@@ -1027,15 +1046,17 @@ def discount_band_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return li.agg(
         dround(
-            F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2
+            exact_sum(cents("l_extendedprice") * cents("l_discount")) / 1e4,
+            2,
         ).alias("forecast_revenue"),
         F.count("*").alias("n_lines"),
     )
 
 
 def oracle_discount_band_revenue_sql() -> str:
+    e4 = f"({sql_cents('l_extendedprice')} * {sql_cents('l_discount')})"
     return f"""
-        SELECT {sql_dround('SUM(l_extendedprice * l_discount)', 2)}
+        SELECT {sql_dround(sql_exact_sum(e4) + ' / 1e4', 2)}
                    AS forecast_revenue,
                CAST(COUNT(*) AS BIGINT) AS n_lines
         FROM lineitem
@@ -1069,7 +1090,6 @@ def nation_year_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = _t(spark, sf_dir, "supplier")
     nation = _t(spark, sf_dir, "nation")
     orders = _t(spark, sf_dir, "orders")
-    profit = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.join(part, li.l_partkey == part.p_partkey)
         .join(supp, li.l_suppkey == supp.s_suppkey)
@@ -1079,7 +1099,15 @@ def nation_year_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").cast("long").alias("order_year"),
         )
-        .agg(dround(F.sum(profit), 2).alias("sum_profit"))
+        # exact 1e-4-dollar integer accumulation (functions/money.py):
+        # the r5 driver caught this query penny-off at sf0.1 when it was
+        # dround(SUM(double)) — float accumulation order put two cells
+        # within an ulp of the .005 rounding boundary.
+        .agg(
+            dround(
+                revenue_sum("l_extendedprice", "l_discount"), 2
+            ).alias("sum_profit")
+        )
         .orderBy("nation", F.desc("order_year"))
     )
 
@@ -1088,8 +1116,8 @@ def oracle_nation_year_profit_sql() -> str:
     return f"""
         SELECT n.n_name AS nation,
                CAST(YEAR(o.o_orderdate) AS BIGINT) AS order_year,
-               {sql_dround(
-                   'SUM(l.l_extendedprice * (1 - l.l_discount))', 2)}
+               {sql_dround(sql_revenue_sum(
+                   'l.l_extendedprice', 'l.l_discount'), 2)}
                    AS sum_profit
         FROM lineitem l
         JOIN part p     ON l.l_partkey = p.p_partkey
@@ -1123,7 +1151,6 @@ def returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     cust = _t(spark, sf_dir, "customer")
     nation = _t(spark, sf_dir, "nation")
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
@@ -1132,7 +1159,11 @@ def returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_custkey", "c_name", "c_acctbal", "c_mktsegment",
             F.col("n_name").alias("nation"),
         )
-        .agg(dround(F.sum(rev), 2).alias("lost_revenue"))
+        .agg(
+            dround(
+                revenue_sum("l_extendedprice", "l_discount"), 2
+            ).alias("lost_revenue")
+        )
         .orderBy(F.desc("lost_revenue"), F.asc("c_custkey"))
         .limit(20)
     )
@@ -1142,8 +1173,8 @@ def oracle_returned_item_customers_sql() -> str:
     return f"""
         SELECT c.c_custkey, c.c_name, c.c_acctbal, c.c_mktsegment,
                n.n_name AS nation,
-               {sql_dround(
-                   'SUM(l.l_extendedprice * (1 - l.l_discount))', 2)}
+               {sql_dround(sql_revenue_sum(
+                   'l.l_extendedprice', 'l.l_discount'), 2)}
                    AS lost_revenue
         FROM lineitem l
         JOIN orders o   ON l.l_orderkey = o.o_orderkey
@@ -1227,9 +1258,10 @@ def top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_shipdate < TIMESTAMP_NTZ'1997-04-01 00:00:00'"
         )
     )
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     per_supp = li.groupBy("l_suppkey").agg(
-        dround(F.sum(rev), 2).alias("total_revenue")
+        dround(
+            revenue_sum("l_extendedprice", "l_discount"), 2
+        ).alias("total_revenue")
     ).persist()
     max_rev = per_supp.agg(
         F.max("total_revenue").alias("max_revenue")
@@ -1249,8 +1281,8 @@ def oracle_top_revenue_supplier_sql() -> str:
     return f"""
         WITH per_supp AS (
             SELECT l_suppkey,
-                   {sql_dround(
-                       'SUM(l_extendedprice * (1 - l_discount))', 2)}
+                   {sql_dround(sql_revenue_sum(
+                       'l_extendedprice', 'l_discount'), 2)}
                        AS total_revenue
             FROM lineitem
             WHERE l_shipdate >= TIMESTAMP '1997-01-01'
@@ -1280,24 +1312,25 @@ def segment_year_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     the customer join — an aggregate push-through-join Catalyst does
     not perform itself: the join input shrinks from |orders| to the
     roughly |customers|-sized active grid, so at 100 TB the wide
-    shuffle carries partial sums, not order rows.  Summing partials
-    is safe because Spark's own map-side combine already makes the
-    accumulation order nondeterministic — dround(2) absorbs it either
-    way (the repo-wide contract)."""
+    shuffle carries partial sums, not order rows.  Partials are
+    carried as exact BIGINT cents (``functions/money.py``), so the
+    two-stage accumulation is order-independent by construction."""
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer")
     pre = orders.groupBy(
         "o_custkey",
         F.year("o_orderdate").cast("long").alias("order_year"),
     ).agg(
-        F.sum("o_totalprice").alias("rev_part"),
+        # partial sums carried as exact BIGINT cents so the two-stage
+        # accumulation (pre-agg then cube) stays order-independent
+        F.sum(cents("o_totalprice")).alias("rev_cents"),
         F.count("*").alias("n_part"),
     )
     return (
         pre.join(cust, pre.o_custkey == cust.c_custkey)
         .cube("c_mktsegment", "order_year")
         .agg(
-            dround(F.sum("rev_part"), 2).alias("revenue"),
+            (exact_sum(F.col("rev_cents")) / 1e2).alias("revenue"),
             F.sum("n_part").alias("n_orders"),
         )
         .orderBy(
@@ -1311,7 +1344,7 @@ def oracle_segment_year_cube_sql() -> str:
     return f"""
         SELECT c.c_mktsegment,
                CAST(YEAR(o.o_orderdate) AS BIGINT) AS order_year,
-               {sql_dround('SUM(o.o_totalprice)', 2)} AS revenue,
+               {sql_money_sum('o.o_totalprice')} AS revenue,
                CAST(COUNT(*) AS BIGINT) AS n_orders
         FROM orders o
         JOIN customer c ON o.o_custkey = c.c_custkey
@@ -1425,7 +1458,7 @@ def customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.count("*").alias("n_gaps"),
-            dround(F.avg("gap_days"), 2).alias("avg_gap_days"),
+            dround(int_avg("gap_days"), 2).alias("avg_gap_days"),
             F.max("gap_days").alias("max_gap_days"),
         )
         .orderBy("c_mktsegment")
@@ -1445,7 +1478,7 @@ def oracle_customer_order_gaps_sql() -> str:
         )
         SELECT c.c_mktsegment,
                CAST(COUNT(*) AS BIGINT) AS n_gaps,
-               {sql_dround('AVG(g.gap_days)', 2)} AS avg_gap_days,
+               {sql_dround(sql_int_avg('g.gap_days'), 2)} AS avg_gap_days,
                MAX(g.gap_days) AS max_gap_days
         FROM gaps g
         JOIN customer c ON g.o_custkey = c.c_custkey
@@ -1464,25 +1497,28 @@ def brand_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     computed from EXPLICIT moment sums (n, Σx, Σy, Σx², Σy², Σxy)
     rather than the native ``corr`` aggregate: the five sums are
     map-side-combinable in one fact pass (native corr is too, but its
-    streaming co-moment update is engine-specific — explicit sums +
-    dround give a formula both engines evaluate identically).  Groups
+    streaming co-moment update is engine-specific — exact integer
+    moment sums give a formula both engines evaluate identically,
+    see ``functions/money.py``).  Groups
     with zero variance in either variable are excluded (the guard,
     not NULL-juggling, keeps div-by-zero semantics out of the
     comparison).  One fact⋈part join, one groupBy, output = |brands|."""
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part")
-    x = F.col("l_quantity")
-    y = F.col("l_extendedprice")
+    q = F.col("l_quantity").cast("long")
+    yc = cents("l_extendedprice")
     s = (
         li.join(part, li.l_partkey == part.p_partkey)
         .groupBy("p_brand")
         .agg(
             F.count("*").alias("n"),
-            dround(F.sum(x), 2).alias("sx"),
-            dround(F.sum(y), 2).alias("sy"),
-            dround(F.sum(x * x), 2).alias("sxx"),
-            dround(F.sum(y * y), 2).alias("syy"),
-            dround(F.sum(x * y), 2).alias("sxy"),
+            # exact integer moments (quantity is integer, price 2-dp):
+            # every sum is a DECIMAL(38,0) accumulation of exact values
+            exact_sum(q).alias("sx"),
+            (exact_sum(yc) / 1e2).alias("sy"),
+            exact_sum(q * q).alias("sxx"),
+            (exact_sum(yc * yc) / 1e4).alias("syy"),
+            (exact_sum(q * yc) / 1e2).alias("sxy"),
         )
     )
     var_x = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
@@ -1504,14 +1540,18 @@ def oracle_brand_corr_stats_sql() -> str:
         WITH s AS (
             SELECT p.p_brand,
                    CAST(COUNT(*) AS BIGINT) AS n,
-                   {sql_dround('SUM(l.l_quantity)', 2)} AS sx,
-                   {sql_dround('SUM(l.l_extendedprice)', 2)} AS sy,
-                   {sql_dround('SUM(l.l_quantity * l.l_quantity)', 2)} AS sxx,
-                   {sql_dround(
-                       'SUM(l.l_extendedprice * l.l_extendedprice)', 2)}
-                       AS syy,
-                   {sql_dround(
-                       'SUM(l.l_quantity * l.l_extendedprice)', 2)} AS sxy
+                   {sql_exact_sum('CAST(l.l_quantity AS BIGINT)')} AS sx,
+                   {sql_exact_sum(sql_cents('l.l_extendedprice'))} / 1e2
+                       AS sy,
+                   {sql_exact_sum(
+                       'CAST(l.l_quantity AS BIGINT)'
+                       ' * CAST(l.l_quantity AS BIGINT)')} AS sxx,
+                   {sql_exact_sum(
+                       sql_cents('l.l_extendedprice') + ' * '
+                       + sql_cents('l.l_extendedprice'))} / 1e4 AS syy,
+                   {sql_exact_sum(
+                       'CAST(l.l_quantity AS BIGINT) * '
+                       + sql_cents('l.l_extendedprice'))} / 1e2 AS sxy
             FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
             GROUP BY p.p_brand
         )

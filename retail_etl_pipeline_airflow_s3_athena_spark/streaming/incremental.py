@@ -228,7 +228,21 @@ def _versioned_overwrite(df: DataFrame, target_dir: str, batch_id: int) -> None:
     import os
     import shutil
 
+    # Crash-replay safety: if a crash landed after the symlink swap but
+    # before the streaming checkpoint committed, the replayed batch
+    # reuses the same batch_id — and target.v{batch_id} is then the
+    # LIVE symlink target that the lazily-planned input DataFrame may
+    # still scan.  Writing (mode overwrite deletes first) into it would
+    # corrupt the live table / crash the read.  Pick a fresh suffix
+    # instead of ever reusing an existing version directory.
     vdir = os.path.abspath(f"{target_dir}.v{batch_id}")
+    live = (
+        os.path.realpath(target_dir) if os.path.islink(target_dir) else None
+    )
+    retry = 0
+    while os.path.exists(vdir) or vdir == live:
+        retry += 1
+        vdir = os.path.abspath(f"{target_dir}.v{batch_id}r{retry}")
     df.write.mode("overwrite").parquet(vdir)
     swap = f"{target_dir}.swap"
     if os.path.lexists(swap):
@@ -465,12 +479,33 @@ def hll_sketch_stream(
         .option("maxFilesPerTrigger", 2)
         .parquet(source_dir)
     )
-    return (
+    # Advertise the active stream so compact_registers refuses to run
+    # concurrently (its two-rename swap would drop deltas appended
+    # mid-compaction).  The lock is cleared when the query terminates.
+    import threading
+
+    os.makedirs(work_dir, exist_ok=True)
+    lock = os.path.join(work_dir, "stream.active")
+    with open(lock, "w") as fh:
+        fh.write("hll_sketch_stream")
+    q = (
         stream.writeStream.foreachBatch(step)
         .option("checkpointLocation", ckpt_dir)
         .trigger(availableNow=True)
         .start()
     )
+
+    def _clear() -> None:
+        try:
+            q.awaitTermination()
+        finally:
+            try:
+                os.remove(lock)
+            except OSError:
+                pass
+
+    threading.Thread(target=_clear, daemon=True).start()
+    return q
 
 
 def hll_stream_estimates(spark: SparkSession, work_dir: str) -> DataFrame:
@@ -485,6 +520,26 @@ def hll_stream_estimates(spark: SparkSession, work_dir: str) -> DataFrame:
         F.max("m_j").alias("m_j")
     )
     return sketches.hll_estimate(merged, ["event_type"])
+
+
+_INTERVAL_UNITS = {
+    "second": 1, "seconds": 1,
+    "minute": 60, "minutes": 60,
+    "hour": 3600, "hours": 3600,
+    "day": 86400, "days": 86400,
+}
+
+
+def _interval_seconds(interval: str) -> int:
+    """Parse a simple '<n> <unit>' Spark interval string to seconds
+    (used to derive stream watermarks from join horizons)."""
+    parts = interval.strip().lower().split()
+    if len(parts) != 2 or parts[1] not in _INTERVAL_UNITS:
+        raise ValueError(
+            f"unsupported interval {interval!r}; use '<n> "
+            "second(s)|minute(s)|hour(s)|day(s)'"
+        )
+    return int(float(parts[0]) * _INTERVAL_UNITS[parts[1]])
 
 
 def attribution_stream(
@@ -506,7 +561,13 @@ def attribution_stream(
     is the horizon's worth of clicks per user — calendar-bounded, and
     partitioned by the equi-key (user_id) so the join never shuffles
     more than the horizon window.
+
+    The watermark is DERIVED from ``horizon`` (horizon + 1 hour of
+    late-arrival slack): a fixed watermark shorter than the horizon
+    would let the state store evict clicks before a matching purchase
+    arrives, silently dropping attributions.
     """
+    wm = f"{_interval_seconds(horizon) + 3600} seconds"
     clicks = (
         events_a.filter(F.col("event_type") == "click")
         .select(
@@ -514,7 +575,7 @@ def attribution_stream(
             F.col("ts").alias("click_ts"),
             F.col("event_id").alias("click_id"),
         )
-        .withWatermark("click_ts", "2 hours")
+        .withWatermark("click_ts", wm)
     )
     purchases = (
         events_b.filter(F.col("event_type") == "purchase")
@@ -524,7 +585,7 @@ def attribution_stream(
             F.col("event_id").alias("purchase_id"),
             F.col("value").alias("purchase_value"),
         )
-        .withWatermark("purchase_ts", "2 hours")
+        .withWatermark("purchase_ts", wm)
     )
     return clicks.join(
         purchases,
@@ -724,12 +785,27 @@ def compact_registers(spark: SparkSession, work_dir: str) -> int:
     swap the merged table in as a fresh single delta — read cost
     returns to one tiny file while every estimate stays bit-identical
     (max-merge is idempotent and associative).  Returns the compacted
-    row count.  Run it on any cadence; a crash mid-compaction leaves
-    the old delta directory untouched."""
+    row count.
+
+    MUST run while the stream is STOPPED (enforced below when the
+    stream registered its lock file): the swap is a two-rename gap, so
+    a delta appended between the merged read and the rename would be
+    deleted with the old directory — undercounting distincts — and
+    there is a window where ``registers`` does not exist.  A crash
+    mid-compaction leaves the old delta directory untouched; a stale
+    ``.old`` from a prior crash is cleaned up before renaming."""
     import os
     import shutil
 
     reg_dir = os.path.join(work_dir, "registers")
+    # Stream-running guard: hll_sketch_stream touches a lock file while
+    # active; refuse to compact under it rather than silently lose data.
+    lock = os.path.join(work_dir, "stream.active")
+    if os.path.exists(lock):
+        raise RuntimeError(
+            "compact_registers: hll_sketch_stream is active "
+            f"({lock} present) — stop the stream before compacting"
+        )
     merged = (
         spark.read.parquet(reg_dir)
         .groupBy("event_type", "bucket")
@@ -739,6 +815,9 @@ def compact_registers(spark: SparkSession, work_dir: str) -> int:
     merged.coalesce(1).write.mode("overwrite").parquet(tmp)
     n = spark.read.parquet(tmp).count()
     old = reg_dir + ".old"
+    # a leftover .old from a prior crash would make os.rename fail
+    if os.path.exists(old):
+        shutil.rmtree(old, ignore_errors=True)
     os.rename(reg_dir, old)
     os.rename(tmp, reg_dir)
     shutil.rmtree(old, ignore_errors=True)

@@ -930,3 +930,24 @@ def test_ngram_novelty_orders_by_ingest(spark):
     assert out[0]["novelty"] == 1.0
     assert out[1]["novelty"] == 0.0
     assert 0 < out[2]["novelty"] < 1.0
+
+
+def test_embedding_near_dup_size_dispatch(spark, sf_dir):
+    """The corpus-size dispatch (VERDICT r5 #6): under the threshold the
+    operator IS the exact all-pairs plan; above it, it IS the LSH
+    bucketed plan — same rows as calling each path directly."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    key = lambda r: (r["vec_a"], r["vec_b"], r["cos_sim"])  # noqa: E731
+    exact = {key(r) for r in similarity.embedding_near_dup_exact(emb).collect()}
+    # default threshold (20k) >> fixture size: dispatches to exact
+    assert {
+        key(r) for r in similarity.embedding_near_dup(emb).collect()
+    } == exact
+    # force the scale path: dispatches to LSH (subset of exact —
+    # band-collision candidates verified with the same exact cosine)
+    lsh = {key(r) for r in similarity.embedding_near_dup_lsh(emb).collect()}
+    assert {
+        key(r)
+        for r in similarity.embedding_near_dup(emb, exact_max_rows=0).collect()
+    } == lsh
+    assert lsh <= exact

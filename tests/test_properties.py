@@ -338,3 +338,72 @@ def test_winnow_guarantee_property(spark, prefix, shared, suffix):
     for r in fps:
         by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
     assert by_doc.get(0, set()) & by_doc.get(1, set()), (doc_a, doc_b)
+
+
+# ---------------------------------------------------------------------------
+# Exact monetary aggregation (functions/money.py): partition-count
+# invariance.  The r5 driver caught nation_year_profit penny-off at
+# sf0.1 — dround(SUM(double)) depends on accumulation order when the
+# true sum lands within an ulp of the .005 boundary.  money_sum /
+# revenue_sum accumulate exact scaled integers, so the result must be
+# BIT-IDENTICAL for every repartitioning.
+# ---------------------------------------------------------------------------
+
+amounts_strategy = st.lists(
+    # 2-dp money values, including boundary-hugging ones
+    st.integers(min_value=-10**7, max_value=10**9).map(lambda c: c / 100.0),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(amounts=amounts_strategy)
+def test_money_sum_partition_invariant(spark, amounts):
+    from retail_etl_pipeline_airflow_s3_athena_spark.functions.money import (
+        money_sum,
+    )
+
+    df = spark.createDataFrame([Row(v=a) for a in amounts])
+    results = {
+        df.repartition(n).agg(money_sum("v").alias("s")).collect()[0].s
+        for n in (1, 3, 7, 32)
+    }
+    assert len(results) == 1, results
+    # and the value is the exact cent sum
+    expected = sum(round(a * 100) for a in amounts) / 100.0
+    assert results == {expected}
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=10**7).map(lambda c: c / 100.0),
+            st.integers(min_value=0, max_value=10).map(lambda h: h / 100.0),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_revenue_sum_partition_invariant_and_exact(spark, rows):
+    from fractions import Fraction
+
+    from retail_etl_pipeline_airflow_s3_athena_spark.functions.money import (
+        revenue_sum,
+    )
+
+    df = spark.createDataFrame([Row(p=p, d=d) for p, d in rows])
+    results = {
+        df.repartition(n)
+        .agg(revenue_sum("p", "d").alias("s"))
+        .collect()[0]
+        .s
+        for n in (1, 5, 32)
+    }
+    assert len(results) == 1
+    exact = sum(
+        Fraction(round(p * 100), 100) * (1 - Fraction(round(d * 100), 100))
+        for p, d in rows
+    )
+    assert results == {float(exact)}

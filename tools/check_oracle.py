@@ -38,7 +38,13 @@ def _canon(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return f"{v:.9g}"
+        # FULL precision (round-trip repr), not %.9g: the r5 driver
+        # caught nation_year_profit penny-off at sf0.1 while this gate
+        # said PASS — %.9g collapsed 23431740.07 and 23431740.06's
+        # underlying doubles' differing cent digits for values >= 1e7.
+        # The gate must be at least as strict as the driver's
+        # full-precision hash.
+        return repr(v)
     if isinstance(v, dt.datetime):
         return v.replace(tzinfo=None).isoformat()
     if isinstance(v, dt.date):
