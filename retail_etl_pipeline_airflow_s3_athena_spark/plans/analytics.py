@@ -36,10 +36,14 @@ from retail_etl_pipeline_airflow_s3_athena_spark.plans import gold, retail_views
 # DuckDB CTE fragments for the gold tables, mirroring plans/gold.py.
 # CAST(SUM(int) AS BIGINT): DuckDB promotes integer SUM to HUGEINT;
 # Spark keeps BIGINT — pin the schema.
-# Rounding goes through sql_dround (floor(x*10^d+0.5)/10^d), NOT native
-# ROUND: Spark and DuckDB ROUND disagree on non-representable near-ties
-# (repo determinism policy — README / operators/text.dround), and any
-# rounded double here feeds the oracle value hash.
+# Monetary sums/avgs go through sql_money_sum / sql_money_avg
+# (functions/money.py): exact per-row scaled integers + DECIMAL(38,0)
+# accumulation, so the value is bit-identical across engines and
+# partitionings (a rounded double SUM flips cents when a group's total
+# lands near a .005 boundary — caught by the r5 driver).  Residual
+# rounding goes through sql_dround (floor(x*10^d+0.5)/10^d), NOT
+# native ROUND: Spark and DuckDB ROUND disagree on non-representable
+# near-ties (repo determinism policy — README / operators/text.dround).
 GOLD_CTES = f"""
 daily_sales_summary AS (
     SELECT CAST(order_date AS DATE)              AS sale_date,

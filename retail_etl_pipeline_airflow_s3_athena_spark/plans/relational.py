@@ -1376,12 +1376,19 @@ def anomalous_revenue_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     fact scan instead of re-reading 100 TB four times; the caller
     releases it via the cache-ownership contract."""
     li = _t(spark, sf_dir, "lineitem")
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    daily = li.groupBy(
-        F.to_date("l_shipdate").alias("sale_date")
-    ).agg(
-        F.floor(F.sum(rev) * 100 + F.lit(0.5)).alias("cents")
-    ).persist()
+    # Daily cents via the EXACT 1e-4-integer revenue sum, rounded to
+    # cents in pure integer arithmetic ((e4 + 50) div 100) — the
+    # previous floor(SUM(double)*100 + 0.5) crossed a half-cent
+    # boundary at 10x sf0.1 volume (caught by the /tmp/sf1 endurance
+    # gate: 142287890.12 vs .11 on 1995-02-22).
+    daily = (
+        li.groupBy(F.to_date("l_shipdate").alias("sale_date"))
+        .agg(
+            F.sum(revenue_e4("l_extendedprice", "l_discount")).alias("e4")
+        )
+        .select("sale_date", F.expr("(e4 + 50) div 100").alias("cents"))
+        .persist()
+    )
     scalars = daily.agg(
         F.count("*").alias("n"), F.sum("cents").alias("s")
     )
@@ -1408,9 +1415,9 @@ def oracle_anomalous_revenue_days_sql() -> str:
     return f"""
         WITH daily AS (
             SELECT CAST(l_shipdate AS DATE) AS sale_date,
-                   CAST(FLOOR(
-                       SUM(l_extendedprice * (1 - l_discount)) * 100 + 0.5
-                   ) AS BIGINT) AS cents
+                   CAST((SUM({sql_revenue_e4(
+                       'l_extendedprice', 'l_discount')}) + 50) // 100
+                   AS BIGINT) AS cents
             FROM lineitem GROUP BY 1
         ),
         scalars AS (SELECT COUNT(*) AS n, SUM(cents) AS s FROM daily),
