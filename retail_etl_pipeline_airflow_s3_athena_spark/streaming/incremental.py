@@ -494,6 +494,10 @@ def hll_sketch_stream(
         .trigger(availableNow=True)
         .start()
     )
+    # record the query id so compact_registers can distinguish a LIVE
+    # stream (refuse) from a stale lock left by a crash (proceed)
+    with open(lock, "w") as fh:
+        fh.write(f"hll_sketch_stream:{q.id}")
 
     def _clear() -> None:
         try:
@@ -798,14 +802,27 @@ def compact_registers(spark: SparkSession, work_dir: str) -> int:
     import shutil
 
     reg_dir = os.path.join(work_dir, "registers")
-    # Stream-running guard: hll_sketch_stream touches a lock file while
-    # active; refuse to compact under it rather than silently lose data.
+    # Stream-running guard: hll_sketch_stream records its query id in a
+    # lock file while active.  If that query is still in
+    # spark.streams.active, refuse to compact (the two-rename swap
+    # would drop deltas appended mid-compaction); if not, the lock is
+    # stale (crashed/terminated stream — its cleanup thread lost the
+    # race) and is safe to clear.
     lock = os.path.join(work_dir, "stream.active")
     if os.path.exists(lock):
-        raise RuntimeError(
-            "compact_registers: hll_sketch_stream is active "
-            f"({lock} present) — stop the stream before compacting"
-        )
+        try:
+            with open(lock) as fh:
+                txt = fh.read().strip()
+        except OSError:
+            txt = ""
+        qid = txt.rsplit(":", 1)[-1] if ":" in txt else None
+        active = {str(q.id) for q in spark.streams.active}
+        if qid is None or qid in active:
+            raise RuntimeError(
+                "compact_registers: hll_sketch_stream is active "
+                f"({lock} present) — stop the stream before compacting"
+            )
+        os.remove(lock)
     merged = (
         spark.read.parquet(reg_dir)
         .groupBy("event_type", "bucket")

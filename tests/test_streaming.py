@@ -549,3 +549,54 @@ def test_versioned_sink_time_travel_and_register_compaction(spark, sf_dir):
         for r in incremental.hll_stream_estimates(spark, hwork).collect()
     }
     assert before == after and n <= 5 * 256
+
+
+def test_compact_registers_refuses_while_stream_active(spark, sf_dir):
+    """The stream-active lock (ADVICE r5): compaction run concurrently
+    with hll_sketch_stream could delete deltas appended in its
+    two-rename window — it must refuse while the stream's query id is
+    live, and clear a stale lock from a terminated stream."""
+    import os
+
+    import pytest as _pytest
+
+    ev = readers.read_events(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="hll_lock_")
+    src = tempfile.mkdtemp(prefix="hll_lock_src_")
+    ev.repartition(2).write.mode("overwrite").parquet(src)
+    q = incremental.hll_sketch_stream(spark, src, work)
+    lock = os.path.join(work, "stream.active")
+    try:
+        # while the query is registered as active, compaction refuses
+        if any(str(a.id) == str(q.id) for a in spark.streams.active):
+            with _pytest.raises(RuntimeError, match="stop the stream"):
+                incremental.compact_registers(spark, work)
+    finally:
+        q.awaitTermination(120)
+    # terminated stream: even if the cleanup thread lost the race and
+    # the lock file is still present, compaction treats it as stale
+    with open(lock, "w") as fh:
+        fh.write(f"hll_sketch_stream:{q.id}")
+    n = incremental.compact_registers(spark, work)
+    assert n > 0
+    assert not os.path.exists(lock)
+
+
+def test_versioned_overwrite_never_reuses_live_dir(spark, tmp_path):
+    """Crash-replay safety (ADVICE r5): re-running a batch id whose
+    version dir is the LIVE symlink target must write to a fresh
+    suffixed dir, never overwrite the directory being read."""
+    import os
+
+    target = str(tmp_path / "dim")
+    df1 = spark.range(5).toDF("k")
+    incremental._versioned_overwrite(df1, target, batch_id=3)
+    live_before = os.path.realpath(target)
+    assert live_before.endswith(".v3")
+    # simulate checkpoint-less replay of the same batch id
+    df2 = spark.range(9).toDF("k")
+    incremental._versioned_overwrite(df2, target, batch_id=3)
+    live_after = os.path.realpath(target)
+    assert live_after != live_before, "replay reused the live version dir"
+    assert live_after.endswith(".v3r1")
+    assert spark.read.parquet(target).count() == 9
