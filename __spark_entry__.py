@@ -531,6 +531,23 @@ def _q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cluster_ops.near_dup_clusters(_docs(spark, sf_dir))
 
 
+def _q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # quality-aware canonicalization: keep the best-written variant per
+    # near-dup cluster (production curation's pick) instead of min-id
+    from retail_etl_pipeline_airflow_s3_athena_spark.functions.caching import (
+        attach_cached_deps,
+        carried_deps,
+    )
+
+    kept = cluster_ops.dedup_keep_best(_docs(spark, sf_dir))
+    out = kept.orderBy("doc_id")
+    return attach_cached_deps(out, *carried_deps(kept))
+
+
+def _q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup_ops.source_overlap(_docs(spark, sf_dir))
+
+
 def _q_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the end-product: canonical doc per near-dup cluster, i.e. the
     # corpus a training run would actually consume
@@ -914,8 +931,9 @@ GATE_FIRST_50 = [
     "label_centroids",
     "ivf_topk",
     "standardize_embeddings",
-    "kmeans_refine",
-    "kmeans_two_round",
+    # new r6 operators (zero evidence)
+    "dedup_keep_best",
+    "source_overlap",
     # new streaming-end-state oracles (VERDICT r5 #8) — zero evidence
     "scd2_stream_replay",
     "hll_stream_estimates",
@@ -926,6 +944,8 @@ GATE_TAIL = [
     # green this round; lowest-risk conversions of the r6 money change)
     "corpus_stats",
     "quantize_embeddings",
+    "kmeans_refine",
+    "kmeans_two_round",
     # Stalest r3/r4-verified rows first, then the r5-driver-green
     # window (freshest evidence) last.
     "dedup_exact",
@@ -1099,6 +1119,8 @@ def _all_queries() -> dict[str, QueryFn]:
         "incremental_near_dups": _q_incremental_near_dups,
         "near_dup_clusters": _q_near_dup_clusters,
         "dedup_corpus": _q_dedup_corpus,
+        "dedup_keep_best": _q_dedup_keep_best,
+        "source_overlap": _q_source_overlap,
         "simhash_near_dup": _q_simhash_near_dup,
         "blocked_jaccard_pairs": _q_blocked_jaccard,
         "decontaminate_docs": _q_decontaminate_docs,
@@ -1369,6 +1391,8 @@ def oracle_sql() -> dict[str, str]:
     )
     oracles["near_dup_clusters"] = cluster_ops.oracle_near_dup_clusters_sql()
     oracles["dedup_corpus"] = cluster_ops.oracle_dedup_keep_sql()
+    oracles["dedup_keep_best"] = cluster_ops.oracle_dedup_keep_best_sql()
+    oracles["source_overlap"] = dedup_ops.oracle_source_overlap_sql()
     oracles["simhash_signatures"] = dedup_ops.oracle_simhash_sql()
     oracles["simhash_near_dup"] = dedup_ops.oracle_simhash_near_dup_sql()
     oracles["blocked_jaccard_pairs"] = dedup_ops.oracle_blocked_jaccard_sql()

@@ -176,6 +176,8 @@ STANDALONE = [
     # scd2_stream_replay's two-batch staging — honest fixed overhead)
     "scd2_stream_replay",
     "hll_stream_estimates",
+    "dedup_keep_best",
+    "source_overlap",
 ]
 
 

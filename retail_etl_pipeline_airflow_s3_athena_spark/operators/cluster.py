@@ -246,6 +246,78 @@ def dedup_keep(docs: DataFrame, text_col: str = "text",
     )
 
 
+def dedup_keep_best(
+    docs: DataFrame, text_col: str = "text", threshold: float = 0.5
+) -> DataFrame:
+    """Quality-aware corpus dedup: per near-dup cluster keep the
+    HIGHEST-quality document (``text.quality_score``; ties broken by
+    min doc_id) instead of ``dedup_keep``'s min-id convention — what a
+    production curation pipeline actually wants: when a template
+    spawned many variants, retain the best-written one.
+
+    Scale shape: quality is scored ONLY for edge-touched docs (the
+    multi-doc clusters — a tiny fraction of the corpus), ranked with a
+    per-cluster window over that bounded set, and the loser ids come
+    back as one anti-join against the corpus — the full corpus is
+    never windowed or scored.  Output: kept docs with their quality.
+    """
+    from pyspark.sql import Window
+
+    from retail_etl_pipeline_airflow_s3_athena_spark.operators.text import (
+        quality_score,
+    )
+
+    clusters = near_dup_clusters(docs, text_col, threshold)
+    touched = clusters.filter(F.col("cluster_size") > 1).select(
+        "doc_id", "cluster_id"
+    )
+    scored = touched.join(docs, "doc_id").select(
+        "doc_id", "cluster_id", quality_score(F.col(text_col)).alias("q")
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("q"), F.asc("doc_id")
+    )
+    drop = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") > 1)
+        .select("doc_id")
+    )
+    kept = docs.join(drop, "doc_id", "left_anti").select(
+        "doc_id",
+        "source",
+        "lang",
+        quality_score(F.col(text_col)).alias("quality"),
+    )
+    return attach_cached_deps(kept, *carried_deps(clusters))
+
+
+def oracle_dedup_keep_best_sql(
+    table: str = "documents", t: str = "text", threshold: float = 0.5
+) -> str:
+    """DuckDB oracle: same ranked-by-quality canonical pick."""
+    from retail_etl_pipeline_airflow_s3_athena_spark.operators.text import (
+        sql_quality_score,
+    )
+
+    clusters = oracle_near_dup_clusters_sql(table, t, threshold)
+    q = sql_quality_score(f"d.{t}")
+    qd = sql_quality_score(f"dd.{t}")
+    return f"""
+        WITH ranked AS (
+            SELECT cl.doc_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY cl.cluster_id
+                       ORDER BY {qd} DESC, cl.doc_id ASC) AS rn
+            FROM ({clusters}) cl
+            JOIN {table} dd ON cl.doc_id = dd.doc_id
+            WHERE cl.cluster_size > 1
+        )
+        SELECT d.doc_id, d.source, d.lang, {q} AS quality
+        FROM {table} d
+        WHERE d.doc_id NOT IN (SELECT doc_id FROM ranked WHERE rn > 1)
+    """
+
+
 def oracle_dedup_keep_sql(
     table: str = "documents",
     t: str = "text",

@@ -1096,3 +1096,106 @@ def oracle_containment_pairs_sql(
         JOIN sz nb ON i.doc_b = nb.doc_id
         WHERE {ca} >= {threshold} OR {cb} >= {threshold}
     """
+
+
+# ---------------------------------------------------------------------------
+# Source-level overlap: shingle Jaccard between corpus sources — the
+# dataset-mixing diagnostic (how much of source B is already in source
+# A?) that doc-level dedup can't answer directly.
+# ---------------------------------------------------------------------------
+
+def source_overlap(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(source_a, source_b, n_a, n_b, n_shared, jaccard, containment_a):
+    pairwise DISTINCT-shingle overlap between sources (a < b), plus the
+    asymmetric containment |A∩B| / |A|.
+
+    Scale shape: the corpus collapses to (source, shingle) DISTINCT
+    rows in one pass (map-side partial distinct); the pair join is an
+    inverted-index self-join on the shingle value whose fanout per
+    shingle is bounded by |sources| (a shingle in k sources emits
+    k(k-1)/2 pair rows, k <= |sources| — never O(docs)); sizes join
+    back as a broadcastable |sources|-row table.  Pairs with zero
+    shared shingles are omitted (inner-join semantics, mirrored in the
+    oracle)."""
+    flat = _flat_shingles(docs, text_col, extra_cols=("source",))
+    per_source = flat.select("source", "s").distinct()
+    sizes = per_source.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = per_source.alias("a")
+    b = per_source.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(
+        F.col("source").alias("source_a"), F.col("n").alias("n_a")
+    )
+    sb = sizes.select(
+        F.col("source").alias("source_b"), F.col("n").alias("n_b")
+    )
+    return (
+        inter.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_a",
+            "n_b",
+            "n_shared",
+            dround(
+                F.col("n_shared")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_shared")),
+                6,
+            ).alias("jaccard"),
+            dround(F.col("n_shared") / F.col("n_a"), 6).alias(
+                "containment_a"
+            ),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+def oracle_source_overlap_sql(
+    table: str = "documents", t: str = "text"
+) -> str:
+    return f"""
+        WITH th_s AS (
+            SELECT source, {_sql_token_hashes(t)} AS th FROM {table}
+        ),
+        per_source AS (
+            SELECT DISTINCT source, s
+            FROM (
+                SELECT source,
+                       unnest(list_distinct({_SQL_SHINGLES.strip()})) AS s
+                FROM th_s
+            )
+        ),
+        sizes AS (
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+            FROM per_source GROUP BY 1
+        ),
+        inter AS (
+            SELECT a.source AS source_a, b.source AS source_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_shared
+            FROM per_source a
+            JOIN per_source b
+              ON a.s = b.s AND a.source < b.source
+            GROUP BY 1, 2
+        )
+        SELECT i.source_a, i.source_b, sa.n AS n_a, sb.n AS n_b,
+               i.n_shared,
+               {sql_dround('i.n_shared / (sa.n + sb.n - i.n_shared)', 6)}
+                   AS jaccard,
+               {sql_dround('i.n_shared / sa.n', 6)} AS containment_a
+        FROM inter i
+        JOIN sizes sa ON sa.source = i.source_a
+        JOIN sizes sb ON sb.source = i.source_b
+        ORDER BY i.source_a, i.source_b
+    """

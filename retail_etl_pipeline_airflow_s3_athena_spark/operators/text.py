@@ -332,6 +332,16 @@ def _sql_stopword_ratio(t: str, lang: str) -> str:
     return sql_dround(f"{hits} / GREATEST({_sql_token_count(t)}, 1)", 6)
 
 
+def sql_quality_score(t: str) -> str:
+    """DuckDB twin of :func:`quality_score` (same fixed formula)."""
+    ntok = _sql_token_count(t)
+    return sql_dround(
+        f"LEAST(1.0, {ntok} / 50.0) * (1.0 - {_sql_punct_ratio(t)})"
+        f" * (0.5 + 0.5 * LEAST(1.0, {_sql_stopword_ratio(t, 'en')} * 5.0))",
+        6,
+    )
+
+
 def oracle_text_features_sql(table: str = "documents", t: str = "text") -> str:
     toks = _sql_tokens(t)
     ntok = _sql_token_count(t)
@@ -344,7 +354,7 @@ def oracle_text_features_sql(table: str = "documents", t: str = "text") -> str:
                {sql_dround(f"list_sum(list_transform({toks}, x -> CAST(LENGTH(x) AS BIGINT))) / GREATEST({ntok}, 1)", 4)} AS avg_token_len,
                {_sql_punct_ratio(t)} AS punct_ratio,
                {_sql_stopword_ratio(t, "en")} AS stopword_ratio,
-               {sql_dround(f"LEAST(1.0, {ntok} / 50.0) * (1.0 - {_sql_punct_ratio(t)}) * (0.5 + 0.5 * LEAST(1.0, {_sql_stopword_ratio(t, 'en')} * 5.0))", 6)} AS quality_score,
+               {sql_quality_score(t)} AS quality_score,
                list_reduce(
                    list_prepend(CAST(0 AS BIGINT),
                        list_transform(

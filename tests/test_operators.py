@@ -951,3 +951,66 @@ def test_embedding_near_dup_size_dispatch(spark, sf_dir):
         for r in similarity.embedding_near_dup(emb, exact_max_rows=0).collect()
     } == lsh
     assert lsh <= exact
+
+
+def test_dedup_keep_best_keeps_highest_quality_per_cluster(spark, sf_dir):
+    """Quality-aware canonicalization: exactly one doc survives per
+    near-dup cluster, and it is the cluster's max-quality member
+    (ties -> min doc_id)."""
+    from retail_etl_pipeline_airflow_s3_athena_spark.functions.caching import (
+        release_cached,
+    )
+    from retail_etl_pipeline_airflow_s3_athena_spark.operators import cluster, text
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    clusters = cluster.near_dup_clusters(docs)
+    qual = {
+        r["doc_id"]: (r["q"], r["doc_id"])
+        for r in docs.select(
+            "doc_id", text.quality_score(F.col("text")).alias("q")
+        ).collect()
+    }
+    members = {}
+    for r in clusters.collect():
+        members.setdefault(r["cluster_id"], []).append(r["doc_id"])
+    release_cached(clusters)
+
+    kept = cluster.dedup_keep_best(docs)
+    kept_ids = {r["doc_id"] for r in kept.collect()}
+    release_cached(kept)
+
+    for cid, ids in members.items():
+        expected = max(ids, key=lambda d: (qual[d][0], -d))
+        surviving = kept_ids & set(ids)
+        assert surviving == {expected}, (cid, ids, surviving, expected)
+
+
+def test_source_overlap_matches_bruteforce(spark, sf_dir):
+    """source_overlap's inverted-index pair counts equal brute-force
+    per-source shingle-set intersections."""
+    from retail_etl_pipeline_airflow_s3_athena_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    flat = dedup._flat_shingles(docs, "text", extra_cols=("source",))
+    sets: dict[str, set] = {}
+    for r in flat.select("source", "s").distinct().collect():
+        sets.setdefault(r["source"], set()).add(r["s"])
+
+    got = {
+        (r["source_a"], r["source_b"]): (
+            r["n_a"], r["n_b"], r["n_shared"], r["jaccard"]
+        )
+        for r in dedup.source_overlap(docs).collect()
+    }
+    srcs = sorted(sets)
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1:]:
+            inter = len(sets[a] & sets[b])
+            if inter == 0:
+                assert (a, b) not in got
+                continue
+            na, nb = len(sets[a]), len(sets[b])
+            ga, gb, gi, gj = got[(a, b)]
+            assert (ga, gb, gi) == (na, nb, inter)
+            import math
+            assert gj == math.floor(inter / (na + nb - inter) * 1e6 + 0.5) / 1e6
