@@ -210,14 +210,33 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.orc(path)
 
 
-def jdbc_extract_query(table: str, limit: int | None = None) -> str:
+# LIMIT spelling per JDBC dialect: the reference's Postgres source
+# takes `LIMIT n` (scripts/extract.py:45-48); SQL-standard engines
+# (Derby — which Spark bundles for the Hive metastore and which the
+# live round-trip test runs against — Oracle, DB2) take
+# `FETCH FIRST n ROWS ONLY`.
+_FETCH_FIRST_DIALECTS = ("derby", "oracle", "db2")
+
+
+def _jdbc_dialect(url: str) -> str:
+    parts = url.split(":")
+    return parts[1].lower() if len(parts) > 1 else ""
+
+
+def jdbc_extract_query(
+    table: str, limit: int | None = None, dialect: str = "postgresql"
+) -> str:
     """The pushed-down extract SQL, exactly the reference's contract
     (scripts/extract.py:45-48): ``SELECT * FROM <schema.table>`` with
-    the optional LIMIT inside the source SQL so the database never
-    ships more than ``limit`` rows."""
+    the optional row cap inside the source SQL so the database never
+    ships more than ``limit`` rows.  The cap is spelled per dialect
+    (LIMIT vs FETCH FIRST) but always pushed."""
     query = f"SELECT * FROM {table}"
     if limit is not None:
-        query += f" LIMIT {int(limit)}"
+        if dialect in _FETCH_FIRST_DIALECTS:
+            query += f" FETCH FIRST {int(limit)} ROWS ONLY"
+        else:
+            query += f" LIMIT {int(limit)}"
     return query
 
 
@@ -226,7 +245,11 @@ def jdbc_reader_options(
 ) -> dict[str, str]:
     """The full option map handed to the jdbc reader — pure function so
     the pushdown contract is testable without a live database/driver."""
-    return {"url": url, "query": jdbc_extract_query(table, limit), **options}
+    return {
+        "url": url,
+        "query": jdbc_extract_query(table, limit, _jdbc_dialect(url)),
+        **options,
+    }
 
 
 def read_jdbc_table(
@@ -237,9 +260,11 @@ def read_jdbc_table(
     **options: str,
 ) -> DataFrame:
     """JDBC full-table scan with optional LIMIT pushed to the source —
-    the reference's extract (scripts/extract.py:22-91, S1).  The LIMIT
-    goes into the pushed ``query`` exactly as extract.py:45-48 builds it.
-    Requires the JDBC driver jar on the classpath (not bundled here)."""
+    the reference's extract (scripts/extract.py:22-91, S1).  The row cap
+    goes into the pushed ``query`` exactly as extract.py:45-48 builds
+    it.  Needs the source's JDBC driver jar on the classpath; the
+    bundled Derby driver makes the path LIVE-testable in this sandbox
+    (tests/test_pipeline.py::test_jdbc_round_trip_via_derby)."""
     reader = spark.read.format("jdbc")
     for k, v in jdbc_reader_options(url, table, limit, **options).items():
         reader = reader.option(k, v)

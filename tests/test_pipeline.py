@@ -167,6 +167,40 @@ def test_table_name_resolver():
     assert f("unknown_table.csv") is None
 
 
+def test_jdbc_round_trip_via_derby(spark, sf_dir, tmp_path):
+    """S1 LIVE: Spark bundles the Derby JDBC driver (Hive metastore
+    dep), so the JDBC extract path is executable end-to-end — write a
+    table over JDBC, read it back with read_jdbc_table, and verify the
+    pushed row cap reaches the source (FETCH FIRST in Derby's
+    dialect)."""
+    url = f"jdbc:derby:{tmp_path}/db;create=true"
+    drv = "org.apache.derby.jdbc.EmbeddedDriver"
+    src = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    (
+        src.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "customers")
+        .option("driver", drv)
+        .mode("overwrite")
+        .save()
+    )
+    back = readers.read_jdbc_table(spark, url, "customers", driver=drv)
+    assert {r["c_custkey"] for r in back.collect()} == {
+        r["c_custkey"] for r in src.collect()
+    }
+    capped = readers.read_jdbc_table(
+        spark, url, "customers", limit=7, driver=drv
+    )
+    assert capped.count() == 7
+    # the cap is in the PUSHED query text, not a post-hoc Spark limit
+    assert (
+        readers.jdbc_reader_options(url, "customers", 7)["query"]
+        == "SELECT * FROM customers FETCH FIRST 7 ROWS ONLY"
+    )
+
+
 def test_jdbc_pushdown_sql_contract():
     # reference extract.py:45-48: SELECT * FROM public.<t> [LIMIT n],
     # with the LIMIT inside the source SQL (S1 pushdown) — testable
