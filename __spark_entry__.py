@@ -848,6 +848,21 @@ def _q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_resize_raw_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL raw-buffer image resize (numpy nearest-neighbor over MM02
+    payloads) through the Arrow mapInPandas path; returns dims +
+    payload checksums.  Oracle: a VALUES literal recomputed locally in
+    plain Python at oracle-build time — it verifies the DISTRIBUTED
+    execution (partitioning, Arrow batching, buffer round-trip)
+    reproduces the local single-process computation bit-for-bit."""
+    media = mm_ops.synthesize_raw_images(spark, n=40)
+    return (
+        mm_ops.resize_media(media, 8, 8)
+        .select("media_id", "width", "height", "channels", "checksum")
+        .orderBy("media_id")
+    )
+
+
 def _q_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Binary fixtures don't exist; the media table is synthesized
     # deterministically.  No SQL oracle (mapInPandas + binary payloads
@@ -919,7 +934,6 @@ GATE_FIRST_50 = [
     "product_analysis",
     "revenue_by_category",
     "daily_revenue_running",
-    "daily_revenue_ma7",
     "segment_sales_rollup",
     "pricing_summary",
     "shipping_priority",
@@ -934,6 +948,7 @@ GATE_FIRST_50 = [
     # new r6 operators (zero evidence)
     "dedup_keep_best",
     "source_overlap",
+    "resize_raw_images",
     # new streaming-end-state oracles (VERDICT r5 #8) — zero evidence
     "scd2_stream_replay",
     "hll_stream_estimates",
@@ -946,6 +961,7 @@ GATE_TAIL = [
     "quantize_embeddings",
     "kmeans_refine",
     "kmeans_two_round",
+    "daily_revenue_ma7",
     # Stalest r3/r4-verified rows first, then the r5-driver-green
     # window (freshest evidence) last.
     "dedup_exact",
@@ -1075,6 +1091,7 @@ def _all_queries() -> dict[str, QueryFn]:
         "curated_docs": _q_curated_docs,
         "hash_sample_events": _q_hash_sample_events,
         "multimodal_pipeline": _q_multimodal_pipeline,
+        "resize_raw_images": _q_resize_raw_images,
         "daily_sales_summary": _q_daily_sales_summary,
         "top_customers": _q_top_customers,
         "product_performance": _q_product_performance,
@@ -1431,6 +1448,34 @@ def oracle_sql() -> dict[str, str]:
     oracles["stratified_sample_docs"] = sampling.oracle_stratified_sample_sql(
         "documents", "lang", {"en": 0.25, "de": 0.75}, ["doc_id"],
         default_rate=1.0, select="doc_id, lang, source",
+    )
+    import hashlib as _hashlib
+    import struct as _struct
+
+    import numpy as _np
+
+    _resize_rows = []
+    for _mid in range(40):
+        _img = mm_ops._decode_raw(mm_ops.make_raw_image(_mid))
+        _h, _w, _c = _img.shape
+        _iy = (_np.arange(8) * _h) // 8
+        _ix = (_np.arange(8) * _w) // 8
+        _out = (
+            mm_ops.RAW_MAGIC
+            + _struct.pack("<III", 8, 8, _c)
+            + _img[_iy][:, _ix].tobytes()
+        )
+        _resize_rows.append(
+            f"({_mid}, 8, 8, {_c}, "
+            f"'{_hashlib.sha256(_out).hexdigest()[:16]}')"
+        )
+    oracles["resize_raw_images"] = (
+        "SELECT CAST(media_id AS BIGINT) AS media_id, "
+        "CAST(width AS INT) AS width, CAST(height AS INT) AS height, "
+        "CAST(channels AS INT) AS channels, checksum FROM (VALUES "
+        + ", ".join(_resize_rows)
+        + ") AS t(media_id, width, height, channels, checksum) "
+        "ORDER BY media_id"
     )
     oracles["hll_distinct_users"] = sketches.oracle_hll_distinct_sql(
         "events", "user_id", ["event_type"]

@@ -178,6 +178,7 @@ STANDALONE = [
     "hll_stream_estimates",
     "dedup_keep_best",
     "source_overlap",
+    "resize_raw_images",
 ]
 
 

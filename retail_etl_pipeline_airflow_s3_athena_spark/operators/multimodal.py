@@ -207,3 +207,106 @@ def media_pipeline(spark: SparkSession, n: int = 60) -> DataFrame:
         )
         .orderBy("media_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# RAW image payloads (MM02): header + an ACTUAL pixel buffer.  Raw
+# RGB needs no codec, so the resize step below is a REAL numpy
+# implementation — only compressed formats (JPEG/PNG/...) still need
+# the PIL/ffmpeg swap-in, and they fail loudly, not silently.
+# ---------------------------------------------------------------------------
+
+RAW_MAGIC = b"MM02"
+RAW_HEADER_LEN = len(RAW_MAGIC) + struct.calcsize("<III")
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("checksum", T.StringType()),
+    ]
+)
+
+
+def make_raw_image(media_id: int, channels: int = 3) -> bytes:
+    """Deterministic raw image: MM02 magic + (w, h, c) header + a real
+    w*h*c uint8 pixel buffer."""
+    import numpy as np
+
+    w = 16 + (media_id * 7) % 48
+    h = 16 + (media_id * 11) % 48
+    yy, xx, cc = np.meshgrid(
+        np.arange(h), np.arange(w), np.arange(channels), indexing="ij"
+    )
+    buf = ((media_id * 31 + yy * 7 + xx * 13 + cc * 97) % 256).astype(
+        "uint8"
+    )
+    return RAW_MAGIC + struct.pack("<III", w, h, channels) + buf.tobytes()
+
+
+def synthesize_raw_images(spark: SparkSession, n: int = 40) -> DataFrame:
+    rows = [(i, "image", make_raw_image(i)) for i in range(n)]
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def _decode_raw(payload: bytes):
+    """Decode an MM02 raw buffer to (h, w, c) uint8.  Compressed
+    payloads (anything else) raise — the PIL/ffmpeg swap-in point."""
+    import numpy as np
+
+    if payload[:4] != RAW_MAGIC:
+        raise NotImplementedError(
+            "compressed media decoding requires imaging libraries not "
+            "present in this environment; only MM02 raw buffers decode"
+        )
+    w, h, c = struct.unpack_from("<III", payload, 4)
+    buf = np.frombuffer(payload, dtype="uint8", offset=RAW_HEADER_LEN)
+    return buf.reshape(h, w, c)
+
+
+def resize_media(
+    media: DataFrame, out_w: int = 32, out_h: int = 32
+) -> DataFrame:
+    """REAL image resize (nearest-neighbor) over raw-buffer payloads,
+    Arrow batch at a time.  The resampling index math is pure integer
+    (``(i * src) // dst``), so outputs are bit-deterministic across
+    engines, partitionings, and numpy versions; output rows carry the
+    resized MM02 payload + checksum, ready for a feature extractor.
+
+    Scale shape: a pure mapInPandas projection — no shuffle; memory is
+    bounded by Arrow's maxRecordsPerBatch x payload size, independent
+    of corpus size."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                img = _decode_raw(bytes(payload))
+                h, w, c = img.shape
+                iy = (np.arange(out_h) * h) // out_h
+                ix = (np.arange(out_w) * w) // out_w
+                resized = img[iy][:, ix]
+                out = (
+                    RAW_MAGIC
+                    + struct.pack("<III", out_w, out_h, c)
+                    + resized.tobytes()
+                )
+                rows.append(
+                    (
+                        int(mid),
+                        out_w,
+                        out_h,
+                        int(c),
+                        out,
+                        hashlib.sha256(out).hexdigest()[:16],
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in RESIZED_SCHEMA.fields]
+            )
+
+    return media.mapInPandas(batches, RESIZED_SCHEMA)

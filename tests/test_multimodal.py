@@ -104,3 +104,39 @@ def test_frames_golden(spark):
         for r in mm.sample_frames(media).collect()
     ]
     assert got == _GOLD_FRAMES
+
+
+def test_resize_media_real_pixels(spark):
+    """MM02 raw buffers resize for REAL (numpy nearest-neighbor): dims,
+    pixel mapping, and determinism all verifiable without codecs."""
+    import numpy as np
+
+    from retail_etl_pipeline_airflow_s3_athena_spark.operators import multimodal as mm
+
+    media = mm.synthesize_raw_images(spark, n=12)
+    out = {r["media_id"]: r for r in mm.resize_media(media, 8, 8).collect()}
+    assert len(out) == 12
+    for mid, r in out.items():
+        assert (r["width"], r["height"]) == (8, 8)
+        src = mm._decode_raw(mm.make_raw_image(mid))
+        got = mm._decode_raw(bytes(r["payload"]))
+        h, w, _ = src.shape
+        iy = (np.arange(8) * h) // 8
+        ix = (np.arange(8) * w) // 8
+        assert (got == src[iy][:, ix]).all()
+    # determinism: a second run yields identical checksums
+    again = {
+        r["media_id"]: r["checksum"]
+        for r in mm.resize_media(media, 8, 8).collect()
+    }
+    assert again == {m: r["checksum"] for m, r in out.items()}
+
+
+def test_resize_media_compressed_fails_loudly(spark):
+    from retail_etl_pipeline_airflow_s3_athena_spark.operators import multimodal as mm
+
+    media = mm.synthesize_media(spark, n=3)  # MM01 = "compressed" stub
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="imaging libraries|NotImplemented"):
+        mm.resize_media(media).collect()
