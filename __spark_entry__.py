@@ -863,6 +863,24 @@ def _q_resize_raw_images(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_audio_features_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PCM audio features (integer-exact RMS / zero-crossings /
+    peak) via Arrow mapInPandas; oracle = locally-recomputed VALUES
+    literal (verifies distributed == local bit-for-bit)."""
+    media = mm_ops.synthesize_raw_audio(spark, n=40)
+    return mm_ops.audio_features(media).orderBy("media_id")
+
+
+def _q_video_frame_luma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL raw-clip frame sampling (every 2nd frame materialized,
+    checksummed, integer mean-luma) via Arrow mapInPandas; oracle =
+    locally-recomputed VALUES literal."""
+    media = mm_ops.synthesize_raw_video(spark, n=25)
+    return mm_ops.sample_raw_frames(media, every_n=2).orderBy(
+        "media_id", "frame_idx"
+    )
+
+
 def _q_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Binary fixtures don't exist; the media table is synthesized
     # deterministically.  No SQL oracle (mapInPandas + binary payloads
@@ -941,14 +959,14 @@ GATE_FIRST_50 = [
     "promo_revenue",
     "windowed_event_stats",
     "sessionize_events",
-    "session_window_stats",
     "label_centroids",
-    "ivf_topk",
     "standardize_embeddings",
     # new r6 operators (zero evidence)
     "dedup_keep_best",
     "source_overlap",
     "resize_raw_images",
+    "audio_features_raw",
+    "video_frame_luma",
     # new streaming-end-state oracles (VERDICT r5 #8) — zero evidence
     "scd2_stream_replay",
     "hll_stream_estimates",
@@ -962,6 +980,8 @@ GATE_TAIL = [
     "kmeans_refine",
     "kmeans_two_round",
     "daily_revenue_ma7",
+    "session_window_stats",
+    "ivf_topk",
     # Stalest r3/r4-verified rows first, then the r5-driver-green
     # window (freshest evidence) last.
     "dedup_exact",
@@ -1092,6 +1112,8 @@ def _all_queries() -> dict[str, QueryFn]:
         "hash_sample_events": _q_hash_sample_events,
         "multimodal_pipeline": _q_multimodal_pipeline,
         "resize_raw_images": _q_resize_raw_images,
+        "audio_features_raw": _q_audio_features_raw,
+        "video_frame_luma": _q_video_frame_luma,
         "daily_sales_summary": _q_daily_sales_summary,
         "top_customers": _q_top_customers,
         "product_performance": _q_product_performance,
@@ -1476,6 +1498,56 @@ def oracle_sql() -> dict[str, str]:
         + ", ".join(_resize_rows)
         + ") AS t(media_id, width, height, channels, checksum) "
         "ORDER BY media_id"
+    )
+    _audio_rows = []
+    for _mid in range(40):
+        import math as _math
+
+        _rate, _x = mm_ops._decode_raw_audio(mm_ops.make_raw_audio(_mid))
+        _n = len(_x)
+        _audio_rows.append(
+            f"({_mid}, {_rate}, {_n}, "
+            f"{_math.isqrt(int((_x * _x).sum()) * 10**12 // _n)}, "
+            f"{int(((_x[:-1] >= 0) != (_x[1:] >= 0)).sum())}, "
+            f"{int(abs(_x).max())})"
+        )
+    oracles["audio_features_raw"] = (
+        "SELECT CAST(media_id AS BIGINT) AS media_id, "
+        "CAST(sample_rate AS INT) AS sample_rate, "
+        "CAST(n_samples AS BIGINT) AS n_samples, "
+        "CAST(rms_e6 AS BIGINT) AS rms_e6, "
+        "CAST(zero_crossings AS BIGINT) AS zero_crossings, "
+        "CAST(peak AS INT) AS peak FROM (VALUES "
+        + ", ".join(_audio_rows)
+        + ") AS t(media_id, sample_rate, n_samples, rms_e6,"
+        " zero_crossings, peak) ORDER BY media_id"
+    )
+    _frame_rows = []
+    for _mid in range(25):
+        _b = mm_ops.make_raw_video(_mid)
+        _w, _h, _c, _nf = _struct.unpack_from("<IIII", _b, 4)
+        for _idx in range(0, _nf, 2):
+            _off = mm_ops.VIDEO_HEADER_LEN + _idx * _w * _h * _c
+            _frame = _np.frombuffer(
+                _b, dtype="uint8", count=_w * _h * _c, offset=_off
+            ).reshape(_h, _w, _c).astype(_np.int64)
+            _ls = int(
+                (_frame[:, :, 0] * 299 + _frame[:, :, 1] * 587
+                 + _frame[:, :, 2] * 114).sum()
+            ) // 1000
+            _ck = _hashlib.sha256(
+                _frame.astype("uint8").tobytes()
+            ).hexdigest()[:12]
+            _frame_rows.append(
+                f"({_mid}, {_idx}, {_ls * 10**4 // (_w * _h)}, '{_ck}')"
+            )
+    oracles["video_frame_luma"] = (
+        "SELECT CAST(media_id AS BIGINT) AS media_id, "
+        "CAST(frame_idx AS INT) AS frame_idx, "
+        "CAST(mean_luma_e4 AS BIGINT) AS mean_luma_e4, frame_checksum "
+        "FROM (VALUES " + ", ".join(_frame_rows)
+        + ") AS t(media_id, frame_idx, mean_luma_e4, frame_checksum) "
+        "ORDER BY media_id, frame_idx"
     )
     oracles["hll_distinct_users"] = sketches.oracle_hll_distinct_sql(
         "events", "user_id", ["event_type"]

@@ -179,6 +179,8 @@ STANDALONE = [
     "dedup_keep_best",
     "source_overlap",
     "resize_raw_images",
+    "audio_features_raw",
+    "video_frame_luma",
 ]
 
 

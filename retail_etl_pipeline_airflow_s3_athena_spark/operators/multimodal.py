@@ -310,3 +310,184 @@ def resize_media(
             )
 
     return media.mapInPandas(batches, RESIZED_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# RAW audio (MM03: PCM s16le) and RAW video (MM04: concatenated raw
+# frames).  Like MM02, raw buffers need no codec — feature extraction
+# and frame sampling below are REAL signal/pixel computations; only
+# compressed formats still require the codec swap-in.
+# ---------------------------------------------------------------------------
+
+AUDIO_MAGIC = b"MM03"
+AUDIO_HEADER_LEN = len(AUDIO_MAGIC) + struct.calcsize("<IIB")
+VIDEO_MAGIC = b"MM04"
+VIDEO_HEADER_LEN = len(VIDEO_MAGIC) + struct.calcsize("<IIII")
+
+AUDIO_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("rms_e6", T.LongType()),
+        T.StructField("zero_crossings", T.LongType()),
+        T.StructField("peak", T.IntegerType()),
+    ]
+)
+
+FRAME_LUMA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("mean_luma_e4", T.LongType()),
+        T.StructField("frame_checksum", T.StringType()),
+    ]
+)
+
+
+def make_raw_audio(media_id: int, sample_rate: int = 16000) -> bytes:
+    """Deterministic PCM s16le clip: MM03 magic + (rate, n, channels)
+    header + a real int16 sample buffer (integer triangle-ish wave —
+    no float synthesis, so the buffer is platform-exact)."""
+    import numpy as np
+
+    n = 1000 + (media_id * 53) % 3000
+    i = np.arange(n, dtype=np.int64)
+    period = 50 + (media_id % 37)
+    tri = np.abs((i % period) * 2 - period)  # 0..period triangle
+    amp = 500 + (media_id * 97) % 20000
+    samples = ((tri * amp) // period - amp // 2).astype("<i2")
+    return (
+        AUDIO_MAGIC
+        + struct.pack("<IIB", sample_rate, n, 1)
+        + samples.tobytes()
+    )
+
+
+def synthesize_raw_audio(spark: SparkSession, n: int = 40) -> DataFrame:
+    rows = [(i, "audio", make_raw_audio(i)) for i in range(n)]
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def _decode_raw_audio(payload: bytes):
+    import numpy as np
+
+    if payload[:4] != AUDIO_MAGIC:
+        raise NotImplementedError(
+            "compressed audio decoding requires audio libraries not "
+            "present in this environment; only MM03 PCM buffers decode"
+        )
+    rate, n, _ch = struct.unpack_from("<IIB", payload, 4)
+    x = np.frombuffer(payload, dtype="<i2", offset=AUDIO_HEADER_LEN)
+    return rate, x.astype(np.int64)
+
+
+def audio_features(media: DataFrame) -> DataFrame:
+    """REAL audio features over PCM buffers, all in exact integer
+    arithmetic (bit-deterministic): fixed-point RMS
+    (isqrt(sum(x^2)*1e12 / n)), zero-crossing count, absolute peak."""
+    import math
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                rate, x = _decode_raw_audio(bytes(payload))
+                n = len(x)
+                sq = int((x * x).sum())
+                rms_e6 = math.isqrt(sq * 10**12 // max(n, 1))
+                zc = int(((x[:-1] >= 0) != (x[1:] >= 0)).sum())
+                rows.append(
+                    (
+                        int(mid),
+                        int(rate),
+                        n,
+                        rms_e6,
+                        zc,
+                        int(abs(x).max()) if n else 0,
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in AUDIO_FEATURE_SCHEMA.fields]
+            )
+
+    return media.mapInPandas(batches, AUDIO_FEATURE_SCHEMA)
+
+
+def make_raw_video(media_id: int, w: int = 8, h: int = 8, c: int = 3) -> bytes:
+    """Deterministic raw clip: MM04 magic + (w, h, c, n_frames) header
+    + n real frames of w*h*c uint8."""
+    import numpy as np
+
+    n_frames = 3 + (media_id * 5) % 10
+    ff, yy, xx, cc = np.meshgrid(
+        np.arange(n_frames),
+        np.arange(h),
+        np.arange(w),
+        np.arange(c),
+        indexing="ij",
+    )
+    buf = (
+        (media_id * 19 + ff * 41 + yy * 7 + xx * 13 + cc * 97) % 256
+    ).astype("uint8")
+    return (
+        VIDEO_MAGIC + struct.pack("<IIII", w, h, c, n_frames) + buf.tobytes()
+    )
+
+
+def synthesize_raw_video(spark: SparkSession, n: int = 25) -> DataFrame:
+    rows = [(i, "video", make_raw_video(i)) for i in range(n)]
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def sample_raw_frames(media: DataFrame, every_n: int = 2) -> DataFrame:
+    """REAL 1->N frame sampling over raw clips: every ``every_n``-th
+    frame is materialized (inside the batch iterator — never the whole
+    clip at once per output row), checksummed, and reduced to an exact
+    integer mean luma (sum * 1e4 // n_px over the REC-601-ish integer
+    weights 299/587/114)."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload)
+                if b[:4] != VIDEO_MAGIC:
+                    raise NotImplementedError(
+                        "compressed video decoding requires ffmpeg-like "
+                        "libraries not present; only MM04 raw clips decode"
+                    )
+                w, h, c, nf = struct.unpack_from("<IIII", b, 4)
+                frame_len = w * h * c
+                for idx in range(0, nf, every_n):
+                    off = VIDEO_HEADER_LEN + idx * frame_len
+                    frame = np.frombuffer(
+                        b, dtype="uint8", count=frame_len, offset=off
+                    ).reshape(h, w, c).astype(np.int64)
+                    if c >= 3:
+                        luma_sum = int(
+                            (
+                                frame[:, :, 0] * 299
+                                + frame[:, :, 1] * 587
+                                + frame[:, :, 2] * 114
+                            ).sum()
+                        ) // 1000
+                    else:
+                        luma_sum = int(frame.sum())
+                    mean_e4 = luma_sum * 10**4 // (w * h)
+                    rows.append(
+                        (
+                            int(mid),
+                            idx,
+                            mean_e4,
+                            hashlib.sha256(
+                                frame.astype("uint8").tobytes()
+                            ).hexdigest()[:12],
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in FRAME_LUMA_SCHEMA.fields]
+            )
+
+    return media.mapInPandas(batches, FRAME_LUMA_SCHEMA)

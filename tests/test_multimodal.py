@@ -140,3 +140,71 @@ def test_resize_media_compressed_fails_loudly(spark):
 
     with _pytest.raises(Exception, match="imaging libraries|NotImplemented"):
         mm.resize_media(media).collect()
+
+
+def test_audio_features_integer_exact(spark):
+    """MM03 PCM features are pure integer math; verify against a local
+    recompute and determinism across partitionings."""
+    import math
+
+    import numpy as np
+
+    from retail_etl_pipeline_airflow_s3_athena_spark.operators import multimodal as mm
+
+    media = mm.synthesize_raw_audio(spark, n=10)
+    got = {r["media_id"]: r for r in mm.audio_features(media).collect()}
+    for mid in range(10):
+        _, x = mm._decode_raw_audio(mm.make_raw_audio(mid))
+        n = len(x)
+        r = got[mid]
+        assert r["n_samples"] == n
+        assert r["rms_e6"] == math.isqrt(int((x * x).sum()) * 10**12 // n)
+        assert r["zero_crossings"] == int(((x[:-1] >= 0) != (x[1:] >= 0)).sum())
+        assert r["peak"] == int(np.abs(x).max())
+    again = {
+        r["media_id"]: tuple(r)
+        for r in mm.audio_features(media.repartition(7)).collect()
+    }
+    assert again == {m: tuple(r) for m, r in got.items()}
+
+
+def test_sample_raw_frames_real_pixels(spark):
+    import hashlib as _hashlib
+
+    import numpy as np
+
+    from retail_etl_pipeline_airflow_s3_athena_spark.operators import multimodal as mm
+
+    media = mm.synthesize_raw_video(spark, n=6)
+    got = {}
+    for r in mm.sample_raw_frames(media, every_n=2).collect():
+        got[(r["media_id"], r["frame_idx"])] = (
+            r["mean_luma_e4"], r["frame_checksum"]
+        )
+    for mid in range(6):
+        b = mm.make_raw_video(mid)
+        import struct as _struct
+
+        w, h, c, nf = _struct.unpack_from("<IIII", b, 4)
+        for idx in range(0, nf, 2):
+            off = mm.VIDEO_HEADER_LEN + idx * w * h * c
+            frame = np.frombuffer(
+                b, dtype="uint8", count=w * h * c, offset=off
+            ).reshape(h, w, c).astype(np.int64)
+            luma_sum = int(
+                (frame[:, :, 0] * 299 + frame[:, :, 1] * 587
+                 + frame[:, :, 2] * 114).sum()
+            ) // 1000
+            want = (
+                luma_sum * 10**4 // (w * h),
+                _hashlib.sha256(
+                    frame.astype("uint8").tobytes()
+                ).hexdigest()[:12],
+            )
+            assert got[(mid, idx)] == want
+    # every sampled index present, nothing extra
+    expected_keys = set()
+    for mid in range(6):
+        nf = 3 + (mid * 5) % 10
+        expected_keys |= {(mid, i) for i in range(0, nf, 2)}
+    assert set(got) == expected_keys
