@@ -226,6 +226,12 @@ def oracle_ngram_vocab_sql(
 
 
 VOCAB_SIZE = 1000
+
+# Largest vocabulary the single-partition TakeOrdered + rank-window
+# fast path may handle; callers asking for more (a BPE-scale or
+# "unbounded" vocab) silently got the textbook one-task WindowExec
+# before — now they get the distributed two-pass rank instead.
+WINDOW_VOCAB_MAX = 65_536
 OOV_ID = -1
 
 
@@ -244,22 +250,45 @@ def encode_token_ids(
     id assignment must be DETERMINISTIC so shards encoded on different
     executors/days agree on the mapping.
 
-    Plan: token counts partial-aggregate map-side; the top-``vocab_size``
+    Plan, small vocabularies (``vocab_size <= WINDOW_VOCAB_MAX``):
+    token counts partial-aggregate map-side; the top-``vocab_size``
     cut is a TakeOrderedAndProject (per-partition partial top-k, no
     full sort); ranking the cut is a window over only ``vocab_size``
     rows (driver-bounded by construction); the corpus-side encode is a
-    BROADCAST left join — the token stream never shuffles."""
+    BROADCAST left join — the token stream never shuffles.
+
+    Plan, large vocabularies: the top-k cut and the single-partition
+    rank window would both funnel ``vocab_size`` rows through one task,
+    so above ``WINDOW_VOCAB_MAX`` the id assignment switches to the
+    distributed two-pass rank (functions/ranking.py — range partition +
+    per-partition offsets) over ALL token counts, filtered to
+    ``rank <= vocab_size``; the encode join drops the broadcast hint
+    and lets AQE choose (a multi-million-row vocab may exceed the
+    broadcast budget)."""
     flat = docs.select(
         F.col(id_col).alias("doc_id"),
         F.posexplode(tokens(F.lower(F.col(text_col)))).alias("pos", "tok"),
     )
     counts = flat.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
-    cut = counts.orderBy(F.desc("cnt"), F.asc("tok")).limit(vocab_size)
-    w = Window.orderBy(F.desc("cnt"), F.asc("tok"))
-    vocab = cut.select(
-        "tok", (F.row_number().over(w) - 1).cast("long").alias("token_id")
-    )
-    return flat.join(F.broadcast(vocab), "tok", "left").select(
+    if vocab_size <= WINDOW_VOCAB_MAX:
+        cut = counts.orderBy(F.desc("cnt"), F.asc("tok")).limit(vocab_size)
+        w = Window.orderBy(F.desc("cnt"), F.asc("tok"))
+        vocab = cut.select(
+            "tok", (F.row_number().over(w) - 1).cast("long").alias("token_id")
+        )
+        vocab = F.broadcast(vocab)
+    else:
+        from retail_etl_pipeline_airflow_s3_athena_spark.functions.ranking import (
+            attach_global_rank,
+        )
+
+        ranked = attach_global_rank(
+            counts, [F.desc("cnt"), F.asc("tok")], rank_col="__rk"
+        )
+        vocab = ranked.filter(F.col("__rk") <= vocab_size).select(
+            "tok", (F.col("__rk") - 1).cast("long").alias("token_id")
+        )
+    return flat.join(vocab, "tok", "left").select(
         "doc_id",
         F.col("pos").cast("long").alias("pos"),
         F.coalesce("token_id", F.lit(OOV_ID).cast("long")).alias("token_id"),

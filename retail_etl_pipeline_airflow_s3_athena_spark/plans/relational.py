@@ -49,6 +49,11 @@ from retail_etl_pipeline_airflow_s3_athena_spark.functions.money import (
     sql_revenue_e4,
     sql_revenue_sum,
 )
+from retail_etl_pipeline_airflow_s3_athena_spark.functions.ranking import (
+    attach_global_rank,
+    ntile_from_rank,
+    percent_rank_from_rank,
+)
 from retail_etl_pipeline_airflow_s3_athena_spark.operators.text import dround, sql_dround
 
 
@@ -347,25 +352,34 @@ def oracle_daily_revenue_delta_sql() -> str:
 
 def customer_value_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Customer lifetime spend quartiles: distributed aggregate first,
-    then rank windows over the |customers|-row rollup with a total
-    (tie-broken) order so NTILE and PERCENT_RANK are deterministic.
-    At 100 TB the single-partition window is the textbook bottleneck —
-    the aggregate reduces cardinality by orders of magnitude first,
-    and a range-partitioned sort would replace it if customers
-    themselves didn't fit one partition."""
+    then a DISTRIBUTED two-pass rank (functions/ranking.py) over the
+    |customers|-row rollup — range-repartition on the tie-broken sort
+    key, per-partition local row numbers, cumulative offsets from a
+    #partitions-row stats table.  NTILE(4) and PERCENT_RANK become
+    pure arithmetic on (rank, total), bucket-for-bucket identical to
+    the SQL window functions the oracle runs, with NO unpartitioned
+    WindowExec anywhere in the plan: at 100 TB |customers| is billions
+    of rows and a ``Window.orderBy`` with no partitionBy would funnel
+    them through one task."""
     orders = _t(spark, sf_dir, "orders")
     spend = orders.groupBy("o_custkey").agg(
         money_sum("o_totalprice").alias("total_spend"),
         F.count("*").alias("n_orders"),
     )
-    w = Window.orderBy(F.desc("total_spend"), F.asc("o_custkey"))
+    ranked = attach_global_rank(
+        spend,
+        [F.desc("total_spend"), F.asc("o_custkey")],
+        rank_col="_rank",
+        total_col="_n",
+    )
+    rank, n = F.col("_rank"), F.col("_n")
     return (
-        spend.select(
+        ranked.select(
             F.col("o_custkey").alias("custkey"),
             "total_spend",
             "n_orders",
-            F.ntile(4).over(w).alias("quartile"),
-            dround(F.percent_rank().over(w), 6).alias("pct_rank"),
+            ntile_from_rank(rank, n, 4).alias("quartile"),
+            dround(percent_rank_from_rank(rank, n), 6).alias("pct_rank"),
         )
         .orderBy("custkey")
     )
