@@ -883,8 +883,9 @@ def _q_video_frame_luma(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Binary fixtures don't exist; the media table is synthesized
-    # deterministically.  No SQL oracle (mapInPandas + binary payloads
-    # aren't SQL-expressible) -> driver records the rows-only check.
+    # deterministically, and every output column is an integer/string
+    # computed from the payload bytes — the oracle is a locally
+    # recomputed VALUES literal (same pattern as resize_raw_images).
     return mm_ops.media_pipeline(spark, n=60)
 
 
@@ -1476,6 +1477,29 @@ def oracle_sql() -> dict[str, str]:
 
     import numpy as _np
 
+    _mm_rows = []
+    for _mid in range(60):
+        _kind_code = _mid % 3
+        _b = mm_ops.make_payload(_mid, _kind_code)
+        _, _mw, _mh, _mdur = mm_ops._parse_header(_b)
+        _body = _b[mm_ops.HEADER_LEN:]
+        _hist0 = sum(1 for _byte in _body if _byte % mm_ops.FEATURE_DIM == 0)
+        _mm_rows.append(
+            f"({_mid}, '{mm_ops.KINDS[_kind_code]}', {_mw}, {_mh}, "
+            f"{_mdur}, {len(_b)}, "
+            f"'{_hashlib.sha256(_b).hexdigest()[:16]}', "
+            f"{_hist0 * 10**6 // max(len(_body), 1)})"
+        )
+    oracles["multimodal_pipeline"] = (
+        "SELECT CAST(media_id AS BIGINT) AS media_id, kind, "
+        "CAST(width AS INT) AS width, CAST(height AS INT) AS height, "
+        "CAST(duration_ms AS INT) AS duration_ms, "
+        "CAST(n_bytes AS BIGINT) AS n_bytes, checksum, "
+        "CAST(f0_e6 AS BIGINT) AS f0_e6 FROM (VALUES "
+        + ", ".join(_mm_rows)
+        + ") AS t(media_id, kind, width, height, duration_ms, n_bytes,"
+        " checksum, f0_e6) ORDER BY media_id"
+    )
     _resize_rows = []
     for _mid in range(40):
         _img = mm_ops._decode_raw(mm_ops.make_raw_image(_mid))

@@ -184,15 +184,45 @@ def sample_frames(media: DataFrame, every_ms: int = 10000) -> DataFrame:
     return media.mapInPandas(batches, FRAME_SCHEMA)
 
 
+F0_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("f0_e6", T.LongType()),
+    ]
+)
+
+
+def extract_f0_e6(media: DataFrame) -> DataFrame:
+    """Exact-integer twin of ``extract_features``' first histogram
+    bucket: ``count(body bytes ≡ 0 mod FEATURE_DIM) * 10^6 // len(body)``.
+    Pure 64-bit integer arithmetic end to end, so the value is
+    bit-identical on any engine — this is what lets the pipeline query
+    carry a locally-recomputed VALUES-literal oracle instead of the
+    rows-only check (float32 Arrow round-trips in the feature vector
+    are NOT canon-stable; scaled integers are — see
+    tools/check_oracle.py's full-precision hash)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload)[HEADER_LEN:]
+                hist0 = sum(1 for byte in b if byte % FEATURE_DIM == 0)
+                rows.append((int(mid), hist0 * 10**6 // max(len(b), 1)))
+            yield pd.DataFrame(rows, columns=["media_id", "f0_e6"])
+
+    return media.mapInPandas(batches, F0_SCHEMA)
+
+
 def media_pipeline(spark: SparkSession, n: int = 60) -> DataFrame:
-    """End-to-end: synthesize -> metadata -> join features -> flag big
-    payloads.  The rows-only contract query (no SQL oracle: binary
-    payloads and pandas stubs aren't SQL-expressible)."""
+    """End-to-end: synthesize -> metadata -> join exact-integer feature
+    -> project.  All output columns are integers/strings computed
+    deterministically from the payload bytes, so the gate checks this
+    against a locally-recomputed VALUES-literal oracle
+    (__spark_entry__.oracle_sql), value-hash-exact."""
     media = synthesize_media(spark, n)
     meta = extract_metadata(media)
-    feats = extract_features(media).select(
-        "media_id", F.element_at("feature", 1).alias("f0")
-    )
+    feats = extract_f0_e6(media)
     return (
         meta.join(feats, "media_id")
         .select(
@@ -203,7 +233,7 @@ def media_pipeline(spark: SparkSession, n: int = 60) -> DataFrame:
             "duration_ms",
             "n_bytes",
             "checksum",
-            F.round("f0", 6).alias("f0"),
+            "f0_e6",
         )
         .orderBy("media_id")
     )
