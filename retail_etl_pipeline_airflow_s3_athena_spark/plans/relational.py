@@ -1533,11 +1533,18 @@ def brand_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_brand")
         .agg(
             F.count("*").alias("n"),
-            # exact integer moments (quantity is integer, price 2-dp):
-            # every sum is a DECIMAL(38,0) accumulation of exact values
-            exact_sum(q).alias("sx"),
+            # exact integer moments (quantity is integer, price 2-dp).
+            # Accumulator width is chosen per column, narrowest that is
+            # overflow-proof: l_quantity is domain-bounded (<= 50), so
+            # Σq / Σq² fit a LONG for up to ~10^15 rows per group —
+            # ANSI mode raises loudly past that, never corrupts.  The
+            # cents-scaled price moments (per-row values up to ~10^14)
+            # keep the DECIMAL(38,0) accumulator; measured cost of the
+            # decimal sums vs naive double sums is ~0.1s at sf0.1
+            # (COVERAGE.md) — the price of cross-engine bit-exactness.
+            F.sum(q).cast("double").alias("sx"),
             (exact_sum(yc) / 1e2).alias("sy"),
-            exact_sum(q * q).alias("sxx"),
+            F.sum(q * q).cast("double").alias("sxx"),
             (exact_sum(yc * yc) / 1e4).alias("syy"),
             (exact_sum(q * yc) / 1e2).alias("sxy"),
         )

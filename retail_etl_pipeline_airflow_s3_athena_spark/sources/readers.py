@@ -252,20 +252,86 @@ def jdbc_reader_options(
     }
 
 
+def jdbc_partition_options(
+    table: str,
+    partition_column: str,
+    lower_bound,
+    upper_bound,
+    num_partitions: int,
+) -> dict[str, str]:
+    """Option map for a PARALLEL range-partitioned JDBC scan — pure
+    function so the contract is testable without a live database.
+    Spark turns these into ``num_partitions`` concurrent source
+    queries, each with a ``partition_column`` range predicate, instead
+    of one connection dragging the whole table (the reference's fact
+    table is "1M+ rows" — dags/retail_etl_dag.py — over a single
+    psycopg2 cursor)."""
+    return {
+        "dbtable": table,
+        "partitionColumn": partition_column,
+        "lowerBound": str(lower_bound),
+        "upperBound": str(upper_bound),
+        "numPartitions": str(int(num_partitions)),
+    }
+
+
 def read_jdbc_table(
     spark: SparkSession,
     url: str,
     table: str,
     limit: int | None = None,
+    partition_column: str | None = None,
+    lower_bound=None,
+    upper_bound=None,
+    num_partitions: int | None = None,
     **options: str,
 ) -> DataFrame:
-    """JDBC full-table scan with optional LIMIT pushed to the source —
-    the reference's extract (scripts/extract.py:22-91, S1).  The row cap
-    goes into the pushed ``query`` exactly as extract.py:45-48 builds
-    it.  Needs the source's JDBC driver jar on the classpath; the
-    bundled Derby driver makes the path LIVE-testable in this sandbox
-    (tests/test_pipeline.py::test_jdbc_round_trip_via_derby)."""
+    """JDBC extract — the reference's S1 (scripts/extract.py:22-91),
+    Spark-first in two shapes:
+
+    - **Single-connection** (default, and always when ``limit`` is
+      set): the optional row cap is pushed inside the source ``query``
+      exactly as extract.py:45-48 builds it.
+    - **Parallel** (``partition_column`` + bounds + ``num_partitions``):
+      Spark issues one range-predicated source query per partition —
+      the scan scales with the cluster instead of one cursor.  The
+      bounds only steer the split points; rows outside them are still
+      read (standard Spark JDBC semantics), so the result set is
+      IDENTICAL to the single-connection read.
+
+    ``limit`` + ``partition_column`` is refused loudly: a capped
+    subquery re-executes per partition query, and without ORDER BY the
+    database may return a different arbitrary row set to each — the
+    dev-sampling cap keeps the deterministic single-connection path.
+
+    Needs the source's JDBC driver jar on the classpath; the bundled
+    Derby driver makes BOTH paths live-testable in this sandbox
+    (tests/test_pipeline.py::test_jdbc_{round_trip,parallel_partitions}
+    _via_derby)."""
     reader = spark.read.format("jdbc")
-    for k, v in jdbc_reader_options(url, table, limit, **options).items():
+    if partition_column is not None:
+        if limit is not None:
+            raise ValueError(
+                "limit cannot be combined with a partitioned JDBC read: "
+                "a row-capped subquery is re-executed per partition "
+                "query and returns nondeterministic row sets without "
+                "ORDER BY; drop the cap or the partitioning"
+            )
+        if lower_bound is None or upper_bound is None or not num_partitions:
+            raise ValueError(
+                "partitioned JDBC read needs lower_bound, upper_bound "
+                "and num_partitions alongside partition_column"
+            )
+        opts = {
+            "url": url,
+            **jdbc_partition_options(
+                table, partition_column, lower_bound, upper_bound,
+                num_partitions,
+            ),
+            **options,
+        }
+    else:
+        opts = jdbc_reader_options(url, table, limit, **options)
+    for k, v in opts.items():
         reader = reader.option(k, v)
     return reader.load()

@@ -201,6 +201,51 @@ def test_jdbc_round_trip_via_derby(spark, sf_dir, tmp_path):
     )
 
 
+def test_jdbc_parallel_partitions_via_derby(spark, sf_dir, tmp_path):
+    """S1 parallel extract LIVE: the range-partitioned JDBC read must
+    produce >1 input partition (concurrent source queries) and the
+    exact same row set as the single-connection read — Spark's bounds
+    steer split points only, they never filter."""
+    url = f"jdbc:derby:{tmp_path}/pdb;create=true"
+    drv = "org.apache.derby.jdbc.EmbeddedDriver"
+    src = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    (
+        src.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "customers")
+        .option("driver", drv)
+        .mode("overwrite")
+        .save()
+    )
+    keys = [r["c_custkey"] for r in src.collect()]
+    # bounds deliberately EXCLUDE part of the key range: rows outside
+    # must still arrive (bounds are split points, not filters)
+    lo, hi = min(keys) + 10, max(keys) - 10
+    par = readers.read_jdbc_table(
+        spark, url, "customers",
+        partition_column="c_custkey", lower_bound=lo, upper_bound=hi,
+        num_partitions=4, driver=drv,
+    )
+    assert par.rdd.getNumPartitions() == 4
+    single = readers.read_jdbc_table(spark, url, "customers", driver=drv)
+    assert sorted(map(tuple, par.collect())) == sorted(
+        map(tuple, single.collect())
+    )
+    with pytest.raises(ValueError, match="nondeterministic"):
+        readers.read_jdbc_table(
+            spark, url, "customers", limit=5,
+            partition_column="c_custkey", lower_bound=lo, upper_bound=hi,
+            num_partitions=4, driver=drv,
+        )
+    with pytest.raises(ValueError, match="num_partitions"):
+        readers.read_jdbc_table(
+            spark, url, "customers", partition_column="c_custkey",
+            driver=drv,
+        )
+
+
 def test_jdbc_pushdown_sql_contract():
     # reference extract.py:45-48: SELECT * FROM public.<t> [LIMIT n],
     # with the LIMIT inside the source SQL (S1 pushdown) — testable
