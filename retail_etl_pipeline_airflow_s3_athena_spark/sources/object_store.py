@@ -103,6 +103,70 @@ def list_layer(s3, bucket: str, prefix: str) -> list[str]:
         token = resp.get("NextContinuationToken")
 
 
+CURRENT_POINTER = "_CURRENT"
+
+
+def publish_layer(
+    s3, local_dir: str, bucket: str, prefix: str, version: int
+) -> str:
+    """ATOMIC layer promotion — the never-see-partial guarantee the
+    reference's upload step lacks (aws_upload.py:67-79 uploads files
+    in place, so a reader racing the walk sees a half-written layer).
+
+    Data files go to a FRESH ``<prefix>/v<version>[r<n>]/`` prefix;
+    only after every object is up does ONE small PUT flip
+    ``<prefix>/_CURRENT`` to name it.  S3 PUTs are atomic per object
+    and strongly consistent, so a reader resolving the pointer sees
+    either the old version or the new one — never a mix.  A writer
+    crash anywhere before the pointer PUT leaves readers untouched;
+    the partial prefix is unreferenced garbage, and a replayed publish
+    of the same ``version`` (streaming crash-replay reuses batch ids)
+    picks a fresh ``r<n>`` suffix instead of writing into a prefix a
+    reader might be listing (same reasoning as
+    ``streaming/incremental.py::_versioned_overwrite``).
+
+    Returns the versioned prefix the pointer now names."""
+    base = f"{prefix.rstrip('/')}/v{version}"
+    vprefix, retry = base, 0
+    while list_layer(s3, bucket, vprefix):
+        retry += 1
+        vprefix = f"{base}r{retry}"
+    sync_dir_to_s3(s3, local_dir, bucket, vprefix)
+    s3.put_object(
+        Bucket=bucket,
+        Key=f"{prefix.rstrip('/')}/{CURRENT_POINTER}",
+        Body=vprefix.encode(),
+    )
+    return vprefix
+
+
+def resolve_current(s3, bucket: str, prefix: str) -> str | None:
+    """The versioned prefix ``_CURRENT`` names, or None if the layer
+    has never been published (readers MUST go through this — listing
+    ``<prefix>/`` directly would see in-flight uploads)."""
+    try:
+        resp = s3.get_object(
+            Bucket=bucket, Key=f"{prefix.rstrip('/')}/{CURRENT_POINTER}"
+        )
+    except Exception:  # noqa: BLE001 — botocore ClientError on NoSuchKey
+        return None
+    return resp["Body"].read().decode()
+
+
+def download_current_layer(
+    s3, bucket: str, prefix: str, local_dir: str
+) -> list[str]:
+    """Pointer-resolving read-back: fetch the layer version that
+    ``_CURRENT`` names.  Raises if nothing has been published."""
+    cur = resolve_current(s3, bucket, prefix)
+    if cur is None:
+        raise FileNotFoundError(
+            f"no {CURRENT_POINTER} pointer under s3://{bucket}/{prefix} "
+            "— layer has never been published"
+        )
+    return download_layer(s3, bucket, cur, local_dir)
+
+
 def download_layer(
     s3, bucket: str, prefix: str, local_dir: str
 ) -> list[str]:

@@ -215,15 +215,104 @@ def stateful_sessions(
     )
 
 
+def _hadoop_fs(df_or_spark, uri: str):
+    """(jvm Path class, FileSystem) for ``uri`` via Spark's Hadoop
+    conf — works for any configured scheme (file://, hdfs://, s3a://)."""
+    spark = getattr(df_or_spark, "sparkSession", df_or_spark)
+    sc = spark.sparkContext
+    jpath = sc._jvm.org.apache.hadoop.fs.Path
+    fs = jpath(uri).getFileSystem(sc._jsc.hadoopConfiguration())
+    return jpath, fs
+
+
+def _versioned_overwrite_uri(
+    df: DataFrame, target_dir: str, batch_id: int
+) -> None:
+    """Never-see-partial commit for URI targets, where POSIX
+    symlink-``os.replace`` doesn't exist: write a FRESH
+    ``<dir>.v{batch}[r{n}]`` directory, then flip the tiny
+    ``<dir>._CURRENT`` pointer file in ONE single-object write —
+    atomic on object stores (an S3 PUT commits atomically, strongly
+    consistent) and on HDFS (create+close of a small file).  Readers
+    resolve the pointer via :func:`resolve_table_dir` /
+    :func:`read_table` and see either the old version or the new one.
+    A crash before the pointer write leaves unreferenced garbage only;
+    a replayed batch id picks a fresh ``r{n}`` suffix, never writing
+    into a directory the live pointer may name (same crash-replay
+    reasoning as the POSIX branch below).  Retention mirrors the POSIX
+    branch: current + immediately-previous versions are kept, older
+    ones purged.  (The boto3 twin for driver-side layer promotion is
+    ``sources/object_store.py::publish_layer``.)"""
+    jpath, fs = _hadoop_fs(df, target_dir)
+    vdir, retry = f"{target_dir}.v{batch_id}", 0
+    while fs.exists(jpath(vdir)):
+        retry += 1
+        vdir = f"{target_dir}.v{batch_id}r{retry}"
+    df.write.mode("overwrite").parquet(vdir)
+    pointer = jpath(f"{target_dir}.{_POINTER_NAME}")
+    prev = _read_pointer(fs, jpath, target_dir)
+    out = fs.create(pointer, True)  # single small object — atomic flip
+    out.write(bytearray(vdir.encode()))
+    out.close()
+    # retention: keep {new, previous}, purge older versioned dirs.
+    # Compare NORMALIZED Path strings (Path("file:///x") prints
+    # "file:/x" — raw-string comparison would purge the live previous)
+    keep = {jpath(k).toString() for k in (vdir, prev) if k}
+    parent = jpath(target_dir).getParent()
+    base = jpath(target_dir).getName()
+    for status in fs.globStatus(jpath(parent, base + ".v*")) or []:
+        p = status.getPath()
+        if status.isDirectory() and p.toString() not in keep:
+            fs.delete(p, True)
+
+
+_POINTER_NAME = "_CURRENT"
+
+
+def _read_pointer(fs, jpath, target_dir: str) -> str | None:
+    pointer = jpath(f"{target_dir}.{_POINTER_NAME}")
+    if not fs.exists(pointer):
+        return None
+    stream = fs.open(pointer)
+    try:
+        data = bytearray()
+        while True:
+            b = stream.read()
+            if b < 0:
+                break
+            data.append(b)
+        return data.decode()
+    finally:
+        stream.close()
+
+
+def resolve_table_dir(spark: SparkSession, target_dir: str) -> str:
+    """Where readers of a ``_versioned_overwrite`` sink should point:
+    POSIX targets resolve through the symlink transparently (the
+    symlink IS the pointer); URI targets resolve the ``._CURRENT``
+    pointer file, falling back to ``target_dir`` if nothing was ever
+    published."""
+    if "://" not in target_dir:
+        return target_dir
+    jpath, fs = _hadoop_fs(spark, target_dir)
+    return _read_pointer(fs, jpath, target_dir) or target_dir
+
+
+def read_table(spark: SparkSession, target_dir: str) -> DataFrame:
+    """Pointer-resolving read of a ``_versioned_overwrite`` sink."""
+    return spark.read.parquet(resolve_table_dir(spark, target_dir))
+
+
 def _versioned_overwrite(df: DataFrame, target_dir: str, batch_id: int) -> None:
     """Write ``df`` to a fresh versioned directory and swap it in with
     an atomic symlink ``os.replace`` — readers resolving ``target_dir``
     see either the old or the new table, never a partial one.  On
-    object-store URIs (no POSIX rename) falls back to a plain,
-    non-atomic overwrite; production there wants a commit-capable table
-    format, which changes this sink call only."""
+    object-store URIs (no POSIX rename) the same guarantee comes from
+    the ``._CURRENT`` pointer-file scheme
+    (:func:`_versioned_overwrite_uri`); readers go through
+    :func:`read_table`."""
     if "://" in target_dir:
-        df.write.mode("overwrite").parquet(target_dir)
+        _versioned_overwrite_uri(df, target_dir, batch_id)
         return
     import os
     import shutil
@@ -297,10 +386,9 @@ def gold_stream(
     ``os.replace`` — readers resolving ``gold_dir`` see either the old
     or the new table, never a partial one (the only non-atomic window
     is the one-time migration of a pre-existing plain directory to the
-    symlink scheme).  On object-store URIs a POSIX rename doesn't
-    exist, so the write falls back to a plain (non-atomic) overwrite —
-    production there wants a MERGE/commit-capable table format, which
-    changes the sink call only, not the plan shape."""
+    symlink scheme).  On URI targets the same guarantee comes from the
+    ``._CURRENT`` pointer-file commit (``_versioned_overwrite_uri``);
+    readers go through ``read_table``/``resolve_table_dir``."""
 
     def overwrite_gold(batch_df: DataFrame, batch_id: int) -> None:
         _versioned_overwrite(batch_df, gold_dir, batch_id)

@@ -75,3 +75,79 @@ def test_silver_partitions_sync_layout(spark, sf_dir, tmp_path, s3):
     keys = object_store.sync_dir_to_s3(s3, path, BUCKET, "silver/customers")
     assert keys
     assert all("date=20260814/" in k for k in keys)
+
+
+def _write_layer(tmp_path, name, rows):
+    d = tmp_path / name
+    d.mkdir(parents=True, exist_ok=True)
+    for i, content in enumerate(rows):
+        (d / f"part-{i}.txt").write_text(content)
+    return str(d)
+
+
+def test_publish_layer_atomic_pointer_flip(tmp_path, s3):
+    """publish_layer: data lands under a versioned prefix; readers see
+    it only after the single _CURRENT pointer PUT."""
+    v1 = _write_layer(tmp_path, "v1src", ["a", "b"])
+    p1 = object_store.publish_layer(s3, v1, BUCKET, "gold/daily", 1)
+    assert p1 == "gold/daily/v1"
+    assert object_store.resolve_current(s3, BUCKET, "gold/daily") == p1
+    back = tmp_path / "back1"
+    files = object_store.download_current_layer(
+        s3, BUCKET, "gold/daily", str(back)
+    )
+    assert sorted(open(f).read() for f in files) == ["a", "b"]
+
+    v2 = _write_layer(tmp_path, "v2src", ["c", "d", "e"])
+    p2 = object_store.publish_layer(s3, v2, BUCKET, "gold/daily", 2)
+    assert object_store.resolve_current(s3, BUCKET, "gold/daily") == p2
+    back2 = tmp_path / "back2"
+    files2 = object_store.download_current_layer(
+        s3, BUCKET, "gold/daily", str(back2)
+    )
+    assert sorted(open(f).read() for f in files2) == ["c", "d", "e"]
+
+
+def test_publish_layer_crash_mid_upload_leaves_reader_on_old(
+    tmp_path, s3, monkeypatch
+):
+    """Kill the writer mid-upload: a concurrent reader resolving the
+    pointer must still see the complete OLD version — never a partial
+    new one (the atomicity gap in reference aws_upload.py:67-79)."""
+    v1 = _write_layer(tmp_path, "c1", ["old-1", "old-2"])
+    object_store.publish_layer(s3, v1, BUCKET, "gold/g", 1)
+
+    v2 = _write_layer(tmp_path, "c2", ["new-1", "new-2", "new-3"])
+    real_upload = s3.upload_file
+    calls = {"n": 0}
+
+    def dying_upload(path, bucket, key):
+        calls["n"] += 1
+        if calls["n"] >= 2:
+            raise RuntimeError("writer killed mid-upload")
+        return real_upload(path, bucket, key)
+
+    monkeypatch.setattr(s3, "upload_file", dying_upload)
+    with pytest.raises(RuntimeError, match="killed"):
+        object_store.publish_layer(s3, v2, BUCKET, "gold/g", 2)
+    monkeypatch.setattr(s3, "upload_file", real_upload)
+
+    # pointer untouched -> reader gets the full old version
+    assert object_store.resolve_current(s3, BUCKET, "gold/g") == "gold/g/v1"
+    back = tmp_path / "cback"
+    files = object_store.download_current_layer(s3, BUCKET, "gold/g", str(back))
+    assert sorted(open(f).read() for f in files) == ["old-1", "old-2"]
+
+    # retried publish of the same batch id must pick a FRESH suffix
+    # (the half-written v2 prefix is abandoned garbage)
+    p = object_store.publish_layer(s3, v2, BUCKET, "gold/g", 2)
+    assert p == "gold/g/v2r1"
+    back2 = tmp_path / "cback2"
+    files2 = object_store.download_current_layer(s3, BUCKET, "gold/g", str(back2))
+    assert sorted(open(f).read() for f in files2) == ["new-1", "new-2", "new-3"]
+
+
+def test_resolve_current_unpublished_is_none(s3):
+    assert object_store.resolve_current(s3, BUCKET, "gold/never") is None
+    with pytest.raises(FileNotFoundError, match="never been published"):
+        object_store.download_current_layer(s3, BUCKET, "gold/never", "/tmp/x")

@@ -600,3 +600,47 @@ def test_versioned_overwrite_never_reuses_live_dir(spark, tmp_path):
     assert live_after != live_before, "replay reused the live version dir"
     assert live_after.endswith(".v3r1")
     assert spark.read.parquet(target).count() == 9
+
+
+def test_versioned_overwrite_uri_pointer_commit(spark, tmp_path):
+    """URI targets (no POSIX rename): the ._CURRENT pointer-file scheme
+    must give the same never-see-partial guarantee as the symlink swap
+    — exercised through Hadoop's file:// FileSystem, the same API an
+    s3a:// deployment hits."""
+    target = f"file://{tmp_path}/gold_uri"
+    df1 = spark.range(5).toDF("k")
+    incremental._versioned_overwrite(df1, target, batch_id=1)
+    assert incremental.resolve_table_dir(spark, target).endswith(".v1")
+    assert incremental.read_table(spark, target).count() == 5
+
+    # a fully-written new version flips the pointer...
+    df2 = spark.range(9).toDF("k")
+    incremental._versioned_overwrite(df2, target, batch_id=2)
+    assert incremental.resolve_table_dir(spark, target).endswith(".v2")
+    assert incremental.read_table(spark, target).count() == 9
+    # ...and retention kept the immediately-previous version
+    import os
+    siblings = sorted(
+        f for f in os.listdir(tmp_path) if f.startswith("gold_uri.v")
+    )
+    assert siblings == ["gold_uri.v1", "gold_uri.v2"]
+
+    # simulated writer crash: version dir written, pointer NOT flipped
+    # -> a concurrent reader still resolves the old complete version
+    df3 = spark.range(2).toDF("k")
+    df3.write.parquet(f"file://{tmp_path}/gold_uri.v3")
+    assert incremental.resolve_table_dir(spark, target).endswith(".v2")
+    assert incremental.read_table(spark, target).count() == 9
+
+    # crash-replay of batch 3: the half-written v3 dir exists, so the
+    # retried batch takes a fresh r1 suffix and commits atomically
+    incremental._versioned_overwrite(df3, target, batch_id=3)
+    assert incremental.resolve_table_dir(spark, target).endswith(".v3r1")
+    assert incremental.read_table(spark, target).count() == 2
+
+
+def test_resolve_table_dir_posix_passthrough(spark, tmp_path):
+    target = str(tmp_path / "plain")
+    spark.range(3).toDF("k").write.parquet(target)
+    assert incremental.resolve_table_dir(spark, target) == target
+    assert incremental.read_table(spark, target).count() == 3
