@@ -915,35 +915,32 @@ def entry(spark: SparkSession) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 GATE_FIRST_50 = [
-    # r6 rotation (VERDICT r5 #4): lead with the late-r5 additions
-    # that have zero driver evidence, then every query whose values
-    # or implementation changed this round (the exact integer-cents
-    # monetary-aggregation conversion, functions/money.py).
-    "event_transitions",
-    "build_training_set",
-    "basket_rules",
-    "dup_triangles",
-    "rolling_distinct_users",
-    "bigram_prob_score",
-    "ngram_novelty",
-    "cluster_size_histogram",
-    "embedding_outliers",
-    "nation_year_profit",
-    "dormant_customers",
-    "small_quantity_revenue",
-    "daily_revenue_delta",
+    # r7 rotation (VERDICT r6 #2): lead with the queries whose
+    # implementation changed this round (distributed two-pass rank,
+    # mixed exact accumulators, the new multimodal_pipeline value
+    # oracle), then the 13 r3-era entries whose driver evidence
+    # pre-dates the r6 integer-cents conversion, then the
+    # reference-parity core (kept fresh every round), then the stalest
+    # r4-verified rows that fit.
     "customer_value_tiles",
-    "nation_trade_volume",
-    "brand_basket_revenue",
-    "nation_market_share",
-    "above_avg_dormant_value",
-    "supplier_revenue_share",
-    "discount_band_revenue",
-    "returned_item_customers",
-    "top_revenue_supplier",
-    "segment_year_cube",
-    "customer_order_gaps",
     "brand_corr_stats",
+    "encode_token_ids",
+    "multimodal_pipeline",
+    # r3-era evidence, pre-money-conversion (VERDICT r6 #2)
+    "big_orders",
+    "bigram_vocab",
+    "churned_buyers",
+    "concurrent_sessions",
+    "dedup_exact",
+    "doc_chunks",
+    "hash_sample_events",
+    "late_shipment_priority",
+    "pack_bins",
+    "pack_sequences",
+    "quality_filter_docs",
+    "quantize_embeddings",
+    "stratified_sample_docs",
+    # reference-parity core (every round)
     "daily_sales_summary",
     "top_customers",
     "product_performance",
@@ -952,116 +949,123 @@ GATE_FIRST_50 = [
     "top_performing_customers",
     "product_analysis",
     "revenue_by_category",
-    "daily_revenue_running",
-    "segment_sales_rollup",
-    "pricing_summary",
-    "shipping_priority",
-    "local_supplier_volume",
-    "promo_revenue",
-    "windowed_event_stats",
-    "sessionize_events",
-    "label_centroids",
-    "standardize_embeddings",
-    # new r6 operators (zero evidence)
-    "dedup_keep_best",
-    "source_overlap",
-    "resize_raw_images",
-    "audio_features_raw",
-    "video_frame_luma",
-    # new streaming-end-state oracles (VERDICT r5 #8) — zero evidence
-    "scd2_stream_replay",
-    "hll_stream_estimates",
+    # stalest r4-verified entries (25 of 33; the 8 simplest transforms
+    # lead the tail and rotate in next round)
+    "asof_join_events",
+    "blocked_jaccard_pairs",
+    "cosine_topk",
+    "cosine_topk_gemm",
+    "decontaminate_docs",
+    "dq_summary_customer",
+    "embedding_near_dup",
+    "embedding_near_dup_gemm",
+    "embedding_near_dup_lsh",
+    "ivf_topk",
+    "language_id",
+    "lsh_candidate_pairs",
+    "minhash_signatures",
+    "near_dup_pairs",
+    "pii_redact_docs",
+    "repetition_signals",
+    "scd2_customers",
+    "session_window_stats",
+    "silver_clean_events",
+    "simhash_near_dup",
+    "simhash_signatures",
+    "text_features",
+    "tfidf_top_terms",
+    "topk_events_per_type",
+    "union_all_orders",
 ]
 
 GATE_TAIL = [
-    # rotated out of the r6 window to make room (sf0.1 local-gate
-    # green this round; lowest-risk conversions of the r6 money change)
-    "corpus_stats",
-    "quantize_embeddings",
-    "kmeans_refine",
-    "kmeans_two_round",
-    "daily_revenue_ma7",
-    "session_window_stats",
-    "ivf_topk",
-    # Stalest r3/r4-verified rows first, then the r5-driver-green
-    # window (freshest evidence) last.
-    "dedup_exact",
-    "late_shipment_priority",
-    "churned_buyers",
-    "big_orders",
-    "bigram_vocab",
-    "concurrent_sessions",
-    "stratified_sample_docs",
-    "doc_chunks",
-    "pack_sequences",
-    "pack_bins",
-    "quality_filter_docs",
-    "hash_sample_events",
-    "multimodal_pipeline",
-    "silver_clean_events",
-    "tfidf_top_terms",
-    "embedding_near_dup_lsh",
-    "language_id",
-    "repetition_signals",
-    "pii_redact_docs",
-    "source_cap_docs",
-    "corpus_shuffle",
-    "minhash_signatures",
-    "lsh_candidate_pairs",
-    "simhash_signatures",
-    "cosine_topk_gemm",
-    "topk_events_per_type",
+    # deferred r4 rows — FIRST in line for the r8 window
     "user_event_pivot",
     "user_event_unpivot",
     "extract_props",
     "category_reach",
     "repeat_buyers_intersect",
-    "union_all_orders",
-    "dq_summary_customer",
-    "simhash_near_dup",
-    "near_dup_pairs",
-    "blocked_jaccard_pairs",
-    "embedding_near_dup",
-    "embedding_near_dup_gemm",
-    "decontaminate_docs",
-    "cosine_topk",
-    "text_features",
-    "asof_join_events",
+    "corpus_shuffle",
+    "source_cap_docs",
     "event_value_quantiles",
-    "scd2_customers",
+    # r5-driver-green
+    "anomalous_revenue_days",
+    "bloom_decontaminate",
     "cheapest_part_supplier",
-    "part_supplier_breadth",
-    "promo_part_suppliers",
-    "incremental_near_dups",
+    "cms_heavy_hitters",
+    "containment_pairs",
+    "corpus_stats",
+    "curated_docs",
+    "customer_order_distribution",
+    "daily_revenue_ma7",
+    "dataset_split_docs",
     "dedup_corpus",
+    "dedup_rate_report",
+    "dup_span_stats",
     "funnel_conversion",
-    "weekly_retention",
+    "fuzzy_decontaminate",
+    "fuzzy_part_names",
+    "hll_distinct_users",
+    "incremental_near_dups",
+    "kmeans_refine",
+    "kmeans_two_round",
+    "knn_graph",
+    "linestatus_priority_mix",
+    "lone_late_supplier",
+    "near_dup_clusters",
+    "normalize_text",
+    "pagerank_near_dups",
+    "part_supplier_breadth",
+    "profile_customers",
+    "promo_part_suppliers",
+    "rp_lsh_signatures",
+    "semantic_dedup",
     "snapshot_diff_customers",
     "value_histogram",
-    "customer_order_distribution",
-    "lone_late_supplier",
-    "linestatus_priority_mix",
-    "anomalous_revenue_days",
-    "normalize_text",
-    "curated_docs",
-    "fuzzy_part_names",
-    "dedup_rate_report",
+    "weekly_retention",
     "winnow_fingerprints",
     "winnow_shared_pairs",
-    "cms_heavy_hitters",
-    "bloom_decontaminate",
-    "fuzzy_decontaminate",
-    "knn_graph",
-    "semantic_dedup",
-    "dataset_split_docs",
-    "pagerank_near_dups",
-    "encode_token_ids",
-    "containment_pairs",
-    "dup_span_stats",
-    "profile_customers",
-    "rp_lsh_signatures",
-    "near_dup_clusters",
-    "hll_distinct_users",
+    # r6-driver-green (freshest evidence) last
+    "above_avg_dormant_value",
+    "audio_features_raw",
+    "basket_rules",
+    "bigram_prob_score",
+    "brand_basket_revenue",
+    "build_training_set",
+    "cluster_size_histogram",
+    "customer_order_gaps",
+    "daily_revenue_delta",
+    "daily_revenue_running",
+    "dedup_keep_best",
+    "discount_band_revenue",
+    "dormant_customers",
+    "dup_triangles",
+    "embedding_outliers",
+    "event_transitions",
+    "hll_stream_estimates",
+    "label_centroids",
+    "local_supplier_volume",
+    "nation_market_share",
+    "nation_trade_volume",
+    "nation_year_profit",
+    "ngram_novelty",
+    "pricing_summary",
+    "promo_revenue",
+    "resize_raw_images",
+    "returned_item_customers",
+    "rolling_distinct_users",
+    "scd2_stream_replay",
+    "segment_sales_rollup",
+    "segment_year_cube",
+    "sessionize_events",
+    "shipping_priority",
+    "small_quantity_revenue",
+    "source_overlap",
+    "standardize_embeddings",
+    "supplier_revenue_share",
+    "top_revenue_supplier",
+    "video_frame_luma",
+    "windowed_event_stats",
 ]
 
 
