@@ -20,6 +20,7 @@ from retail_etl_pipeline_airflow_s3_athena_spark.operators import asof as asof_o
 from retail_etl_pipeline_airflow_s3_athena_spark.operators import cluster as cluster_ops
 from retail_etl_pipeline_airflow_s3_athena_spark.operators import decontam as decontam_ops
 from retail_etl_pipeline_airflow_s3_athena_spark.operators import dedup as dedup_ops
+from retail_etl_pipeline_airflow_s3_athena_spark.operators import dsir as dsir_ops
 from retail_etl_pipeline_airflow_s3_athena_spark.operators import events as event_ops
 from retail_etl_pipeline_airflow_s3_athena_spark.operators import multimodal as mm_ops
 from retail_etl_pipeline_airflow_s3_athena_spark.operators import scd as scd_ops
@@ -226,6 +227,20 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fan_out: byte-sized splits starve the hash-dense operators of
     # cores on small single-file scans; no-op on real multi-split tables
     return readers.read_documents(spark, sf_dir)
+
+
+def _q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # target = English docs, source = whole corpus: the canonical
+    # "more of the target language/domain" DSIR setup
+    docs = readers.read_documents(spark, sf_dir)
+    return dsir_ops.dsir_importance(docs, F.col("lang") == "en").orderBy(
+        "doc_id"
+    )
+
+
+def _q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = readers.read_documents(spark, sf_dir)
+    return dsir_ops.dsir_select(docs, F.col("lang") == "en", k=100)
 
 
 def _q_scd2_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -972,14 +987,18 @@ GATE_FIRST_50 = [
     "silver_clean_events",
     "simhash_near_dup",
     "simhash_signatures",
-    "text_features",
     "tfidf_top_terms",
-    "topk_events_per_type",
     "union_all_orders",
+    # new r7 operators (zero evidence anywhere yet): DSIR importance
+    # weighting over the deterministic fixed-point log2
+    "dsir_importance",
+    "dsir_select",
 ]
 
 GATE_TAIL = [
     # deferred r4 rows — FIRST in line for the r8 window
+    "text_features",
+    "topk_events_per_type",
     "user_event_pivot",
     "user_event_unpivot",
     "extract_props",
@@ -1162,6 +1181,8 @@ def _all_queries() -> dict[str, QueryFn]:
         "near_dup_pairs": _q_near_dup_pairs,
         "incremental_near_dups": _q_incremental_near_dups,
         "near_dup_clusters": _q_near_dup_clusters,
+        "dsir_importance": _q_dsir_importance,
+        "dsir_select": _q_dsir_select,
         "dedup_corpus": _q_dedup_corpus,
         "dedup_keep_best": _q_dedup_keep_best,
         "source_overlap": _q_source_overlap,
@@ -1301,6 +1322,8 @@ def oracle_sql() -> dict[str, str]:
         """,
     }
     oracles["text_features"] = text_ops.oracle_text_features_sql()
+    oracles["dsir_importance"] = dsir_ops.oracle_dsir_importance_sql()
+    oracles["dsir_select"] = dsir_ops.oracle_dsir_select_sql()
     oracles["normalize_text"] = text_ops.oracle_normalize_text_sql()
     oracles["corpus_stats"] = text_ops.oracle_corpus_stats_sql()
     oracles["language_id"] = text_ops.oracle_language_id_sql()
