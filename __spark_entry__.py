@@ -233,9 +233,14 @@ def _q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     # target = English docs, source = whole corpus: the canonical
     # "more of the target language/domain" DSIR setup
     docs = readers.read_documents(spark, sf_dir)
-    return dsir_ops.dsir_importance(docs, F.col("lang") == "en").orderBy(
-        "doc_id"
+    from retail_etl_pipeline_airflow_s3_athena_spark.functions.caching import (
+        attach_cached_deps,
+        carried_deps,
     )
+
+    imp = dsir_ops.dsir_importance(docs, F.col("lang") == "en")
+    # orderBy returns a FRESH DataFrame -> re-attach cache ownership
+    return attach_cached_deps(imp.orderBy("doc_id"), *carried_deps(imp))
 
 
 def _q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:

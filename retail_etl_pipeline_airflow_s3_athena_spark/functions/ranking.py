@@ -40,6 +40,10 @@ from typing import Optional, Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from retail_etl_pipeline_airflow_s3_athena_spark.functions.caching import (
+    attach_cached_deps,
+)
+
 __all__ = [
     "attach_global_rank",
     "ntile_from_rank",
@@ -72,11 +76,24 @@ def attach_global_rank(
     ranged = ranged.sortWithinPartitions(*order_by)
     # Both exprs are nondeterministic -> Catalyst will not push this
     # Project below the Sort/Exchange, so ids follow the sorted order.
+    #
+    # The persist is CORRECTNESS, not caching (same discipline as
+    # RDD.zipWithIndex): tagged feeds both the stats branch and the
+    # output branch, and without materialization each branch re-executes
+    # the range exchange — whose partition boundaries come from sampling
+    # an input whose intra-partition order is shuffle-fetch-order —
+    # so the two executions can disagree on (pid, mid) and the offsets
+    # silently mis-add (caught by the sf5 endurance gate; invisible at
+    # small scale where exchange reuse made the branches share one
+    # execution).  Ownership of the persist transfers to the caller via
+    # attach_cached_deps.  Caveat inherited from zipWithIndex: a cached
+    # block lost AFTER the stats pass recomputes with fresh mids —
+    # lossy-executor deployments should checkpoint the input first.
     tagged = ranged.select(
         "*",
         F.spark_partition_id().alias(_PID),
         F.monotonically_increasing_id().alias(_MID),
-    )
+    ).persist()
     stats = tagged.groupBy(_PID).agg(
         F.count(F.lit(1)).alias("__cnt"),
         F.min(_MID).alias("__min_mid"),
@@ -105,7 +122,7 @@ def attach_global_rank(
     cols = [F.col(c) for c in keep] + [rank]
     if total_col is not None:
         cols.append(F.col("__total").alias(total_col))
-    return out.select(*cols)
+    return attach_cached_deps(out.select(*cols), tagged)
 
 
 def ntile_from_rank(rank: Column, total: Column, k: int) -> Column:

@@ -87,12 +87,12 @@ def _bucket_scores(flat: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
     functions/caching.py)."""
     spark = flat.sparkSession
     logt, powt = log2_table_df(spark), pow2_table_df(spark)
-    stats = flat.groupBy("bucket").agg(
+    stats0 = flat.groupBy("bucket").agg(
         F.count(F.lit(1)).alias("cs"),
         F.count_if(F.col("tgt")).alias("ct"),
     ).persist()
     stats = attach_det_log2_e20(
-        stats.withColumn("ct1", F.col("ct") + 1), "ct1", "l_ct", logt, powt
+        stats0.withColumn("ct1", F.col("ct") + 1), "ct1", "l_ct", logt, powt
     )
     stats = attach_det_log2_e20(
         stats.withColumn("cs1", F.col("cs") + 1), "cs1", "l_cs", logt, powt
@@ -112,7 +112,9 @@ def _bucket_scores(flat: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
         "nsb", "l_ns", logt, powt,
     )
     norm = totals.select((F.col("l_nt") - F.col("l_ns")).alias("norm_e20"))
-    return scores, norm, stats
+    # stats0 is the PERSISTED handle (the later rebindings are derived
+    # DataFrames whose unpersist would be a no-op)
+    return scores, norm, stats0
 
 
 def dsir_importance(

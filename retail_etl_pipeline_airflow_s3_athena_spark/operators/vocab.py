@@ -278,6 +278,10 @@ def encode_token_ids(
         )
         vocab = F.broadcast(vocab)
     else:
+        from retail_etl_pipeline_airflow_s3_athena_spark.functions.caching import (
+            attach_cached_deps,
+            carried_deps,
+        )
         from retail_etl_pipeline_airflow_s3_athena_spark.functions.ranking import (
             attach_global_rank,
         )
@@ -288,6 +292,14 @@ def encode_token_ids(
         vocab = ranked.filter(F.col("__rk") <= vocab_size).select(
             "tok", (F.col("__rk") - 1).cast("long").alias("token_id")
         )
+        out = flat.join(vocab, "tok", "left").select(
+            "doc_id",
+            F.col("pos").cast("long").alias("pos"),
+            F.coalesce("token_id", F.lit(OOV_ID).cast("long")).alias(
+                "token_id"
+            ),
+        )
+        return attach_cached_deps(out, *carried_deps(ranked))
     return flat.join(vocab, "tok", "left").select(
         "doc_id",
         F.col("pos").cast("long").alias("pos"),

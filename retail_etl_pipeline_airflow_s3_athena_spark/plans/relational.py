@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 
 from retail_etl_pipeline_airflow_s3_athena_spark.functions.caching import (
     attach_cached_deps,
+    carried_deps,
 )
 from retail_etl_pipeline_airflow_s3_athena_spark.functions.money import (
     cents,
@@ -373,7 +374,7 @@ def customer_value_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         total_col="_n",
     )
     rank, n = F.col("_rank"), F.col("_n")
-    return (
+    out = (
         ranked.select(
             F.col("o_custkey").alias("custkey"),
             "total_spend",
@@ -383,6 +384,7 @@ def customer_value_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("custkey")
     )
+    return attach_cached_deps(out, *carried_deps(ranked))
 
 
 def oracle_customer_value_tiles_sql() -> str:

@@ -434,6 +434,9 @@ def test_cache_ownership_sweep_no_leaks(spark):
         "scd2_customers",
         "simhash_near_dup",
         "tfidf_top_terms",
+        "customer_value_tiles",
+        "dsir_importance",
+        "dsir_select",
     ]
     jsc = spark.sparkContext._jsc.sc()
     spark.catalog.clearCache()
