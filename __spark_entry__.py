@@ -21,6 +21,7 @@ from retail_etl_pipeline_airflow_s3_athena_spark.operators import cluster as clu
 from retail_etl_pipeline_airflow_s3_athena_spark.operators import decontam as decontam_ops
 from retail_etl_pipeline_airflow_s3_athena_spark.operators import dedup as dedup_ops
 from retail_etl_pipeline_airflow_s3_athena_spark.operators import dsir as dsir_ops
+from retail_etl_pipeline_airflow_s3_athena_spark.operators import mixing as mixing_ops
 from retail_etl_pipeline_airflow_s3_athena_spark.operators import events as event_ops
 from retail_etl_pipeline_airflow_s3_athena_spark.operators import multimodal as mm_ops
 from retail_etl_pipeline_airflow_s3_athena_spark.operators import scd as scd_ops
@@ -246,6 +247,26 @@ def _q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = readers.read_documents(spark, sf_dir)
     return dsir_ops.dsir_select(docs, F.col("lang") == "en", k=100)
+
+
+MIX_WEIGHTS = {
+    "src0": 300_000, "src1": 300_000, "src2": 200_000,
+    "src3": 100_000, "src4": 100_000,
+}
+MIX_BUDGET = 500_000
+
+
+def _q_mixing_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # heavy weights on 5 sources, zero elsewhere: exercises both the
+    # epoch cap (small sources asked for more than max_epochs can give)
+    # and the zero-weight left-join path
+    return mixing_ops.mixing_plan(
+        readers.read_documents(spark, sf_dir), MIX_WEIGHTS, MIX_BUDGET
+    )
+
+
+def _q_source_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return mixing_ops.source_entropy(readers.read_documents(spark, sf_dir))
 
 
 def _q_scd2_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -991,17 +1012,21 @@ GATE_FIRST_50 = [
     "session_window_stats",
     "silver_clean_events",
     "simhash_near_dup",
-    "simhash_signatures",
     "tfidf_top_terms",
     "union_all_orders",
     # new r7 operators (zero evidence anywhere yet): DSIR importance
-    # weighting over the deterministic fixed-point log2
+    # weighting + mixing diagnostics over the deterministic
+    # fixed-point log2
     "dsir_importance",
     "dsir_select",
+    "mixing_plan",
 ]
 
 GATE_TAIL = [
+    # new r7 (local-gate green; driver evidence next round)
+    "source_entropy",
     # deferred r4 rows — FIRST in line for the r8 window
+    "simhash_signatures",
     "text_features",
     "topk_events_per_type",
     "user_event_pivot",
@@ -1188,6 +1213,8 @@ def _all_queries() -> dict[str, QueryFn]:
         "near_dup_clusters": _q_near_dup_clusters,
         "dsir_importance": _q_dsir_importance,
         "dsir_select": _q_dsir_select,
+        "mixing_plan": _q_mixing_plan,
+        "source_entropy": _q_source_entropy,
         "dedup_corpus": _q_dedup_corpus,
         "dedup_keep_best": _q_dedup_keep_best,
         "source_overlap": _q_source_overlap,
@@ -1329,6 +1356,10 @@ def oracle_sql() -> dict[str, str]:
     oracles["text_features"] = text_ops.oracle_text_features_sql()
     oracles["dsir_importance"] = dsir_ops.oracle_dsir_importance_sql()
     oracles["dsir_select"] = dsir_ops.oracle_dsir_select_sql()
+    oracles["mixing_plan"] = mixing_ops.oracle_mixing_plan_sql(
+        MIX_WEIGHTS, MIX_BUDGET
+    )
+    oracles["source_entropy"] = mixing_ops.oracle_source_entropy_sql()
     oracles["normalize_text"] = text_ops.oracle_normalize_text_sql()
     oracles["corpus_stats"] = text_ops.oracle_corpus_stats_sql()
     oracles["language_id"] = text_ops.oracle_language_id_sql()

@@ -181,6 +181,12 @@ STANDALONE = [
     "resize_raw_images",
     "audio_features_raw",
     "video_frame_luma",
+    # r7: DSIR importance weighting + mixing diagnostics
+    # (deterministic fixed-point log2)
+    "dsir_importance",
+    "dsir_select",
+    "mixing_plan",
+    "source_entropy",
 ]
 
 

@@ -1,0 +1,217 @@
+"""Source-mixing planning and diagnostics for training-data curation.
+
+Two operators a large-scale pretraining pipeline runs between corpus
+statistics and the final shuffle/pack (neither exists in the
+reference, which has no curation surface at all):
+
+- :func:`mixing_plan` — the Dolma/LLaMA-style token-budget allocation:
+  given per-source token counts, target mixture weights, a total token
+  budget and an epoch cap, compute each source's sampling rate and
+  realized token count.  Pure integer (e6 fixed point) arithmetic over
+  a |sources|-row rollup — one combinable groupBy over the corpus, one
+  broadcast of the weights table; output is cluster-trivial at any
+  scale.
+- :func:`source_entropy` — per-source unigram Shannon entropy, the
+  standard degenerate-source diagnostic (templated/boilerplate sources
+  show collapsed entropy).  H = L(N) − (Σ c·L(c)) / N with L the
+  deterministic fixed-point log2 (functions/detmath.py) — integers end
+  to end, so the gate hash is engine/platform-exact; the L-joins run
+  on the per-(source, token) count table, and the Σ c·L(c)
+  accumulation is DECIMAL(38,0) (per-term values reach ~2^75 at
+  100 TB-scale counts — a BIGINT accumulator would overflow).
+
+Scale notes: both operators are one shuffle each (groupBy source /
+groupBy (source, token) with map-side combine).  |sources| is small by
+construction; the per-(source, token) table is |vocab|·|sources| rows,
+embarrassingly parallel through the broadcast log2 joins.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from retail_etl_pipeline_airflow_s3_athena_spark.functions.detmath import (
+    attach_det_log2_e20,
+    log2_table_df,
+    pow2_table_df,
+    sql_det_log2_joins,
+    sql_log2_table_cte,
+    sql_pow2_table_cte,
+)
+from retail_etl_pipeline_airflow_s3_athena_spark.operators.text import (
+    token_count,
+    tokens,
+)
+
+E6 = 10**6
+
+
+def mixing_plan(
+    docs: DataFrame,
+    weights: Mapping[str, int],
+    token_budget: int,
+    max_epochs_e6: int = 3 * E6,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source sampling plan for a ``token_budget``-token training
+    mix: (source, n_docs, n_tokens, weight_e6, rate_e6, planned_tokens,
+    capped).
+
+    ``weights`` maps source → target weight in e6 fixed point (callers
+    normalize; un-listed sources get weight 0).  ``rate_e6`` is the
+    sampling rate (>E6 means multiple epochs), capped at
+    ``max_epochs_e6`` — the capped flag marks sources whose target
+    share is unreachable without over-epoching (the classic "not
+    enough Wikipedia" case), and ``planned_tokens`` is what the cap
+    actually yields.  All arithmetic is 64-bit integer: desired =
+    budget·w_e6 div E6; rate = desired·E6 div n_tokens, min cap;
+    planned = n_tokens·rate div E6."""
+    spark = docs.sparkSession
+    wdf = spark.createDataFrame(
+        [(s, int(w)) for s, w in sorted(weights.items())],
+        f"{source_col} STRING, weight_e6 BIGINT",
+    )
+    per_source = docs.groupBy(source_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count(F.col(text_col))).alias("n_tokens"),
+    )
+    j = per_source.join(F.broadcast(wdf), source_col, "left").select(
+        source_col,
+        "n_docs",
+        "n_tokens",
+        F.coalesce("weight_e6", F.lit(0).cast("long")).alias("weight_e6"),
+    )
+    raw_rate = F.expr(
+        f"({int(token_budget)} * weight_e6 div {E6}) * {E6} "
+        "div greatest(n_tokens, 1)"
+    )
+    rate = F.least(raw_rate, F.lit(int(max_epochs_e6)))
+    return j.select(
+        source_col,
+        "n_docs",
+        "n_tokens",
+        "weight_e6",
+        rate.alias("rate_e6"),
+        F.expr(
+            f"n_tokens * least(({int(token_budget)} * weight_e6 div {E6})"
+            f" * {E6} div greatest(n_tokens, 1), "
+            f"{int(max_epochs_e6)}) div {E6}"
+        ).alias("planned_tokens"),
+        (raw_rate > F.lit(int(max_epochs_e6))).alias("capped"),
+    ).orderBy(source_col)
+
+
+def oracle_mixing_plan_sql(
+    weights: Mapping[str, int],
+    token_budget: int,
+    max_epochs_e6: int = 3 * E6,
+    table: str = "documents",
+    t: str = "text",
+) -> str:
+    rows = ", ".join(
+        f"('{s}', {int(w)})" for s, w in sorted(weights.items())
+    )
+    b = int(token_budget)
+    cap = int(max_epochs_e6)
+    raw = (
+        f"(({b} * weight_e6) // {E6}) * {E6} // GREATEST(n_tokens, 1)"
+    )
+    return f"""
+        WITH w(source, weight_e6) AS (VALUES {rows}),
+        per_source AS (
+            SELECT d.source,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(len(list_filter(
+                       string_split_regex({t}, '\\s+'), x -> x <> '')))
+                       AS BIGINT) AS n_tokens
+            FROM {table} d GROUP BY d.source
+        ),
+        j AS (
+            SELECT p.source, p.n_docs, p.n_tokens,
+                   CAST(COALESCE(w.weight_e6, 0) AS BIGINT) AS weight_e6
+            FROM per_source p LEFT JOIN w USING (source)
+        )
+        SELECT source, n_docs, n_tokens, weight_e6,
+               CAST(LEAST({raw}, {cap}) AS BIGINT) AS rate_e6,
+               CAST(n_tokens * LEAST({raw}, {cap}) // {E6} AS BIGINT)
+                   AS planned_tokens,
+               {raw} > {cap} AS capped
+        FROM j ORDER BY source
+    """
+
+
+def source_entropy(
+    docs: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """(source, n_tokens, n_distinct_tokens, entropy_e20): per-source
+    unigram Shannon entropy in 2^20 fixed point, deterministic-integer
+    throughout: H = L(N) − (Σ c·L(c)) div N (truncating div, identical
+    in both engines).  Collapsed entropy flags templated/degenerate
+    sources before they flood a training mix."""
+    spark = docs.sparkSession
+    logt, powt = log2_table_df(spark), pow2_table_df(spark)
+    counts = (
+        docs.select(
+            F.col(source_col).alias("source"),
+            F.explode(tokens(F.lower(F.col(text_col)))).alias("tok"),
+        )
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    counts = attach_det_log2_e20(counts, "c", "l_c", logt, powt)
+    per_source = counts.groupBy("source").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct_tokens"),
+        # c·L(c) reaches ~2^75 at 100 TB-scale counts: DECIMAL(38,0)
+        F.sum(F.col("c").cast("decimal(38,0)") * F.col("l_c")).alias("s_cl"),
+    )
+    per_source = attach_det_log2_e20(
+        per_source, "n_tokens", "l_n", logt, powt
+    )
+    return per_source.select(
+        "source",
+        "n_tokens",
+        "n_distinct_tokens",
+        F.expr("CAST(l_n - (s_cl div n_tokens) AS BIGINT)").alias(
+            "entropy_e20"
+        ),
+    ).orderBy("source")
+
+
+def oracle_source_entropy_sql(table: str = "documents", t: str = "text") -> str:
+    toks = (
+        f"list_filter(string_split_regex(LOWER({t}), '\\s+'), x -> x <> '')"
+    )
+    frm_c, l_c = sql_det_log2_joins("c", "e")
+    frm_n, l_n = sql_det_log2_joins("n_tokens", "f")
+    return f"""
+        WITH {sql_log2_table_cte()},
+        {sql_pow2_table_cte()},
+        flat AS (
+            SELECT source, unnest({toks}) AS tok FROM {table}
+        ),
+        counts AS (
+            SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+            FROM flat GROUP BY source, tok
+        ),
+        lcounts AS (
+            SELECT source, c, {l_c} AS l_c FROM counts {frm_c}
+        ),
+        per_source AS (
+            SELECT source,
+                   CAST(SUM(c) AS BIGINT) AS n_tokens,
+                   CAST(COUNT(*) AS BIGINT) AS n_distinct_tokens,
+                   SUM(CAST(c AS HUGEINT) * l_c) AS s_cl
+            FROM lcounts GROUP BY source
+        )
+        SELECT source, n_tokens, n_distinct_tokens,
+               CAST({l_n} - (s_cl // n_tokens) AS BIGINT) AS entropy_e20
+        FROM per_source {frm_n}
+        ORDER BY source
+    """

@@ -103,3 +103,48 @@ def test_dsir_select_topk_and_plan(spark, sf_dir):
     plan = sel._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert "Window" not in plan
+
+
+def test_mixing_plan_arithmetic(spark):
+    from retail_etl_pipeline_airflow_s3_athena_spark.operators import mixing
+
+    rows = [
+        Row(doc_id=1, text="a b c d", lang="en", source="big"),
+        Row(doc_id=2, text="e f g h i j", lang="en", source="big"),
+        Row(doc_id=3, text="x y", lang="en", source="small"),
+        Row(doc_id=4, text="z", lang="en", source="unweighted"),
+    ]
+    docs = spark.createDataFrame(rows)
+    out = {
+        r["source"]: r
+        for r in mixing.mixing_plan(
+            docs, {"big": 600_000, "small": 400_000}, token_budget=20
+        ).collect()
+    }
+    big = out["big"]  # 10 tokens, desired 12 -> rate 1.2e6, uncapped
+    assert big["n_tokens"] == 10 and big["rate_e6"] == 1_200_000
+    assert big["planned_tokens"] == 12 and not big["capped"]
+    small = out["small"]  # 2 tokens, desired 8 -> raw 4e6, capped at 3e6
+    assert small["rate_e6"] == 3_000_000 and small["capped"]
+    assert small["planned_tokens"] == 6
+    un = out["unweighted"]  # absent from weights -> zero everything
+    assert un["weight_e6"] == 0 and un["rate_e6"] == 0
+    assert un["planned_tokens"] == 0 and not un["capped"]
+
+
+def test_source_entropy_flags_degenerate_source(spark):
+    from retail_etl_pipeline_airflow_s3_athena_spark.operators import mixing
+
+    rows = [
+        # uniform source: 8 distinct tokens once each -> H = 3 bits
+        Row(doc_id=1, text="a b c d e f g h", lang="en", source="uniform"),
+        # degenerate source: one token repeated -> H = 0
+        Row(doc_id=2, text="spam spam spam spam", lang="en", source="dupey"),
+    ]
+    out = {
+        r["source"]: r
+        for r in mixing.source_entropy(spark.createDataFrame(rows)).collect()
+    }
+    assert out["dupey"]["entropy_e20"] == 0
+    assert abs(out["uniform"]["entropy_e20"] - 3 * detmath.E20) < 3000
+    assert out["uniform"]["n_distinct_tokens"] == 8
