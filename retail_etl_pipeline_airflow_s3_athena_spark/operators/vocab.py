@@ -87,18 +87,30 @@ def tfidf_top_terms(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Top-``k`` TF-IDF terms per document:
-    tfidf = tf * ln(n_docs / doc_freq), rounded to 4dp (the rounded
-    value also drives the rank ordering, so ranking is cross-engine
-    stable; residual risk is ln() differing between libms within 1e-15
-    — far inside the rounding guard for fixture-scale values).
+    tfidf_e20 = tf * (L(n_docs) − L(doc_freq)) — the classic
+    tf·log(n/df) with L the DETERMINISTIC fixed-point log2
+    (functions/detmath.py), so the score is a 64-bit INTEGER and the
+    rank ordering is bit-identical on any engine/platform.  (The
+    previous formulation used libm ``ln`` with a documented
+    last-ulp-across-libms residual risk; base-2 instead of natural log
+    scales every score by the same constant, so the ranking semantics
+    are unchanged.)
 
     Plan shape (100 TB notes): tf is a (doc_id, term) partial-agg
     groupBy; doc_freq re-aggregates tf's output (two-level, both
-    map-side combinable, no COUNT DISTINCT); n_docs is a one-row
-    aggregate crossJoined (broadcast NestedLoop over 1 row); the
-    doc-frequency table is vocab-sized and rides a key shuffle; the
-    per-doc top-k rank filter compiles to WindowGroupLimit, so each
-    map task keeps k rows per doc before the final shuffle."""
+    map-side combinable, no COUNT DISTINCT); the L-joins run on the
+    vocab-sized doc-frequency table (two ~KB broadcasts) and the 1-row
+    n_docs aggregate; the per-doc top-k rank filter compiles to
+    WindowGroupLimit, so each map task keeps k rows per doc before the
+    final shuffle."""
+    from retail_etl_pipeline_airflow_s3_athena_spark.functions.detmath import (
+        attach_det_log2_e20,
+        log2_table_df,
+        pow2_table_df,
+    )
+
+    logt = log2_table_df(docs.sparkSession)
+    powt = pow2_table_df(docs.sparkSession)
     flat = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
@@ -109,22 +121,23 @@ def tfidf_top_terms(
     # stages).  Ownership transfers to the caller (release_cached).
     tf = flat.groupBy("doc_id", "term").agg(F.count("*").alias("tf")).persist()
     dfreq = tf.groupBy("term").agg(F.count("*").alias("doc_freq"))
+    dfreq = attach_det_log2_e20(dfreq, "doc_freq", "l_df", logt, powt)
     n_docs = docs.agg(F.count("*").alias("n_docs"))
+    n_docs = attach_det_log2_e20(n_docs, "n_docs", "l_n", logt, powt)
     scored = (
         tf.join(dfreq, "term")
-        .crossJoin(n_docs)
+        .crossJoin(n_docs.select("l_n"))
         .select(
             "doc_id",
             "term",
             "tf",
             "doc_freq",
-            _dround4(
-                F.col("tf")
-                * F.log(F.col("n_docs").cast("double") / F.col("doc_freq"))
-            ).alias("tfidf"),
+            (F.col("tf") * (F.col("l_n") - F.col("l_df"))).alias("tfidf_e20"),
         )
     )
-    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf_e20"), F.asc("term")
+    )
     from retail_etl_pipeline_airflow_s3_athena_spark.functions.caching import (
         attach_cached_deps,
     )
@@ -136,26 +149,25 @@ def tfidf_top_terms(
     )
 
 
-def _dround4(c):
-    from retail_etl_pipeline_airflow_s3_athena_spark.operators.text import dround
-
-    return dround(c, 4)
-
-
 def oracle_tfidf_sql(
     table: str = "documents",
     k: int = 5,
     t: str = "text",
     id_col: str = "doc_id",
 ) -> str:
-    from retail_etl_pipeline_airflow_s3_athena_spark.operators.text import sql_dround
+    from retail_etl_pipeline_airflow_s3_athena_spark.functions.detmath import (
+        sql_det_log2_joins,
+        sql_log2_table_cte,
+        sql_pow2_table_cte,
+    )
 
     toks = f"list_filter(string_split_regex(lower({t}), '\\s+'), x -> x <> '')"
-    tfidf = sql_dround(
-        "tf * ln(CAST(n_docs AS DOUBLE) / doc_freq)", 4
-    )
+    frm_df, l_df = sql_det_log2_joins("doc_freq", "g")
+    frm_n, l_n = sql_det_log2_joins("n_docs", "h")
     return f"""
-        WITH flat AS (
+        WITH {sql_log2_table_cte()},
+        {sql_pow2_table_cte()},
+        flat AS (
             SELECT {id_col} AS doc_id, unnest({toks}) AS term FROM {table}
         ),
         tf AS (
@@ -166,16 +178,20 @@ def oracle_tfidf_sql(
             SELECT term, CAST(COUNT(*) AS BIGINT) AS doc_freq
             FROM tf GROUP BY term
         ),
-        n AS (SELECT COUNT(*) AS n_docs FROM {table}),
+        ldfreq AS (
+            SELECT term, doc_freq, {l_df} AS l_df FROM dfreq {frm_df}
+        ),
+        n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM {table}),
+        ln_ AS (SELECT {l_n} AS l_n FROM n {frm_n}),
         scored AS (
             SELECT f.doc_id, f.term, f.tf, d.doc_freq,
-                   {tfidf} AS tfidf
-            FROM tf f JOIN dfreq d USING (term) CROSS JOIN n
+                   CAST(f.tf * (l_n - d.l_df) AS BIGINT) AS tfidf_e20
+            FROM tf f JOIN ldfreq d USING (term) CROSS JOIN ln_
         )
-        SELECT doc_id, term, tf, doc_freq, tfidf, CAST(rank AS INT) AS rank
+        SELECT doc_id, term, tf, doc_freq, tfidf_e20, CAST(rank AS INT) AS rank
         FROM (
             SELECT *, ROW_NUMBER() OVER (
-                PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rank
+                PARTITION BY doc_id ORDER BY tfidf_e20 DESC, term ASC) AS rank
             FROM scored
         )
         WHERE rank <= {k}

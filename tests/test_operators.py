@@ -293,11 +293,18 @@ def test_tfidf_top_terms_formula_and_topk(spark):
     )
     out = vocab.tfidf_top_terms(docs, k=2).collect()
     by = {(r["doc_id"], r["term"]): r for r in out}
-    # 'apple' unique to doc0: tf=2, doc_freq=1, n_docs=3 -> 2*ln(3), 4dp
+    # 'apple' unique to doc0: tf=2, doc_freq=1, n_docs=3
+    # -> 2 * (L(3) - L(1)) on the deterministic fixed-point log2
+    from retail_etl_pipeline_airflow_s3_athena_spark.functions.detmath import (
+        log2_e20,
+    )
+
     r = by[(0, "apple")]
     assert r["rank"] == 1 and r["tf"] == 2 and r["doc_freq"] == 1
-    assert r["tfidf"] == pytest.approx(
-        math.floor(2 * math.log(3) * 1e4 + 0.5) / 1e4
+    assert r["tfidf_e20"] == 2 * (log2_e20(3) - log2_e20(1))
+    # and the integer score tracks true tf*log2(n/df) to ~2^-11
+    assert r["tfidf_e20"] / 2**20 == pytest.approx(
+        2 * math.log2(3), abs=2e-3
     )
     # ubiquitous-ish terms score below unique ones; k bounds per doc
     cnt = Counter(r["doc_id"] for r in out)
