@@ -269,6 +269,33 @@ def _q_source_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mixing_ops.source_entropy(readers.read_documents(spark, sf_dir))
 
 
+def _q_dsir_stream_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming DSIR end-state under the driver oracle: the documents
+    fixture staged as 5 files -> 5 availableNow micro-batches, each
+    writing its replay-idempotent per-batch count delta; the
+    SUM-merged statistics score the full corpus bit-identically to the
+    batch operator, so oracle_dsir_importance_sql is its oracle."""
+    import tempfile
+
+    from retail_etl_pipeline_airflow_s3_athena_spark.functions.caching import (
+        attach_cached_deps,
+        carried_deps,
+    )
+    from retail_etl_pipeline_airflow_s3_athena_spark.streaming import incremental
+
+    docs = readers.read_documents(spark, sf_dir)
+    staged = docs.select(
+        "doc_id", "text", (F.col("lang") == "en").alias("tgt")
+    )
+    src = tempfile.mkdtemp(prefix="dsirst_src_")
+    work = tempfile.mkdtemp(prefix="dsirst_wk_")
+    staged.repartition(5).write.mode("overwrite").parquet(src)
+    q = incremental.dsir_stat_stream(spark, src, work)
+    q.awaitTermination(180)
+    imp = incremental.dsir_stream_importance(spark, work, docs)
+    return attach_cached_deps(imp.orderBy("doc_id"), *carried_deps(imp))
+
+
 def _q_scd2_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD2 MERGE step: customers seeded as the live dimension; the
     update snapshot bumps acctbal by 10 per open order (deterministic
@@ -1025,6 +1052,7 @@ GATE_FIRST_50 = [
 GATE_TAIL = [
     # new r7 (local-gate green; driver evidence next round)
     "source_entropy",
+    "dsir_stream_importance",
     # deferred r4 rows — FIRST in line for the r8 window
     "simhash_signatures",
     "text_features",
@@ -1215,6 +1243,7 @@ def _all_queries() -> dict[str, QueryFn]:
         "dsir_select": _q_dsir_select,
         "mixing_plan": _q_mixing_plan,
         "source_entropy": _q_source_entropy,
+        "dsir_stream_importance": _q_dsir_stream_importance,
         "dedup_corpus": _q_dedup_corpus,
         "dedup_keep_best": _q_dedup_keep_best,
         "source_overlap": _q_source_overlap,
@@ -1359,6 +1388,8 @@ def oracle_sql() -> dict[str, str]:
     oracles["mixing_plan"] = mixing_ops.oracle_mixing_plan_sql(
         MIX_WEIGHTS, MIX_BUDGET
     )
+    # streaming end-state == batch (count additivity) -> same oracle
+    oracles["dsir_stream_importance"] = dsir_ops.oracle_dsir_importance_sql()
     oracles["source_entropy"] = mixing_ops.oracle_source_entropy_sql()
     oracles["normalize_text"] = text_ops.oracle_normalize_text_sql()
     oracles["corpus_stats"] = text_ops.oracle_corpus_stats_sql()

@@ -187,6 +187,7 @@ STANDALONE = [
     "dsir_select",
     "mixing_plan",
     "source_entropy",
+    "dsir_stream_importance",
 ]
 
 

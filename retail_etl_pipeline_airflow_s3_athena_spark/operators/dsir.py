@@ -78,19 +78,30 @@ def _flat_buckets(
     )
 
 
-def _bucket_scores(flat: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
-    """(bucket → score_e20 table ≤4096 rows, 1-row norm table, and the
-    PERSISTED stats table whose release the caller owns).  The stats
-    rollup feeds both the score and the totals branches; without the
-    persist each branch re-runs the full token-stream pass (the
-    measured 4x-re-execution failure mode documented in
-    functions/caching.py)."""
-    spark = flat.sparkSession
-    logt, powt = log2_table_df(spark), pow2_table_df(spark)
-    stats0 = flat.groupBy("bucket").agg(
+def bucket_stats(flat: DataFrame) -> DataFrame:
+    """(bucket, cs, ct) counts — ONE map-side combinable groupBy to
+    ≤``N_BUCKETS`` rows.  Counts are additive, which is what makes the
+    streaming maintenance path (streaming/incremental.dsir_stat_stream)
+    exactly equal to this one-pass batch rollup."""
+    return flat.groupBy("bucket").agg(
         F.count(F.lit(1)).alias("cs"),
         F.count_if(F.col("tgt")).alias("ct"),
-    ).persist()
+    )
+
+
+def scores_from_stats(
+    stats: DataFrame,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(bucket → score_e20 table ≤4096 rows, 1-row norm table, and the
+    PERSISTED stats handle whose release the caller owns) from a
+    (bucket, cs, ct) statistics table — batch-built or stream-merged.
+    The stats rollup feeds both the score and the totals branches;
+    without the persist each branch re-runs the upstream pass (the
+    measured 4x-re-execution failure mode documented in
+    functions/caching.py)."""
+    spark = stats.sparkSession
+    logt, powt = log2_table_df(spark), pow2_table_df(spark)
+    stats0 = stats.persist()
     stats = attach_det_log2_e20(
         stats0.withColumn("ct1", F.col("ct") + 1), "ct1", "l_ct", logt, powt
     )
@@ -127,7 +138,28 @@ def dsir_importance(
     importance weight of every document with ≥1 token.  Positive means
     "looks more like the target corpus than the raw source"."""
     flat = _flat_buckets(docs, is_target, text_col, id_col)
-    scores, norm, stats = _bucket_scores(flat)
+    return importance_from_stats(
+        docs, bucket_stats(flat), text_col=text_col, id_col=id_col
+    )
+
+
+def importance_from_stats(
+    docs: DataFrame,
+    stats: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document importance against a PRE-BUILT (bucket, cs, ct)
+    statistics table — the scoring half shared by the batch operator
+    and the streaming-maintained stats
+    (streaming/incremental.dsir_stream_importance)."""
+    flat = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("tok"),
+    ).select(
+        "doc_id", (_md5_hash(F.col("tok")) % N_BUCKETS).alias("bucket")
+    )
+    scores, norm, stats = scores_from_stats(stats)
     perdoc = (
         flat.join(F.broadcast(scores), "bucket")
         .groupBy("doc_id")

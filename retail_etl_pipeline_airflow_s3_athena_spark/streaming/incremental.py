@@ -600,6 +600,92 @@ def hll_sketch_stream(
     return q
 
 
+DSIR_DOC_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("tgt", T.BooleanType()),
+    ]
+)
+
+
+def dsir_stat_stream(spark: SparkSession, source_dir: str, work_dir: str):
+    """Streaming DSIR bucket-statistics maintenance: as document files
+    land, each micro-batch writes its own (bucket, cs, ct) COUNT DELTA
+    (≤4096 rows — constant, independent of batch size); read-time
+    SUM-merge equals the one-pass batch rollup exactly because counts
+    are additive.
+
+    Replay safety is the MIRROR of the HLL register sink's: HLL
+    registers are max-merge-idempotent, so append-only is safe there;
+    counts are NOT (a replayed batch appended twice double-counts), so
+    idempotence here comes from DETERMINISTIC PER-BATCH SINK PATHS —
+    each delta lands at ``deltas/batch=<batch_id>`` with
+    mode("overwrite"), and a crash-replayed batch overwrites its own
+    identical delta instead of appending a duplicate.  This is the
+    standard exactly-once foreachBatch counting discipline.
+
+    At 100 TB: stream state is ZERO (all accumulation lives in the
+    sink); per-batch sink writes are ≤4096 rows; the read-time merge
+    aggregates #batches × 4096 rows — compaction (sum-merge + rewrite
+    as one delta) is the same cardinality-bounded move as
+    ``compact_registers``.
+    """
+    import os
+
+    from retail_etl_pipeline_airflow_s3_athena_spark.operators import dsir
+
+    delta_dir = os.path.join(work_dir, "deltas")
+    ckpt_dir = os.path.join(work_dir, "ckpt")
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        flat = dsir._flat_buckets(batch_df, F.col("tgt"), "text", "doc_id")
+        stats = dsir.bucket_stats(flat)
+        stats.write.mode("overwrite").parquet(
+            os.path.join(delta_dir, f"batch={batch_id}")
+        )
+
+    stream = (
+        spark.readStream.schema(DSIR_DOC_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_dir)
+    )
+    return (
+        stream.writeStream.foreachBatch(step)
+        .option("checkpointLocation", ckpt_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def dsir_stream_stats(spark: SparkSession, work_dir: str) -> DataFrame:
+    """SUM-merge the per-batch count deltas back to the canonical
+    (bucket, cs, ct) table — exactly the batch ``dsir.bucket_stats``
+    output for the same documents."""
+    import os
+
+    deltas = spark.read.option("recursiveFileLookup", "true").parquet(
+        os.path.join(work_dir, "deltas")
+    )
+    return deltas.groupBy("bucket").agg(
+        F.sum("cs").alias("cs"), F.sum("ct").alias("ct")
+    )
+
+
+def dsir_stream_importance(
+    spark: SparkSession, work_dir: str, docs: DataFrame
+) -> DataFrame:
+    """Per-document DSIR weights against the STREAM-MAINTAINED
+    statistics — bit-identical to batch ``dsir.dsir_importance`` once
+    the stream has consumed the same documents (count additivity), so
+    the batch oracle is its oracle."""
+    from retail_etl_pipeline_airflow_s3_athena_spark.operators import dsir
+
+    return dsir.importance_from_stats(
+        docs, dsir_stream_stats(spark, work_dir)
+    )
+
+
 def hll_stream_estimates(spark: SparkSession, work_dir: str) -> DataFrame:
     """Merge the appended register deltas (MAX per (group, bucket)) and
     estimate — identical numbers to a one-pass batch sketch."""

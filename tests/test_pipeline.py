@@ -437,6 +437,7 @@ def test_cache_ownership_sweep_no_leaks(spark):
         "customer_value_tiles",
         "dsir_importance",
         "dsir_select",
+        "dsir_stream_importance",
     ]
     jsc = spark.sparkContext._jsc.sc()
     spark.catalog.clearCache()

@@ -644,3 +644,58 @@ def test_resolve_table_dir_posix_passthrough(spark, tmp_path):
     spark.range(3).toDF("k").write.parquet(target)
     assert incremental.resolve_table_dir(spark, target) == target
     assert incremental.read_table(spark, target).count() == 3
+
+
+def test_dsir_stat_stream_matches_batch_and_replays_idempotently(
+    spark, sf_dir, tmp_path
+):
+    """Streaming DSIR count deltas: (1) SUM-merged stream stats ==
+    one-pass batch stats; (2) stream-scored importance == batch
+    importance; (3) a crash-REPLAYED batch overwrites its own delta
+    (deterministic per-batch path) instead of double-counting."""
+    from pyspark.sql import functions as F
+
+    from retail_etl_pipeline_airflow_s3_athena_spark.operators import dsir
+    from retail_etl_pipeline_airflow_s3_athena_spark.sources import readers
+
+    docs = readers.read_documents(spark, sf_dir)
+    staged = docs.select(
+        "doc_id", "text", (F.col("lang") == "en").alias("tgt")
+    )
+    src, work = str(tmp_path / "src"), str(tmp_path / "wk")
+    staged.repartition(4).write.parquet(src)
+    q = incremental.dsir_stat_stream(spark, src, work)
+    q.awaitTermination(120)
+
+    got_stats = {
+        r["bucket"]: (r["cs"], r["ct"])
+        for r in incremental.dsir_stream_stats(spark, work).collect()
+    }
+    flat = dsir._flat_buckets(staged, F.col("tgt"), "text", "doc_id")
+    want_stats = {
+        r["bucket"]: (r["cs"], r["ct"])
+        for r in dsir.bucket_stats(flat).collect()
+    }
+    assert got_stats == want_stats
+
+    stream_imp = incremental.dsir_stream_importance(spark, work, docs)
+    batch_imp = dsir.dsir_importance(docs, F.col("lang") == "en")
+    assert sorted(map(tuple, stream_imp.collect())) == sorted(
+        map(tuple, batch_imp.collect())
+    )
+
+    # simulate checkpoint-less replay of batch 0: same batch_id, same
+    # data -> the delta path is overwritten, stats unchanged
+    import os
+    b0 = spark.read.parquet(src + "/" + sorted(
+        f for f in os.listdir(src) if f.endswith(".parquet")
+    )[0])
+    st = dsir.bucket_stats(
+        dsir._flat_buckets(b0, F.col("tgt"), "text", "doc_id")
+    )
+    st.write.mode("overwrite").parquet(os.path.join(work, "deltas", "batch=0"))
+    replayed = {
+        r["bucket"]: (r["cs"], r["ct"])
+        for r in incremental.dsir_stream_stats(spark, work).collect()
+    }
+    assert replayed == want_stats
