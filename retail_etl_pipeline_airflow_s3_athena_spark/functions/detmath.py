@@ -8,13 +8,19 @@ original statement of the problem).  Everything here is built from
 operations that ARE deterministic everywhere: 64-bit integer
 arithmetic and comparisons.
 
-``log2`` of a positive integer ``n`` in Q*.20 fixed point, via two
-tiny broadcast table joins and one integer expression:
+``log2`` of a positive integer ``n`` in Q*.20 fixed point, via one
+tiny broadcast table join and pure integer/string expressions:
 
-    e = msb(n)                    -- join a 51-row powers-of-two table
-                                     on  p2 <= n < 2*p2
+    e = msb(n) = len(binary repr of n) - 1   -- pure expression
+                 (Spark conv(n,10,2) / DuckDB bin(n) — integer
+                 formatting, deterministic everywhere)
     m = (n * 2^12) div 2^e        -- 12-bit mantissa window [2^12,2^13)
     L(n) = e * 2^20 + T[m]        -- join the shared 4096-entry table
+
+(An earlier formulation found ``e`` with a non-equi join against a
+51-row powers-of-two table — correct but a BroadcastNestedLoopJoin
+per L() site; the expression form keeps whole-stage codegen.  The
+``pow2`` helpers remain for callers that want the table.)
 
 ``T`` holds the fractional bits ``log2(m / 2^12) * 2^20`` (rounded
 down), generated once by :func:`log2_table_e20` with pure-integer
@@ -30,14 +36,14 @@ Precision: the 12-bit mantissa truncation bounds the error of
 ``L(n)/2^20`` vs true log2 by ~2^-11.5 — plenty for importance
 weighting / scoring, and stated wherever used.
 
-Scale: the joins run on BOUNDED inputs (per-bucket count tables,
-1-row totals) — never on the token stream; the broadcasts are ~64 KB
-(4096 rows) and ~1 KB (51 rows).
+Scale: the join runs on BOUNDED inputs (per-bucket count tables,
+1-row totals) — never on the token stream; the one broadcast is
+~64 KB (4096 rows).
 """
 
 from __future__ import annotations
 
-from typing import List, Tuple
+from typing import List, Optional, Tuple
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -102,13 +108,14 @@ def attach_det_log2_e20(
     in_col: str,
     out_col: str,
     log_df: DataFrame,
-    pow_df: DataFrame,
+    pow_df: Optional[DataFrame] = None,
 ) -> DataFrame:
-    """``df`` + ``out_col`` = L(``in_col``) via two broadcast joins.
+    """``df`` + ``out_col`` = L(``in_col``) via expressions + ONE
+    broadcast equi-join against the shared 4096-row mantissa table.
     ``in_col`` must be a positive integer column; out-of-range values
-    raise loudly (ANSI) rather than wrapping.  Intended for BOUNDED
-    tables (bucket stats, totals): per input row the msb join matches
-    exactly one of 51 rows, the mantissa join exactly one of 4096."""
+    raise loudly (ANSI) rather than wrapping.  ``pow_df`` is accepted
+    and ignored for signature compatibility (msb is now the
+    binary-repr-length expression, not a table join)."""
     n = "__dl2_n"
     guarded = (
         F.when(
@@ -123,16 +130,13 @@ def attach_det_log2_e20(
         .otherwise(F.col(in_col).cast("long"))
     )
     out = df.withColumn(n, guarded)
-    pw = F.broadcast(
-        pow_df.withColumnsRenamed({"e": "__dl2_e", "p2": "__dl2_p2"})
-    )
-    out = out.join(
-        pw,
-        (F.col(n) >= F.col("__dl2_p2")) & (F.col(n) < 2 * F.col("__dl2_p2")),
+    out = out.withColumn(
+        "__dl2_e",
+        (F.length(F.conv(F.col(n), 10, 2)) - 1).cast("long"),
     )
     out = out.withColumn(
         "__dl2_mant",
-        F.expr(f"{n} * {1 << MANTISSA_BITS} div __dl2_p2"),
+        F.expr(f"{n} * {1 << MANTISSA_BITS} div shiftleft(1L, __dl2_e)"),
     )
     lt = F.broadcast(
         log_df.withColumnsRenamed({"mant": "__dl2_mant", "frac": "__dl2_f"})
@@ -140,7 +144,7 @@ def attach_det_log2_e20(
     out = out.join(lt, "__dl2_mant")
     return out.withColumn(
         out_col, F.col("__dl2_e") * E20 + F.col("__dl2_f")
-    ).drop(n, "__dl2_mant", "__dl2_e", "__dl2_p2", "__dl2_f")
+    ).drop(n, "__dl2_mant", "__dl2_e", "__dl2_f")
 
 
 def sql_log2_table_cte(name: str = "log2t") -> str:
@@ -156,15 +160,17 @@ def sql_pow2_table_cte(name: str = "powt") -> str:
 
 
 def sql_det_log2_joins(n_expr: str, prefix: str) -> tuple[str, str]:
-    """DuckDB twin: returns (JOIN fragment against ``powt``/``log2t``,
-    the ``L(n_expr)`` select expression).  Append the fragment to the
-    FROM clause of the query that owns ``n_expr``'s columns."""
+    """DuckDB twin: returns (equi-JOIN fragment against ``log2t``, the
+    ``L(n_expr)`` select expression).  ``bin(n)`` is DuckDB's
+    leading-zero-free binary formatting — ``length(bin(n)) - 1`` is
+    the msb, mirroring Spark's ``length(conv(n, 10, 2)) - 1``.
+    Append the fragment to the FROM clause of the query that owns
+    ``n_expr``'s columns."""
     p = prefix
+    e = f"(length(bin(CAST({n_expr} AS BIGINT))) - 1)"
     frag = (
-        f" JOIN powt {p}p ON ({n_expr}) >= {p}p.p2"
-        f" AND ({n_expr}) < 2 * {p}p.p2"
         f" JOIN log2t {p}t ON {p}t.mant ="
-        f" (({n_expr}) * {1 << MANTISSA_BITS}) // {p}p.p2"
+        f" (({n_expr}) * {1 << MANTISSA_BITS}) // (1::BIGINT << {e})"
     )
-    lexpr = f"({p}p.e * {E20} + {p}t.frac)"
+    lexpr = f"({e} * {E20} + {p}t.frac)"
     return frag, lexpr
