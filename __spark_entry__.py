@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from retail_etl_pipeline_airflow_s3_athena_spark.operators import asof as asof_ops
+from retail_etl_pipeline_airflow_s3_athena_spark.operators import bpe as bpe_ops
 from retail_etl_pipeline_airflow_s3_athena_spark.operators import cluster as cluster_ops
 from retail_etl_pipeline_airflow_s3_athena_spark.operators import decontam as decontam_ops
 from retail_etl_pipeline_airflow_s3_athena_spark.operators import dedup as dedup_ops
@@ -294,6 +295,22 @@ def _q_dsir_stream_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination(180)
     imp = incremental.dsir_stream_importance(spark, work, docs)
     return attach_cached_deps(imp.orderBy("doc_id"), *carried_deps(imp))
+
+
+def _q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned BPE merge table over the documents corpus — the merge
+    loop's argmax sequence is bit-deterministic (exact LONG pair
+    frequencies; freq DESC, left ASC, right ASC tie-break), so the
+    VALUES-literal oracle recomputed by the pure-Python twin on the
+    same parquet hash-matches exactly."""
+    return bpe_ops.bpe_merges(readers.read_documents(spark, sf_dir))
+
+
+def _q_bpe_doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document sequence-length accounting under the learned BPE
+    segmentation: the corpus-side join/rollup runs for real in BOTH
+    engines (only the piece-length dictionary is twin-supplied)."""
+    return bpe_ops.bpe_doc_tokens(readers.read_documents(spark, sf_dir))
 
 
 def _q_scd2_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1053,6 +1070,8 @@ GATE_TAIL = [
     # new r7 (local-gate green; driver evidence next round)
     "source_entropy",
     "dsir_stream_importance",
+    "bpe_merges",
+    "bpe_doc_tokens",
     # deferred r4 rows — FIRST in line for the r8 window
     "simhash_signatures",
     "text_features",
@@ -1244,6 +1263,8 @@ def _all_queries() -> dict[str, QueryFn]:
         "mixing_plan": _q_mixing_plan,
         "source_entropy": _q_source_entropy,
         "dsir_stream_importance": _q_dsir_stream_importance,
+        "bpe_merges": _q_bpe_merges,
+        "bpe_doc_tokens": _q_bpe_doc_tokens,
         "dedup_corpus": _q_dedup_corpus,
         "dedup_keep_best": _q_dedup_keep_best,
         "source_overlap": _q_source_overlap,
@@ -1391,6 +1412,8 @@ def oracle_sql() -> dict[str, str]:
     # streaming end-state == batch (count additivity) -> same oracle
     oracles["dsir_stream_importance"] = dsir_ops.oracle_dsir_importance_sql()
     oracles["source_entropy"] = mixing_ops.oracle_source_entropy_sql()
+    oracles["bpe_merges"] = bpe_ops.oracle_bpe_merges_sql()
+    oracles["bpe_doc_tokens"] = bpe_ops.oracle_bpe_doc_tokens_sql()
     oracles["normalize_text"] = text_ops.oracle_normalize_text_sql()
     oracles["corpus_stats"] = text_ops.oracle_corpus_stats_sql()
     oracles["language_id"] = text_ops.oracle_language_id_sql()

@@ -188,6 +188,9 @@ STANDALONE = [
     "mixing_plan",
     "source_entropy",
     "dsir_stream_importance",
+    # r7: BPE tokenizer induction (32-merge loop) + corpus accounting
+    "bpe_merges",
+    "bpe_doc_tokens",
 ]
 
 
