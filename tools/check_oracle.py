@@ -64,6 +64,13 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
+    # Data-driven oracle twins (bpe.py's pure-Python BPE) recompute on
+    # the SAME parquet this gate registers — export the dir so their
+    # default (the driver's sf0.01) is overridden at other scales.
+    import os
+
+    os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sf_dir
+
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
