@@ -25,6 +25,7 @@ from retail_etl_pipeline_airflow_s3_athena_spark.operators import dsir as dsir_o
 from retail_etl_pipeline_airflow_s3_athena_spark.operators import mixing as mixing_ops
 from retail_etl_pipeline_airflow_s3_athena_spark.operators import events as event_ops
 from retail_etl_pipeline_airflow_s3_athena_spark.operators import multimodal as mm_ops
+from retail_etl_pipeline_airflow_s3_athena_spark.operators import pq as pq_ops
 from retail_etl_pipeline_airflow_s3_athena_spark.operators import scd as scd_ops
 from retail_etl_pipeline_airflow_s3_athena_spark.operators import similarity as sim_ops
 from retail_etl_pipeline_airflow_s3_athena_spark.operators import (
@@ -700,6 +701,33 @@ def _q_kmeans_two_round(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim_ops.kmeans_fit(_emb(spark, sf_dir), rounds=2)
 
 
+def _q_pq_codebooks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ codebook training (Jégou et al. 2011): per-subspace Lloyd
+    rounds on exact dround(6) means — the oracle unrolls the identical
+    rounds into CTEs, so the trained books are hash-exact."""
+    return pq_ops.pq_codebooks(_emb(spark, sf_dir))
+
+
+def _q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each vector's M codeword ids — the 64x-compressed corpus
+    representation (the 100 TB memory story for ANN serving)."""
+    return pq_ops.pq_codes(_emb(spark, sf_dir))
+
+
+def _q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC top-k under the PQ approximation: per-query codeword
+    distance tables as exact e6 integers, corpus scored by an exact
+    BIGINT sum of M lookups — no per-pair vector math at query time."""
+    return pq_ops.pq_topk(_emb(spark, sf_dir))
+
+
+def _q_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ (FAISS-style, non-residual): coarse cells prune the
+    candidate set, PQ codes replace the vectors — each query's ADC
+    scan touches ~nprobe/K of an M-byte-per-vector code table."""
+    return pq_ops.ivf_pq_topk(_emb(spark, sf_dir))
+
+
 def _q_rp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The Arrow/numpy form is the production path (also used inside
     # embedding_near_dup_lsh): the unrolled 16x64 expression form
@@ -1072,6 +1100,10 @@ GATE_TAIL = [
     "dsir_stream_importance",
     "bpe_merges",
     "bpe_doc_tokens",
+    "pq_codebooks",
+    "pq_codes",
+    "pq_topk",
+    "ivf_pq_topk",
     # deferred r4 rows — FIRST in line for the r8 window
     "simhash_signatures",
     "text_features",
@@ -1265,6 +1297,10 @@ def _all_queries() -> dict[str, QueryFn]:
         "dsir_stream_importance": _q_dsir_stream_importance,
         "bpe_merges": _q_bpe_merges,
         "bpe_doc_tokens": _q_bpe_doc_tokens,
+        "pq_codebooks": _q_pq_codebooks,
+        "pq_codes": _q_pq_codes,
+        "pq_topk": _q_pq_topk,
+        "ivf_pq_topk": _q_ivf_pq_topk,
         "dedup_corpus": _q_dedup_corpus,
         "dedup_keep_best": _q_dedup_keep_best,
         "source_overlap": _q_source_overlap,
@@ -1414,6 +1450,10 @@ def oracle_sql() -> dict[str, str]:
     oracles["source_entropy"] = mixing_ops.oracle_source_entropy_sql()
     oracles["bpe_merges"] = bpe_ops.oracle_bpe_merges_sql()
     oracles["bpe_doc_tokens"] = bpe_ops.oracle_bpe_doc_tokens_sql()
+    oracles["pq_codebooks"] = pq_ops.oracle_pq_codebooks_sql()
+    oracles["pq_codes"] = pq_ops.oracle_pq_codes_sql()
+    oracles["pq_topk"] = pq_ops.oracle_pq_topk_sql()
+    oracles["ivf_pq_topk"] = pq_ops.oracle_ivf_pq_topk_sql()
     oracles["normalize_text"] = text_ops.oracle_normalize_text_sql()
     oracles["corpus_stats"] = text_ops.oracle_corpus_stats_sql()
     oracles["language_id"] = text_ops.oracle_language_id_sql()

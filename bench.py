@@ -191,6 +191,11 @@ STANDALONE = [
     # r7: BPE tokenizer induction (32-merge loop) + corpus accounting
     "bpe_merges",
     "bpe_doc_tokens",
+    # r7: product quantization (train / encode / ADC search)
+    "pq_codebooks",
+    "pq_codes",
+    "pq_topk",
+    "ivf_pq_topk",
 ]
 
 

