@@ -314,6 +314,14 @@ def _q_bpe_doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_ops.bpe_doc_tokens(readers.read_documents(spark, sf_dir))
 
 
+def _q_bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus tokenized under the learned BPE — per-doc ordered
+    token-id sequences (what sequence packing consumes); the
+    dictionary join, vocab numbering, and ordered reassembly run as
+    real relational work in BOTH engines."""
+    return bpe_ops.bpe_encode_docs(readers.read_documents(spark, sf_dir))
+
+
 def _q_scd2_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD2 MERGE step: customers seeded as the live dimension; the
     update snapshot bumps acctbal by 10 per open order (deterministic
@@ -1100,6 +1108,7 @@ GATE_TAIL = [
     "dsir_stream_importance",
     "bpe_merges",
     "bpe_doc_tokens",
+    "bpe_encode_docs",
     "pq_codebooks",
     "pq_codes",
     "pq_topk",
@@ -1297,6 +1306,7 @@ def _all_queries() -> dict[str, QueryFn]:
         "dsir_stream_importance": _q_dsir_stream_importance,
         "bpe_merges": _q_bpe_merges,
         "bpe_doc_tokens": _q_bpe_doc_tokens,
+        "bpe_encode_docs": _q_bpe_encode_docs,
         "pq_codebooks": _q_pq_codebooks,
         "pq_codes": _q_pq_codes,
         "pq_topk": _q_pq_topk,
@@ -1450,6 +1460,7 @@ def oracle_sql() -> dict[str, str]:
     oracles["source_entropy"] = mixing_ops.oracle_source_entropy_sql()
     oracles["bpe_merges"] = bpe_ops.oracle_bpe_merges_sql()
     oracles["bpe_doc_tokens"] = bpe_ops.oracle_bpe_doc_tokens_sql()
+    oracles["bpe_encode_docs"] = bpe_ops.oracle_bpe_encode_docs_sql()
     oracles["pq_codebooks"] = pq_ops.oracle_pq_codebooks_sql()
     oracles["pq_codes"] = pq_ops.oracle_pq_codes_sql()
     oracles["pq_topk"] = pq_ops.oracle_pq_topk_sql()

@@ -191,6 +191,7 @@ STANDALONE = [
     # r7: BPE tokenizer induction (32-merge loop) + corpus accounting
     "bpe_merges",
     "bpe_doc_tokens",
+    "bpe_encode_docs",
     # r7: product quantization (train / encode / ADC search)
     "pq_codebooks",
     "pq_codes",

@@ -57,7 +57,7 @@ import os
 import re
 from collections import Counter
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from retail_etl_pipeline_airflow_s3_athena_spark.functions.caching import attach_cached_deps
@@ -294,6 +294,129 @@ def bpe_doc_tokens(
         )
     )
     return attach_cached_deps(out, _CheckpointDep(words))
+
+
+def bpe_vocab(words: DataFrame) -> DataFrame:
+    """(piece, piece_id): the emitted vocabulary — every distinct
+    symbol in the final segmentation, ids dense 1..V in piece string
+    order.  The rank window is UNPARTITIONED but bounded by
+    construction: |vocab| <= |alphabet| + n_merges (every merge adds
+    at most one new symbol), i.e. dozens-to-thousands of rows
+    regardless of corpus size — the `encode_token_ids` small-vocab
+    rationale."""
+    w = Window.orderBy(F.asc("piece"))
+    return (
+        words.select(F.explode("syms").alias("piece"))
+        .distinct()
+        .withColumn("piece_id", F.row_number().over(w))
+    )
+
+
+def bpe_encode_docs(
+    docs: DataFrame,
+    n_merges: int = N_MERGES,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_pair_freq: int = MIN_PAIR_FREQ,
+) -> DataFrame:
+    """(doc_id, n_tokens, token_ids): the corpus tokenized under the
+    learned BPE — the actual encode step a pre-training pipeline runs
+    before sequence packing (``pack_sequences`` consumes exactly this
+    shape).
+
+    Plan: the final unique-word segmentation joins back to the
+    position-indexed corpus token stream (a dictionary join AQE
+    broadcasts — the word table is bounded by |unique words|); pieces
+    explode with their in-word position; piece ids attach via the
+    bounded-vocab broadcast; per-doc sequences reassemble with one
+    ``array_sort(collect_list(struct(word_pos, piece_pos, id)))`` —
+    the (word_pos, piece_pos) sort key makes the collected order
+    deterministic under any partitioning.  One shuffle on doc_id.
+    """
+    merges, words = learn_bpe(docs, n_merges, text_col, min_pair_freq)
+    vocab = bpe_vocab(words)
+    stream = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokens(F.lower(F.col(text_col)))).alias(
+            "word_pos", "tok"
+        ),
+    )
+    pieces = (
+        stream.join(words.select("tok", "syms"), "tok")
+        .select(
+            "doc_id", "word_pos",
+            F.posexplode("syms").alias("piece_pos", "piece"),
+        )
+        .join(F.broadcast(vocab), "piece")
+    )
+    out = (
+        pieces.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct("word_pos", "piece_pos", "piece_id")
+                    )
+                ),
+                lambda s: s.piece_id,
+            ).alias("token_ids"),
+        )
+    )
+    return attach_cached_deps(out, _CheckpointDep(words))
+
+
+def oracle_bpe_encode_docs_sql(
+    table: str = "documents",
+    t: str = "text",
+    n_merges: int = N_MERGES,
+    min_pair_freq: int = MIN_PAIR_FREQ,
+) -> str:
+    """Hybrid oracle: the twin supplies the (tok -> pieces) dictionary
+    as VALUES of list literals; vocabulary numbering, the position-
+    indexed stream, the dictionary join, and the ordered per-doc
+    reassembly all run as REAL SQL in DuckDB."""
+    _, syms = py_learn_bpe(_oracle_texts(table, t), n_merges, min_pair_freq)
+    if not syms:
+        return (
+            "SELECT CAST(NULL AS BIGINT) AS doc_id, "
+            "CAST(NULL AS BIGINT) AS n_tokens, "
+            "[CAST(NULL AS INT)] AS token_ids WHERE FALSE"
+        )
+    dict_rows = ", ".join(
+        "('{}', [{}])".format(
+            _q(w), ", ".join(f"'{_q(p)}'" for p in s)
+        )
+        for w, s in sorted(syms.items())
+    )
+    return f"""
+        WITH pieces_dict(tok, pieces) AS (VALUES {dict_rows}),
+        vocab AS (
+            SELECT piece, CAST(ROW_NUMBER() OVER (ORDER BY piece ASC) AS INT)
+                   AS piece_id
+            FROM (SELECT DISTINCT unnest(pieces) AS piece FROM pieces_dict)
+        ),
+        toks AS (
+            SELECT doc_id, {_sql_tokens(f"lower({t})")} AS tl FROM {table}
+        ),
+        stream AS (
+            SELECT doc_id, i - 1 AS word_pos, tl[i] AS tok
+            FROM (SELECT doc_id, tl, unnest(range(1, len(tl) + 1)) AS i
+                  FROM toks)
+        ),
+        doc_pieces AS (
+            SELECT doc_id, word_pos, j - 1 AS piece_pos, pieces[j] AS piece
+            FROM (SELECT s.doc_id, s.word_pos, d.pieces,
+                         unnest(range(1, len(d.pieces) + 1)) AS j
+                  FROM stream s JOIN pieces_dict d USING (tok))
+        )
+        SELECT p.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               list(v.piece_id ORDER BY p.word_pos, p.piece_pos)
+                   AS token_ids
+        FROM doc_pieces p JOIN vocab v USING (piece)
+        GROUP BY p.doc_id
+    """
 
 
 # ---------------------------------------------------------------------------

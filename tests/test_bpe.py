@@ -65,6 +65,26 @@ def test_bpe_doc_tokens_accounting(spark):
     }
 
 
+def test_bpe_encode_docs_roundtrip(spark):
+    """token_ids decode back to the twin's segmentation in order:
+    ids are dense 1..V in piece string order, sequences concatenate
+    per-word pieces left to right."""
+    texts = ["low low lower", "newest low widest"]
+    out = bpe.bpe_encode_docs(_docs(spark, texts), n_merges=6)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    release_cached(out)
+    _, syms = bpe.py_learn_bpe(texts, n_merges=6)
+    vocab = {p: i + 1 for i, p in enumerate(
+        sorted({p for s in syms.values() for p in s})
+    )}
+    for doc_id, text in enumerate(texts):
+        expected = [
+            vocab[p] for w in text.split() for p in syms[w]
+        ]
+        assert rows[doc_id]["token_ids"] == expected
+        assert rows[doc_id]["n_tokens"] == len(expected)
+
+
 def test_min_pair_freq_stops_early(spark):
     # Every word unique, every char pair hapax -> zero merges at the
     # default min_pair_freq=2.

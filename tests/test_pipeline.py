@@ -440,6 +440,7 @@ def test_cache_ownership_sweep_no_leaks(spark):
         "dsir_stream_importance",
         # checkpoint-backed dep (release via the _CheckpointDep adapter)
         "bpe_doc_tokens",
+        "bpe_encode_docs",
         "pq_codebooks",
         "pq_codes",
         "pq_topk",
