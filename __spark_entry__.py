@@ -1070,40 +1070,30 @@ GATE_FIRST_50 = [
     "top_performing_customers",
     "product_analysis",
     "revenue_by_category",
-    # stalest r4-verified entries (25 of 33; the 8 simplest transforms
-    # lead the tail and rotate in next round)
+    # stalest r4-verified entries (16 of 33; 9 more — the GEMM
+    # bit-identical twins and simplest transforms, all with 4-scale
+    # local full-precision evidence — lead the tail for r8)
     "asof_join_events",
     "blocked_jaccard_pairs",
     "cosine_topk",
-    "cosine_topk_gemm",
     "decontaminate_docs",
-    "dq_summary_customer",
     "embedding_near_dup",
-    "embedding_near_dup_gemm",
     "embedding_near_dup_lsh",
     "ivf_topk",
-    "language_id",
     "lsh_candidate_pairs",
     "minhash_signatures",
     "near_dup_pairs",
-    "pii_redact_docs",
-    "repetition_signals",
     "scd2_customers",
-    "session_window_stats",
-    "silver_clean_events",
     "simhash_near_dup",
     "tfidf_top_terms",
-    "union_all_orders",
-    # new r7 operators (zero evidence anywhere yet): DSIR importance
-    # weighting + mixing diagnostics over the deterministic
-    # fixed-point log2
+    # new r7 operators (no prior driver evidence): DSIR importance
+    # weighting + mixing diagnostics on the deterministic fixed-point
+    # log2; streaming DSIR maintenance; the BPE tokenizer family
+    # (learn / account / encode); the PQ family (train / encode /
+    # ADC / IVF-PQ)
     "dsir_importance",
     "dsir_select",
     "mixing_plan",
-]
-
-GATE_TAIL = [
-    # new r7 (local-gate green; driver evidence next round)
     "source_entropy",
     "dsir_stream_importance",
     "bpe_merges",
@@ -1113,7 +1103,23 @@ GATE_TAIL = [
     "pq_codes",
     "pq_topk",
     "ivf_pq_topk",
-    # deferred r4 rows — FIRST in line for the r8 window
+]
+
+GATE_TAIL = [
+    # evicted from the r7 window to make room for the new operators:
+    # r4-driver-verified, 4-scale local full-precision evidence, and
+    # (for the GEMM pair) bit-identical to windowed twins — FIRST in
+    # line for the r8 window
+    "cosine_topk_gemm",
+    "embedding_near_dup_gemm",
+    "dq_summary_customer",
+    "language_id",
+    "pii_redact_docs",
+    "repetition_signals",
+    "session_window_stats",
+    "silver_clean_events",
+    "union_all_orders",
+    # deferred r4 rows — next in line for the r8 window
     "simhash_signatures",
     "text_features",
     "topk_events_per_type",
