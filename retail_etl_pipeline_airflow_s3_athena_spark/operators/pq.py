@@ -189,6 +189,11 @@ def _train(embeddings: DataFrame, rounds: int) -> tuple[DataFrame, DataFrame, Da
     where ``sub`` is the PERSISTED subvector corpus (ownership passes
     to the caller via ``attach_cached_deps``), ``books`` the final
     reassembled codebooks, and ``means`` the final exploded rows."""
+    if rounds < 1:
+        raise ValueError(
+            f"rounds={rounds}: PQ training needs at least one Lloyd "
+            "round (the init codebooks have no membership counts)"
+        )
     sub = _sub_corpus(embeddings).persist()
     books = _init_codebooks(embeddings)
     means = None

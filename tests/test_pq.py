@@ -131,6 +131,11 @@ def test_ivf_pq_consistent_with_full_adc(spark):
         assert len(rs) <= 10
 
 
+def test_zero_rounds_rejected(spark):
+    with pytest.raises(ValueError, match="rounds"):
+        pq.pq_codebooks(_emb(spark), rounds=0)
+
+
 def test_empty_and_single_vector(spark):
     """Degenerate corpora must not crash: empty input trains empty
     books; one vector yields one populated codeword per subspace."""
