@@ -51,6 +51,7 @@ from retail_etl_pipeline_airflow_s3_athena_spark.operators import (
     training as training_ops,
 )
 from retail_etl_pipeline_airflow_s3_athena_spark.operators import quantize as quant_ops
+from retail_etl_pipeline_airflow_s3_athena_spark.operators import spans as span_ops
 from retail_etl_pipeline_airflow_s3_athena_spark.operators import vocab as vocab_ops
 from retail_etl_pipeline_airflow_s3_athena_spark.operators import winnow as winnow_ops
 from retail_etl_pipeline_airflow_s3_athena_spark.functions import sampling, sketches
@@ -559,6 +560,20 @@ def _q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_ops.dup_span_stats(_docs(spark, sf_dir))
+
+
+def _q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return span_ops.dup_spans(_docs(spark, sf_dir))
+
+
+def _q_strip_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return span_ops.strip_dup_spans(_docs(spark, sf_dir))
+
+
+def _q_mixing_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return mixing_ops.mixing_sample(
+        readers.read_documents(spark, sf_dir), MIX_WEIGHTS, MIX_BUDGET
+    )
 
 
 def _q_encode_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1075,13 +1090,9 @@ GATE_FIRST_50 = [
     # local full-precision evidence — lead the tail for r8)
     "asof_join_events",
     "blocked_jaccard_pairs",
-    "cosine_topk",
     "decontaminate_docs",
     "embedding_near_dup",
     "embedding_near_dup_lsh",
-    "ivf_topk",
-    "lsh_candidate_pairs",
-    "minhash_signatures",
     "near_dup_pairs",
     "scd2_customers",
     "simhash_near_dup",
@@ -1103,13 +1114,25 @@ GATE_FIRST_50 = [
     "pq_codes",
     "pq_topk",
     "ivf_pq_topk",
+    # late-r7 additions (no prior driver evidence): exact-substring
+    # duplicate spans (Lee et al. 2021 keep-first semantics), the
+    # realized training mix, and exact distributed percentiles on the
+    # two-pass rank
+    "dup_spans",
+    "strip_dup_spans",
+    "mixing_sample",
+    "order_value_quantiles",
 ]
 
 GATE_TAIL = [
     # evicted from the r7 window to make room for the new operators:
     # r4-driver-verified, 4-scale local full-precision evidence, and
-    # (for the GEMM pair) bit-identical to windowed twins — FIRST in
-    # line for the r8 window
+    # (for the GEMM pair / cosine+ivf) bit-identical-or-subsumed by
+    # windowed twins — FIRST in line for the r8 window
+    "cosine_topk",
+    "ivf_topk",
+    "lsh_candidate_pairs",
+    "minhash_signatures",
     "cosine_topk_gemm",
     "embedding_near_dup_gemm",
     "dq_summary_customer",
@@ -1222,6 +1245,10 @@ def _all_queries() -> dict[str, QueryFn]:
         "big_orders": relational.big_orders,
         "daily_revenue_delta": relational.daily_revenue_delta,
         "customer_value_tiles": relational.customer_value_tiles,
+        "order_value_quantiles": relational.order_value_quantiles,
+        "dup_spans": _q_dup_spans,
+        "strip_dup_spans": _q_strip_dup_spans,
+        "mixing_sample": _q_mixing_sample,
         "cheapest_part_supplier": relational.cheapest_part_supplier,
         "nation_trade_volume": relational.nation_trade_volume,
         "part_supplier_breadth": relational.part_supplier_breadth,
@@ -1464,6 +1491,14 @@ def oracle_sql() -> dict[str, str]:
     # streaming end-state == batch (count additivity) -> same oracle
     oracles["dsir_stream_importance"] = dsir_ops.oracle_dsir_importance_sql()
     oracles["source_entropy"] = mixing_ops.oracle_source_entropy_sql()
+    oracles["mixing_sample"] = mixing_ops.oracle_mixing_sample_sql(
+        MIX_WEIGHTS, MIX_BUDGET
+    )
+    oracles["dup_spans"] = span_ops.oracle_dup_spans_sql()
+    oracles["strip_dup_spans"] = span_ops.oracle_strip_dup_spans_sql()
+    oracles["order_value_quantiles"] = (
+        relational.oracle_order_value_quantiles_sql()
+    )
     oracles["bpe_merges"] = bpe_ops.oracle_bpe_merges_sql()
     oracles["bpe_doc_tokens"] = bpe_ops.oracle_bpe_doc_tokens_sql()
     oracles["bpe_encode_docs"] = bpe_ops.oracle_bpe_encode_docs_sql()

@@ -197,6 +197,12 @@ STANDALONE = [
     "pq_codes",
     "pq_topk",
     "ivf_pq_topk",
+    # r7: exact-substring duplicate spans, the realized training mix,
+    # exact distributed percentiles
+    "dup_spans",
+    "strip_dup_spans",
+    "mixing_sample",
+    "order_value_quantiles",
 ]
 
 

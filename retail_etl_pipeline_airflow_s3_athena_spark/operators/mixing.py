@@ -215,3 +215,109 @@ def oracle_source_entropy_sql(table: str = "documents", t: str = "text") -> str:
         FROM per_source {frm_n}
         ORDER BY source
     """
+
+
+def mixing_sample(
+    docs: DataFrame,
+    weights: Mapping[str, int],
+    token_budget: int,
+    max_epochs_e6: int = 3 * E6,
+    text_col: str = "text",
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """EXECUTE a :func:`mixing_plan`: (doc_id, source, epoch,
+    n_tokens) — the realized training mix, one output row per (doc,
+    epoch) the plan's per-source rate admits.
+
+    Rates are applied per document by CONTENT hash (the
+    functions/sampling.py discipline — ``df.sample`` is seed- and
+    partitioning-dependent, unusable for a reproducible mix): bucket =
+    md5(doc_id || salt) mod E6; a source sampled at ``rate_e6`` yields
+    ``rate_e6 div E6`` full epochs of every doc plus one extra epoch
+    for docs whose bucket falls under ``rate_e6 mod E6`` — the
+    standard over-epoching realization (rate 2.3 = every doc twice,
+    30% of docs a third time), deterministic across runs, engines and
+    partitionings, and consistent under incremental re-processing.
+
+    Plan shape: the |sources|-row plan broadcasts onto the corpus (one
+    map-side join), the epoch explode is bounded by
+    ``ceil(max_epochs_e6 / E6)`` — a pure per-row pipeline with no
+    extra shuffle at any corpus size."""
+    plan = mixing_plan(
+        docs,
+        weights,
+        token_budget,
+        max_epochs_e6=max_epochs_e6,
+        text_col=text_col,
+        source_col=source_col,
+    ).select(source_col, "rate_e6")
+    key = F.concat_ws(
+        "\x1f", F.col(id_col).cast("string"), F.lit(salt)
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.encode(key, "UTF-8")), 1, 15), 16, 10)
+        .cast("long")
+        % E6
+    )
+    n_copies = F.expr(f"rate_e6 div {E6}") + F.when(
+        bucket < F.col("rate_e6") % E6, F.lit(1)
+    ).otherwise(F.lit(0))
+    return (
+        docs.join(F.broadcast(plan), source_col)
+        .select(
+            F.col(id_col),
+            F.col(source_col).alias("source"),
+            token_count(F.col(text_col)).alias("n_tokens"),
+            n_copies.alias("__nc"),
+        )
+        .filter(F.col("__nc") >= 1)
+        .select(
+            id_col,
+            "source",
+            F.explode(
+                F.sequence(F.lit(1).cast("long"), F.col("__nc"))
+            ).alias("epoch"),
+            "n_tokens",
+        )
+        .select(id_col, "source", "epoch", "n_tokens")
+        .orderBy(id_col, "epoch")
+    )
+
+
+def oracle_mixing_sample_sql(
+    weights: Mapping[str, int],
+    token_budget: int,
+    max_epochs_e6: int = 3 * E6,
+    table: str = "documents",
+    t: str = "text",
+    salt: str = "",
+) -> str:
+    plan = oracle_mixing_plan_sql(
+        weights, token_budget, max_epochs_e6=max_epochs_e6,
+        table=table, t=t,
+    )
+    key = f"concat_ws(chr(31), CAST(doc_id AS VARCHAR), '{salt}')"
+    bucket = (
+        f"(CAST(('0x' || substr(md5({key}), 1, 15)) AS BIGINT) % {E6})"
+    )
+    ntoks = (
+        f"len(list_filter(string_split_regex({t}, '\\s+'), x -> x <> ''))"
+    )
+    return f"""
+        WITH plan AS ({plan}),
+        j AS (
+            SELECT d.doc_id, d.source,
+                   CAST({ntoks} AS BIGINT) AS n_tokens,
+                   p.rate_e6 // {E6}
+                     + CASE WHEN {bucket} < p.rate_e6 % {E6}
+                            THEN 1 ELSE 0 END AS nc
+            FROM {table} d JOIN plan p USING (source)
+        )
+        SELECT doc_id, source,
+               CAST(unnest(range(1, nc + 1)) AS BIGINT) AS epoch,
+               n_tokens
+        FROM j WHERE nc >= 1
+        ORDER BY doc_id, epoch
+    """

@@ -1700,3 +1700,80 @@ def oracle_basket_rules_sql(min_pair: int = 2, k: int = 20) -> str:
         ORDER BY n_ab DESC, lift DESC, part_a ASC, part_b ASC
         LIMIT {k}
     """
+
+
+# ---------------------------------------------------------------------------
+# Exact distributed percentiles
+# ---------------------------------------------------------------------------
+
+QUANTILE_PCTS = (1, 5, 25, 50, 75, 90, 95, 99)
+
+
+def order_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT corpus-wide order-value percentiles at scale: (q,
+    n_orders, value_cents) — the value at rank ceil(q/100 * n) of the
+    (value, orderkey)-ordered total order.
+
+    The Athena habit this replaces is ``approx_percentile`` (plus the
+    occasional exact ``percentile_disc``); Spark's exact percentile
+    aggregate buffers the whole column in ONE aggregation buffer, and
+    a ``Window.orderBy`` rank funnels the table through one task —
+    both non-starters on billions of orders.  The scale path reuses
+    functions/ranking.py's distributed two-pass rank (range partition
+    + per-partition offsets, no single-partition WindowExec), after
+    which every percentile is one equality against the broadcast
+    8-row percentile table: rank == (q·n + 99) div 100.  Values are
+    exact integer cents, and the unique (value, key) tie-break makes
+    the selected row — hence the whole result — deterministic and
+    engine-exact even with heavily tied values (the selected VALUE at
+    a rank inside a tie run is the tied value itself regardless of
+    tie order)."""
+    orders = _t(spark, sf_dir, "orders").select(
+        cents("o_totalprice").alias("value_cents"), "o_orderkey"
+    )
+    ranked = attach_global_rank(
+        orders,
+        [F.asc("value_cents"), F.asc("o_orderkey")],
+        rank_col="_rank",
+        total_col="_n",
+    )
+    qdf = spark.createDataFrame(
+        [(int(q),) for q in QUANTILE_PCTS], "q INT"
+    )
+    out = (
+        ranked.join(
+            F.broadcast(qdf),
+            F.col("_rank") == F.expr("(q * _n + 99) div 100"),
+        )
+        .select(
+            "q",
+            F.col("_n").alias("n_orders"),
+            "value_cents",
+        )
+        .orderBy("q")
+    )
+    return attach_cached_deps(out, *carried_deps(ranked))
+
+
+def oracle_order_value_quantiles_sql() -> str:
+    qrows = ", ".join(f"({int(q)})" for q in QUANTILE_PCTS)
+    return f"""
+        WITH vals AS (
+            SELECT {sql_cents('o_totalprice')} AS value_cents, o_orderkey
+            FROM orders
+        ),
+        ranked AS (
+            SELECT value_cents,
+                   ROW_NUMBER() OVER (
+                       ORDER BY value_cents, o_orderkey
+                   ) AS rk,
+                   COUNT(*) OVER () AS n
+            FROM vals
+        ),
+        qs(q) AS (VALUES {qrows})
+        SELECT CAST(q AS INT)  AS q,
+               CAST(n AS BIGINT) AS n_orders,
+               value_cents
+        FROM ranked JOIN qs ON rk = (q * n + 99) // 100
+        ORDER BY q
+    """
