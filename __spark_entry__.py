@@ -51,6 +51,7 @@ from retail_etl_pipeline_airflow_s3_athena_spark.operators import (
     training as training_ops,
 )
 from retail_etl_pipeline_airflow_s3_athena_spark.operators import quantize as quant_ops
+from retail_etl_pipeline_airflow_s3_athena_spark.operators import regress as regress_ops
 from retail_etl_pipeline_airflow_s3_athena_spark.operators import spans as span_ops
 from retail_etl_pipeline_airflow_s3_athena_spark.operators import vocab as vocab_ops
 from retail_etl_pipeline_airflow_s3_athena_spark.operators import winnow as winnow_ops
@@ -576,6 +577,19 @@ def _q_mixing_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_length_model_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-integer OLS fit of chars~tokens over the corpus — the
+    learned statistical quality model's coefficients."""
+    return regress_ops.length_model_fit(_docs(spark, sf_dir))
+
+
+def _q_length_model_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k documents by |residual| under the corpus's own
+    chars~tokens fit — the Gopher/CCNet-style statistical outlier
+    filter as exact integer arithmetic."""
+    return regress_ops.length_model_outliers(_docs(spark, sf_dir))
+
+
 def _q_encode_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab_ops.encode_token_ids(_docs(spark, sf_dir))
 
@@ -742,6 +756,12 @@ def _q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     distance tables as exact e6 integers, corpus scored by an exact
     BIGINT sum of M lookups — no per-pair vector math at query time."""
     return pq_ops.pq_topk(_emb(spark, sf_dir))
+
+
+def _q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the ADC scan vs the exact scan on the same integer
+    distance grid — the ANN eval harness as a first-class query."""
+    return pq_ops.pq_recall(_emb(spark, sf_dir))
 
 
 def _q_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1089,10 +1109,7 @@ GATE_FIRST_50 = [
     # bit-identical twins and simplest transforms, all with 4-scale
     # local full-precision evidence — lead the tail for r8)
     "asof_join_events",
-    "blocked_jaccard_pairs",
     "decontaminate_docs",
-    "embedding_near_dup",
-    "embedding_near_dup_lsh",
     "near_dup_pairs",
     "scd2_customers",
     "simhash_near_dup",
@@ -1122,9 +1139,19 @@ GATE_FIRST_50 = [
     "strip_dup_spans",
     "mixing_sample",
     "order_value_quantiles",
+    "pq_recall",
+    # learned statistical quality model (exact-integer OLS): fit +
+    # outlier filter, both fresh this round
+    "length_model_fit",
+    "length_model_outliers",
 ]
 
 GATE_TAIL = [
+    # evicted late-r7 to make room for the OLS quality model: both are
+    # r6-driver-green, r6-plan-audited, and carry 4-scale local
+    # full-precision evidence — first in line for the r8 window
+    "embedding_near_dup",
+    "embedding_near_dup_lsh",
     # evicted from the r7 window to make room for the new operators:
     # r4-driver-verified, 4-scale local full-precision evidence, and
     # (for the GEMM pair / cosine+ivf) bit-identical-or-subsumed by
@@ -1133,6 +1160,7 @@ GATE_TAIL = [
     "ivf_topk",
     "lsh_candidate_pairs",
     "minhash_signatures",
+    "blocked_jaccard_pairs",
     "cosine_topk_gemm",
     "embedding_near_dup_gemm",
     "dq_summary_customer",
@@ -1249,6 +1277,8 @@ def _all_queries() -> dict[str, QueryFn]:
         "dup_spans": _q_dup_spans,
         "strip_dup_spans": _q_strip_dup_spans,
         "mixing_sample": _q_mixing_sample,
+        "length_model_fit": _q_length_model_fit,
+        "length_model_outliers": _q_length_model_outliers,
         "cheapest_part_supplier": relational.cheapest_part_supplier,
         "nation_trade_volume": relational.nation_trade_volume,
         "part_supplier_breadth": relational.part_supplier_breadth,
@@ -1343,6 +1373,7 @@ def _all_queries() -> dict[str, QueryFn]:
         "pq_codebooks": _q_pq_codebooks,
         "pq_codes": _q_pq_codes,
         "pq_topk": _q_pq_topk,
+        "pq_recall": _q_pq_recall,
         "ivf_pq_topk": _q_ivf_pq_topk,
         "dedup_corpus": _q_dedup_corpus,
         "dedup_keep_best": _q_dedup_keep_best,
@@ -1496,6 +1527,10 @@ def oracle_sql() -> dict[str, str]:
     )
     oracles["dup_spans"] = span_ops.oracle_dup_spans_sql()
     oracles["strip_dup_spans"] = span_ops.oracle_strip_dup_spans_sql()
+    oracles["length_model_fit"] = regress_ops.oracle_length_model_fit_sql()
+    oracles["length_model_outliers"] = (
+        regress_ops.oracle_length_model_outliers_sql()
+    )
     oracles["order_value_quantiles"] = (
         relational.oracle_order_value_quantiles_sql()
     )
@@ -1505,6 +1540,7 @@ def oracle_sql() -> dict[str, str]:
     oracles["pq_codebooks"] = pq_ops.oracle_pq_codebooks_sql()
     oracles["pq_codes"] = pq_ops.oracle_pq_codes_sql()
     oracles["pq_topk"] = pq_ops.oracle_pq_topk_sql()
+    oracles["pq_recall"] = pq_ops.oracle_pq_recall_sql()
     oracles["ivf_pq_topk"] = pq_ops.oracle_ivf_pq_topk_sql()
     oracles["normalize_text"] = text_ops.oracle_normalize_text_sql()
     oracles["corpus_stats"] = text_ops.oracle_corpus_stats_sql()

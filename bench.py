@@ -203,6 +203,9 @@ STANDALONE = [
     "strip_dup_spans",
     "mixing_sample",
     "order_value_quantiles",
+    "pq_recall",
+    "length_model_fit",
+    "length_model_outliers",
 ]
 
 

@@ -49,7 +49,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from retail_etl_pipeline_airflow_s3_athena_spark.functions.caching import attach_cached_deps
+from retail_etl_pipeline_airflow_s3_athena_spark.functions.caching import (
+    attach_cached_deps,
+    carried_deps,
+)
 from retail_etl_pipeline_airflow_s3_athena_spark.functions.money import (
     cents,
     money_avg,
@@ -276,6 +279,62 @@ def pq_topk(
     return attach_cached_deps(out, sub)
 
 
+def pq_recall(
+    embeddings: DataFrame,
+    n_queries: int = N_QUERIES,
+    k: int = TOP_K,
+    rounds: int = PQ_ROUNDS,
+) -> DataFrame:
+    """ANN quality evaluation: (query_id, k, n_hits, recall_e6) —
+    recall@k of the ADC scan against the EXACT scan on the same
+    subspace-decomposed integer distance grid (exact d = Σ_m
+    cents(l2sq(q_m, v_m), 6); the ADC approximation replaces v_m by
+    its codeword, so n_hits isolates pure quantization error — no
+    metric or rounding confound).
+
+    The eval harness every ANN deployment needs before trusting
+    pq/ivf_pq at serving time: recall collapses (codebook drift, bad
+    M/K for the embedding family) show up here as integers, not as
+    silently-worse retrieval.  Exact scan cost is bounded by the
+    n_queries broadcast (the ``cosine_topk`` contract: calibration
+    query sets are small by construction; the corpus side stays one
+    linear pass).  Deterministic end-to-end: both rankings use the
+    pinned (distance asc, neighbor asc) tie-break."""
+    approx = pq_topk(embeddings, n_queries, k, rounds)
+    hits = approx.select("query_id", "neighbor_id", F.lit(1).alias("_hit"))
+    sub = _sub_corpus(embeddings)
+    q = sub.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), "m", F.col("sv").alias("qv")
+    )
+    exact_scored = (
+        sub.join(F.broadcast(q), "m")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum(cents(_l2sq(F.col("qv"), F.col("sv")), 6)).alias("d_e6"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("d_e6"), F.asc("neighbor_id")
+    )
+    exact_topk = (
+        exact_scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id")
+    )
+    out = (
+        exact_topk.join(hits, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(F.count("_hit").alias("n_hits"))
+        .select(
+            "query_id",
+            F.lit(int(k)).cast("long").alias("k"),
+            "n_hits",
+            F.expr(f"n_hits * 1000000 div {int(k)}").alias("recall_e6"),
+        )
+        .orderBy("query_id")
+    )
+    return attach_cached_deps(out, *carried_deps(approx))
+
+
 def ivf_pq_topk(
     embeddings: DataFrame,
     n_queries: int = N_QUERIES,
@@ -471,12 +530,14 @@ def oracle_pq_codes_sql(table: str = "embeddings", rounds: int = PQ_ROUNDS) -> s
     )
 
 
-def oracle_pq_topk_sql(
-    table: str = "embeddings",
-    n_queries: int = N_QUERIES,
-    k: int = TOP_K,
-    rounds: int = PQ_ROUNDS,
+def _sql_topk_ctes(
+    table: str,
+    n_queries: int,
+    k: int,
+    rounds: int,
 ) -> str:
+    """Training chain + the ADC scan CTEs, ending at ``ranked`` —
+    shared by the pq_topk oracle and the recall evaluator's."""
     sql, books = _sql_train_ctes(table, rounds)
     return (
         sql
@@ -510,9 +571,62 @@ def oracle_pq_topk_sql(
                 PARTITION BY query_id
                 ORDER BY adc_e6 ASC, neighbor_id ASC) AS rank
             FROM scored
-        )
+        )"""
+    )
+
+
+def oracle_pq_topk_sql(
+    table: str = "embeddings",
+    n_queries: int = N_QUERIES,
+    k: int = TOP_K,
+    rounds: int = PQ_ROUNDS,
+) -> str:
+    return (
+        _sql_topk_ctes(table, n_queries, k, rounds)
+        + f"""
         SELECT query_id, neighbor_id, adc_e6, CAST(rank AS INT) AS rank
         FROM ranked WHERE rank <= {k}"""
+    )
+
+
+def oracle_pq_recall_sql(
+    table: str = "embeddings",
+    n_queries: int = N_QUERIES,
+    k: int = TOP_K,
+    rounds: int = PQ_ROUNDS,
+) -> str:
+    d_e6 = sql_cents(_sql_l2sq("q.sv", "c.sv"), 6)
+    return (
+        _sql_topk_ctes(table, n_queries, k, rounds)
+        + f""",
+        approx AS (
+            SELECT query_id, neighbor_id FROM ranked WHERE rank <= {k}
+        ),
+        exact_scored AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   CAST(SUM({d_e6}) AS BIGINT) AS d_e6
+            FROM subcorpus q
+            JOIN subcorpus c ON q.m = c.m AND c.vec_id <> q.vec_id
+            WHERE q.vec_id < {n_queries}
+            GROUP BY q.vec_id, c.vec_id
+        ),
+        exact_ranked AS (
+            SELECT query_id, neighbor_id, ROW_NUMBER() OVER (
+                PARTITION BY query_id
+                ORDER BY d_e6 ASC, neighbor_id ASC) AS rk
+            FROM exact_scored
+        )
+        SELECT e.query_id,
+               CAST({k} AS BIGINT)                AS k,
+               CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_hits,
+               CAST(COUNT(a.neighbor_id) * 1000000 // {k} AS BIGINT)
+                   AS recall_e6
+        FROM exact_ranked e
+        LEFT JOIN approx a
+          ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+        WHERE e.rk <= {k}
+        GROUP BY e.query_id
+        ORDER BY e.query_id"""
     )
 
 

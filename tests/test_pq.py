@@ -152,3 +152,38 @@ def test_empty_and_single_vector(spark):
     rows = df.collect()
     release_cached(df)
     assert len(rows) == 1 and rows[0]["codes"] == [3, 3, 3, 3]
+
+
+def test_pq_recall_counts_true_overlap(spark):
+    """recall_e6 must equal |exact_topk ∩ adc_topk| / k on the same
+    integer distance grid, computed independently here via numpy."""
+    emb = _emb(spark)
+    out = {r["query_id"]: r for r in pq.pq_recall(emb, n_queries=3, k=5).collect()}
+    assert set(out) == {0, 1, 2}
+    # independent exact top-5 via numpy on the subspace-quantized grid
+    vecs = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in emb.filter(F.col("embedding").isNotNull()).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in pq.pq_topk(emb, n_queries=3, k=5).collect()
+    }
+    sub_dim = pq.SUB_DIM
+    for q in (0, 1, 2):
+        dists = []
+        for vid, v in vecs.items():
+            if vid == q:
+                continue
+            d = 0
+            for m in range(pq.M_SUB):
+                s = slice(m * sub_dim, (m + 1) * sub_dim)
+                l2 = float(np.sum((vecs[q][s] - v[s]) ** 2))
+                d += int(np.floor(_dround6(l2) * 1e6 + 0.5))
+            dists.append((d, vid))
+        exact5 = {vid for _, vid in sorted(dists)[:5]}
+        hits = sum(1 for vid in exact5 if (q, vid) in approx)
+        row = out[q]
+        assert row["k"] == 5
+        assert row["n_hits"] == hits
+        assert row["recall_e6"] == hits * 1_000_000 // 5
