@@ -51,6 +51,7 @@ from retail_etl_pipeline_airflow_s3_athena_spark.operators import (
     training as training_ops,
 )
 from retail_etl_pipeline_airflow_s3_athena_spark.operators import quantize as quant_ops
+from retail_etl_pipeline_airflow_s3_athena_spark.operators import layout as layout_ops
 from retail_etl_pipeline_airflow_s3_athena_spark.operators import regress as regress_ops
 from retail_etl_pipeline_airflow_s3_athena_spark.operators import spans as span_ops
 from retail_etl_pipeline_airflow_s3_athena_spark.operators import vocab as vocab_ops
@@ -574,6 +575,15 @@ def _q_strip_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_mixing_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mixing_ops.mixing_sample(
         readers.read_documents(spark, sf_dir), MIX_WEIGHTS, MIX_BUDGET
+    )
+
+
+def _q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout diagnostic on orders: per-bucket
+    (custkey x orderdate) extents — the multi-dimensional scan-pruning
+    evidence behind write_zordered."""
+    return layout_ops.zorder_layout(
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
     )
 
 
@@ -1110,7 +1120,6 @@ GATE_FIRST_50 = [
     # local full-precision evidence — lead the tail for r8)
     "asof_join_events",
     "decontaminate_docs",
-    "near_dup_pairs",
     "scd2_customers",
     "simhash_near_dup",
     "tfidf_top_terms",
@@ -1140,18 +1149,21 @@ GATE_FIRST_50 = [
     "mixing_sample",
     "order_value_quantiles",
     "pq_recall",
-    # learned statistical quality model (exact-integer OLS): fit +
-    # outlier filter, both fresh this round
+    # learned statistical quality model (exact-integer OLS) and the
+    # Z-order layout diagnostic, all fresh this round
     "length_model_fit",
     "length_model_outliers",
+    "zorder_layout",
 ]
 
 GATE_TAIL = [
-    # evicted late-r7 to make room for the OLS quality model: both are
-    # r6-driver-green, r6-plan-audited, and carry 4-scale local
-    # full-precision evidence — first in line for the r8 window
+    # evicted late-r7 to make room for the OLS quality model and the
+    # Z-order layout diagnostic: all r6-driver-green (or r6-audited),
+    # with 4-scale local full-precision evidence — first in line for
+    # the r8 window
     "embedding_near_dup",
     "embedding_near_dup_lsh",
+    "near_dup_pairs",
     # evicted from the r7 window to make room for the new operators:
     # r4-driver-verified, 4-scale local full-precision evidence, and
     # (for the GEMM pair / cosine+ivf) bit-identical-or-subsumed by
@@ -1279,6 +1291,7 @@ def _all_queries() -> dict[str, QueryFn]:
         "mixing_sample": _q_mixing_sample,
         "length_model_fit": _q_length_model_fit,
         "length_model_outliers": _q_length_model_outliers,
+        "zorder_layout": _q_zorder_layout,
         "cheapest_part_supplier": relational.cheapest_part_supplier,
         "nation_trade_volume": relational.nation_trade_volume,
         "part_supplier_breadth": relational.part_supplier_breadth,
@@ -1531,6 +1544,7 @@ def oracle_sql() -> dict[str, str]:
     oracles["length_model_outliers"] = (
         regress_ops.oracle_length_model_outliers_sql()
     )
+    oracles["zorder_layout"] = layout_ops.oracle_zorder_layout_sql()
     oracles["order_value_quantiles"] = (
         relational.oracle_order_value_quantiles_sql()
     )

@@ -206,6 +206,7 @@ STANDALONE = [
     "pq_recall",
     "length_model_fit",
     "length_model_outliers",
+    "zorder_layout",
 ]
 
 
