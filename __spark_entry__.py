@@ -51,6 +51,7 @@ from retail_etl_pipeline_airflow_s3_athena_spark.operators import (
     training as training_ops,
 )
 from retail_etl_pipeline_airflow_s3_athena_spark.operators import quantize as quant_ops
+from retail_etl_pipeline_airflow_s3_athena_spark.operators import datacard as datacard_ops
 from retail_etl_pipeline_airflow_s3_athena_spark.operators import layout as layout_ops
 from retail_etl_pipeline_airflow_s3_athena_spark.operators import regress as regress_ops
 from retail_etl_pipeline_airflow_s3_athena_spark.operators import spans as span_ops
@@ -576,6 +577,12 @@ def _q_mixing_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mixing_ops.mixing_sample(
         readers.read_documents(spark, sf_dir), MIX_WEIGHTS, MIX_BUDGET
     )
+
+
+def _q_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dataset datasheet: volume, duplication, quality-pass
+    fraction, modal language — the corpus-level data card."""
+    return datacard_ops.data_card(_docs(spark, sf_dir))
 
 
 def _q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1121,7 +1128,6 @@ GATE_FIRST_50 = [
     "asof_join_events",
     "decontaminate_docs",
     "scd2_customers",
-    "simhash_near_dup",
     "tfidf_top_terms",
     # new r7 operators (no prior driver evidence): DSIR importance
     # weighting + mixing diagnostics on the deterministic fixed-point
@@ -1154,6 +1160,7 @@ GATE_FIRST_50 = [
     "length_model_fit",
     "length_model_outliers",
     "zorder_layout",
+    "data_card",
 ]
 
 GATE_TAIL = [
@@ -1164,6 +1171,7 @@ GATE_TAIL = [
     "embedding_near_dup",
     "embedding_near_dup_lsh",
     "near_dup_pairs",
+    "simhash_near_dup",
     # evicted from the r7 window to make room for the new operators:
     # r4-driver-verified, 4-scale local full-precision evidence, and
     # (for the GEMM pair / cosine+ivf) bit-identical-or-subsumed by
@@ -1292,6 +1300,7 @@ def _all_queries() -> dict[str, QueryFn]:
         "length_model_fit": _q_length_model_fit,
         "length_model_outliers": _q_length_model_outliers,
         "zorder_layout": _q_zorder_layout,
+        "data_card": _q_data_card,
         "cheapest_part_supplier": relational.cheapest_part_supplier,
         "nation_trade_volume": relational.nation_trade_volume,
         "part_supplier_breadth": relational.part_supplier_breadth,
@@ -1545,6 +1554,7 @@ def oracle_sql() -> dict[str, str]:
         regress_ops.oracle_length_model_outliers_sql()
     )
     oracles["zorder_layout"] = layout_ops.oracle_zorder_layout_sql()
+    oracles["data_card"] = datacard_ops.oracle_data_card_sql()
     oracles["order_value_quantiles"] = (
         relational.oracle_order_value_quantiles_sql()
     )

@@ -207,6 +207,7 @@ STANDALONE = [
     "length_model_fit",
     "length_model_outliers",
     "zorder_layout",
+    "data_card",
 ]
 
 

@@ -365,16 +365,32 @@ def oracle_text_features_sql(table: str = "documents", t: str = "text") -> str:
     """
 
 
-def oracle_language_id_sql(table: str = "documents", t: str = "text") -> str:
-    langs = list(LANG_STOPWORDS)
-    score_cols = ",\n               ".join(
-        f"{_sql_stopword_ratio(t, lg)} AS score_{lg}" for lg in langs
+def sql_lang_score_cols(t: str) -> str:
+    """Per-language stopword-score select-list fragment (score_<lg>
+    columns), the DuckDB twin of :func:`lang_scores`."""
+    return ",\n               ".join(
+        f"{_sql_stopword_ratio(t, lg)} AS score_{lg}"
+        for lg in LANG_STOPWORDS
     )
+
+
+def sql_predicted_lang_case() -> str:
+    """Argmax CASE over score_<lg> columns (ties alphabetical,
+    all-zero -> 'und') — twin of :func:`predicted_lang`; apply over a
+    subquery that selects :func:`sql_lang_score_cols`."""
+    langs = list(LANG_STOPWORDS)
     best = "GREATEST(" + ", ".join(f"score_{lg}" for lg in langs) + ")"
     case = "CASE "
     for lg in langs:
         case += f"WHEN {best} > 0 AND score_{lg} = {best} THEN '{lg}' "
     case += "ELSE 'und' END"
+    return case
+
+
+def oracle_language_id_sql(table: str = "documents", t: str = "text") -> str:
+    langs = list(LANG_STOPWORDS)
+    score_cols = sql_lang_score_cols(t)
+    case = sql_predicted_lang_case()
     return f"""
         SELECT doc_id, {", ".join(f"score_{lg}" for lg in langs)},
                {case} AS predicted_lang
