@@ -637,6 +637,28 @@ def _q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketches.cms_heavy_hitters(_docs(spark, sf_dir))
 
 
+def _q_cms_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CMS end-state under the oracle: documents streamed in
+    several micro-batches through ``cms_sketch_stream``'s
+    overwrite-by-batch cell-delta sink, SUM-merged, probed with the
+    corpus top-k — cell-count additivity makes the result IDENTICAL
+    to the one-pass batch sketch, so the batch CMS oracle is its
+    oracle."""
+    import tempfile
+
+    from retail_etl_pipeline_airflow_s3_athena_spark.streaming import incremental
+
+    docs = _docs(spark, sf_dir)
+    src = tempfile.mkdtemp(prefix="cmsstr_src_")
+    work = tempfile.mkdtemp(prefix="cmsstr_wk_")
+    docs.select("doc_id", "source", "text").repartition(4).write.mode(
+        "overwrite"
+    ).parquet(src)
+    q = incremental.cms_sketch_stream(spark, src, work)
+    q.awaitTermination(180)
+    return incremental.cms_stream_heavy_hitters(spark, work, docs)
+
+
 def _q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_ops.winnow_fingerprints(_docs(spark, sf_dir))
 
@@ -1125,7 +1147,6 @@ GATE_FIRST_50 = [
     # stalest r4-verified entries (16 of 33; 9 more — the GEMM
     # bit-identical twins and simplest transforms, all with 4-scale
     # local full-precision evidence — lead the tail for r8)
-    "asof_join_events",
     "decontaminate_docs",
     "scd2_customers",
     "tfidf_top_terms",
@@ -1161,6 +1182,7 @@ GATE_FIRST_50 = [
     "length_model_outliers",
     "zorder_layout",
     "data_card",
+    "cms_stream_heavy_hitters",
 ]
 
 GATE_TAIL = [
@@ -1172,6 +1194,7 @@ GATE_TAIL = [
     "embedding_near_dup_lsh",
     "near_dup_pairs",
     "simhash_near_dup",
+    "asof_join_events",
     # evicted from the r7 window to make room for the new operators:
     # r4-driver-verified, 4-scale local full-precision evidence, and
     # (for the GEMM pair / cosine+ivf) bit-identical-or-subsumed by
@@ -1359,6 +1382,7 @@ def _all_queries() -> dict[str, QueryFn]:
         "fuzzy_part_names": _q_fuzzy_part_names,
         "dedup_rate_report": _q_dedup_rate_report,
         "cms_heavy_hitters": _q_cms_heavy_hitters,
+        "cms_stream_heavy_hitters": _q_cms_stream_heavy_hitters,
         "bloom_decontaminate": _q_bloom_decontaminate,
         "knn_graph": _q_knn_graph,
         "semantic_dedup": _q_semantic_dedup,
@@ -1652,6 +1676,9 @@ def oracle_sql() -> dict[str, str]:
     oracles["fuzzy_part_names"] = dedup_ops.oracle_fuzzy_name_matches_sql()
     oracles["dedup_rate_report"] = dedup_ops.oracle_dedup_rate_report_sql()
     oracles["cms_heavy_hitters"] = sketches.oracle_cms_heavy_hitters_sql()
+    oracles["cms_stream_heavy_hitters"] = (
+        sketches.oracle_cms_heavy_hitters_sql()
+    )
     oracles["knn_graph"] = sim_ops.oracle_knn_graph_sql()
     oracles["semantic_dedup"] = sim_ops.oracle_semantic_dedup_sql()
     from retail_etl_pipeline_airflow_s3_athena_spark.functions import quality as _quality

@@ -208,6 +208,7 @@ STANDALONE = [
     "length_model_outliers",
     "zorder_layout",
     "data_card",
+    "cms_stream_heavy_hitters",
 ]
 
 

@@ -238,17 +238,9 @@ def _cms_cell(h: Column, j: int) -> Column:
     return ((h * CMS_A[j] + CMS_B[j]) % _CMS_MOD) % CMS_W
 
 
-def cms_heavy_hitters(
-    docs: DataFrame, text_col: str = "text", top_k: int = CMS_TOP_K
-) -> DataFrame:
-    """(token, true_cnt, cms_est): the corpus's top_k tokens by exact
-    frequency (count desc, token asc — pinned tie-break) with their
-    count-min estimate alongside; cms_est >= true_cnt always.
-
-    The exact count exists for error inspection (same convention as
-    hll_distinct's exact_distinct); at 100 TB you keep only the sketch
-    and probe it for whatever keys you care about.
-    """
+def cms_hashed_tokens(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(token, h): exploded token stream with its mod-prime md5 hash —
+    the shared front end of the sketch build and the probe."""
     from retail_etl_pipeline_airflow_s3_athena_spark.operators.text import tokens
 
     tok = docs.select(
@@ -262,7 +254,15 @@ def cms_heavy_hitters(
         ).cast("long")
         % _CMS_MOD
     )
-    hashed = tok.select("token", h.alias("h"))
+    return tok.select("token", h.alias("h"))
+
+
+def cms_sketch(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(j, c, cnt): the count-min table for one corpus (or one
+    micro-batch — counts are SUM-mergeable, so the sketch of a union
+    is the cell-wise sum of the parts' sketches).  At most
+    CMS_D x CMS_W = 4096 rows regardless of input size."""
+    hashed = cms_hashed_tokens(docs, text_col)
     cells = hashed.select(
         F.explode(
             F.array(
@@ -275,8 +275,18 @@ def cms_heavy_hitters(
             )
         ).alias("rc")
     ).select("rc.j", "rc.c")
-    sketch = cells.groupBy("j", "c").agg(F.count(F.lit(1)).alias("cnt"))
+    return cells.groupBy("j", "c").agg(F.count(F.lit(1)).alias("cnt"))
 
+
+def cms_probe_topk(
+    docs: DataFrame,
+    sketch: DataFrame,
+    text_col: str = "text",
+    top_k: int = CMS_TOP_K,
+) -> DataFrame:
+    """Probe a (j, c, cnt) sketch with the corpus's exact top-``top_k``
+    tokens: (token, true_cnt, cms_est)."""
+    hashed = cms_hashed_tokens(docs, text_col)
     true_counts = hashed.groupBy("token").agg(
         F.count(F.lit(1)).alias("true_cnt"),
         F.first("h").alias("h"),
@@ -306,6 +316,22 @@ def cms_heavy_hitters(
         probe.join(F.broadcast(sketch), ["j", "c"])
         .groupBy("token", "true_cnt")
         .agg(F.min("cnt").alias("cms_est"))
+    )
+
+
+def cms_heavy_hitters(
+    docs: DataFrame, text_col: str = "text", top_k: int = CMS_TOP_K
+) -> DataFrame:
+    """(token, true_cnt, cms_est): the corpus's top_k tokens by exact
+    frequency (count desc, token asc — pinned tie-break) with their
+    count-min estimate alongside; cms_est >= true_cnt always.
+
+    The exact count exists for error inspection (same convention as
+    hll_distinct's exact_distinct); at 100 TB you keep only the sketch
+    and probe it for whatever keys you care about.
+    """
+    return cms_probe_topk(
+        docs, cms_sketch(docs, text_col), text_col, top_k
     )
 
 

@@ -1013,3 +1013,79 @@ def compact_registers(spark: SparkSession, work_dir: str) -> int:
     os.rename(tmp, reg_dir)
     shutil.rmtree(old, ignore_errors=True)
     return n
+
+
+CMS_DOC_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("text", T.StringType()),
+    ]
+)
+
+
+def cms_sketch_stream(spark: SparkSession, source_dir: str, work_dir: str):
+    """Streaming count-min maintenance: as document files land, each
+    micro-batch writes its own (j, c, cnt) CELL DELTA (≤ 4096 rows —
+    constant, independent of batch size); read-time SUM-merge equals
+    the one-pass batch sketch exactly because cell counts are
+    additive.
+
+    Same replay discipline as ``dsir_stat_stream`` (counts are NOT
+    append-idempotent): deterministic per-batch sink paths
+    ``cells/batch=<batch_id>`` with mode("overwrite") — a
+    crash-replayed batch overwrites its own identical delta.
+
+    At 100 TB: zero stream state, ≤ 4096-row sink writes per batch,
+    read-time merge over #batches x 4096 rows; compaction is the same
+    cardinality-bounded sum+rewrite as the other sketch sinks.
+    """
+    import os
+
+    from retail_etl_pipeline_airflow_s3_athena_spark.functions import sketches
+
+    cell_dir = os.path.join(work_dir, "cells")
+    ckpt_dir = os.path.join(work_dir, "ckpt")
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        sketches.cms_sketch(batch_df).write.mode("overwrite").parquet(
+            os.path.join(cell_dir, f"batch={batch_id}")
+        )
+
+    stream = (
+        spark.readStream.schema(CMS_DOC_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_dir)
+    )
+    return (
+        stream.writeStream.foreachBatch(step)
+        .option("checkpointLocation", ckpt_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def cms_stream_sketch(spark: SparkSession, work_dir: str) -> DataFrame:
+    """SUM-merge the per-batch cell deltas back to the canonical
+    (j, c, cnt) sketch — exactly the batch ``sketches.cms_sketch``
+    of the same documents (cell-count additivity)."""
+    import os
+
+    deltas = spark.read.option("recursiveFileLookup", "true").parquet(
+        os.path.join(work_dir, "cells")
+    )
+    return deltas.groupBy("j", "c").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_stream_heavy_hitters(
+    spark: SparkSession, work_dir: str, docs: DataFrame, top_k: int = 20
+) -> DataFrame:
+    """Heavy hitters probed against the STREAM-MAINTAINED sketch —
+    bit-identical to batch ``cms_heavy_hitters`` once the stream has
+    consumed the same documents, so the batch CMS oracle is its
+    oracle."""
+    from retail_etl_pipeline_airflow_s3_athena_spark.functions import sketches
+
+    return sketches.cms_probe_topk(
+        docs, cms_stream_sketch(spark, work_dir), top_k=top_k
+    )

@@ -699,3 +699,58 @@ def test_dsir_stat_stream_matches_batch_and_replays_idempotently(
         for r in incremental.dsir_stream_stats(spark, work).collect()
     }
     assert replayed == want_stats
+
+
+def test_cms_sketch_stream_matches_batch_and_replays_idempotently(
+    spark, sf_dir, tmp_path
+):
+    """Streaming CMS cell deltas: (1) SUM-merged stream sketch ==
+    one-pass batch sketch; (2) stream-probed heavy hitters == batch
+    cms_heavy_hitters; (3) a crash-REPLAYED batch overwrites its own
+    delta (deterministic per-batch path) instead of double-counting."""
+    import os
+
+    from retail_etl_pipeline_airflow_s3_athena_spark.functions import sketches
+    from retail_etl_pipeline_airflow_s3_athena_spark.sources import readers
+
+    docs = readers.read_documents(spark, sf_dir)
+    staged = docs.select("doc_id", "source", "text")
+    src, work = str(tmp_path / "src"), str(tmp_path / "wk")
+    staged.repartition(4).write.parquet(src)
+    q = incremental.cms_sketch_stream(spark, src, work)
+    q.awaitTermination(120)
+    n_batches = len(
+        [f for f in os.listdir(os.path.join(work, "cells")) if f.startswith("batch=")]
+    )
+    assert n_batches >= 2, "fixture must stream as multiple micro-batches"
+
+    got = {
+        (r["j"], r["c"]): r["cnt"]
+        for r in incremental.cms_stream_sketch(spark, work).collect()
+    }
+    want = {
+        (r["j"], r["c"]): r["cnt"]
+        for r in sketches.cms_sketch(staged).collect()
+    }
+    assert got == want
+
+    stream_hh = incremental.cms_stream_heavy_hitters(spark, work, docs)
+    batch_hh = sketches.cms_heavy_hitters(docs)
+    assert sorted(map(tuple, stream_hh.collect())) == sorted(
+        map(tuple, batch_hh.collect())
+    )
+
+    # simulate checkpoint-less replay of batch 0: a replayed batch
+    # recomputes the IDENTICAL delta (cms_sketch is deterministic) and
+    # lands it at the SAME batch=0 path with overwrite — total sketch
+    # unchanged, where an append-mode sink would double-count
+    b0_path = os.path.join(work, "cells", "batch=0")
+    delta0 = spark.createDataFrame(
+        spark.read.parquet(b0_path).collect(), "j INT, c LONG, cnt LONG"
+    )
+    delta0.write.mode("overwrite").parquet(b0_path)
+    replayed = {
+        (r["j"], r["c"]): r["cnt"]
+        for r in incremental.cms_stream_sketch(spark, work).collect()
+    }
+    assert replayed == want
