@@ -637,6 +637,12 @@ def _q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketches.cms_heavy_hitters(_docs(spark, sf_dir))
 
 
+def _q_near_dup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH S-curve: per-Jaccard-band recall of the banded-MinHash
+    pipeline vs the exact inverted-index ground truth."""
+    return dedup_ops.near_dup_recall(_docs(spark, sf_dir))
+
+
 def _q_cms_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming CMS end-state under the oracle: documents streamed in
     several micro-batches through ``cms_sketch_stream``'s
@@ -1147,7 +1153,6 @@ GATE_FIRST_50 = [
     # stalest r4-verified entries (16 of 33; 9 more — the GEMM
     # bit-identical twins and simplest transforms, all with 4-scale
     # local full-precision evidence — lead the tail for r8)
-    "decontaminate_docs",
     "scd2_customers",
     "tfidf_top_terms",
     # new r7 operators (no prior driver evidence): DSIR importance
@@ -1183,6 +1188,7 @@ GATE_FIRST_50 = [
     "zorder_layout",
     "data_card",
     "cms_stream_heavy_hitters",
+    "near_dup_recall",
 ]
 
 GATE_TAIL = [
@@ -1195,6 +1201,7 @@ GATE_TAIL = [
     "near_dup_pairs",
     "simhash_near_dup",
     "asof_join_events",
+    "decontaminate_docs",
     # evicted from the r7 window to make room for the new operators:
     # r4-driver-verified, 4-scale local full-precision evidence, and
     # (for the GEMM pair / cosine+ivf) bit-identical-or-subsumed by
@@ -1383,6 +1390,7 @@ def _all_queries() -> dict[str, QueryFn]:
         "dedup_rate_report": _q_dedup_rate_report,
         "cms_heavy_hitters": _q_cms_heavy_hitters,
         "cms_stream_heavy_hitters": _q_cms_stream_heavy_hitters,
+        "near_dup_recall": _q_near_dup_recall,
         "bloom_decontaminate": _q_bloom_decontaminate,
         "knn_graph": _q_knn_graph,
         "semantic_dedup": _q_semantic_dedup,
@@ -1679,6 +1687,7 @@ def oracle_sql() -> dict[str, str]:
     oracles["cms_stream_heavy_hitters"] = (
         sketches.oracle_cms_heavy_hitters_sql()
     )
+    oracles["near_dup_recall"] = dedup_ops.oracle_near_dup_recall_sql()
     oracles["knn_graph"] = sim_ops.oracle_knn_graph_sql()
     oracles["semantic_dedup"] = sim_ops.oracle_semantic_dedup_sql()
     from retail_etl_pipeline_airflow_s3_athena_spark.functions import quality as _quality

@@ -209,6 +209,7 @@ STANDALONE = [
     "zorder_layout",
     "data_card",
     "cms_stream_heavy_hitters",
+    "near_dup_recall",
 ]
 
 

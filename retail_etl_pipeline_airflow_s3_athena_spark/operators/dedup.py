@@ -1199,3 +1199,162 @@ def oracle_source_overlap_sql(
         JOIN sizes sb ON sb.source = i.source_b
         ORDER BY i.source_a, i.source_b
     """
+
+
+# ---------------------------------------------------------------------------
+# LSH quality evaluation (recall S-curve vs exact ground truth)
+# ---------------------------------------------------------------------------
+
+def near_dup_recall(
+    docs: DataFrame,
+    text_col: str = "text",
+    threshold: float = 0.5,
+    max_df: int | None = MAX_SHINGLE_DF,
+) -> DataFrame:
+    """The LSH S-curve as a table: per Jaccard band, how many true
+    near-dup pairs exist and how many the banded-MinHash pipeline
+    caught — (jaccard_band, n_true, n_caught, recall_e6).
+
+    Ground truth is the EXACT inverted-index join over the capped
+    shingle universe (every pair sharing >= 1 sub-cap shingle, scored
+    with the same ``_jaccard_from_flat`` the production pipeline uses
+    for verification, so "caught" vs "missed" isolates pure BANDING
+    loss — no scoring confound; the verified LSH output is a subset of
+    truth by construction, so precision is 1 and recall is the whole
+    story).  Bands are exact integers: j_e6 = floor(jaccard·1e6 + .5)
+    (undoing dround6), band = least(9, j_e6 div 100000) — band 5 is
+    [0.5, 0.6), band 9 is [0.9, 1.0].  Recall rising toward 1 in the
+    high bands and sagging near the threshold is the textbook
+    (1-(1-s^r)^b) curve made measurable — the calibration every LSH
+    deployment runs before trusting banding parameters at scale.
+
+    Scale: the truth join is the ``source_overlap`` shape (per-shingle
+    fanout bounded by the df cap), run on calibration corpora; the LSH
+    side is the production plan unchanged.  One flat-shingle pass
+    feeds everything (persisted, ownership transferred)."""
+    # materialize both shared tables BEFORE the fan-out (flat feeds
+    # signatures + the cap; capped feeds the cooc self-join and both
+    # Jaccard scorings): un-materialized persists recompute per branch
+    flat = _flat_shingles(docs, text_col).persist()
+    flat.count()
+    capped = _cap_frequent_shingles(flat, max_df).persist()
+    capped.count()
+    ca, cb = capped.alias("ca"), capped.alias("cb")
+    cooc = (
+        ca.join(
+            cb,
+            (F.col("ca.s") == F.col("cb.s"))
+            & (F.col("ca.doc_id") < F.col("cb.doc_id")),
+        )
+        .select(
+            F.col("ca.doc_id").alias("doc_a"),
+            F.col("cb.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    # scoring universe IS the capped table — pass it with max_df=None
+    # so _jaccard_from_flat doesn't rebuild (and re-persist) the cap
+    # per call; signatures stay on the UNCAPPED flat (banding keys
+    # must not shift when a shingle crosses the cap)
+    truth = _jaccard_from_flat(cooc, capped, threshold, None)
+    lsh = _jaccard_from_flat(
+        _candidates_from(_signatures_from(flat)).select("doc_a", "doc_b"),
+        capped,
+        threshold,
+        None,
+    )
+    hits = lsh.select("doc_a", "doc_b", F.lit(1).alias("_hit"))
+    j_e6 = F.floor(F.col("jaccard") * 1e6 + 0.5).cast("long")
+    out = (
+        truth.join(hits, ["doc_a", "doc_b"], "left")
+        .withColumn("j_e6", j_e6)
+        .groupBy(
+            F.expr("least(CAST(9 AS BIGINT), j_e6 div 100000)").alias(
+                "jaccard_band"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_true"),
+            F.count("_hit").alias("n_caught"),
+        )
+        .select(
+            "jaccard_band",
+            "n_true",
+            "n_caught",
+            F.expr("1000000 * n_caught div n_true").alias("recall_e6"),
+        )
+        .orderBy("jaccard_band")
+    )
+    return _owned_cache(
+        out,
+        flat,
+        capped,
+        *_carried_deps(truth),
+        *_carried_deps(lsh),
+    )
+
+
+def oracle_near_dup_recall_sql(
+    table: str = "documents",
+    t: str = "text",
+    threshold: float = 0.5,
+    max_df: int = MAX_SHINGLE_DF,
+) -> str:
+    band_selects = "\n    UNION ALL\n".join(
+        f"    SELECT doc_id, {b} AS band, {_sql_band_hash(b)} AS bh FROM sig"
+        for b in range(NUM_BANDS)
+    )
+    jac = sql_dround(
+        "len(list_intersect(a.sh, b.sh)) / "
+        "(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))",
+        6,
+    )
+    capped = _SQL_CAPPED_SHINGLES.format(
+        src="sh_t", max_df=max_df, out="shc"
+    ).strip()
+    return f"""
+        WITH {_sql_signature_cte(table, t).strip()},
+        bands AS (
+        {band_selects}
+        ),
+        cand AS (
+            SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+            FROM bands l JOIN bands r
+              ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id
+        ),
+        {capped},
+        capped_flat AS (
+            SELECT doc_id, s FROM sh_flat
+            WHERE s NOT IN (SELECT s FROM over_cap)
+        ),
+        cooc AS (
+            SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+            FROM capped_flat x JOIN capped_flat y
+              ON x.s = y.s AND x.doc_id < y.doc_id
+        ),
+        truth AS (
+            SELECT p.doc_a, p.doc_b, {jac} AS jaccard
+            FROM cooc p
+            JOIN shc a ON p.doc_a = a.doc_id
+            JOIN shc b ON p.doc_b = b.doc_id
+            WHERE {jac} >= {threshold}
+        ),
+        lsh AS (
+            SELECT p.doc_a, p.doc_b, 1 AS hit
+            FROM cand p
+            JOIN shc a ON p.doc_a = a.doc_id
+            JOIN shc b ON p.doc_b = b.doc_id
+            WHERE {jac} >= {threshold}
+        )
+        SELECT LEAST(CAST(9 AS BIGINT),
+                     CAST(FLOOR(tr.jaccard * 1e6 + 0.5) AS BIGINT) // 100000)
+                   AS jaccard_band,
+               CAST(COUNT(*) AS BIGINT) AS n_true,
+               CAST(COUNT(l.hit) AS BIGINT) AS n_caught,
+               CAST(1000000 * COUNT(l.hit) // COUNT(*) AS BIGINT)
+                   AS recall_e6
+        FROM truth tr
+        LEFT JOIN lsh l ON tr.doc_a = l.doc_a AND tr.doc_b = l.doc_b
+        GROUP BY 1
+        ORDER BY jaccard_band
+    """

@@ -1021,3 +1021,46 @@ def test_source_overlap_matches_bruteforce(spark, sf_dir):
             assert (ga, gb, gi) == (na, nb, inter)
             import math
             assert gj == math.floor(inter / (na + nb - inter) * 1e6 + 0.5) / 1e6
+
+
+def test_near_dup_recall_s_curve_and_consistency(spark):
+    """near_dup_recall measures pure banding loss: (1) on a graded
+    corpus the recall table IS the LSH S-curve (deterministic — pinned);
+    (2) total caught == the production near_dup_pairs output (the
+    verified LSH pairs are the caught set, precision 1 by
+    construction)."""
+    from retail_etl_pipeline_airflow_s3_athena_spark.functions.caching import (
+        release_cached,
+    )
+    from retail_etl_pipeline_airflow_s3_athena_spark.operators import dedup
+
+    rows, did = [], 0
+    for i in range(40):
+        base = [f"w{i}x{j}" for j in range(24)]
+        k = 2 + (i % 11)
+        var = base[:-k] + [f"v{i}y{j}" for j in range(k)]
+        rows.append((did, "s", " ".join(base))); did += 1
+        rows.append((did, "s", " ".join(var))); did += 1
+    docs = spark.createDataFrame(rows, "doc_id LONG, source STRING, text STRING")
+    out = dedup.near_dup_recall(docs, threshold=0.3)
+    got = [tuple(r) for r in out.collect()]
+    release_cached(out)
+    # deterministic end-to-end: the banded-recall table is pinned
+    assert got == [
+        (3, 6, 0, 0),
+        (4, 7, 1, 142857),
+        (5, 8, 3, 375000),
+        (6, 8, 5, 625000),
+        (7, 4, 1, 250000),
+        (8, 4, 3, 750000),
+    ]
+    # structural invariants: caught <= true, recall arithmetic exact
+    for band, n_true, n_caught, rec in got:
+        assert 0 <= n_caught <= n_true
+        assert rec == 10**6 * n_caught // n_true
+    # consistency with the production pipeline: total caught pairs ==
+    # |near_dup_pairs| at the same threshold/cap
+    nd = dedup.near_dup_pairs(docs, threshold=0.3)
+    n_prod = nd.count()
+    release_cached(nd)
+    assert sum(c for _, _, c, _ in got) == n_prod
