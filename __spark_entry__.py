@@ -607,6 +607,14 @@ def _q_length_model_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return regress_ops.length_model_outliers(_docs(spark, sf_dir))
 
 
+def _q_curriculum_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-curriculum training order over the realized mix: two
+    distributed rank passes + the broadcast mixing plan."""
+    return mixing_ops.curriculum_mix(
+        readers.read_documents(spark, sf_dir), MIX_WEIGHTS, MIX_BUDGET
+    )
+
+
 def _q_encode_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab_ops.encode_token_ids(_docs(spark, sf_dir))
 
@@ -1153,7 +1161,6 @@ GATE_FIRST_50 = [
     # stalest r4-verified entries (16 of 33; 9 more — the GEMM
     # bit-identical twins and simplest transforms, all with 4-scale
     # local full-precision evidence — lead the tail for r8)
-    "scd2_customers",
     "tfidf_top_terms",
     # new r7 operators (no prior driver evidence): DSIR importance
     # weighting + mixing diagnostics on the deterministic fixed-point
@@ -1189,6 +1196,7 @@ GATE_FIRST_50 = [
     "data_card",
     "cms_stream_heavy_hitters",
     "near_dup_recall",
+    "curriculum_mix",
 ]
 
 GATE_TAIL = [
@@ -1202,6 +1210,7 @@ GATE_TAIL = [
     "simhash_near_dup",
     "asof_join_events",
     "decontaminate_docs",
+    "scd2_customers",
     # evicted from the r7 window to make room for the new operators:
     # r4-driver-verified, 4-scale local full-precision evidence, and
     # (for the GEMM pair / cosine+ivf) bit-identical-or-subsumed by
@@ -1391,6 +1400,7 @@ def _all_queries() -> dict[str, QueryFn]:
         "cms_heavy_hitters": _q_cms_heavy_hitters,
         "cms_stream_heavy_hitters": _q_cms_stream_heavy_hitters,
         "near_dup_recall": _q_near_dup_recall,
+        "curriculum_mix": _q_curriculum_mix,
         "bloom_decontaminate": _q_bloom_decontaminate,
         "knn_graph": _q_knn_graph,
         "semantic_dedup": _q_semantic_dedup,
@@ -1688,6 +1698,9 @@ def oracle_sql() -> dict[str, str]:
         sketches.oracle_cms_heavy_hitters_sql()
     )
     oracles["near_dup_recall"] = dedup_ops.oracle_near_dup_recall_sql()
+    oracles["curriculum_mix"] = mixing_ops.oracle_curriculum_mix_sql(
+        MIX_WEIGHTS, MIX_BUDGET
+    )
     oracles["knn_graph"] = sim_ops.oracle_knn_graph_sql()
     oracles["semantic_dedup"] = sim_ops.oracle_semantic_dedup_sql()
     from retail_etl_pipeline_airflow_s3_athena_spark.functions import quality as _quality

@@ -210,6 +210,7 @@ STANDALONE = [
     "data_card",
     "cms_stream_heavy_hitters",
     "near_dup_recall",
+    "curriculum_mix",
 ]
 
 

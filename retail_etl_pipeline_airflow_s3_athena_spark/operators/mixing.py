@@ -321,3 +321,145 @@ def oracle_mixing_sample_sql(
         FROM j WHERE nc >= 1
         ORDER BY doc_id, epoch
     """
+
+
+def curriculum_mix(
+    docs: DataFrame,
+    weights: Mapping[str, int],
+    token_budget: int,
+    max_epochs_e6: int = 3 * E6,
+    n_phases: int = 4,
+    text_col: str = "text",
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quality-curriculum ORDER over the realized training mix: (pos,
+    phase, doc_id, epoch, n_tokens) — the table a dataloader walks.
+
+    Curriculum learning orders training data from broad/noisy toward
+    high quality (the annealing recipe: the last phase is the cleanest
+    data).  Composition of the engine's own pieces, deterministic end
+    to end:
+
+    1. phase — documents ranked by (quality_score asc, doc_id asc)
+       via the DISTRIBUTED two-pass rank (functions/ranking.py — no
+       single-partition WindowExec even at billions of docs), bucketed
+       NTILE-style into ``n_phases``; the dround6 quality score is
+       quantized, so the order is engine-exact.
+    2. mix — :func:`mixing_sample`'s (doc, epoch) rows, joined to the
+       phases.
+    3. pos — a second global rank over (phase, order_hash, doc_id,
+       epoch), where order_hash = md5(doc_id ␟ epoch) shuffles WITHIN
+       each phase (content-hash discipline: reproducible under any
+       partitioning, no seed).
+
+    Scale: two rank passes (each a range exchange + bounded stats) +
+    one broadcast plan join — the same asymptotic cost as sorting the
+    mix once, which ANY global training order costs."""
+    from retail_etl_pipeline_airflow_s3_athena_spark.functions.caching import (
+        attach_cached_deps,
+        carried_deps,
+    )
+    from retail_etl_pipeline_airflow_s3_athena_spark.functions.ranking import (
+        attach_global_rank,
+        ntile_from_rank,
+    )
+    from retail_etl_pipeline_airflow_s3_athena_spark.operators.text import (
+        quality_score,
+    )
+
+    q = docs.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col), quality_score(F.col(text_col)).alias("_q")
+    )
+    ranked_docs = attach_global_rank(
+        q,
+        [F.asc("_q"), F.asc(id_col)],
+        rank_col="_qrank",
+        total_col="_qn",
+    )
+    phases = ranked_docs.select(
+        id_col,
+        ntile_from_rank(F.col("_qrank"), F.col("_qn"), n_phases)
+        .cast("long")
+        .alias("phase"),
+    )
+    mix = mixing_sample(
+        docs,
+        weights,
+        token_budget,
+        max_epochs_e6=max_epochs_e6,
+        text_col=text_col,
+        source_col=source_col,
+        id_col=id_col,
+    )
+    oh = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.encode(
+                        F.concat_ws(
+                            "\x1f",
+                            F.col(id_col).cast("string"),
+                            F.col("epoch").cast("string"),
+                        ),
+                        "UTF-8",
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+    )
+    phased = mix.join(phases, id_col).withColumn("_oh", oh)
+    ordered = attach_global_rank(
+        phased,
+        [F.asc("phase"), F.asc("_oh"), F.asc(id_col), F.asc("epoch")],
+        rank_col="pos",
+    )
+    out = ordered.select(
+        "pos", "phase", id_col, "epoch", "n_tokens"
+    ).orderBy("pos")
+    return attach_cached_deps(
+        out, *carried_deps(ranked_docs), *carried_deps(ordered)
+    )
+
+
+def oracle_curriculum_mix_sql(
+    weights: Mapping[str, int],
+    token_budget: int,
+    max_epochs_e6: int = 3 * E6,
+    n_phases: int = 4,
+    table: str = "documents",
+    t: str = "text",
+) -> str:
+    from retail_etl_pipeline_airflow_s3_athena_spark.operators.text import (
+        sql_quality_score,
+    )
+
+    mix = oracle_mixing_sample_sql(
+        weights, token_budget, max_epochs_e6=max_epochs_e6,
+        table=table, t=t,
+    )
+    oh = (
+        "CAST(('0x' || substr(md5(concat_ws(chr(31), "
+        "CAST(m.doc_id AS VARCHAR), CAST(m.epoch AS VARCHAR))), 1, 15)) "
+        "AS BIGINT)"
+    )
+    return f"""
+        WITH mix AS ({mix}),
+        phases AS (
+            SELECT doc_id,
+                   CAST(NTILE({n_phases}) OVER (
+                       ORDER BY {sql_quality_score(t)} ASC, doc_id ASC
+                   ) AS BIGINT) AS phase
+            FROM {table} WHERE {t} IS NOT NULL
+        )
+        SELECT CAST(ROW_NUMBER() OVER (
+                   ORDER BY p.phase, {oh}, m.doc_id, m.epoch
+               ) AS BIGINT) AS pos,
+               p.phase, m.doc_id, m.epoch, m.n_tokens
+        FROM mix m JOIN phases p USING (doc_id)
+        ORDER BY pos
+    """

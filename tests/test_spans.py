@@ -154,3 +154,42 @@ def test_order_value_quantiles_exact_on_fixture(spark, sf_dir):
     for r in rows:
         target = (r["q"] * n + 99) // 100
         assert r["value_cents"] == cents[target - 1]
+
+
+def test_curriculum_mix_orders_phases_by_quality(spark):
+    """curriculum_mix: pos is a 1..n permutation, phase is monotone in
+    pos, every (doc, epoch) of the realized mix appears exactly once,
+    and later phases hold higher-quality documents."""
+    from retail_etl_pipeline_airflow_s3_athena_spark.functions.caching import (
+        release_cached,
+    )
+    from retail_etl_pipeline_airflow_s3_athena_spark.operators import mixing
+    from retail_etl_pipeline_airflow_s3_athena_spark.operators.text import (
+        quality_score,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    weights = {"src0": 500_000, "src1": 500_000}
+    out = mixing.curriculum_mix(docs, weights, 10_000, n_phases=4)
+    rows = out.collect()
+    release_cached(out)
+    assert [r["pos"] for r in rows] == list(range(1, len(rows) + 1))
+    assert [r["phase"] for r in rows] == sorted(r["phase"] for r in rows)
+
+    mix = mixing.mixing_sample(docs, weights, 10_000)
+    want = {(r["doc_id"], r["epoch"]) for r in mix.collect()}
+    assert {(r["doc_id"], r["epoch"]) for r in rows} == want
+    assert len(rows) == len(want)
+
+    # later phases = higher quality: min quality of the last phase >=
+    # max quality of the first (disjoint quartiles of a total order)
+    q = {
+        r["doc_id"]: r["q"]
+        for r in docs.select(
+            "doc_id", quality_score(F.col("text")).alias("q")
+        ).collect()
+    }
+    p1 = [q[r["doc_id"]] for r in rows if r["phase"] == 1]
+    p4 = [q[r["doc_id"]] for r in rows if r["phase"] == 4]
+    assert p1 and p4 and min(p4) >= max(p1)
