@@ -54,6 +54,7 @@ from retail_etl_pipeline_airflow_s3_athena_spark.operators import quantize as qu
 from retail_etl_pipeline_airflow_s3_athena_spark.operators import datacard as datacard_ops
 from retail_etl_pipeline_airflow_s3_athena_spark.operators import layout as layout_ops
 from retail_etl_pipeline_airflow_s3_athena_spark.operators import regress as regress_ops
+from retail_etl_pipeline_airflow_s3_athena_spark.operators import skewreport as skew_ops
 from retail_etl_pipeline_airflow_s3_athena_spark.operators import spans as span_ops
 from retail_etl_pipeline_airflow_s3_athena_spark.operators import vocab as vocab_ops
 from retail_etl_pipeline_airflow_s3_athena_spark.operators import winnow as winnow_ops
@@ -607,6 +608,14 @@ def _q_length_model_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return regress_ops.length_model_outliers(_docs(spark, sf_dir))
 
 
+def _q_event_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew profile of events.user_id — the measurement that
+    tells you which keys need salting / AQE skew splitting."""
+    return skew_ops.key_skew_report(
+        readers.read_events(spark, sf_dir), "user_id"
+    )
+
+
 def _q_curriculum_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-curriculum training order over the realized mix: two
     distributed rank passes + the broadcast mixing plan."""
@@ -1158,10 +1167,9 @@ GATE_FIRST_50 = [
     "top_performing_customers",
     "product_analysis",
     "revenue_by_category",
-    # stalest r4-verified entries (16 of 33; 9 more — the GEMM
-    # bit-identical twins and simplest transforms, all with 4-scale
-    # local full-precision evidence — lead the tail for r8)
-    "tfidf_top_terms",
+    # (the stale-r4 group was evicted one-by-one over the round as new
+    # operators claimed window slots — all sit at the head of the tail
+    # with 4-scale local full-precision evidence, first for r8)
     # new r7 operators (no prior driver evidence): DSIR importance
     # weighting + mixing diagnostics on the deterministic fixed-point
     # log2; streaming DSIR maintenance; the BPE tokenizer family
@@ -1197,6 +1205,7 @@ GATE_FIRST_50 = [
     "cms_stream_heavy_hitters",
     "near_dup_recall",
     "curriculum_mix",
+    "event_key_skew",
 ]
 
 GATE_TAIL = [
@@ -1211,6 +1220,7 @@ GATE_TAIL = [
     "asof_join_events",
     "decontaminate_docs",
     "scd2_customers",
+    "tfidf_top_terms",
     # evicted from the r7 window to make room for the new operators:
     # r4-driver-verified, 4-scale local full-precision evidence, and
     # (for the GEMM pair / cosine+ivf) bit-identical-or-subsumed by
@@ -1401,6 +1411,7 @@ def _all_queries() -> dict[str, QueryFn]:
         "cms_stream_heavy_hitters": _q_cms_stream_heavy_hitters,
         "near_dup_recall": _q_near_dup_recall,
         "curriculum_mix": _q_curriculum_mix,
+        "event_key_skew": _q_event_key_skew,
         "bloom_decontaminate": _q_bloom_decontaminate,
         "knn_graph": _q_knn_graph,
         "semantic_dedup": _q_semantic_dedup,
@@ -1700,6 +1711,9 @@ def oracle_sql() -> dict[str, str]:
     oracles["near_dup_recall"] = dedup_ops.oracle_near_dup_recall_sql()
     oracles["curriculum_mix"] = mixing_ops.oracle_curriculum_mix_sql(
         MIX_WEIGHTS, MIX_BUDGET
+    )
+    oracles["event_key_skew"] = skew_ops.oracle_key_skew_report_sql(
+        "events", "user_id"
     )
     oracles["knn_graph"] = sim_ops.oracle_knn_graph_sql()
     oracles["semantic_dedup"] = sim_ops.oracle_semantic_dedup_sql()

@@ -211,6 +211,7 @@ STANDALONE = [
     "cms_stream_heavy_hitters",
     "near_dup_recall",
     "curriculum_mix",
+    "event_key_skew",
 ]
 
 

@@ -1064,3 +1064,21 @@ def test_near_dup_recall_s_curve_and_consistency(spark):
     n_prod = nd.count()
     release_cached(nd)
     assert sum(c for _, _, c, _ in got) == n_prod
+
+
+def test_key_skew_report_semantics(spark):
+    """Exact shares and skew multiples on a constructed skewed table."""
+    from retail_etl_pipeline_airflow_s3_athena_spark.operators import skewreport
+
+    # key "hot" 60 rows, "warm" 30, "cold" 10 -> 100 rows, 3 keys
+    rows = [("hot",)] * 60 + [("warm",)] * 30 + [("cold",)] * 10 + [(None,)]
+    df = spark.createDataFrame(rows, "k STRING")
+    out = [tuple(r) for r in skewreport.key_skew_report(df, "k", top_k=2).collect()]
+    # share_e6 = 1e6*n//100; skew_x_e2 = 100*n*3//100 = 3n
+    assert out == [
+        ("hot", 60, 600000, 180),
+        ("warm", 30, 300000, 90),
+    ]
+    # empty input -> empty report, no division error
+    empty = df.filter("k = 'nope'")
+    assert skewreport.key_skew_report(empty, "k").count() == 0
