@@ -22,6 +22,7 @@ from retail_etl_pipeline_airflow_s3_athena_spark.operators import cluster as clu
 from retail_etl_pipeline_airflow_s3_athena_spark.operators import decontam as decontam_ops
 from retail_etl_pipeline_airflow_s3_athena_spark.operators import dedup as dedup_ops
 from retail_etl_pipeline_airflow_s3_athena_spark.operators import dsir as dsir_ops
+from retail_etl_pipeline_airflow_s3_athena_spark.operators import drift as drift_ops
 from retail_etl_pipeline_airflow_s3_athena_spark.operators import mixing as mixing_ops
 from retail_etl_pipeline_airflow_s3_athena_spark.operators import events as event_ops
 from retail_etl_pipeline_airflow_s3_athena_spark.operators import multimodal as mm_ops
@@ -274,6 +275,18 @@ def _q_mixing_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_source_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mixing_ops.source_entropy(readers.read_documents(spark, sf_dir))
+
+
+def _q_length_drift_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return drift_ops.length_drift_chisq(readers.read_documents(spark, sf_dir))
+
+
+def _q_source_token_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return drift_ops.source_token_kl(readers.read_documents(spark, sf_dir))
+
+
+def _q_snapshot_value_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return drift_ops.snapshot_value_psi(readers.read_events(spark, sf_dir))
 
 
 def _q_dsir_stream_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1209,6 +1222,12 @@ GATE_FIRST_50 = [
 ]
 
 GATE_TAIL = [
+    # newest (post-window-freeze r7): the distribution-drift family —
+    # no driver evidence yet, full 4-scale local gate evidence; first
+    # in line for the r8 window alongside the evicted rows below
+    "length_drift_chisq",
+    "source_token_kl",
+    "snapshot_value_psi",
     # evicted late-r7 to make room for the OLS quality model and the
     # Z-order layout diagnostic: all r6-driver-green (or r6-audited),
     # with 4-scale local full-precision evidence — first in line for
@@ -1441,6 +1460,9 @@ def _all_queries() -> dict[str, QueryFn]:
         "dsir_select": _q_dsir_select,
         "mixing_plan": _q_mixing_plan,
         "source_entropy": _q_source_entropy,
+        "length_drift_chisq": _q_length_drift_chisq,
+        "source_token_kl": _q_source_token_kl,
+        "snapshot_value_psi": _q_snapshot_value_psi,
         "dsir_stream_importance": _q_dsir_stream_importance,
         "bpe_merges": _q_bpe_merges,
         "bpe_doc_tokens": _q_bpe_doc_tokens,
@@ -1597,6 +1619,9 @@ def oracle_sql() -> dict[str, str]:
     # streaming end-state == batch (count additivity) -> same oracle
     oracles["dsir_stream_importance"] = dsir_ops.oracle_dsir_importance_sql()
     oracles["source_entropy"] = mixing_ops.oracle_source_entropy_sql()
+    oracles["length_drift_chisq"] = drift_ops.oracle_length_drift_sql()
+    oracles["source_token_kl"] = drift_ops.oracle_source_token_kl_sql()
+    oracles["snapshot_value_psi"] = drift_ops.oracle_snapshot_psi_sql()
     oracles["mixing_sample"] = mixing_ops.oracle_mixing_sample_sql(
         MIX_WEIGHTS, MIX_BUDGET
     )

@@ -438,6 +438,8 @@ def test_cache_ownership_sweep_no_leaks(spark):
         "dsir_importance",
         "dsir_select",
         "dsir_stream_importance",
+        "length_drift_chisq",
+        "source_token_kl",
         # checkpoint-backed dep (release via the _CheckpointDep adapter)
         "bpe_doc_tokens",
         "bpe_encode_docs",
