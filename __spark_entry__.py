@@ -289,6 +289,30 @@ def _q_snapshot_value_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drift_ops.snapshot_value_psi(readers.read_events(spark, sf_dir))
 
 
+def _q_psi_stream_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming PSI end-state under the oracle: events streamed in 4
+    micro-batches through ``psi_count_stream``'s overwrite-by-batch
+    count-delta sink, SUM-merged and scored by the shared
+    ``psi_from_counts`` — pre/post bucket-count additivity makes the
+    result IDENTICAL to batch snapshot_value_psi, so the batch PSI
+    oracle is its oracle."""
+    import tempfile
+
+    from retail_etl_pipeline_airflow_s3_athena_spark.streaming import incremental
+
+    events = readers.read_events(spark, sf_dir)
+    src = tempfile.mkdtemp(prefix="psistr_src_")
+    work = tempfile.mkdtemp(prefix="psistr_wk_")
+    events.select("event_id", "ts", "event_type", "value").repartition(
+        4
+    ).write.mode("overwrite").parquet(src)
+    q = incremental.psi_count_stream(spark, src, work)
+    q.awaitTermination(180)
+    return incremental.psi_stream_scores(
+        spark, work, events.select("event_type")
+    )
+
+
 def _q_dsir_stream_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming DSIR end-state under the driver oracle: the documents
     fixture staged as 5 files -> 5 availableNow micro-batches, each
@@ -1228,6 +1252,7 @@ GATE_TAIL = [
     "length_drift_chisq",
     "source_token_kl",
     "snapshot_value_psi",
+    "psi_stream_drift",
     # evicted late-r7 to make room for the OLS quality model and the
     # Z-order layout diagnostic: all r6-driver-green (or r6-audited),
     # with 4-scale local full-precision evidence — first in line for
@@ -1463,6 +1488,7 @@ def _all_queries() -> dict[str, QueryFn]:
         "length_drift_chisq": _q_length_drift_chisq,
         "source_token_kl": _q_source_token_kl,
         "snapshot_value_psi": _q_snapshot_value_psi,
+        "psi_stream_drift": _q_psi_stream_drift,
         "dsir_stream_importance": _q_dsir_stream_importance,
         "bpe_merges": _q_bpe_merges,
         "bpe_doc_tokens": _q_bpe_doc_tokens,
@@ -1622,6 +1648,8 @@ def oracle_sql() -> dict[str, str]:
     oracles["length_drift_chisq"] = drift_ops.oracle_length_drift_sql()
     oracles["source_token_kl"] = drift_ops.oracle_source_token_kl_sql()
     oracles["snapshot_value_psi"] = drift_ops.oracle_snapshot_psi_sql()
+    # streaming end-state == batch (count additivity) -> same oracle
+    oracles["psi_stream_drift"] = drift_ops.oracle_snapshot_psi_sql()
     oracles["mixing_sample"] = mixing_ops.oracle_mixing_sample_sql(
         MIX_WEIGHTS, MIX_BUDGET
     )

@@ -310,36 +310,18 @@ def oracle_source_token_kl_sql(
     """
 
 
-def snapshot_value_psi(
+def psi_period_counts(
     events: DataFrame,
     cutoff: str = PSI_CUTOFF,
     lo: float = PSI_LO,
     hi: float = PSI_HI,
     bins: int = PSI_BINS,
 ) -> DataFrame:
-    """(event_type, n_pre, n_post, psi_e20): Population Stability
-    Index of the event-value distribution before vs after ``cutoff``,
-    per event type, over the shared fixed-literal value buckets
-    (operators/events.py::value_histogram semantics, including the
-    below/above-range buckets 0 and bins+1).
-
-    Add-1 smoothing over the FULL (type x bucket) grid keeps every
-    log argument positive (the standard PSI convention for empty
-    bins); fractions are e6 fixed point and log ratios expand
-    linearly so every L() input is a raw count::
-
-        f1_e6 = a1 * 1e6 div m1          a = o + 1, m = sum(a)
-        d_e20 = L(a1) + L(m2) - L(a2) - L(m1)
-        psi_e20 = GREATEST(sum(f1_e6 - f2_e6) * d_e20, 0) div 1e6
-
-    Per-term |f_diff * d| <= 1e6 * 204 * 2^20 ~ 2e14 per bucket —
-    BIGINT-safe, summed in DECIMAL(38,0) anyway for uniformity.
-
-    Plan: one events pass (conditional-count groupBy onto
-    |types| x 22 cells), then pure broadcast arithmetic on the grid.
-    No persist needed — the rollup feeds a single linear pipeline."""
-    spark = events.sparkSession
-    logt = log2_table_df(spark)
+    """The PSI observation rollup (event_type, bucket, o1, o2):
+    pre/post-cutoff counts per value bucket.  Counts are ADDITIVE, so
+    this rollup is also the streaming maintenance unit — per-batch
+    rollups SUM-merge to exactly this table
+    (streaming/incremental.py::psi_count_stream)."""
     v = F.col("value")
     bucket = (
         F.when(v < lo, F.lit(0))
@@ -350,7 +332,7 @@ def snapshot_value_psi(
         .cast("long")
     )
     pre = (F.col("ts") < F.lit(cutoff).cast("timestamp")).cast("long")
-    obs = (
+    return (
         events.filter(v.isNotNull())
         .groupBy(F.col("event_type"), bucket.alias("bucket"))
         .agg(
@@ -358,9 +340,21 @@ def snapshot_value_psi(
             F.sum(F.lit(1) - pre).alias("o2"),
         )
     )
+
+
+def psi_from_counts(
+    obs: DataFrame,
+    types: DataFrame,
+    bins: int = PSI_BINS,
+) -> DataFrame:
+    """PSI scoring from a (event_type, bucket, o1, o2) rollup and the
+    1-column type universe ``types`` — shared verbatim by the batch
+    operator and the streaming read-time merge, which is what makes
+    stream end-state == batch bit-exact."""
+    spark = obs.sparkSession
+    logt = log2_table_df(spark)
     grid = (
-        events.select("event_type")
-        .distinct()
+        types.distinct()
         .select(
             "event_type",
             F.explode(
@@ -400,6 +394,41 @@ def snapshot_value_psi(
             f" div {E6} AS BIGINT)"
         ).alias("psi_e20"),
     ).orderBy("event_type")
+
+
+def snapshot_value_psi(
+    events: DataFrame,
+    cutoff: str = PSI_CUTOFF,
+    lo: float = PSI_LO,
+    hi: float = PSI_HI,
+    bins: int = PSI_BINS,
+) -> DataFrame:
+    """(event_type, n_pre, n_post, psi_e20): Population Stability
+    Index of the event-value distribution before vs after ``cutoff``,
+    per event type, over the shared fixed-literal value buckets
+    (operators/events.py::value_histogram semantics, including the
+    below/above-range buckets 0 and bins+1).
+
+    Add-1 smoothing over the FULL (type x bucket) grid keeps every
+    log argument positive (the standard PSI convention for empty
+    bins); fractions are e6 fixed point and log ratios expand
+    linearly so every L() input is a raw count::
+
+        f1_e6 = a1 * 1e6 div m1          a = o + 1, m = sum(a)
+        d_e20 = L(a1) + L(m2) - L(a2) - L(m1)
+        psi_e20 = GREATEST(sum(f1_e6 - f2_e6) * d_e20, 0) div 1e6
+
+    Per-term |f_diff * d| <= 1e6 * 204 * 2^20 ~ 2e14 per bucket —
+    BIGINT-safe, summed in DECIMAL(38,0) anyway for uniformity.
+
+    Plan: one events pass (conditional-count groupBy onto
+    |types| x 22 cells), then pure broadcast arithmetic on the grid.
+    No persist needed — the rollup feeds a single linear pipeline."""
+    return psi_from_counts(
+        psi_period_counts(events, cutoff, lo, hi, bins),
+        events.select("event_type"),
+        bins,
+    )
 
 
 def oracle_snapshot_psi_sql(

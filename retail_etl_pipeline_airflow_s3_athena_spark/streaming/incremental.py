@@ -1089,3 +1089,90 @@ def cms_stream_heavy_hitters(
     return sketches.cms_probe_topk(
         docs, cms_stream_sketch(spark, work_dir), top_k=top_k
     )
+
+
+PSI_EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampNTZType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+def psi_count_stream(
+    spark: SparkSession, source_dir: str, work_dir: str, cutoff: str = None
+):
+    """Streaming drift maintenance: as event files land, each
+    micro-batch writes its own (event_type, bucket, o1, o2) COUNT
+    DELTA — bounded by |types| x 22 rows regardless of batch size.
+    Pre/post-cutoff bucket counts are additive, so the read-time
+    SUM-merge equals the one-pass batch rollup
+    (operators/drift.py::psi_period_counts) exactly, and the batch
+    PSI oracle is the stream's oracle.
+
+    Replay discipline (counts are NOT append-idempotent): per-batch
+    sink paths ``counts/batch=<batch_id>`` with mode("overwrite") — a
+    crash-replayed batch overwrites its own identical delta instead
+    of double-counting (the dsir_stat_stream / cms_sketch_stream
+    rule).
+
+    At 100 TB: zero stream state (the rollup IS the state, and it
+    lives in the sink), tiny bounded writes per batch, read-time
+    merge over #batches x |types| x 22 rows."""
+    import os
+
+    from retail_etl_pipeline_airflow_s3_athena_spark.operators import drift
+
+    cut = cutoff if cutoff is not None else drift.PSI_CUTOFF
+    count_dir = os.path.join(work_dir, "counts")
+    ckpt_dir = os.path.join(work_dir, "ckpt")
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        drift.psi_period_counts(batch_df, cutoff=cut).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(count_dir, f"batch={batch_id}"))
+
+    stream = (
+        spark.readStream.schema(PSI_EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_dir)
+    )
+    return (
+        stream.writeStream.foreachBatch(step)
+        .option("checkpointLocation", ckpt_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def psi_stream_counts(spark: SparkSession, work_dir: str) -> DataFrame:
+    """SUM-merge the per-batch count deltas back to the canonical
+    (event_type, bucket, o1, o2) rollup — exactly the batch
+    ``psi_period_counts`` of the same events (count additivity)."""
+    import os
+
+    deltas = spark.read.option("recursiveFileLookup", "true").parquet(
+        os.path.join(work_dir, "counts")
+    )
+    return deltas.groupBy("event_type", "bucket").agg(
+        F.sum("o1").alias("o1"), F.sum("o2").alias("o2")
+    )
+
+
+def psi_stream_scores(
+    spark: SparkSession, work_dir: str, types: DataFrame
+) -> DataFrame:
+    """PSI scored from the STREAM-MAINTAINED rollup — bit-identical to
+    batch ``snapshot_value_psi`` once the stream has consumed the same
+    events (shared scorer ``psi_from_counts``), so the batch PSI
+    oracle is its oracle.  ``types`` is the 1-column event_type
+    universe (the batch operator derives it from the events table;
+    passing it explicitly keeps all-null-value types present in the
+    grid exactly as the batch path does)."""
+    from retail_etl_pipeline_airflow_s3_athena_spark.operators import drift
+
+    return drift.psi_from_counts(
+        psi_stream_counts(spark, work_dir), types
+    )

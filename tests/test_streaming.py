@@ -754,3 +754,65 @@ def test_cms_sketch_stream_matches_batch_and_replays_idempotently(
         for r in incremental.cms_stream_sketch(spark, work).collect()
     }
     assert replayed == want
+
+
+def test_psi_count_stream_matches_batch_and_replays_idempotently(
+    spark, sf_dir, tmp_path
+):
+    """Streaming PSI count deltas: (1) SUM-merged stream rollup ==
+    one-pass batch psi_period_counts; (2) stream-scored PSI == batch
+    snapshot_value_psi; (3) a crash-REPLAYED batch overwrites its own
+    delta (deterministic per-batch path) instead of double-counting."""
+    import os
+
+    from retail_etl_pipeline_airflow_s3_athena_spark.operators import drift
+    from retail_etl_pipeline_airflow_s3_athena_spark.sources import readers
+
+    events = readers.read_events(spark, sf_dir)
+    staged = events.select("event_id", "ts", "event_type", "value")
+    src, work = str(tmp_path / "src"), str(tmp_path / "wk")
+    staged.repartition(4).write.parquet(src)
+    q = incremental.psi_count_stream(spark, src, work)
+    q.awaitTermination(120)
+    n_batches = len(
+        [
+            f
+            for f in os.listdir(os.path.join(work, "counts"))
+            if f.startswith("batch=")
+        ]
+    )
+    assert n_batches >= 2, "fixture must stream as multiple micro-batches"
+
+    key = lambda r: (r["event_type"], r["bucket"])  # noqa: E731
+    got = {
+        key(r): (r["o1"], r["o2"])
+        for r in incremental.psi_stream_counts(spark, work).collect()
+    }
+    want = {
+        key(r): (r["o1"], r["o2"])
+        for r in drift.psi_period_counts(staged).collect()
+    }
+    assert got == want
+
+    stream_psi = incremental.psi_stream_scores(
+        spark, work, events.select("event_type")
+    )
+    batch_psi = drift.snapshot_value_psi(events)
+    assert sorted(map(tuple, stream_psi.collect())) == sorted(
+        map(tuple, batch_psi.collect())
+    )
+
+    # simulate checkpoint-less replay of batch 0: the recomputed delta
+    # lands at the SAME batch=0 path with overwrite — rollup unchanged,
+    # where an append-mode sink would double-count
+    b0_path = os.path.join(work, "counts", "batch=0")
+    delta0 = spark.createDataFrame(
+        spark.read.parquet(b0_path).collect(),
+        "event_type STRING, bucket LONG, o1 LONG, o2 LONG",
+    )
+    delta0.write.mode("overwrite").parquet(b0_path)
+    replayed = {
+        key(r): (r["o1"], r["o2"])
+        for r in incremental.psi_stream_counts(spark, work).collect()
+    }
+    assert replayed == want
