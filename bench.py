@@ -212,6 +212,10 @@ STANDALONE = [
     "near_dup_recall",
     "curriculum_mix",
     "event_key_skew",
+    "length_drift_chisq",
+    "source_token_kl",
+    "snapshot_value_psi",
+    "psi_stream_drift",
 ]
 
 
