@@ -1,0 +1,127 @@
+"""Physical-plan scale invariants, enforced as tests.
+
+PLANS.md documents the plan shapes; this test makes the two
+scale-killer classes REGRESSIONS instead of observations:
+
+- an ORDERED Window with an empty partition spec (single-task global
+  sort — the bottleneck class VERDICT r6 #1 removed from
+  customer_value_tiles) may appear only in the two documented
+  bounded-vocabulary fast paths;
+- a CartesianProduct may appear only in the documented
+  calendar/constant-bounded cases.
+
+BroadcastNestedLoopJoins are NOT asserted to zero — every current
+site is a bounded broadcast (1-row totals, ~50-row bin lists, K-row
+centroid tables, the #partitions-row rank plumbing) and new bounded
+sites are legitimate — but a PER-QUERY CEILING catches a query whose
+plan suddenly sprouts an unbounded nest (the ceiling is the current
+count + headroom of 2).
+
+Plans are only BUILT (executedPlan), never executed, so the sweep is
+cheap; whitelists must shrink-or-justify, never silently grow.
+"""
+
+from __future__ import annotations
+
+import sys
+
+import pytest
+
+sys.path.insert(0, "/root/repo/tools")
+
+from plan_audit import AUDIT, audit_one  # noqa: E402
+
+from retail_etl_pipeline_airflow_s3_athena_spark.functions.caching import release_cached
+
+# ordered-global-window sites: bounded by vocab construction
+# (<= WINDOW_VOCAB_MAX = 65536 rows / |alphabet|+n_merges rows)
+GLOBAL_WINDOW_OK = {"encode_token_ids": 2, "bpe_encode_docs": 2}
+
+# cartesian sites: calendar-bounded day list (rolling window), the
+# 1-row funnel total, the 1-row doc-count scalar in tf-idf
+CARTESIAN_OK = {
+    "rolling_distinct_users": 2,
+    "funnel_conversion": 1,
+    "tfidf_top_terms": 2,
+}
+
+# current BNLJ counts (all bounded-broadcast sites) + headroom of 2;
+# queries absent here must stay BNLJ-free (+2 headroom from zero is
+# NOT granted: a first BNLJ in a today-clean query needs review)
+BNLJ_CEILING = {
+    "ivf_topk": 6,
+    "basket_rules": 4,
+    "rolling_distinct_users": 4,
+    "funnel_conversion": 3,
+    "customer_value_tiles": 6,
+    "dsir_importance": 4,
+    "ivf_pq_topk": 6,
+    "order_value_quantiles": 8,
+    "length_model_outliers": 4,
+    "zorder_layout": 4,
+    "curriculum_mix": 38,
+    "event_key_skew": 4,
+    "length_drift_chisq": 6,
+    "source_token_kl": 4,
+}
+
+
+# the finalized-plan subset: AQE rewrites SMJ->BHJ at runtime, so
+# broadcast/pushdown assertions need an EXECUTED plan (the
+# .collect()-first discipline plan_audit.py uses); window/cartesian/
+# BNLJ presence is static, so the rest of AUDIT stays build-only
+EXECUTED = {"shipping_priority", "daily_sales_summary", "top_customers"}
+
+
+@pytest.fixture(scope="module")
+def audits(spark, sf_dir):
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    out = {}
+    for name in AUDIT:
+        df = qs[name](spark, sf_dir)
+        if name in EXECUTED:
+            df.collect()
+        out[name] = audit_one(name, df)
+        release_cached(df)
+    return out
+
+
+def test_no_unpartitioned_ordered_windows(audits):
+    for name, a in audits.items():
+        cap = GLOBAL_WINDOW_OK.get(name, 0)
+        assert a["global_window"] <= cap, (
+            f"{name}: {a['global_window']} unpartitioned ordered "
+            f"Window(s) (allowed {cap}) — a single-task global sort "
+            "at scale; use functions/ranking.py's two-pass rank"
+        )
+
+
+def test_no_undocumented_cartesians(audits):
+    for name, a in audits.items():
+        cap = CARTESIAN_OK.get(name, 0)
+        assert a["cartesian"] <= cap, (
+            f"{name}: {a['cartesian']} CartesianProduct(s) "
+            f"(allowed {cap}) — document the bound or remove it"
+        )
+
+
+def test_bnlj_within_bounded_ceilings(audits):
+    for name, a in audits.items():
+        cap = BNLJ_CEILING.get(name, 0)
+        assert a["bnlj"] <= cap, (
+            f"{name}: {a['bnlj']} BroadcastNestedLoopJoin(s) "
+            f"(ceiling {cap}) — every BNLJ must be a bounded "
+            "broadcast; new sites need review + a ceiling bump"
+        )
+
+
+def test_reference_core_stays_shuffle_lean(audits):
+    """The four gold queries and the TPC-H-shape core keep broadcast
+    dimension joins and pushed scans — the plan shapes BASELINE.md's
+    throughput comparison rests on."""
+    assert audits["top_customers"]["take_ordered"], "top-k must stay TakeOrderedAndProject"
+    for name in ["shipping_priority", "daily_sales_summary", "top_customers"]:
+        assert audits[name]["bhj"] >= 1, f"{name}: dimension join no longer broadcasts"
+        assert audits[name]["pushed"], f"{name}: scan filters no longer push down"
