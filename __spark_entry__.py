@@ -566,6 +566,10 @@ def _q_build_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     return training_ops.build_training_set(_docs(spark, sf_dir))
 
 
+def _q_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return training_ops.training_manifest(_docs(spark, sf_dir))
+
+
 def _q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return event_ops.event_transitions(readers.read_events(spark, sf_dir))
 
@@ -1253,6 +1257,7 @@ GATE_TAIL = [
     "source_token_kl",
     "snapshot_value_psi",
     "psi_stream_drift",
+    "training_manifest",
     # evicted late-r7 to make room for the OLS quality model and the
     # Z-order layout diagnostic: all r6-driver-green (or r6-audited),
     # with 4-scale local full-precision evidence — first in line for
@@ -1489,6 +1494,7 @@ def _all_queries() -> dict[str, QueryFn]:
         "source_token_kl": _q_source_token_kl,
         "snapshot_value_psi": _q_snapshot_value_psi,
         "psi_stream_drift": _q_psi_stream_drift,
+        "training_manifest": _q_training_manifest,
         "dsir_stream_importance": _q_dsir_stream_importance,
         "bpe_merges": _q_bpe_merges,
         "bpe_doc_tokens": _q_bpe_doc_tokens,
@@ -1779,6 +1785,9 @@ def oracle_sql() -> dict[str, str]:
     oracles["basket_rules"] = relational.oracle_basket_rules_sql()
     oracles["build_training_set"] = (
         training_ops.oracle_build_training_set_sql()
+    )
+    oracles["training_manifest"] = (
+        training_ops.oracle_training_manifest_sql()
     )
     oracles["event_transitions"] = event_ops.oracle_event_transitions_sql()
     oracles["standardize_embeddings"] = (

@@ -216,6 +216,7 @@ STANDALONE = [
     "source_token_kl",
     "snapshot_value_psi",
     "psi_stream_drift",
+    "training_manifest",
 ]
 
 

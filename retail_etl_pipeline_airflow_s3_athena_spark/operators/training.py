@@ -481,3 +481,63 @@ def oracle_build_training_set_sql(
                     0) / CAST({PACK_TOKENS} AS DOUBLE)) AS BIGINT) AS bin_id
         FROM sized
     """
+
+
+CHECKSUM_MOD = (1 << 61) - 1
+
+
+def training_manifest(docs: DataFrame) -> DataFrame:
+    """(split, bin_id, n_docs, shard_tokens, checksum): the
+    reproducibility MANIFEST of :func:`build_training_set` — one row
+    per training shard with its document count, token total, and an
+    order-independent exact membership checksum (SUM of each member's
+    60-bit doc_id hash, DECIMAL(38,0)-accumulated, mod 2^61-1).
+
+    Two independently built corpora (different cluster, different
+    partitioning, a re-run after a backfill) can be proven
+    shard-identical by comparing manifests alone — the provenance
+    check a data card cites without re-reading 100 TB.  SUM is the
+    right combiner: commutative/associative (partitioning-independent)
+    and exact in decimal, unlike float or concat-order schemes.
+
+    Plan: build_training_set's two exchanges + one combinable groupBy
+    onto the shard key — output cardinality = #shards, trivially
+    collectable at any corpus size."""
+    from retail_etl_pipeline_airflow_s3_athena_spark.operators.dedup import _md5_hash
+
+    ts = build_training_set(docs).withColumn(
+        "h", _md5_hash(F.col("doc_id").cast("string"))
+    )
+    return (
+        ts.groupBy("split", "bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("shard_tokens"),
+            F.expr(
+                f"CAST(SUM(CAST(h AS DECIMAL(38,0))) % {CHECKSUM_MOD}"
+                " AS BIGINT)"
+            ).alias("checksum"),
+        )
+        .orderBy("split", "bin_id")
+    )
+
+
+def oracle_training_manifest_sql(
+    table: str = "documents", t: str = "text"
+) -> str:
+    from retail_etl_pipeline_airflow_s3_athena_spark.operators.dedup import (
+        _sql_md5_hash,
+    )
+
+    inner = oracle_build_training_set_sql(table, t)
+    h = _sql_md5_hash("CAST(doc_id AS VARCHAR)")
+    return f"""
+        SELECT split, bin_id,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens,
+               CAST(SUM(CAST({h} AS HUGEINT)) % {CHECKSUM_MOD}
+                    AS BIGINT) AS checksum
+        FROM ({inner}) ts
+        GROUP BY 1, 2
+        ORDER BY split, bin_id
+    """

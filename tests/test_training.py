@@ -184,3 +184,32 @@ def test_curated_docs_dedups_and_gates(spark):
     assert out[0]["source"] == "s1"
     assert out[0]["quality"] >= training.CURATION_QUALITY_CUTOFF
     assert out[0]["n_chars_norm"] == len(the.strip())
+
+
+def test_training_manifest_detects_membership_change(spark, sf_dir):
+    """The manifest proves shard equality: identical corpora match on
+    every row regardless of partitioning; removing ONE document flips
+    that shard's (n_docs, shard_tokens, checksum) and touches nothing
+    else downstream of the packing prefix."""
+    from retail_etl_pipeline_airflow_s3_athena_spark.operators import training
+    from retail_etl_pipeline_airflow_s3_athena_spark.sources import readers
+
+    docs = readers.read_documents(spark, sf_dir)
+    a = training.training_manifest(docs).collect()
+    b = training.training_manifest(docs.repartition(11)).collect()
+    assert a == b
+    assert sum(r["n_docs"] for r in a) > 0
+    # drop one kept document: its shard must change, and every shard
+    # BEFORE it in the same split's packing order stays identical
+    victim = training.build_training_set(docs).limit(1).collect()[0]
+    pruned = training.training_manifest(
+        docs.filter(F.col("doc_id") != victim["doc_id"])
+    ).collect()
+    changed = {
+        (r[0], r[1])  # (split, bin_id)
+        for r in set(map(tuple, a)) ^ set(map(tuple, pruned))
+    }
+    assert changed, "removing a doc must change at least one shard row"
+    assert all(
+        s != victim["split"] or b_ >= victim["bin_id"] for s, b_ in changed
+    ), "shards before the victim's bin in its split must be untouched"
