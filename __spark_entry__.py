@@ -570,6 +570,21 @@ def _q_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return training_ops.training_manifest(_docs(spark, sf_dir))
 
 
+def _q_manifest_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-rebuild audit: the 'old' corpus is the documents
+    table minus a content-hash decile (the late-arriving 10%), the
+    'new' corpus is the full table — the diff names exactly which
+    training shards the late docs dirty and proves the rest
+    byte-identical by checksum."""
+    from retail_etl_pipeline_airflow_s3_athena_spark.operators.dedup import _md5_hash
+
+    docs = _docs(spark, sf_dir)
+    old = docs.filter(
+        _md5_hash(F.col("doc_id").cast("string")) % 10 < 9
+    )
+    return training_ops.manifest_diff(old, docs)
+
+
 def _q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return event_ops.event_transitions(readers.read_events(spark, sf_dir))
 
@@ -1258,6 +1273,7 @@ GATE_TAIL = [
     "snapshot_value_psi",
     "psi_stream_drift",
     "training_manifest",
+    "manifest_diff",
     # evicted late-r7 to make room for the OLS quality model and the
     # Z-order layout diagnostic: all r6-driver-green (or r6-audited),
     # with 4-scale local full-precision evidence — first in line for
@@ -1495,6 +1511,7 @@ def _all_queries() -> dict[str, QueryFn]:
         "snapshot_value_psi": _q_snapshot_value_psi,
         "psi_stream_drift": _q_psi_stream_drift,
         "training_manifest": _q_training_manifest,
+        "manifest_diff": _q_manifest_diff,
         "dsir_stream_importance": _q_dsir_stream_importance,
         "bpe_merges": _q_bpe_merges,
         "bpe_doc_tokens": _q_bpe_doc_tokens,
@@ -1788,6 +1805,13 @@ def oracle_sql() -> dict[str, str]:
     )
     oracles["training_manifest"] = (
         training_ops.oracle_training_manifest_sql()
+    )
+    from retail_etl_pipeline_airflow_s3_athena_spark.operators.dedup import (
+        _sql_md5_hash as _diff_hash,
+    )
+
+    oracles["manifest_diff"] = training_ops.oracle_manifest_diff_sql(
+        f"{_diff_hash('CAST(doc_id AS VARCHAR)')} % 10 < 9"
     )
     oracles["event_transitions"] = event_ops.oracle_event_transitions_sql()
     oracles["standardize_embeddings"] = (

@@ -217,6 +217,7 @@ STANDALONE = [
     "snapshot_value_psi",
     "psi_stream_drift",
     "training_manifest",
+    "manifest_diff",
 ]
 
 

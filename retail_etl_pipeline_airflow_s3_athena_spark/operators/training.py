@@ -541,3 +541,88 @@ def oracle_training_manifest_sql(
         GROUP BY 1, 2
         ORDER BY split, bin_id
     """
+
+
+def manifest_diff(docs_old: DataFrame, docs_new: DataFrame) -> DataFrame:
+    """(split, bin_id, status, n_docs_old, n_docs_new, tokens_old,
+    tokens_new): shard-level diff of two corpus builds via their
+    :func:`training_manifest` rows — ``unchanged`` (checksum, counts
+    and tokens all equal), ``changed``, ``added`` or ``removed``.
+
+    This is the incremental-rebuild audit: after a backfill or a
+    late-arriving source lands, the diff names exactly which training
+    shards must be re-emitted and proves the rest byte-identical —
+    without reading either corpus again.  Because the packing prefix
+    is deterministic (content-hash split + doc_id-ordered first-fit),
+    shards upstream of the first membership change stay ``unchanged``
+    by construction, so the re-emit set is the true blast radius.
+
+    Plan: two manifest builds (each: two exchanges + a combinable
+    groupBy) and one full outer join on the #shards-row key space —
+    diff arithmetic never touches corpus-sized data."""
+    a = training_manifest(docs_old).withColumnsRenamed(
+        {
+            "n_docs": "n_docs_old",
+            "shard_tokens": "tokens_old",
+            "checksum": "ck_old",
+        }
+    )
+    b = training_manifest(docs_new).withColumnsRenamed(
+        {
+            "n_docs": "n_docs_new",
+            "shard_tokens": "tokens_new",
+            "checksum": "ck_new",
+        }
+    )
+    j = a.join(b, ["split", "bin_id"], "full_outer")
+    status = (
+        F.when(F.col("ck_old").isNull(), F.lit("added"))
+        .when(F.col("ck_new").isNull(), F.lit("removed"))
+        .when(
+            (F.col("ck_old") == F.col("ck_new"))
+            & (F.col("n_docs_old") == F.col("n_docs_new"))
+            & (F.col("tokens_old") == F.col("tokens_new")),
+            F.lit("unchanged"),
+        )
+        .otherwise(F.lit("changed"))
+    )
+    return j.select(
+        "split",
+        "bin_id",
+        status.alias("status"),
+        F.coalesce("n_docs_old", F.lit(0)).alias("n_docs_old"),
+        F.coalesce("n_docs_new", F.lit(0)).alias("n_docs_new"),
+        F.coalesce("tokens_old", F.lit(0)).alias("tokens_old"),
+        F.coalesce("tokens_new", F.lit(0)).alias("tokens_new"),
+    ).orderBy("split", "bin_id")
+
+
+def oracle_manifest_diff_sql(
+    old_filter: str, table: str = "documents", t: str = "text"
+) -> str:
+    """DuckDB twin: the old corpus is ``{table}`` filtered by
+    ``old_filter`` (a boolean SQL expression over the documents
+    columns), the new corpus is the full table."""
+    mani_old = oracle_training_manifest_sql(
+        f"(SELECT * FROM {table} WHERE {old_filter})", t
+    )
+    mani_new = oracle_training_manifest_sql(table, t)
+    return f"""
+        WITH mo AS ({mani_old}), mn AS ({mani_new})
+        SELECT COALESCE(mo.split, mn.split) AS split,
+               COALESCE(mo.bin_id, mn.bin_id) AS bin_id,
+               CASE WHEN mo.checksum IS NULL THEN 'added'
+                    WHEN mn.checksum IS NULL THEN 'removed'
+                    WHEN mo.checksum = mn.checksum
+                         AND mo.n_docs = mn.n_docs
+                         AND mo.shard_tokens = mn.shard_tokens
+                         THEN 'unchanged'
+                    ELSE 'changed' END AS status,
+               CAST(COALESCE(mo.n_docs, 0) AS BIGINT) AS n_docs_old,
+               CAST(COALESCE(mn.n_docs, 0) AS BIGINT) AS n_docs_new,
+               CAST(COALESCE(mo.shard_tokens, 0) AS BIGINT) AS tokens_old,
+               CAST(COALESCE(mn.shard_tokens, 0) AS BIGINT) AS tokens_new
+        FROM mo FULL OUTER JOIN mn
+          ON mo.split = mn.split AND mo.bin_id = mn.bin_id
+        ORDER BY split, bin_id
+    """

@@ -213,3 +213,42 @@ def test_training_manifest_detects_membership_change(spark, sf_dir):
     assert all(
         s != victim["split"] or b_ >= victim["bin_id"] for s, b_ in changed
     ), "shards before the victim's bin in its split must be untouched"
+
+
+def test_manifest_diff_blast_radius(spark, sf_dir):
+    """Identical corpora diff to all-unchanged; dropping docs marks
+    only shards at-or-after the first change per split, and status
+    labels partition the shard space."""
+    from retail_etl_pipeline_airflow_s3_athena_spark.operators import training
+    from retail_etl_pipeline_airflow_s3_athena_spark.sources import readers
+
+    docs = readers.read_documents(spark, sf_dir)
+    same = training.manifest_diff(docs, docs).collect()
+    assert same and all(r["status"] == "unchanged" for r in same)
+
+    old = docs.filter(F.col("doc_id") % 7 != 0)
+    diff = training.manifest_diff(old, docs).collect()
+    statuses = {r["status"] for r in diff}
+    assert "unchanged" not in statuses or "changed" in statuses or "added" in statuses
+    # prefix determinism: both builds pack the same docs in the same
+    # order up to the first doc that exists only in the new corpus, so
+    # per split every shard strictly BEFORE that doc's bin must be
+    # 'unchanged' (later shards may drift OR coincidentally re-align —
+    # the checksum, not position, is the equality proof)
+    ts_new = training.build_training_set(docs)
+    added_ids = {r["doc_id"] for r in ts_new.join(
+        training.build_training_set(old), "doc_id", "left_anti"
+    ).collect()}
+    first_added_bin = {}
+    for r in ts_new.collect():
+        if r["doc_id"] in added_ids:
+            k = r["split"]
+            first_added_bin[k] = min(
+                first_added_bin.get(k, r["bin_id"]), r["bin_id"]
+            )
+    for r in diff:
+        cut = first_added_bin.get(r["split"])
+        if cut is not None and r["bin_id"] < cut:
+            assert r["status"] == "unchanged", (
+                f"shard before the first new doc changed: {r}"
+            )
