@@ -672,6 +672,20 @@ def _q_event_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_salted_segment_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment order stats THROUGH the salted-join rewrite — the
+    driver-checked proof that salting is semantics-preserving (oracle
+    is the PLAIN join; any salt assignment must hash-match it)."""
+    from retail_etl_pipeline_airflow_s3_athena_spark.functions.skew import (
+        salted_segment_order_stats,
+    )
+
+    return salted_segment_order_stats(
+        spark.read.parquet(f"{sf_dir}/orders.parquet"),
+        spark.read.parquet(f"{sf_dir}/customer.parquet"),
+    )
+
+
 def _q_curriculum_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-curriculum training order over the realized mix: two
     distributed rank passes + the broadcast mixing plan."""
@@ -1274,6 +1288,7 @@ GATE_TAIL = [
     "psi_stream_drift",
     "training_manifest",
     "manifest_diff",
+    "salted_segment_order_stats",
     # evicted late-r7 to make room for the OLS quality model and the
     # Z-order layout diagnostic: all r6-driver-green (or r6-audited),
     # with 4-scale local full-precision evidence — first in line for
@@ -1477,6 +1492,7 @@ def _all_queries() -> dict[str, QueryFn]:
         "near_dup_recall": _q_near_dup_recall,
         "curriculum_mix": _q_curriculum_mix,
         "event_key_skew": _q_event_key_skew,
+        "salted_segment_order_stats": _q_salted_segment_order_stats,
         "bloom_decontaminate": _q_bloom_decontaminate,
         "knn_graph": _q_knn_graph,
         "semantic_dedup": _q_semantic_dedup,
@@ -1812,6 +1828,13 @@ def oracle_sql() -> dict[str, str]:
 
     oracles["manifest_diff"] = training_ops.oracle_manifest_diff_sql(
         f"{_diff_hash('CAST(doc_id AS VARCHAR)')} % 10 < 9"
+    )
+    from retail_etl_pipeline_airflow_s3_athena_spark.functions.skew import (
+        oracle_salted_segment_order_stats_sql,
+    )
+
+    oracles["salted_segment_order_stats"] = (
+        oracle_salted_segment_order_stats_sql()
     )
     oracles["event_transitions"] = event_ops.oracle_event_transitions_sql()
     oracles["standardize_embeddings"] = (

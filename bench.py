@@ -218,6 +218,7 @@ STANDALONE = [
     "psi_stream_drift",
     "training_manifest",
     "manifest_diff",
+    "salted_segment_order_stats",
 ]
 
 

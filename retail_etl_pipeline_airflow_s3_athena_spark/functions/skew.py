@@ -54,3 +54,53 @@ def salted_join(
     return salted_large.join(
         replicated_small, on=[key, "__salt"], how=how
     ).drop("__salt")
+
+
+def salted_segment_order_stats(
+    orders: DataFrame, customer: DataFrame, salt: int = 8
+) -> DataFrame:
+    """(c_mktsegment, n_orders, total_price): per-segment order stats
+    computed THROUGH :func:`salted_join` — the gate-checked proof that
+    the salting rewrite is semantics-preserving: the output is
+    bit-identical to the plain join (its oracle) for ANY salt
+    assignment, any salt width, any partitioning, because the small
+    side is replicated (never split) and the aggregate is the
+    order-independent exact-cents sum (functions/money.py).
+
+    Plan shape: the fact side shuffles on (custkey, salt) — a hot
+    customer's rows land on ``salt`` reducers instead of one; the
+    dimension inflates x salt before its (tiny) exchange.  This is the
+    manual mitigation for the >x%-single-key case AQE's skew split
+    can't fix (the build side itself is the bottleneck)."""
+    from retail_etl_pipeline_airflow_s3_athena_spark.functions.money import money_sum
+
+    large = orders.select(
+        F.col("o_custkey").alias("custkey"), "o_totalprice"
+    )
+    small = customer.select(
+        F.col("c_custkey").alias("custkey"), "c_mktsegment"
+    )
+    return (
+        salted_join(large, small, "custkey", salt=salt)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            money_sum("o_totalprice").alias("total_price"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+def oracle_salted_segment_order_stats_sql() -> str:
+    from retail_etl_pipeline_airflow_s3_athena_spark.functions.money import (
+        sql_money_sum,
+    )
+
+    return f"""
+        SELECT c.c_mktsegment,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               {sql_money_sum('o.o_totalprice')} AS total_price
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1
+        ORDER BY c.c_mktsegment
+    """
