@@ -1279,9 +1279,10 @@ GATE_FIRST_50 = [
 ]
 
 GATE_TAIL = [
-    # newest (post-window-freeze r7): the distribution-drift family —
-    # no driver evidence yet, full 4-scale local gate evidence; first
-    # in line for the r8 window alongside the evicted rows below
+    # newest (post-window-freeze r7): the distribution-drift family,
+    # the shard provenance pair, and the salted-join proof — no driver
+    # evidence yet, full 5-scale local gate evidence (sf0.001→sf5);
+    # first in line for the r8 window alongside the evicted rows below
     "length_drift_chisq",
     "source_token_kl",
     "snapshot_value_psi",
