@@ -125,3 +125,65 @@ def test_reference_core_stays_shuffle_lean(audits):
     for name in ["shipping_priority", "daily_sales_summary", "top_customers"]:
         assert audits[name]["bhj"] >= 1, f"{name}: dimension join no longer broadcasts"
         assert audits[name]["pushed"], f"{name}: scan filters no longer push down"
+
+
+def test_aqe_splits_skewed_join_at_runtime(spark):
+    """The automatic leg of the skew story (SCALE.md session defaults):
+    a join with one pathological key must trigger AQE's
+    OptimizeSkewedJoin — the finalized plan marks the sort-merge join
+    skew=true — with results identical to the logical join.  Salting
+    (salted_segment_order_stats) covers the case this optimizer can't;
+    this test proves the default path actually engages."""
+    from pyspark.sql import functions as F
+
+    conf = spark.conf
+    saved = {
+        k: conf.get(k, None)
+        for k in [
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.coalescePartitions.enabled",
+        ]
+    }
+    try:
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+        conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "64KB",
+        )
+        conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+        conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+        # 300k rows on ONE key + a uniform tail; dim side non-trivial
+        fact = spark.range(0, 300_000).select(
+            F.lit(7).alias("k"), F.col("id").alias("v")
+        ).union(
+            spark.range(0, 30_000).select(
+                (F.col("id") % 97 + 100).alias("k"), F.col("id").alias("v")
+            )
+        )
+        dim = spark.range(0, 200).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("w")
+        )
+        # NOTE: no groupBy on the join key downstream — AQE declines
+        # to split skew when the split would break a partitioning a
+        # downstream operator needs (forceOptimizeSkewedJoin=false);
+        # the bare join is the shape the optimizer actually fixes
+        joined = fact.join(dim, "k")
+        rows = joined.collect()
+        hot = sum(1 for r in rows if r["k"] == 7)
+        assert hot == 300_000 and len(rows) == 330_000
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, (
+            "AQE did not mark the skewed SMJ — the automatic skew "
+            "mitigation the session defaults promise is not engaging"
+        )
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)
