@@ -313,6 +313,28 @@ def _q_psi_stream_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_chisq_stream_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming chi-square end-state under the oracle: documents
+    streamed in 4 micro-batches through ``chisq_count_stream``'s
+    overwrite-by-batch count-delta sink, SUM-merged and scored by the
+    shared ``chisq_from_counts`` — count additivity makes the result
+    IDENTICAL to batch length_drift_chisq, so the batch oracle is its
+    oracle."""
+    import tempfile
+
+    from retail_etl_pipeline_airflow_s3_athena_spark.streaming import incremental
+
+    docs = readers.read_documents(spark, sf_dir)
+    src = tempfile.mkdtemp(prefix="chisqstr_src_")
+    work = tempfile.mkdtemp(prefix="chisqstr_wk_")
+    docs.select("doc_id", "source", "text").repartition(4).write.mode(
+        "overwrite"
+    ).parquet(src)
+    q = incremental.chisq_count_stream(spark, src, work)
+    q.awaitTermination(180)
+    return incremental.chisq_stream_scores(spark, work)
+
+
 def _q_dsir_stream_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming DSIR end-state under the driver oracle: the documents
     fixture staged as 5 files -> 5 availableNow micro-batches, each
@@ -1290,6 +1312,7 @@ GATE_TAIL = [
     "training_manifest",
     "manifest_diff",
     "salted_segment_order_stats",
+    "chisq_stream_drift",
     # evicted late-r7 to make room for the OLS quality model and the
     # Z-order layout diagnostic: all r6-driver-green (or r6-audited),
     # with 4-scale local full-precision evidence — first in line for
@@ -1529,6 +1552,7 @@ def _all_queries() -> dict[str, QueryFn]:
         "psi_stream_drift": _q_psi_stream_drift,
         "training_manifest": _q_training_manifest,
         "manifest_diff": _q_manifest_diff,
+        "chisq_stream_drift": _q_chisq_stream_drift,
         "dsir_stream_importance": _q_dsir_stream_importance,
         "bpe_merges": _q_bpe_merges,
         "bpe_doc_tokens": _q_bpe_doc_tokens,
@@ -1690,6 +1714,7 @@ def oracle_sql() -> dict[str, str]:
     oracles["snapshot_value_psi"] = drift_ops.oracle_snapshot_psi_sql()
     # streaming end-state == batch (count additivity) -> same oracle
     oracles["psi_stream_drift"] = drift_ops.oracle_snapshot_psi_sql()
+    oracles["chisq_stream_drift"] = drift_ops.oracle_length_drift_sql()
     oracles["mixing_sample"] = mixing_ops.oracle_mixing_sample_sql(
         MIX_WEIGHTS, MIX_BUDGET
     )

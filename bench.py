@@ -219,6 +219,7 @@ STANDALONE = [
     "training_manifest",
     "manifest_diff",
     "salted_segment_order_stats",
+    "chisq_stream_drift",
 ]
 
 

@@ -78,41 +78,32 @@ def _msb_bin(col):
     return (F.length(F.conv(col + F.lit(1), 10, 2)) - 1).cast("long")
 
 
-def length_drift_chisq(
+def length_bin_counts(
     docs: DataFrame,
     text_col: str = "text",
     source_col: str = "source",
 ) -> DataFrame:
-    """(source, n_docs, dof, chi2_e6): Pearson chi-square of the
-    source's token-count distribution vs the corpus, binned by
-    msb(token_count + 1), in e6 fixed point.
-
-    Exact-integer formulation per (source, bin) cell::
-
-        e_e6    = n_docs * t_bin * 1e6 div n_total   -- expected, e6
-        term_e6 = (o * 1e6 - e_e6)^2 div max(e_e6, 1)
-        chi2_e6 = sum(term_e6) over the source's full bin grid
-
-    ``max(e_e6, 1)`` guards the degenerate sub-1e-6 expected count
-    (tiny source x rare bin at extreme scale) — deterministic in both
-    engines.  Magnitudes at 1e12 docs: n_docs * t_bin * 1e6 <= 1e30
-    and diff_e6^2 <= 1e36, both inside DECIMAL(38,0); chi2_e6 <=
-    n_total * 1e6 <= 1e18 fits BIGINT.
-
-    Plan: one corpus pass (groupBy (source, bin), map-side combine)
-    onto a <= |sources| x ~50 row table that is persisted and feeds
-    the totals + grid (ownership transfers to the caller via the
-    functions/caching.py contract); everything downstream is
-    tiny-table broadcast arithmetic."""
-    binned = docs.select(
-        F.col(source_col).alias("source"),
-        _msb_bin(token_count(F.col(text_col))).alias("bin"),
-    )
-    obs = (
-        binned.groupBy("source", "bin")
+    """The chi-square observation rollup (source, bin, o): document
+    counts per (source, msb token-count bin).  Counts are ADDITIVE,
+    so this rollup is also the streaming maintenance unit — per-batch
+    rollups SUM-merge to exactly this table
+    (streaming/incremental.py::chisq_count_stream)."""
+    return (
+        docs.select(
+            F.col(source_col).alias("source"),
+            _msb_bin(token_count(F.col(text_col))).alias("bin"),
+        )
+        .groupBy("source", "bin")
         .agg(F.count(F.lit(1)).alias("o"))
-        .persist()
     )
+
+
+def chisq_from_counts(obs: DataFrame) -> DataFrame:
+    """Chi-square scoring from a (source, bin, o) rollup — shared
+    verbatim by the batch operator and the streaming read-time merge.
+    Persists the rollup (it feeds the totals AND the grid; ownership
+    transfers via the functions/caching.py contract)."""
+    obs = obs.persist()
     srcs = obs.groupBy("source").agg(F.sum("o").alias("n_docs"))
     bins = obs.groupBy("bin").agg(F.sum("o").alias("t_bin"))
     tot = obs.agg(F.sum("o").alias("n_total"))
@@ -147,6 +138,35 @@ def length_drift_chisq(
         .orderBy("source")
     )
     return attach_cached_deps(out, obs)
+
+
+def length_drift_chisq(
+    docs: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """(source, n_docs, dof, chi2_e6): Pearson chi-square of the
+    source's token-count distribution vs the corpus, binned by
+    msb(token_count + 1), in e6 fixed point.
+
+    Exact-integer formulation per (source, bin) cell::
+
+        e_e6    = n_docs * t_bin * 1e6 div n_total   -- expected, e6
+        term_e6 = (o * 1e6 - e_e6)^2 div max(e_e6, 1)
+        chi2_e6 = sum(term_e6) over the source's full bin grid
+
+    ``max(e_e6, 1)`` guards the degenerate sub-1e-6 expected count
+    (tiny source x rare bin at extreme scale) — deterministic in both
+    engines.  Magnitudes at 1e12 docs: n_docs * t_bin * 1e6 <= 1e30
+    and diff_e6^2 <= 1e36, both inside DECIMAL(38,0); chi2_e6 <=
+    n_total * 1e6 <= 1e18 fits BIGINT.
+
+    Plan: one corpus pass (groupBy (source, bin), map-side combine)
+    onto a <= |sources| x ~50 row table that is persisted and feeds
+    the totals + grid (ownership transfers to the caller via the
+    functions/caching.py contract); everything downstream is
+    tiny-table broadcast arithmetic."""
+    return chisq_from_counts(length_bin_counts(docs, text_col, source_col))
 
 
 def oracle_length_drift_sql(table: str = "documents", t: str = "text") -> str:

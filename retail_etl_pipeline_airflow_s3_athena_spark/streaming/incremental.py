@@ -1176,3 +1176,61 @@ def psi_stream_scores(
     return drift.psi_from_counts(
         psi_stream_counts(spark, work_dir), types
     )
+
+
+CHISQ_DOC_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("text", T.StringType()),
+    ]
+)
+
+
+def chisq_count_stream(spark: SparkSession, source_dir: str, work_dir: str):
+    """Streaming length-drift maintenance: as document files land,
+    each micro-batch writes its own (source, bin, o) COUNT DELTA —
+    bounded by |sources| x ~50 msb bins regardless of batch size;
+    read-time SUM-merge equals the one-pass batch rollup
+    (operators/drift.py::length_bin_counts) by count additivity, so
+    the batch chi-square oracle is the stream's oracle.  Same
+    overwrite-by-batch replay discipline as psi_count_stream."""
+    import os
+
+    from retail_etl_pipeline_airflow_s3_athena_spark.operators import drift
+
+    count_dir = os.path.join(work_dir, "counts")
+    ckpt_dir = os.path.join(work_dir, "ckpt")
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        drift.length_bin_counts(batch_df).write.mode("overwrite").parquet(
+            os.path.join(count_dir, f"batch={batch_id}")
+        )
+
+    stream = (
+        spark.readStream.schema(CHISQ_DOC_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_dir)
+    )
+    return (
+        stream.writeStream.foreachBatch(step)
+        .option("checkpointLocation", ckpt_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def chisq_stream_scores(spark: SparkSession, work_dir: str) -> DataFrame:
+    """Chi-square scored from the STREAM-MAINTAINED rollup —
+    bit-identical to batch ``length_drift_chisq`` once the stream has
+    consumed the same documents (shared scorer ``chisq_from_counts``),
+    so the batch oracle gates the stream end-state."""
+    import os
+
+    from retail_etl_pipeline_airflow_s3_athena_spark.operators import drift
+
+    deltas = spark.read.option("recursiveFileLookup", "true").parquet(
+        os.path.join(work_dir, "counts")
+    )
+    merged = deltas.groupBy("source", "bin").agg(F.sum("o").alias("o"))
+    return drift.chisq_from_counts(merged)

@@ -816,3 +816,50 @@ def test_psi_count_stream_matches_batch_and_replays_idempotently(
         for r in incremental.psi_stream_counts(spark, work).collect()
     }
     assert replayed == want
+
+
+def test_chisq_count_stream_matches_batch_and_replays_idempotently(
+    spark, sf_dir, tmp_path
+):
+    """Streaming chi-square count deltas: SUM-merged stream scores ==
+    batch length_drift_chisq; a replayed batch overwrites its own
+    delta instead of double-counting."""
+    import os
+
+    from retail_etl_pipeline_airflow_s3_athena_spark.functions.caching import (
+        release_cached,
+    )
+    from retail_etl_pipeline_airflow_s3_athena_spark.operators import drift
+    from retail_etl_pipeline_airflow_s3_athena_spark.sources import readers
+
+    docs = readers.read_documents(spark, sf_dir)
+    staged = docs.select("doc_id", "source", "text")
+    src, work = str(tmp_path / "src"), str(tmp_path / "wk")
+    staged.repartition(4).write.parquet(src)
+    q = incremental.chisq_count_stream(spark, src, work)
+    q.awaitTermination(120)
+    n_batches = len(
+        [
+            f
+            for f in os.listdir(os.path.join(work, "counts"))
+            if f.startswith("batch=")
+        ]
+    )
+    assert n_batches >= 2
+
+    sdf = incremental.chisq_stream_scores(spark, work)
+    bdf = drift.length_drift_chisq(docs)
+    got, want = sdf.collect(), bdf.collect()
+    release_cached(sdf)
+    release_cached(bdf)
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+    b0 = os.path.join(work, "counts", "batch=0")
+    delta0 = spark.createDataFrame(
+        spark.read.parquet(b0).collect(), "source STRING, bin LONG, o LONG"
+    )
+    delta0.write.mode("overwrite").parquet(b0)
+    rdf = incremental.chisq_stream_scores(spark, work)
+    replayed = rdf.collect()
+    release_cached(rdf)
+    assert sorted(map(tuple, replayed)) == sorted(map(tuple, want))
