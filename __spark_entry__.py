@@ -335,6 +335,27 @@ def _q_chisq_stream_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental.chisq_stream_scores(spark, work)
 
 
+def _q_kl_stream_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming KL end-state under the oracle: documents streamed in
+    4 micro-batches through ``kl_count_stream``'s overwrite-by-batch
+    unigram-count-delta sink, SUM-merged and scored by the shared
+    ``kl_from_counts`` — count additivity makes the result IDENTICAL
+    to batch source_token_kl, so the batch oracle is its oracle."""
+    import tempfile
+
+    from retail_etl_pipeline_airflow_s3_athena_spark.streaming import incremental
+
+    docs = readers.read_documents(spark, sf_dir)
+    src = tempfile.mkdtemp(prefix="klstr_src_")
+    work = tempfile.mkdtemp(prefix="klstr_wk_")
+    docs.select("doc_id", "source", "text").repartition(4).write.mode(
+        "overwrite"
+    ).parquet(src)
+    q = incremental.kl_count_stream(spark, src, work)
+    q.awaitTermination(180)
+    return incremental.kl_stream_scores(spark, work)
+
+
 def _q_dsir_stream_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming DSIR end-state under the driver oracle: the documents
     fixture staged as 5 files -> 5 availableNow micro-batches, each
@@ -1313,6 +1334,7 @@ GATE_TAIL = [
     "manifest_diff",
     "salted_segment_order_stats",
     "chisq_stream_drift",
+    "kl_stream_drift",
     # evicted late-r7 to make room for the OLS quality model and the
     # Z-order layout diagnostic: all r6-driver-green (or r6-audited),
     # with 4-scale local full-precision evidence — first in line for
@@ -1553,6 +1575,7 @@ def _all_queries() -> dict[str, QueryFn]:
         "training_manifest": _q_training_manifest,
         "manifest_diff": _q_manifest_diff,
         "chisq_stream_drift": _q_chisq_stream_drift,
+        "kl_stream_drift": _q_kl_stream_drift,
         "dsir_stream_importance": _q_dsir_stream_importance,
         "bpe_merges": _q_bpe_merges,
         "bpe_doc_tokens": _q_bpe_doc_tokens,
@@ -1715,6 +1738,7 @@ def oracle_sql() -> dict[str, str]:
     # streaming end-state == batch (count additivity) -> same oracle
     oracles["psi_stream_drift"] = drift_ops.oracle_snapshot_psi_sql()
     oracles["chisq_stream_drift"] = drift_ops.oracle_length_drift_sql()
+    oracles["kl_stream_drift"] = drift_ops.oracle_source_token_kl_sql()
     oracles["mixing_sample"] = mixing_ops.oracle_mixing_sample_sql(
         MIX_WEIGHTS, MIX_BUDGET
     )

@@ -220,6 +220,7 @@ STANDALONE = [
     "manifest_diff",
     "salted_segment_order_stats",
     "chisq_stream_drift",
+    "kl_stream_drift",
 ]
 
 

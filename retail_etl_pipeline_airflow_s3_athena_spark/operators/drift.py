@@ -237,17 +237,38 @@ def source_token_kl(
     |vocab|-keyed shuffle join of the rollup against the token totals;
     the per-source and grand totals come back as broadcasts.  Cache
     ownership transfers to the caller (functions/caching.py)."""
-    spark = docs.sparkSession
-    logt = log2_table_df(spark)
-    counts = (
+    return kl_from_counts(
+        source_token_counts(docs, text_col, source_col)
+    )
+
+
+def source_token_counts(
+    docs: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """The KL observation rollup (source, tok, c): lowercased unigram
+    counts per source.  Counts are ADDITIVE, so per-batch rollups
+    SUM-merge to exactly this table
+    (streaming/incremental.py::kl_count_stream)."""
+    return (
         docs.select(
             F.col(source_col).alias("source"),
             F.explode(tokens(F.lower(F.col(text_col)))).alias("tok"),
         )
         .groupBy("source", "tok")
         .agg(F.count(F.lit(1)).alias("c"))
-        .persist()
     )
+
+
+def kl_from_counts(obs: DataFrame) -> DataFrame:
+    """KL scoring from a (source, tok, c) rollup — shared verbatim by
+    the batch operator and the streaming read-time merge.  Persists
+    the rollup (it feeds four consumers; ownership transfers via the
+    functions/caching.py contract)."""
+    spark = obs.sparkSession
+    logt = log2_table_df(spark)
+    counts = obs.persist()
     tok_tot = counts.groupBy("tok").agg(F.sum("c").alias("ct"))
     src_tot = attach_det_log2_e20(
         counts.groupBy("source").agg(F.sum("c").alias("n_s")),

@@ -1234,3 +1234,52 @@ def chisq_stream_scores(spark: SparkSession, work_dir: str) -> DataFrame:
     )
     merged = deltas.groupBy("source", "bin").agg(F.sum("o").alias("o"))
     return drift.chisq_from_counts(merged)
+
+
+def kl_count_stream(spark: SparkSession, source_dir: str, work_dir: str):
+    """Streaming KL-drift maintenance: per-batch (source, tok, c)
+    unigram-count deltas at overwrite-by-batch sink paths.  Unlike the
+    chi-square/PSI deltas this one is |batch vocab|-sized rather than
+    constant — still bounded by vocabulary (Heaps' law), never by
+    tokens — and the read-time SUM-merge equals the one-pass batch
+    rollup (operators/drift.py::source_token_counts) by count
+    additivity, so the batch KL oracle gates the stream end-state.
+    Same replay discipline as the other count streams."""
+    import os
+
+    from retail_etl_pipeline_airflow_s3_athena_spark.operators import drift
+
+    count_dir = os.path.join(work_dir, "counts")
+    ckpt_dir = os.path.join(work_dir, "ckpt")
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        drift.source_token_counts(batch_df).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(count_dir, f"batch={batch_id}"))
+
+    stream = (
+        spark.readStream.schema(CHISQ_DOC_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_dir)
+    )
+    return (
+        stream.writeStream.foreachBatch(step)
+        .option("checkpointLocation", ckpt_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def kl_stream_scores(spark: SparkSession, work_dir: str) -> DataFrame:
+    """KL scored from the STREAM-MAINTAINED rollup — bit-identical to
+    batch ``source_token_kl`` once the stream has consumed the same
+    documents (shared scorer ``kl_from_counts``)."""
+    import os
+
+    from retail_etl_pipeline_airflow_s3_athena_spark.operators import drift
+
+    deltas = spark.read.option("recursiveFileLookup", "true").parquet(
+        os.path.join(work_dir, "counts")
+    )
+    merged = deltas.groupBy("source", "tok").agg(F.sum("c").alias("c"))
+    return drift.kl_from_counts(merged)

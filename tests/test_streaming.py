@@ -863,3 +863,39 @@ def test_chisq_count_stream_matches_batch_and_replays_idempotently(
     replayed = rdf.collect()
     release_cached(rdf)
     assert sorted(map(tuple, replayed)) == sorted(map(tuple, want))
+
+
+def test_kl_count_stream_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming KL unigram-count deltas: SUM-merged stream scores ==
+    batch source_token_kl; replayed batch overwrites idempotently."""
+    import os
+
+    from retail_etl_pipeline_airflow_s3_athena_spark.functions.caching import (
+        release_cached,
+    )
+    from retail_etl_pipeline_airflow_s3_athena_spark.operators import drift
+    from retail_etl_pipeline_airflow_s3_athena_spark.sources import readers
+
+    docs = readers.read_documents(spark, sf_dir)
+    staged = docs.select("doc_id", "source", "text")
+    src, work = str(tmp_path / "src"), str(tmp_path / "wk")
+    staged.repartition(4).write.parquet(src)
+    q = incremental.kl_count_stream(spark, src, work)
+    q.awaitTermination(120)
+
+    sdf = incremental.kl_stream_scores(spark, work)
+    bdf = drift.source_token_kl(docs)
+    got, want = sdf.collect(), bdf.collect()
+    release_cached(sdf)
+    release_cached(bdf)
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+    b0 = os.path.join(work, "counts", "batch=0")
+    delta0 = spark.createDataFrame(
+        spark.read.parquet(b0).collect(), "source STRING, tok STRING, c LONG"
+    )
+    delta0.write.mode("overwrite").parquet(b0)
+    rdf = incremental.kl_stream_scores(spark, work)
+    replayed = rdf.collect()
+    release_cached(rdf)
+    assert sorted(map(tuple, replayed)) == sorted(map(tuple, want))
