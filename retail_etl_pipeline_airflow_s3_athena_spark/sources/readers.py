@@ -335,3 +335,24 @@ def read_jdbc_table(
     for k, v in opts.items():
         reader = reader.option(k, v)
     return reader.load()
+
+
+def read_silver_merged(
+    spark: SparkSession, base_dir: str, table: str
+) -> DataFrame:
+    """Silver reader that tolerates SCHEMA DRIFT across run-date
+    partitions: upstream sources add columns over time, and each
+    ``date=YYYYMMDD`` snapshot freezes the schema it saw.  A plain
+    parquet read picks ONE footer's schema (whichever file is listed
+    first) and silently drops columns the other partitions carry;
+    ``mergeSchema`` unions all footers — pre-drift partitions read the
+    new columns as NULL, which is the correct backfill-free semantics.
+
+    Cost note (why this is not the default read path): schema merge
+    reads EVERY file's footer at planning time — at 100 TB that is a
+    metadata pass over the full file listing, so production tables
+    should converge on a registered catalog schema and reserve the
+    merged read for the drift window."""
+    return (
+        spark.read.option("mergeSchema", "true").parquet(f"{base_dir}/{table}")
+    )

@@ -537,3 +537,28 @@ def test_all_queries_tolerate_null_rows(spark, tmp_path_factory):
             failures.append(f"{name}: {str(ex).splitlines()[0][:90]}")
         spark.catalog.clearCache()
     assert not failures, failures
+
+
+def test_silver_schema_drift_across_partitions(spark, tmp_path):
+    """Upstream adds a column on day 2: appends succeed, the merged
+    reader surfaces the union schema with NULLs for pre-drift
+    partitions, and the plain reader's silent column-drop hazard is
+    what read_silver_merged exists to avoid."""
+    from pyspark.sql import Row
+
+    from retail_etl_pipeline_airflow_s3_athena_spark.sources import readers, writers
+
+    base = str(tmp_path / "silver")
+    d1 = spark.createDataFrame([Row(id=1, amount=10.0)])
+    writers.write_silver(d1, base, "t", "20240101")
+    d2 = spark.createDataFrame(
+        [Row(id=2, amount=20.0, channel="web")]
+    )
+    writers.write_silver(d2, base, "t", "20240102")
+
+    merged = readers.read_silver_merged(spark, base, "t")
+    assert "channel" in merged.columns
+    rows = {r["id"]: r for r in merged.collect()}
+    assert rows[1]["channel"] is None          # pre-drift partition
+    assert rows[2]["channel"] == "web"
+    assert len(rows) == 2
