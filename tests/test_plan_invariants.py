@@ -137,17 +137,25 @@ def test_aqe_splits_skewed_join_at_runtime(spark):
     from pyspark.sql import functions as F
 
     conf = spark.conf
+    # pin EVERYTHING that decides the join strategy — the shared test
+    # session is mutated by earlier tests (bucketing, invariance
+    # sweeps), and a leaked broadcast threshold turns the SMJ this
+    # test needs into a BHJ with no skew to split
     saved = {
         k: conf.get(k, None)
         for k in [
+            "spark.sql.adaptive.skewJoin.enabled",
             "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
             "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
             "spark.sql.adaptive.advisoryPartitionSizeInBytes",
             "spark.sql.adaptive.autoBroadcastJoinThreshold",
             "spark.sql.adaptive.coalescePartitions.enabled",
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.shuffle.partitions",
         ]
     }
     try:
+        conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
         conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
         conf.set(
             "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
@@ -156,6 +164,8 @@ def test_aqe_splits_skewed_join_at_runtime(spark):
         conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
         conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
         conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf.set("spark.sql.shuffle.partitions", "8")
         # 300k rows on ONE key + a uniform tail; dim side non-trivial
         fact = spark.range(0, 300_000).select(
             F.lit(7).alias("k"), F.col("id").alias("v")
@@ -177,6 +187,10 @@ def test_aqe_splits_skewed_join_at_runtime(spark):
         assert hot == 300_000 and len(rows) == 330_000
         plan = joined._jdf.queryExecution().executedPlan().toString()
         assert "isFinalPlan=true" in plan
+        assert "SortMergeJoin" in plan, (
+            "join was broadcast despite pinned -1 thresholds — "
+            "skew split has nothing to act on"
+        )
         assert "skew=true" in plan, (
             "AQE did not mark the skewed SMJ — the automatic skew "
             "mitigation the session defaults promise is not engaging"
