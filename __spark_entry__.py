@@ -946,6 +946,13 @@ def _q_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_ops.ivf_pq_topk(_emb(spark, sf_dir))
 
 
+def _q_ivf_pq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ with residual encoding (FAISS IVFPQ proper): codebooks
+    trained on v − centroid(cell), ADC tables per (query, probed
+    cell) — the recall refinement over the non-residual twin."""
+    return pq_ops.ivf_pq_residual_topk(_emb(spark, sf_dir))
+
+
 def _q_rp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The Arrow/numpy form is the production path (also used inside
     # embedding_near_dup_lsh): the unrolled 16x64 expression form
@@ -1335,6 +1342,7 @@ GATE_TAIL = [
     "salted_segment_order_stats",
     "chisq_stream_drift",
     "kl_stream_drift",
+    "ivf_pq_residual_topk",
     # evicted late-r7 to make room for the OLS quality model and the
     # Z-order layout diagnostic: all r6-driver-green (or r6-audited),
     # with 4-scale local full-precision evidence — first in line for
@@ -1585,6 +1593,7 @@ def _all_queries() -> dict[str, QueryFn]:
         "pq_topk": _q_pq_topk,
         "pq_recall": _q_pq_recall,
         "ivf_pq_topk": _q_ivf_pq_topk,
+        "ivf_pq_residual_topk": _q_ivf_pq_residual_topk,
         "dedup_corpus": _q_dedup_corpus,
         "dedup_keep_best": _q_dedup_keep_best,
         "source_overlap": _q_source_overlap,
@@ -1761,6 +1770,9 @@ def oracle_sql() -> dict[str, str]:
     oracles["pq_topk"] = pq_ops.oracle_pq_topk_sql()
     oracles["pq_recall"] = pq_ops.oracle_pq_recall_sql()
     oracles["ivf_pq_topk"] = pq_ops.oracle_ivf_pq_topk_sql()
+    oracles["ivf_pq_residual_topk"] = (
+        pq_ops.oracle_ivf_pq_residual_topk_sql()
+    )
     oracles["normalize_text"] = text_ops.oracle_normalize_text_sql()
     oracles["corpus_stats"] = text_ops.oracle_corpus_stats_sql()
     oracles["language_id"] = text_ops.oracle_language_id_sql()

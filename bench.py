@@ -221,6 +221,7 @@ STANDALONE = [
     "salted_segment_order_stats",
     "chisq_stream_drift",
     "kl_stream_drift",
+    "ivf_pq_residual_topk",
 ]
 
 

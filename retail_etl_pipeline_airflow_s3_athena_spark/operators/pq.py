@@ -702,3 +702,307 @@ def oracle_ivf_pq_topk_sql(
         SELECT query_id, neighbor_id, adc_e6, CAST(rank AS INT) AS rank
         FROM ranked WHERE rank <= {k}"""
     )
+
+
+def ivf_pq_residual_topk(
+    embeddings: DataFrame,
+    n_queries: int = N_QUERIES,
+    k: int = TOP_K,
+    nprobe: int = 2,
+    rounds: int = PQ_ROUNDS,
+    dim: int = EMB_DIM,
+) -> DataFrame:
+    """IVF-PQ with RESIDUAL encoding (FAISS IVFPQ proper; Jégou et
+    al. 2011 §V.B): codebooks are trained on ``v - centroid(cell(v))``
+    and the ADC table is built per (query, probed cell) from the
+    query's residual against that cell — the refinement that closes
+    the recall gap of the non-residual composition (``ivf_pq_topk``),
+    because residuals concentrate near the origin and the M*K
+    codewords spend their capacity on the within-cell structure
+    instead of re-encoding the coarse geometry.
+
+    Same plan skeleton as ``ivf_pq_topk`` — the changes are frame-
+    only, exactly as its docstring predicted: the subvector corpus is
+    the residual corpus (one extra broadcast join against the K-row
+    centroid table, still a narrow projection), codebooks seed from
+    the residuals of the K lowest vec_ids (deterministic spread; the
+    label-centroid seed is useless here since per-label residual
+    means are ~0 by construction), and the broadcast distance table
+    grows from n_q*M*K to n_q*nprobe*M*K rows — still bounded by
+    constants.  Candidate generation, the exact-integer ADC sum, and
+    the (adc asc, id asc) ranking are unchanged.
+    """
+    corpus = _normed(embeddings, dim)
+    coarse = (
+        _centroid_vectors(embeddings)
+        .select(
+            "label", "cv",
+            F.sqrt(dot(F.col("cv"), F.col("cv"), dim)).alias("cnrm"),
+        )
+        .persist()
+    )
+    n_codes = coarse.count()  # K-row bounded table; also materializes it
+    cells = (
+        corpus.crossJoin(F.broadcast(coarse))
+        .select(
+            "vec_id", "label",
+            _pair_cosine(
+                F.col("v"), F.col("cv"), F.col("nrm"), F.col("cnrm"), dim
+            ).alias("c_cos"),
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(
+                F.col("label"), F.struct(F.col("c_cos"), (-F.col("label")))
+            ).alias("cell")
+        )
+    )
+    # residual subvector corpus: r = v - cv(cell), sliced into M parts
+    rsub_entries = F.array(
+        *[
+            F.struct(
+                F.lit(m).cast("int").alias("m"),
+                F.slice(F.col("r"), m * SUB_DIM + 1, SUB_DIM).alias("sv"),
+            )
+            for m in range(M_SUB)
+        ]
+    )
+    rsub = (
+        corpus.join(cells, "vec_id")
+        .join(
+            F.broadcast(coarse.select(F.col("label").alias("cell"), "cv")),
+            "cell",
+        )
+        .select(
+            "vec_id", "cell",
+            F.zip_with("v", "cv", lambda a, b: a - b).alias("r"),
+        )
+        .select("vec_id", "cell", F.explode(rsub_entries).alias("e"))
+        .select(
+            "vec_id", "cell",
+            F.col("e.m").alias("m"), F.col("e.sv").alias("sv"),
+        )
+        .persist()
+    )
+    books = (
+        rsub.filter(F.col("vec_id") < n_codes)
+        .select("m", F.col("vec_id").cast("int").alias("code"),
+                F.col("sv").alias("scv"))
+    )
+    plain = rsub.select("vec_id", "m", "sv")
+    for _ in range(rounds):
+        books = _reassemble(_book_means(_assign(plain, books)))
+    codes = _assign(plain, books).select("vec_id", "m", "code")
+
+    queries = corpus.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.desc("c_cos"), F.asc("label")
+    )
+    probed = (
+        queries.crossJoin(F.broadcast(coarse))
+        .select(
+            "query_id", "label",
+            _pair_cosine(
+                F.col("qv"), F.col("cv"), F.col("qnrm"), F.col("cnrm"), dim
+            ).alias("c_cos"),
+        )
+        .withColumn("rn", F.row_number().over(probe_w))
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", F.col("label").alias("cell"))
+    )
+    # per-(query, probed cell) residual ADC table — n_q*nprobe*M*K rows
+    rq_entries = F.array(
+        *[
+            F.struct(
+                F.lit(m).cast("int").alias("m"),
+                F.slice(F.col("rq"), m * SUB_DIM + 1, SUB_DIM).alias("sv"),
+            )
+            for m in range(M_SUB)
+        ]
+    )
+    dist_table = (
+        probed.join(queries, "query_id")
+        .join(
+            F.broadcast(coarse.select(F.col("label").alias("cell"), "cv")),
+            "cell",
+        )
+        .select(
+            "query_id", "cell",
+            F.zip_with("qv", "cv", lambda a, b: a - b).alias("rq"),
+        )
+        .select("query_id", "cell", F.explode(rq_entries).alias("e"))
+        .select(
+            "query_id", "cell",
+            F.col("e.m").alias("m"), F.col("e.sv").alias("sv"),
+        )
+        .join(F.broadcast(books), "m")
+        .select(
+            "query_id", "cell", "m", "code",
+            cents(_l2sq(F.col("sv"), F.col("scv")), 6).alias("pd_e6"),
+        )
+    )
+    cand = (
+        cells.join(F.broadcast(probed), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", "cell")
+    )
+    scored = (
+        codes.join(cand, "vec_id")
+        .join(F.broadcast(dist_table), ["query_id", "cell", "m", "code"])
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("pd_e6").alias("adc_e6"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_e6"), F.asc("neighbor_id")
+    )
+    out = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adc_e6", "rank")
+    )
+    return attach_cached_deps(out, rsub, coarse)
+
+
+def oracle_ivf_pq_residual_topk_sql(
+    table: str = "embeddings",
+    n_queries: int = N_QUERIES,
+    k: int = TOP_K,
+    nprobe: int = 2,
+    rounds: int = PQ_ROUNDS,
+) -> str:
+    rminus = (
+        "list_transform(range(1, len({a}) + 1), i -> {a}[i] - {b}[i])"
+    )
+    sql = f"""WITH {_sql_centroid_ctes(table)},
+        cvecs AS (
+            SELECT CAST(label AS INT) AS code, list(val ORDER BY pos) AS cv
+            FROM centroids GROUP BY label
+        ),
+        subspaces AS (SELECT CAST(unnest(range({M_SUB})) AS INT) AS m),
+        corpus AS (
+            SELECT vec_id, {_sql_vec("embedding")} AS v FROM {table}
+            WHERE embedding IS NOT NULL
+        ),
+        fullvecs AS (SELECT code AS label, cv FROM cvecs),
+        nlabels AS (SELECT COUNT(*) AS kk FROM cvecs),
+        cells AS (
+            SELECT vec_id, cell FROM (
+                SELECT c.vec_id, k.label AS cell,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY c.vec_id
+                           ORDER BY {_sql_cosine("c.v", "k.cv")} DESC,
+                                    k.label ASC) AS rn
+                FROM corpus c CROSS JOIN fullvecs k
+            ) WHERE rn = 1
+        ),
+        rcorp AS (
+            SELECT c.vec_id, s.cell,
+                   {rminus.format(a="c.v", b="k.cv")} AS r
+            FROM corpus c
+            JOIN cells s ON c.vec_id = s.vec_id
+            JOIN fullvecs k ON k.label = s.cell
+        ),
+        rsubcorpus AS (
+            SELECT c.vec_id, c.cell, s.m,
+                   c.r[s.m * {SUB_DIM} + 1 : (s.m + 1) * {SUB_DIM}] AS sv
+            FROM rcorp c CROSS JOIN subspaces s
+        ),
+        rbooks0 AS (
+            SELECT m, CAST(vec_id AS INT) AS code, sv AS scv
+            FROM rsubcorpus WHERE vec_id < (SELECT kk FROM nlabels)
+        )"""
+    books = "rbooks0"
+    for r in range(rounds):
+        sql += f""",
+        rassigned{r} AS (
+            SELECT vec_id, m, sv, code FROM (
+                SELECT c.vec_id, c.m, c.sv, k.code,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY c.vec_id, c.m
+                           ORDER BY {_sql_l2sq("c.sv", "k.scv")} ASC,
+                                    k.code ASC) AS rn
+                FROM rsubcorpus c JOIN {books} k ON c.m = k.m
+            ) WHERE rn = 1
+        ),
+        rmeans{r} AS (
+            SELECT m, code, CAST(i - 1 AS BIGINT) AS pos,
+                   {sql_dround(sql_money_avg("x", 8), 6)} AS val
+            FROM (
+                SELECT m, code, i, sv[i] AS x FROM (
+                    SELECT m, code, sv,
+                           unnest(range(1, len(sv) + 1)) AS i
+                    FROM rassigned{r})
+            )
+            GROUP BY m, code, i
+        ),
+        rbooks{r + 1} AS (
+            SELECT m, code, list(val ORDER BY pos) AS scv
+            FROM rmeans{r} GROUP BY m, code
+        )"""
+        books = f"rbooks{r + 1}"
+    return (
+        sql
+        + f""",
+        final_codes AS (
+            SELECT vec_id, m, code FROM (
+                SELECT c.vec_id, c.m, k.code,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY c.vec_id, c.m
+                           ORDER BY {_sql_l2sq("c.sv", "k.scv")} ASC,
+                                    k.code ASC) AS rn
+                FROM rsubcorpus c JOIN {books} k ON c.m = k.m
+            ) WHERE rn = 1
+        ),
+        probed AS (
+            SELECT query_id, cell FROM (
+                SELECT q.vec_id AS query_id, k.label AS cell,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY {_sql_cosine("q.v", "k.cv")} DESC,
+                                    k.label ASC) AS rn
+                FROM corpus q CROSS JOIN fullvecs k
+                WHERE q.vec_id < {n_queries}
+            ) WHERE rn <= {nprobe}
+        ),
+        rqsub AS (
+            SELECT p.query_id, p.cell, s.m,
+                   ({rminus.format(a="q.v", b="k.cv")})
+                       [s.m * {SUB_DIM} + 1 : (s.m + 1) * {SUB_DIM}] AS sv
+            FROM probed p
+            JOIN corpus q ON q.vec_id = p.query_id
+            JOIN fullvecs k ON k.label = p.cell
+            CROSS JOIN subspaces s
+        ),
+        dist_table AS (
+            SELECT r.query_id, r.cell, r.m, k.code,
+                   {sql_cents(_sql_l2sq("r.sv", "k.scv"), 6)} AS pd_e6
+            FROM rqsub r JOIN {books} k ON r.m = k.m
+        ),
+        cand AS (
+            SELECT p.query_id, c.vec_id, c.cell
+            FROM cells c JOIN probed p ON c.cell = p.cell
+            WHERE c.vec_id <> p.query_id
+        ),
+        scored AS (
+            SELECT cd.query_id, a.vec_id AS neighbor_id,
+                   CAST(SUM(d.pd_e6) AS BIGINT) AS adc_e6
+            FROM final_codes a
+            JOIN cand cd ON a.vec_id = cd.vec_id
+            JOIN dist_table d
+              ON d.query_id = cd.query_id AND d.cell = cd.cell
+             AND d.m = a.m AND d.code = a.code
+            GROUP BY cd.query_id, a.vec_id
+        ),
+        ranked AS (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY query_id
+                ORDER BY adc_e6 ASC, neighbor_id ASC) AS rank
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, adc_e6, CAST(rank AS INT) AS rank
+        FROM ranked WHERE rank <= {k}"""
+    )

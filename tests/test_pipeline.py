@@ -438,8 +438,6 @@ def test_cache_ownership_sweep_no_leaks(spark):
         "dsir_importance",
         "dsir_select",
         "dsir_stream_importance",
-        "length_drift_chisq",
-        "source_token_kl",
         # checkpoint-backed dep (release via the _CheckpointDep adapter)
         "bpe_doc_tokens",
         "bpe_encode_docs",
@@ -447,6 +445,9 @@ def test_cache_ownership_sweep_no_leaks(spark):
         "pq_codes",
         "pq_topk",
         "ivf_pq_topk",
+        "ivf_pq_residual_topk",
+        "length_drift_chisq",
+        "source_token_kl",
     ]
     jsc = spark.sparkContext._jsc.sc()
     spark.catalog.clearCache()
