@@ -742,6 +742,9 @@ def ivf_pq_residual_topk(
         .persist()
     )
     n_codes = coarse.count()  # K-row bounded table; also materializes it
+    # persisted: cells feeds BOTH the residual corpus and candidate
+    # generation — unpersisted, the corpus x K scoring scan would
+    # execute twice (a second full corpus pass at 100 TB)
     cells = (
         corpus.crossJoin(F.broadcast(coarse))
         .select(
@@ -756,6 +759,7 @@ def ivf_pq_residual_topk(
                 F.col("label"), F.struct(F.col("c_cos"), (-F.col("label")))
             ).alias("cell")
         )
+        .persist()
     )
     # residual subvector corpus: r = v - cv(cell), sliced into M parts
     rsub_entries = F.array(
@@ -864,7 +868,7 @@ def ivf_pq_residual_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "adc_e6", "rank")
     )
-    return attach_cached_deps(out, rsub, coarse)
+    return attach_cached_deps(out, rsub, coarse, cells)
 
 
 def oracle_ivf_pq_residual_topk_sql(

@@ -63,6 +63,11 @@ BNLJ_CEILING = {
     "event_key_skew": 4,
     "length_drift_chisq": 6,
     "source_token_kl": 4,
+    # textual reprint inflation: the residual corpus (persisted, runs
+    # once) carries the centroid crossJoin in its lineage, and each
+    # Lloyd-round consumer reprints it — two bounded K-row crossJoins
+    # execute at runtime
+    "ivf_pq_residual_topk": 40,
 }
 
 
