@@ -729,6 +729,19 @@ def _q_salted_segment_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def _q_bucketed_segment_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment order stats THROUGH the bucketed-join path (both
+    sides bucketBy custkey, SMJ-pinned) — third leg of the
+    join-strategy proof set; oracle is the PLAIN join."""
+    from retail_etl_pipeline_airflow_s3_athena_spark.sources import catalog as cat
+
+    return cat.bucketed_segment_order_stats(
+        spark,
+        spark.read.parquet(f"{sf_dir}/orders.parquet"),
+        spark.read.parquet(f"{sf_dir}/customer.parquet"),
+    )
+
+
 def _q_curriculum_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-curriculum training order over the realized mix: two
     distributed rank passes + the broadcast mixing plan."""
@@ -1343,6 +1356,7 @@ GATE_TAIL = [
     "chisq_stream_drift",
     "kl_stream_drift",
     "ivf_pq_residual_topk",
+    "bucketed_segment_order_stats",
     # evicted late-r7 to make room for the OLS quality model and the
     # Z-order layout diagnostic: all r6-driver-green (or r6-audited),
     # with 4-scale local full-precision evidence — first in line for
@@ -1547,6 +1561,7 @@ def _all_queries() -> dict[str, QueryFn]:
         "curriculum_mix": _q_curriculum_mix,
         "event_key_skew": _q_event_key_skew,
         "salted_segment_order_stats": _q_salted_segment_order_stats,
+        "bucketed_segment_order_stats": _q_bucketed_segment_order_stats,
         "bloom_decontaminate": _q_bloom_decontaminate,
         "knn_graph": _q_knn_graph,
         "semantic_dedup": _q_semantic_dedup,
@@ -1897,6 +1912,13 @@ def oracle_sql() -> dict[str, str]:
 
     oracles["salted_segment_order_stats"] = (
         oracle_salted_segment_order_stats_sql()
+    )
+    from retail_etl_pipeline_airflow_s3_athena_spark.sources.catalog import (
+        oracle_bucketed_segment_order_stats_sql,
+    )
+
+    oracles["bucketed_segment_order_stats"] = (
+        oracle_bucketed_segment_order_stats_sql()
     )
     oracles["event_transitions"] = event_ops.oracle_event_transitions_sql()
     oracles["standardize_embeddings"] = (

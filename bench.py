@@ -222,6 +222,7 @@ STANDALONE = [
     "chisq_stream_drift",
     "kl_stream_drift",
     "ivf_pq_residual_topk",
+    "bucketed_segment_order_stats",
 ]
 
 

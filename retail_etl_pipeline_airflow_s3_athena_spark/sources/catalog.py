@@ -90,3 +90,69 @@ def register_temp_view(df: DataFrame, name: str) -> None:
     """Session-scoped registration — the in-process fast path used by
     tests and the analytics layer."""
     df.createOrReplaceTempView(name)
+
+
+def bucketed_segment_order_stats(
+    spark, orders, customer, buckets: int = 8
+):
+    """(c_mktsegment, n_orders, total_price, avg_price): per-segment
+    order stats THROUGH the bucketed-join path — both sides persisted
+    ``bucketBy(buckets, custkey)`` sorted, then sort-merge-joined (the
+    ``merge`` hint pins SMJ without mutating session confs, so the
+    bucketed scan-to-scan zip is what executes; the zero-Exchange plan
+    shape is asserted in tests/test_pipeline.py).  Gated against the
+    plain-join oracle, this is the third leg of the join-strategy
+    proof set: AQE skew split (test), salting (salted_segment_order_
+    stats), and bucketing all produce bit-identical answers.
+
+    At 100 TB: bucketing pre-pays the fact-side exchange once at write
+    time; every subsequent join on the bucket key is shuffle-free.
+    The exact-cents aggregates keep the result independent of bucket
+    count and task order."""
+    from pyspark.sql import functions as F
+
+    from retail_etl_pipeline_airflow_s3_athena_spark.functions.money import (
+        money_avg,
+        money_sum,
+    )
+
+    write_bucketed_table(
+        orders.select(
+            F.col("o_custkey").alias("custkey"), "o_totalprice"
+        ),
+        "gate_bucketed_orders", "custkey", buckets,
+    )
+    write_bucketed_table(
+        customer.select(
+            F.col("c_custkey").alias("custkey"), "c_mktsegment"
+        ),
+        "gate_bucketed_customer", "custkey", buckets,
+    )
+    return (
+        spark.table("gate_bucketed_orders")
+        .join(spark.table("gate_bucketed_customer").hint("merge"), "custkey")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            money_sum("o_totalprice").alias("total_price"),
+            money_avg("o_totalprice").alias("avg_price"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+def oracle_bucketed_segment_order_stats_sql() -> str:
+    from retail_etl_pipeline_airflow_s3_athena_spark.functions.money import (
+        sql_money_avg,
+        sql_money_sum,
+    )
+
+    return f"""
+        SELECT c.c_mktsegment,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               {sql_money_sum('o.o_totalprice')} AS total_price,
+               {sql_money_avg('o.o_totalprice')} AS avg_price
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1
+        ORDER BY c.c_mktsegment
+    """
