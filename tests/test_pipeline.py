@@ -563,3 +563,27 @@ def test_silver_schema_drift_across_partitions(spark, tmp_path):
     assert rows[1]["channel"] is None          # pre-drift partition
     assert rows[2]["channel"] == "web"
     assert len(rows) == 2
+
+
+def test_gated_bucketed_join_is_shuffle_free_on_key(spark, sf_dir):
+    """The gate-checked bucketed query must actually exercise the
+    bucketed zip: executed plan shows a SortMergeJoin with NO exchange
+    on the join key (the only exchanges are the downstream groupBy /
+    orderBy on c_mktsegment)."""
+    import re
+
+    from retail_etl_pipeline_airflow_s3_athena_spark.sources import catalog as cat
+
+    df = cat.bucketed_segment_order_stats(
+        spark,
+        spark.read.parquet(f"{sf_dir}/orders.parquet"),
+        spark.read.parquet(f"{sf_dir}/customer.parquet"),
+    )
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan and "BroadcastHashJoin" not in plan
+    key_exchanges = [
+        l for l in plan.splitlines()
+        if re.search(r"Exchange.*custkey", l)
+    ]
+    assert not key_exchanges, key_exchanges
