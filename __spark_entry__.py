@@ -26,6 +26,7 @@ from retail_etl_pipeline_airflow_s3_athena_spark.operators import drift as drift
 from retail_etl_pipeline_airflow_s3_athena_spark.operators import mixing as mixing_ops
 from retail_etl_pipeline_airflow_s3_athena_spark.operators import events as event_ops
 from retail_etl_pipeline_airflow_s3_athena_spark.operators import multimodal as mm_ops
+from retail_etl_pipeline_airflow_s3_athena_spark.operators import png as png_ops
 from retail_etl_pipeline_airflow_s3_athena_spark.operators import pq as pq_ops
 from retail_etl_pipeline_airflow_s3_athena_spark.operators import scd as scd_ops
 from retail_etl_pipeline_airflow_s3_athena_spark.operators import similarity as sim_ops
@@ -67,8 +68,36 @@ from retail_etl_pipeline_airflow_s3_athena_spark.plans import (
     retail_views,
 )
 from retail_etl_pipeline_airflow_s3_athena_spark.sources import readers
+from retail_etl_pipeline_airflow_s3_athena_spark.functions.caching import (
+    attach_cached_deps,
+    carried_deps,
+)
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+def _csv_array(col: str):  # noqa: ANN202 - Column
+    """Render an array<numeric> column as a canonical CSV string
+    (``1,7,3``) for the driver gate: the harness canonicalizer hashes
+    scalar cells only, so no ``queries()`` output may carry an array
+    column (r7 verdict #1; enforced by test_gate_schemas.py)."""
+    return F.concat_ws(
+        ",", F.transform(F.col(col), lambda x: x.cast("string"))
+    )
+
+
+def _csv_oracle(sql: str, array_cols: list[str], other_cols: list[str],
+                order_by: str) -> str:
+    """Wrap an array-emitting oracle query so the listed columns come
+    back as the same canonical CSV strings `_csv_array` produces."""
+    proj = ", ".join(
+        other_cols
+        + [
+            f"COALESCE(array_to_string({c}, ','), '') AS {c}"
+            for c in array_cols
+        ]
+    )
+    return f"SELECT {proj} FROM ({sql}) ORDER BY {order_by}"
 
 
 # ---------------------------------------------------------------------------
@@ -403,8 +432,16 @@ def _q_bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The corpus tokenized under the learned BPE — per-doc ordered
     token-id sequences (what sequence packing consumes); the
     dictionary join, vocab numbering, and ordered reassembly run as
-    real relational work in BOTH engines."""
-    return bpe_ops.bpe_encode_docs(readers.read_documents(spark, sf_dir))
+    real relational work in BOTH engines.
+
+    Gate projection: the array column is rendered as a canonical CSV
+    string (`1,7,3`) because the driver's canonicalizer hashes scalar
+    cells only (r7 verdict #1) — the array-returning operator API is
+    unchanged (pack_sequences consumes it)."""
+    out = bpe_ops.bpe_encode_docs(readers.read_documents(spark, sf_dir))
+    deps = carried_deps(out)
+    flat = out.withColumn("token_ids", _csv_array("token_ids"))
+    return attach_cached_deps(flat, *deps)
 
 
 def _q_scd2_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -935,8 +972,15 @@ def _q_pq_codebooks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Each vector's M codeword ids — the 64x-compressed corpus
-    representation (the 100 TB memory story for ANN serving)."""
-    return pq_ops.pq_codes(_emb(spark, sf_dir))
+    representation (the 100 TB memory story for ANN serving).
+
+    Gate projection: codes rendered as a canonical CSV string (driver
+    canonicalizer hashes scalar cells only — r7 verdict #1); the
+    array-returning operator API is unchanged."""
+    out = pq_ops.pq_codes(_emb(spark, sf_dir))
+    deps = carried_deps(out)
+    flat = out.withColumn("codes", _csv_array("codes"))
+    return attach_cached_deps(flat, *deps)
 
 
 def _q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1232,6 +1276,17 @@ def _q_video_frame_luma(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_png_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-image decode: stdlib zlib inflate + RFC 2083
+    integer defilter over 8-bit PNG payloads (operators/png.py),
+    Arrow mapInPandas, integer stats + decoded-pixel checksums out.
+    Oracle: locally-recomputed VALUES literal — verifies the
+    DISTRIBUTED decode reproduces the local one bit-for-bit (the
+    resize_raw_images pattern)."""
+    media = png_ops.synthesize_png_images(spark, n=40)
+    return png_ops.png_features(media).orderBy("media_id")
+
+
 def _q_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Binary fixtures don't exist; the media table is synthesized
     # deterministically, and every output column is an integer/string
@@ -1342,6 +1397,9 @@ GATE_FIRST_50 = [
 ]
 
 GATE_TAIL = [
+    # r8 additions land here first; the final r8 window rotation pulls
+    # them into GATE_FIRST_50 (standing policy: newest evidence first)
+    "png_features",
     # newest (post-window-freeze r7): the distribution-drift family,
     # the shard provenance pair, and the salted-join proof — no driver
     # evidence yet, full 5-scale local gate evidence (sf0.001→sf5);
@@ -1536,6 +1594,7 @@ def _all_queries() -> dict[str, QueryFn]:
         "hash_sample_events": _q_hash_sample_events,
         "multimodal_pipeline": _q_multimodal_pipeline,
         "resize_raw_images": _q_resize_raw_images,
+        "png_features": _q_png_features,
         "audio_features_raw": _q_audio_features_raw,
         "video_frame_luma": _q_video_frame_luma,
         "daily_sales_summary": _q_daily_sales_summary,
@@ -1779,9 +1838,19 @@ def oracle_sql() -> dict[str, str]:
     )
     oracles["bpe_merges"] = bpe_ops.oracle_bpe_merges_sql()
     oracles["bpe_doc_tokens"] = bpe_ops.oracle_bpe_doc_tokens_sql()
-    oracles["bpe_encode_docs"] = bpe_ops.oracle_bpe_encode_docs_sql()
+    oracles["bpe_encode_docs"] = _csv_oracle(
+        bpe_ops.oracle_bpe_encode_docs_sql(),
+        array_cols=["token_ids"],
+        other_cols=["doc_id", "n_tokens"],
+        order_by="doc_id",
+    )
     oracles["pq_codebooks"] = pq_ops.oracle_pq_codebooks_sql()
-    oracles["pq_codes"] = pq_ops.oracle_pq_codes_sql()
+    oracles["pq_codes"] = _csv_oracle(
+        pq_ops.oracle_pq_codes_sql(),
+        array_cols=["codes"],
+        other_cols=["vec_id"],
+        order_by="vec_id",
+    )
     oracles["pq_topk"] = pq_ops.oracle_pq_topk_sql()
     oracles["pq_recall"] = pq_ops.oracle_pq_recall_sql()
     oracles["ivf_pq_topk"] = pq_ops.oracle_ivf_pq_topk_sql()
@@ -2047,6 +2116,24 @@ def oracle_sql() -> dict[str, str]:
         + ", ".join(_resize_rows)
         + ") AS t(media_id, width, height, channels, checksum) "
         "ORDER BY media_id"
+    )
+    _png_rows = []
+    for _mid in range(40):
+        _ph, _pw, _pc, _pmean, _pedge, _pck = png_ops.png_stats(
+            png_ops.make_png_image(_mid)
+        )
+        _png_rows.append(
+            f"({_mid}, {_pw}, {_ph}, {_pc}, {_pmean}, {_pedge}, '{_pck}')"
+        )
+    oracles["png_features"] = (
+        "SELECT CAST(media_id AS BIGINT) AS media_id, "
+        "CAST(width AS INT) AS width, CAST(height AS INT) AS height, "
+        "CAST(channels AS INT) AS channels, "
+        "CAST(mean_c0_e2 AS BIGINT) AS mean_c0_e2, "
+        "CAST(edge_energy AS BIGINT) AS edge_energy, pixel_checksum "
+        "FROM (VALUES " + ", ".join(_png_rows)
+        + ") AS t(media_id, width, height, channels, mean_c0_e2,"
+        " edge_energy, pixel_checksum) ORDER BY media_id"
     )
     _audio_rows = []
     for _mid in range(40):

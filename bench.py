@@ -181,6 +181,8 @@ STANDALONE = [
     "resize_raw_images",
     "audio_features_raw",
     "video_frame_luma",
+    # r8: stdlib PNG decode (zlib inflate + integer defilter)
+    "png_features",
     # r7: DSIR importance weighting + mixing diagnostics
     # (deterministic fixed-point log2)
     "dsir_importance",

@@ -67,15 +67,30 @@ def with_zorder_key(
     x_col: Column,
     y_col: Column,
     out: str = "z",
+    keep_nulls: bool = False,
 ) -> DataFrame:
     """Attach the Morton key of two integer dimensions: stats row
-    (exact min/max of each) broadcast back, normalize, interleave.
-    Rows with a NULL in either dimension are dropped (a layout key
-    must be total)."""
+    (exact min/max of each, NULLs ignored) broadcast back, normalize,
+    interleave.  With ``keep_nulls=False`` (the diagnostic default)
+    rows with a NULL in either dimension are dropped; with
+    ``keep_nulls=True`` they get the sentinel key z = −1 (sorts
+    before every real 32-bit code) — the writer path uses this so a
+    layout REWRITE never loses rows (Delta/Iceberg ZORDER keeps
+    null-keyed rows too; r7 ADVICE).
+
+    The range normalization multiplies in DECIMAL(38,0): plain BIGINT
+    ``(x − min) · 65535`` silently wraps once the dimension range
+    exceeds ~1.4e14 (epoch-micros timestamps), producing garbage
+    Morton keys with no signal (r7 ADVICE) — the decimal product is
+    exact to 38 digits and ``div`` truncates it back to a ≤16-bit
+    BIGINT."""
     base = df.withColumn("_zx", x_col.cast("long")).withColumn(
         "_zy", y_col.cast("long")
     )
-    base = base.filter(F.col("_zx").isNotNull() & F.col("_zy").isNotNull())
+    if not keep_nulls:
+        base = base.filter(
+            F.col("_zx").isNotNull() & F.col("_zy").isNotNull()
+        )
     stats = base.agg(
         F.min("_zx").alias("_mnx"),
         F.max("_zx").alias("_mxx"),
@@ -83,9 +98,20 @@ def with_zorder_key(
         F.max("_zy").alias("_mxy"),
     )
     j = base.crossJoin(F.broadcast(stats))
-    xn = F.expr(f"(_zx - _mnx) * {MAX_N} div greatest(_mxx - _mnx, 1)")
-    yn = F.expr(f"(_zy - _mny) * {MAX_N} div greatest(_mxy - _mny, 1)")
-    return j.withColumn(out, _interleave(xn, yn)).drop(
+    xn = F.expr(
+        f"CAST(_zx - _mnx AS DECIMAL(38,0)) * {MAX_N}"
+        " div greatest(CAST(_mxx - _mnx AS DECIMAL(38,0)), 1)"
+    )
+    yn = F.expr(
+        f"CAST(_zy - _mny AS DECIMAL(38,0)) * {MAX_N}"
+        " div greatest(CAST(_mxy - _mny AS DECIMAL(38,0)), 1)"
+    )
+    z = _interleave(xn, yn)
+    if keep_nulls:
+        z = F.when(
+            F.col("_zx").isNotNull() & F.col("_zy").isNotNull(), z
+        ).otherwise(F.lit(-1).cast("long"))
+    return j.withColumn(out, z).drop(
         "_zx", "_zy", "_mnx", "_mxx", "_mny", "_mxy"
     )
 
@@ -128,8 +154,14 @@ def write_zordered(
     Contiguous z-ranges per file ⇒ narrow per-file min/max footer
     stats on BOTH source dimensions (the pruning contract
     `zorder_layout` quantifies; test asserts per-partition extents
-    shrink vs the unordered layout)."""
-    keyed = with_zorder_key(df, x_col, y_col)
+    shrink vs the unordered layout).
+
+    NULL-keyed rows are KEPT under the sentinel z = −1 (they sort
+    into the first file(s)): a layout rewrite that silently drops
+    data is corruption, not optimization (r7 ADVICE; Delta/Iceberg
+    ZORDER keeps them too).  The NULL-drop stays on the diagnostic
+    path only."""
+    keyed = with_zorder_key(df, x_col, y_col, keep_nulls=True)
     (
         keyed.repartitionByRange(n_files, F.col("z"))
         .sortWithinPartitions("z")
@@ -157,8 +189,12 @@ def oracle_zorder_layout_sql(table: str = "orders") -> str:
         ),
         keyed AS (
             SELECT o_custkey, o_orderdate,
-                   (zx - mnx) * {MAX_N} // GREATEST(mxx - mnx, 1) AS xn,
-                   (zy - mny) * {MAX_N} // GREATEST(mxy - mny, 1) AS yn
+                   CAST(CAST(zx - mnx AS HUGEINT) * {MAX_N}
+                        // GREATEST(CAST(mxx - mnx AS HUGEINT), 1)
+                        AS BIGINT) AS xn,
+                   CAST(CAST(zy - mny AS HUGEINT) * {MAX_N}
+                        // GREATEST(CAST(mxy - mny AS HUGEINT), 1)
+                        AS BIGINT) AS yn
             FROM base CROSS JOIN stats
         )
         SELECT CAST({z} >> {BUCKET_SHIFT} AS BIGINT) AS bucket,

@@ -283,14 +283,22 @@ def synthesize_raw_images(spark: SparkSession, n: int = 40) -> DataFrame:
 
 
 def _decode_raw(payload: bytes):
-    """Decode an MM02 raw buffer to (h, w, c) uint8.  Compressed
-    payloads (anything else) raise — the PIL/ffmpeg swap-in point."""
+    """Decode an MM02 raw buffer OR an 8-bit PNG to (h, w, c) uint8.
+    PNG decodes via the stdlib codec in operators/png.py (zlib inflate
+    + integer defilter — deterministic, r7 verdict #5); remaining
+    compressed formats (JPEG/video) raise — the PIL/ffmpeg swap-in
+    point."""
     import numpy as np
 
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        from retail_etl_pipeline_airflow_s3_athena_spark.operators.png import decode_png
+
+        return decode_png(payload)
     if payload[:4] != RAW_MAGIC:
         raise NotImplementedError(
             "compressed media decoding requires imaging libraries not "
-            "present in this environment; only MM02 raw buffers decode"
+            "present in this environment; only MM02 raw buffers and "
+            "8-bit PNG decode"
         )
     w, h, c = struct.unpack_from("<III", payload, 4)
     buf = np.frombuffer(payload, dtype="uint8", offset=RAW_HEADER_LEN)

@@ -83,12 +83,25 @@ def _stats(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def _trunc_div(num: Column, den: Column) -> Column:
+    """Exact truncating division of non-negative DECIMAL(38,0)
+    operands: subtract the remainder, then divide — the quotient is an
+    exact integer, so Spark's HALF_UP scale-6 rounding of decimal
+    ``/`` is a no-op.  NOT ``floor(num / den)`` (Spark rounds the
+    quotient to scale 6 BEFORE floor — off-by-one when the true
+    fraction is >= .9999995; r7 ADVICE repro: 43000000300 / 1e9+7
+    gave 43, truth 42) and NOT ``num div den`` (``div`` returns
+    BIGINT, silently wrapping for >18-digit quotients)."""
+    return (num - num % den) / den
+
+
 def _signed_div_e(num: Column, den: Column, scale: int) -> Column:
-    """sign(num) · (scale·|num| div den): truncating fixed-point
-    division with the sign factored out, so Spark's ``div`` and
-    DuckDB's ``//`` agree exactly (both truncate; they'd differ on
-    negatives only via intermediate rounding conventions we avoid)."""
-    mag = F.floor(F.lit(scale).cast(_DEC) * F.abs(num) / den).cast("long")
+    """sign(num) · trunc(scale·|num| / den): truncating fixed-point
+    division with the sign factored out, so Spark and DuckDB's ``//``
+    agree exactly (both truncate; they'd differ on negatives only via
+    intermediate rounding conventions we avoid)."""
+    prod = F.lit(scale).cast(_DEC) * F.abs(num)
+    mag = _trunc_div(prod, den).cast("long")
     return (F.signum(num).cast("long") * mag).alias("_sd")
 
 
@@ -154,7 +167,7 @@ def length_model_outliers(
             F.col("x").alias("n_tokens"),
             F.col("y").alias("n_chars"),
             F.signum(r_num).cast("long").alias("resid_sign"),
-            F.floor(F.lit(100).cast(_DEC) * F.abs(r_num) / den)
+            _trunc_div(F.lit(100).cast(_DEC) * F.abs(r_num), den)
             .cast("long")
             .alias("resid_e2"),
             F.abs(r_num).alias("_r_abs"),

@@ -54,8 +54,18 @@ def key_skew_report(
         .select(
             "key",
             "n_rows",
-            F.expr(f"{E6} * n_rows div _total").alias("share_e6"),
-            F.expr("100 * n_rows * _nkeys div _total").alias("skew_x_e2"),
+            # DECIMAL(38,0) products: 100·n_rows·n_keys passes 2^63
+            # once n_rows·n_keys > ~9e16 — inside the 100 TB /
+            # billions-of-keys contract — and non-ANSI Spark would
+            # wrap silently while the DuckDB twin (HUGEINT) errors
+            # (r7 ADVICE).  The decimal product is exact to 38 digits
+            # and div truncates back to a small BIGINT.
+            F.expr(
+                f"CAST({E6} AS DECIMAL(38,0)) * n_rows div _total"
+            ).alias("share_e6"),
+            F.expr(
+                "100 * CAST(n_rows AS DECIMAL(38,0)) * _nkeys div _total"
+            ).alias("skew_x_e2"),
         )
     )
 
@@ -74,8 +84,10 @@ def oracle_key_skew_report_sql(
             FROM counts
         )
         SELECT key, n_rows,
-               CAST({E6} * n_rows // total AS BIGINT) AS share_e6,
-               CAST(100 * n_rows * nkeys // total AS BIGINT) AS skew_x_e2
+               CAST(CAST({E6} AS HUGEINT) * n_rows // total
+                    AS BIGINT) AS share_e6,
+               CAST(100 * CAST(n_rows AS HUGEINT) * nkeys // total
+                    AS BIGINT) AS skew_x_e2
         FROM counts CROSS JOIN totals
         ORDER BY n_rows DESC, key ASC
         LIMIT {int(top_k)}

@@ -1,0 +1,45 @@
+"""Gate-surface schema sweep (r7 verdict #2).
+
+The driver's correctness harness canonicalizes query output with
+pandas ``sort_values`` over every column, which raises
+``TypeError: unhashable type: 'list'`` on any array/map/struct cell
+(this killed ``bpe_encode_docs`` and ``pq_codes`` in round 7 even
+though their values were correct).  This sweep builds EVERY
+``queries()`` plan at sf0.001 and asserts each output field is an
+atomic type the harness can hash — so a future array-emitting gate
+entry fails here before it fails the driver.
+"""
+
+from __future__ import annotations
+
+import sys
+
+import pytest
+from pyspark.sql import types as T
+
+sys.path.insert(0, "/root/repo")
+
+import __spark_entry__ as entrymod  # noqa: E402
+from retail_etl_pipeline_airflow_s3_athena_spark.functions.caching import (  # noqa: E402
+    release_cached,
+)
+
+NESTED = (T.ArrayType, T.MapType, T.StructType)
+
+
+def test_all_gate_outputs_are_atomic(spark, sf_dir):
+    queries = entrymod.queries()
+    offenders: list[str] = []
+    for name in sorted(queries):
+        df = queries[name](spark, sf_dir)
+        for field in df.schema.fields:
+            if isinstance(field.dataType, NESTED):
+                offenders.append(
+                    f"{name}.{field.name}: {field.dataType.simpleString()}"
+                )
+        release_cached(df)
+    assert not offenders, (
+        "queries() outputs must be atomic (driver canonicalizer hashes "
+        "scalar cells only; see r7 verdict #1/#2):\n  "
+        + "\n  ".join(offenders)
+    )

@@ -99,3 +99,48 @@ def test_degenerate_inputs(spark):
     # empty input
     empty = df.filter(F.lit(False))
     assert layout.with_zorder_key(empty, F.col("x"), F.col("y")).count() == 0
+
+
+def test_write_zordered_keeps_null_keyed_rows(spark, tmp_path):
+    """A layout REWRITE must never lose rows: NULL-keyed rows land in
+    the sentinel bucket z = -1 (first file), the rest z-order normally
+    (r7 ADVICE; Delta/Iceberg ZORDER semantics)."""
+    df = spark.createDataFrame(
+        [(1, None, 10), (2, 7, None), (3, None, None), (4, 5, 40),
+         (5, 9, 50)],
+        "id LONG, x LONG, y LONG",
+    )
+    path = str(tmp_path / "z_nulls")
+    layout.write_zordered(df, F.col("x"), F.col("y"), path, n_files=2)
+    back = spark.read.parquet(path)
+    assert back.count() == 5  # nothing dropped
+    assert {r["id"] for r in back.collect()} == {1, 2, 3, 4, 5}
+    keyed = layout.with_zorder_key(
+        df, F.col("x"), F.col("y"), keep_nulls=True
+    ).collect()
+    assert {r["z"] for r in keyed if r["id"] in (1, 2, 3)} == {-1}
+    assert all(r["z"] >= 0 for r in keyed if r["id"] in (4, 5))
+
+
+def test_zorder_normalization_survives_huge_ranges(spark):
+    """Epoch-micros-scale dimension ranges (> 1.4e14) overflowed the
+    BIGINT (x-min)*65535 product and wrapped silently (r7 ADVICE);
+    the DECIMAL(38,0) product must keep keys exact and monotone."""
+    lo, hi = 0, 4 * 10**18  # range * 65535 >> 2^63
+    df = spark.createDataFrame(
+        [(lo, 0), (hi // 2, 0), (hi, 0)], "x LONG, y LONG"
+    )
+    out = {
+        r["x"]: r["z"]
+        for r in layout.with_zorder_key(
+            df, F.col("x"), F.col("y")
+        ).collect()
+    }
+    xs = sorted(out)
+    assert all(out[x] >= 0 for x in xs)
+    assert out[xs[0]] < out[xs[1]] < out[xs[2]]
+    # exact mirror: xn = (x-lo)*65535 // (hi-lo), y constant -> z =
+    # even-bit spread of xn
+    for x in xs:
+        xn = (x - lo) * layout.MAX_N // (hi - lo)
+        assert out[x] == _morton(xn, 0)

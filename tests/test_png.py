@@ -1,0 +1,162 @@
+"""Stdlib PNG codec: roundtrip across all five scanline filters,
+hand-computed defilter vectors pinned to RFC 2083 §6 semantics,
+loud-fail on unsupported/corrupt streams, and the distributed
+png_features / resize-over-PNG paths.
+
+Reference scope: none (the reference is text/CSV only) — extension
+coverage for the multimodal tier (r7 verdict #5)."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from retail_etl_pipeline_airflow_s3_athena_spark.operators import multimodal as mm
+from retail_etl_pipeline_airflow_s3_athena_spark.operators import png
+
+
+def _img(mid: int, c: int, h: int = 11, w: int = 13) -> np.ndarray:
+    yy, xx, cc = np.meshgrid(
+        np.arange(h), np.arange(w), np.arange(c), indexing="ij"
+    )
+    return ((mid * 31 + yy * 7 + xx * 13 + cc * 97) % 256).astype(np.uint8)
+
+
+def test_roundtrip_all_channel_counts_and_filters():
+    for c in (1, 2, 3, 4):
+        src = _img(5, c)
+        for cycle in (True, False):
+            back = png.decode_png(png.encode_png(src, filter_cycle=cycle))
+            assert back.shape == src.shape
+            assert np.array_equal(back, src)
+
+
+def test_roundtrip_each_filter_in_isolation():
+    # one-filter-per-image: h=6 with cycle puts every filter on some
+    # row, but pin each type alone too via a single-row-pair image
+    for ft in range(5):
+        h = 2
+        src = _img(ft + 1, 3, h=h, w=7)
+        # craft a stream with the given filter on every row by
+        # encoding filter-0 then re-filtering manually
+        flat = src.astype(np.int64)
+        stride = 7 * 3
+        bpp = 3
+        out = bytearray()
+        for y in range(h):
+            row = flat[y].reshape(-1)
+            prev = flat[y - 1].reshape(-1) if y else np.zeros(
+                stride, dtype=np.int64
+            )
+            left = np.concatenate(
+                [np.zeros(bpp, dtype=np.int64), row[:-bpp]]
+            )
+            upleft = np.concatenate(
+                [np.zeros(bpp, dtype=np.int64), prev[:-bpp]]
+            )
+            if ft == 0:
+                filt = row
+            elif ft == 1:
+                filt = row - left
+            elif ft == 2:
+                filt = row - prev
+            elif ft == 3:
+                filt = row - (left + prev) // 2
+            else:
+                pred = np.array(
+                    [
+                        png._paeth(int(a), int(b), int(cc))
+                        for a, b, cc in zip(left, prev, upleft)
+                    ],
+                    dtype=np.int64,
+                )
+                filt = row - pred
+            out.append(ft)
+            out.extend((filt % 256).astype(np.uint8).tobytes())
+        ihdr = struct.pack(">IIBBBBB", 7, h, 8, 2, 0, 0, 0)
+        payload = (
+            png.PNG_MAGIC
+            + png._chunk(b"IHDR", ihdr)
+            + png._chunk(b"IDAT", zlib.compress(bytes(out)))
+            + png._chunk(b"IEND", b"")
+        )
+        assert np.array_equal(png.decode_png(payload), src), f"filter {ft}"
+
+
+def test_paeth_predictor_spec_vectors():
+    # RFC 2083 §6.6: ties break a, then b
+    assert png._paeth(0, 0, 0) == 0
+    assert png._paeth(10, 20, 15) == 15  # p=15: pa=5 pb=5 pc=0 -> c
+    assert png._paeth(10, 20, 5) == 20  # p=25: pa=15 pb=5 pc=20 -> b
+    assert png._paeth(10, 10, 0) == 10  # pa=pb=10 pc=20: tie -> a
+    assert png._paeth(100, 50, 200) == 50  # p=-50 clamps toward b
+    assert png._paeth(3, 200, 150) == 3
+
+
+def test_loud_fail_on_unsupported_and_corrupt():
+    src = _img(2, 3)
+    good = png.encode_png(src)
+    with pytest.raises(ValueError):
+        png.decode_png(b"JFIF" + good[4:])
+    with pytest.raises(ValueError):
+        png.decode_png(good[:40])  # truncated chunk
+    # 16-bit depth: flip IHDR depth byte (offset 8+8+8+8=IHDR data at
+    # 16; depth is byte 8 of IHDR data)
+    deep = bytearray(good)
+    deep[16 + 8] = 16
+    # fix the CRC so the depth check (not a CRC failure) is what trips
+    ihdr_data = bytes(deep[16 : 16 + 13])
+    deep[16 + 13 : 16 + 17] = struct.pack(
+        ">I", zlib.crc32(b"IHDR" + ihdr_data) & 0xFFFFFFFF
+    )
+    with pytest.raises(NotImplementedError):
+        png.decode_png(bytes(deep))
+    # palette color type
+    pal = bytearray(good)
+    pal[16 + 9] = 3
+    with pytest.raises(NotImplementedError):
+        png.decode_png(bytes(pal))
+
+
+def test_png_features_distributed_matches_local(spark):
+    media = png.synthesize_png_images(spark, n=12)
+    rows = {
+        r["media_id"]: r
+        for r in png.png_features(media).collect()
+    }
+    assert len(rows) == 12
+    for mid in range(12):
+        h, w, c, mean_e2, edge, ck = png.png_stats(png.make_png_image(mid))
+        r = rows[mid]
+        assert (r["width"], r["height"], r["channels"]) == (w, h, c)
+        assert r["mean_c0_e2"] == mean_e2
+        assert r["edge_energy"] == edge
+        assert r["pixel_checksum"] == ck
+
+
+def test_resize_media_accepts_png_payloads(spark):
+    # the MM02 resize path decodes PNG transparently now; a resized
+    # PNG-sourced image equals the resize of the locally-decoded pixels
+    media = png.synthesize_png_images(spark, n=6)
+    out = {
+        r["media_id"]: r
+        for r in mm.resize_media(media, 8, 8).collect()
+    }
+    assert len(out) == 6
+    for mid in range(6):
+        img = png.decode_png(png.make_png_image(mid))
+        h, w, c = img.shape
+        iy = (np.arange(8) * h) // 8
+        ix = (np.arange(8) * w) // 8
+        resized = img[iy][:, ix]
+        expect = (
+            mm.RAW_MAGIC + struct.pack("<III", 8, 8, c) + resized.tobytes()
+        )
+        import hashlib
+
+        assert out[mid]["checksum"] == hashlib.sha256(expect).hexdigest()[:16]
+        assert out[mid]["channels"] == c

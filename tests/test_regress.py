@@ -102,3 +102,27 @@ def test_degenerate_inputs(spark):
         "doc_id INT, text STRING",
     )
     assert regress.length_model_fit(nulls).collect()[0]["n_docs"] == 2
+
+
+def test_signed_div_truncates_exactly(spark):
+    """r7 ADVICE repro: decimal '/' rounds HALF_UP to scale 6 before
+    floor, so floor(100*430000003 / (1e9+7)) said 43; truth (and
+    DuckDB //) is 42.  _signed_div_e must truncate exactly, and stay
+    exact on >18-digit quotients where `div` would wrap to BIGINT."""
+    dec = "decimal(38,0)"
+    df = spark.createDataFrame(
+        [(430000003, 10**9 + 7), (-430000003, 10**9 + 7), (7, 2)],
+        "num LONG, den LONG",
+    ).select(F.col("num").cast(dec).alias("num"),
+             F.col("den").cast(dec).alias("den"))
+    got = [
+        r["_sd"]
+        for r in df.select(
+            regress._signed_div_e(F.col("num"), F.col("den"), 100)
+        ).collect()
+    ]
+    truth = [
+        (1 if n > 0 else -1) * (100 * abs(n) // d)
+        for n, d in [(430000003, 10**9 + 7), (-430000003, 10**9 + 7), (7, 2)]
+    ]
+    assert got == truth
