@@ -26,6 +26,9 @@ from retail_etl_pipeline_airflow_s3_athena_spark.operators import drift as drift
 from retail_etl_pipeline_airflow_s3_athena_spark.operators import mixing as mixing_ops
 from retail_etl_pipeline_airflow_s3_athena_spark.operators import events as event_ops
 from retail_etl_pipeline_airflow_s3_athena_spark.operators import multimodal as mm_ops
+from retail_etl_pipeline_airflow_s3_athena_spark.operators import annindex as annindex_ops
+from retail_etl_pipeline_airflow_s3_athena_spark.operators import dedupstore as store_ops
+from retail_etl_pipeline_airflow_s3_athena_spark.operators import imagehash as ih_ops
 from retail_etl_pipeline_airflow_s3_athena_spark.operators import png as png_ops
 from retail_etl_pipeline_airflow_s3_athena_spark.operators import pq as pq_ops
 from retail_etl_pipeline_airflow_s3_athena_spark.operators import scd as scd_ops
@@ -1287,6 +1290,49 @@ def _q_png_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return png_ops.png_features(media).orderBy("media_id")
 
 
+def _q_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image dedup (dHash, banded like SimHash): REAL
+    decode of a mixed raw-MM02/PNG corpus with planted cross-format
+    duplicates, then pure relational banding + bit_count verify.
+    Hybrid oracle (the BPE pattern): signatures as a locally-
+    recomputed VALUES literal, pairing semantics as real SQL."""
+    media = ih_ops.synthesize_image_corpus(spark, n=48)
+    return ih_ops.image_near_dup(media).orderBy("id_a", "id_b")
+
+
+def _q_stored_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-run incremental dedup: the corpus side persisted ONCE as
+    bucketed catalog tables (bands/shingles/sizes/stop), the src1
+    batch scored against the store with no corpus-side Exchange
+    (plan-asserted in tests/test_dedupstore.py).  The oracle
+    recomputes the store inline from the documents table — store
+    contents are a pure function of the old rows."""
+    docs = _docs(spark, sf_dir)
+    store_ops.write_fingerprint_store(
+        docs.filter("NOT (source = 'src1')"), "fp_store_gate"
+    )
+    return store_ops.stored_near_dups(
+        spark, docs.filter("source = 'src1'"), "fp_store_gate"
+    ).orderBy("new_doc_id", "old_doc_id")
+
+
+def _q_ann_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-once/query-forever ANN: IVF-PQ index persisted to parquet
+    (codes partitioned by coarse cell), then the ADC top-k planned
+    against the PERSISTED tables — zero Lloyd rounds at query time
+    (plan-asserted in tests/test_annindex.py).  write+query reproduces
+    ivf_pq_topk bit-for-bit, so the oracle IS the ivf_pq_topk twin."""
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix="annidx_gate_")
+    emb = _emb(spark, sf_dir)
+    annindex_ops.write_ann_index(emb, path)
+    q = annindex_ops.corpus_queries(emb)
+    return annindex_ops.ann_query(spark, path, q).orderBy(
+        "query_id", "rank"
+    )
+
+
 def _q_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Binary fixtures don't exist; the media table is synthesized
     # deterministically, and every output column is an integer/string
@@ -1400,6 +1446,9 @@ GATE_TAIL = [
     # r8 additions land here first; the final r8 window rotation pulls
     # them into GATE_FIRST_50 (standing policy: newest evidence first)
     "png_features",
+    "image_near_dup",
+    "stored_near_dups",
+    "ann_index_topk",
     # newest (post-window-freeze r7): the distribution-drift family,
     # the shard provenance pair, and the salted-join proof — no driver
     # evidence yet, full 5-scale local gate evidence (sf0.001→sf5);
@@ -1595,6 +1644,9 @@ def _all_queries() -> dict[str, QueryFn]:
         "multimodal_pipeline": _q_multimodal_pipeline,
         "resize_raw_images": _q_resize_raw_images,
         "png_features": _q_png_features,
+        "image_near_dup": _q_image_near_dup,
+        "stored_near_dups": _q_stored_near_dups,
+        "ann_index_topk": _q_ann_index_topk,
         "audio_features_raw": _q_audio_features_raw,
         "video_frame_luma": _q_video_frame_luma,
         "daily_sales_summary": _q_daily_sales_summary,
@@ -2125,6 +2177,11 @@ def oracle_sql() -> dict[str, str]:
         _png_rows.append(
             f"({_mid}, {_pw}, {_ph}, {_pc}, {_pmean}, {_pedge}, '{_pck}')"
         )
+    oracles["image_near_dup"] = ih_ops.oracle_image_near_dup_values(n=48)
+    oracles["stored_near_dups"] = store_ops.oracle_stored_near_dups_sql(
+        "source = 'src1'"
+    )
+    oracles["ann_index_topk"] = pq_ops.oracle_ivf_pq_topk_sql()
     oracles["png_features"] = (
         "SELECT CAST(media_id AS BIGINT) AS media_id, "
         "CAST(width AS INT) AS width, CAST(height AS INT) AS height, "

@@ -181,8 +181,13 @@ STANDALONE = [
     "resize_raw_images",
     "audio_features_raw",
     "video_frame_luma",
-    # r8: stdlib PNG decode (zlib inflate + integer defilter)
+    # r8: stdlib PNG decode (zlib inflate + integer defilter),
+    # perceptual image dedup, persisted fingerprint store, persisted
+    # ANN index (train-once/query-forever)
     "png_features",
+    "image_near_dup",
+    "stored_near_dups",
+    "ann_index_topk",
     # r7: DSIR importance weighting + mixing diagnostics
     # (deterministic fixed-point log2)
     "dsir_importance",

@@ -1,0 +1,82 @@
+"""Persisted ANN index: write-once/query-forever must reproduce the
+retrain-per-call ivf_pq_topk bit-for-bit, and the query plan must be
+training-free and partition-pruned.
+
+Reference scope: none (no vector surface in the reference) —
+extension coverage for the ANN serving tier (r7 verdict #6)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from retail_etl_pipeline_airflow_s3_athena_spark.functions.caching import release_cached
+from retail_etl_pipeline_airflow_s3_athena_spark.operators import annindex, pq
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def index_path(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("ann") / "idx")
+    manifest = annindex.write_ann_index(_emb(spark), path)
+    assert manifest["codes"] > 0 and manifest["codebooks"] > 0
+    return path
+
+
+def test_persisted_query_equals_retrained_ivf_pq(spark, index_path):
+    """The whole point: write_ann_index -> ann_query == ivf_pq_topk
+    (same tie-breaks, same exact-e6 integers) with zero training at
+    query time."""
+    queries = annindex.corpus_queries(_emb(spark))
+    got = annindex.ann_query(spark, index_path, queries)
+    got_rows = [tuple(r) for r in got.orderBy("query_id", "rank").collect()]
+    release_cached(got)
+    want = pq.ivf_pq_topk(_emb(spark))
+    want_rows = [
+        tuple(r) for r in want.orderBy("query_id", "rank").collect()
+    ]
+    release_cached(want)
+    assert got_rows == want_rows
+    assert len(got_rows) > 0
+
+
+def test_query_plan_is_training_free_and_pruned(spark, index_path):
+    queries = annindex.corpus_queries(_emb(spark))
+    df = annindex.ann_query(spark, index_path, queries)
+    df.collect()  # finalize the adaptive plan on THIS queryExecution
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    release_cached(df)
+    # training-free: the only scans are the 3 persisted index tables +
+    # the query set — never the raw corpus re-read for Lloyd rounds
+    assert "centroids" in plan and "codebooks" in plan and "codes" in plan
+    # the codes scan is partition-PRUNED by the probe list: an IN
+    # filter over the cell partition column reaches the scan
+    assert "PartitionFilters" in plan
+    import re
+
+    m = re.search(r"PartitionFilters: \[[^\]]*cell[^\]]*IN?\b[^\]]*\]", plan)
+    assert m, "codes scan must carry a cell partition filter"
+
+
+def test_out_of_corpus_queries_work(spark, index_path):
+    """Serving queries are NEW vectors, not corpus rows: shift ids
+    out of corpus range, keep the payloads — every query still gets k
+    ranked neighbors and no self-exclusion applies."""
+    base = _emb(spark).filter(F.col("vec_id") < 3)
+    queries = base.select(
+        (F.col("vec_id") + 10**9).alias("query_id"), "embedding"
+    )
+    out = annindex.ann_query(spark, index_path, queries, k=5)
+    rows = out.collect()
+    release_cached(out)
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["query_id"], []).append(r["rank"])
+    assert set(per_q) == {10**9, 10**9 + 1, 10**9 + 2}
+    for ranks in per_q.values():
+        assert sorted(ranks) == [1, 2, 3, 4, 5]

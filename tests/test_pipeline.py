@@ -448,6 +448,9 @@ def test_cache_ownership_sweep_no_leaks(spark):
         "ivf_pq_residual_topk",
         "length_drift_chisq",
         "source_token_kl",
+        # r8: persisted-store and persisted-index query paths
+        "stored_near_dups",
+        "ann_index_topk",
     ]
     jsc = spark.sparkContext._jsc.sc()
     spark.catalog.clearCache()
