@@ -1367,119 +1367,45 @@ def entry(spark: SparkSession) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 GATE_FIRST_50 = [
-    # r7 rotation (VERDICT r6 #2): lead with the queries whose
-    # implementation changed this round (distributed two-pass rank,
-    # mixed exact accumulators, the new multimodal_pipeline value
-    # oracle), then the 13 r3-era entries whose driver evidence
-    # pre-dates the r6 integer-cents conversion, then the
-    # reference-parity core (kept fresh every round), then the stalest
-    # r4-verified rows that fit.
-    "customer_value_tiles",
-    "brand_corr_stats",
-    "encode_token_ids",
-    "multimodal_pipeline",
-    # r3-era evidence, pre-money-conversion (VERDICT r6 #2)
-    "big_orders",
-    "bigram_vocab",
-    "churned_buyers",
-    "concurrent_sessions",
-    "dedup_exact",
-    "doc_chunks",
-    "hash_sample_events",
-    "late_shipment_priority",
-    "pack_bins",
-    "pack_sequences",
-    "quality_filter_docs",
-    "quantize_embeddings",
-    "stratified_sample_docs",
-    # reference-parity core (every round)
-    "daily_sales_summary",
-    "top_customers",
-    "product_performance",
-    "store_performance",
-    "daily_revenue",
-    "top_performing_customers",
-    "product_analysis",
-    "revenue_by_category",
-    # (the stale-r4 group was evicted one-by-one over the round as new
-    # operators claimed window slots — all sit at the head of the tail
-    # with 4-scale local full-precision evidence, first for r8)
-    # new r7 operators (no prior driver evidence): DSIR importance
-    # weighting + mixing diagnostics on the deterministic fixed-point
-    # log2; streaming DSIR maintenance; the BPE tokenizer family
-    # (learn / account / encode); the PQ family (train / encode /
-    # ADC / IVF-PQ)
-    "dsir_importance",
-    "dsir_select",
-    "mixing_plan",
-    "source_entropy",
-    "dsir_stream_importance",
-    "bpe_merges",
-    "bpe_doc_tokens",
+    # r8 rotation (r7 VERDICT #1/#3): lead with the two reshaped red
+    # rows (array outputs -> canonical CSV strings) and every query
+    # whose implementation changed this round, then the four new r8
+    # operators, then the eleven r7 entries with NO driver evidence
+    # yet, then the r4-era rows (stalest evidence), then the oldest
+    # r6-verified rows that fit, then the reference-parity core
+    # (kept fresh every round).
     "bpe_encode_docs",
-    "pq_codebooks",
     "pq_codes",
-    "pq_topk",
-    "ivf_pq_topk",
-    # late-r7 additions (no prior driver evidence): exact-substring
-    # duplicate spans (Lee et al. 2021 keep-first semantics), the
-    # realized training mix, and exact distributed percentiles on the
-    # two-pass rank
-    "dup_spans",
-    "strip_dup_spans",
-    "mixing_sample",
-    "order_value_quantiles",
-    "pq_recall",
-    # learned statistical quality model (exact-integer OLS) and the
-    # Z-order layout diagnostic, all fresh this round
+    # changed this round: truth-stage rewrite (near_dup_recall),
+    # decimal-overflow/rounding fixes (event_key_skew, zorder_layout,
+    # length_model_fit/outliers)
+    "near_dup_recall",
+    "event_key_skew",
+    "zorder_layout",
     "length_model_fit",
     "length_model_outliers",
-    "zorder_layout",
-    "data_card",
-    "cms_stream_heavy_hitters",
-    "near_dup_recall",
-    "curriculum_mix",
-    "event_key_skew",
-]
-
-GATE_TAIL = [
-    # r8 additions land here first; the final r8 window rotation pulls
-    # them into GATE_FIRST_50 (standing policy: newest evidence first)
+    # new r8 operators (stdlib PNG decode, perceptual image dedup,
+    # persisted fingerprint store, persisted ANN index)
     "png_features",
     "image_near_dup",
     "stored_near_dups",
     "ann_index_topk",
-    # newest (post-window-freeze r7): the distribution-drift family,
-    # the shard provenance pair, and the salted-join proof — no driver
-    # evidence yet, full 5-scale local gate evidence (sf0.001→sf5);
-    # first in line for the r8 window alongside the evicted rows below
+    # r7 entries with no driver evidence yet (post-window-freeze):
+    # drift family, shard provenance, join-strategy proofs, residual
+    # IVF-PQ
     "length_drift_chisq",
     "source_token_kl",
     "snapshot_value_psi",
     "psi_stream_drift",
+    "chisq_stream_drift",
+    "kl_stream_drift",
     "training_manifest",
     "manifest_diff",
     "salted_segment_order_stats",
-    "chisq_stream_drift",
-    "kl_stream_drift",
-    "ivf_pq_residual_topk",
     "bucketed_segment_order_stats",
-    # evicted late-r7 to make room for the OLS quality model and the
-    # Z-order layout diagnostic: all r6-driver-green (or r6-audited),
-    # with 4-scale local full-precision evidence — first in line for
-    # the r8 window
-    "embedding_near_dup",
-    "embedding_near_dup_lsh",
-    "near_dup_pairs",
-    "simhash_near_dup",
-    "asof_join_events",
-    "decontaminate_docs",
-    "scd2_customers",
-    "tfidf_top_terms",
-    # evicted from the r7 window to make room for the new operators:
-    # r4-driver-verified, 4-scale local full-precision evidence, and
-    # (for the GEMM pair / cosine+ivf) bit-identical-or-subsumed by
-    # windowed twins — FIRST in line for the r8 window
+    "ivf_pq_residual_topk",
+    # r4-era driver evidence (stalest) — the GEMM/LSH twins evicted
+    # in r7
     "cosine_topk",
     "ivf_topk",
     "lsh_candidate_pairs",
@@ -1494,7 +1420,69 @@ GATE_TAIL = [
     "session_window_stats",
     "silver_clean_events",
     "union_all_orders",
-    # deferred r4 rows — next in line for the r8 window
+    # oldest r6-verified rows that fit
+    "embedding_near_dup",
+    "embedding_near_dup_lsh",
+    "near_dup_pairs",
+    "simhash_near_dup",
+    "asof_join_events",
+    "decontaminate_docs",
+    # reference-parity core (every round)
+    "daily_sales_summary",
+    "top_customers",
+    "product_performance",
+    "store_performance",
+    "daily_revenue",
+    "top_performing_customers",
+    "product_analysis",
+    "revenue_by_category",
+]
+
+GATE_TAIL = [
+    # r6-driver-green rows whose evidence turns 3 rounds old at r9 —
+    # FIRST in line for the r9 window
+    "scd2_customers",
+    "tfidf_top_terms",
+    # evicted from the r7 window this round, all r7-driver-green
+    # (freshest evidence, so they rotate to the back of the queue):
+    # value-tile ranking, BPE/PQ training family, DSIR + mixing,
+    # spans, quantiles, data card, streams
+    "customer_value_tiles",
+    "brand_corr_stats",
+    "encode_token_ids",
+    "multimodal_pipeline",
+    "big_orders",
+    "bigram_vocab",
+    "churned_buyers",
+    "concurrent_sessions",
+    "dedup_exact",
+    "doc_chunks",
+    "hash_sample_events",
+    "late_shipment_priority",
+    "pack_bins",
+    "pack_sequences",
+    "quality_filter_docs",
+    "quantize_embeddings",
+    "stratified_sample_docs",
+    "dsir_importance",
+    "dsir_select",
+    "mixing_plan",
+    "source_entropy",
+    "dsir_stream_importance",
+    "bpe_merges",
+    "bpe_doc_tokens",
+    "pq_codebooks",
+    "pq_topk",
+    "ivf_pq_topk",
+    "dup_spans",
+    "strip_dup_spans",
+    "mixing_sample",
+    "order_value_quantiles",
+    "pq_recall",
+    "data_card",
+    "cms_stream_heavy_hitters",
+    "curriculum_mix",
+    # deferred r4 rows — next in line for the r9 window
     "simhash_signatures",
     "text_features",
     "topk_events_per_type",
