@@ -1311,9 +1311,38 @@ def _q_stored_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     store_ops.write_fingerprint_store(
         docs.filter("NOT (source = 'src1')"), "fp_store_gate"
     )
-    return store_ops.stored_near_dups(
+    out = store_ops.stored_near_dups(
         spark, docs.filter("source = 'src1'"), "fp_store_gate"
-    ).orderBy("new_doc_id", "old_doc_id")
+    )
+    return attach_cached_deps(
+        out.orderBy("new_doc_id", "old_doc_id"), *carried_deps(out)
+    )
+
+
+def _q_store_ingest_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL ingest loop: found the store, score batch 1 (src1),
+    APPEND it (bucketed-append — batch-sized shuffle only), then
+    score batch 2 (src2) — whose matches must now include src1 docs.
+    Stop-shingles stay the founding corpus's (append never recomputes
+    them), so every batch's scores are time-invariant.  The oracle
+    replays the same two-batch sequence inline."""
+    docs = _docs(spark, sf_dir)
+    store_ops.write_fingerprint_store(
+        docs.filter("source NOT IN ('src1', 'src2')"), "fp_loop_gate"
+    )
+    b1 = docs.filter("source = 'src1'")
+    scored1 = store_ops.stored_near_dups(spark, b1, "fp_loop_gate")
+    scored1.count()  # the loop scores THEN appends
+    from retail_etl_pipeline_airflow_s3_athena_spark.functions.caching import release_cached
+
+    release_cached(scored1)
+    store_ops.append_to_fingerprint_store(b1, "fp_loop_gate")
+    out = store_ops.stored_near_dups(
+        spark, docs.filter("source = 'src2'"), "fp_loop_gate"
+    )
+    return attach_cached_deps(
+        out.orderBy("new_doc_id", "old_doc_id"), *carried_deps(out)
+    )
 
 
 def _q_ann_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1328,8 +1357,9 @@ def _q_ann_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     annindex_ops.write_ann_index(emb, path)
     q = annindex_ops.corpus_queries(emb)
-    return annindex_ops.ann_query(spark, path, q).orderBy(
-        "query_id", "rank"
+    out = annindex_ops.ann_query(spark, path, q)
+    return attach_cached_deps(
+        out.orderBy("query_id", "rank"), *carried_deps(out)
     )
 
 
@@ -1389,6 +1419,7 @@ GATE_FIRST_50 = [
     "png_features",
     "image_near_dup",
     "stored_near_dups",
+    "store_ingest_loop",
     "ann_index_topk",
     # r7 entries with no driver evidence yet (post-window-freeze):
     # drift family, shard provenance, join-strategy proofs, residual
@@ -1426,7 +1457,6 @@ GATE_FIRST_50 = [
     "near_dup_pairs",
     "simhash_near_dup",
     "asof_join_events",
-    "decontaminate_docs",
     # reference-parity core (every round)
     "daily_sales_summary",
     "top_customers",
@@ -1443,6 +1473,7 @@ GATE_TAIL = [
     # FIRST in line for the r9 window
     "scd2_customers",
     "tfidf_top_terms",
+    "decontaminate_docs",
     # evicted from the r7 window this round, all r7-driver-green
     # (freshest evidence, so they rotate to the back of the queue):
     # value-tile ranking, BPE/PQ training family, DSIR + mixing,
@@ -1634,6 +1665,7 @@ def _all_queries() -> dict[str, QueryFn]:
         "png_features": _q_png_features,
         "image_near_dup": _q_image_near_dup,
         "stored_near_dups": _q_stored_near_dups,
+        "store_ingest_loop": _q_store_ingest_loop,
         "ann_index_topk": _q_ann_index_topk,
         "audio_features_raw": _q_audio_features_raw,
         "video_frame_luma": _q_video_frame_luma,
@@ -2170,6 +2202,11 @@ def oracle_sql() -> dict[str, str]:
         "source = 'src1'"
     )
     oracles["ann_index_topk"] = pq_ops.oracle_ivf_pq_topk_sql()
+    oracles["store_ingest_loop"] = store_ops.oracle_store_ingest_loop_sql(
+        "source NOT IN ('src1', 'src2')",
+        "source = 'src1'",
+        "source = 'src2'",
+    )
     oracles["png_features"] = (
         "SELECT CAST(media_id AS BIGINT) AS media_id, "
         "CAST(width AS INT) AS width, CAST(height AS INT) AS height, "

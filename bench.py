@@ -187,6 +187,7 @@ STANDALONE = [
     "png_features",
     "image_near_dup",
     "stored_near_dups",
+    "store_ingest_loop",
     "ann_index_topk",
     # r7: DSIR importance weighting + mixing diagnostics
     # (deterministic fixed-point log2)

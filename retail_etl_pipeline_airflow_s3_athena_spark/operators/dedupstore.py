@@ -136,6 +136,56 @@ def write_fingerprint_store(
     }
 
 
+def append_to_fingerprint_store(
+    new_docs: DataFrame,
+    store: str,
+    text_col: str = "text",
+) -> dict:
+    """The write side of the ingest loop: fold a scored batch INTO the
+    store so the NEXT batch dedups against it.  Appends batch-derived
+    rows to the bucketed bands/shingles/sizes tables (Spark appends to
+    bucketed tables with a matching spec — each append pays only a
+    batch-sized shuffle into the existing bucket layout).
+
+    The stop-shingle set is NOT recomputed (that needs a full-corpus
+    df re-aggregation — a periodic compaction job's business, not the
+    per-batch path): batch shingles are capped against the FOUNDING
+    corpus's stop set, keeping every batch's scores reproducible no
+    matter when it arrived.  Returns appended row counts."""
+    spark = new_docs.sparkSession
+    flat = _flat_shingles(new_docs, text_col).persist()
+    bands = _band_rows(_signatures_from(flat))
+    stop = spark.table(f"{store}_stop")
+    capped = flat.join(F.broadcast(stop), "s", "left_anti")
+    sizes = capped.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    n_bands = bands.count()
+    (
+        bands.write.bucketBy(STORE_BUCKETS, "band", "bh")
+        .sortBy("band", "bh")
+        .format("parquet")
+        .mode("append")
+        .saveAsTable(f"{store}_bands")
+    )
+    n_shingles = capped.count()
+    (
+        capped.write.bucketBy(STORE_BUCKETS, "doc_id")
+        .sortBy("doc_id")
+        .format("parquet")
+        .mode("append")
+        .saveAsTable(f"{store}_shingles")
+    )
+    n_sizes = sizes.count()
+    (
+        sizes.write.bucketBy(STORE_BUCKETS, "doc_id")
+        .sortBy("doc_id")
+        .format("parquet")
+        .mode("append")
+        .saveAsTable(f"{store}_sizes")
+    )
+    flat.unpersist()
+    return {"bands": n_bands, "shingles": n_shingles, "sizes": n_sizes}
+
+
 def stored_near_dups(
     spark: SparkSession,
     new_docs: DataFrame,
@@ -207,6 +257,72 @@ def stored_near_dups(
         .filter(F.col("jaccard") >= threshold)
     )
     return attach_cached_deps(out, nflat)
+
+
+def oracle_store_ingest_loop_sql(
+    founding_filter: str,
+    batch1_filter: str,
+    batch2_filter: str,
+    table: str = "documents",
+    t: str = "text",
+    threshold: float = 0.5,
+    max_df: int = MAX_SHINGLE_DF,
+) -> str:
+    """Twin of the two-batch ingest loop: batch2 scores against
+    founding ∪ batch1 (batch1 was appended), with the stop set from
+    the FOUNDING corpus only (append never recomputes it)."""
+    band_selects = "\n    UNION ALL\n".join(
+        f"    SELECT doc_id, {b} AS band, {_sql_band_hash(b)} AS bh FROM sig"
+        for b in range(NUM_BANDS)
+    )
+    jac = sql_dround(
+        "CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter)", 6
+    )
+    return f"""
+        WITH {_sql_signature_cte(table, t).strip()},
+        flags AS (
+            SELECT doc_id,
+                   ({founding_filter}) AS is_founding,
+                   ({batch1_filter}) AS is_b1,
+                   ({batch2_filter}) AS is_b2
+            FROM {table}
+        ),
+        bands AS (
+        {band_selects}
+        ),
+        pairs AS (
+            SELECT DISTINCT n.doc_id AS doc_a, o.doc_id AS doc_b
+            FROM bands n
+            JOIN flags fn ON n.doc_id = fn.doc_id AND fn.is_b2
+            JOIN bands o ON n.band = o.band AND n.bh = o.bh
+            JOIN flags fo ON o.doc_id = fo.doc_id
+                         AND (fo.is_founding OR fo.is_b1)
+        ),
+        sh_flat AS (SELECT doc_id, unnest(sh) AS s FROM sh_t),
+        stop AS (
+            SELECT s FROM sh_flat f
+            JOIN flags g ON f.doc_id = g.doc_id AND g.is_founding
+            GROUP BY s HAVING COUNT(*) > {max_df}
+        ),
+        shc AS (
+            SELECT doc_id, s FROM sh_flat
+            WHERE s NOT IN (SELECT s FROM stop)
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM shc GROUP BY doc_id),
+        inter AS (
+            SELECT p.doc_a, p.doc_b, COUNT(*) AS n_inter
+            FROM pairs p
+            JOIN shc a ON p.doc_a = a.doc_id
+            JOIN shc b ON p.doc_b = b.doc_id AND a.s = b.s
+            GROUP BY p.doc_a, p.doc_b
+        )
+        SELECT i.doc_a AS new_doc_id, i.doc_b AS old_doc_id,
+               {jac} AS jaccard
+        FROM inter i
+        JOIN sizes sa ON i.doc_a = sa.doc_id
+        JOIN sizes sb ON i.doc_b = sb.doc_id
+        WHERE {jac} >= {threshold}
+    """
 
 
 def oracle_stored_near_dups_sql(

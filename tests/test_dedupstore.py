@@ -114,3 +114,35 @@ def test_second_batch_reuses_store(spark, store):
     )
     release_cached(out2)
     assert second == first and len(first) > 0
+
+
+def test_append_then_next_batch_sees_appended_docs(spark):
+    """The ingest loop: after append_to_fingerprint_store(batch1), a
+    batch-2 doc duplicating a BATCH-1 doc (not in the founding
+    corpus) must match it."""
+    docs = _docs(spark)
+    founding = docs.filter("source NOT IN ('src1', 'src2')")
+    dedupstore.write_fingerprint_store(founding, "t_fp_loop")
+    b1 = docs.filter(NEW_FILTER)
+    dedupstore.append_to_fingerprint_store(b1, "t_fp_loop")
+    # batch 2 = batch 1's texts under fresh ids -> every doc must hit
+    # its batch-1 twin at jaccard 1.0
+    shift = 10**9
+    b2 = b1.withColumn("doc_id", F.col("doc_id") + shift)
+    out = dedupstore.stored_near_dups(spark, b2, "t_fp_loop")
+    rows = out.collect()
+    release_cached(out)
+    b1_ids = {r["doc_id"] for r in b1.select("doc_id").collect()}
+    exact = {
+        (r["new_doc_id"] - shift)
+        for r in rows
+        if r["old_doc_id"] == r["new_doc_id"] - shift
+        and r["jaccard"] == 1.0
+    }
+    # every batch-1 doc with >=1 sub-cap shingle must self-match
+    sizes = {
+        r["doc_id"]
+        for r in spark.table("t_fp_loop_sizes").collect()
+        if r["doc_id"] in b1_ids
+    }
+    assert exact == sizes and len(exact) > 0

@@ -450,6 +450,7 @@ def test_cache_ownership_sweep_no_leaks(spark):
         "source_token_kl",
         # r8: persisted-store and persisted-index query paths
         "stored_near_dups",
+        "store_ingest_loop",
         "ann_index_topk",
     ]
     jsc = spark.sparkContext._jsc.sc()
