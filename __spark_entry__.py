@@ -1363,6 +1363,37 @@ def _q_ann_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ANN_APPEND_SHIFT = 1 << 40
+
+
+def _q_ann_index_append_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index freshness without retraining (FAISS `add`): found the
+    index on the corpus, APPEND the same vectors under shifted ids
+    (assigned against the PERSISTED codebooks/centroids — no Lloyd
+    rounds), query.  Every query's top-k now interleaves original and
+    twin at identical ADC distances (original id wins the tie-break).
+    Oracle: the ivf_pq_topk twin over the DOUBLED corpus — exact
+    duplication preserves every centroid/codebook mean bit-for-bit
+    (sums and counts both double; the scaled-integer quotient is
+    unchanged), so training-on-founding == training-on-doubled and
+    one oracle covers the append semantics."""
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix="annapp_gate_")
+    emb = _emb(spark, sf_dir)
+    annindex_ops.write_ann_index(emb, path)
+    shifted = emb.withColumn(
+        "vec_id", F.col("vec_id") + F.lit(ANN_APPEND_SHIFT)
+    )
+    annindex_ops.append_to_ann_index(shifted, path)
+    out = annindex_ops.ann_query(
+        spark, path, annindex_ops.corpus_queries(emb)
+    )
+    return attach_cached_deps(
+        out.orderBy("query_id", "rank"), *carried_deps(out)
+    )
+
+
 def _q_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Binary fixtures don't exist; the media table is synthesized
     # deterministically, and every output column is an integer/string
@@ -1421,6 +1452,7 @@ GATE_FIRST_50 = [
     "stored_near_dups",
     "store_ingest_loop",
     "ann_index_topk",
+    "ann_index_append_topk",
     # r7 entries with no driver evidence yet (post-window-freeze):
     # drift family, shard provenance, join-strategy proofs, residual
     # IVF-PQ
@@ -1456,7 +1488,6 @@ GATE_FIRST_50 = [
     "embedding_near_dup_lsh",
     "near_dup_pairs",
     "simhash_near_dup",
-    "asof_join_events",
     # reference-parity core (every round)
     "daily_sales_summary",
     "top_customers",
@@ -1474,6 +1505,7 @@ GATE_TAIL = [
     "scd2_customers",
     "tfidf_top_terms",
     "decontaminate_docs",
+    "asof_join_events",
     # evicted from the r7 window this round, all r7-driver-green
     # (freshest evidence, so they rotate to the back of the queue):
     # value-tile ranking, BPE/PQ training family, DSIR + mixing,
@@ -1667,6 +1699,7 @@ def _all_queries() -> dict[str, QueryFn]:
         "stored_near_dups": _q_stored_near_dups,
         "store_ingest_loop": _q_store_ingest_loop,
         "ann_index_topk": _q_ann_index_topk,
+        "ann_index_append_topk": _q_ann_index_append_topk,
         "audio_features_raw": _q_audio_features_raw,
         "video_frame_luma": _q_video_frame_luma,
         "daily_sales_summary": _q_daily_sales_summary,
@@ -2202,6 +2235,14 @@ def oracle_sql() -> dict[str, str]:
         "source = 'src1'"
     )
     oracles["ann_index_topk"] = pq_ops.oracle_ivf_pq_topk_sql()
+    oracles["ann_index_append_topk"] = pq_ops.oracle_ivf_pq_topk_sql(
+        table=(
+            "(SELECT vec_id, embedding, label FROM embeddings"
+            " UNION ALL"
+            f" SELECT vec_id + {ANN_APPEND_SHIFT}, embedding, label"
+            " FROM embeddings) dbl"
+        )
+    )
     oracles["store_ingest_loop"] = store_ops.oracle_store_ingest_loop_sql(
         "source NOT IN ('src1', 'src2')",
         "source = 'src1'",

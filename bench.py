@@ -189,6 +189,7 @@ STANDALONE = [
     "stored_near_dups",
     "store_ingest_loop",
     "ann_index_topk",
+    "ann_index_append_topk",
     # r7: DSIR importance weighting + mixing diagnostics
     # (deterministic fixed-point log2)
     "dsir_importance",

@@ -51,6 +51,7 @@ from retail_etl_pipeline_airflow_s3_athena_spark.operators.pq import (
     SUB_DIM,
     _assign,
     _l2sq,
+    _sub_corpus,
     _train,
 )
 from retail_etl_pipeline_airflow_s3_athena_spark.operators.similarity import (
@@ -78,15 +79,22 @@ def _reassemble_vec(df: DataFrame, key_cols: list[str], out: str) -> DataFrame:
     )
 
 
-def _cell_assign(embeddings: DataFrame, dim: int = EMB_DIM) -> DataFrame:
+def _cell_assign(
+    embeddings: DataFrame,
+    dim: int = EMB_DIM,
+    coarse: DataFrame | None = None,
+) -> DataFrame:
     """(vec_id, cell): nearest coarse centroid by cosine, the
     ``ivf_pq_topk`` argmax discipline (max_by over the broadcast
-    centroid table, (cos desc, label asc) pinned)."""
+    centroid table, (cos desc, label asc) pinned).  ``coarse``
+    (label, cv, cnrm) defaults to centroids trained on ``embeddings``;
+    the append path passes the PERSISTED table instead."""
     corpus = _normed(embeddings, dim)
-    coarse = _centroid_vectors(embeddings).select(
-        "label", "cv",
-        F.sqrt(dot(F.col("cv"), F.col("cv"), dim)).alias("cnrm"),
-    )
+    if coarse is None:
+        coarse = _centroid_vectors(embeddings).select(
+            "label", "cv",
+            F.sqrt(dot(F.col("cv"), F.col("cv"), dim)).alias("cnrm"),
+        )
     return (
         corpus.crossJoin(F.broadcast(coarse))
         .select(
@@ -143,6 +151,49 @@ def write_ann_index(
         "codes": spark.read.parquet(f"{path}/codes").count(),
     }
     return manifest
+
+
+def _read_coarse(spark: SparkSession, path: str, dim: int) -> DataFrame:
+    """(label, cv, cnrm) reassembled from the persisted centroids."""
+    return _reassemble_vec(
+        spark.read.parquet(f"{path}/centroids"), ["label"], "cv"
+    ).select(
+        "label", "cv",
+        F.sqrt(dot(F.col("cv"), F.col("cv"), dim)).alias("cnrm"),
+    )
+
+
+def append_to_ann_index(
+    new_embeddings: DataFrame,
+    path: str,
+    dim: int = EMB_DIM,
+) -> int:
+    """Index freshness WITHOUT retraining: assign a new batch against
+    the PERSISTED codebooks/centroids and append its codes to the
+    cell-partitioned table — the write side of the serving loop
+    (FAISS `add`).  Cost ∝ batch: one broadcast codebook join for the
+    PQ codes, one broadcast centroid argmax for the cell, one
+    partitioned append.  Centroids/codebooks drift as the corpus
+    grows — re-training belongs to a periodic rebuild, not the
+    per-batch path (same discipline as the fingerprint store's stop
+    set).  Returns the number of vectors appended."""
+    spark = new_embeddings.sparkSession
+    books = _reassemble_vec(
+        spark.read.parquet(f"{path}/codebooks"), ["m", "code"], "scv"
+    )
+    sub = _sub_corpus(new_embeddings)
+    codes = _assign(sub, books).select("vec_id", "m", "code")
+    cells = _cell_assign(
+        new_embeddings, dim, coarse=_read_coarse(spark, path, dim)
+    )
+    appended = codes.join(cells, "vec_id")
+    n = appended.select("vec_id").distinct().count()
+    (
+        appended.write.mode("append")
+        .partitionBy("cell")
+        .parquet(f"{path}/codes")
+    )
+    return n
 
 
 def ann_query(

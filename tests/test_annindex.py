@@ -80,3 +80,47 @@ def test_out_of_corpus_queries_work(spark, index_path):
     assert set(per_q) == {10**9, 10**9 + 1, 10**9 + 2}
     for ranks in per_q.values():
         assert sorted(ranks) == [1, 2, 3, 4, 5]
+
+
+def test_append_without_retrain(spark, tmp_path):
+    """FAISS-`add` semantics: appended twins are assigned against the
+    PERSISTED books (no training), every query's neighbor list
+    interleaves original and twin at identical ADC distances with the
+    original id winning the tie-break."""
+    path = str(tmp_path / "idx")
+    emb = _emb(spark)
+    annindex.write_ann_index(emb, path)
+    before = spark.read.parquet(f"{path}/codes").count()
+    shift = 1 << 40
+    shifted = emb.withColumn("vec_id", F.col("vec_id") + F.lit(shift))
+    n = annindex.append_to_ann_index(shifted, path)
+    assert n == emb.filter(F.col("embedding").isNotNull()).count()
+    after = spark.read.parquet(f"{path}/codes")
+    assert after.count() == 2 * before
+    # twins carry the SAME codes and cells as their originals
+    orig = {
+        (r["vec_id"], r["m"]): (r["code"], r["cell"])
+        for r in after.filter(F.col("vec_id") < shift).collect()
+    }
+    twin = {
+        (r["vec_id"] - shift, r["m"]): (r["code"], r["cell"])
+        for r in after.filter(F.col("vec_id") >= shift).collect()
+    }
+    assert orig == twin
+    out = annindex.ann_query(
+        spark, path, annindex.corpus_queries(emb), k=4
+    )
+    rows = out.collect()
+    release_cached(out)
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(
+            (r["rank"], r["neighbor_id"], r["adc_e6"])
+        )
+    for qid, lst in by_q.items():
+        lst.sort()
+        # ranks come in (original, twin) adjacent pairs with equal adc
+        # — except the query's own twin, whose original is excluded
+        for (r1, n1, d1), (r2, n2, d2) in zip(lst, lst[1:]):
+            if n2 == n1 + (1 << 40):
+                assert d1 == d2 and r2 == r1 + 1

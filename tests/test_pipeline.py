@@ -452,6 +452,7 @@ def test_cache_ownership_sweep_no_leaks(spark):
         "stored_near_dups",
         "store_ingest_loop",
         "ann_index_topk",
+        "ann_index_append_topk",
     ]
     jsc = spark.sparkContext._jsc.sc()
     spark.catalog.clearCache()
