@@ -66,6 +66,14 @@ N_QUERIES = 5
 TOP_K = 10
 NPROBE = 2
 
+# Explicit read schemas: an index built from an EMPTY corpus is a
+# directory with no data files, where parquet schema inference fails —
+# empty partitions/corpora are routine at scale and the query path
+# must degrade to an empty result, not throw.
+CENTROIDS_SCHEMA = "label INT, pos INT, val DOUBLE"
+CODEBOOKS_SCHEMA = "m INT, code INT, pos INT, val DOUBLE"
+CODES_SCHEMA = "vec_id BIGINT, m INT, code INT, cell INT"
+
 
 def _reassemble_vec(df: DataFrame, key_cols: list[str], out: str) -> DataFrame:
     """(keys..., pos, val) -> (keys..., out: array<double>), the
@@ -146,9 +154,9 @@ def write_ann_index(
     )
     sub.unpersist()
     manifest = {
-        "centroids": spark.read.parquet(f"{path}/centroids").count(),
-        "codebooks": spark.read.parquet(f"{path}/codebooks").count(),
-        "codes": spark.read.parquet(f"{path}/codes").count(),
+        "centroids": spark.read.schema(CENTROIDS_SCHEMA).parquet(f"{path}/centroids").count(),
+        "codebooks": spark.read.schema(CODEBOOKS_SCHEMA).parquet(f"{path}/codebooks").count(),
+        "codes": spark.read.schema(CODES_SCHEMA).parquet(f"{path}/codes").count(),
     }
     return manifest
 
@@ -156,7 +164,7 @@ def write_ann_index(
 def _read_coarse(spark: SparkSession, path: str, dim: int) -> DataFrame:
     """(label, cv, cnrm) reassembled from the persisted centroids."""
     return _reassemble_vec(
-        spark.read.parquet(f"{path}/centroids"), ["label"], "cv"
+        spark.read.schema(CENTROIDS_SCHEMA).parquet(f"{path}/centroids"), ["label"], "cv"
     ).select(
         "label", "cv",
         F.sqrt(dot(F.col("cv"), F.col("cv"), dim)).alias("cnrm"),
@@ -179,7 +187,7 @@ def append_to_ann_index(
     set).  Returns the number of vectors appended."""
     spark = new_embeddings.sparkSession
     books = _reassemble_vec(
-        spark.read.parquet(f"{path}/codebooks"), ["m", "code"], "scv"
+        spark.read.schema(CODEBOOKS_SCHEMA).parquet(f"{path}/codebooks"), ["m", "code"], "scv"
     )
     sub = _sub_corpus(new_embeddings)
     codes = _assign(sub, books).select("vec_id", "m", "code")
@@ -214,13 +222,13 @@ def ann_query(
     sum + per-query top-k window.  The corpus-side scan reads ONLY
     the probed cells' files."""
     cents_vec = _reassemble_vec(
-        spark.read.parquet(f"{path}/centroids"), ["label"], "cv"
+        spark.read.schema(CENTROIDS_SCHEMA).parquet(f"{path}/centroids"), ["label"], "cv"
     ).select(
         "label", "cv",
         F.sqrt(dot(F.col("cv"), F.col("cv"), dim)).alias("cnrm"),
     )
     books = _reassemble_vec(
-        spark.read.parquet(f"{path}/codebooks"), ["m", "code"], "scv"
+        spark.read.schema(CODEBOOKS_SCHEMA).parquet(f"{path}/codebooks"), ["m", "code"], "scv"
     )
 
     # _normed reproduces EXACTLY the cast/norm path ivf_pq_topk's
@@ -256,7 +264,7 @@ def ann_query(
         {r["cell"] for r in probed.select("cell").distinct().collect()}
     )
 
-    codes = spark.read.parquet(f"{path}/codes").filter(
+    codes = spark.read.schema(CODES_SCHEMA).parquet(f"{path}/codes").filter(
         F.col("cell").isin(probe_cells)
     )
 

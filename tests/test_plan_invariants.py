@@ -68,6 +68,11 @@ BNLJ_CEILING = {
     # Lloyd-round consumer reprints it — two bounded K-row crossJoins
     # execute at runtime
     "ivf_pq_residual_topk": 40,
+    # reviewed r8: ONE bounded crossJoin executes (<=n_queries rows x
+    # K centroids, the probe scoring); the persisted `probed` subtree
+    # reprints it in plan text per consumer + AQE initial/final copies
+    "ann_index_topk": 8,
+    "ann_index_append_topk": 8,
 }
 
 
