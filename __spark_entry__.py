@@ -447,6 +447,21 @@ def _q_bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return attach_cached_deps(flat, *deps)
 
 
+def _q_bpe_encode_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-once/encode-forever tokenizer: the model (merges +
+    word dictionary + vocab) persisted to parquet, the corpus encoded
+    against the PERSISTED tables with zero merge rounds.  On the
+    training corpus this reproduces bpe_encode_docs bit-for-bit, so
+    the oracle is the same (CSV-projected) twin."""
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix="bpe_model_gate_")
+    docs = readers.read_documents(spark, sf_dir)
+    bpe_ops.write_bpe_model(docs, path)
+    out = bpe_ops.encode_with_model(docs, path)
+    return out.withColumn("token_ids", _csv_array("token_ids"))
+
+
 def _q_scd2_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD2 MERGE step: customers seeded as the live dimension; the
     update snapshot bumps acctbal by 10 per open order (deterministic
@@ -1453,6 +1468,7 @@ GATE_FIRST_50 = [
     "store_ingest_loop",
     "ann_index_topk",
     "ann_index_append_topk",
+    "bpe_encode_persisted",
     # r7 entries with no driver evidence yet (post-window-freeze):
     # drift family, shard provenance, join-strategy proofs, residual
     # IVF-PQ
@@ -1487,7 +1503,6 @@ GATE_FIRST_50 = [
     "embedding_near_dup",
     "embedding_near_dup_lsh",
     "near_dup_pairs",
-    "simhash_near_dup",
     # reference-parity core (every round)
     "daily_sales_summary",
     "top_customers",
@@ -1506,6 +1521,7 @@ GATE_TAIL = [
     "tfidf_top_terms",
     "decontaminate_docs",
     "asof_join_events",
+    "simhash_near_dup",
     # evicted from the r7 window this round, all r7-driver-green
     # (freshest evidence, so they rotate to the back of the queue):
     # value-tile ranking, BPE/PQ training family, DSIR + mixing,
@@ -1700,6 +1716,7 @@ def _all_queries() -> dict[str, QueryFn]:
         "store_ingest_loop": _q_store_ingest_loop,
         "ann_index_topk": _q_ann_index_topk,
         "ann_index_append_topk": _q_ann_index_append_topk,
+        "bpe_encode_persisted": _q_bpe_encode_persisted,
         "audio_features_raw": _q_audio_features_raw,
         "video_frame_luma": _q_video_frame_luma,
         "daily_sales_summary": _q_daily_sales_summary,
@@ -1949,6 +1966,9 @@ def oracle_sql() -> dict[str, str]:
         other_cols=["doc_id", "n_tokens"],
         order_by="doc_id",
     )
+    # persisted-model encode over the training corpus == the from-
+    # scratch encode (same dictionary, same joins) — same twin
+    oracles["bpe_encode_persisted"] = oracles["bpe_encode_docs"]
     oracles["pq_codebooks"] = pq_ops.oracle_pq_codebooks_sql()
     oracles["pq_codes"] = _csv_oracle(
         pq_ops.oracle_pq_codes_sql(),

@@ -190,6 +190,7 @@ STANDALONE = [
     "store_ingest_loop",
     "ann_index_topk",
     "ann_index_append_topk",
+    "bpe_encode_persisted",
     # r7: DSIR importance weighting + mixing diagnostics
     # (deterministic fixed-point log2)
     "dsir_importance",

@@ -546,3 +546,132 @@ def oracle_bpe_doc_tokens_sql(
         FROM stream s JOIN pieces p USING (tok)
         GROUP BY s.doc_id
     """
+
+
+# ---------------------------------------------------------------------------
+# Persisted tokenizer model: train once, encode forever (r8 — the
+# serving discipline annindex.py applies to PQ, applied to BPE: a
+# pre-training pipeline learns merges ONCE offline and every encode
+# job thereafter must never pay a merge round).
+# ---------------------------------------------------------------------------
+
+# Explicit read schemas — an empty-corpus model directory has no
+# parquet files to infer from (the annindex.py discipline).
+MERGES_SCHEMA = "rank INT, left STRING, right STRING, pair_freq BIGINT"
+WORDS_SCHEMA = "tok STRING, syms ARRAY<STRING>"
+VOCAB_SCHEMA = "piece STRING, piece_id INT"
+
+_FOLD_CHECKPOINT_EVERY = 8  # cap nested higher-order-fold plan depth
+
+
+def write_bpe_model(
+    docs: DataFrame,
+    path: str,
+    n_merges: int = N_MERGES,
+    text_col: str = "text",
+    min_pair_freq: int = MIN_PAIR_FREQ,
+) -> dict:
+    """One training pass -> three parquet tables: ``merges`` (the
+    ranked merge list — what a tokenizer release ships), ``words``
+    (the segmented unique-word dictionary — the encode fast path),
+    ``vocab`` (piece -> dense id).  Returns row counts."""
+    spark = docs.sparkSession
+    merges, words = learn_bpe(docs, n_merges, text_col, min_pair_freq)
+    spark.createDataFrame(
+        [(i, l, r, f) for i, (l, r, f) in enumerate(merges)],
+        MERGES_SCHEMA,
+    ).write.mode("overwrite").parquet(f"{path}/merges")
+    bpe_vocab(words).write.mode("overwrite").parquet(f"{path}/vocab")
+    words.select("tok", "syms").write.mode("overwrite").parquet(
+        f"{path}/words"
+    )
+    release_checkpoint(words)
+    return {
+        "merges": len(merges),
+        "words": spark.read.schema(WORDS_SCHEMA)
+        .parquet(f"{path}/words")
+        .count(),
+        "vocab": spark.read.schema(VOCAB_SCHEMA)
+        .parquet(f"{path}/vocab")
+        .count(),
+    }
+
+
+def _segment_new_words(new_words: DataFrame, merges: list) -> DataFrame:
+    """Replay the ranked merge list over UNSEEN words (char-split +
+    greedy folds — the real BPE apply step).  The input is the
+    batch's unique-word table minus the dictionary (Heaps-bounded);
+    lazy localCheckpoints every few folds keep the nested
+    higher-order-expression depth constant."""
+    seg = new_words.withColumn(
+        "syms", F.concat(F.split(F.col("tok"), ""), F.array(F.lit(EOW)))
+    )
+    for i, (left, right, _) in enumerate(merges):
+        seg = seg.withColumn("syms", _merge_fold(left, right))
+        if (i + 1) % _FOLD_CHECKPOINT_EVERY == 0:
+            seg = seg.localCheckpoint(eager=False)
+    return seg.select("tok", "syms")
+
+
+def encode_with_model(
+    docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, n_tokens, token_ids) against the PERSISTED model —
+    zero merge rounds.  Seen words hit the dictionary join (the
+    common case: the dictionary was built from the pre-training
+    corpus); unseen words are segmented by replaying the ranked merge
+    list (bounded: the batch's NEW unique words only), exactly
+    Sennrich's apply step.  Pieces outside the trained vocabulary
+    (characters the founding corpus never saw) are dropped by the
+    vocab join — the standard OOV-byte fallback belongs to a
+    byte-level variant, not this word-level one.
+
+    On the training corpus itself this reproduces
+    :func:`bpe_encode_docs` bit-for-bit (same dictionary, same joins,
+    no unseen words), so the gate reuses that oracle."""
+    spark = docs.sparkSession
+    words = spark.read.schema(WORDS_SCHEMA).parquet(f"{path}/words")
+    vocab = spark.read.schema(VOCAB_SCHEMA).parquet(f"{path}/vocab")
+    stream = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokens(F.lower(F.col(text_col)))).alias(
+            "word_pos", "tok"
+        ),
+    )
+    new_words = (
+        stream.select("tok").distinct().join(words, "tok", "left_anti")
+    )
+    dictionary = words
+    if new_words.limit(1).count() > 0:
+        merges = [
+            (r["left"], r["right"], r["pair_freq"])
+            for r in spark.read.schema(MERGES_SCHEMA)
+            .parquet(f"{path}/merges")
+            .orderBy("rank")
+            .collect()
+        ]
+        dictionary = words.unionByName(
+            _segment_new_words(new_words, merges)
+        )
+    pieces = (
+        stream.join(dictionary, "tok")
+        .select(
+            "doc_id", "word_pos",
+            F.posexplode("syms").alias("piece_pos", "piece"),
+        )
+        .join(F.broadcast(vocab), "piece")
+    )
+    return pieces.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct("word_pos", "piece_pos", "piece_id")
+                )
+            ),
+            lambda s: s.piece_id,
+        ).alias("token_ids"),
+    )

@@ -96,3 +96,86 @@ def test_min_pair_freq_stops_early(spark):
 def test_max_merges_guard(spark):
     with pytest.raises(ValueError, match="MAX_MERGES"):
         bpe.learn_bpe(_docs(spark, ["a b"]), n_merges=bpe.MAX_MERGES + 1)
+
+
+def test_persisted_model_encode_matches_from_scratch(spark, tmp_path):
+    """write_bpe_model -> encode_with_model on the training corpus ==
+    bpe_encode_docs bit-for-bit (same dictionary, zero merge rounds
+    at encode time)."""
+    from retail_etl_pipeline_airflow_s3_athena_spark.functions.caching import (
+        release_cached,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    path = str(tmp_path / "model")
+    manifest = bpe.write_bpe_model(docs, path)
+    assert manifest["merges"] > 0 and manifest["vocab"] > 0
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["token_ids"])
+        for r in bpe.encode_with_model(docs, path).collect()
+    }
+    ref = bpe.bpe_encode_docs(docs)
+    want = {
+        r["doc_id"]: (r["n_tokens"], r["token_ids"])
+        for r in ref.collect()
+    }
+    release_cached(ref)
+    assert got == want
+
+
+def test_persisted_model_segments_unseen_words(spark, tmp_path):
+    """The apply step on NEW text: unseen words are segmented by
+    replaying the ranked merge list (greedy left-to-right), exactly
+    the pure-Python mirror's semantics."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    path = str(tmp_path / "model")
+    bpe.write_bpe_model(docs, path)
+    merges = [
+        (r["left"], r["right"])
+        for r in spark.read.schema(bpe.MERGES_SCHEMA)
+        .parquet(f"{path}/merges")
+        .orderBy("rank")
+        .collect()
+    ]
+    vocab = {
+        r["piece"]: r["piece_id"]
+        for r in spark.read.schema(bpe.VOCAB_SCHEMA)
+        .parquet(f"{path}/vocab")
+        .collect()
+    }
+
+    def py_apply(word):
+        syms = list(word) + [bpe.EOW]
+        for l, r in merges:
+            out = []
+            for s in syms:
+                if out and out[-1] == l and s == r:
+                    out[-1] = l + r
+                else:
+                    out.append(s)
+            syms = out
+        return syms
+
+    # an unseen word built from seen characters
+    seen_chars = sorted(
+        {c for p in vocab if len(p.rstrip("</w>")) == 1 for c in p}
+    )
+    word = "".join(c for c in "the" if True)  # 'the' pieces exist
+    new_text = "zzqtheqzz the"  # 'zzqtheqzz' is (almost surely) unseen
+    new = spark.createDataFrame(
+        [(999999, new_text, "srcX")], "doc_id LONG, text STRING, source STRING"
+    )
+    rows = bpe.encode_with_model(new, path).collect()
+    assert len(rows) == 1
+    expect_ids = []
+    for w in new_text.split():
+        for piece in py_apply(w):
+            if piece in vocab:
+                expect_ids.append((w, piece))
+    # compare via piece multiset (ordering within the doc is pinned by
+    # (word_pos, piece_pos), mirrored here by iteration order)
+    got_n = rows[0]["n_tokens"]
+    assert got_n == len(expect_ids)
+    inv = {v: k for k, v in vocab.items()}
+    got_pieces = [inv[i] for i in rows[0]["token_ids"]]
+    assert got_pieces == [p for _, p in expect_ids]
