@@ -1360,6 +1360,28 @@ def _q_store_ingest_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_store_compacted_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The loop PLUS its maintenance job: found → append src1 →
+    COMPACT (stop set recomputed over founding ∪ src1, sizes
+    rewritten) → score src2.  Distinguished from store_ingest_loop by
+    exactly the compaction semantics: the oracle's stop CTE ranges
+    over founding ∪ batch1 instead of founding alone."""
+    docs = _docs(spark, sf_dir)
+    store_ops.write_fingerprint_store(
+        docs.filter("source NOT IN ('src1', 'src2')"), "fp_compact_gate"
+    )
+    store_ops.append_to_fingerprint_store(
+        docs.filter("source = 'src1'"), "fp_compact_gate"
+    )
+    store_ops.compact_fingerprint_store(spark, "fp_compact_gate")
+    out = store_ops.stored_near_dups(
+        spark, docs.filter("source = 'src2'"), "fp_compact_gate"
+    )
+    return attach_cached_deps(
+        out.orderBy("new_doc_id", "old_doc_id"), *carried_deps(out)
+    )
+
+
 def _q_ann_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train-once/query-forever ANN: IVF-PQ index persisted to parquet
     (codes partitioned by coarse cell), then the ADC top-k planned
@@ -1466,6 +1488,7 @@ GATE_FIRST_50 = [
     "image_near_dup",
     "stored_near_dups",
     "store_ingest_loop",
+    "store_compacted_dedup",
     "ann_index_topk",
     "ann_index_append_topk",
     "bpe_encode_persisted",
@@ -1502,7 +1525,6 @@ GATE_FIRST_50 = [
     # oldest r6-verified rows that fit
     "embedding_near_dup",
     "embedding_near_dup_lsh",
-    "near_dup_pairs",
     # reference-parity core (every round)
     "daily_sales_summary",
     "top_customers",
@@ -1522,6 +1544,7 @@ GATE_TAIL = [
     "decontaminate_docs",
     "asof_join_events",
     "simhash_near_dup",
+    "near_dup_pairs",
     # evicted from the r7 window this round, all r7-driver-green
     # (freshest evidence, so they rotate to the back of the queue):
     # value-tile ranking, BPE/PQ training family, DSIR + mixing,
@@ -1714,6 +1737,7 @@ def _all_queries() -> dict[str, QueryFn]:
         "image_near_dup": _q_image_near_dup,
         "stored_near_dups": _q_stored_near_dups,
         "store_ingest_loop": _q_store_ingest_loop,
+        "store_compacted_dedup": _q_store_compacted_dedup,
         "ann_index_topk": _q_ann_index_topk,
         "ann_index_append_topk": _q_ann_index_append_topk,
         "bpe_encode_persisted": _q_bpe_encode_persisted,
@@ -2267,6 +2291,14 @@ def oracle_sql() -> dict[str, str]:
         "source NOT IN ('src1', 'src2')",
         "source = 'src1'",
         "source = 'src2'",
+    )
+    oracles["store_compacted_dedup"] = (
+        store_ops.oracle_store_ingest_loop_sql(
+            "source NOT IN ('src1', 'src2')",
+            "source = 'src1'",
+            "source = 'src2'",
+            compacted=True,
+        )
     )
     oracles["png_features"] = (
         "SELECT CAST(media_id AS BIGINT) AS media_id, "

@@ -188,6 +188,7 @@ STANDALONE = [
     "image_near_dup",
     "stored_near_dups",
     "store_ingest_loop",
+    "store_compacted_dedup",
     "ann_index_topk",
     "ann_index_append_topk",
     "bpe_encode_persisted",

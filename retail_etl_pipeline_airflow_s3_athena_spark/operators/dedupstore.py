@@ -123,8 +123,14 @@ def write_fingerprint_store(
     )
     # _stop is tiny; plain table (no bucketing needed)
     _write_bucketed(stop, f"{store}_stop", None, buckets)
+    # shingles stored UNCAPPED: the stop set is applied at read time
+    # (a broadcast anti-join — no extra shuffle), which is what makes
+    # `compact_fingerprint_store` possible: a cap baked into the
+    # stored rows would destroy the information a later recompute
+    # needs.  Sizes ARE capped (they're derived serving state, cheap
+    # to rewrite at compaction).
+    _write_bucketed(flat, f"{store}_shingles", ["doc_id"], buckets)
     capped = _cap_frequent_shingles(flat, max_df)
-    _write_bucketed(capped, f"{store}_shingles", ["doc_id"], buckets)
     sizes = capped.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     _write_bucketed(sizes, f"{store}_sizes", ["doc_id"], buckets)
     flat.unpersist()
@@ -166,9 +172,9 @@ def append_to_fingerprint_store(
         .mode("append")
         .saveAsTable(f"{store}_bands")
     )
-    n_shingles = capped.count()
+    n_shingles = flat.count()
     (
-        capped.write.bucketBy(STORE_BUCKETS, "doc_id")
+        flat.write.bucketBy(STORE_BUCKETS, "doc_id")
         .sortBy("doc_id")
         .format("parquet")
         .mode("append")
@@ -184,6 +190,40 @@ def append_to_fingerprint_store(
     )
     flat.unpersist()
     return {"bands": n_bands, "shingles": n_shingles, "sizes": n_sizes}
+
+
+def compact_fingerprint_store(
+    spark: SparkSession,
+    store: str,
+    max_df: int | None = MAX_SHINGLE_DF,
+    buckets: int = STORE_BUCKETS,
+) -> dict:
+    """The periodic maintenance job the per-batch path defers to:
+    recompute the stop-shingle set over the CURRENT corpus (one
+    combinable df aggregation over the uncapped shingle table) and
+    rewrite the derived serving state (stop + capped sizes).  Bands
+    and shingles are untouched — signatures are cap-independent and
+    shingles are stored uncapped precisely so this recompute has its
+    input.  After compaction, batch scores reflect corpus-wide
+    document frequencies again (scores are stable BETWEEN compactions,
+    exact AT them — the standard freshness/stability trade)."""
+    flat = spark.table(f"{store}_shingles")
+    stop = (
+        flat.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > (max_df if max_df is not None else 2**62))
+        .select("s")
+    )
+    _write_bucketed(stop, f"{store}_stop", None, buckets)
+    capped = flat.join(
+        F.broadcast(spark.table(f"{store}_stop")), "s", "left_anti"
+    )
+    sizes = capped.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    _write_bucketed(sizes, f"{store}_sizes", ["doc_id"], buckets)
+    return {
+        "stop": spark.table(f"{store}_stop").count(),
+        "sizes": spark.table(f"{store}_sizes").count(),
+    }
 
 
 def stored_near_dups(
@@ -229,7 +269,11 @@ def stored_near_dups(
     a_sh = cands.join(
         ncapped.withColumnRenamed("doc_id", "doc_a"), "doc_a"
     ).select("doc_a", "doc_b", "s")
-    sshingles = spark.table(f"{store}_shingles")
+    # store shingles are UNCAPPED on disk; the stop set applies at
+    # read time (broadcast anti-join — no extra shuffle)
+    sshingles = spark.table(f"{store}_shingles").join(
+        F.broadcast(stop), "s", "left_anti"
+    )
     inter = (
         sshingles.join(
             F.broadcast(a_sh),
@@ -267,10 +311,14 @@ def oracle_store_ingest_loop_sql(
     t: str = "text",
     threshold: float = 0.5,
     max_df: int = MAX_SHINGLE_DF,
+    compacted: bool = False,
 ) -> str:
     """Twin of the two-batch ingest loop: batch2 scores against
-    founding ∪ batch1 (batch1 was appended), with the stop set from
-    the FOUNDING corpus only (append never recomputes it)."""
+    founding ∪ batch1 (batch1 was appended).  ``compacted=False`` =
+    the plain loop (stop set from the FOUNDING corpus only — append
+    never recomputes it); ``compacted=True`` = after
+    ``compact_fingerprint_store`` (stop set over founding ∪ batch1 —
+    the recompute is exactly what compaction does)."""
     band_selects = "\n    UNION ALL\n".join(
         f"    SELECT doc_id, {b} AS band, {_sql_band_hash(b)} AS bh FROM sig"
         for b in range(NUM_BANDS)
@@ -301,7 +349,8 @@ def oracle_store_ingest_loop_sql(
         sh_flat AS (SELECT doc_id, unnest(sh) AS s FROM sh_t),
         stop AS (
             SELECT s FROM sh_flat f
-            JOIN flags g ON f.doc_id = g.doc_id AND g.is_founding
+            JOIN flags g ON f.doc_id = g.doc_id
+                        AND (g.is_founding{" OR g.is_b1" if compacted else ""})
             GROUP BY s HAVING COUNT(*) > {max_df}
         ),
         shc AS (

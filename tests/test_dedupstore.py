@@ -146,3 +146,55 @@ def test_append_then_next_batch_sees_appended_docs(spark):
         if r["doc_id"] in b1_ids
     }
     assert exact == sizes and len(exact) > 0
+
+
+def test_compaction_recomputes_stop_over_current_corpus(spark):
+    """After append+compact, the stop set equals a from-scratch df
+    recompute over founding+batch, and scoring reflects it (the
+    freshness the per-batch path defers)."""
+    docs = _docs(spark)
+    founding = docs.filter("source NOT IN ('src1', 'src2')")
+    dedupstore.write_fingerprint_store(founding, "t_fp_compact")
+    b1 = docs.filter(NEW_FILTER)
+    dedupstore.append_to_fingerprint_store(b1, "t_fp_compact")
+    stop_before = {
+        r["s"] for r in spark.table("t_fp_compact_stop").collect()
+    }
+    dedupstore.compact_fingerprint_store(spark, "t_fp_compact")
+    stop_after = {
+        r["s"] for r in spark.table("t_fp_compact_stop").collect()
+    }
+    # from-scratch truth over the CURRENT corpus
+    both = founding.unionByName(b1)
+    flat = dedupstore._flat_shingles(both)
+    truth = {
+        r["s"]
+        for r in flat.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > dedupstore.MAX_SHINGLE_DF)
+        .select("s")
+        .collect()
+    }
+    assert stop_after == truth
+    # sizes rewritten consistently: capped counts over current stop
+    capped = flat.join(
+        spark.createDataFrame(
+            [(s,) for s in sorted(stop_after)] or [(None,)], "s LONG"
+        ).filter(F.col("s").isNotNull()),
+        "s",
+        "left_anti",
+    )
+    want_sizes = {
+        (r["doc_id"], r["n"])
+        for r in capped.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    got_sizes = {
+        (r["doc_id"], r["n"])
+        for r in spark.table("t_fp_compact_sizes").collect()
+    }
+    assert got_sizes == want_sizes
+    # stop sets may or may not differ on this fixture; the CONTRACT is
+    # truth-equality after compact (asserted above) — record drift info
+    assert stop_before.issubset(truth) or stop_before != stop_after or True

@@ -451,6 +451,7 @@ def test_cache_ownership_sweep_no_leaks(spark):
         # r8: persisted-store and persisted-index query paths
         "stored_near_dups",
         "store_ingest_loop",
+        "store_compacted_dedup",
         "ann_index_topk",
         "ann_index_append_topk",
     ]
