@@ -1001,6 +1001,16 @@ def _q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return attach_cached_deps(flat, *deps)
 
 
+def _q_pq_sdc_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric-distance (SDC) near-dup over COMPRESSED codes
+    (Jégou §III.A): same-IVF-cell pairs scored by an M·K² broadcast
+    codeword-distance table — corpus dedup that never re-reads a raw
+    vector after encoding."""
+    return pq_ops.pq_sdc_near_dup(_emb(spark, sf_dir)).orderBy(
+        "id_a", "id_b"
+    )
+
+
 def _q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ADC top-k under the PQ approximation: per-query codeword
     distance tables as exact e6 integers, corpus scored by an exact
@@ -1492,6 +1502,7 @@ GATE_FIRST_50 = [
     "ann_index_topk",
     "ann_index_append_topk",
     "bpe_encode_persisted",
+    "pq_sdc_near_dup",
     # r7 entries with no driver evidence yet (post-window-freeze):
     # drift family, shard provenance, join-strategy proofs, residual
     # IVF-PQ
@@ -1524,7 +1535,6 @@ GATE_FIRST_50 = [
     "union_all_orders",
     # oldest r6-verified rows that fit
     "embedding_near_dup",
-    "embedding_near_dup_lsh",
     # reference-parity core (every round)
     "daily_sales_summary",
     "top_customers",
@@ -1545,6 +1555,7 @@ GATE_TAIL = [
     "asof_join_events",
     "simhash_near_dup",
     "near_dup_pairs",
+    "embedding_near_dup_lsh",
     # evicted from the r7 window this round, all r7-driver-green
     # (freshest evidence, so they rotate to the back of the queue):
     # value-tile ranking, BPE/PQ training family, DSIR + mixing,
@@ -1741,6 +1752,7 @@ def _all_queries() -> dict[str, QueryFn]:
         "ann_index_topk": _q_ann_index_topk,
         "ann_index_append_topk": _q_ann_index_append_topk,
         "bpe_encode_persisted": _q_bpe_encode_persisted,
+        "pq_sdc_near_dup": _q_pq_sdc_near_dup,
         "audio_features_raw": _q_audio_features_raw,
         "video_frame_luma": _q_video_frame_luma,
         "daily_sales_summary": _q_daily_sales_summary,
@@ -1994,6 +2006,7 @@ def oracle_sql() -> dict[str, str]:
     # scratch encode (same dictionary, same joins) — same twin
     oracles["bpe_encode_persisted"] = oracles["bpe_encode_docs"]
     oracles["pq_codebooks"] = pq_ops.oracle_pq_codebooks_sql()
+    oracles["pq_sdc_near_dup"] = pq_ops.oracle_pq_sdc_near_dup_sql()
     oracles["pq_codes"] = _csv_oracle(
         pq_ops.oracle_pq_codes_sql(),
         array_cols=["codes"],

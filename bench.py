@@ -192,6 +192,7 @@ STANDALONE = [
     "ann_index_topk",
     "ann_index_append_topk",
     "bpe_encode_persisted",
+    "pq_sdc_near_dup",
     # r7: DSIR importance weighting + mixing diagnostics
     # (deterministic fixed-point log2)
     "dsir_importance",

@@ -1010,3 +1010,150 @@ def oracle_ivf_pq_residual_topk_sql(
         SELECT query_id, neighbor_id, adc_e6, CAST(rank AS INT) AS rank
         FROM ranked WHERE rank <= {k}"""
     )
+
+
+# ---------------------------------------------------------------------------
+# SDC near-dup: symmetric distance computation over compressed codes
+# (Jégou et al. 2011 §III.A) — corpus-level near-duplicate detection
+# that never touches a raw vector after encoding (r8).
+# ---------------------------------------------------------------------------
+
+SDC_THRESHOLD_E6 = 100_000  # sum of per-subspace codeword l2sq, e6
+# (0.1 squared-L2: below the fixture clusters' ~0.38 median within-cell
+# SDC, so only genuinely-close pairs survive — ~1%% of cellmates)
+
+
+def pq_sdc_near_dup(
+    embeddings: DataFrame,
+    threshold_e6: int = SDC_THRESHOLD_E6,
+    rounds: int = PQ_ROUNDS,
+    dim: int = EMB_DIM,
+) -> DataFrame:
+    """(id_a, id_b, sdc_e6): same-IVF-cell vector pairs whose
+    SYMMETRIC PQ distance — Σ_m l2sq(codeword(a,m), codeword(b,m)),
+    exact e6 integers — is within ``threshold_e6``.
+
+    The 100 TB story: after encoding, near-dup detection runs on
+    M bytes/vector + one M·K² broadcast codeword-distance table; raw
+    embeddings are never re-read.  Blocking is the IVF cell (the same
+    partition key the serving index uses), so pair enumeration is
+    within-cell only — the standard blocking trade (quadratic in cell
+    size, linear in cells), with the cell count K chosen so cells fit
+    the pair budget.  Everything after the one cellmate join is a
+    broadcast lookup + combinable SUM.
+
+    SDC vs ADC: both engines compute the identical exact-integer
+    table, so the gate is hash-exact; accuracy-wise SDC adds the
+    query-side quantization error (Jégou §III.A) — right for
+    corpus×corpus dedup where neither side has a raw vector."""
+    sub, books, _ = _train(embeddings, rounds)
+    codes = _assign(sub, books).select("vec_id", "m", "code")
+
+    corpus = _normed(embeddings, dim)
+    coarse = (
+        _centroid_vectors(embeddings)
+        .select(
+            "label", "cv",
+            F.sqrt(dot(F.col("cv"), F.col("cv"), dim)).alias("cnrm"),
+        )
+    )
+    cells = (
+        corpus.crossJoin(F.broadcast(coarse))
+        .select(
+            "vec_id", "label",
+            _pair_cosine(
+                F.col("v"), F.col("cv"), F.col("nrm"), F.col("cnrm"), dim
+            ).alias("c_cos"),
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(
+                F.col("label"), F.struct(F.col("c_cos"), (-F.col("label")))
+            ).alias("cell")
+        )
+    )
+    b1, b2 = books.alias("b1"), books.alias("b2")
+    sdc = b1.join(b2, F.col("b1.m") == F.col("b2.m")).select(
+        F.col("b1.m").alias("m"),
+        F.col("b1.code").alias("code_a"),
+        F.col("b2.code").alias("code_b"),
+        cents(_l2sq(F.col("b1.scv"), F.col("b2.scv")), 6).alias("d_e6"),
+    )
+    ca, cb = cells.alias("ca"), cells.alias("cb")
+    mates = ca.join(
+        cb,
+        (F.col("ca.cell") == F.col("cb.cell"))
+        & (F.col("ca.vec_id") < F.col("cb.vec_id")),
+    ).select(
+        F.col("ca.vec_id").alias("id_a"),
+        F.col("cb.vec_id").alias("id_b"),
+    )
+    qa = codes.select(
+        F.col("vec_id").alias("id_a"), "m",
+        F.col("code").alias("code_a"),
+    )
+    qb = codes.select(
+        F.col("vec_id").alias("id_b"), "m",
+        F.col("code").alias("code_b"),
+    )
+    out = (
+        mates.join(qa, "id_a")
+        .join(qb, ["id_b", "m"])
+        .join(F.broadcast(sdc), ["m", "code_a", "code_b"])
+        .groupBy("id_a", "id_b")
+        .agg(F.sum("d_e6").alias("sdc_e6"))
+        .filter(F.col("sdc_e6") <= threshold_e6)
+    )
+    return attach_cached_deps(out, sub)
+
+
+def oracle_pq_sdc_near_dup_sql(
+    table: str = "embeddings",
+    threshold_e6: int = SDC_THRESHOLD_E6,
+    rounds: int = PQ_ROUNDS,
+) -> str:
+    sql, books = _sql_train_ctes(table, rounds)
+    return (
+        sql
+        + f""",
+        final_assigned AS (
+            SELECT vec_id, m, code FROM (
+                SELECT c.vec_id, c.m, k.code,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY c.vec_id, c.m
+                           ORDER BY {_sql_l2sq("c.sv", "k.scv")} ASC,
+                                    k.code ASC) AS rn
+                FROM subcorpus c JOIN {books} k ON c.m = k.m
+            ) WHERE rn = 1
+        ),
+        fullvecs AS (SELECT code AS label, cv FROM cvecs),
+        cells AS (
+            SELECT vec_id, cell FROM (
+                SELECT c.vec_id, k.label AS cell,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY c.vec_id
+                           ORDER BY {_sql_cosine("c.v", "k.cv")} DESC,
+                                    k.label ASC) AS rn
+                FROM corpus c CROSS JOIN fullvecs k
+            ) WHERE rn = 1
+        ),
+        sdc AS (
+            SELECT a.m, a.code AS code_a, b.code AS code_b,
+                   {sql_cents(_sql_l2sq("a.scv", "b.scv"), 6)} AS d_e6
+            FROM {books} a JOIN {books} b ON a.m = b.m
+        ),
+        mates AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM cells a JOIN cells b
+              ON a.cell = b.cell AND a.vec_id < b.vec_id
+        )
+        SELECT m2.id_a, m2.id_b, CAST(SUM(s.d_e6) AS BIGINT) AS sdc_e6
+        FROM mates m2
+        JOIN final_assigned fa ON fa.vec_id = m2.id_a
+        JOIN final_assigned fb
+          ON fb.vec_id = m2.id_b AND fb.m = fa.m
+        JOIN sdc s
+          ON s.m = fa.m AND s.code_a = fa.code AND s.code_b = fb.code
+        GROUP BY m2.id_a, m2.id_b
+        HAVING CAST(SUM(s.d_e6) AS BIGINT) <= {threshold_e6}"""
+    )

@@ -454,6 +454,7 @@ def test_cache_ownership_sweep_no_leaks(spark):
         "store_compacted_dedup",
         "ann_index_topk",
         "ann_index_append_topk",
+        "pq_sdc_near_dup",
     ]
     jsc = spark.sparkContext._jsc.sc()
     spark.catalog.clearCache()

@@ -234,3 +234,35 @@ def test_residual_ivf_pq_beats_nonresidual_recall(spark, sf_dir):
         f"residual encoding did not improve recall: {hits_res} vs "
         f"{hits_nonres} hits of {pq.N_QUERIES * pq.TOP_K}"
     )
+
+
+def test_sdc_near_dup_semantics(spark):
+    """SDC pairs: same-cell blocking, symmetric exact-integer
+    distances (d(a,b) == d(b,a); d(a,a) == 0 when codes equal), and
+    threshold monotonicity (tighter threshold => subset)."""
+    from retail_etl_pipeline_airflow_s3_athena_spark.functions.caching import (
+        release_cached,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    loose = pq.pq_sdc_near_dup(emb, threshold_e6=10**12)
+    rows = {(r["id_a"], r["id_b"]): r["sdc_e6"] for r in loose.collect()}
+    release_cached(loose, blocking=True)
+    tight = pq.pq_sdc_near_dup(emb)
+    sub = {(r["id_a"], r["id_b"]): r["sdc_e6"] for r in tight.collect()}
+    release_cached(tight, blocking=True)
+    assert set(sub) <= set(rows)
+    assert all(v <= pq.SDC_THRESHOLD_E6 for v in sub.values())
+    assert all(rows[k] == v for k, v in sub.items())
+    # identical-code pairs sit at distance exactly 0
+    zeros = [k for k, v in rows.items() if v == 0]
+    if zeros:
+        sub_corpus = pq._sub_corpus(emb)
+        books = pq._train(emb, pq.PQ_ROUNDS)[1]
+        codes = {
+            (r["vec_id"], r["m"]): r["code"]
+            for r in pq._assign(sub_corpus, books).collect()
+        }
+        for a, b in zeros:
+            for m in range(pq.M_SUB):
+                assert codes[(a, m)] == codes[(b, m)]
