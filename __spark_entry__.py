@@ -1006,8 +1006,9 @@ def _q_pq_sdc_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Jégou §III.A): same-IVF-cell pairs scored by an M·K² broadcast
     codeword-distance table — corpus dedup that never re-reads a raw
     vector after encoding."""
-    return pq_ops.pq_sdc_near_dup(_emb(spark, sf_dir)).orderBy(
-        "id_a", "id_b"
+    out = pq_ops.pq_sdc_near_dup(_emb(spark, sf_dir))
+    return attach_cached_deps(
+        out.orderBy("id_a", "id_b"), *carried_deps(out)
     )
 
 
