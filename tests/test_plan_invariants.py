@@ -73,6 +73,9 @@ BNLJ_CEILING = {
     # reprints it in plan text per consumer + AQE initial/final copies
     "ann_index_topk": 8,
     "ann_index_append_topk": 8,
+    # reviewed r8: the bounded K-row centroid crossJoin of the IVF
+    # cell assignment, reprinted in the persisted-subtree text
+    "pq_sdc_near_dup": 6,
 }
 
 
