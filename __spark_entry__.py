@@ -1442,6 +1442,58 @@ def _q_ann_index_append_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ann_index_compacted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index maintenance (r8 verdict #1): the daily append loop leaves
+    one parquet fragment per cell per batch; ``compact_ann_index``
+    rewrites each cell to ONE sorted file (write-to-temp + atomic FS
+    swap).  Content-preserving by construction, so the post-compaction
+    query answers the SAME doubled-corpus oracle as the append gate —
+    a hash mismatch here means compaction lost or duplicated codes."""
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix="anncmp_gate_")
+    emb = _emb(spark, sf_dir)
+    annindex_ops.write_ann_index(emb, path)
+    shifted = emb.withColumn(
+        "vec_id", F.col("vec_id") + F.lit(ANN_APPEND_SHIFT)
+    )
+    annindex_ops.append_to_ann_index(shifted, path)
+    manifest = annindex_ops.compact_ann_index(spark, path)
+    assert manifest["files_after"] <= manifest["files_before"], manifest
+    out = annindex_ops.ann_query(
+        spark, path, annindex_ops.corpus_queries(emb)
+    )
+    return attach_cached_deps(
+        out.orderBy("query_id", "rank"), *carried_deps(out)
+    )
+
+
+def _q_ann_index_staleness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The measured WHEN-to-rebuild trigger (r8 verdict #1): found the
+    index, append a distribution-shifted batch (coords +0.5, ids out
+    of range), then score the FROZEN index against a fresh retrain on
+    the current corpus — per calibration query, recall@25 of each
+    against the exact subspace-integer-grid top-25.  The drifted
+    fixture drops stale recall measurably below fresh (sf0.01: every
+    query's recall_drop_e6 >= 80000), which is the signal a production
+    loop thresholds to schedule ``compact_ann_index`` + retrain."""
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix="annstale_gate_")
+    emb = _emb(spark, sf_dir)
+    annindex_ops.write_ann_index(emb, path)
+    batch = annindex_ops.drifted_batch(emb)
+    annindex_ops.append_to_ann_index(batch, path)
+    current = emb.select("vec_id", "embedding", "label").unionByName(batch)
+    queries = batch.filter(
+        F.col("vec_id") < annindex_ops.DRIFT_SHIFT + annindex_ops.N_QUERIES
+    ).select(F.col("vec_id").alias("query_id"), "embedding")
+    # ordering + cached-deps tag are applied inside ann_index_staleness
+    return annindex_ops.ann_index_staleness(
+        spark, path, current, queries, k=annindex_ops.STALE_K
+    )
+
+
 def _q_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Binary fixtures don't exist; the media table is synthesized
     # deterministically, and every output column is an integer/string
@@ -1548,6 +1600,10 @@ GATE_FIRST_50 = [
 ]
 
 GATE_TAIL = [
+    # new r9 entries — parked here until the end-of-round r9 window
+    # rotation (they lead GATE_FIRST_50 then)
+    "ann_index_compacted_topk",
+    "ann_index_staleness",
     # r6-driver-green rows whose evidence turns 3 rounds old at r9 —
     # FIRST in line for the r9 window
     "scd2_customers",
@@ -1752,6 +1808,8 @@ def _all_queries() -> dict[str, QueryFn]:
         "store_compacted_dedup": _q_store_compacted_dedup,
         "ann_index_topk": _q_ann_index_topk,
         "ann_index_append_topk": _q_ann_index_append_topk,
+        "ann_index_compacted_topk": _q_ann_index_compacted_topk,
+        "ann_index_staleness": _q_ann_index_staleness,
         "bpe_encode_persisted": _q_bpe_encode_persisted,
         "pq_sdc_near_dup": _q_pq_sdc_near_dup,
         "audio_features_raw": _q_audio_features_raw,
@@ -2301,6 +2359,10 @@ def oracle_sql() -> dict[str, str]:
             " FROM embeddings) dbl"
         )
     )
+    # compaction is content-preserving, so the compacted gate answers
+    # the SAME doubled-corpus oracle as the append gate
+    oracles["ann_index_compacted_topk"] = oracles["ann_index_append_topk"]
+    oracles["ann_index_staleness"] = annindex_ops.oracle_ann_staleness_sql()
     oracles["store_ingest_loop"] = store_ops.oracle_store_ingest_loop_sql(
         "source NOT IN ('src1', 'src2')",
         "source = 'src1'",

@@ -235,6 +235,9 @@ STANDALONE = [
     "kl_stream_drift",
     "ivf_pq_residual_topk",
     "bucketed_segment_order_stats",
+    # r9: ANN index maintenance (compaction + measured staleness)
+    "ann_index_compacted_topk",
+    "ann_index_staleness",
 ]
 
 
@@ -346,6 +349,49 @@ def main() -> None:
             # release operator-owned caches (the documented ownership
             # contract) so queries don't compete for storage memory
             release_cached(df)
+        spark.catalog.clearCache()
+
+    # --- serve-phase-only timings for the persisted families -----------
+    # (r8 verdict #3) The gate entries above time found+write+serve as
+    # one number — honest for correctness, but the 100 TB serving
+    # claims ("zero Lloyd rounds", "O(batch) ingest", "zero merge
+    # rounds") need the serve cost as its own measured wall-clock.
+    # Founding (train + persist) runs ONCE untimed; the timed rows are
+    # the pure query/score/encode paths against the persisted state.
+    import tempfile
+
+    from retail_etl_pipeline_airflow_s3_athena_spark.operators import annindex as annidx_ops
+    from retail_etl_pipeline_airflow_s3_athena_spark.operators import bpe as bpe_serve_ops
+    from retail_etl_pipeline_airflow_s3_athena_spark.operators import dedupstore as dstore_ops
+    from retail_etl_pipeline_airflow_s3_athena_spark.sources import readers as rdrs
+
+    emb = rdrs.read_embeddings(spark, sf_dir)
+    docs = rdrs.read_documents(spark, sf_dir)
+    ann_path = tempfile.mkdtemp(prefix="bench_ann_serve_")
+    annidx_ops.write_ann_index(emb, ann_path)
+    dstore_ops.write_fingerprint_store(
+        docs.filter("NOT (source = 'src1')"), "bench_fp_serve"
+    )
+    bpe_path = tempfile.mkdtemp(prefix="bench_bpe_serve_")
+    bpe_serve_ops.write_bpe_model(docs, bpe_path)
+    SERVE = {
+        "ann_index_topk_serve": lambda: annidx_ops.ann_query(
+            spark, ann_path, annidx_ops.corpus_queries(emb)
+        ),
+        "stored_near_dups_serve": lambda: dstore_ops.stored_near_dups(
+            spark, docs.filter("source = 'src1'"), "bench_fp_serve"
+        ),
+        "bpe_encode_persisted_serve": lambda: bpe_serve_ops.encode_with_model(
+            docs, bpe_path
+        ),
+    }
+    for _ in range(ITERS):
+        for name, make in SERVE.items():
+            t0 = time.time()
+            sdf = make()
+            sdf.collect()
+            record(name, time.time() - t0)
+            release_cached(sdf)
         spark.catalog.clearCache()
 
     # Round-over-round comparability: the headline total grows whenever

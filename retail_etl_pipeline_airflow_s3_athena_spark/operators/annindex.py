@@ -43,22 +43,33 @@ from pyspark.sql import functions as F
 
 from retail_etl_pipeline_airflow_s3_athena_spark.functions.caching import (
     attach_cached_deps,
+    carried_deps,
 )
-from retail_etl_pipeline_airflow_s3_athena_spark.functions.money import cents
+from retail_etl_pipeline_airflow_s3_athena_spark.functions.money import (
+    cents,
+    sql_cents,
+)
 from retail_etl_pipeline_airflow_s3_athena_spark.operators.pq import (
     M_SUB,
     PQ_ROUNDS,
     SUB_DIM,
     _assign,
     _l2sq,
+    _sql_l2sq,
+    _sql_train_ctes,
     _sub_corpus,
     _train,
+    exact_subspace_topk_for,
+    ivf_pq_topk_for,
+    oracle_ivf_pq_topk_sql,
 )
 from retail_etl_pipeline_airflow_s3_athena_spark.operators.similarity import (
     EMB_DIM,
     _centroid_vectors,
     _normed,
     _pair_cosine,
+    _sql_cosine,
+    _sql_vec,
     dot,
 )
 
@@ -314,3 +325,352 @@ def corpus_queries(embeddings: DataFrame, n_queries: int = N_QUERIES) -> DataFra
     return embeddings.filter(
         F.col("vec_id") < n_queries
     ).select(F.col("vec_id").alias("query_id"), "embedding")
+
+
+# ---------------------------------------------------------------------------
+# Index maintenance (r8 verdict #1): the append path is O(batch) but
+# leaves one parquet fragment per cell per batch — a daily loop turns
+# the partition-pruned scan into a small-files scan.  Compaction
+# rewrites each cell to one sorted file; staleness measures WHEN the
+# frozen centroids/codebooks need a rebuild (recall drop vs a fresh
+# retrain), the same serve-state discipline as
+# ``dedupstore.compact_fingerprint_store``.
+# ---------------------------------------------------------------------------
+
+
+def _codes_data_files(spark: SparkSession, path: str) -> int:
+    """Number of parquet DATA files under the cell-partitioned codes
+    table (driver-side FS listing — bounded by file count, the thing
+    compaction exists to keep small)."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    pattern = jvm.org.apache.hadoop.fs.Path(f"{path}/codes/*/*.parquet")
+    fs = pattern.getFileSystem(conf)
+    statuses = fs.globStatus(pattern)
+    return 0 if statuses is None else len(statuses)
+
+
+def compact_ann_index(spark: SparkSession, path: str) -> dict:
+    """Rewrite the accumulated append fragments of ``codes/`` into ONE
+    sorted file per cell.  Content-preserving by construction (a
+    repartition-by-cell + sortWithinPartitions of the same rows), so
+    ``ann_query`` answers are bit-identical before/after — asserted in
+    tests and by the gate entry's doubled-corpus oracle.
+
+    Write-to-temp then atomic-swap via the Hadoop FS rename (the
+    ``object_store`` publish discipline): readers either see the old
+    fragment layout or the compacted one, never a half-deleted mix.
+    Returns {files_before, files_after, codes}."""
+    files_before = _codes_data_files(spark, path)
+    codes = spark.read.schema(CODES_SCHEMA).parquet(f"{path}/codes")
+    tmp = f"{path}/codes__compacting"
+    (
+        codes.repartition(F.col("cell"))
+        .sortWithinPartitions("vec_id", "m")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(tmp)
+    )
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    p_codes = jvm.org.apache.hadoop.fs.Path(f"{path}/codes")
+    p_tmp = jvm.org.apache.hadoop.fs.Path(tmp)
+    fs = p_codes.getFileSystem(conf)
+    fs.delete(p_codes, True)
+    if not fs.rename(p_tmp, p_codes):
+        raise IOError(f"compact_ann_index: rename {tmp} -> {path}/codes failed")
+    return {
+        "files_before": files_before,
+        "files_after": _codes_data_files(spark, path),
+        "codes": spark.read.schema(CODES_SCHEMA).parquet(f"{path}/codes").count(),
+    }
+
+
+DRIFT_SHIFT = 1 << 41
+DRIFT_DELTA = 0.5  # exactly representable; float+double promotion is
+#                    a single IEEE add, bit-identical in both engines
+STALE_K = 25       # recall@25: at gate scale, recall@10 sits on the
+#                    PQ floor for drifted vectors in BOTH indexes;
+#                    k=25 separates stale from fresh (measured sweep:
+#                    sf0.01 stale 4/125 vs fresh 17/125)
+
+
+def drifted_batch(embeddings: DataFrame) -> DataFrame:
+    """A deterministic distribution-shifted twin population: ids moved
+    out of the founding range, every coordinate shifted by +0.5 (≈4σ
+    of the corpus coordinate spread).  The shift is an isometry
+    (pairwise distances within the batch are preserved, so the batch's
+    true neighbor structure mirrors the founding corpus) but
+    translates every per-subspace distribution away from the founding
+    codewords: stale books quantize batch vectors with a systematic
+    ~|c|·√dim residual, while a fresh retrain allocates codewords to
+    the new mode — the controlled drift ``ann_index_staleness``
+    measures."""
+    return embeddings.select(
+        (F.col("vec_id") + F.lit(DRIFT_SHIFT)).alias("vec_id"),
+        F.transform(
+            F.col("embedding"), lambda x: x + F.lit(DRIFT_DELTA)
+        ).alias("embedding"),
+        "label",
+    )
+
+
+def ann_index_staleness(
+    spark: SparkSession,
+    path: str,
+    current: DataFrame,
+    queries: DataFrame,
+    k: int = TOP_K,
+    nprobe: int = NPROBE,
+    rounds: int = PQ_ROUNDS,
+    dim: int = EMB_DIM,
+) -> DataFrame:
+    """The measured rebuild trigger: per query, recall@k of the
+    PERSISTED (appended, never-retrained) index vs a FRESH retrain on
+    the current corpus, both against the exact subspace-integer-grid
+    top-k.  Output (query_id, k, stale_hits, fresh_hits,
+    stale_recall_e6, fresh_recall_e6, recall_drop_e6); a sustained
+    positive drop is the WHEN-to-rebuild signal the append path's
+    docstring defers to (the ``pq_recall`` evaluation pattern applied
+    to index maintenance).
+
+    Cost shape: one ``ann_query`` (serve-side, partition-pruned), one
+    inline retrain (the offline comparator — this is the periodic
+    maintenance JOB, not the serve path), one exact scan bounded by
+    the calibration-query broadcast."""
+    stale_full = ann_query(spark, path, queries, k, nprobe, dim)
+    fresh_full = ivf_pq_topk_for(current, queries, k, nprobe, rounds, dim)
+    # .select() returns a fresh DataFrame without the cached-deps tag —
+    # capture ownership from the originals (caching.carried_deps doc)
+    stale = stale_full.select("query_id", "neighbor_id")
+    fresh = fresh_full.select("query_id", "neighbor_id")
+    exact = exact_subspace_topk_for(current, queries, k)
+    stale_h = (
+        exact.join(stale.withColumn("_s", F.lit(1)),
+                   ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(F.count("_s").alias("stale_hits"))
+    )
+    fresh_h = (
+        exact.join(fresh.withColumn("_f", F.lit(1)),
+                   ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(F.count("_f").alias("fresh_hits"))
+    )
+    out = (
+        stale_h.join(fresh_h, "query_id")
+        .select(
+            "query_id",
+            F.lit(int(k)).cast("long").alias("k"),
+            "stale_hits",
+            "fresh_hits",
+            F.expr(f"stale_hits * 1000000 div {int(k)}").alias(
+                "stale_recall_e6"
+            ),
+            F.expr(f"fresh_hits * 1000000 div {int(k)}").alias(
+                "fresh_recall_e6"
+            ),
+            F.expr(
+                f"fresh_hits * 1000000 div {int(k)}"
+                f" - stale_hits * 1000000 div {int(k)}"
+            ).alias("recall_drop_e6"),
+        )
+        .orderBy("query_id")
+    )
+    return attach_cached_deps(
+        out, *carried_deps(stale_full), *carried_deps(fresh_full)
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle twins
+# ---------------------------------------------------------------------------
+
+
+def _sql_serve_ctes(serve_table: str) -> str:
+    """CTE fragment: the serving corpus + its subvector decomposition
+    (appended AFTER the training chain, which owns ``subspaces``)."""
+    return f""",
+        serve_corpus AS (
+            SELECT vec_id, {_sql_vec("embedding")} AS v FROM {serve_table}
+            WHERE embedding IS NOT NULL
+        ),
+        serve_subcorpus AS (
+            SELECT c.vec_id, s.m,
+                   c.v[s.m * {SUB_DIM} + 1 : (s.m + 1) * {SUB_DIM}] AS sv
+            FROM serve_corpus c CROSS JOIN subspaces s
+        )"""
+
+
+def _sql_stale_topk(
+    train_table: str,
+    serve_table: str,
+    query_pred: str,
+    k: int,
+    nprobe: int,
+    rounds: int,
+) -> str:
+    """ivf_pq over a FROZEN index: books/centroids trained on
+    ``train_table`` only, assignments+cells+queries over
+    ``serve_table`` — exactly ``write_ann_index(founding)`` +
+    ``append_to_ann_index(batch)`` + ``ann_query``.  ``query_pred``
+    selects the calibration queries (prefix with alias ``q``)."""
+    sql, books = _sql_train_ctes(train_table, rounds)
+    return (
+        sql
+        + _sql_serve_ctes(serve_table)
+        + f""",
+        serve_assigned AS (
+            SELECT vec_id, m, code FROM (
+                SELECT c.vec_id, c.m, k.code,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY c.vec_id, c.m
+                           ORDER BY {_sql_l2sq("c.sv", "k.scv")} ASC,
+                                    k.code ASC) AS rn
+                FROM serve_subcorpus c JOIN {books} k ON c.m = k.m
+            ) WHERE rn = 1
+        ),
+        fullvecs AS (SELECT code AS label, cv FROM cvecs),
+        serve_cells AS (
+            SELECT vec_id, cell FROM (
+                SELECT c.vec_id, k.label AS cell,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY c.vec_id
+                           ORDER BY {_sql_cosine("c.v", "k.cv")} DESC,
+                                    k.label ASC) AS rn
+                FROM serve_corpus c CROSS JOIN fullvecs k
+            ) WHERE rn = 1
+        ),
+        probed AS (
+            SELECT query_id, cell FROM (
+                SELECT q.vec_id AS query_id, k.label AS cell,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY {_sql_cosine("q.v", "k.cv")} DESC,
+                                    k.label ASC) AS rn
+                FROM serve_corpus q CROSS JOIN fullvecs k
+                WHERE {query_pred.format(a="q")}
+            ) WHERE rn <= {nprobe}
+        ),
+        cand AS (
+            SELECT p.query_id, c.vec_id
+            FROM serve_cells c JOIN probed p ON c.cell = p.cell
+            WHERE c.vec_id <> p.query_id
+        ),
+        dist_table AS (
+            SELECT c.vec_id AS query_id, c.m, k.code,
+                   {sql_cents(_sql_l2sq("c.sv", "k.scv"), 6)} AS pd_e6
+            FROM serve_subcorpus c JOIN {books} k ON c.m = k.m
+            WHERE {query_pred.format(a="c")}
+        ),
+        scored AS (
+            SELECT cd.query_id, a.vec_id AS neighbor_id,
+                   CAST(SUM(d.pd_e6) AS BIGINT) AS adc_e6
+            FROM serve_assigned a
+            JOIN cand cd ON a.vec_id = cd.vec_id
+            JOIN dist_table d
+              ON d.query_id = cd.query_id AND a.m = d.m AND a.code = d.code
+            GROUP BY cd.query_id, a.vec_id
+        ),
+        ranked AS (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY query_id
+                ORDER BY adc_e6 ASC, neighbor_id ASC) AS rank
+            FROM scored
+        )
+        SELECT query_id, neighbor_id FROM ranked WHERE rank <= {k}"""
+    )
+
+
+def _sql_exact_topk(serve_table: str, query_pred: str, k: int) -> str:
+    """Exact subspace-integer-grid top-k over ``serve_table`` for the
+    ``query_pred`` calibration set (the ``pq_recall`` ground truth)."""
+    d_e6 = sql_cents(_sql_l2sq("q.sv", "c.sv"), 6)
+    return (
+        f"""WITH subspaces AS (
+            SELECT CAST(unnest(range({M_SUB})) AS INT) AS m
+        )"""
+        + _sql_serve_ctes(serve_table)
+        + f""",
+        exact_scored AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   CAST(SUM({d_e6}) AS BIGINT) AS d_e6
+            FROM serve_subcorpus q
+            JOIN serve_subcorpus c ON q.m = c.m AND c.vec_id <> q.vec_id
+            WHERE {query_pred.format(a="q")}
+            GROUP BY q.vec_id, c.vec_id
+        ),
+        exact_ranked AS (
+            SELECT query_id, neighbor_id, ROW_NUMBER() OVER (
+                PARTITION BY query_id
+                ORDER BY d_e6 ASC, neighbor_id ASC) AS rk
+            FROM exact_scored
+        )
+        SELECT query_id, neighbor_id FROM exact_ranked WHERE rk <= {k}"""
+    )
+
+
+def oracle_ann_staleness_sql(
+    train_table: str = "embeddings",
+    n_queries: int = N_QUERIES,
+    k: int = STALE_K,
+    nprobe: int = NPROBE,
+    rounds: int = PQ_ROUNDS,
+) -> str:
+    """Twin of the ``ann_index_staleness`` gate wrapper: founding =
+    ``train_table``; batch = reversed twins under DRIFT_SHIFT ids;
+    queries = the first n_queries batch vectors.  Stale/fresh/exact
+    each carry their own WITH chain as a derived table (DuckDB scopes
+    CTEs per subquery, so the three training chains don't collide)."""
+    serve_table = (
+        f"(SELECT vec_id, embedding, label FROM {train_table}"
+        " UNION ALL"
+        f" SELECT vec_id + {DRIFT_SHIFT},"
+        f" list_transform(embedding, x -> x + {DRIFT_DELTA}), label"
+        f" FROM {train_table}) cur"
+    )
+    query_pred = (
+        f"{{a}}.vec_id >= {DRIFT_SHIFT}"
+        f" AND {{a}}.vec_id < {DRIFT_SHIFT + n_queries}"
+    )
+    stale = _sql_stale_topk(
+        train_table, serve_table, query_pred, k, nprobe, rounds
+    )
+    fresh = oracle_ivf_pq_topk_sql(
+        table=serve_table,
+        n_queries=n_queries,
+        k=k,
+        nprobe=nprobe,
+        rounds=rounds,
+        query_pred=query_pred,
+    )
+    exact = _sql_exact_topk(serve_table, query_pred, k)
+    return f"""
+        WITH exact_topk AS (SELECT * FROM ({exact}) e0),
+        stale_topk AS (SELECT * FROM ({stale}) s0),
+        fresh_topk AS (SELECT * FROM ({fresh}) f0),
+        stale_h AS (
+            SELECT e.query_id, CAST(COUNT(s.neighbor_id) AS BIGINT)
+                       AS stale_hits
+            FROM exact_topk e LEFT JOIN stale_topk s
+              ON s.query_id = e.query_id AND s.neighbor_id = e.neighbor_id
+            GROUP BY e.query_id
+        ),
+        fresh_h AS (
+            SELECT e.query_id, CAST(COUNT(f.neighbor_id) AS BIGINT)
+                       AS fresh_hits
+            FROM exact_topk e LEFT JOIN fresh_topk f
+              ON f.query_id = e.query_id AND f.neighbor_id = e.neighbor_id
+            GROUP BY e.query_id
+        )
+        SELECT s.query_id, CAST({k} AS BIGINT) AS k,
+               s.stale_hits, f.fresh_hits,
+               CAST(s.stale_hits * 1000000 // {k} AS BIGINT)
+                   AS stale_recall_e6,
+               CAST(f.fresh_hits * 1000000 // {k} AS BIGINT)
+                   AS fresh_recall_e6,
+               CAST(f.fresh_hits * 1000000 // {k}
+                    - s.stale_hits * 1000000 // {k} AS BIGINT)
+                   AS recall_drop_e6
+        FROM stale_h s JOIN fresh_h f ON s.query_id = f.query_id
+        ORDER BY s.query_id"""

@@ -441,6 +441,145 @@ def ivf_pq_topk(
     return attach_cached_deps(out, sub, coarse)
 
 
+def ivf_pq_topk_for(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = TOP_K,
+    nprobe: int = 2,
+    rounds: int = PQ_ROUNDS,
+    dim: int = EMB_DIM,
+) -> DataFrame:
+    """``ivf_pq_topk`` with an EXPLICIT (query_id, embedding) query
+    set instead of the vec_id < n_queries convention — the evaluator
+    shape ``annindex.ann_index_staleness`` needs, where the
+    calibration queries come from an appended batch whose ids are
+    shifted out of the founding range.  Self-matches (query_id equal
+    to a corpus vec_id) are excluded, exactly like ``ivf_pq_topk``.
+
+    Same plan discipline as ``ivf_pq_topk``: one broadcast centroid
+    argmax for cells, a bounded probed-cell broadcast, the exact-e6
+    ADC table join, pinned (adc asc, neighbor asc) tie-break."""
+    sub, books, _ = _train(embeddings, rounds)
+    codes = _assign(sub, books).select("vec_id", "m", "code")
+
+    corpus = _normed(embeddings, dim)
+    coarse = (
+        _centroid_vectors(embeddings)
+        .select(
+            "label", "cv",
+            F.sqrt(dot(F.col("cv"), F.col("cv"), dim)).alias("cnrm"),
+        )
+        .persist()
+    )
+    cells = (
+        corpus.crossJoin(F.broadcast(coarse))
+        .select(
+            "vec_id", "label",
+            _pair_cosine(
+                F.col("v"), F.col("cv"), F.col("nrm"), F.col("cnrm"), dim
+            ).alias("c_cos"),
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(
+                F.col("label"), F.struct(F.col("c_cos"), (-F.col("label")))
+            ).alias("cell")
+        )
+    )
+    q = _normed(
+        queries.select(F.col("query_id").alias("vec_id"), "embedding"), dim
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.desc("c_cos"), F.asc("label")
+    )
+    probed = (
+        q.crossJoin(F.broadcast(coarse))
+        .select(
+            "query_id", "label",
+            _pair_cosine(
+                F.col("qv"), F.col("cv"), F.col("qnrm"), F.col("cnrm"), dim
+            ).alias("c_cos"),
+        )
+        .withColumn("rn", F.row_number().over(probe_w))
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", F.col("label").alias("cell"))
+    )
+    cand = (
+        cells.join(F.broadcast(probed), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+    )
+    q_sub = q.select(
+        "query_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).cast("int").alias("m"),
+                        F.slice(
+                            F.col("qv"), m * SUB_DIM + 1, SUB_DIM
+                        ).alias("sv"),
+                    )
+                    for m in range(M_SUB)
+                ]
+            )
+        ).alias("e"),
+    ).select("query_id", F.col("e.m").alias("m"), F.col("e.sv").alias("sv"))
+    dist_table = q_sub.join(F.broadcast(books), "m").select(
+        "query_id", "m", "code",
+        cents(_l2sq(F.col("sv"), F.col("scv")), 6).alias("pd_e6"),
+    )
+    scored = (
+        codes.join(cand, "vec_id")
+        .join(F.broadcast(dist_table), ["query_id", "m", "code"])
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("pd_e6").alias("adc_e6"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_e6"), F.asc("neighbor_id")
+    )
+    out = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adc_e6", "rank")
+    )
+    return attach_cached_deps(out, sub, coarse)
+
+
+def exact_subspace_topk_for(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = TOP_K,
+) -> DataFrame:
+    """Exact top-k on the subspace-decomposed integer distance grid
+    (exact d = Σ_m cents(l2sq(q_m, v_m), 6)) for an explicit
+    (query_id, embedding) query set — the ground truth both
+    ``pq_recall`` and ``annindex.ann_index_staleness`` rank against.
+    Self-matches excluded; (d asc, neighbor asc) pinned."""
+    sub = _sub_corpus(embeddings)
+    q = _sub_corpus(
+        queries.select(F.col("query_id").alias("vec_id"), "embedding")
+    ).select(F.col("vec_id").alias("query_id"), "m", F.col("sv").alias("qv"))
+    exact_scored = (
+        sub.join(F.broadcast(q), "m")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum(cents(_l2sq(F.col("qv"), F.col("sv")), 6)).alias("d_e6"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("d_e6"), F.asc("neighbor_id")
+    )
+    return (
+        exact_scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracle twins: the Lloyd rounds unrolled into CTEs, same init,
 # same dround(6) means, same (d asc, code asc) tie-breaks.
@@ -636,7 +775,14 @@ def oracle_ivf_pq_topk_sql(
     k: int = TOP_K,
     nprobe: int = 2,
     rounds: int = PQ_ROUNDS,
+    query_pred: str | None = None,
 ) -> str:
+    """``query_pred`` (an expression template with ``{a}`` for the
+    row alias) overrides the default ``vec_id < n_queries``
+    calibration-set convention — used by the staleness evaluator,
+    whose queries are appended-batch ids outside the founding range."""
+    if query_pred is None:
+        query_pred = f"{{a}}.vec_id < {n_queries}"
     sql, books = _sql_train_ctes(table, rounds)
     return (
         sql
@@ -670,7 +816,7 @@ def oracle_ivf_pq_topk_sql(
                            ORDER BY {_sql_cosine("q.v", "k.cv")} DESC,
                                     k.label ASC) AS rn
                 FROM corpus q CROSS JOIN fullvecs k
-                WHERE q.vec_id < {n_queries}
+                WHERE {query_pred.format(a="q")}
             ) WHERE rn <= {nprobe}
         ),
         cand AS (
@@ -682,7 +828,7 @@ def oracle_ivf_pq_topk_sql(
             SELECT c.vec_id AS query_id, c.m, k.code,
                    {sql_cents(_sql_l2sq("c.sv", "k.scv"), 6)} AS pd_e6
             FROM subcorpus c JOIN {books} k ON c.m = k.m
-            WHERE c.vec_id < {n_queries}
+            WHERE {query_pred.format(a="c")}
         ),
         scored AS (
             SELECT cd.query_id, a.vec_id AS neighbor_id,

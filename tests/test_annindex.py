@@ -82,6 +82,71 @@ def test_out_of_corpus_queries_work(spark, index_path):
         assert sorted(ranks) == [1, 2, 3, 4, 5]
 
 
+def test_compaction_collapses_fragments_and_preserves_answers(spark, tmp_path):
+    """The daily-loop small-files problem: 3 appends leave one parquet
+    fragment per cell per batch; compact_ann_index rewrites each cell
+    to ONE file and ann_query answers are bit-identical."""
+    path = str(tmp_path / "idx")
+    emb = _emb(spark)
+    annindex.write_ann_index(emb, path)
+    for i in range(3):
+        shifted = emb.withColumn(
+            "vec_id", F.col("vec_id") + F.lit((i + 1) << 40)
+        )
+        annindex.append_to_ann_index(shifted, path)
+    q = annindex.corpus_queries(emb)
+    before = annindex.ann_query(spark, path, q)
+    b_rows = [tuple(r) for r in before.orderBy("query_id", "rank").collect()]
+    release_cached(before)
+    manifest = annindex.compact_ann_index(spark, path)
+    # one file per cell afterwards; 4 write rounds before
+    assert manifest["files_after"] < manifest["files_before"]
+    n_cells = (
+        spark.read.schema(annindex.CODES_SCHEMA)
+        .parquet(f"{path}/codes")
+        .select("cell")
+        .distinct()
+        .count()
+    )
+    assert manifest["files_after"] == n_cells
+    assert manifest["codes"] == 4 * emb.filter(
+        F.col("embedding").isNotNull()
+    ).count() * pq.M_SUB
+    after = annindex.ann_query(spark, path, q)
+    a_rows = [tuple(r) for r in after.orderBy("query_id", "rank").collect()]
+    release_cached(after)
+    assert b_rows == a_rows and len(a_rows) > 0
+
+
+def test_staleness_drifted_batch_drops_recall(spark, tmp_path):
+    """The rebuild trigger: a +0.5-shifted appended batch must score
+    measurably WORSE on the frozen index than on a fresh retrain
+    (aggregate fresh_hits > stale_hits; values pinned by the oracle
+    gate, direction pinned here)."""
+    path = str(tmp_path / "idx")
+    emb = _emb(spark)
+    annindex.write_ann_index(emb, path)
+    batch = annindex.drifted_batch(emb)
+    annindex.append_to_ann_index(batch, path)
+    current = emb.select("vec_id", "embedding", "label").unionByName(batch)
+    queries = batch.filter(
+        F.col("vec_id") < annindex.DRIFT_SHIFT + annindex.N_QUERIES
+    ).select(F.col("vec_id").alias("query_id"), "embedding")
+    out = annindex.ann_index_staleness(
+        spark, path, current, queries, k=annindex.STALE_K
+    )
+    rows = out.collect()
+    release_cached(out)
+    assert len(rows) == annindex.N_QUERIES
+    stale_total = sum(r["stale_hits"] for r in rows)
+    fresh_total = sum(r["fresh_hits"] for r in rows)
+    assert fresh_total > stale_total, (stale_total, fresh_total)
+    for r in rows:
+        assert r["recall_drop_e6"] == (
+            r["fresh_recall_e6"] - r["stale_recall_e6"]
+        )
+
+
 def test_append_without_retrain(spark, tmp_path):
     """FAISS-`add` semantics: appended twins are assigned against the
     PERSISTED books (no training), every query's neighbor list
