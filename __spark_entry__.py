@@ -70,7 +70,8 @@ from retail_etl_pipeline_airflow_s3_athena_spark.plans import (
     relational,
     retail_views,
 )
-from retail_etl_pipeline_airflow_s3_athena_spark.sources import readers
+from retail_etl_pipeline_airflow_s3_athena_spark.sources import readers, writers
+from retail_etl_pipeline_airflow_s3_athena_spark.functions.money import cents, sql_cents
 from retail_etl_pipeline_airflow_s3_athena_spark.functions.caching import (
     attach_cached_deps,
     carried_deps,
@@ -1393,6 +1394,54 @@ def _q_store_compacted_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_bronze_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3+S4 under the oracle gate (r8 verdict #4): orders written to a
+    header CSV via write_bronze_csv (reference extract.py:64-69), read
+    back via read_bronze_csv with schema INFERENCE (transform.py:25),
+    then reduced to a canonical per-status summary.  The oracle
+    computes the identical summary on the ORIGINAL parquet, so any
+    value the CSV encode/infer/parse path corrupts (quoting, date
+    rendering, double round-trip) flips the hash.  Spark renders
+    doubles as their shortest round-trip repr, so re-parsing is exact;
+    dates are written ISO and re-inferred as DATE (Spark 4 CSV
+    inference prefersDate)."""
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="bronze_gate_")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.to_date("o_orderdate").alias("o_orderdate"),
+        "o_orderpriority",
+    )
+    writers.write_bronze_csv(orders, base, "orders")
+    try:
+        back = readers.read_bronze_csv(spark, f"{base}/orders")
+        if not back.columns:
+            raise ValueError("no columns inferred")
+    except Exception:
+        # empty bronze extract (zero part files): inference has nothing
+        # to read — degrade to the typed empty frame, like a silver
+        # backfill over an empty day
+        back = spark.createDataFrame([], orders.schema)
+    return (
+        back.groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min(F.col("o_orderkey").cast("long")).alias("min_key"),
+            F.max(F.col("o_orderkey").cast("long")).alias("max_key"),
+            F.sum(cents("o_totalprice").cast("decimal(38,0)"))
+            .cast("long")
+            .alias("total_cents"),
+            F.min(F.col("o_orderdate").cast("string")).alias("min_date"),
+            F.max(F.col("o_orderdate").cast("string")).alias("max_date"),
+        )
+        .orderBy("status")
+    )
+
+
 def _q_ann_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train-once/query-forever ANN: IVF-PQ index persisted to parquet
     (codes partitioned by coarse cell), then the ADC top-k planned
@@ -1604,6 +1653,7 @@ GATE_TAIL = [
     # rotation (they lead GATE_FIRST_50 then)
     "ann_index_compacted_topk",
     "ann_index_staleness",
+    "bronze_roundtrip",
     # r6-driver-green rows whose evidence turns 3 rounds old at r9 —
     # FIRST in line for the r9 window
     "scd2_customers",
@@ -1810,6 +1860,7 @@ def _all_queries() -> dict[str, QueryFn]:
         "ann_index_append_topk": _q_ann_index_append_topk,
         "ann_index_compacted_topk": _q_ann_index_compacted_topk,
         "ann_index_staleness": _q_ann_index_staleness,
+        "bronze_roundtrip": _q_bronze_roundtrip,
         "bpe_encode_persisted": _q_bpe_encode_persisted,
         "pq_sdc_near_dup": _q_pq_sdc_near_dup,
         "audio_features_raw": _q_audio_features_raw,
@@ -2363,6 +2414,19 @@ def oracle_sql() -> dict[str, str]:
     # the SAME doubled-corpus oracle as the append gate
     oracles["ann_index_compacted_topk"] = oracles["ann_index_append_topk"]
     oracles["ann_index_staleness"] = annindex_ops.oracle_ann_staleness_sql()
+    # bronze CSV round-trip: the oracle summarizes the ORIGINAL parquet;
+    # the Spark side must land on the same values AFTER the CSV
+    # write/infer/parse cycle
+    oracles["bronze_roundtrip"] = f"""
+        SELECT o_orderstatus AS status,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+               CAST(MAX(o_orderkey) AS BIGINT) AS max_key,
+               CAST(SUM({sql_cents("o_totalprice")}) AS BIGINT)
+                   AS total_cents,
+               CAST(MIN(CAST(o_orderdate AS DATE)) AS VARCHAR) AS min_date,
+               CAST(MAX(CAST(o_orderdate AS DATE)) AS VARCHAR) AS max_date
+        FROM orders GROUP BY o_orderstatus ORDER BY status"""
     oracles["store_ingest_loop"] = store_ops.oracle_store_ingest_loop_sql(
         "source NOT IN ('src1', 'src2')",
         "source = 'src1'",

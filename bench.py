@@ -235,9 +235,11 @@ STANDALONE = [
     "kl_stream_drift",
     "ivf_pq_residual_topk",
     "bucketed_segment_order_stats",
-    # r9: ANN index maintenance (compaction + measured staleness)
+    # r9: ANN index maintenance (compaction + measured staleness),
+    # bronze CSV round-trip under the oracle gate
     "ann_index_compacted_topk",
     "ann_index_staleness",
+    "bronze_roundtrip",
 ]
 
 

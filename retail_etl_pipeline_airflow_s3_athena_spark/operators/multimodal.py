@@ -293,7 +293,13 @@ def _decode_raw(payload: bytes):
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         from retail_etl_pipeline_airflow_s3_athena_spark.operators.png import decode_png
 
-        return decode_png(payload)
+        img = decode_png(payload)
+        if img.dtype == np.uint16:
+            # the RAW processing tier is 8-bit by contract (MM02);
+            # fold 16-bit channels to their high byte — the standard
+            # deterministic depth reduction (PIL's I;16 -> L behavior)
+            img = (img >> 8).astype(np.uint8)
+        return img
     if payload[:4] != RAW_MAGIC:
         raise NotImplementedError(
             "compressed media decoding requires imaging libraries not "

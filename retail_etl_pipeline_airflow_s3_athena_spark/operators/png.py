@@ -8,12 +8,16 @@ bit-for-bit across engines, partitionings, and numpy versions.  This
 module implements:
 
 - ``decode_png``: chunk walk → IDAT concat → ``zlib.decompress`` →
-  scanline defilter → (h, w, c) uint8.  Refuses (loudly) anything
-  outside the deterministic-integer envelope: palette/16-bit/
-  interlaced images and truncated/corrupt streams.
-- ``encode_png``: the fixture-side inverse (filter + compress), with
-  a per-row filter cycle so the decoder's Sub/Up/Average/Paeth paths
-  are all exercised by every synthesized image.
+  scanline defilter → (h, w, c) integer array.  Envelope (r8 verdict
+  #7 widened it): 8-bit gray/GA/RGB/RGBA, 8-bit palette (PLTE lookup —
+  a join-free integer map), and 16-bit channels (big-endian byte-pair
+  fold → uint16).  Refuses (loudly) anything outside the
+  deterministic-integer envelope: sub-byte palette depths, interlace,
+  tRNS transparency, and truncated/corrupt streams.
+- ``encode_png`` / ``encode_png_palette``: the fixture-side inverses
+  (filter + compress), with a per-row filter cycle so the decoder's
+  Sub/Up/Average/Paeth paths are all exercised by every synthesized
+  image.
 - ``png_features``: the distributed operator — Arrow ``mapInPandas``
   over BINARY payload rows, emitting per-image integer stats + a
   decoded-pixel checksum.  A pure projection: no shuffle; memory
@@ -66,23 +70,19 @@ def _paeth(a: int, b: int, c: int) -> int:
     return c
 
 
-def encode_png(img: np.ndarray, filter_cycle: bool = True) -> bytes:
-    """Encode an (h, w) or (h, w, c) uint8 array as a valid 8-bit PNG.
-    ``filter_cycle=True`` rotates the row filter through 0..4 so every
-    defilter path gets exercised; False writes filter 0 everywhere."""
-    if img.ndim == 2:
-        img = img[:, :, None]
-    h, w, c = img.shape
-    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[c]
-    bpp = c  # bytes per pixel at bit depth 8
-    raw = img.astype(np.int64)
+def _filter_scanlines(
+    byte_rows: np.ndarray, bpp: int, filter_cycle: bool
+) -> bytes:
+    """RFC 2083 §6 byte-level row filtering shared by every encode
+    variant: filters operate on raw scanline BYTES with the byte-pixel
+    width ``bpp`` (channels × bytes-per-sample), which is what makes
+    the same machinery serve 8-bit, palette-index, and 16-bit rows."""
+    h, _stride = byte_rows.shape
     out = bytearray()
-    prev = np.zeros((w, c), dtype=np.int64)
+    prev_flat = np.zeros(byte_rows.shape[1], dtype=np.int64)
     for y in range(h):
-        row = raw[y]
+        flat = byte_rows[y]
         ft = (y % 5) if filter_cycle else 0
-        flat = row.reshape(-1)
-        prev_flat = prev.reshape(-1)
         left = np.concatenate([np.zeros(bpp, dtype=np.int64), flat[:-bpp]])
         upleft = np.concatenate(
             [np.zeros(bpp, dtype=np.int64), prev_flat[:-bpp]]
@@ -106,28 +106,79 @@ def encode_png(img: np.ndarray, filter_cycle: bool = True) -> bytes:
             filt = flat - pred
         out.append(ft)
         out.extend((filt % 256).astype(np.uint8).tobytes())
-        prev = row
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+        prev_flat = flat
+    return bytes(out)
+
+
+def encode_png(img: np.ndarray, filter_cycle: bool = True) -> bytes:
+    """Encode an (h, w) or (h, w, c) array as a valid PNG: uint8 input
+    writes bit depth 8, uint16 input writes bit depth 16 (big-endian
+    sample bytes, RFC 2083 §7.2).  ``filter_cycle=True`` rotates the
+    row filter through 0..4 so every defilter path gets exercised;
+    False writes filter 0 everywhere."""
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, c = img.shape
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    if img.dtype == np.uint16:
+        depth = 16
+        vals = img.astype(np.int64)
+        byte_rows = np.stack([vals >> 8, vals & 255], axis=-1).reshape(
+            h, w * c * 2
+        )
+        bpp = c * 2
+    else:
+        depth = 8
+        byte_rows = img.astype(np.int64).reshape(h, w * c)
+        bpp = c
+    body = _filter_scanlines(byte_rows, bpp, filter_cycle)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, 0)
     return (
         PNG_MAGIC
         + _chunk(b"IHDR", ihdr)
-        + _chunk(b"IDAT", zlib.compress(bytes(out), 6))
+        + _chunk(b"IDAT", zlib.compress(body, 6))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def encode_png_palette(
+    idx: np.ndarray, palette: np.ndarray, filter_cycle: bool = True
+) -> bytes:
+    """Encode an (h, w) uint8 index array + (n, 3) uint8 palette as an
+    8-bit color-type-3 PNG (PLTE chunk, one index byte per pixel)."""
+    h, w = idx.shape
+    body = _filter_scanlines(
+        idx.astype(np.int64).reshape(h, w), 1, filter_cycle
+    )
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+    return (
+        PNG_MAGIC
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"PLTE", palette.astype(np.uint8).tobytes())
+        + _chunk(b"IDAT", zlib.compress(body, 6))
         + _chunk(b"IEND", b"")
     )
 
 
 def decode_png(payload: bytes) -> np.ndarray:
-    """Decode an 8-bit grayscale/gray+alpha/RGB/RGBA PNG to an
-    (h, w, c) uint8 array.  Pure stdlib + integer defiltering —
-    bit-deterministic.  Raises ``NotImplementedError`` for palette,
-    16-bit, or interlaced images (outside the integer-exact envelope
-    this container can guarantee) and ``ValueError`` for corrupt
-    streams."""
+    """Decode a PNG to an (h, w, c) integer array.  Pure stdlib +
+    integer defiltering — bit-deterministic.  Supported envelope:
+
+    - 8-bit grayscale/gray+alpha/RGB/RGBA -> (h, w, c) uint8
+    - 8-bit palette (color type 3, PLTE lookup) -> (h, w, 3) uint8
+    - 16-bit grayscale/gray+alpha/RGB/RGBA (big-endian byte-pair
+      fold) -> (h, w, c) uint16
+
+    Raises ``NotImplementedError`` for sub-byte palette depths,
+    interlaced images, or tRNS transparency (outside the
+    integer-exact envelope this container can guarantee) and
+    ``ValueError`` for corrupt streams."""
     if payload[:8] != PNG_MAGIC:
         raise ValueError("not a PNG stream")
     pos = 8
     ihdr = None
     idat = bytearray()
+    plte = None
     while pos + 8 <= len(payload):
         (length,) = struct.unpack_from(">I", payload, pos)
         tag = payload[pos + 4 : pos + 8]
@@ -136,6 +187,15 @@ def decode_png(payload: bytes) -> np.ndarray:
             raise ValueError("truncated PNG chunk")
         if tag == b"IHDR":
             ihdr = struct.unpack(">IIBBBBB", data)
+        elif tag == b"PLTE":
+            if length % 3 != 0:
+                raise ValueError("PLTE length not a multiple of 3")
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif tag == b"tRNS":
+            raise NotImplementedError(
+                "PNG tRNS transparency not supported (would be "
+                "silently dropped; route through imaging libraries)"
+            )
         elif tag == b"IDAT":
             idat.extend(data)
         elif tag == b"IEND":
@@ -144,23 +204,35 @@ def decode_png(payload: bytes) -> np.ndarray:
     if ihdr is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT")
     w, h, depth, color_type, comp, filt, interlace = ihdr
-    if depth != 8 or color_type not in _COLOR_CHANNELS:
+    is_palette = color_type == 3
+    if is_palette:
+        if depth != 8:
+            raise NotImplementedError(
+                f"palette PNG bit depth {depth}: sub-byte index "
+                "packing requires imaging libraries; only 8-bit "
+                "palette decodes"
+            )
+    elif color_type not in _COLOR_CHANNELS or depth not in (8, 16):
         raise NotImplementedError(
             f"PNG bit depth {depth} / color type {color_type} requires "
             "imaging libraries not present in this environment; only "
-            "8-bit grayscale/gray+alpha/RGB/RGBA decodes"
+            "8/16-bit grayscale/gray+alpha/RGB/RGBA and 8-bit palette "
+            "decode"
         )
     if interlace != 0:
         raise NotImplementedError("interlaced PNG not supported")
     if comp != 0 or filt != 0:
         raise ValueError("invalid PNG compression/filter method")
-    c = _COLOR_CHANNELS[color_type]
-    stride = w * c
+    # channels in the FILTERED byte stream (palette rows carry one
+    # index byte per pixel; 16-bit rows carry two bytes per sample)
+    cs = 1 if is_palette else _COLOR_CHANNELS[color_type]
+    bs = depth // 8
+    stride = w * cs * bs
     raw = zlib.decompress(bytes(idat))
     if len(raw) != h * (stride + 1):
         raise ValueError("PNG pixel data length mismatch")
     out = np.zeros((h, stride), dtype=np.int64)
-    bpp = c
+    bpp = cs * bs
     for y in range(h):
         ft = raw[y * (stride + 1)]
         line = np.frombuffer(
@@ -189,7 +261,17 @@ def decode_png(payload: bytes) -> np.ndarray:
         else:
             raise ValueError(f"invalid PNG filter type {ft}")
         out[y] = rec
-    return out.astype(np.uint8).reshape(h, w, c)
+    if is_palette:
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE chunk")
+        idx = out.astype(np.int64).reshape(h, w)
+        if int(idx.max(initial=0)) >= plte.shape[0]:
+            raise ValueError("palette index out of PLTE range")
+        return plte[idx]  # (h, w, 3) uint8 — join-free integer map
+    if depth == 16:
+        pairs = out.reshape(h, w, cs, 2)
+        return (pairs[..., 0] * 256 + pairs[..., 1]).astype(np.uint16)
+    return out.astype(np.uint8).reshape(h, w, cs)
 
 
 # ---------------------------------------------------------------------------
@@ -198,11 +280,31 @@ def decode_png(payload: bytes) -> np.ndarray:
 
 def make_png_image(media_id: int) -> bytes:
     """Deterministic PNG: gradient-ish integer pixels (same generator
-    family as multimodal.make_raw_image), channel count cycling
-    1/3/4 so all supported color types appear in every corpus."""
-    c = (1, 3, 4)[media_id % 3]
+    family as multimodal.make_raw_image), cycling through the full
+    supported envelope — 8-bit gray/RGB/RGBA, 8-bit palette (PLTE),
+    and 16-bit grayscale — so every corpus exercises every decode
+    path."""
+    variant = media_id % 5
     w = 16 + (media_id * 7) % 48
     h = 16 + (media_id * 11) % 48
+    if variant == 3:  # 8-bit palette
+        yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+        idx = ((media_id * 31 + yy * 7 + xx * 13) % 64).astype(np.uint8)
+        palette = (
+            (
+                np.arange(64)[:, None] * np.array([3, 7, 11])
+                + media_id * 29
+            )
+            % 256
+        ).astype(np.uint8)
+        return encode_png_palette(idx, palette)
+    if variant == 4:  # 16-bit grayscale
+        yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+        img16 = (
+            (media_id * 131 + yy * 257 + xx * 523) % 65536
+        ).astype(np.uint16)
+        return encode_png(img16)
+    c = (1, 3, 4)[variant]
     yy, xx, cc = np.meshgrid(
         np.arange(h), np.arange(w), np.arange(c), indexing="ij"
     )

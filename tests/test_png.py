@@ -104,22 +104,67 @@ def test_loud_fail_on_unsupported_and_corrupt():
         png.decode_png(b"JFIF" + good[4:])
     with pytest.raises(ValueError):
         png.decode_png(good[:40])  # truncated chunk
-    # 16-bit depth: flip IHDR depth byte (offset 8+8+8+8=IHDR data at
-    # 16; depth is byte 8 of IHDR data)
+    # sub-byte depth: flip IHDR depth byte to 4 (offset 8+8=IHDR data
+    # at 16; depth is byte 8 of IHDR data) — 8 and 16 now DECODE, so
+    # the loud-fail frontier is depths below a byte
     deep = bytearray(good)
-    deep[16 + 8] = 16
-    # fix the CRC so the depth check (not a CRC failure) is what trips
-    ihdr_data = bytes(deep[16 : 16 + 13])
-    deep[16 + 13 : 16 + 17] = struct.pack(
-        ">I", zlib.crc32(b"IHDR" + ihdr_data) & 0xFFFFFFFF
-    )
+    deep[16 + 8] = 4
     with pytest.raises(NotImplementedError):
         png.decode_png(bytes(deep))
-    # palette color type
+    # sub-byte palette (depth 4 + color type 3)
     pal = bytearray(good)
+    pal[16 + 8] = 4
     pal[16 + 9] = 3
     with pytest.raises(NotImplementedError):
         png.decode_png(bytes(pal))
+    # tRNS transparency is outside the envelope (would silently drop)
+    trns = good[:33] + png._chunk(b"tRNS", b"\x00") + good[33:]
+    with pytest.raises(NotImplementedError):
+        png.decode_png(trns)
+    # palette stream without its PLTE chunk
+    src_idx = (_img(3, 1)[:, :, 0] % 64).astype(np.uint8)
+    palette = (np.arange(64 * 3).reshape(64, 3) % 256).astype(np.uint8)
+    pal_png = png.encode_png_palette(src_idx, palette)
+    plte_start = pal_png.index(b"PLTE") - 4
+    (plte_len,) = struct.unpack_from(">I", pal_png, plte_start)
+    stripped = (
+        pal_png[:plte_start] + pal_png[plte_start + 12 + plte_len :]
+    )
+    with pytest.raises(ValueError):
+        png.decode_png(stripped)
+
+
+def test_roundtrip_palette():
+    for mid in (1, 4):
+        h, w = 9 + mid, 14 - mid
+        yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+        idx = ((mid * 5 + yy * 3 + xx * 11) % 64).astype(np.uint8)
+        palette = (
+            (np.arange(64)[:, None] * np.array([3, 7, 11]) + mid) % 256
+        ).astype(np.uint8)
+        for cycle in (True, False):
+            back = png.decode_png(
+                png.encode_png_palette(idx, palette, filter_cycle=cycle)
+            )
+            assert back.shape == (h, w, 3)
+            assert back.dtype == np.uint8
+            assert np.array_equal(back, palette[idx])
+
+
+def test_roundtrip_16bit_all_channel_counts():
+    for c in (1, 2, 3, 4):
+        h, w = 10, 13
+        yy, xx, cc = np.meshgrid(
+            np.arange(h), np.arange(w), np.arange(c), indexing="ij"
+        )
+        src = ((yy * 65521 + xx * 257 + cc * 4099) % 65536).astype(
+            np.uint16
+        )
+        for cycle in (True, False):
+            back = png.decode_png(png.encode_png(src, filter_cycle=cycle))
+            assert back.dtype == np.uint16
+            assert back.shape == src.shape
+            assert np.array_equal(back, src)
 
 
 def test_png_features_distributed_matches_local(spark):
@@ -148,7 +193,9 @@ def test_resize_media_accepts_png_payloads(spark):
     }
     assert len(out) == 6
     for mid in range(6):
-        img = png.decode_png(png.make_png_image(mid))
+        # _decode_raw (not decode_png): the RAW tier folds 16-bit PNGs
+        # to their high byte, and the fixture cycle includes one
+        img = mm._decode_raw(png.make_png_image(mid))
         h, w, c = img.shape
         iy = (np.arange(8) * h) // 8
         ix = (np.arange(8) * w) // 8
