@@ -37,6 +37,8 @@ from retail_etl_pipeline_airflow_s3_athena_spark.operators import (
     rangejoin as rangejoin_ops,
 )
 from retail_etl_pipeline_airflow_s3_athena_spark.operators import text as text_ops
+from retail_etl_pipeline_airflow_s3_athena_spark.operators import unigram as unigram_ops
+from retail_etl_pipeline_airflow_s3_athena_spark.operators import classifier as clf_ops
 from retail_etl_pipeline_airflow_s3_athena_spark.operators.text import dround, sql_dround
 from retail_etl_pipeline_airflow_s3_athena_spark.functions.money import (
     exact_sum,
@@ -1394,6 +1396,41 @@ def _q_store_compacted_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_unigram_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM tokenizer induction (Kudo 2018, hard-EM variant,
+    r8 verdict #5): the pruned piece vocabulary with final Viterbi
+    counts and fixed-point costs.  Oracle = pure-Python twin VALUES
+    (the bpe_merges pattern)."""
+    return unigram_ops.unigram_vocab(_docs(spark, sf_dir))
+
+
+def _q_unigram_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus encoded under the learned unigram model — Viterbi
+    segmentation joined back to the position-indexed stream (the
+    bpe_encode_docs plan shape).  token_ids CSV-projected for the
+    scalar-only gate canonicalizer."""
+    out = unigram_ops.unigram_encode_docs(_docs(spark, sf_dir))
+    deps = carried_deps(out)
+    return attach_cached_deps(
+        out.withColumn("token_ids", _csv_array("token_ids")), *deps
+    )
+
+
+def _q_quality_model_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned quality classifier, fit step (r8 verdict #6): diagonal
+    LDA over four integer text features, teacher labels from the gated
+    quality heuristic, every division exact truncating DECIMAL(38,0).
+    Oracle is PURE SQL — DuckDB re-derives the whole fit."""
+    return clf_ops.quality_model_fit(_docs(spark, sf_dir))
+
+
+def _q_quality_model_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scoring under the fitted model: exact integer margins +
+    predictions + per-doc correctness (holdout accuracy pinned in
+    tests/test_classifier.py)."""
+    return clf_ops.quality_model_scores(_docs(spark, sf_dir))
+
+
 def _q_bronze_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S3+S4 under the oracle gate (r8 verdict #4): orders written to a
     header CSV via write_bronze_csv (reference extract.py:64-69), read
@@ -1654,6 +1691,10 @@ GATE_TAIL = [
     "ann_index_compacted_topk",
     "ann_index_staleness",
     "bronze_roundtrip",
+    "unigram_vocab",
+    "unigram_encode_docs",
+    "quality_model_fit",
+    "quality_model_scores",
     # r6-driver-green rows whose evidence turns 3 rounds old at r9 —
     # FIRST in line for the r9 window
     "scd2_customers",
@@ -1861,6 +1902,10 @@ def _all_queries() -> dict[str, QueryFn]:
         "ann_index_compacted_topk": _q_ann_index_compacted_topk,
         "ann_index_staleness": _q_ann_index_staleness,
         "bronze_roundtrip": _q_bronze_roundtrip,
+        "unigram_vocab": _q_unigram_vocab,
+        "unigram_encode_docs": _q_unigram_encode_docs,
+        "quality_model_fit": _q_quality_model_fit,
+        "quality_model_scores": _q_quality_model_scores,
         "bpe_encode_persisted": _q_bpe_encode_persisted,
         "pq_sdc_near_dup": _q_pq_sdc_near_dup,
         "audio_features_raw": _q_audio_features_raw,
@@ -2417,6 +2462,14 @@ def oracle_sql() -> dict[str, str]:
     # bronze CSV round-trip: the oracle summarizes the ORIGINAL parquet;
     # the Spark side must land on the same values AFTER the CSV
     # write/infer/parse cycle
+    oracles["unigram_vocab"] = unigram_ops.oracle_unigram_vocab_sql()
+    oracles["unigram_encode_docs"] = (
+        unigram_ops.oracle_unigram_encode_docs_sql()
+    )
+    oracles["quality_model_fit"] = clf_ops.oracle_quality_model_fit_sql()
+    oracles["quality_model_scores"] = (
+        clf_ops.oracle_quality_model_scores_sql()
+    )
     oracles["bronze_roundtrip"] = f"""
         SELECT o_orderstatus AS status,
                CAST(COUNT(*) AS BIGINT) AS n_orders,

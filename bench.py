@@ -240,6 +240,12 @@ STANDALONE = [
     "ann_index_compacted_topk",
     "ann_index_staleness",
     "bronze_roundtrip",
+    # r9: unigram-LM tokenizer (hard-EM, detmath fixed-point costs),
+    # learned quality classifier (exact-integer diagonal LDA)
+    "unigram_vocab",
+    "unigram_encode_docs",
+    "quality_model_fit",
+    "quality_model_scores",
 ]
 
 

@@ -1,0 +1,83 @@
+"""Learned quality classifier (exact-integer diagonal LDA): fit
+invariants, scoring rule consistency, and the production question —
+holdout accuracy of the linear student vs the nonlinear teacher.
+
+Reference scope: none (the reference's data_quality.py stops at
+null/dup counts) — extension coverage for the curation tier."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from retail_etl_pipeline_airflow_s3_athena_spark.operators import classifier as clf
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+def test_fit_invariants(spark):
+    rows = {r["feature"]: r for r in clf.quality_model_fit(_docs(spark)).collect()}
+    assert set(rows) == set(clf.FEATURES)
+    n_docs = _docs(spark).filter(F.col("text").isNotNull()).count()
+    for r in rows.values():
+        assert r["n_pos"] + r["n_neg"] == n_docs
+        assert r["var_e6"] >= 1
+        # weight sign follows the mean separation
+        diff = r["mu_pos_e6"] - r["mu_neg_e6"]
+        assert (r["w_e6"] > 0) == (diff > 0) or r["w_e6"] == diff == 0
+
+
+def test_scores_margin_consistency(spark):
+    fit = {r["feature"]: r for r in clf.quality_model_fit(_docs(spark)).collect()}
+    thr = sum(
+        fit[f]["w_e6"] * (fit[f]["mu_pos_e6"] + fit[f]["mu_neg_e6"])
+        for f in clf.FEATURES
+    )
+    feats = {
+        r["doc_id"]: r for r in clf._features(_docs(spark)).collect()
+    }
+    out = clf.quality_model_scores(_docs(spark)).collect()
+    assert len(out) == len(feats)
+    for r in out[:50]:
+        f = feats[r["doc_id"]]
+        score = sum(fit[n]["w_e6"] * f[n] for n in clf.FEATURES)
+        assert int(r["margin"]) == 2 * clf.E6 * score - thr
+        assert r["predicted"] == (1 if int(r["margin"]) >= 0 else 0)
+        assert r["correct"] == (1 if r["predicted"] == f["label"] else 0)
+
+
+def test_holdout_accuracy_beats_majority_class(spark):
+    """The linear student must RECOVER the nonlinear teacher on docs it
+    never saw: train on doc_id % 5 != 0, evaluate on the held-out fifth.
+    Measured 0.88 at sf0.01 / 0.86+ at sf0.001 vs a ~0.70 majority
+    baseline; pinned with slack for fixture evolution."""
+    docs = _docs(spark)
+    train = docs.filter(F.col("doc_id") % 5 != 0)
+    held = docs.filter(F.col("doc_id") % 5 == 0)
+    rows = clf.quality_model_scores(held, train_docs=train).collect()
+    n = len(rows)
+    assert n > 0
+    acc = sum(r["correct"] for r in rows) / n
+    majority = max(
+        sum(r["label"] for r in rows), sum(1 - r["label"] for r in rows)
+    ) / n
+    assert acc >= 0.8, acc
+    assert acc > majority, (acc, majority)
+
+
+def test_degenerate_inputs(spark):
+    empty = _docs(spark).filter(F.lit(False))
+    fit = clf.quality_model_fit(empty).collect()
+    assert [r["feature"] for r in fit] == []
+    assert clf.quality_model_scores(empty).collect() == []
+    # single-class corpus: weights well-defined (zero), no div-by-zero
+    one_class = _docs(spark).limit(5).withColumn(
+        "text", F.lit("the a of and to in is it " * 10)
+    )
+    rows = clf.quality_model_fit(one_class).collect()
+    for r in rows:
+        assert r["n_neg"] == 0
+        assert r["mu_neg_e6"] == 0

@@ -81,6 +81,8 @@ AUDIT = [
     "pq_sdc_near_dup",
     "ann_index_compacted_topk",
     "ann_index_staleness",
+    "unigram_encode_docs",
+    "quality_model_scores",
 ]
 
 
