@@ -1416,6 +1416,21 @@ def _q_unigram_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_unigram_encode_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-once/encode-forever unigram tokenizer: the piece model
+    (scores + word dictionary + vocab ids) persisted to parquet, the
+    corpus encoded against the PERSISTED tables with zero EM rounds.
+    On the training corpus this reproduces unigram_encode_docs
+    bit-for-bit, so the oracle is the same twin."""
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix="unigram_model_gate_")
+    docs = _docs(spark, sf_dir)
+    unigram_ops.write_unigram_model(docs, path)
+    out = unigram_ops.encode_with_unigram_model(docs, path)
+    return out.withColumn("token_ids", _csv_array("token_ids"))
+
+
 def _q_quality_model_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Learned quality classifier, fit step (r8 verdict #6): diagonal
     LDA over four integer text features, teacher labels from the gated
@@ -1613,68 +1628,56 @@ def entry(spark: SparkSession) -> DataFrame:
 # tail holds entries whose driver evidence is exactly one round old.
 # ---------------------------------------------------------------------------
 
+# r9 rotation (r8 VERDICT #2): lead with the seven new r9 entries
+# (ANN maintenance pair, bronze CSV round-trip, unigram tokenizer pair,
+# quality-classifier pair), then the r6-era rows whose driver evidence
+# turned 3 rounds old, then the deferred r4 rows, then the oldest
+# r5-verified rows that fit, then the reference-parity core (kept
+# fresh every round).  Evicted r8-green rows go to the BACK of the
+# tail (freshest evidence); the tail head is next in line for r10.
 GATE_FIRST_50 = [
-    # r8 rotation (r7 VERDICT #1/#3): lead with the two reshaped red
-    # rows (array outputs -> canonical CSV strings) and every query
-    # whose implementation changed this round, then the four new r8
-    # operators, then the eleven r7 entries with NO driver evidence
-    # yet, then the r4-era rows (stalest evidence), then the oldest
-    # r6-verified rows that fit, then the reference-parity core
-    # (kept fresh every round).
-    "bpe_encode_docs",
-    "pq_codes",
-    # changed this round: truth-stage rewrite (near_dup_recall),
-    # decimal-overflow/rounding fixes (event_key_skew, zorder_layout,
-    # length_model_fit/outliers)
-    "near_dup_recall",
-    "event_key_skew",
-    "zorder_layout",
-    "length_model_fit",
-    "length_model_outliers",
-    # new r8 operators (stdlib PNG decode, perceptual image dedup,
-    # persisted fingerprint store, persisted ANN index)
-    "png_features",
-    "image_near_dup",
-    "stored_near_dups",
-    "store_ingest_loop",
-    "store_compacted_dedup",
-    "ann_index_topk",
-    "ann_index_append_topk",
-    "bpe_encode_persisted",
-    "pq_sdc_near_dup",
-    # r7 entries with no driver evidence yet (post-window-freeze):
-    # drift family, shard provenance, join-strategy proofs, residual
-    # IVF-PQ
-    "length_drift_chisq",
-    "source_token_kl",
-    "snapshot_value_psi",
-    "psi_stream_drift",
-    "chisq_stream_drift",
-    "kl_stream_drift",
-    "training_manifest",
-    "manifest_diff",
-    "salted_segment_order_stats",
-    "bucketed_segment_order_stats",
-    "ivf_pq_residual_topk",
-    # r4-era driver evidence (stalest) — the GEMM/LSH twins evicted
-    # in r7
-    "cosine_topk",
-    "ivf_topk",
-    "lsh_candidate_pairs",
-    "minhash_signatures",
-    "blocked_jaccard_pairs",
-    "cosine_topk_gemm",
-    "embedding_near_dup_gemm",
-    "dq_summary_customer",
-    "language_id",
-    "pii_redact_docs",
-    "repetition_signals",
-    "session_window_stats",
-    "silver_clean_events",
-    "union_all_orders",
-    # oldest r6-verified rows that fit
-    "embedding_near_dup",
-    # reference-parity core (every round)
+    "ann_index_compacted_topk",
+    "ann_index_staleness",
+    "bronze_roundtrip",
+    "unigram_vocab",
+    "unigram_encode_docs",
+    "unigram_encode_persisted",
+    "quality_model_fit",
+    "quality_model_scores",
+    "scd2_customers",
+    "tfidf_top_terms",
+    "decontaminate_docs",
+    "asof_join_events",
+    "simhash_near_dup",
+    "near_dup_pairs",
+    "embedding_near_dup_lsh",
+    "simhash_signatures",
+    "text_features",
+    "topk_events_per_type",
+    "user_event_pivot",
+    "user_event_unpivot",
+    "extract_props",
+    "category_reach",
+    "repeat_buyers_intersect",
+    "corpus_shuffle",
+    "source_cap_docs",
+    "event_value_quantiles",
+    "anomalous_revenue_days",
+    "bloom_decontaminate",
+    "cheapest_part_supplier",
+    "cms_heavy_hitters",
+    "containment_pairs",
+    "corpus_stats",
+    "curated_docs",
+    "customer_order_distribution",
+    "daily_revenue_ma7",
+    "dataset_split_docs",
+    "dedup_corpus",
+    "dedup_rate_report",
+    "dup_span_stats",
+    "funnel_conversion",
+    "fuzzy_decontaminate",
+    "fuzzy_part_names",
     "daily_sales_summary",
     "top_customers",
     "product_performance",
@@ -1686,28 +1689,9 @@ GATE_FIRST_50 = [
 ]
 
 GATE_TAIL = [
-    # new r9 entries — parked here until the end-of-round r9 window
-    # rotation (they lead GATE_FIRST_50 then)
-    "ann_index_compacted_topk",
-    "ann_index_staleness",
-    "bronze_roundtrip",
-    "unigram_vocab",
-    "unigram_encode_docs",
-    "quality_model_fit",
-    "quality_model_scores",
-    # r6-driver-green rows whose evidence turns 3 rounds old at r9 —
-    # FIRST in line for the r9 window
-    "scd2_customers",
-    "tfidf_top_terms",
-    "decontaminate_docs",
-    "asof_join_events",
-    "simhash_near_dup",
-    "near_dup_pairs",
-    "embedding_near_dup_lsh",
-    # evicted from the r7 window this round, all r7-driver-green
-    # (freshest evidence, so they rotate to the back of the queue):
-    # value-tile ranking, BPE/PQ training family, DSIR + mixing,
-    # spans, quantiles, data card, streams
+    # evicted from the r9 window to fit unigram_encode_persisted —
+    # r5-green, FIRST in line for r10
+    "hll_distinct_users",
     "customer_value_tiles",
     "brand_corr_stats",
     "encode_token_ids",
@@ -1743,36 +1727,6 @@ GATE_TAIL = [
     "data_card",
     "cms_stream_heavy_hitters",
     "curriculum_mix",
-    # deferred r4 rows — next in line for the r9 window
-    "simhash_signatures",
-    "text_features",
-    "topk_events_per_type",
-    "user_event_pivot",
-    "user_event_unpivot",
-    "extract_props",
-    "category_reach",
-    "repeat_buyers_intersect",
-    "corpus_shuffle",
-    "source_cap_docs",
-    "event_value_quantiles",
-    # r5-driver-green
-    "anomalous_revenue_days",
-    "bloom_decontaminate",
-    "cheapest_part_supplier",
-    "cms_heavy_hitters",
-    "containment_pairs",
-    "corpus_stats",
-    "curated_docs",
-    "customer_order_distribution",
-    "daily_revenue_ma7",
-    "dataset_split_docs",
-    "dedup_corpus",
-    "dedup_rate_report",
-    "dup_span_stats",
-    "funnel_conversion",
-    "fuzzy_decontaminate",
-    "fuzzy_part_names",
-    "hll_distinct_users",
     "incremental_near_dups",
     "kmeans_refine",
     "kmeans_two_round",
@@ -1792,7 +1746,6 @@ GATE_TAIL = [
     "weekly_retention",
     "winnow_fingerprints",
     "winnow_shared_pairs",
-    # r6-driver-green (freshest evidence) last
     "above_avg_dormant_value",
     "audio_features_raw",
     "basket_rules",
@@ -1833,6 +1786,48 @@ GATE_TAIL = [
     "top_revenue_supplier",
     "video_frame_luma",
     "windowed_event_stats",
+    "bpe_encode_docs",
+    "pq_codes",
+    "near_dup_recall",
+    "event_key_skew",
+    "zorder_layout",
+    "length_model_fit",
+    "length_model_outliers",
+    "png_features",
+    "image_near_dup",
+    "stored_near_dups",
+    "store_ingest_loop",
+    "store_compacted_dedup",
+    "ann_index_topk",
+    "ann_index_append_topk",
+    "bpe_encode_persisted",
+    "pq_sdc_near_dup",
+    "length_drift_chisq",
+    "source_token_kl",
+    "snapshot_value_psi",
+    "psi_stream_drift",
+    "chisq_stream_drift",
+    "kl_stream_drift",
+    "training_manifest",
+    "manifest_diff",
+    "salted_segment_order_stats",
+    "bucketed_segment_order_stats",
+    "ivf_pq_residual_topk",
+    "cosine_topk",
+    "ivf_topk",
+    "lsh_candidate_pairs",
+    "minhash_signatures",
+    "blocked_jaccard_pairs",
+    "cosine_topk_gemm",
+    "embedding_near_dup_gemm",
+    "dq_summary_customer",
+    "language_id",
+    "pii_redact_docs",
+    "repetition_signals",
+    "session_window_stats",
+    "silver_clean_events",
+    "union_all_orders",
+    "embedding_near_dup",
 ]
 
 
@@ -1906,6 +1901,7 @@ def _all_queries() -> dict[str, QueryFn]:
         "unigram_encode_docs": _q_unigram_encode_docs,
         "quality_model_fit": _q_quality_model_fit,
         "quality_model_scores": _q_quality_model_scores,
+        "unigram_encode_persisted": _q_unigram_encode_persisted,
         "bpe_encode_persisted": _q_bpe_encode_persisted,
         "pq_sdc_near_dup": _q_pq_sdc_near_dup,
         "audio_features_raw": _q_audio_features_raw,
@@ -2470,6 +2466,10 @@ def oracle_sql() -> dict[str, str]:
     oracles["quality_model_scores"] = (
         clf_ops.oracle_quality_model_scores_sql()
     )
+    # persisted-model encode reproduces the inline encode bit-for-bit
+    # on the training corpus — same oracle (the bpe_encode_persisted
+    # pattern)
+    oracles["unigram_encode_persisted"] = oracles["unigram_encode_docs"]
     oracles["bronze_roundtrip"] = f"""
         SELECT o_orderstatus AS status,
                CAST(COUNT(*) AS BIGINT) AS n_orders,

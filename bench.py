@@ -244,6 +244,7 @@ STANDALONE = [
     # learned quality classifier (exact-integer diagonal LDA)
     "unigram_vocab",
     "unigram_encode_docs",
+    "unigram_encode_persisted",
     "quality_model_fit",
     "quality_model_scores",
 ]
@@ -382,6 +383,10 @@ def main() -> None:
     )
     bpe_path = tempfile.mkdtemp(prefix="bench_bpe_serve_")
     bpe_serve_ops.write_bpe_model(docs, bpe_path)
+    from retail_etl_pipeline_airflow_s3_athena_spark.operators import unigram as ug_serve_ops
+
+    ug_path = tempfile.mkdtemp(prefix="bench_unigram_serve_")
+    ug_serve_ops.write_unigram_model(docs, ug_path)
     SERVE = {
         "ann_index_topk_serve": lambda: annidx_ops.ann_query(
             spark, ann_path, annidx_ops.corpus_queries(emb)
@@ -391,6 +396,9 @@ def main() -> None:
         ),
         "bpe_encode_persisted_serve": lambda: bpe_serve_ops.encode_with_model(
             docs, bpe_path
+        ),
+        "unigram_encode_persisted_serve": (
+            lambda: ug_serve_ops.encode_with_unigram_model(docs, ug_path)
         ),
     }
     for _ in range(ITERS):

@@ -352,6 +352,138 @@ def unigram_encode_docs(
 
 
 # ---------------------------------------------------------------------------
+# Persisted unigram model: train once, encode forever (the bpe.py
+# write_bpe_model / annindex.py serving discipline applied to the
+# third trainable family).  A pre-training pipeline learns the piece
+# model ONCE offline; every encode job thereafter pays zero EM rounds
+# — seen words hit the persisted dictionary join, unseen words run ONE
+# Viterbi pass against the persisted piece costs (the SentencePiece
+# apply step, bounded by the batch's new unique words).
+# ---------------------------------------------------------------------------
+
+# Explicit read schemas — an empty-corpus model directory has no
+# parquet files to infer from (the annindex.py discipline).
+UNIGRAM_SCORES_SCHEMA = "piece STRING, cost_e20 BIGINT"
+UNIGRAM_WORDS_SCHEMA = "tok STRING, pieces ARRAY<STRING>"
+UNIGRAM_VOCAB_SCHEMA = "piece STRING, piece_id INT"
+
+
+def write_unigram_model(
+    docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    rounds: int = EM_ROUNDS,
+    vocab_size: int = VOCAB_SIZE,
+) -> dict:
+    """One training pass -> three parquet tables: ``scores`` (piece ->
+    fixed-point cost — what the Viterbi apply step needs), ``words``
+    (the segmented unique-word dictionary — the encode fast path),
+    ``vocab`` (emitted piece -> dense id).  Returns row counts."""
+    spark = docs.sparkSession
+    vocab, final_words = learn_unigram(docs, text_col, rounds, vocab_size)
+    vocab.select("piece", "cost_e20").write.mode("overwrite").parquet(
+        f"{path}/scores"
+    )
+    final_words.select("tok", "pieces").write.mode("overwrite").parquet(
+        f"{path}/words"
+    )
+    idw = Window.orderBy(F.asc("piece"))
+    (
+        final_words.select(F.explode("pieces").alias("piece"))
+        .distinct()
+        .withColumn("piece_id", F.row_number().over(idw))
+        .write.mode("overwrite")
+        .parquet(f"{path}/vocab")
+    )
+    release_checkpoint(final_words)
+    release_checkpoint(vocab)
+    return {
+        t: spark.read.schema(s).parquet(f"{path}/{t}").count()
+        for t, s in [
+            ("scores", UNIGRAM_SCORES_SCHEMA),
+            ("words", UNIGRAM_WORDS_SCHEMA),
+            ("vocab", UNIGRAM_VOCAB_SCHEMA),
+        ]
+    }
+
+
+def encode_with_unigram_model(
+    docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, n_tokens, token_ids) against the PERSISTED model —
+    zero EM rounds.  Seen words hit the dictionary join (the common
+    case); unseen words run one Viterbi pass against the persisted
+    piece costs (bounded: the batch's NEW unique words only).  Words
+    containing characters the founding corpus never saw are DROPPED
+    (no character path exists in the lattice) — the word-level OOV
+    convention, mirroring encode_with_model's vocab-join drop.
+
+    On the training corpus itself this reproduces
+    :func:`unigram_encode_docs` bit-for-bit (same dictionary, same
+    numbering, no unseen words), so the gate reuses that oracle."""
+    spark = docs.sparkSession
+    dict_words = spark.read.schema(UNIGRAM_WORDS_SCHEMA).parquet(
+        f"{path}/words"
+    )
+    scores = spark.read.schema(UNIGRAM_SCORES_SCHEMA).parquet(
+        f"{path}/scores"
+    )
+    vocab = spark.read.schema(UNIGRAM_VOCAB_SCHEMA).parquet(f"{path}/vocab")
+    batch_words = _word_table(docs, text_col)
+    new_words = batch_words.join(dict_words, "tok", "left_anti")
+    # encodable = every character has a piece path: anti-join each new
+    # word's char set against the single-char score rows
+    char_vocab = scores.filter(F.length("piece") == 1).select(
+        F.col("piece").alias("ch")
+    )
+    bad = (
+        new_words.select(
+            "tok",
+            F.explode(
+                F.filter(F.split(F.col("tok"), ""), lambda x: x != F.lit(""))
+            ).alias("ch"),
+        )
+        .join(F.broadcast(char_vocab), "ch", "left_anti")
+        .select("tok")
+        .distinct()
+    )
+    encodable = new_words.join(bad, "tok", "left_anti")
+    new_seg = _viterbi(encodable, scores).select("tok", "pieces")
+    all_words = dict_words.select("tok", "pieces").unionByName(new_seg)
+    stream = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokens(F.lower(F.col(text_col)))).alias(
+            "word_pos", "tok"
+        ),
+    )
+    pieces = (
+        stream.join(all_words, "tok")
+        .select(
+            "doc_id", "word_pos",
+            F.posexplode("pieces").alias("piece_pos", "piece"),
+        )
+        .join(F.broadcast(vocab), "piece")
+    )
+    return (
+        pieces.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct("word_pos", "piece_pos", "piece_id")
+                    )
+                ),
+                lambda s: s.piece_id,
+            ).alias("token_ids"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Pure-Python twin (oracle + property tests) — integer-exact mirror of
 # the Spark plan, same detmath L(), same tie-breaks.
 # ---------------------------------------------------------------------------

@@ -114,6 +114,53 @@ def test_empty_and_null_text(spark):
     release_cached(out)
 
 
+def test_persisted_model_reproduces_inline_encode(spark, tmp_path):
+    """write_unigram_model -> encode_with_unigram_model on the training
+    corpus == unigram_encode_docs bit-for-bit (the gate contract)."""
+    docs = _docs(spark)
+    path = str(tmp_path / "model")
+    manifest = ug.write_unigram_model(docs, path)
+    assert manifest["scores"] > 0 and manifest["words"] > 0
+    got = {
+        r["doc_id"]: (r["n_tokens"], list(r["token_ids"]))
+        for r in ug.encode_with_unigram_model(docs, path).collect()
+    }
+    inline = ug.unigram_encode_docs(docs)
+    want = {
+        r["doc_id"]: (r["n_tokens"], list(r["token_ids"]))
+        for r in inline.collect()
+    }
+    release_cached(inline)
+    assert got == want and len(got) == len(TEXTS)
+
+
+def test_persisted_model_handles_unseen_words(spark, tmp_path):
+    """Serving batches carry NEW words: known-char words segment via
+    one Viterbi pass against the persisted costs; words with characters
+    the founding corpus never saw are dropped (word-level OOV)."""
+    docs = _docs(spark)
+    path = str(tmp_path / "model")
+    ug.write_unigram_model(docs, path)
+    batch = spark.createDataFrame(
+        [(100, "catsmat thecat zebra9"), (101, "on a mat")],
+        "doc_id LONG, text STRING",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in ug.encode_with_unigram_model(batch, path).collect()
+    }
+    # 'catsmat'/'thecat' are unseen but char-covered -> encoded;
+    # 'zebra9' contains chars ('z','b','9') absent from the corpus ->
+    # dropped; doc 101 is all dictionary words
+    vocab, _seg = ug.py_learn_unigram(TEXTS)
+    scores = {p: s for p, (_c, s) in vocab.items()}
+    expect_100 = len(ug._py_viterbi("catsmat", scores)) + len(
+        ug._py_viterbi("thecat", scores)
+    )
+    assert rows[100]["n_tokens"] == expect_100
+    assert rows[101]["n_tokens"] >= 3
+
+
 def test_drifted_word_segments_with_learned_pieces(spark):
     """A word the corpus never saw still encodes (single-char
     fallback + any matching learned pieces) — the serving property

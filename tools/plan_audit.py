@@ -82,6 +82,7 @@ AUDIT = [
     "ann_index_compacted_topk",
     "ann_index_staleness",
     "unigram_encode_docs",
+    "unigram_encode_persisted",
     "quality_model_scores",
 ]
 
