@@ -29,6 +29,7 @@ from retail_etl_pipeline_airflow_s3_athena_spark.operators import multimodal as 
 from retail_etl_pipeline_airflow_s3_athena_spark.operators import annindex as annindex_ops
 from retail_etl_pipeline_airflow_s3_athena_spark.operators import dedupstore as store_ops
 from retail_etl_pipeline_airflow_s3_athena_spark.operators import imagehash as ih_ops
+from retail_etl_pipeline_airflow_s3_athena_spark.operators import jpeg as jpeg_ops
 from retail_etl_pipeline_airflow_s3_athena_spark.operators import png as png_ops
 from retail_etl_pipeline_airflow_s3_athena_spark.operators import pq as pq_ops
 from retail_etl_pipeline_airflow_s3_athena_spark.operators import scd as scd_ops
@@ -1319,6 +1320,17 @@ def _q_png_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return png_ops.png_features(media).orderBy("media_id")
 
 
+def _q_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-JPEG decode: stdlib Huffman + dequant + integer
+    Q14 IDCT over valid SOF0 4:4:4 payloads (operators/jpeg.py), Arrow
+    mapInPandas, integer stats + decoded-pixel checksums out.  Oracle:
+    locally-recomputed VALUES literal — verifies the DISTRIBUTED
+    decode reproduces the local one bit-for-bit (the png_features
+    pattern)."""
+    media = jpeg_ops.synthesize_jpeg_images(spark, n=40)
+    return jpeg_ops.jpeg_features(media).orderBy("media_id")
+
+
 def _q_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual image dedup (dHash, banded like SimHash): REAL
     decode of a mixed raw-MM02/PNG corpus with planted cross-format
@@ -1642,6 +1654,7 @@ GATE_FIRST_50 = [
     "unigram_vocab",
     "unigram_encode_docs",
     "unigram_encode_persisted",
+    "jpeg_features",
     "quality_model_fit",
     "quality_model_scores",
     "scd2_customers",
@@ -1677,7 +1690,6 @@ GATE_FIRST_50 = [
     "dup_span_stats",
     "funnel_conversion",
     "fuzzy_decontaminate",
-    "fuzzy_part_names",
     "daily_sales_summary",
     "top_customers",
     "product_performance",
@@ -1689,9 +1701,10 @@ GATE_FIRST_50 = [
 ]
 
 GATE_TAIL = [
-    # evicted from the r9 window to fit unigram_encode_persisted —
-    # r5-green, FIRST in line for r10
+    # evicted from the r9 window to fit the persisted-unigram and
+    # jpeg entries — r5-green, FIRST in line for r10
     "hll_distinct_users",
+    "fuzzy_part_names",
     "customer_value_tiles",
     "brand_corr_stats",
     "encode_token_ids",
@@ -1888,6 +1901,7 @@ def _all_queries() -> dict[str, QueryFn]:
         "multimodal_pipeline": _q_multimodal_pipeline,
         "resize_raw_images": _q_resize_raw_images,
         "png_features": _q_png_features,
+        "jpeg_features": _q_jpeg_features,
         "image_near_dup": _q_image_near_dup,
         "stored_near_dups": _q_stored_near_dups,
         "store_ingest_loop": _q_store_ingest_loop,
@@ -2500,6 +2514,24 @@ def oracle_sql() -> dict[str, str]:
         "CAST(mean_c0_e2 AS BIGINT) AS mean_c0_e2, "
         "CAST(edge_energy AS BIGINT) AS edge_energy, pixel_checksum "
         "FROM (VALUES " + ", ".join(_png_rows)
+        + ") AS t(media_id, width, height, channels, mean_c0_e2,"
+        " edge_energy, pixel_checksum) ORDER BY media_id"
+    )
+    _jpeg_rows = []
+    for _mid in range(40):
+        _jh, _jw, _jc, _jmean, _jedge, _jck = jpeg_ops.jpeg_stats(
+            jpeg_ops.make_jpeg_image(_mid)
+        )
+        _jpeg_rows.append(
+            f"({_mid}, {_jw}, {_jh}, {_jc}, {_jmean}, {_jedge}, '{_jck}')"
+        )
+    oracles["jpeg_features"] = (
+        "SELECT CAST(media_id AS BIGINT) AS media_id, "
+        "CAST(width AS INT) AS width, CAST(height AS INT) AS height, "
+        "CAST(channels AS INT) AS channels, "
+        "CAST(mean_c0_e2 AS BIGINT) AS mean_c0_e2, "
+        "CAST(edge_energy AS BIGINT) AS edge_energy, pixel_checksum "
+        "FROM (VALUES " + ", ".join(_jpeg_rows)
         + ") AS t(media_id, width, height, channels, mean_c0_e2,"
         " edge_energy, pixel_checksum) ORDER BY media_id"
     )

@@ -247,6 +247,8 @@ STANDALONE = [
     "unigram_encode_persisted",
     "quality_model_fit",
     "quality_model_scores",
+    # r9: stdlib baseline JPEG (Huffman + integer Q14 IDCT)
+    "jpeg_features",
 ]
 
 

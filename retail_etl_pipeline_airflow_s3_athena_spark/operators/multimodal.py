@@ -300,11 +300,15 @@ def _decode_raw(payload: bytes):
             # deterministic depth reduction (PIL's I;16 -> L behavior)
             img = (img >> 8).astype(np.uint8)
         return img
+    if payload[:2] == b"\xff\xd8":
+        from retail_etl_pipeline_airflow_s3_athena_spark.operators.jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     if payload[:4] != RAW_MAGIC:
         raise NotImplementedError(
             "compressed media decoding requires imaging libraries not "
-            "present in this environment; only MM02 raw buffers and "
-            "8-bit PNG decode"
+            "present in this environment; only MM02 raw buffers, PNG, "
+            "and baseline JPEG decode"
         )
     w, h, c = struct.unpack_from("<III", payload, 4)
     buf = np.frombuffer(payload, dtype="uint8", offset=RAW_HEADER_LEN)

@@ -84,6 +84,7 @@ AUDIT = [
     "unigram_encode_docs",
     "unigram_encode_persisted",
     "quality_model_scores",
+    "jpeg_features",
 ]
 
 
