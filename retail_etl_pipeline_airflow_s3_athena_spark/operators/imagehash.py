@@ -21,8 +21,10 @@ occupancy O(n/32768), never all-pairs).
 
 Scale shape: one decode pass (Arrow mapInPandas — the only Python,
 justified: inflate/defilter needs byte loops), then pure relational
-banding/join/bit_count.  Decode accepts MM02 raw buffers AND real
-PNG payloads (operators/png.py) through multimodal._decode_raw.
+banding/join/bit_count.  Decode accepts MM02 raw buffers, real PNG
+payloads (operators/png.py), AND real baseline JPEG payloads
+(operators/jpeg.py) through multimodal._decode_raw — one hash space
+across all three containers.
 
 Oracle: hybrid (the BPE pattern) — signatures are supplied as a
 locally-recomputed VALUES literal (DuckDB can't inflate PNG), and the
@@ -150,15 +152,17 @@ def image_near_dup(
 
 
 # ---------------------------------------------------------------------------
-# Fixtures: a mixed raw/PNG corpus with PLANTED near-duplicates
+# Fixtures: a mixed raw/PNG/JPEG corpus with PLANTED near-duplicates
 # ---------------------------------------------------------------------------
 
 def make_image_payload(media_id: int) -> bytes:
     """Deterministic mixed-format corpus: every 4th image is a
     near-duplicate of its predecessor (same pixels +8 brightness,
     clipped — dHash-invariant except at clip saturation), and formats
-    alternate raw-MM02 / PNG so both decode paths feed one hash
-    space."""
+    cycle raw-MM02 / PNG / baseline JPEG so all three decode paths
+    feed one hash space.  Pair bases are JPEG (lossy), variants are
+    lossless re-encodes of the DECODED base — the realistic shape of
+    web-scraped duplicates."""
     if media_id % 4 == 3:
         base = _decode_raw(make_image_payload(media_id - 1)).astype(
             np.int64
@@ -180,6 +184,15 @@ def make_image_payload(media_id: int) -> bytes:
 
         h, w, c = bright.shape
         return RAW_MAGIC + _struct.pack("<III", w, h, c) + bright.tobytes()
+    if media_id % 4 == 2:
+        # JPEG leg (lossy, 3-channel): every planted pair therefore has
+        # a JPEG base with a LOSSLESS +8 variant derived from the
+        # DECODED jpeg pixels — cross-format, cross-codec dedup.  The
+        # hash space stays one space because dhash64 runs on decoded
+        # pixels regardless of container.
+        from retail_etl_pipeline_airflow_s3_athena_spark.operators.jpeg import encode_jpeg
+
+        return encode_jpeg(_decode_raw(make_raw_image(media_id)))
     if media_id % 2 == 1:
         # PNG leg: force 3 channels so brightness variants keep shape
         img = _decode_raw(make_raw_image(media_id))

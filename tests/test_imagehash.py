@@ -53,7 +53,11 @@ def test_banded_join_finds_exactly_the_planted_pairs(spark):
     )
     assert got == want
     assert len(got) == 12  # the planted pairs, nothing else
-    assert {h for _, _, h in got} == {0, 1}  # exact + locally-edited
+    hams = {h for _, _, h in got}
+    # exact perceptual matches AND nonzero (locally-edited / JPEG-base)
+    # distances both present, all within the band guarantee
+    assert 0 in hams and max(hams) <= ih.MAX_HAMMING
+    assert any(h > 0 for h in hams)
 
 
 def test_oracle_values_twin_matches_duckdb():
