@@ -1607,6 +1607,34 @@ def _q_ann_index_staleness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ann_index_rebuilt_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE maintenance loop in one gate: found -> append a
+    drifted batch -> maintain_ann_index (measures staleness, crosses
+    the rebuild threshold — deterministic with this fixture at every
+    tested scale — retrains on the current corpus, compacts) -> query.
+    The maintained index must equal a fresh retrain bit-for-bit, so
+    the oracle is the ivf_pq twin over the drift union with the batch
+    calibration queries."""
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix="annrebuild_gate_")
+    emb = _emb(spark, sf_dir)
+    annindex_ops.write_ann_index(emb, path)
+    batch = annindex_ops.drifted_batch(emb)
+    annindex_ops.append_to_ann_index(batch, path)
+    current = emb.select("vec_id", "embedding", "label").unionByName(batch)
+    queries = batch.filter(
+        F.col("vec_id") < annindex_ops.DRIFT_SHIFT + annindex_ops.N_QUERIES
+    ).select(F.col("vec_id").alias("query_id"), "embedding")
+    m = annindex_ops.maintain_ann_index(spark, path, current, queries)
+    # the drifted fixture must trip the rebuild (empty corpus exempt)
+    assert m["rebuilt"] or m["codes"] == 0, m
+    out = annindex_ops.ann_query(spark, path, queries)
+    return attach_cached_deps(
+        out.orderBy("query_id", "rank"), *carried_deps(out)
+    )
+
+
 def _q_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Binary fixtures don't exist; the media table is synthesized
     # deterministically, and every output column is an integer/string
@@ -1650,6 +1678,7 @@ def entry(spark: SparkSession) -> DataFrame:
 GATE_FIRST_50 = [
     "ann_index_compacted_topk",
     "ann_index_staleness",
+    "ann_index_rebuilt_topk",
     "bronze_roundtrip",
     "unigram_vocab",
     "unigram_encode_docs",
@@ -1689,7 +1718,6 @@ GATE_FIRST_50 = [
     "dedup_rate_report",
     "dup_span_stats",
     "funnel_conversion",
-    "fuzzy_decontaminate",
     "daily_sales_summary",
     "top_customers",
     "product_performance",
@@ -1705,6 +1733,7 @@ GATE_TAIL = [
     # jpeg entries — r5-green, FIRST in line for r10
     "hll_distinct_users",
     "fuzzy_part_names",
+    "fuzzy_decontaminate",
     "customer_value_tiles",
     "brand_corr_stats",
     "encode_token_ids",
@@ -1910,6 +1939,7 @@ def _all_queries() -> dict[str, QueryFn]:
         "ann_index_append_topk": _q_ann_index_append_topk,
         "ann_index_compacted_topk": _q_ann_index_compacted_topk,
         "ann_index_staleness": _q_ann_index_staleness,
+        "ann_index_rebuilt_topk": _q_ann_index_rebuilt_topk,
         "bronze_roundtrip": _q_bronze_roundtrip,
         "unigram_vocab": _q_unigram_vocab,
         "unigram_encode_docs": _q_unigram_encode_docs,
@@ -2469,6 +2499,9 @@ def oracle_sql() -> dict[str, str]:
     # the SAME doubled-corpus oracle as the append gate
     oracles["ann_index_compacted_topk"] = oracles["ann_index_append_topk"]
     oracles["ann_index_staleness"] = annindex_ops.oracle_ann_staleness_sql()
+    oracles["ann_index_rebuilt_topk"] = (
+        annindex_ops.oracle_ann_rebuilt_topk_sql()
+    )
     # bronze CSV round-trip: the oracle summarizes the ORIGINAL parquet;
     # the Spark side must land on the same values AFTER the CSV
     # write/infer/parse cycle

@@ -249,6 +249,8 @@ STANDALONE = [
     "quality_model_scores",
     # r9: stdlib baseline JPEG (Huffman + integer Q14 IDCT)
     "jpeg_features",
+    # r9: the full ANN maintenance loop (measure -> rebuild -> compact)
+    "ann_index_rebuilt_topk",
 ]
 
 

@@ -482,6 +482,49 @@ def ann_index_staleness(
     )
 
 
+# Mean recall-drop (e20-free e6 fraction of k) above which the frozen
+# index is worth retraining: 40000 = 4 recall points at k=25 — the
+# drifted gate fixture measures 48000-104000 across sf0.001..sf10, so
+# the gate's rebuild path is deterministic at every tested scale.
+REBUILD_DROP_E6 = 40000
+
+
+def maintain_ann_index(
+    spark: SparkSession,
+    path: str,
+    current: DataFrame,
+    queries: DataFrame,
+    k: int = STALE_K,
+    nprobe: int = NPROBE,
+    rounds: int = PQ_ROUNDS,
+    dim: int = EMB_DIM,
+    rebuild_drop_e6: int = REBUILD_DROP_E6,
+) -> dict:
+    """The periodic maintenance JOB the append path defers to, as one
+    call: measure staleness (bounded — n_queries rows), retrain IF the
+    mean recall drop crosses the threshold, then compact.  This is the
+    complete measured serve loop: append daily (O(batch)), maintain on
+    a schedule; between maintenances the index serves frozen state.
+    Returns {mean_drop_e6, rebuilt, files_before, files_after, codes}."""
+    from retail_etl_pipeline_airflow_s3_athena_spark.functions.caching import (
+        release_cached,
+    )
+
+    stale_df = ann_index_staleness(
+        spark, path, current, queries, k, nprobe, rounds, dim
+    )
+    rows = stale_df.collect()
+    release_cached(stale_df)
+    mean_drop = (
+        sum(r["recall_drop_e6"] for r in rows) // len(rows) if rows else 0
+    )
+    rebuilt = bool(rows) and mean_drop >= rebuild_drop_e6
+    if rebuilt:
+        write_ann_index(current, path, rounds, dim)
+    manifest = compact_ann_index(spark, path)
+    return {"mean_drop_e6": mean_drop, "rebuilt": rebuilt, **manifest}
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracle twins
 # ---------------------------------------------------------------------------
@@ -610,6 +653,50 @@ def _sql_exact_topk(serve_table: str, query_pred: str, k: int) -> str:
     )
 
 
+def _drift_serve_table(train_table: str) -> str:
+    # CAST both operands: DuckDB would otherwise add FLOAT + DECIMAL
+    # (a float-precision add), one ulp off Spark's float-promoted-to-
+    # double + double literal — surfaced as ±1 in cents(l2sq) by the
+    # rebuilt-index gate (recall counts masked it in the staleness one)
+    return (
+        f"(SELECT vec_id, embedding, label FROM {train_table}"
+        " UNION ALL"
+        f" SELECT vec_id + {DRIFT_SHIFT},"
+        f" list_transform(embedding, x -> CAST(x AS DOUBLE)"
+        f" + CAST({DRIFT_DELTA} AS DOUBLE)), label"
+        f" FROM {train_table}) cur"
+    )
+
+
+def _drift_query_pred(n_queries: int) -> str:
+    return (
+        f"{{a}}.vec_id >= {DRIFT_SHIFT}"
+        f" AND {{a}}.vec_id < {DRIFT_SHIFT + n_queries}"
+    )
+
+
+def oracle_ann_rebuilt_topk_sql(
+    train_table: str = "embeddings",
+    n_queries: int = N_QUERIES,
+    k: int = TOP_K,
+    nprobe: int = NPROBE,
+    rounds: int = PQ_ROUNDS,
+) -> str:
+    """Twin of the post-maintenance query: the drifted fixture forces
+    a rebuild (measured drop >= REBUILD_DROP_E6 at every tested
+    scale), so the maintained index equals a fresh retrain on the
+    current corpus — the ivf_pq twin over the drift union, queries =
+    the batch calibration set."""
+    return oracle_ivf_pq_topk_sql(
+        table=_drift_serve_table(train_table),
+        n_queries=n_queries,
+        k=k,
+        nprobe=nprobe,
+        rounds=rounds,
+        query_pred=_drift_query_pred(n_queries),
+    )
+
+
 def oracle_ann_staleness_sql(
     train_table: str = "embeddings",
     n_queries: int = N_QUERIES,
@@ -622,17 +709,8 @@ def oracle_ann_staleness_sql(
     queries = the first n_queries batch vectors.  Stale/fresh/exact
     each carry their own WITH chain as a derived table (DuckDB scopes
     CTEs per subquery, so the three training chains don't collide)."""
-    serve_table = (
-        f"(SELECT vec_id, embedding, label FROM {train_table}"
-        " UNION ALL"
-        f" SELECT vec_id + {DRIFT_SHIFT},"
-        f" list_transform(embedding, x -> x + {DRIFT_DELTA}), label"
-        f" FROM {train_table}) cur"
-    )
-    query_pred = (
-        f"{{a}}.vec_id >= {DRIFT_SHIFT}"
-        f" AND {{a}}.vec_id < {DRIFT_SHIFT + n_queries}"
-    )
+    serve_table = _drift_serve_table(train_table)
+    query_pred = _drift_query_pred(n_queries)
     stale = _sql_stale_topk(
         train_table, serve_table, query_pred, k, nprobe, rounds
     )

@@ -147,6 +147,48 @@ def test_staleness_drifted_batch_drops_recall(spark, tmp_path):
         )
 
 
+def test_maintain_rebuilds_on_drift_and_skips_on_none(spark, tmp_path):
+    """The measured maintenance policy: a drifted batch trips the
+    rebuild threshold (index == fresh retrain afterwards); appending
+    EXACT twins does not (mean drop ~0), and the index keeps serving
+    the frozen state — both paths end compacted."""
+    emb = _emb(spark)
+    # drift path
+    p1 = str(tmp_path / "idx1")
+    annindex.write_ann_index(emb, p1)
+    batch = annindex.drifted_batch(emb)
+    annindex.append_to_ann_index(batch, p1)
+    current = emb.select("vec_id", "embedding", "label").unionByName(batch)
+    queries = batch.filter(
+        F.col("vec_id") < annindex.DRIFT_SHIFT + annindex.N_QUERIES
+    ).select(F.col("vec_id").alias("query_id"), "embedding")
+    m1 = annindex.maintain_ann_index(spark, p1, current, queries)
+    assert m1["rebuilt"] and m1["mean_drop_e6"] >= annindex.REBUILD_DROP_E6
+    got = annindex.ann_query(spark, p1, queries)
+    g = [tuple(r) for r in got.orderBy("query_id", "rank").collect()]
+    release_cached(got)
+    fresh = pq.ivf_pq_topk_for(current, queries)
+    w = [tuple(r) for r in fresh.orderBy("query_id", "rank").collect()]
+    release_cached(fresh)
+    assert g == w and len(g) > 0
+    # no-drift path: exact twins, batch-drawn queries — frozen books
+    # code twins exactly like originals, so the drop is ~0
+    p2 = str(tmp_path / "idx2")
+    annindex.write_ann_index(emb, p2)
+    shift = 1 << 40
+    twins = emb.select(
+        (F.col("vec_id") + shift).alias("vec_id"), "embedding", "label"
+    )
+    annindex.append_to_ann_index(twins, p2)
+    cur2 = emb.select("vec_id", "embedding", "label").unionByName(twins)
+    q2 = twins.filter(F.col("vec_id") < shift + annindex.N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    m2 = annindex.maintain_ann_index(spark, p2, cur2, q2)
+    assert not m2["rebuilt"], m2
+    assert m2["mean_drop_e6"] < annindex.REBUILD_DROP_E6
+
+
 def test_append_without_retrain(spark, tmp_path):
     """FAISS-`add` semantics: appended twins are assigned against the
     PERSISTED books (no training), every query's neighbor list

@@ -85,6 +85,7 @@ AUDIT = [
     "unigram_encode_persisted",
     "quality_model_scores",
     "jpeg_features",
+    "ann_index_rebuilt_topk",
 ]
 
 
