@@ -34,8 +34,14 @@ from plan_audit import AUDIT, audit_one  # noqa: E402
 from retail_etl_pipeline_airflow_s3_athena_spark.functions.caching import release_cached
 
 # ordered-global-window sites: bounded by vocab construction
-# (<= WINDOW_VOCAB_MAX = 65536 rows / |alphabet|+n_merges rows)
-GLOBAL_WINDOW_OK = {"encode_token_ids": 2, "bpe_encode_docs": 2}
+# (<= WINDOW_VOCAB_MAX = 65536 rows / |alphabet|+n_merges rows;
+# unigram: |pieces| <= vocab_size + |alphabet| — the persisted-model
+# encode path carries ZERO, the ids are persisted)
+GLOBAL_WINDOW_OK = {
+    "encode_token_ids": 2,
+    "bpe_encode_docs": 2,
+    "unigram_encode_docs": 1,
+}
 
 # cartesian sites: calendar-bounded day list (rolling window), the
 # 1-row funnel total, the 1-row doc-count scalar in tf-idf
@@ -73,6 +79,12 @@ BNLJ_CEILING = {
     # reprints it in plan text per consumer + AQE initial/final copies
     "ann_index_topk": 8,
     "ann_index_append_topk": 8,
+    # reviewed r9: same bounded probe/centroid crossJoins as the topk
+    # siblings, reprinted per persisted-subtree consumer (measured 4);
+    # staleness composes serve + fresh-retrain sides (measured 6)
+    "ann_index_compacted_topk": 8,
+    "ann_index_rebuilt_topk": 8,
+    "ann_index_staleness": 8,
     # reviewed r8: the bounded K-row centroid crossJoin of the IVF
     # cell assignment, reprinted in the persisted-subtree text
     "pq_sdc_near_dup": 6,
