@@ -2,12 +2,14 @@
 frontier closable without imaging libraries (r8 verdict #2 named it:
 "baseline JPEG (Huffman + integer IDCT) is possible stdlib but big").
 
-Scope: BASELINE sequential DCT (SOF0), 8-bit, grayscale or YCbCr with
-NO chroma subsampling (4:4:4), standard Annex-K quantization and
-Huffman tables.  That is a fully valid JPEG profile every decoder
-reads; progressive (SOF2), arithmetic coding, restart intervals, and
-subsampled chroma stay behind loud ``NotImplementedError`` — the same
-honest-frontier discipline as ``operators/png.py``.
+Scope: BASELINE sequential DCT (SOF0), 8-bit, grayscale and YCbCr in
+4:4:4 or 4:2:0 (the dominant web profile: 2x2-sampled luma,
+box-mean-downsampled chroma, replicated back up at decode), standard
+Annex-K quantization and Huffman tables.  Those are fully valid JPEG
+profiles every decoder reads; progressive (SOF2), arithmetic coding,
+restart intervals, and other sampling layouts (4:2:2, 4:1:1) stay
+behind loud ``NotImplementedError`` — the same honest-frontier
+discipline as ``operators/png.py``.
 
 Determinism is the design constraint (the repo's gate hashes decoded
 pixels): every stage is 64-bit integer arithmetic —
@@ -359,24 +361,52 @@ def _encode_component(
     return int(q[0])
 
 
-def encode_jpeg(img: np.ndarray) -> bytes:
-    """Encode (h, w) or (h, w, 1|3) uint8 as a baseline 4:4:4 JPEG with
-    Annex-K tables.  Pure integer; deterministic."""
+def _pad_plane(plane: np.ndarray, ph: int, pw: int) -> np.ndarray:
+    """Edge-replicate ``plane`` (h, w) to (ph, pw)."""
+    h, w = plane.shape
+    out = np.zeros((ph, pw), dtype=np.int64)
+    out[:h, :w] = plane
+    if ph > h:
+        out[h:, :w] = plane[h - 1 : h, :]
+    if pw > w:
+        out[:, w:] = out[:, w - 1 : w]
+    return out
+
+
+def encode_jpeg(img: np.ndarray, subsample: bool = False) -> bytes:
+    """Encode (h, w) or (h, w, 1|3) uint8 as a baseline JPEG with
+    Annex-K tables: 4:4:4 by default, 4:2:0 (the dominant web
+    profile — luma 2x2, chroma 2x2-box-mean downsampled) when
+    ``subsample=True`` on 3-channel input.  Pure integer;
+    deterministic."""
     if img.ndim == 2:
         img = img[:, :, None]
     h, w, c = img.shape
     if c not in (1, 3):
         raise ValueError(f"JPEG supports 1 or 3 channels, got {c}")
-    planes = _rgb_to_ycbcr(img) if c == 3 else img.astype(np.int64)
-    # pad to multiples of 8 by edge replication
-    ph = (h + 7) // 8 * 8
-    pw = (w + 7) // 8 * 8
-    padded = np.zeros((ph, pw, c), dtype=np.int64)
-    padded[:h, :w] = planes
-    if ph > h:
-        padded[h:, :w] = planes[h - 1 : h, :]
-    if pw > w:
-        padded[:, w:] = padded[:, w - 1 : w]
+    full = _rgb_to_ycbcr(img) if c == 3 else img.astype(np.int64)
+    sampling = (
+        [(2, 2), (1, 1), (1, 1)] if (subsample and c == 3) else [(1, 1)] * c
+    )
+    hmax = max(s[0] for s in sampling)
+    vmax = max(s[1] for s in sampling)
+    mcu_w, mcu_h = 8 * hmax, 8 * vmax
+    mcus_x = (w + mcu_w - 1) // mcu_w
+    mcus_y = (h + mcu_h - 1) // mcu_h
+    planes = []
+    for ci, (hi, vi) in enumerate(sampling):
+        p = full[:, :, ci]
+        if (hi, vi) != (hmax, vmax):
+            # 2x2 integer box mean (round-half-up) after padding the
+            # FULL plane to even dims
+            pe = _pad_plane(p, (h + 1) // 2 * 2, (w + 1) // 2 * 2)
+            p = (
+                pe[0::2, 0::2] + pe[0::2, 1::2]
+                + pe[1::2, 0::2] + pe[1::2, 1::2] + 2
+            ) >> 2
+        planes.append(
+            _pad_plane(p, mcus_y * 8 * vi, mcus_x * 8 * hi)
+        )
 
     qt_luma = _scaled_qt(_QT_LUMA)
     qt_chroma = _scaled_qt(_QT_CHROMA)
@@ -388,8 +418,9 @@ def encode_jpeg(img: np.ndarray) -> bytes:
     # SOF0
     comps = b""
     for cid in range(1, c + 1):
+        hi, vi = sampling[cid - 1]
         qtid = 0 if cid == 1 else 1
-        comps += bytes([cid, 0x11, qtid])  # 1x1 sampling: 4:4:4
+        comps += bytes([cid, (hi << 4) | vi, qtid])
     out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * c, 8, h, w, c) + comps
     # DHT
     tables = [(0x00, _DC_LUMA), (0x10, _AC_LUMA)]
@@ -411,16 +442,20 @@ def encode_jpeg(img: np.ndarray) -> bytes:
     ac_c = _canonical_codes(*_AC_CHROMA)
     writer = _BitWriter()
     preds = [0] * c
-    for by in range(ph // 8):
-        for bx in range(pw // 8):
-            for ci in range(c):
-                block = padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8, ci]
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci, (hi, vi) in enumerate(sampling):
                 qt = qt_luma if ci == 0 else qt_chroma
                 dc = dc_l if ci == 0 else dc_c
                 ac = ac_l if ci == 0 else ac_c
-                preds[ci] = _encode_component(
-                    block, qt, dc, ac, writer, preds[ci]
-                )
+                for by in range(vi):
+                    for bx in range(hi):
+                        y0 = (my * vi + by) * 8
+                        x0 = (mx * hi + bx) * 8
+                        block = planes[ci][y0 : y0 + 8, x0 : x0 + 8]
+                        preds[ci] = _encode_component(
+                            block, qt, dc, ac, writer, preds[ci]
+                        )
     out += writer.flush()
     out += b"\xff\xd9"  # EOI
     return bytes(out)
@@ -484,12 +519,22 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             comps = []
             for i in range(nc):
                 cid, samp, qtid = seg[6 + 3 * i : 9 + 3 * i]
-                if samp != 0x11:
-                    raise NotImplementedError(
-                        "subsampled JPEG (non-4:4:4) requires imaging "
-                        "libraries; only 1x1 sampling decodes"
-                    )
-                comps.append((cid, qtid))
+                comps.append((cid, samp >> 4, samp & 0x0F, qtid))
+            samps = [(hi, vi) for _c, hi, vi, _q in comps]
+            # supported profiles: all-1x1 (4:4:4 / grayscale) or the
+            # dominant web profile 4:2:0 (luma 2x2, chroma 1x1)
+            if not (
+                all(s == (1, 1) for s in samps)
+                or (
+                    nc == 3
+                    and samps[0] == (2, 2)
+                    and samps[1] == samps[2] == (1, 1)
+                )
+            ):
+                raise NotImplementedError(
+                    f"JPEG sampling {samps} requires imaging libraries; "
+                    "only 4:4:4/grayscale and 4:2:0 decode"
+                )
             sof = (h, w, nc)
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
@@ -511,44 +556,68 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     if sof is None or scan is None:
         raise ValueError("JPEG missing SOF0/SOS")
     h, w, nc = sof
-    ph = (h + 7) // 8 * 8
-    pw = (w + 7) // 8 * 8
+    sampling = [(hi, vi) for _c, hi, vi, _q in comps]
+    hmax = max(s[0] for s in sampling)
+    vmax = max(s[1] for s in sampling)
+    mcu_w, mcu_h = 8 * hmax, 8 * vmax
+    mcus_x = (w + mcu_w - 1) // mcu_w
+    mcus_y = (h + mcu_h - 1) // mcu_h
     reader = _BitReader(scan)
-    planes = np.zeros((ph, pw, nc), dtype=np.int64)
+    comp_planes = [
+        np.zeros((mcus_y * 8 * vi, mcus_x * 8 * hi), dtype=np.int64)
+        for hi, vi in sampling
+    ]
     preds = [0] * nc
-    qt_by_comp = [qts[qtid] for _cid, qtid in comps]
-    for by in range(ph // 8):
-        for bx in range(pw // 8):
-            for ci in range(nc):
-                _cid, dsel, asel = scan_comps[ci]
-                dc_t, ac_t = dc_tabs[dsel], ac_tabs[asel]
-                q = np.zeros(64, dtype=np.int64)
-                size = reader.huff(dc_t)
-                diff = _extend(reader.bits(size), size)
-                preds[ci] += diff
-                q[0] = preds[ci]
-                k = 1
-                while k < 64:
-                    rs = reader.huff(ac_t)
-                    if rs == 0x00:  # EOB
-                        break
-                    if rs == 0xF0:  # ZRL
-                        k += 16
-                        continue
-                    k += rs >> 4
-                    size = rs & 0x0F
-                    if k > 63:
-                        raise ValueError("AC coefficient index overflow")
-                    q[k] = _extend(reader.bits(size), size)
-                    k += 1
-                coef = np.zeros(64, dtype=np.int64)
-                for i in range(64):
-                    coef[_ZIGZAG[i]] = q[i]
-                block = _idct(coef.reshape(8, 8) * qt_by_comp[ci]) + 128
-                planes[
-                    by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8, ci
-                ] = np.clip(block, 0, 255)
-    planes = planes[:h, :w]
+    qt_by_comp = [qts[qtid] for _cid, _h, _v, qtid in comps]
+
+    def _decode_block(ci: int) -> np.ndarray:
+        _cid, dsel, asel = scan_comps[ci]
+        dc_t, ac_t = dc_tabs[dsel], ac_tabs[asel]
+        q = np.zeros(64, dtype=np.int64)
+        size = reader.huff(dc_t)
+        diff = _extend(reader.bits(size), size)
+        preds[ci] += diff
+        q[0] = preds[ci]
+        k = 1
+        while k < 64:
+            rs = reader.huff(ac_t)
+            if rs == 0x00:  # EOB
+                break
+            if rs == 0xF0:  # ZRL
+                k += 16
+                continue
+            k += rs >> 4
+            size = rs & 0x0F
+            if k > 63:
+                raise ValueError("AC coefficient index overflow")
+            q[k] = _extend(reader.bits(size), size)
+            k += 1
+        coef = np.zeros(64, dtype=np.int64)
+        for i in range(64):
+            coef[_ZIGZAG[i]] = q[i]
+        block = _idct(coef.reshape(8, 8) * qt_by_comp[ci]) + 128
+        return np.clip(block, 0, 255)
+
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci, (hi, vi) in enumerate(sampling):
+                for by in range(vi):
+                    for bx in range(hi):
+                        y0 = (my * vi + by) * 8
+                        x0 = (mx * hi + bx) * 8
+                        comp_planes[ci][
+                            y0 : y0 + 8, x0 : x0 + 8
+                        ] = _decode_block(ci)
+    # upsample subsampled components by pixel replication (integer,
+    # deterministic) and assemble to (h, w, nc)
+    planes = np.zeros((h, w, nc), dtype=np.int64)
+    for ci, (hi, vi) in enumerate(sampling):
+        p = comp_planes[ci]
+        if hi < hmax:
+            p = np.repeat(p, hmax // hi, axis=1)
+        if vi < vmax:
+            p = np.repeat(p, vmax // vi, axis=0)
+        planes[:, :, ci] = p[:h, :w]
     if nc == 3:
         return _ycbcr_to_rgb(planes)
     return planes.astype(np.uint8)
@@ -561,8 +630,10 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
 
 def make_jpeg_image(media_id: int) -> bytes:
     """Deterministic JPEG: smooth integer gradients (block-friendly —
-    the content JPEG is FOR), grayscale/RGB cycling."""
-    c = (1, 3)[media_id % 2]
+    the content JPEG is FOR), cycling grayscale / RGB 4:4:4 /
+    RGB 4:2:0 so every supported profile appears in every corpus."""
+    variant = media_id % 3
+    c = 1 if variant == 0 else 3
     w = 24 + (media_id * 7) % 40
     h = 24 + (media_id * 11) % 40
     yy, xx, cc = np.meshgrid(
@@ -572,7 +643,7 @@ def make_jpeg_image(media_id: int) -> bytes:
     # content JPEG's DCT model is built for
     v = media_id * 17 + yy * 2 + xx * 3 + cc * 40
     img = (np.abs((v % 400) - 200) + 25).astype(np.uint8)
-    return encode_jpeg(img)
+    return encode_jpeg(img, subsample=(variant == 2))
 
 
 def synthesize_jpeg_images(spark: SparkSession, n: int = 40) -> DataFrame:

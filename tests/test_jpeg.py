@@ -83,13 +83,41 @@ def test_loud_fail_on_unsupported_and_corrupt():
     dri = good[:2] + b"\xff\xdd" + struct.pack(">HH", 4, 8) + good[2:]
     with pytest.raises(NotImplementedError):
         jpeg.decode_jpeg(dri)
-    # subsampled chroma: flip component 1's sampling factor to 0x22
+    # unsupported sampling layout: flip component 1 to 4:2:2 (0x21) —
+    # 4:2:0 (0x22) now DECODES, so the frontier is other layouts
     sub = bytearray(good)
     sof = bytes(sub).index(b"\xff\xc0")
     # SOF0 payload: len(2) prec(1) h(2) w(2) nc(1) then cid,samp,qt
-    sub[sof + 2 + 2 + 6 + 1] = 0x22
+    sub[sof + 2 + 2 + 6 + 1] = 0x21
     with pytest.raises(NotImplementedError):
         jpeg.decode_jpeg(bytes(sub))
+
+
+def test_420_roundtrip_and_mixed_profiles():
+    """4:2:0: luma stays block-exact-ish, chroma survives the 2x2
+    box-mean -> replicate cycle within a loose bound on smooth
+    content; dimensions that aren't MCU (16px) multiples crop
+    correctly."""
+    for mid, (h, w) in [(2, (24, 32)), (5, (13, 19)), (8, (30, 17))]:
+        src = _smooth(mid, 3, h=h, w=w)
+        payload = jpeg.encode_jpeg(src, subsample=True)
+        img = jpeg.decode_jpeg(payload)
+        assert img.shape == (h, w, 3)
+        # luma is NOT subsampled — it must match 4:4:4-grade fidelity;
+        # chroma pays the 2x2 box-mean/replicate loss (the fixture's
+        # per-channel +40 offsets make chroma vary as fast as luma —
+        # adversarial for 4:2:0, so the RGB bound is loose)
+        y_src = jpeg._rgb_to_ycbcr(src)[:, :, 0]
+        y_img = jpeg._rgb_to_ycbcr(img)[:, :, 0]
+        assert np.abs(y_src - y_img).mean() <= 8.0
+        err = np.abs(img.astype(int) - src.astype(int))
+        assert err.mean() <= 20.0, err.mean()
+        assert np.array_equal(jpeg.decode_jpeg(payload), img)
+    # 4:2:0 payloads are materially smaller than 4:4:4 of the same img
+    src = _smooth(7, 3, h=48, w=48)
+    assert len(jpeg.encode_jpeg(src, subsample=True)) < len(
+        jpeg.encode_jpeg(src)
+    )
 
 
 def test_distributed_decode_matches_local(spark):
