@@ -5,11 +5,13 @@ frontier closable without imaging libraries (r8 verdict #2 named it:
 Scope: BASELINE sequential DCT (SOF0), 8-bit, grayscale and YCbCr in
 4:4:4 or 4:2:0 (the dominant web profile: 2x2-sampled luma,
 box-mean-downsampled chroma, replicated back up at decode), standard
-Annex-K quantization and Huffman tables.  Those are fully valid JPEG
-profiles every decoder reads; progressive (SOF2), arithmetic coding,
-restart intervals, and other sampling layouts (4:2:2, 4:1:1) stay
-behind loud ``NotImplementedError`` — the same honest-frontier
-discipline as ``operators/png.py``.
+Annex-K quantization and Huffman tables, with restart intervals
+(DRI/RSTn — lossless resync points real encoders default on)
+supported on both sides.  Those are fully valid JPEG profiles every
+decoder reads; progressive (SOF2), arithmetic coding, and other
+sampling layouts (4:2:2, 4:1:1) stay behind loud
+``NotImplementedError`` — the same honest-frontier discipline as
+``operators/png.py``.
 
 Determinism is the design constraint (the repo's gate hashes decoded
 pixels): every stage is 64-bit integer arithmetic —
@@ -210,10 +212,22 @@ class _BitWriter:
             self.nbits -= 8
         self.acc &= (1 << self.nbits) - 1
 
-    def flush(self) -> bytes:
+    def byte_align(self) -> None:
+        """Pad the current byte with 1-bits (spec fill) — required
+        before emitting a restart marker."""
         if self.nbits:
             pad = 8 - self.nbits
-            self.write((1 << pad) - 1, pad)  # 1-fill per spec
+            self.write((1 << pad) - 1, pad)
+
+    def emit_marker(self, byte2: int) -> None:
+        """Append a raw 0xFF <byte2> marker — NOT entropy data, so it
+        bypasses byte stuffing (markers are how decoders resync)."""
+        self.byte_align()
+        self.out.append(0xFF)
+        self.out.append(byte2)
+
+    def flush(self) -> bytes:
+        self.byte_align()
         return bytes(self.out)
 
 
@@ -236,13 +250,32 @@ class _BitReader:
             if nxt == 0x00:
                 self.pos += 1  # stuffed byte
             elif 0xD0 <= nxt <= 0xD7:
-                raise NotImplementedError(
-                    "JPEG restart markers (DRI/RSTn) not supported"
+                # a restart marker reached mid-entropy-decode: the
+                # stream and the declared restart interval disagree
+                raise ValueError(
+                    "unexpected RSTn inside an MCU (restart interval "
+                    "mismatch or corrupt scan)"
                 )
             else:
                 raise ValueError(f"unexpected marker 0xFF{nxt:02X} in scan")
         self.acc = (self.acc << 8) | b
         self.nbits += 8
+
+    def sync_restart(self, n: int) -> None:
+        """Consume the byte-aligned RSTn marker at a restart boundary
+        (the fill bits already read into ``acc`` are discarded)."""
+        self.acc = 0
+        self.nbits = 0
+        if self.pos + 2 > len(self.data):
+            raise ValueError("JPEG scan truncated at restart boundary")
+        if self.data[self.pos] != 0xFF or self.data[self.pos + 1] != (
+            0xD0 + (n & 7)
+        ):
+            raise ValueError(
+                f"expected RST{n & 7} at restart boundary, found "
+                f"0x{self.data[self.pos]:02X}{self.data[self.pos + 1]:02X}"
+            )
+        self.pos += 2
 
     def bit(self) -> int:
         if self.nbits == 0:
@@ -373,12 +406,17 @@ def _pad_plane(plane: np.ndarray, ph: int, pw: int) -> np.ndarray:
     return out
 
 
-def encode_jpeg(img: np.ndarray, subsample: bool = False) -> bytes:
+def encode_jpeg(
+    img: np.ndarray, subsample: bool = False, restart_interval: int = 0
+) -> bytes:
     """Encode (h, w) or (h, w, 1|3) uint8 as a baseline JPEG with
     Annex-K tables: 4:4:4 by default, 4:2:0 (the dominant web
     profile — luma 2x2, chroma 2x2-box-mean downsampled) when
-    ``subsample=True`` on 3-channel input.  Pure integer;
-    deterministic."""
+    ``subsample=True`` on 3-channel input.  ``restart_interval`` > 0
+    emits a DRI segment and RSTn markers every that-many MCUs (the
+    error-resilience feature real encoders default on) — restart
+    coding is LOSSLESS, so decoded pixels are identical either way.
+    Pure integer; deterministic."""
     if img.ndim == 2:
         img = img[:, :, None]
     h, w, c = img.shape
@@ -429,6 +467,9 @@ def encode_jpeg(img: np.ndarray, subsample: bool = False) -> bytes:
     for tclass, (bits, vals) in tables:
         body = bytes([tclass]) + bytes(bits) + bytes(vals)
         out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+    # DRI (before SOS, per spec ordering)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     # SOS
     sos = bytes([c])
     for cid in range(1, c + 1):
@@ -442,8 +483,19 @@ def encode_jpeg(img: np.ndarray, subsample: bool = False) -> bytes:
     ac_c = _canonical_codes(*_AC_CHROMA)
     writer = _BitWriter()
     preds = [0] * c
+    mcus_done = 0
+    rst_n = 0
     for my in range(mcus_y):
         for mx in range(mcus_x):
+            if (
+                restart_interval
+                and mcus_done
+                and mcus_done % restart_interval == 0
+            ):
+                writer.emit_marker(0xD0 + rst_n)
+                rst_n = (rst_n + 1) & 7
+                preds = [0] * c
+            mcus_done += 1
             for ci, (hi, vi) in enumerate(sampling):
                 qt = qt_luma if ci == 0 else qt_chroma
                 dc = dc_l if ci == 0 else dc_c
@@ -476,6 +528,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     comps = []
     scan = None
     scan_comps = []
+    restart_interval = 0
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("expected JPEG marker")
@@ -542,8 +595,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 f"JPEG SOF{marker - 0xC0} (progressive/extended/"
                 "arithmetic) not supported; baseline SOF0 only"
             )
-        elif marker == 0xDD:
-            raise NotImplementedError("JPEG restart interval not supported")
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", seg, 0)
         elif marker == 0xDA:  # SOS
             ns = seg[0]
             scan_comps = []
@@ -598,8 +651,18 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         block = _idct(coef.reshape(8, 8) * qt_by_comp[ci]) + 128
         return np.clip(block, 0, 255)
 
+    mcus_done = 0
+    rst_n = 0
     for my in range(mcus_y):
         for mx in range(mcus_x):
+            if (
+                restart_interval
+                and mcus_done
+                and mcus_done % restart_interval == 0
+            ):
+                reader.sync_restart(rst_n)
+                rst_n = (rst_n + 1) & 7
+                preds[:] = [0] * nc  # DC predictors reset per spec
             for ci, (hi, vi) in enumerate(sampling):
                 for by in range(vi):
                     for bx in range(hi):
@@ -608,6 +671,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                         comp_planes[ci][
                             y0 : y0 + 8, x0 : x0 + 8
                         ] = _decode_block(ci)
+            mcus_done += 1
     # upsample subsampled components by pixel replication (integer,
     # deterministic) and assemble to (h, w, nc)
     planes = np.zeros((h, w, nc), dtype=np.int64)
@@ -643,7 +707,13 @@ def make_jpeg_image(media_id: int) -> bytes:
     # content JPEG's DCT model is built for
     v = media_id * 17 + yy * 2 + xx * 3 + cc * 40
     img = (np.abs((v % 400) - 200) + 25).astype(np.uint8)
-    return encode_jpeg(img, subsample=(variant == 2))
+    # variant 1 also carries restart markers so every corpus exercises
+    # the RSTn resync path end-to-end
+    return encode_jpeg(
+        img,
+        subsample=(variant == 2),
+        restart_interval=2 if variant == 1 else 0,
+    )
 
 
 def synthesize_jpeg_images(spark: SparkSession, n: int = 40) -> DataFrame:

@@ -79,9 +79,12 @@ def test_loud_fail_on_unsupported_and_corrupt():
     prog[idx + 1] = 0xC2
     with pytest.raises(NotImplementedError):
         jpeg.decode_jpeg(bytes(prog))
-    # restart interval: inject a DRI segment after SOI
-    dri = good[:2] + b"\xff\xdd" + struct.pack(">HH", 4, 8) + good[2:]
-    with pytest.raises(NotImplementedError):
+    # DRI now decodes — but a DECLARED interval with no RSTn markers
+    # in the stream is corrupt and must fail loudly, not desync
+    # (make_jpeg_image(1) itself carries DRI now, so build a clean one)
+    plain = jpeg.encode_jpeg(_smooth(1, 3))
+    dri = plain[:2] + b"\xff\xdd" + struct.pack(">HH", 4, 2) + plain[2:]
+    with pytest.raises(ValueError):
         jpeg.decode_jpeg(dri)
     # unsupported sampling layout: flip component 1 to 4:2:2 (0x21) —
     # 4:2:0 (0x22) now DECODES, so the frontier is other layouts
@@ -117,6 +120,28 @@ def test_420_roundtrip_and_mixed_profiles():
     src = _smooth(7, 3, h=48, w=48)
     assert len(jpeg.encode_jpeg(src, subsample=True)) < len(
         jpeg.encode_jpeg(src)
+    )
+
+
+def test_restart_intervals_are_lossless_resync_points():
+    """DRI/RSTn coding changes the STREAM (byte-aligned markers, DC
+    predictor resets) but not the pixels: decode(encode(rst=R)) ==
+    decode(encode()) exactly, for both profiles and R spanning
+    multiple RST index wraps (n cycles 0..7)."""
+    for subsample in (False, True):
+        src = _smooth(4, 3, h=40, w=56)
+        base = jpeg.decode_jpeg(jpeg.encode_jpeg(src, subsample=subsample))
+        for r in (1, 2, 5):
+            rst = jpeg.encode_jpeg(
+                src, subsample=subsample, restart_interval=r
+            )
+            assert b"\xff\xdd" in rst
+            assert np.array_equal(jpeg.decode_jpeg(rst), base)
+    # grayscale too
+    g = _smooth(3, 1, h=33, w=41)
+    assert np.array_equal(
+        jpeg.decode_jpeg(jpeg.encode_jpeg(g, restart_interval=3)),
+        jpeg.decode_jpeg(jpeg.encode_jpeg(g)),
     )
 
 
