@@ -423,9 +423,12 @@ def encode_jpeg(
     if c not in (1, 3):
         raise ValueError(f"JPEG supports 1 or 3 channels, got {c}")
     full = _rgb_to_ycbcr(img) if c == 3 else img.astype(np.int64)
-    sampling = (
-        [(2, 2), (1, 1), (1, 1)] if (subsample and c == 3) else [(1, 1)] * c
-    )
+    # subsample: False/True ('420'), or one of '420'/'422' explicitly
+    if subsample and c == 3:
+        luma = (2, 1) if subsample == "422" else (2, 2)
+        sampling = [luma, (1, 1), (1, 1)]
+    else:
+        sampling = [(1, 1)] * c
     hmax = max(s[0] for s in sampling)
     vmax = max(s[1] for s in sampling)
     mcu_w, mcu_h = 8 * hmax, 8 * vmax
@@ -435,13 +438,19 @@ def encode_jpeg(
     for ci, (hi, vi) in enumerate(sampling):
         p = full[:, :, ci]
         if (hi, vi) != (hmax, vmax):
-            # 2x2 integer box mean (round-half-up) after padding the
-            # FULL plane to even dims
-            pe = _pad_plane(p, (h + 1) // 2 * 2, (w + 1) // 2 * 2)
-            p = (
-                pe[0::2, 0::2] + pe[0::2, 1::2]
-                + pe[1::2, 0::2] + pe[1::2, 1::2] + 2
-            ) >> 2
+            # (fy x fx) integer box mean (round-half-up) after padding
+            # the FULL plane to factor multiples — fx/fy in {1, 2}
+            fx, fy = hmax // hi, vmax // vi
+            pe = _pad_plane(
+                p, (h + fy - 1) // fy * fy, (w + fx - 1) // fx * fx
+            )
+            acc = np.zeros(
+                (pe.shape[0] // fy, pe.shape[1] // fx), dtype=np.int64
+            )
+            for dy in range(fy):
+                for dx in range(fx):
+                    acc += pe[dy::fy, dx::fx]
+            p = (acc + (fx * fy) // 2) // (fx * fy)
         planes.append(
             _pad_plane(p, mcus_y * 8 * vi, mcus_x * 8 * hi)
         )
@@ -574,19 +583,21 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 cid, samp, qtid = seg[6 + 3 * i : 9 + 3 * i]
                 comps.append((cid, samp >> 4, samp & 0x0F, qtid))
             samps = [(hi, vi) for _c, hi, vi, _q in comps]
-            # supported profiles: all-1x1 (4:4:4 / grayscale) or the
-            # dominant web profile 4:2:0 (luma 2x2, chroma 1x1)
+            # supported profiles: all-1x1 (4:4:4 / grayscale), 4:2:0
+            # (luma 2x2), and 4:2:2 / 4:4:0 (luma 2x1 / 1x2) — the MCU
+            # machinery is general; these are the layouts whose
+            # replication upsample is exact
             if not (
                 all(s == (1, 1) for s in samps)
                 or (
                     nc == 3
-                    and samps[0] == (2, 2)
+                    and samps[0] in ((2, 2), (2, 1), (1, 2))
                     and samps[1] == samps[2] == (1, 1)
                 )
             ):
                 raise NotImplementedError(
                     f"JPEG sampling {samps} requires imaging libraries; "
-                    "only 4:4:4/grayscale and 4:2:0 decode"
+                    "4:4:4/grayscale, 4:2:0, 4:2:2, and 4:4:0 decode"
                 )
             sof = (h, w, nc)
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
@@ -694,9 +705,10 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
 
 def make_jpeg_image(media_id: int) -> bytes:
     """Deterministic JPEG: smooth integer gradients (block-friendly —
-    the content JPEG is FOR), cycling grayscale / RGB 4:4:4 /
-    RGB 4:2:0 so every supported profile appears in every corpus."""
-    variant = media_id % 3
+    the content JPEG is FOR), cycling grayscale / RGB 4:4:4 (+DRI) /
+    RGB 4:2:0 / RGB 4:2:2 so every supported profile appears in every
+    corpus."""
+    variant = media_id % 4
     c = 1 if variant == 0 else 3
     w = 24 + (media_id * 7) % 40
     h = 24 + (media_id * 11) % 40
@@ -709,9 +721,10 @@ def make_jpeg_image(media_id: int) -> bytes:
     img = (np.abs((v % 400) - 200) + 25).astype(np.uint8)
     # variant 1 also carries restart markers so every corpus exercises
     # the RSTn resync path end-to-end
+    subsample = {0: False, 1: False, 2: True, 3: "422"}[variant]
     return encode_jpeg(
         img,
-        subsample=(variant == 2),
+        subsample=subsample,
         restart_interval=2 if variant == 1 else 0,
     )
 

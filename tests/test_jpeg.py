@@ -86,12 +86,12 @@ def test_loud_fail_on_unsupported_and_corrupt():
     dri = plain[:2] + b"\xff\xdd" + struct.pack(">HH", 4, 2) + plain[2:]
     with pytest.raises(ValueError):
         jpeg.decode_jpeg(dri)
-    # unsupported sampling layout: flip component 1 to 4:2:2 (0x21) —
-    # 4:2:0 (0x22) now DECODES, so the frontier is other layouts
+    # unsupported sampling layout: flip component 1 to 4x1 luma (0x41)
+    # — 2x2/2x1/1x2 all DECODE now, so the frontier is wider factors
     sub = bytearray(good)
     sof = bytes(sub).index(b"\xff\xc0")
     # SOF0 payload: len(2) prec(1) h(2) w(2) nc(1) then cid,samp,qt
-    sub[sof + 2 + 2 + 6 + 1] = 0x21
+    sub[sof + 2 + 2 + 6 + 1] = 0x41
     with pytest.raises(NotImplementedError):
         jpeg.decode_jpeg(bytes(sub))
 
@@ -121,6 +121,28 @@ def test_420_roundtrip_and_mixed_profiles():
     assert len(jpeg.encode_jpeg(src, subsample=True)) < len(
         jpeg.encode_jpeg(src)
     )
+
+
+def test_422_roundtrip():
+    """4:2:2 (luma 2x1, chroma horizontally halved): same MCU
+    machinery, horizontal-only box mean / replication."""
+    for mid, (h, w) in [(1, (24, 32)), (6, (11, 21))]:
+        src = _smooth(mid, 3, h=h, w=w)
+        payload = jpeg.encode_jpeg(src, subsample="422")
+        img = jpeg.decode_jpeg(payload)
+        assert img.shape == (h, w, 3)
+        y_src = jpeg._rgb_to_ycbcr(src)[:, :, 0]
+        y_img = jpeg._rgb_to_ycbcr(img)[:, :, 0]
+        assert np.abs(y_src - y_img).mean() <= 8.0
+        # 4:2:2 keeps vertical chroma: error strictly inside 4:2:0's
+        err422 = np.abs(img.astype(int) - src.astype(int)).mean()
+        img420 = jpeg.decode_jpeg(jpeg.encode_jpeg(src, subsample=True))
+        err420 = np.abs(img420.astype(int) - src.astype(int)).mean()
+        assert err422 <= err420 + 0.5, (err422, err420)
+        assert np.array_equal(jpeg.decode_jpeg(payload), img)
+        # restart intervals compose with 4:2:2 too
+        rst = jpeg.encode_jpeg(src, subsample="422", restart_interval=2)
+        assert np.array_equal(jpeg.decode_jpeg(rst), img)
 
 
 def test_restart_intervals_are_lossless_resync_points():
