@@ -251,6 +251,17 @@ STANDALONE = [
     "jpeg_features",
     # r9: the full ANN maintenance loop (measure -> rebuild -> compact)
     "ann_index_rebuilt_topk",
+    # r9 (cont.): incremental gold maintenance — each row times
+    # found + 2-3 ingests + serve (serve-only cost is the
+    # gold_store_daily_serve row below)
+    "gold_store_daily",
+    "gold_store_compacted",
+    "gold_store_top_customers",
+    "gold_stream_daily",
+    # r9 (cont.): compressed audio (RIFF/WAV + IMA ADPCM) and
+    # compressed video (AVI + MJPEG) decode
+    "wav_features",
+    "mjpeg_frame_luma",
 ]
 
 
@@ -391,6 +402,13 @@ def main() -> None:
 
     ug_path = tempfile.mkdtemp(prefix="bench_unigram_serve_")
     ug_serve_ops.write_unigram_model(docs, ug_path)
+    from retail_etl_pipeline_airflow_s3_athena_spark.plans import goldstore as goldstore_ops
+    from retail_etl_pipeline_airflow_s3_athena_spark.plans import retail_views as rv_serve
+
+    gold_path = tempfile.mkdtemp(prefix="bench_gold_serve_")
+    goldstore_ops.write_gold_partials(
+        rv_serve.sale_transactions(spark, sf_dir), gold_path, "founding"
+    )
     SERVE = {
         "ann_index_topk_serve": lambda: annidx_ops.ann_query(
             spark, ann_path, annidx_ops.corpus_queries(emb)
@@ -403,6 +421,9 @@ def main() -> None:
         ),
         "unigram_encode_persisted_serve": (
             lambda: ug_serve_ops.encode_with_unigram_model(docs, ug_path)
+        ),
+        "gold_store_daily_serve": (
+            lambda: goldstore_ops.serve_gold_daily(spark, gold_path)
         ),
     }
     for _ in range(ITERS):

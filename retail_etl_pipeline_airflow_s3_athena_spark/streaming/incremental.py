@@ -1283,3 +1283,51 @@ def kl_stream_scores(spark: SparkSession, work_dir: str) -> DataFrame:
     )
     merged = deltas.groupBy("source", "tok").agg(F.sum("c").alias("c"))
     return drift.kl_from_counts(merged)
+
+
+def gold_partials_stream(
+    spark: SparkSession, source_dir: str, store_dir: str, schema: T.StructType
+):
+    """STATE-FREE streaming gold maintenance: as sale-transaction
+    files land, each micro-batch aggregates ITSELF into mergeable
+    exact-integer partials and writes them to its own
+    ``batch=<batch_id>`` partition of the goldstore
+    (plans/goldstore.py) — the other design point from
+    ``gold_stream``'s complete-mode aggregate:
+
+    - ``gold_stream`` holds the FULL aggregate as streaming state
+      (bounded by calendar x types) and rewrites the whole gold table
+      per batch;
+    - this path holds ZERO streaming state — the partial store IS the
+      state, batches merge at SERVE time (one small groupBy-SUM), and
+      per-batch sink cost is O(batch's distinct dates), never
+      O(gold).
+
+    Exactly-once: foreachBatch may replay a batch after a crash;
+    ``write_gold_partials`` overwrites that batch's own partition, so
+    replay is idempotent (Spark's documented batchId-keyed sink
+    discipline, the psi/chisq/kl count-delta rule).  Because COUNT and
+    SUM partials are additive, ``serve_gold_daily`` over the streamed
+    store is bit-identical to batch ``gold.daily_sales_summary`` over
+    the same rows — so the batch oracle is the stream's oracle."""
+    import os
+
+    from retail_etl_pipeline_airflow_s3_athena_spark.plans import goldstore
+
+    partials_dir = os.path.join(store_dir, "partials")
+    ckpt_dir = os.path.join(store_dir, "ckpt")
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        goldstore.write_gold_partials(batch_df, partials_dir, str(batch_id))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_dir)
+    )
+    return (
+        stream.writeStream.foreachBatch(step)
+        .option("checkpointLocation", ckpt_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

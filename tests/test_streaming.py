@@ -899,3 +899,44 @@ def test_kl_count_stream_matches_batch(spark, sf_dir, tmp_path):
     replayed = rdf.collect()
     release_cached(rdf)
     assert sorted(map(tuple, replayed)) == sorted(map(tuple, want))
+
+
+def test_gold_partials_stream_matches_batch_and_is_state_free(
+    spark, sf_dir, tmp_path
+):
+    """gold_partials_stream end state == batch daily_sales_summary over
+    the same rows (partial additivity), with MULTIPLE batch partitions
+    in the store (the zero-streaming-state design: each micro-batch
+    wrote only its own partial) and idempotent replay of one batch."""
+    import os
+
+    from retail_etl_pipeline_airflow_s3_athena_spark.plans import (
+        gold,
+        goldstore,
+        retail_views,
+    )
+    from retail_etl_pipeline_airflow_s3_athena_spark.streaming import incremental
+
+    st = retail_views.sale_transactions(spark, sf_dir)
+    src, work = str(tmp_path / "src"), str(tmp_path / "wk")
+    st.repartition(4).write.parquet(src)
+    q = incremental.gold_partials_stream(spark, src, work, st.schema)
+    q.awaitTermination(120)
+
+    partials = os.path.join(work, "partials")
+    want = [tuple(r) for r in gold.daily_sales_summary(st).collect()]
+    got = [tuple(r) for r in goldstore.serve_gold_daily(spark, partials).collect()]
+    assert got == want
+
+    batches = [
+        d for d in os.listdir(partials) if d.startswith("batch=")
+    ]
+    assert len(batches) >= 2, "expected one partial partition per micro-batch"
+
+    # crash-replay of batch 0: rewriting its own partition changes nothing
+    b0 = os.path.join(partials, "batch=0")
+    rows0 = spark.read.parquet(b0)
+    frozen = spark.createDataFrame(rows0.collect(), rows0.schema)
+    frozen.write.mode("overwrite").parquet(b0)
+    again = [tuple(r) for r in goldstore.serve_gold_daily(spark, partials).collect()]
+    assert again == want

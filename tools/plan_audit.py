@@ -25,6 +25,12 @@ AUDIT = [
     "shipping_priority",
     "daily_sales_summary",
     "top_customers",
+    "gold_store_daily",
+    "gold_store_compacted",
+    "gold_store_top_customers",
+    "gold_stream_daily",
+    "wav_features",
+    "mjpeg_frame_luma",
     "near_dup_pairs",
     "simhash_near_dup",
     "embedding_near_dup_lsh",
