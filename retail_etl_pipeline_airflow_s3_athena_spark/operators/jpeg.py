@@ -3,13 +3,18 @@ frontier closable without imaging libraries (r8 verdict #2 named it:
 "baseline JPEG (Huffman + integer IDCT) is possible stdlib but big").
 
 Scope: BASELINE sequential DCT (SOF0), 8-bit, grayscale and YCbCr in
-4:4:4 or 4:2:0 (the dominant web profile: 2x2-sampled luma,
-box-mean-downsampled chroma, replicated back up at decode), standard
-Annex-K quantization and Huffman tables, with restart intervals
-(DRI/RSTn — lossless resync points real encoders default on)
-supported on both sides.  Those are fully valid JPEG profiles every
-decoder reads; progressive (SOF2), arithmetic coding, and other
-sampling layouts (4:2:2, 4:1:1) stay behind loud
+4:4:4 / 4:2:0 (the dominant web profile: 2x2-sampled luma,
+box-mean-downsampled chroma, replicated back up at decode) / 4:2:2 /
+4:4:0, standard Annex-K quantization and Huffman tables, with restart
+intervals (DRI/RSTn — lossless resync points real encoders default
+on) supported on both sides; PLUS progressive (SOF2) at 4:4:4 /
+grayscale with spectral selection and DC successive approximation on
+both sides (coefficient accumulation across scans, general EOBn run
+decoding, raw-bit DC refinement per T.81 G.1.2.1) — the progressive
+encoder reuses the exact baseline quantization, so progressive and
+baseline transports of the same image decode BIT-IDENTICALLY (pinned
+in tests).  Arithmetic coding, AC successive approximation,
+progressive subsampling, and 4:1:1 stay behind loud
 ``NotImplementedError`` — the same honest-frontier discipline as
 ``operators/png.py``.
 
@@ -522,13 +527,377 @@ def encode_jpeg(
     return bytes(out)
 
 
+def _quant_zigzag(block: np.ndarray, qt: np.ndarray) -> np.ndarray:
+    """FDCT + quantize one 8x8 spatial block -> 64 zigzag-ordered
+    coefficients (the _encode_component arithmetic, exposed for the
+    progressive encoder's two-pass scan script)."""
+    coef = _fdct(block.astype(np.int64) - 128)
+    q = np.zeros(64, dtype=np.int64)
+    flat = coef.reshape(-1)
+    qflat = qt.reshape(-1)
+    for i in range(64):
+        z = _ZIGZAG[i]
+        c = int(flat[z])
+        d = int(qflat[z])
+        q[i] = (c + (d // 2 if c >= 0 else -(d // 2))) // d
+    return q
+
+
+def _encode_band(
+    q: np.ndarray, ss: int, se: int, ac_codes: dict, writer: _BitWriter
+) -> None:
+    """Progressive AC band [ss..se] with Al=0: baseline run/size
+    coding within the band, EOB (0x00) for the zero tail.  Annex-K
+    tables carry no EOBn codes with r>0, so every EOB is a run of
+    exactly one block — valid progressive (eobrun=1), decodable by any
+    reader; our decoder still implements general EOBn."""
+    last = ss - 1
+    for i in range(se, ss - 1, -1):
+        if q[i] != 0:
+            last = i
+            break
+    run = 0
+    for i in range(ss, last + 1):
+        v = int(q[i])
+        if v == 0:
+            run += 1
+            continue
+        while run >= 16:
+            code, ln = ac_codes[0xF0]
+            writer.write(code, ln)
+            run -= 16
+        size, bits = _magnitude(v)
+        code, ln = ac_codes[(run << 4) | size]
+        writer.write(code, ln)
+        writer.write(bits, size)
+        run = 0
+    if last < se:
+        code, ln = ac_codes[0x00]
+        writer.write(code, ln)
+
+
+def encode_jpeg_progressive(img: np.ndarray) -> bytes:
+    """Encode (h, w) or (h, w, 1|3) uint8 as a PROGRESSIVE JPEG (SOF2,
+    4:4:4 / grayscale) with the scan script real encoders use as their
+    skeleton:
+
+    1. DC scan, interleaved, successive approximation Al=1 (the
+       point-transformed coarse image every progressive render shows
+       first);
+    2. DC refinement scan (Ah=1, Al=0 — one raw bit per block, no
+       Huffman, per T.81 G.1.2.1);
+    3. per component, AC spectral-selection scans 1-5 then 6-63.
+
+    Same Annex-K tables and integer arithmetic as ``encode_jpeg``;
+    the quantized coefficients are IDENTICAL to the baseline
+    encoder's, so progressive-vs-baseline decode equality is a
+    testable invariant (the transport differs, the math doesn't)."""
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, c = img.shape
+    if c not in (1, 3):
+        raise ValueError(f"JPEG supports 1 or 3 channels, got {c}")
+    full = _rgb_to_ycbcr(img) if c == 3 else img.astype(np.int64)
+    bx_n = (w + 7) // 8
+    by_n = (h + 7) // 8
+    qt_luma = _scaled_qt(_QT_LUMA)
+    qt_chroma = _scaled_qt(_QT_CHROMA)
+    # pass 1: quantize every block of every component (zigzag order)
+    qcoefs = []
+    for ci in range(c):
+        plane = _pad_plane(full[:, :, ci], by_n * 8, bx_n * 8)
+        qt = qt_luma if ci == 0 else qt_chroma
+        qc = np.zeros((by_n, bx_n, 64), dtype=np.int64)
+        for by in range(by_n):
+            for bx in range(bx_n):
+                qc[by, bx] = _quant_zigzag(
+                    plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8], qt
+                )
+        qcoefs.append(qc)
+
+    out = bytearray(b"\xff\xd8")
+    for tid, qt in ([(0, qt_luma)] + ([(1, qt_chroma)] if c == 3 else [])):
+        z = bytes(int(qt.reshape(-1)[_ZIGZAG[i]]) for i in range(64))
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tid]) + z
+    comps = b""
+    for cid in range(1, c + 1):
+        comps += bytes([cid, 0x11, 0 if cid == 1 else 1])
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 8 + 3 * c, 8, h, w, c) + comps
+    tables = [(0x00, _DC_LUMA), (0x10, _AC_LUMA)]
+    if c == 3:
+        tables += [(0x01, _DC_CHROMA), (0x11, _AC_CHROMA)]
+    for tclass, (bits, vals) in tables:
+        body = bytes([tclass]) + bytes(bits) + bytes(vals)
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+
+    def _sos(comp_ids: list[int], tab_bytes: list[int], ss: int, se: int,
+             ah: int, al: int) -> bytes:
+        body = bytes([len(comp_ids)])
+        for cid, tb in zip(comp_ids, tab_bytes):
+            body += bytes([cid, tb])
+        body += bytes([ss, se, (ah << 4) | al])
+        return b"\xff\xda" + struct.pack(">H", 2 + len(body)) + body
+
+    dc_codes = [_canonical_codes(*(_DC_LUMA if ci == 0 else _DC_CHROMA))
+                for ci in range(c)]
+    ac_codes = [_canonical_codes(*(_AC_LUMA if ci == 0 else _AC_CHROMA))
+                for ci in range(c)]
+
+    # scan 1: DC first pass, Al=1, interleaved
+    out += _sos(list(range(1, c + 1)),
+                [0x00 if ci == 0 else 0x11 for ci in range(c)], 0, 0, 0, 1)
+    writer = _BitWriter()
+    preds = [0] * c
+    for by in range(by_n):
+        for bx in range(bx_n):
+            for ci in range(c):
+                tdc = int(qcoefs[ci][by, bx, 0]) >> 1
+                diff = tdc - preds[ci]
+                preds[ci] = tdc
+                size, bits = _magnitude(diff)
+                code, ln = dc_codes[ci][size]
+                writer.write(code, ln)
+                if size:
+                    writer.write(bits, size)
+    out += writer.flush()
+
+    # scan 2: DC refinement, Ah=1 Al=0 — one raw bit per block
+    out += _sos(list(range(1, c + 1)), [0x00] * c, 0, 0, 1, 0)
+    writer = _BitWriter()
+    for by in range(by_n):
+        for bx in range(bx_n):
+            for ci in range(c):
+                writer.write(int(qcoefs[ci][by, bx, 0]) & 1, 1)
+    out += writer.flush()
+
+    # per-component AC spectral-selection scans
+    for ci in range(c):
+        for ss, se in ((1, 5), (6, 63)):
+            out += _sos([ci + 1], [0x00 if ci == 0 else 0x11], ss, se, 0, 0)
+            writer = _BitWriter()
+            for by in range(by_n):
+                for bx in range(bx_n):
+                    _encode_band(
+                        qcoefs[ci][by, bx], ss, se, ac_codes[ci], writer
+                    )
+            out += writer.flush()
+
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _decode_progressive(payload: bytes) -> np.ndarray:
+    """Progressive (SOF2) decode: coefficient accumulation across
+    scans, then one dequant + integer IDCT pass.  Supported envelope:
+    4:4:4 / grayscale, spectral selection, DC successive approximation
+    (first + refinement scans), general EOBn run decoding.  AC
+    successive approximation (Ah>0 on an AC band) and subsampled
+    progressive stay behind loud ``NotImplementedError`` — the honest
+    frontier, matching the module docstring."""
+    pos = 2
+    qts: dict[int, np.ndarray] = {}
+    dc_tabs: dict[int, dict] = {}
+    ac_tabs: dict[int, dict] = {}
+    sof = None
+    comps: list[tuple] = []
+    coefs: list[np.ndarray] = []
+    bx_n = by_n = 0
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("expected JPEG marker")
+        marker = payload[pos + 1]
+        if marker == 0xD9:
+            break
+        (seglen,) = struct.unpack_from(">H", payload, pos + 2)
+        seg = payload[pos + 4 : pos + 2 + seglen]
+        if marker == 0xDB:
+            p = 0
+            while p < len(seg):
+                prec_id = seg[p]
+                if prec_id >> 4 != 0:
+                    raise NotImplementedError("16-bit DQT not supported")
+                tid = prec_id & 0x0F
+                z = seg[p + 1 : p + 65]
+                if len(z) != 64:
+                    raise ValueError("truncated JPEG DQT segment")
+                qt = np.zeros(64, dtype=np.int64)
+                for i in range(64):
+                    qt[_ZIGZAG[i]] = z[i]
+                qts[tid] = qt.reshape(8, 8)
+                p += 65
+        elif marker == 0xC4:
+            p = 0
+            while p < len(seg):
+                tclass = seg[p]
+                bits = list(seg[p + 1 : p + 17])
+                n = sum(bits)
+                vals = list(seg[p + 17 : p + 17 + n])
+                tab = _decode_table(bits, vals)
+                if tclass >> 4 == 0:
+                    dc_tabs[tclass & 0x0F] = tab
+                else:
+                    ac_tabs[tclass & 0x0F] = tab
+                p += 17 + n
+        elif marker == 0xC2:
+            prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
+            if prec != 8:
+                raise NotImplementedError("only 8-bit JPEG supported")
+            comps = []
+            for i in range(nc):
+                cid, samp, qtid = seg[6 + 3 * i : 9 + 3 * i]
+                comps.append((cid, samp >> 4, samp & 0x0F, qtid))
+            if not all(hi == vi == 1 for _c, hi, vi, _q in comps):
+                raise NotImplementedError(
+                    "progressive JPEG with subsampling not supported; "
+                    "4:4:4 / grayscale only"
+                )
+            sof = (h, w, nc)
+            bx_n = (w + 7) // 8
+            by_n = (h + 7) // 8
+            coefs = [
+                np.zeros((by_n, bx_n, 64), dtype=np.int64) for _ in range(nc)
+            ]
+        elif marker == 0xDD:
+            (ri,) = struct.unpack_from(">H", seg, 0)
+            if ri:
+                raise NotImplementedError(
+                    "restart intervals in progressive scans not supported"
+                )
+        elif marker == 0xDA:
+            if sof is None:
+                raise ValueError("progressive SOS before SOF2")
+            ns = seg[0]
+            scomps = []
+            for i in range(ns):
+                cid, tsel = seg[1 + 2 * i : 3 + 2 * i]
+                ci = next(
+                    j for j, (c_id, *_r) in enumerate(comps) if c_id == cid
+                )
+                scomps.append((ci, tsel >> 4, tsel & 0x0F))
+            ss, se, ahal = seg[1 + 2 * ns : 4 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0x0F
+            scan_start = pos + 2 + seglen
+            reader = _BitReader(payload[scan_start:])
+            if ss == 0:
+                if se != 0:
+                    raise ValueError("DC scan with Se != 0")
+                if ah == 0:
+                    preds = [0] * len(scomps)
+                    for by in range(by_n):
+                        for bx in range(bx_n):
+                            for si, (ci, dsel, _a) in enumerate(scomps):
+                                size = reader.huff(dc_tabs[dsel])
+                                diff = _extend(reader.bits(size), size)
+                                preds[si] += diff
+                                coefs[ci][by, bx, 0] = preds[si] << al
+                else:
+                    # refinement: one raw correction bit per block
+                    # (bitwise OR is exact on two's-complement int64)
+                    for by in range(by_n):
+                        for bx in range(bx_n):
+                            for ci, _d, _a in scomps:
+                                coefs[ci][by, bx, 0] |= reader.bit() << al
+            else:
+                if ns != 1:
+                    raise ValueError("progressive AC scan must be "
+                                     "non-interleaved")
+                if ah != 0:
+                    raise NotImplementedError(
+                        "AC successive approximation not supported"
+                    )
+                ci, _dsel, asel = scomps[0]
+                ac_t = ac_tabs[asel]
+                eobrun = 0
+                for by in range(by_n):
+                    for bx in range(bx_n):
+                        if eobrun:
+                            eobrun -= 1
+                            continue
+                        q = coefs[ci][by, bx]
+                        k = ss
+                        while k <= se:
+                            rs = reader.huff(ac_t)
+                            r, s = rs >> 4, rs & 0x0F
+                            if s == 0:
+                                if r == 15:
+                                    k += 16
+                                    continue
+                                eobrun = (1 << r) - 1
+                                if r:
+                                    eobrun += reader.bits(r)
+                                break
+                            k += r
+                            if k > se:
+                                raise ValueError(
+                                    "AC coefficient outside scan band"
+                                )
+                            q[k] = _extend(reader.bits(s), s) << al
+                            k += 1
+            # resume marker parsing at the next true marker after the
+            # consumed entropy bytes (fill bits may leave a partial
+            # final byte before it)
+            p2 = scan_start + reader.pos
+            while p2 + 1 < len(payload) and not (
+                payload[p2] == 0xFF and payload[p2 + 1] not in (0x00,)
+                and not (0xD0 <= payload[p2 + 1] <= 0xD7)
+            ):
+                p2 += 1
+            pos = p2
+            continue
+        pos += 2 + seglen
+    if sof is None or not coefs:
+        raise ValueError("progressive JPEG missing SOF2/SOS")
+    h, w, nc = sof
+    qt_by_comp = [qts[qtid] for _cid, _h, _v, qtid in comps]
+    planes = np.zeros((h, w, nc), dtype=np.int64)
+    for ci in range(nc):
+        plane = np.zeros((by_n * 8, bx_n * 8), dtype=np.int64)
+        for by in range(by_n):
+            for bx in range(bx_n):
+                coef = np.zeros(64, dtype=np.int64)
+                for i in range(64):
+                    coef[_ZIGZAG[i]] = coefs[ci][by, bx, i]
+                block = _idct(coef.reshape(8, 8) * qt_by_comp[ci]) + 128
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
+                    block, 0, 255
+                )
+        planes[:, :, ci] = plane[:h, :w]
+    if nc == 3:
+        return _ycbcr_to_rgb(planes)
+    return planes.astype(np.uint8)
+
+
+def _is_progressive(payload: bytes) -> bool:
+    """Marker pre-walk: does the stream carry SOF2 before its first
+    scan?  (Cheap offset arithmetic; segment bodies are skipped.)"""
+    pos = 2
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            return False
+        marker = payload[pos + 1]
+        if marker in (0xC2, 0xDA, 0xD9):
+            return marker == 0xC2
+        (seglen,) = struct.unpack_from(">H", payload, pos + 2)
+        pos += 2 + seglen
+    return False
+
+
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Decode a baseline 4:4:4 (or grayscale) JPEG to (h, w, c) uint8.
-    Pure integer Huffman + dequant + IDCT — bit-deterministic.  Raises
-    ``NotImplementedError`` for progressive/arithmetic/subsampled/
-    restart-interval streams and ``ValueError`` for corrupt ones."""
+    """Decode a JPEG to (h, w, c) uint8: baseline SOF0 (4:4:4 /
+    grayscale / 4:2:0 / 4:2:2 / 4:4:0, DRI/RSTn) or progressive SOF2
+    (spectral selection + DC successive approximation, 4:4:4 /
+    grayscale).  Pure integer Huffman + dequant + IDCT —
+    bit-deterministic.  Raises ``NotImplementedError`` for
+    arithmetic coding, AC successive approximation, and unsupported
+    sampling; ``ValueError`` for corrupt streams."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG stream")
+    if _is_progressive(payload):
+        return _decode_progressive(payload)
+    return _decode_baseline(payload)
+
+
+def _decode_baseline(payload: bytes) -> np.ndarray:
     pos = 2
     qts: dict[int, np.ndarray] = {}
     dc_tabs: dict[int, dict] = {}
@@ -706,9 +1075,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
 def make_jpeg_image(media_id: int) -> bytes:
     """Deterministic JPEG: smooth integer gradients (block-friendly —
     the content JPEG is FOR), cycling grayscale / RGB 4:4:4 (+DRI) /
-    RGB 4:2:0 / RGB 4:2:2 so every supported profile appears in every
-    corpus."""
-    variant = media_id % 4
+    RGB 4:2:0 / RGB 4:2:2 / PROGRESSIVE so every supported profile
+    appears in every corpus."""
+    variant = media_id % 5
     c = 1 if variant == 0 else 3
     w = 24 + (media_id * 7) % 40
     h = 24 + (media_id * 11) % 40
@@ -719,6 +1088,8 @@ def make_jpeg_image(media_id: int) -> bytes:
     # content JPEG's DCT model is built for
     v = media_id * 17 + yy * 2 + xx * 3 + cc * 40
     img = (np.abs((v % 400) - 200) + 25).astype(np.uint8)
+    if variant == 4:
+        return encode_jpeg_progressive(img)
     # variant 1 also carries restart markers so every corpus exercises
     # the RSTn resync path end-to-end
     subsample = {0: False, 1: False, 2: True, 3: "422"}[variant]

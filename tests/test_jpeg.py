@@ -190,3 +190,53 @@ def test_raw_tier_accepts_jpeg_payloads(spark):
     assert len(out) == 4
     for r in out:
         assert (r["width"], r["height"]) == (8, 8)
+
+
+def test_progressive_decodes_bit_identical_to_baseline():
+    """The progressive encoder reuses the exact baseline quantization,
+    so the same image shipped over SOF0 and SOF2 transports must
+    decode to IDENTICAL pixels — the strongest cross-transport
+    invariant the codec can state."""
+    for mid, c in [(0, 1), (1, 3), (5, 3)]:
+        src = _smooth(mid, c, h=29, w=35)  # non-multiple-of-8 dims
+        if c == 1:
+            src = src[:, :, 0]
+        base = jpeg.decode_jpeg(jpeg.encode_jpeg(src))
+        prog_payload = jpeg.encode_jpeg_progressive(src)
+        assert jpeg._is_progressive(prog_payload)
+        prog = jpeg.decode_jpeg(prog_payload)
+        assert (base == prog).all()
+
+
+def test_progressive_scan_script_shape():
+    """The stream carries the documented scan script: DC first pass,
+    DC refinement, then two AC spectral bands per component."""
+    payload = jpeg.encode_jpeg_progressive(_smooth(3, 3))
+    assert b"\xff\xc2" in payload and b"\xff\xc0" not in payload
+    n_sos = payload.count(b"\xff\xda")
+    assert n_sos == 2 + 2 * 3  # 2 DC scans + 2 AC bands x 3 components
+
+
+def test_progressive_loud_fail_frontier():
+    # AC successive approximation (Ah>0 on an AC band) must fail
+    # loudly: patch the last SOS header's AhAl byte
+    payload = bytearray(jpeg.encode_jpeg_progressive(_smooth(2, 1)))
+    idx = bytes(payload).rindex(b"\xff\xda")
+    # SOS: marker(2) len(2) ns(1) [cid,tsel](2*ns) Ss Se AhAl
+    ns = payload[idx + 4]
+    ahal_pos = idx + 5 + 2 * ns + 2
+    assert payload[ahal_pos] == 0x00
+    payload[ahal_pos] = 0x10  # Ah=1 on an AC band
+    with pytest.raises(NotImplementedError):
+        jpeg.decode_jpeg(bytes(payload))
+
+
+def test_progressive_in_fixture_cycle_and_distributed(spark):
+    """Variant 4 of the fixture cycle is progressive; the distributed
+    jpeg_features path decodes it like the local one."""
+    assert jpeg._is_progressive(jpeg.make_jpeg_image(4))
+    media = jpeg.synthesize_jpeg_images(spark, n=10)
+    got = {r["media_id"]: tuple(r)[1:] for r in jpeg.jpeg_features(media).collect()}
+    for mid in range(10):
+        h, w, c, mean_e2, edge, ck = jpeg.jpeg_stats(jpeg.make_jpeg_image(mid))
+        assert got[mid] == (w, h, c, mean_e2, edge, ck)
