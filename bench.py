@@ -262,6 +262,8 @@ STANDALONE = [
     # compressed video (AVI + MJPEG) decode
     "wav_features",
     "mjpeg_frame_luma",
+    # r9 (cont.): animated GIF (LZW) decode
+    "gif_frame_luma",
 ]
 
 

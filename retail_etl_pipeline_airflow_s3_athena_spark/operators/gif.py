@@ -1,0 +1,390 @@
+"""GIF decode + encode (LZW) — the fourth web image format joins the
+codec tier (PNG, JPEG, WAV/ADPCM, AVI/MJPEG), and animated GIF gives
+the corpus a second compressed-video container.
+
+Everything is stdlib-implementable and integer-exact:
+
+- GIF87a/89a container: logical screen descriptor, global/local color
+  tables, image descriptors, Graphic Control Extensions (frame delays
+  / disposal), trailer.
+- LZW with variable code width (3-12 bits per the GIF flavor:
+  little-endian bit packing, clear/EOI codes, width bump at table
+  size 2^n, table cap at 4096) — decoder AND encoder, so fixtures are
+  self-made like every other codec here.
+- Animation: each frame is an independent image descriptor; this tier
+  supports full-frame replacement (disposal 0/1, no transparency
+  compositing), which keeps every frame decodable in isolation —
+  the MJPEG-style frame-granularity parallelism.
+
+Loud-fail frontier: interlaced images, transparency compositing
+(GCE transparent-color index), partial-frame placement (a frame whose
+descriptor is not the full canvas), and sorted/missing color tables
+degrade to ``NotImplementedError`` with the reason — the
+png.py/jpeg.py honesty discipline.
+
+GIF is LOSSLESS for palettized content (unlike JPEG/ADPCM): the
+encode→decode roundtrip is pixel-exact, pinned in tests.  Decode is
+bit-deterministic (pure table lookups), so ``gif_frame_luma`` carries
+a full VALUES value-hash oracle.
+
+Scale shape: Arrow ``mapInPandas`` projection (the codec-tier shape):
+no shuffle, memory bounded by Arrow batch size × payload size,
+corpus-size independent.  Within a clip, frames decode independently
+(full-frame replacement only), so a 100 TB GIF corpus parallelizes at
+frame granularity like MJPEG.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from retail_etl_pipeline_airflow_s3_athena_spark.operators.multimodal import (
+    MEDIA_SCHEMA,
+)
+
+
+# ---------------------------------------------------------------------------
+# LZW (GIF flavor: LSB-first bit packing, variable 3..12-bit codes)
+# ---------------------------------------------------------------------------
+
+class _LZWWriter:
+    def __init__(self, min_code_size: int) -> None:
+        self.min = min_code_size
+        self.clear = 1 << min_code_size
+        self.eoi = self.clear + 1
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, code: int, width: int) -> None:
+        self.acc |= code << self.nbits
+        self.nbits += width
+        while self.nbits >= 8:
+            self.out.append(self.acc & 0xFF)
+            self.acc >>= 8
+            self.nbits -= 8
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            self.out.append(self.acc & 0xFF)
+        return bytes(self.out)
+
+
+def lzw_encode(data: bytes, min_code_size: int) -> bytes:
+    """GIF-flavor LZW: emit CLEAR, greedily extend dictionary strings,
+    bump code width when the NEXT code would not fit, reset at 4096."""
+    wr = _LZWWriter(min_code_size)
+    clear, eoi = wr.clear, wr.eoi
+
+    def fresh() -> dict:
+        return {bytes([i]): i for i in range(clear)}
+
+    table = fresh()
+    next_code = eoi + 1
+    width = min_code_size + 1
+    wr.put(clear, width)
+    s = b""
+    for byte in data:
+        cand = s + bytes([byte])
+        if cand in table:
+            s = cand
+            continue
+        wr.put(table[s], width)
+        table[cand] = next_code
+        next_code += 1
+        if next_code > (1 << width) and width < 12:
+            width += 1
+        if next_code >= 4096:
+            wr.put(clear, width)
+            table = fresh()
+            next_code = eoi + 1
+            width = min_code_size + 1
+        s = bytes([byte])
+    if s:
+        wr.put(table[s], width)
+    wr.put(eoi, width)
+    return wr.flush()
+
+
+def lzw_decode(data: bytes, min_code_size: int, expect: int) -> bytes:
+    """Inverse of :func:`lzw_encode`; stops after ``expect`` output
+    bytes or EOI.  Width bumps when the next assignable code reaches
+    the current width's capacity (the standard decoder-side rule)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    pos = 0
+    acc = 0
+    nbits = 0
+    out = bytearray()
+
+    def read(width: int) -> int:
+        nonlocal pos, acc, nbits
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("GIF LZW stream truncated")
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        v = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        return v
+
+    table: list[bytes] = []
+    width = min_code_size + 1
+    prev: bytes | None = None
+
+    def reset() -> None:
+        nonlocal table, width, prev
+        table = [bytes([i]) for i in range(clear)] + [b"", b""]
+        width = min_code_size + 1
+        prev = None
+
+    reset()
+    while len(out) < expect:
+        code = read(width)
+        if code == clear:
+            reset()
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("GIF LZW code out of range")
+        out += entry
+        prev = entry
+        if len(table) >= (1 << width) and width < 12:
+            width += 1
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Container
+# ---------------------------------------------------------------------------
+
+def _sub_blocks(data: bytes) -> bytes:
+    out = bytearray()
+    for i in range(0, len(data), 255):
+        chunk = data[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out.append(0)
+    return bytes(out)
+
+
+def write_gif(frames: list[np.ndarray], palette: np.ndarray,
+              delay_cs: int = 10) -> bytes:
+    """Index frames (h, w) uint8 + palette (n, 3) uint8 -> a complete
+    GIF89a: global color table, one GCE + full-canvas image descriptor
+    per frame, LZW-compressed."""
+    h, w = frames[0].shape
+    n = len(palette)
+    depth = max(2, (n - 1).bit_length())
+    table_size = 1 << depth
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | ((depth - 1) & 7), 0, 0)
+    pal = np.zeros((table_size, 3), dtype=np.uint8)
+    pal[:n] = palette
+    out += pal.tobytes()
+    if len(frames) > 1:
+        # NETSCAPE looping extension (standard for animation)
+        out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
+    for frame in frames:
+        if frame.shape != (h, w):
+            raise ValueError("all GIF frames must be full-canvas")
+        out += b"\x21\xf9\x04" + struct.pack(
+            "<BHB", 0x04, delay_cs, 0
+        ) + b"\x00"  # GCE: disposal=1 (keep), no transparency
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        mcs = max(2, depth)
+        out += bytes([mcs])
+        out += _sub_blocks(lzw_encode(frame.reshape(-1).tobytes(), mcs))
+    out += b"\x3b"
+    return bytes(out)
+
+
+def parse_gif(payload: bytes) -> tuple[np.ndarray, list[np.ndarray]]:
+    """-> (palette (n,3) uint8, [index frames (h,w) uint8]).
+    Loud-fails on non-GIF input, interlace, transparency, partial-
+    frame placement, local color tables, and missing GCT."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise NotImplementedError(
+            "not a GIF payload; only GIF87a/89a decode here"
+        )
+    w, h, flags, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    if not flags & 0x80:
+        raise NotImplementedError("GIF without a global color table")
+    gct_size = 2 << (flags & 7)
+    palette = np.frombuffer(
+        payload, dtype=np.uint8, count=gct_size * 3, offset=pos
+    ).reshape(gct_size, 3)
+    pos += gct_size * 3
+    frames: list[np.ndarray] = []
+    transparent = False
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension
+            label = payload[pos + 1]
+            pos += 2
+            if label == 0xF9:
+                blk_len = payload[pos]
+                gce_flags = payload[pos + 1]
+                if gce_flags & 0x01:
+                    transparent = True
+                pos += 1 + blk_len
+            # skip remaining sub-blocks (and the whole body for
+            # non-GCE extensions)
+            while payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif b == 0x2C:  # image descriptor
+            left, top, fw, fh, iflags = struct.unpack_from(
+                "<HHHHB", payload, pos + 1
+            )
+            pos += 10
+            if iflags & 0x40:
+                raise NotImplementedError("interlaced GIF not supported")
+            if iflags & 0x80:
+                raise NotImplementedError(
+                    "GIF local color tables not supported"
+                )
+            if (left, top, fw, fh) != (0, 0, w, h):
+                raise NotImplementedError(
+                    "partial-frame GIF placement (compositing) not "
+                    "supported; full-canvas frames only"
+                )
+            if transparent:
+                raise NotImplementedError(
+                    "GIF transparency compositing not supported"
+                )
+            mcs = payload[pos]
+            pos += 1
+            data = bytearray()
+            while payload[pos] != 0:
+                ln = payload[pos]
+                data += payload[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            pos += 1
+            idx = np.frombuffer(
+                lzw_decode(bytes(data), mcs, w * h), dtype=np.uint8
+            ).reshape(h, w)
+            frames.append(idx)
+        else:
+            raise ValueError(f"unknown GIF block 0x{b:02X}")
+    if not frames:
+        raise ValueError("GIF carries no image data")
+    return palette, frames
+
+
+def decode_gif_frame(palette: np.ndarray, idx: np.ndarray) -> np.ndarray:
+    """Index frame -> (h, w, 3) uint8 RGB via the palette lookup (a
+    join-free integer map, the PNG PLTE shape)."""
+    return palette[idx]
+
+
+# ---------------------------------------------------------------------------
+# Fixtures + the distributed operator
+# ---------------------------------------------------------------------------
+
+def make_gif_clip(media_id: int) -> bytes:
+    """Deterministic animated GIF: 2-7 full-canvas frames of banded
+    integer content over a 32-entry deterministic palette."""
+    n_frames = 2 + (media_id * 3) % 6
+    w = 20 + (media_id * 7) % 30
+    h = 20 + (media_id * 5) % 30
+    pal = np.zeros((32, 3), dtype=np.uint8)
+    for i in range(32):
+        pal[i] = [
+            (media_id * 31 + i * 8) % 256,
+            (media_id * 17 + i * 5) % 256,
+            (media_id * 23 + i * 11) % 256,
+        ]
+    yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    frames = [
+        ((media_id * 3 + f * 5 + yy + xx * 2) % 32).astype(np.uint8)
+        for f in range(n_frames)
+    ]
+    return write_gif(frames, pal)
+
+
+def synthesize_gif_corpus(spark: SparkSession, n: int = 25) -> DataFrame:
+    rows = [(i, "video", make_gif_clip(i)) for i in range(n)]
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+GIF_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_colors", T.IntegerType()),
+        T.StructField("mean_luma_e4", T.LongType()),
+        T.StructField("frame_checksum", T.StringType()),
+    ]
+)
+
+
+def gif_frame_stats(payload: bytes, every_n: int = 2) -> list[tuple]:
+    """Per-sampled-frame rows (operator + VALUES-oracle twin): BT.601
+    integer luma and a checksum over the palette-expanded RGB pixels —
+    proof the LZW + palette pipeline ran.  The container walk decodes
+    ALL index streams (LZW frames are not seekable) but expands only
+    sampled frames through the palette."""
+    palette, frames = parse_gif(payload)
+    n_colors = int(len(palette))
+    rows = []
+    for i in range(0, len(frames), every_n):
+        rgb = decode_gif_frame(palette, frames[i]).astype(np.int64)
+        fh, fw, _ = rgb.shape
+        luma_sum = int(
+            (rgb[:, :, 0] * 299 + rgb[:, :, 1] * 587 + rgb[:, :, 2] * 114)
+            .sum()
+        ) // 1000
+        rows.append(
+            (
+                i,
+                fw,
+                fh,
+                n_colors,
+                luma_sum * 10**4 // (fw * fh),
+                hashlib.sha256(
+                    rgb.astype("uint8").tobytes()
+                ).hexdigest()[:12],
+            )
+        )
+    return rows
+
+
+def gif_frame_luma(media: DataFrame, every_n: int = 2) -> DataFrame:
+    """Distributed animated-GIF frame sampling: LZW decode + palette
+    expansion inside Arrow batches, integer luma + checksum out."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                for r in gif_frame_stats(bytes(payload), every_n):
+                    rows.append((int(mid),) + r)
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in GIF_FRAME_SCHEMA.fields]
+            )
+
+    return media.mapInPandas(batches, GIF_FRAME_SCHEMA)

@@ -31,6 +31,7 @@ AUDIT = [
     "gold_stream_daily",
     "wav_features",
     "mjpeg_frame_luma",
+    "gif_frame_luma",
     "near_dup_pairs",
     "simhash_near_dup",
     "embedding_near_dup_lsh",
