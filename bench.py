@@ -264,6 +264,8 @@ STANDALONE = [
     "mjpeg_frame_luma",
     # r9 (cont.): animated GIF (LZW) decode
     "gif_frame_luma",
+    # r9 (cont.): WARC pack + ingest round-trip (Common Crawl layout)
+    "warc_ingest_docs",
 ]
 
 

@@ -1,0 +1,251 @@
+"""WARC (Web ARChive) ingest — the container format large-scale
+training-data pipelines actually read (Common Crawl ships WARC/1.0
+with one gzip member per record, ISO 28500).
+
+The ingest direction is the product: WARC binaries in, a clean
+document table out.  Everything is stdlib and deterministic:
+
+- ``write_warc(records, gzip_members=True)``: WARC/1.0 response
+  records (named headers, Content-Length framing, the double-CRLF
+  terminators) wrapping an HTTP/1.1 response envelope; optionally one
+  raw-deflate-based GZIP MEMBER per record (the Common Crawl layout —
+  readers can seek to a record boundary and inflate just that member;
+  zlib's gzip container, deterministic bytes with mtime pinned to 0).
+- ``parse_warc(payload)``: sniffs gzip (1F 8B) vs plain; splits
+  multi-member gzip streams by inflating with ``zlib.decompressobj``
+  and recursing on ``unused_data`` (the standard multi-member walk);
+  parses record headers case-insensitively; keeps ``WARC-Type:
+  response`` records; strips the HTTP envelope; yields
+  (target_uri, body bytes).
+- ``warc_ingest(warcs)``: the distributed operator — Arrow
+  ``mapInPandas`` over a binary WARC column, one row per contained
+  document.  No shuffle; memory bounded by Arrow batch × archive
+  size (real CC shards are ~1 GB — the operator reads ONE archive per
+  row, so partition = a few archives, the same contract real WARC
+  readers run under).
+
+Loud-fail frontier: non-WARC/1.x versions, chunked transfer encoding,
+and Content-Encoding'd HTTP bodies raise ``NotImplementedError`` —
+the codec-tier honesty discipline.
+
+Correctness story (stronger than the VALUES codecs): the gate entry
+round-trips the DRIVER'S OWN documents table — ``docs_to_warc`` packs
+each source's documents into one archive via ``applyInPandas`` (the
+distributed pack), ``warc_ingest`` unpacks them, and the oracle is
+plain SQL over the original table.  Any byte lost or duplicated in
+framing, gzip membering, HTTP enveloping, or UTF-8 handling flips the
+value hash.
+
+Scale: pack = one groupBy-source shuffle (archive-sized output rows);
+ingest = shuffle-free projection.  At 100 TB the per-archive loop is
+the unit of parallelism — exactly how CC is processed (a few thousand
+~1 GB shards per dump, one task each).
+"""
+
+from __future__ import annotations
+
+import gzip as _gzip
+import io
+import zlib
+from collections.abc import Iterator
+
+import numpy as np  # noqa: F401 (kept for parity with the codec tier)
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+WARC_VERSION = b"WARC/1.0"
+_CRLF = b"\r\n"
+
+
+def _gzip_member(data: bytes) -> bytes:
+    """One deterministic gzip member (mtime=0, no filename)."""
+    buf = io.BytesIO()
+    with _gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as f:
+        f.write(data)
+    return buf.getvalue()
+
+
+def write_warc(records: list[tuple[str, bytes]],
+               gzip_members: bool = True) -> bytes:
+    """[(target_uri, body bytes)] -> a WARC/1.0 archive of response
+    records, one gzip member per record when ``gzip_members`` (the
+    Common Crawl layout)."""
+    out = bytearray()
+    for uri, body in records:
+        http = (
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/plain; charset=utf-8"
+            + _CRLF + b"Content-Length: " + str(len(body)).encode()
+            + _CRLF + _CRLF + body
+        )
+        headers = (
+            WARC_VERSION + _CRLF
+            + b"WARC-Type: response" + _CRLF
+            + b"WARC-Target-URI: " + uri.encode() + _CRLF
+            + b"WARC-Date: 2024-01-01T00:00:00Z" + _CRLF
+            + b"Content-Type: application/http; msgtype=response" + _CRLF
+            + b"Content-Length: " + str(len(http)).encode() + _CRLF
+            + _CRLF
+        )
+        record = headers + http + _CRLF + _CRLF
+        out += _gzip_member(record) if gzip_members else record
+    return bytes(out)
+
+
+def _split_gzip_members(payload: bytes) -> Iterator[bytes]:
+    """Inflate a multi-member gzip stream member by member
+    (decompressobj + unused_data — the standard walk)."""
+    rest = payload
+    while rest:
+        d = zlib.decompressobj(16 + zlib.MAX_WBITS)
+        yield d.decompress(rest)
+        rest = d.unused_data
+
+
+def _parse_records(data: bytes) -> Iterator[tuple[str, bytes]]:
+    pos = 0
+    while pos < len(data):
+        # skip inter-record CRLFs
+        while data[pos:pos + 2] == _CRLF:
+            pos += 2
+        if pos >= len(data):
+            break
+        head_end = data.index(_CRLF + _CRLF, pos)
+        head = data[pos:head_end].decode("utf-8")
+        lines = head.split("\r\n")
+        if not lines[0].startswith("WARC/1."):
+            raise NotImplementedError(
+                f"unsupported WARC version line {lines[0]!r}; "
+                "WARC/1.x only"
+            )
+        fields = {}
+        for line in lines[1:]:
+            k, _, v = line.partition(":")
+            fields[k.strip().lower()] = v.strip()
+        length = int(fields["content-length"])
+        body = data[head_end + 4 : head_end + 4 + length]
+        pos = head_end + 4 + length
+        if fields.get("warc-type") == "response":
+            yield fields.get("warc-target-uri", ""), _strip_http(body)
+
+
+def _strip_http(body: bytes) -> bytes:
+    """HTTP/1.1 response envelope -> payload bytes.  Loud-fails on
+    transfer/content encodings this tier doesn't implement."""
+    if not body.startswith(b"HTTP/1."):
+        return body  # resource record: body IS the payload
+    head_end = body.index(_CRLF + _CRLF)
+    head = body[:head_end].decode("utf-8").lower()
+    if "transfer-encoding: chunked" in head:
+        raise NotImplementedError(
+            "chunked transfer encoding not supported in this tier"
+        )
+    if "content-encoding:" in head and "content-encoding: identity" not in head:
+        raise NotImplementedError(
+            "HTTP content-encoding decode not supported in this tier"
+        )
+    return body[head_end + 4 :]
+
+
+def parse_warc(payload: bytes) -> list[tuple[str, bytes]]:
+    """-> [(target_uri, document bytes)] for every response record."""
+    if payload[:2] == b"\x1f\x8b":
+        out = []
+        for member in _split_gzip_members(payload):
+            out.extend(_parse_records(member))
+        return out
+    if not payload.startswith(b"WARC/"):
+        raise NotImplementedError(
+            "not a WARC payload (neither gzip members nor WARC/1.x)"
+        )
+    return list(_parse_records(payload))
+
+
+# ---------------------------------------------------------------------------
+# Distributed pack + ingest
+# ---------------------------------------------------------------------------
+
+WARC_ARCHIVE_SCHEMA = T.StructType(
+    [
+        T.StructField("archive_id", T.StringType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+WARC_DOC_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("archive_id", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+    ]
+)
+
+
+def docs_to_warc(docs: DataFrame, gzip_members: bool = True) -> DataFrame:
+    """Pack documents into one WARC archive per source via
+    ``applyInPandas`` (the distributed pack direction).  Record order
+    inside an archive is pinned by doc_id so archives are
+    deterministic bytes."""
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        records = [
+            (
+                f"http://corpus.invalid/{src}/{int(did)}",
+                ("" if txt is None else str(txt)).encode("utf-8"),
+            )
+            for did, txt, src in zip(pdf["doc_id"], pdf["text"], pdf["source"])
+        ]
+        src = str(pdf["source"].iloc[0])
+        return pd.DataFrame(
+            [(src, write_warc(records, gzip_members))],
+            columns=["archive_id", "payload"],
+        )
+
+    return (
+        docs.select("doc_id", "text", "source")
+        .groupBy("source")
+        .applyInPandas(pack, WARC_ARCHIVE_SCHEMA)
+    )
+
+
+def warc_ingest(warcs: DataFrame) -> DataFrame:
+    """WARC binaries -> one row per contained document: doc_id parsed
+    back from the target URI, UTF-8 text, byte length.  Shuffle-free
+    Arrow projection; one archive decoded at a time per row."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for aid, payload in zip(pdf["archive_id"], pdf["payload"]):
+                for uri, body in parse_warc(bytes(payload)):
+                    doc_id = int(uri.rsplit("/", 1)[1])
+                    rows.append(
+                        (
+                            doc_id,
+                            str(aid),
+                            body.decode("utf-8"),
+                            len(body),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in WARC_DOC_SCHEMA.fields]
+            )
+
+    return warcs.mapInPandas(batches, WARC_DOC_SCHEMA)
+
+
+def warc_roundtrip_stats(docs: DataFrame) -> DataFrame:
+    """The gate query: documents -> per-source gzip'd WARC archives ->
+    ingest -> per-doc (doc_id, source, text, n_bytes).  Equal to the
+    original table by construction — the oracle is plain SQL over
+    ``documents`` (octet_length for the UTF-8 byte count)."""
+    ingested = warc_ingest(docs_to_warc(docs))
+    return ingested.select(
+        "doc_id",
+        F.col("archive_id").alias("source"),
+        "text",
+        "n_bytes",
+    )

@@ -32,6 +32,7 @@ AUDIT = [
     "wav_features",
     "mjpeg_frame_luma",
     "gif_frame_luma",
+    "warc_ingest_docs",
     "near_dup_pairs",
     "simhash_near_dup",
     "embedding_near_dup_lsh",
