@@ -33,6 +33,7 @@ from retail_etl_pipeline_airflow_s3_athena_spark.operators import jpeg as jpeg_o
 from retail_etl_pipeline_airflow_s3_athena_spark.operators import png as png_ops
 from retail_etl_pipeline_airflow_s3_athena_spark.operators import avi as avi_ops
 from retail_etl_pipeline_airflow_s3_athena_spark.operators import gif as gif_ops
+from retail_etl_pipeline_airflow_s3_athena_spark.operators import archive as archive_ops
 from retail_etl_pipeline_airflow_s3_athena_spark.operators import warc as warc_ops
 from retail_etl_pipeline_airflow_s3_athena_spark.operators import wav as wav_ops
 from retail_etl_pipeline_airflow_s3_athena_spark.operators import pq as pq_ops
@@ -1478,6 +1479,17 @@ def _q_warc_ingest_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_tar_ingest_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed tar round-trip under a REAL SQL oracle: documents
+    packed per source into deterministic tar archives whose codec
+    cycles gz/bz2/xz by a last-byte rule the SQL twin re-derives
+    (operators/archive.py) — so the oracle hashes the codec ROUTING as
+    well as the text.  zstd and non-file members fail loudly."""
+    return archive_ops.tar_roundtrip_stats(_docs(spark, sf_dir)).orderBy(
+        "doc_id"
+    )
+
+
 def _q_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual image dedup (dHash, banded like SimHash): REAL
     decode of a mixed raw-MM02/PNG corpus with planted cross-format
@@ -1836,6 +1848,7 @@ GATE_FIRST_50 = [
     "mjpeg_frame_luma",
     "gif_frame_luma",
     "warc_ingest_docs",
+    "tar_ingest_docs",
     "ann_index_compacted_topk",
     "ann_index_staleness",
     "ann_index_rebuilt_topk",
@@ -1869,7 +1882,6 @@ GATE_FIRST_50 = [
     "cheapest_part_supplier",
     "cms_heavy_hitters",
     "containment_pairs",
-    "corpus_stats",
     "daily_sales_summary",
     "top_customers",
     "product_performance",
@@ -1884,6 +1896,7 @@ GATE_TAIL = [
     # displaced from the window by the in-round gold-store quartet,
     # the wav/mjpeg/gif codec entries, and warc ingest — FIRST in
     # line for r10
+    "corpus_stats",
     "curated_docs",
     "customer_order_distribution",
     "daily_revenue_ma7",
@@ -2098,6 +2111,7 @@ def _all_queries() -> dict[str, QueryFn]:
         "mjpeg_frame_luma": _q_mjpeg_frame_luma,
         "gif_frame_luma": _q_gif_frame_luma,
         "warc_ingest_docs": _q_warc_ingest_docs,
+        "tar_ingest_docs": _q_tar_ingest_docs,
         "image_near_dup": _q_image_near_dup,
         "stored_near_dups": _q_stored_near_dups,
         "store_ingest_loop": _q_store_ingest_loop,
@@ -2803,6 +2817,7 @@ def oracle_sql() -> dict[str, str]:
         "CAST(strlen(text) AS BIGINT) AS n_bytes "
         "FROM documents ORDER BY doc_id"
     )
+    oracles["tar_ingest_docs"] = archive_ops.oracle_tar_roundtrip_sql()
     oracles["gif_frame_luma"] = (
         "SELECT CAST(media_id AS BIGINT) AS media_id, "
         "CAST(frame_idx AS INT) AS frame_idx, "

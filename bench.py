@@ -266,6 +266,8 @@ STANDALONE = [
     "gif_frame_luma",
     # r9 (cont.): WARC pack + ingest round-trip (Common Crawl layout)
     "warc_ingest_docs",
+    # r9 (cont.): compressed tar (gz/bz2/xz) pack + ingest round-trip
+    "tar_ingest_docs",
 ]
 
 

@@ -33,6 +33,7 @@ AUDIT = [
     "mjpeg_frame_luma",
     "gif_frame_luma",
     "warc_ingest_docs",
+    "tar_ingest_docs",
     "near_dup_pairs",
     "simhash_near_dup",
     "embedding_near_dup_lsh",
