@@ -34,6 +34,7 @@ from retail_etl_pipeline_airflow_s3_athena_spark.operators import png as png_ops
 from retail_etl_pipeline_airflow_s3_athena_spark.operators import avi as avi_ops
 from retail_etl_pipeline_airflow_s3_athena_spark.operators import gif as gif_ops
 from retail_etl_pipeline_airflow_s3_athena_spark.operators import archive as archive_ops
+from retail_etl_pipeline_airflow_s3_athena_spark.operators import router as router_ops
 from retail_etl_pipeline_airflow_s3_athena_spark.operators import warc as warc_ops
 from retail_etl_pipeline_airflow_s3_athena_spark.operators import wav as wav_ops
 from retail_etl_pipeline_airflow_s3_athena_spark.operators import pq as pq_ops
@@ -1479,6 +1480,19 @@ def _q_warc_ingest_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_media_type_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE ingest surface over the whole codec tier
+    (operators/router.py): a 76-item corpus mixing all ten payload
+    classes (raw image/audio/video, PNG, baseline + progressive JPEG,
+    GIF, WAV, AVI/MJPEG, unknown bytes) routed by magic sniff, FULLY
+    decoded per type, and folded into a per-type census with an
+    order-independent checksum sum.  Oracle: locally-recomputed VALUES
+    literal — the distributed routing + decode must reproduce the
+    local census bit-for-bit."""
+    media = router_ops.synthesize_mixed_corpus(spark, n=72)
+    return router_ops.media_type_census(media)
+
+
 def _q_tar_ingest_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Compressed tar round-trip under a REAL SQL oracle: documents
     packed per source into deterministic tar archives whose codec
@@ -1849,6 +1863,7 @@ GATE_FIRST_50 = [
     "gif_frame_luma",
     "warc_ingest_docs",
     "tar_ingest_docs",
+    "media_type_census",
     "ann_index_compacted_topk",
     "ann_index_staleness",
     "ann_index_rebuilt_topk",
@@ -1881,7 +1896,6 @@ GATE_FIRST_50 = [
     "bloom_decontaminate",
     "cheapest_part_supplier",
     "cms_heavy_hitters",
-    "containment_pairs",
     "daily_sales_summary",
     "top_customers",
     "product_performance",
@@ -1896,6 +1910,7 @@ GATE_TAIL = [
     # displaced from the window by the in-round gold-store quartet,
     # the wav/mjpeg/gif codec entries, and warc ingest — FIRST in
     # line for r10
+    "containment_pairs",
     "corpus_stats",
     "curated_docs",
     "customer_order_distribution",
@@ -2112,6 +2127,7 @@ def _all_queries() -> dict[str, QueryFn]:
         "gif_frame_luma": _q_gif_frame_luma,
         "warc_ingest_docs": _q_warc_ingest_docs,
         "tar_ingest_docs": _q_tar_ingest_docs,
+        "media_type_census": _q_media_type_census,
         "image_near_dup": _q_image_near_dup,
         "stored_near_dups": _q_stored_near_dups,
         "store_ingest_loop": _q_store_ingest_loop,
@@ -2818,6 +2834,17 @@ def oracle_sql() -> dict[str, str]:
         "FROM documents ORDER BY doc_id"
     )
     oracles["tar_ingest_docs"] = archive_ops.oracle_tar_roundtrip_sql()
+    _census_rows = [
+        f"('{k}', {n}, {u}, '{fold}')"
+        for k, n, u, fold in router_ops.local_census(72)
+    ]
+    oracles["media_type_census"] = (
+        "SELECT media_type, CAST(n_items AS BIGINT) AS n_items, "
+        "CAST(total_units AS BIGINT) AS total_units, checksum_fold "
+        "FROM (VALUES " + ", ".join(_census_rows)
+        + ") AS t(media_type, n_items, total_units, checksum_fold) "
+        "ORDER BY media_type"
+    )
     oracles["gif_frame_luma"] = (
         "SELECT CAST(media_id AS BIGINT) AS media_id, "
         "CAST(frame_idx AS INT) AS frame_idx, "

@@ -268,6 +268,8 @@ STANDALONE = [
     "warc_ingest_docs",
     # r9 (cont.): compressed tar (gz/bz2/xz) pack + ingest round-trip
     "tar_ingest_docs",
+    # r9 (cont.): unified media router census over all ten classes
+    "media_type_census",
 ]
 
 

@@ -34,6 +34,7 @@ AUDIT = [
     "gif_frame_luma",
     "warc_ingest_docs",
     "tar_ingest_docs",
+    "media_type_census",
     "near_dup_pairs",
     "simhash_near_dup",
     "embedding_near_dup_lsh",
