@@ -1441,6 +1441,16 @@ def _q_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wav_ops.wav_features(media).orderBy("media_id")
 
 
+def _q_wav_band_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spectral feature extraction over COMPRESSED audio: integer
+    Goertzel band energies (4 fixed Q14-literal frequencies, the
+    detmath fixed-point discipline) on the decoded PCM/ADPCM samples.
+    Oracle: locally-recomputed VALUES literal — the defined fixed-
+    point algorithm reproduces bit-for-bit distributed."""
+    media = wav_ops.synthesize_wav_corpus(spark, n=40)
+    return wav_ops.wav_band_energy(media).orderBy("media_id", "band_m")
+
+
 def _q_mjpeg_frame_luma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL compressed-video decode: AVI RIFF container walk + MJPEG
     frame decode (operators/avi.py over operators/jpeg.py) — every 2nd
@@ -1859,6 +1869,7 @@ GATE_FIRST_50 = [
     "gold_store_top_customers",
     "gold_stream_daily",
     "wav_features",
+    "wav_band_energy",
     "mjpeg_frame_luma",
     "gif_frame_luma",
     "warc_ingest_docs",
@@ -1895,7 +1906,6 @@ GATE_FIRST_50 = [
     "anomalous_revenue_days",
     "bloom_decontaminate",
     "cheapest_part_supplier",
-    "cms_heavy_hitters",
     "daily_sales_summary",
     "top_customers",
     "product_performance",
@@ -1910,6 +1920,7 @@ GATE_TAIL = [
     # displaced from the window by the in-round gold-store quartet,
     # the wav/mjpeg/gif codec entries, and warc ingest — FIRST in
     # line for r10
+    "cms_heavy_hitters",
     "containment_pairs",
     "corpus_stats",
     "curated_docs",
@@ -2123,6 +2134,7 @@ def _all_queries() -> dict[str, QueryFn]:
         "png_features": _q_png_features,
         "jpeg_features": _q_jpeg_features,
         "wav_features": _q_wav_features,
+        "wav_band_energy": _q_wav_band_energy,
         "mjpeg_frame_luma": _q_mjpeg_frame_luma,
         "gif_frame_luma": _q_gif_frame_luma,
         "warc_ingest_docs": _q_warc_ingest_docs,
@@ -2801,6 +2813,19 @@ def oracle_sql() -> dict[str, str]:
         + ", ".join(_wav_rows)
         + ") AS t(media_id, codec, sample_rate, n_samples, rms_e6,"
         " zero_crossings, peak) ORDER BY media_id"
+    )
+    _band_rows = []
+    for _mid in range(40):
+        for _bc, _bm, _be in wav_ops.wav_band_stats(
+            wav_ops.make_wav_clip(_mid)
+        ):
+            _band_rows.append(f"({_mid}, '{_bc}', {_bm}, {_be})")
+    oracles["wav_band_energy"] = (
+        "SELECT CAST(media_id AS BIGINT) AS media_id, codec, "
+        "CAST(band_m AS INT) AS band_m, CAST(energy AS BIGINT) AS energy "
+        "FROM (VALUES " + ", ".join(_band_rows)
+        + ") AS t(media_id, codec, band_m, energy) "
+        "ORDER BY media_id, band_m"
     )
     _mjpeg_rows = []
     for _mid in range(25):

@@ -270,6 +270,8 @@ STANDALONE = [
     "tar_ingest_docs",
     # r9 (cont.): unified media router census over all ten classes
     "media_type_census",
+    # r9 (cont.): integer-Goertzel spectral band energies
+    "wav_band_energy",
 ]
 
 

@@ -80,3 +80,26 @@ def test_distributed_matches_local(spark):
     }
     for mid in range(24):
         assert got[mid] == W.wav_stats(W.make_wav_clip(mid))
+
+
+def test_goertzel_detects_the_right_band():
+    """A pure tone at m/64 cycles/sample concentrates energy in band m
+    — the Goertzel filter really is frequency-selective, not just a
+    deterministic scrambler."""
+    import math
+
+    n = 2048
+    x = [int(10000 * math.sin(2 * math.pi * 4 * i / 64)) for i in range(n)]
+    energies = {m: W.band_energy(x, c) for m, c in W.GOERTZEL_BANDS}
+    assert energies[4] > 100 * max(e for m, e in energies.items() if m != 4)
+
+
+def test_band_energy_deterministic_and_distributed(spark):
+    media = W.synthesize_wav_corpus(spark, n=12)
+    got = {}
+    for r in W.wav_band_energy(media).collect():
+        got.setdefault(r["media_id"], []).append(
+            (r["codec"], r["band_m"], r["energy"])
+        )
+    for mid in range(12):
+        assert got[mid] == W.wav_band_stats(W.make_wav_clip(mid))

@@ -35,6 +35,7 @@ AUDIT = [
     "warc_ingest_docs",
     "tar_ingest_docs",
     "media_type_census",
+    "wav_band_energy",
     "near_dup_pairs",
     "simhash_near_dup",
     "embedding_near_dup_lsh",
