@@ -35,6 +35,7 @@ from retail_etl_pipeline_airflow_s3_athena_spark.operators import avi as avi_ops
 from retail_etl_pipeline_airflow_s3_athena_spark.operators import gif as gif_ops
 from retail_etl_pipeline_airflow_s3_athena_spark.operators import archive as archive_ops
 from retail_etl_pipeline_airflow_s3_athena_spark.operators import router as router_ops
+from retail_etl_pipeline_airflow_s3_athena_spark.operators import videodup as vdup_ops
 from retail_etl_pipeline_airflow_s3_athena_spark.operators import warc as warc_ops
 from retail_etl_pipeline_airflow_s3_athena_spark.operators import wav as wav_ops
 from retail_etl_pipeline_airflow_s3_athena_spark.operators import pq as pq_ops
@@ -1477,6 +1478,18 @@ def _q_gif_frame_luma(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_video_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clip-level perceptual dedup ACROSS container formats
+    (operators/videodup.py): planted duplicates arrive as raw MM04 vs
+    lossy MJPEG transcodes and as byte-different GIF delay variants;
+    frames hash to area-mean dHash, candidates come from the
+    frame-position-keyed pigeonhole band join, a >=3-frame vote
+    decides.  Hybrid oracle: frame hashes as a locally-recomputed
+    VALUES literal, pairing semantics as REAL SQL."""
+    media = vdup_ops.synthesize_video_corpus(spark, n=30)
+    return vdup_ops.video_near_dup(media).orderBy("id_a", "id_b")
+
+
 def _q_warc_ingest_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC round-trip under a REAL SQL oracle (stronger than the
     VALUES codecs): the documents table packed into one gzip-membered
@@ -1875,6 +1888,7 @@ GATE_FIRST_50 = [
     "warc_ingest_docs",
     "tar_ingest_docs",
     "media_type_census",
+    "video_near_dup",
     "ann_index_compacted_topk",
     "ann_index_staleness",
     "ann_index_rebuilt_topk",
@@ -1905,7 +1919,6 @@ GATE_FIRST_50 = [
     "event_value_quantiles",
     "anomalous_revenue_days",
     "bloom_decontaminate",
-    "cheapest_part_supplier",
     "daily_sales_summary",
     "top_customers",
     "product_performance",
@@ -1920,6 +1933,7 @@ GATE_TAIL = [
     # displaced from the window by the in-round gold-store quartet,
     # the wav/mjpeg/gif codec entries, and warc ingest — FIRST in
     # line for r10
+    "cheapest_part_supplier",
     "cms_heavy_hitters",
     "containment_pairs",
     "corpus_stats",
@@ -2140,6 +2154,7 @@ def _all_queries() -> dict[str, QueryFn]:
         "warc_ingest_docs": _q_warc_ingest_docs,
         "tar_ingest_docs": _q_tar_ingest_docs,
         "media_type_census": _q_media_type_census,
+        "video_near_dup": _q_video_near_dup,
         "image_near_dup": _q_image_near_dup,
         "stored_near_dups": _q_stored_near_dups,
         "store_ingest_loop": _q_store_ingest_loop,
@@ -2710,6 +2725,7 @@ def oracle_sql() -> dict[str, str]:
             f"({_mid}, {_pw}, {_ph}, {_pc}, {_pmean}, {_pedge}, '{_pck}')"
         )
     oracles["image_near_dup"] = ih_ops.oracle_image_near_dup_values(n=48)
+    oracles["video_near_dup"] = vdup_ops.oracle_video_near_dup_values(n=30)
     oracles["stored_near_dups"] = store_ops.oracle_stored_near_dups_sql(
         "source = 'src1'"
     )

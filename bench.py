@@ -272,6 +272,8 @@ STANDALONE = [
     "media_type_census",
     # r9 (cont.): integer-Goertzel spectral band energies
     "wav_band_energy",
+    # r9 (cont.): cross-format video near-dup (frame dHash vote)
+    "video_near_dup",
 ]
 
 

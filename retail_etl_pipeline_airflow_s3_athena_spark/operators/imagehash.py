@@ -62,10 +62,11 @@ DHASH_SCHEMA = T.StructType(
 )
 
 
-def dhash64(payload: bytes) -> int:
-    """The 60-bit dHash of one image payload (MM02 raw or PNG).
-    Shared by the distributed operator and the VALUES oracle."""
-    img = _decode_raw(payload).astype(np.int64)
+def dhash_of_image(img: np.ndarray) -> int:
+    """The 60-bit dHash of one decoded (h, w, c) image array — the
+    grid/luma/comparison core, shared with the video-frame hasher
+    (operators/videodup.py)."""
+    img = img.astype(np.int64)
     h, w, c = img.shape
     if c >= 3:
         luma = (299 * img[:, :, 0] + 587 * img[:, :, 1]
@@ -81,6 +82,12 @@ def dhash64(payload: bytes) -> int:
             if g[y, x + 1] > g[y, x]:
                 sig |= 1 << (y * (GRID_W - 1) + x)
     return sig
+
+
+def dhash64(payload: bytes) -> int:
+    """The 60-bit dHash of one image payload (MM02 raw or PNG).
+    Shared by the distributed operator and the VALUES oracle."""
+    return dhash_of_image(_decode_raw(payload))
 
 
 def dhash_signatures(media: DataFrame) -> DataFrame:

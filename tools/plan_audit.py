@@ -36,6 +36,7 @@ AUDIT = [
     "tar_ingest_docs",
     "media_type_census",
     "wav_band_energy",
+    "video_near_dup",
     "near_dup_pairs",
     "simhash_near_dup",
     "embedding_near_dup_lsh",
