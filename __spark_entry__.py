@@ -1478,6 +1478,18 @@ def _q_gif_frame_luma(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup across codecs (operators/wav.py): clips
+    fingerprinted by the dominant Goertzel band of 30 windows (60-bit
+    Shazam-lite landmark hash); planted pairs are PCM16 vs lossy
+    IMA-ADPCM transcodes of the same frequency-hop sequence.
+    Pigeonhole band join; hybrid oracle (fingerprint VALUES + real
+    SQL pairing semantics).  Completes dedup x modality: text,
+    embeddings, images, video, audio."""
+    media = wav_ops.synthesize_audio_dup_corpus(spark, n=30)
+    return wav_ops.audio_near_dup(media).orderBy("id_a", "id_b")
+
+
 def _q_video_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Clip-level perceptual dedup ACROSS container formats
     (operators/videodup.py): planted duplicates arrive as raw MM04 vs
@@ -1889,6 +1901,7 @@ GATE_FIRST_50 = [
     "tar_ingest_docs",
     "media_type_census",
     "video_near_dup",
+    "audio_near_dup",
     "ann_index_compacted_topk",
     "ann_index_staleness",
     "ann_index_rebuilt_topk",
@@ -1918,7 +1931,6 @@ GATE_FIRST_50 = [
     "source_cap_docs",
     "event_value_quantiles",
     "anomalous_revenue_days",
-    "bloom_decontaminate",
     "daily_sales_summary",
     "top_customers",
     "product_performance",
@@ -1933,6 +1945,7 @@ GATE_TAIL = [
     # displaced from the window by the in-round gold-store quartet,
     # the wav/mjpeg/gif codec entries, and warc ingest — FIRST in
     # line for r10
+    "bloom_decontaminate",
     "cheapest_part_supplier",
     "cms_heavy_hitters",
     "containment_pairs",
@@ -2155,6 +2168,7 @@ def _all_queries() -> dict[str, QueryFn]:
         "tar_ingest_docs": _q_tar_ingest_docs,
         "media_type_census": _q_media_type_census,
         "video_near_dup": _q_video_near_dup,
+        "audio_near_dup": _q_audio_near_dup,
         "image_near_dup": _q_image_near_dup,
         "stored_near_dups": _q_stored_near_dups,
         "store_ingest_loop": _q_store_ingest_loop,
@@ -2726,6 +2740,7 @@ def oracle_sql() -> dict[str, str]:
         )
     oracles["image_near_dup"] = ih_ops.oracle_image_near_dup_values(n=48)
     oracles["video_near_dup"] = vdup_ops.oracle_video_near_dup_values(n=30)
+    oracles["audio_near_dup"] = wav_ops.oracle_audio_near_dup_values(n=30)
     oracles["stored_near_dups"] = store_ops.oracle_stored_near_dups_sql(
         "source = 'src1'"
     )

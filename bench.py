@@ -274,6 +274,8 @@ STANDALONE = [
     "wav_band_energy",
     # r9 (cont.): cross-format video near-dup (frame dHash vote)
     "video_near_dup",
+    # r9 (cont.): audio near-dup across codecs (band fingerprint)
+    "audio_near_dup",
 ]
 
 

@@ -421,3 +421,179 @@ def wav_band_energy(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(batches, WAV_BAND_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Audio near-dup: windowed dominant-band fingerprint
+# ---------------------------------------------------------------------------
+
+FP_WINDOW = 256     # samples per analysis window
+FP_WINDOWS = 30     # windows fingerprinted -> 30 x 2 bits = 60 bits
+AUDIO_MAX_HAMMING = 3
+
+
+def audio_fingerprint(payload: bytes) -> int:
+    """60-bit clip fingerprint: the index (2 bits) of the DOMINANT
+    Goertzel band in each of the first 30 windows of 256 samples —
+    the Shazam-lite landmark idea reduced to its deterministic core.
+    Dominant-band identity is far more stable under ADPCM transcode
+    than raw energies (the codec perturbs magnitudes, rarely the
+    ordering of a >2x winner), which is what lets a PCM clip and its
+    ADPCM transcode land within the Hamming budget.  Clips shorter
+    than 30 windows wrap around (cyclic), so every fingerprint has
+    the full 60 bits of content.  Shared by the operator and the
+    VALUES oracle."""
+    _rate, _codec, x = decode_wav(payload)
+    xs = [int(v) for v in x]
+    n = len(xs)
+    sig = 0
+    for wi in range(FP_WINDOWS):
+        start = (wi * FP_WINDOW) % max(n - FP_WINDOW, 1)
+        win = xs[start:start + FP_WINDOW]
+        best_b, best_e = 0, -1
+        for bi, (_m, coeff) in enumerate(GOERTZEL_BANDS):
+            e = band_energy(win, coeff)
+            if e > best_e:
+                best_b, best_e = bi, e
+        sig |= best_b << (wi * 2)
+    return sig
+
+
+AUDIO_FP_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("fp", T.LongType()),
+    ]
+)
+
+
+def audio_fingerprints(media: DataFrame) -> DataFrame:
+    """(media_id, fp): one decode+fingerprint pass, no shuffle."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = [
+                (int(mid), audio_fingerprint(bytes(payload)))
+                for mid, payload in zip(pdf["media_id"], pdf["payload"])
+            ]
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in AUDIO_FP_SCHEMA.fields]
+            )
+
+    return media.mapInPandas(batches, AUDIO_FP_SCHEMA)
+
+
+def audio_near_dup(
+    media: DataFrame, max_hamming: int = AUDIO_MAX_HAMMING
+) -> DataFrame:
+    """(id_a, id_b, hamming): clip pairs within fingerprint Hamming
+    ``max_hamming`` via the pigeonhole band join (the simhash /
+    image_near_dup plan over the audio fingerprint)."""
+    from pyspark.sql import functions as F
+
+    n_bands = max_hamming + 1
+    bits_total = FP_WINDOWS * 2
+    base, rem = divmod(bits_total, n_bands)
+    widths = [base + (1 if b < rem else 0) for b in range(n_bands)]
+    offsets = [sum(widths[:b]) for b in range(n_bands)]
+    sig = audio_fingerprints(media)
+    bands = sig.select(
+        "media_id",
+        "fp",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).cast("int").alias("band"),
+                        F.shiftright("fp", offsets[b])
+                        .bitwiseAND(F.lit((1 << widths[b]) - 1))
+                        .alias("bits"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("b"),
+    ).select(
+        "media_id", "fp",
+        F.col("b.band").alias("band"), F.col("b.bits").alias("bits"),
+    )
+    left, right = bands.alias("l"), bands.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bits") == F.col("r.bits"))
+            & (F.col("l.media_id") < F.col("r.media_id")),
+        )
+        .select(
+            F.col("l.media_id").alias("id_a"),
+            F.col("r.media_id").alias("id_b"),
+            F.bit_count(F.col("l.fp").bitwiseXOR(F.col("r.fp"))).alias(
+                "hamming"
+            ),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def make_audio_dup_corpus_clip(i: int) -> bytes:
+    """Planted-pair audio corpus: even/odd ids share a tone SEQUENCE
+    (frequency hopping across the four analysis bands, seed-keyed),
+    one leg PCM16 and one leg the lossy ADPCM transcode; every third
+    pair is unique content (negatives)."""
+    import numpy as np
+
+    pair_seed = i // 2
+    planted = pair_seed % 3 != 2
+    seed = pair_seed if planted else 1000 + i
+    n = FP_WINDOW * (FP_WINDOWS + 2)
+    x = np.zeros(n, dtype=np.int64)
+    t = np.arange(FP_WINDOW)
+    for wi in range(0, n // FP_WINDOW):
+        # 64-bit golden-ratio mix + xor-shift of (seed, window):
+        # distinct seeds give genuinely distinct hop sequences (a
+        # plain 32-bit multiply leaked constant small deltas into the
+        # extracted bits and two different corpora collided)
+        h = (seed * 0x9E3779B97F4A7C15 + wi * 0xBF58476D1CE4E5B9) & (
+            (1 << 64) - 1
+        )
+        h ^= h >> 31
+        band = (h >> 5) % 4
+        m = (1, 2, 4, 8)[band]
+        # integer triangle at m/64 cycles/sample: period 64//m samples
+        period = 64 // m
+        tri = np.abs(((t + wi) % period) * 2 - period)
+        amp = 9000 + (seed * 131) % 6000
+        x[wi * FP_WINDOW:(wi + 1) * FP_WINDOW] = (
+            (tri * amp) // period - amp // 2
+        )
+    codec = "pcm16" if (not planted or i % 2 == 0) else "ima_adpcm"
+    return write_wav(x, 16000, codec)
+
+
+def synthesize_audio_dup_corpus(spark: SparkSession, n: int = 30) -> DataFrame:
+    rows = [
+        (i, "audio", bytearray(make_audio_dup_corpus_clip(i)))
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def oracle_audio_near_dup_values(
+    n: int = 30, max_hamming: int = AUDIO_MAX_HAMMING
+) -> str:
+    """Hybrid oracle (the image_near_dup shape): fingerprints as a
+    locally-recomputed VALUES literal, pairing semantics as real SQL."""
+    rows = ", ".join(
+        f"({i}, {audio_fingerprint(make_audio_dup_corpus_clip(i))})"
+        for i in range(n)
+    )
+    return f"""
+        WITH fp(media_id, fp) AS (VALUES {rows})
+        SELECT a.media_id AS id_a, b.media_id AS id_b,
+               CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+        FROM fp a JOIN fp b ON a.media_id < b.media_id
+        WHERE bit_count(xor(a.fp, b.fp)) <= {max_hamming}
+        ORDER BY id_a, id_b
+    """

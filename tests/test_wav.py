@@ -103,3 +103,31 @@ def test_band_energy_deterministic_and_distributed(spark):
         )
     for mid in range(12):
         assert got[mid] == W.wav_band_stats(W.make_wav_clip(mid))
+
+
+def test_audio_fingerprint_survives_adpcm_transcode():
+    """The dominant-band fingerprint of a clip and its lossy ADPCM
+    transcode agree within the Hamming budget (here: exactly — ADPCM
+    perturbs magnitudes, not the >2x dominant-band ordering), while
+    the payload BYTES differ."""
+    import numpy as np
+
+    x = np.zeros(W.FP_WINDOW * 32, dtype=np.int64)
+    t = np.arange(W.FP_WINDOW)
+    for wi in range(32):
+        m = (1, 2, 4, 8)[(wi * 3 + 1) % 4]
+        period = 64 // m
+        tri = np.abs(((t + wi) % period) * 2 - period)
+        x[wi * W.FP_WINDOW:(wi + 1) * W.FP_WINDOW] = (tri * 9000) // period - 4500
+    pcm = W.write_wav(x, 16000, "pcm16")
+    adp = W.write_wav(x, 16000, "ima_adpcm")
+    assert pcm != adp
+    d = bin(W.audio_fingerprint(pcm) ^ W.audio_fingerprint(adp)).count("1")
+    assert d <= W.AUDIO_MAX_HAMMING
+
+
+def test_audio_near_dup_finds_exactly_planted_pairs(spark):
+    media = W.synthesize_audio_dup_corpus(spark, n=30)
+    got = sorted((r["id_a"], r["id_b"]) for r in W.audio_near_dup(media).collect())
+    expect = sorted((2 * s, 2 * s + 1) for s in range(15) if s % 3 != 2)
+    assert got == expect

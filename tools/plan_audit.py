@@ -37,6 +37,7 @@ AUDIT = [
     "media_type_census",
     "wav_band_energy",
     "video_near_dup",
+    "audio_near_dup",
     "near_dup_pairs",
     "simhash_near_dup",
     "embedding_near_dup_lsh",
