@@ -423,6 +423,10 @@ def main() -> None:
     goldstore_ops.write_gold_partials(
         rv_serve.sale_transactions(spark, sf_dir), gold_path, "founding"
     )
+    from retail_etl_pipeline_airflow_s3_athena_spark.operators import archive as arch_serve_ops
+
+    tar_path = tempfile.mkdtemp(prefix="bench_tar_serve_") + "/archives"
+    arch_serve_ops.docs_to_tar(docs).write.parquet(tar_path)
     SERVE = {
         "ann_index_topk_serve": lambda: annidx_ops.ann_query(
             spark, ann_path, annidx_ops.corpus_queries(emb)
@@ -438,6 +442,9 @@ def main() -> None:
         ),
         "gold_store_daily_serve": (
             lambda: goldstore_ops.serve_gold_daily(spark, gold_path)
+        ),
+        "tar_ingest_serve": (
+            lambda: arch_serve_ops.tar_ingest(spark.read.parquet(tar_path))
         ),
     }
     for _ in range(ITERS):
