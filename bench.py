@@ -276,6 +276,8 @@ STANDALONE = [
     "video_near_dup",
     # r9 (cont.): audio near-dup across codecs (band fingerprint)
     "audio_near_dup",
+    # r9 (cont.): HTML main-content extraction round-trip
+    "html_extract_docs",
 ]
 
 

@@ -38,6 +38,7 @@ AUDIT = [
     "wav_band_energy",
     "video_near_dup",
     "audio_near_dup",
+    "html_extract_docs",
     "near_dup_pairs",
     "simhash_near_dup",
     "embedding_near_dup_lsh",
