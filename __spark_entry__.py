@@ -195,6 +195,25 @@ def _q_gold_store_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return goldstore.serve_gold_daily(spark, path)
 
 
+def _q_gold_store_products(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The AVG-shaped incremental gold final: product performance's
+    avg_price decomposes into the (exact 1e-8-cents sum, non-null
+    count) partial pair, merged across founding + 2 batches (+ one
+    replay) and divided ONCE at serve in money_avg's exact order.
+    Oracle = the from-scratch product_performance SQL."""
+    import tempfile
+
+    b0, b1, b2 = _gold_batches(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="goldstore_prod_gate_")
+    goldstore.write_product_partials(b0, path, "founding")
+    goldstore.write_product_partials(b1, path, "b1")
+    goldstore.write_product_partials(b2, path, "b2")
+    goldstore.write_product_partials(b2, path, "b2")  # retry replay
+    return goldstore.serve_gold_product_performance(
+        spark, path, retail_views.products(spark, sf_dir)
+    )
+
+
 def _q_gold_stream_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STATE-FREE streaming gold maintenance
     (streaming/incremental.gold_partials_stream): sale rows streamed
@@ -1905,6 +1924,7 @@ GATE_FIRST_50 = [
     "gold_store_daily",
     "gold_store_compacted",
     "gold_store_top_customers",
+    "gold_store_products",
     "gold_stream_daily",
     "wav_features",
     "wav_band_energy",
@@ -1943,7 +1963,6 @@ GATE_FIRST_50 = [
     "repeat_buyers_intersect",
     "corpus_shuffle",
     "source_cap_docs",
-    "event_value_quantiles",
     "daily_sales_summary",
     "top_customers",
     "product_performance",
@@ -1958,6 +1977,7 @@ GATE_TAIL = [
     # displaced from the window by the in-round gold-store quartet,
     # the wav/mjpeg/gif codec entries, and warc ingest — FIRST in
     # line for r10
+    "event_value_quantiles",
     "anomalous_revenue_days",
     "bloom_decontaminate",
     "cheapest_part_supplier",
@@ -2211,6 +2231,7 @@ def _all_queries() -> dict[str, QueryFn]:
         "gold_store_compacted": _q_gold_store_compacted,
         "gold_store_top_customers": _q_gold_store_top_customers,
         "gold_stream_daily": _q_gold_stream_daily,
+        "gold_store_products": _q_gold_store_products,
         "daily_revenue": _analytics_query("daily_revenue"),
         "daily_revenue_running": _analytics_query("daily_revenue_running"),
         "daily_revenue_ma7": _analytics_query("daily_revenue_ma7"),
@@ -2367,6 +2388,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "gold_stream_daily": w(
             "SELECT * FROM daily_sales_summary", extra_ctes=g
+        ),
+        "gold_store_products": w(
+            "SELECT * FROM product_performance", extra_ctes=g
         ),
         "pricing_summary": f"""
             SELECT l_returnflag, l_linestatus,

@@ -257,6 +257,7 @@ STANDALONE = [
     "gold_store_daily",
     "gold_store_compacted",
     "gold_store_top_customers",
+    "gold_store_products",
     "gold_stream_daily",
     # r9 (cont.): compressed audio (RIFF/WAV + IMA ADPCM) and
     # compressed video (AVI + MJPEG) decode

@@ -37,9 +37,11 @@ functions/money.cents guarantees (revenue partials are BIGINT cents,
 never floats), and why ``revenue`` serves as
 ``CAST(SUM(partial) AS DOUBLE) / 100`` — the same one lossy division
 functions/money.money_sum performs, applied to the same exact integer.
-AVG-shaped finals (none in the daily summary; avg_price in product
-performance would be) decompose into the (sum, count) partial pair the
-same way.
+AVG-shaped finals decompose into the (sum, count) partial pair the
+same way — implemented for product performance's ``avg_price``
+(``product_partials`` / ``serve_gold_product_performance``): the
+merged exact sum and merged non-null count divide once at serve in
+money_avg's exact order.
 
 Scale notes (100 TB):
 - The batch aggregation is a single shuffle with map-side partial
@@ -219,3 +221,60 @@ def compact_gold_daily(spark: SparkSession, path: str) -> dict:
 
 def compact_gold_spend(spark: SparkSession, path: str) -> dict:
     return compact_gold_partials(spark, path, "customer_id", _SPEND_PARTIALS)
+
+
+# ---------------------------------------------------------------------------
+# Product-performance store: the AVG-shaped final
+# ---------------------------------------------------------------------------
+
+_PRODUCT_PARTIALS = [
+    "sold_part", "qty_part", "price_cents_part", "price_cnt_part",
+]
+
+
+def product_partials(batch: DataFrame) -> DataFrame:
+    """Per-product mergeable partials for plans/gold.product_performance
+    — the AVG-shaped final (`avg_price`) decomposes into the
+    (sum, count) partial PAIR: exact 1e-8-scaled price cents summed in
+    DECIMAL(38,0) plus the non-null price count, divided once at
+    serve (the money_avg arithmetic, deferred across batches)."""
+    price_cents = cents(F.col("unit_price"), 8)
+    return batch.groupBy("product_id").agg(
+        F.count("transaction_id").cast("decimal(38,0)").alias("sold_part"),
+        F.sum(F.col("quantity").cast("decimal(38,0)")).alias("qty_part"),
+        F.sum(price_cents.cast("decimal(38,0)")).alias("price_cents_part"),
+        F.count(price_cents).cast("decimal(38,0)").alias("price_cnt_part"),
+    )
+
+
+def write_product_partials(batch: DataFrame, path: str, batch_id: str) -> None:
+    """Ingest one batch into the product-performance partial store."""
+    _write_partition(product_partials(batch), path, batch_id)
+
+
+def serve_gold_product_performance(
+    spark: SparkSession, path: str, products: DataFrame
+) -> DataFrame:
+    """Merged product performance, bit-identical to
+    plans/gold.product_performance over the union of all ingested
+    batches: COUNT/SUM partials re-sum exactly; avg_price divides the
+    merged exact integers in the same left-associated order
+    (sum / count / 1e8) and rounds once — money_avg's arithmetic
+    applied to merged partials."""
+    from retail_etl_pipeline_airflow_s3_athena_spark.operators.text import dround
+
+    m = _merged(spark, path, "product_id", _PRODUCT_PARTIALS)
+    perf = m.select(
+        "product_id",
+        F.col("sold_part").cast("long").alias("times_sold"),
+        F.col("qty_part").cast("long").alias("total_quantity"),
+        dround(
+            F.col("price_cents_part").cast("double")
+            / F.col("price_cnt_part").cast("double")
+            / F.lit(float(10**8)),
+            4,
+        ).alias("avg_price"),
+    )
+    return perf.join(F.broadcast(products), "product_id", "left").orderBy(
+        F.desc("times_sold"), F.asc("product_id")
+    )

@@ -116,3 +116,21 @@ def test_bad_batch_id_rejected(spark, sf_dir):
         goldstore.write_gold_partials(b0, "/tmp/x", "a/b")
     with pytest.raises(ValueError):
         goldstore.write_gold_partials(b0, "/tmp/x", "a=b")
+
+
+def test_product_store_avg_decomposition_matches_from_scratch(spark, sf_dir):
+    """The AVG-shaped final: avg_price from merged (sum, count)
+    partials divided once at serve equals the from-scratch
+    gold.product_performance bit-for-bit (money_avg's exact order)."""
+    st, b0, b1, b2 = _batches(spark, sf_dir)
+    products = retail_views.products(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="goldstore_p_")
+    goldstore.write_product_partials(b0, path, "founding")
+    goldstore.write_product_partials(b1, path, "b1")
+    goldstore.write_product_partials(b2, path, "b2")
+    goldstore.write_product_partials(b2, path, "b2")  # replay
+    served = _rows(
+        goldstore.serve_gold_product_performance(spark, path, products)
+    )
+    direct = _rows(gold.product_performance(st, products))
+    assert served == direct

@@ -28,6 +28,7 @@ AUDIT = [
     "gold_store_daily",
     "gold_store_compacted",
     "gold_store_top_customers",
+    "gold_store_products",
     "gold_stream_daily",
     "wav_features",
     "mjpeg_frame_luma",
