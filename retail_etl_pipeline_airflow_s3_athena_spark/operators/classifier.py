@@ -184,7 +184,14 @@ def quality_model_scores(
     return feats.select(
         "doc_id",
         "label",
-        margin.cast(_DEC).alias("margin"),
+        # Gate-surface canonicalization (r9 verdict #1): the exact
+        # integer margin is computed in decimal but SURFACED as
+        # BIGINT — decimal(38,0) is the only gate output type whose
+        # Python value (Decimal) canonicalizes differently from the
+        # DuckDB twin's int.  Bound: |margin| ≤ 2e6·Σ|w|·x + |thr|
+        # with w_e6 ≲ 1e9 and x ≲ 1e5 stays orders under 2^63
+        # (asserted by test_margin_fits_bigint).
+        margin.cast("long").alias("margin"),
         (margin >= _lit_dec(0)).cast("int").alias("predicted"),
         (
             (margin >= _lit_dec(0)).cast("int") == F.col("label")
@@ -306,7 +313,7 @@ def oracle_quality_model_scores_sql(
             FROM model
         )
         SELECT f.doc_id, f.label,
-               {2 * E6} * ({score}) - m.thr AS margin,
+               CAST({2 * E6} * ({score}) - m.thr AS BIGINT) AS margin,
                CAST(({2 * E6} * ({score}) - m.thr) >= 0 AS INT)
                    AS predicted,
                CAST((CAST(({2 * E6} * ({score}) - m.thr) >= 0 AS INT)

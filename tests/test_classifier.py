@@ -81,3 +81,30 @@ def test_degenerate_inputs(spark):
     for r in rows:
         assert r["n_neg"] == 0
         assert r["mu_neg_e6"] == 0
+
+
+def test_margin_fits_bigint(spark):
+    """r9 verdict #1: margin is surfaced as BIGINT (the decimal(38,0)
+    gate type was the only driver-hash-red field).  The cast is only
+    sound if the exact integer fits int64 — verify the analytical
+    bound AND exact equality between the surfaced long and the
+    Python-int recomputation over the WHOLE corpus (a silent wrap
+    would diverge somewhere)."""
+    fit = {r["feature"]: r for r in clf.quality_model_fit(_docs(spark)).collect()}
+    thr = sum(
+        fit[f]["w_e6"] * (fit[f]["mu_pos_e6"] + fit[f]["mu_neg_e6"])
+        for f in clf.FEATURES
+    )
+    feats = {r["doc_id"]: r for r in clf._features(_docs(spark)).collect()}
+    out = clf.quality_model_scores(_docs(spark))
+    assert dict(out.dtypes)["margin"] == "bigint"
+    rows = out.collect()
+    assert len(rows) == len(feats)
+    bound = 2**62
+    for r in rows:
+        f = feats[r["doc_id"]]
+        exact = 2 * clf.E6 * sum(
+            fit[n]["w_e6"] * f[n] for n in clf.FEATURES
+        ) - thr
+        assert int(r["margin"]) == exact
+        assert abs(exact) < bound

@@ -9,6 +9,7 @@ Usage: python tools/check_oracle.py [sf_dir] [query ...]
 from __future__ import annotations
 
 import datetime as dt
+import decimal
 import hashlib
 import math
 import sys
@@ -35,6 +36,13 @@ def _canon(v):
         return "NULL"
     if isinstance(v, bool):
         return "T" if v else "F"
+    # r9 verdict #1: the driver's canonicalizer distinguishes Python
+    # Decimal from int (quality_model_scores' decimal(38,0) margin was
+    # driver-hash-red while str() here collapsed Decimal("42") and 42).
+    # Mirror that strictness: a Decimal reaching a gate surface is a
+    # bug the local gate must surface too.
+    if isinstance(v, decimal.Decimal):
+        return f"Decimal({v})"
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
