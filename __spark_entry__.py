@@ -195,6 +195,26 @@ def _q_gold_store_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return goldstore.serve_gold_daily(spark, path)
 
 
+def _q_gold_store_retained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full daily-loop LIFECYCLE (r9 verdict #6): found → ingest
+    b1 → RETAIN (fold every sale_date >120 days behind the frontier
+    into batch=__compacted__, drop it from the live replay window,
+    record the watermark) → ingest b2 against the retained store →
+    serve.  Retention must be invisible to the served values — the
+    oracle is the same from-scratch daily_sales_summary SQL over ALL
+    rows.  Replays behind the recorded watermark are refused
+    (tests/test_goldstore.py pins the double-count hazard)."""
+    import tempfile
+
+    b0, b1, b2 = _gold_batches(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="goldstore_ret_gate_")
+    goldstore.write_gold_partials(b0, path, "founding")
+    goldstore.write_gold_partials(b1, path, "b1")
+    goldstore.retain_gold_daily(spark, path, keep_days=120)
+    goldstore.write_gold_partials(b2, path, "b2")
+    return goldstore.serve_gold_daily(spark, path)
+
+
 def _q_gold_store_products(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The AVG-shaped incremental gold final: product performance's
     avg_price decomposes into the (exact 1e-8-cents sum, non-null
@@ -2133,6 +2153,9 @@ GATE_TAIL = [
     "silver_clean_events",
     "union_all_orders",
     "embedding_near_dup",
+    # r10 in-round additions (temporary tail placement until the r10
+    # window rotation lands)
+    "gold_store_retained",
 ]
 
 
@@ -2229,6 +2252,7 @@ def _all_queries() -> dict[str, QueryFn]:
         "store_performance": _q_store_performance,
         "gold_store_daily": _q_gold_store_daily,
         "gold_store_compacted": _q_gold_store_compacted,
+        "gold_store_retained": _q_gold_store_retained,
         "gold_store_top_customers": _q_gold_store_top_customers,
         "gold_stream_daily": _q_gold_stream_daily,
         "gold_store_products": _q_gold_store_products,
@@ -2385,6 +2409,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "gold_store_top_customers": w(
             "SELECT * FROM top_customers", extra_ctes=g
+        ),
+        "gold_store_retained": w(
+            "SELECT * FROM daily_sales_summary", extra_ctes=g
         ),
         "gold_stream_daily": w(
             "SELECT * FROM daily_sales_summary", extra_ctes=g

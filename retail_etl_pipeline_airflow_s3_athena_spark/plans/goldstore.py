@@ -57,6 +57,8 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+import datetime as dt
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -129,8 +131,29 @@ def _write_partition(partials: DataFrame, path: str, batch_id: str) -> None:
 
 
 def write_gold_partials(batch: DataFrame, path: str, batch_id: str) -> None:
-    """Ingest one batch into the daily-summary partial store."""
-    _write_partition(daily_partials(batch), path, batch_id)
+    """Ingest one batch into the daily-summary partial store.
+
+    If the store carries a retention watermark (retain_gold_daily),
+    a batch touching any sale_date at or behind it is REFUSED: those
+    dates' partials were already folded into ``batch=__compacted__``,
+    so re-ingesting them would double-count — the one failure mode
+    the idempotent partition overwrite can't absorb.  Late data
+    behind the watermark goes through a backfill recompute instead."""
+    partials = daily_partials(batch)
+    wm = read_gold_watermark(batch.sparkSession, path)
+    if wm is not None:
+        cutoff = dt.date.fromisoformat(wm)
+        n_late = partials.filter(
+            F.col("sale_date") <= F.lit(cutoff)
+        ).count()
+        if n_late:
+            raise ValueError(
+                f"write_gold_partials: batch {batch_id!r} carries "
+                f"{n_late} sale_date key(s) at or behind the retention "
+                f"watermark {wm} — already folded; use a backfill "
+                "recompute for late data behind the watermark"
+            )
+    _write_partition(partials, path, batch_id)
 
 
 def write_spend_partials(batch: DataFrame, path: str, batch_id: str) -> None:
@@ -278,3 +301,105 @@ def serve_gold_product_performance(
     return perf.join(F.broadcast(products), "product_id", "left").orderBy(
         F.desc("times_sold"), F.asc("product_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Retention: the last piece of the daily-loop lifecycle (r9 verdict #6)
+# ---------------------------------------------------------------------------
+
+_WATERMARK_SUFFIX = "__watermark"
+
+
+def _hadoop_fs(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return jvm, p.getFileSystem(conf)
+
+
+def read_gold_watermark(spark: SparkSession, path: str) -> str | None:
+    """The store's retention watermark (ISO date string) or None.
+
+    Encoded as the NAME of a marker file under ``<path>__watermark/``
+    (max name wins) — name-only storage needs no byte I/O through the
+    Hadoop FS API and works identically on local FS, HDFS, and s3a."""
+    jvm, fs = _hadoop_fs(spark, path)
+    wm_dir = jvm.org.apache.hadoop.fs.Path(path + _WATERMARK_SUFFIX)
+    if not fs.exists(wm_dir):
+        return None
+    names = [s.getPath().getName() for s in fs.listStatus(wm_dir)]
+    return max(names) if names else None
+
+
+def _write_gold_watermark(spark: SparkSession, path: str, cutoff: str) -> None:
+    jvm, fs = _hadoop_fs(spark, path)
+    wm_dir = path + _WATERMARK_SUFFIX
+    fs.mkdirs(jvm.org.apache.hadoop.fs.Path(wm_dir))
+    fs.create(
+        jvm.org.apache.hadoop.fs.Path(f"{wm_dir}/{cutoff}"), True
+    ).close()
+
+
+def retain_gold_daily(
+    spark: SparkSession, path: str, keep_days: int
+) -> dict:
+    """Watermark-style retention for the daily-summary store: fold
+    every partial row whose ``sale_date`` is more than ``keep_days``
+    behind the served frontier (max sale_date in the store) into the
+    ``batch=__compacted__`` partition, and DROP those rows from the
+    live batch partitions.  Content-preserving by the same SUM-of-SUMs
+    monoid argument as compaction — ``serve_gold_daily`` is
+    bit-identical to a full recompute before and after (gate-asserted:
+    gold_store_retained shares the full-recompute oracle).
+
+    What retention buys at 100 TB: live batch partitions are the
+    idempotent-replay window.  Without expiry they grow forever (one
+    partition per batch × every date each batch touched); with it the
+    replayable window is bounded at ``keep_days`` of keys and
+    everything older lives exactly once in the compacted partition.
+    The recorded watermark then REFUSES replays behind the fold
+    (write_gold_partials raises) — replaying a batch whose dates were
+    already folded would double-count, the one failure mode partition
+    overwrite can't fix.  Late data behind the watermark must go
+    through a backfill recompute, the standard watermark contract
+    (Structured Streaming drops late rows the same way).
+
+    Plan shape: one scan of the (KB-to-MB-scale) partial store, one
+    groupBy merge of the expired rows, one partitioned write, atomic
+    swap.  Never touches the fact table."""
+    store = spark.read.parquet(path)
+    frontier_row = store.agg(F.max("sale_date").alias("f")).collect()[0]
+    if frontier_row["f"] is None:
+        return {"cutoff": None, "folded_dates": 0, "batches_after": 0}
+    cutoff = frontier_row["f"] - dt.timedelta(days=keep_days)
+    expired = store.filter(F.col("sale_date") <= F.lit(cutoff))
+    folded = (
+        expired.groupBy("sale_date")
+        .agg(
+            *[
+                F.sum(c).cast("decimal(38,0)").alias(c)
+                for c in _DAILY_PARTIALS
+            ]
+        )
+        .withColumn("batch", F.lit(COMPACTED))
+    )
+    live = store.filter(F.col("sale_date") > F.lit(cutoff))
+    new_store = folded.unionByName(live.select(*folded.columns))
+    tmp = f"{path}__retaining"
+    new_store.write.mode("overwrite").partitionBy("batch").parquet(tmp)
+    jvm, fs = _hadoop_fs(spark, path)
+    p_old = jvm.org.apache.hadoop.fs.Path(path)
+    p_tmp = jvm.org.apache.hadoop.fs.Path(tmp)
+    n_folded = folded.count()
+    fs.delete(p_old, True)
+    if not fs.rename(p_tmp, p_old):
+        raise IOError(f"retain_gold_daily: rename {tmp} -> {path} failed")
+    _write_gold_watermark(spark, path, cutoff.isoformat())
+    return {
+        "cutoff": cutoff.isoformat(),
+        "folded_dates": n_folded,
+        "batches_after": spark.read.parquet(path)
+        .select("batch")
+        .distinct()
+        .count(),
+    }

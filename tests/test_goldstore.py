@@ -134,3 +134,54 @@ def test_product_store_avg_decomposition_matches_from_scratch(spark, sf_dir):
     )
     direct = _rows(gold.product_performance(st, products))
     assert served == direct
+
+
+def test_retention_preserves_serve_and_bounds_window(spark, sf_dir):
+    """retain_gold_daily folds expired dates into __compacted__ and
+    drops them from live batch partitions; serve stays bit-identical
+    to the from-scratch recompute (r9 verdict #6)."""
+    st, b0, b1, b2 = _batches(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="goldstore_ret_")
+    goldstore.write_gold_partials(b0, path, "founding")
+    goldstore.write_gold_partials(b1, path, "b1")
+    goldstore.write_gold_partials(b2, path, "b2")
+    before = _rows(goldstore.serve_gold_daily(spark, path))
+
+    info = goldstore.retain_gold_daily(spark, path, keep_days=120)
+    assert info["folded_dates"] > 0
+    after = _rows(goldstore.serve_gold_daily(spark, path))
+    assert after == before  # bit-identical to full recompute
+    direct = _rows(gold.daily_sales_summary(st))
+    assert after == direct
+
+    # expired dates now live ONLY in the compacted partition
+    store = spark.read.parquet(path)
+    cutoff = info["cutoff"]
+    live_old = store.filter(
+        (F.col("batch") != goldstore.COMPACTED)
+        & (F.col("sale_date") <= F.lit(cutoff).cast("date"))
+    ).count()
+    assert live_old == 0
+    assert goldstore.read_gold_watermark(spark, path) == cutoff
+
+
+def test_retention_refuses_replay_behind_watermark(spark, sf_dir):
+    """After retention, re-ingesting a batch whose dates were folded
+    must be refused (double-count hazard); batches entirely ahead of
+    the watermark still ingest and serve exactly."""
+    st, b0, b1, b2 = _batches(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="goldstore_wm_")
+    goldstore.write_gold_partials(b0, path, "founding")
+    goldstore.write_gold_partials(b1, path, "b1")
+    goldstore.retain_gold_daily(spark, path, keep_days=120)
+
+    with pytest.raises(ValueError, match="watermark"):
+        goldstore.write_gold_partials(b0, path, "founding")
+
+    # b2 (all dates >= 1998-09-01, ahead of any 120-day-behind-frontier
+    # cutoff of the b0∪b1 store) ingests fine and the serve matches
+    # the full recompute over b0∪b1∪b2
+    goldstore.write_gold_partials(b2, path, "b2")
+    served = _rows(goldstore.serve_gold_daily(spark, path))
+    direct = _rows(gold.daily_sales_summary(st))
+    assert served == direct
