@@ -259,6 +259,9 @@ STANDALONE = [
     "gold_store_top_customers",
     "gold_store_products",
     "gold_stream_daily",
+    # r10: the retention lifecycle (found + ingest + retain + ingest
+    # + serve; watermark fold invisible to served values)
+    "gold_store_retained",
     # r9 (cont.): compressed audio (RIFF/WAV + IMA ADPCM) and
     # compressed video (AVI + MJPEG) decode
     "wav_features",
