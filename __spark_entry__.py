@@ -37,6 +37,7 @@ from retail_etl_pipeline_airflow_s3_athena_spark.operators import archive as arc
 from retail_etl_pipeline_airflow_s3_athena_spark.operators import router as router_ops
 from retail_etl_pipeline_airflow_s3_athena_spark.operators import html as html_ops
 from retail_etl_pipeline_airflow_s3_athena_spark.operators import videodup as vdup_ops
+from retail_etl_pipeline_airflow_s3_athena_spark.operators import url as url_ops
 from retail_etl_pipeline_airflow_s3_athena_spark.operators import warc as warc_ops
 from retail_etl_pipeline_airflow_s3_athena_spark.operators import wav as wav_ops
 from retail_etl_pipeline_airflow_s3_athena_spark.operators import pq as pq_ops
@@ -1567,6 +1568,23 @@ def _q_warc_ingest_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Provenance-level crawl dedup (operators/url.py) composed into
+    the WARC front door: three deterministic capture variants per
+    resource (scheme/host case, explicit :80, utm/fbclid params,
+    fragment) are packed through REAL WARC/1.0 bytes
+    (docs_to_warc with url_col), ingested back with raw URIs
+    surfaced (warc_ingest_uris), canonicalized by built-in column
+    expressions, and collapsed per canonical URL.  The oracle
+    re-derives BOTH the variant construction and every
+    canonicalization rule in DuckDB SQL — a rule drifting on either
+    side flips the hash."""
+    messy = url_ops.with_messy_url(_docs(spark, sf_dir))
+    warcs = warc_ops.docs_to_warc(messy, url_col="url")
+    caps = warc_ops.warc_ingest_uris(warcs)
+    return url_ops.url_canonical_dedup(caps).orderBy("canonical_url")
+
+
 def _q_media_type_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ONE ingest surface over the whole codec tier
     (operators/router.py): a 76-item corpus mixing all ten payload
@@ -2156,6 +2174,7 @@ GATE_TAIL = [
     # r10 in-round additions (temporary tail placement until the r10
     # window rotation lands)
     "gold_store_retained",
+    "url_canonical_dedup",
 ]
 
 
@@ -2224,6 +2243,7 @@ def _all_queries() -> dict[str, QueryFn]:
         "warc_ingest_docs": _q_warc_ingest_docs,
         "tar_ingest_docs": _q_tar_ingest_docs,
         "media_type_census": _q_media_type_census,
+        "url_canonical_dedup": _q_url_canonical_dedup,
         "video_near_dup": _q_video_near_dup,
         "audio_near_dup": _q_audio_near_dup,
         "html_extract_docs": _q_html_extract_docs,
@@ -2957,6 +2977,9 @@ def oracle_sql() -> dict[str, str]:
         "FROM documents ORDER BY doc_id"
     )
     oracles["tar_ingest_docs"] = archive_ops.oracle_tar_roundtrip_sql()
+    oracles["url_canonical_dedup"] = (
+        url_ops.oracle_url_canonical_dedup_sql()
+    )
     _census_rows = [
         f"('{k}', {n}, {u}, '{fold}')"
         for k, n, u, fold in router_ops.local_census(72)

@@ -262,6 +262,8 @@ STANDALONE = [
     # r10: the retention lifecycle (found + ingest + retain + ingest
     # + serve; watermark fold invisible to served values)
     "gold_store_retained",
+    # r10: crawl-provenance dedup through real WARC bytes
+    "url_canonical_dedup",
     # r9 (cont.): compressed audio (RIFF/WAV + IMA ADPCM) and
     # compressed video (AVI + MJPEG) decode
     "wav_features",

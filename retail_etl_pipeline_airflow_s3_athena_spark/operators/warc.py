@@ -183,20 +183,29 @@ WARC_DOC_SCHEMA = T.StructType(
 )
 
 
-def docs_to_warc(docs: DataFrame, gzip_members: bool = True) -> DataFrame:
+def docs_to_warc(
+    docs: DataFrame, gzip_members: bool = True, url_col: str | None = None
+) -> DataFrame:
     """Pack documents into one WARC archive per source via
     ``applyInPandas`` (the distributed pack direction).  Record order
     inside an archive is pinned by doc_id so archives are
-    deterministic bytes."""
+    deterministic bytes.  ``url_col`` overrides the synthetic
+    per-doc target URI with a real one (the crawl-provenance path
+    feeding url_canonical_dedup)."""
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("doc_id")
+        uris = (
+            [str(u) for u in pdf[url_col]]
+            if url_col is not None
+            else [
+                f"http://corpus.invalid/{src}/{int(did)}"
+                for did, src in zip(pdf["doc_id"], pdf["source"])
+            ]
+        )
         records = [
-            (
-                f"http://corpus.invalid/{src}/{int(did)}",
-                ("" if txt is None else str(txt)).encode("utf-8"),
-            )
-            for did, txt, src in zip(pdf["doc_id"], pdf["text"], pdf["source"])
+            (uri, ("" if txt is None else str(txt)).encode("utf-8"))
+            for uri, txt in zip(uris, pdf["text"])
         ]
         src = str(pdf["source"].iloc[0])
         return pd.DataFrame(
@@ -204,8 +213,9 @@ def docs_to_warc(docs: DataFrame, gzip_members: bool = True) -> DataFrame:
             columns=["archive_id", "payload"],
         )
 
+    cols = ["doc_id", "text", "source"] + ([url_col] if url_col else [])
     return (
-        docs.select("doc_id", "text", "source")
+        docs.select(*cols)
         .groupBy("source")
         .applyInPandas(pack, WARC_ARCHIVE_SCHEMA)
     )
@@ -249,3 +259,33 @@ def warc_roundtrip_stats(docs: DataFrame) -> DataFrame:
         "text",
         "n_bytes",
     )
+
+
+WARC_CAPTURE_SCHEMA = T.StructType(
+    [
+        T.StructField("target_uri", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+    ]
+)
+
+
+def warc_ingest_uris(warcs: DataFrame) -> DataFrame:
+    """WARC binaries -> one row per contained capture with its RAW
+    target URI surfaced (no doc_id parsing — crawl URIs are arbitrary
+    strings).  The provenance front door for URL-level dedup
+    (operators/url.py): ingest -> canonicalize -> collapse recrawls
+    BEFORE any content fingerprinting.  Same shuffle-free Arrow
+    projection shape as warc_ingest."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for payload in pdf["payload"]:
+                for uri, body in parse_warc(bytes(payload)):
+                    rows.append((uri, body.decode("utf-8"), len(body)))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in WARC_CAPTURE_SCHEMA.fields]
+            )
+
+    return warcs.mapInPandas(batches, WARC_CAPTURE_SCHEMA)
