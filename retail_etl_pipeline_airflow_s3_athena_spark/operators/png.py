@@ -10,9 +10,11 @@ module implements:
 - ``decode_png``: chunk walk → IDAT concat → ``zlib.decompress`` →
   scanline defilter → (h, w, c) integer array.  Envelope (r8 verdict
   #7 widened it): 8-bit gray/GA/RGB/RGBA, 8-bit palette (PLTE lookup —
-  a join-free integer map), and 16-bit channels (big-endian byte-pair
-  fold → uint16).  Refuses (loudly) anything outside the
-  deterministic-integer envelope: sub-byte palette depths, interlace,
+  a join-free integer map; 1/2/4-bit sub-byte index unpacking — r9
+  verdict #4), 16-bit channels (big-endian byte-pair fold → uint16),
+  and Adam7 interlace (seven independently-filtered sub-images
+  scattered back onto the pass grid).  Refuses (loudly) anything
+  outside the deterministic-integer envelope: sub-byte grayscale,
   tRNS transparency, and truncated/corrupt streams.
 - ``encode_png`` / ``encode_png_palette``: the fixture-side inverses
   (filter + compress), with a per-row filter cycle so the decoder's
@@ -110,29 +112,126 @@ def _filter_scanlines(
     return bytes(out)
 
 
-def encode_png(img: np.ndarray, filter_cycle: bool = True) -> bytes:
+# Adam7 pass grid (RFC 2083 §8.2): (x0, y0, dx, dy) per pass.  A pass
+# whose sub-image is empty for the given (w, h) contributes zero bytes
+# to the stream — both directions honor that.
+_ADAM7 = [
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+]
+
+
+def _pack_sub_byte(samples: np.ndarray, depth: int) -> np.ndarray:
+    """(h, n) sample rows -> (h, ceil(n*depth/8)) byte rows: ``depth``
+    bits per sample, leftmost sample in the HIGH bits of each byte
+    (RFC 2083 §7.2 packing order)."""
+    h, n = samples.shape
+    per_byte = 8 // depth
+    pad = (-n) % per_byte
+    padded = np.pad(samples.astype(np.int64), ((0, 0), (0, pad)))
+    grouped = padded.reshape(h, -1, per_byte)
+    shifts = (np.arange(per_byte)[::-1] * depth).astype(np.int64)
+    return (grouped << shifts).sum(axis=2)
+
+
+def _unpack_sub_byte(byte_rows: np.ndarray, n: int, depth: int) -> np.ndarray:
+    """Inverse of _pack_sub_byte: (h, stride) byte rows -> (h, n)
+    samples (trailing pad bits of the last byte discarded)."""
+    h = byte_rows.shape[0]
+    per_byte = 8 // depth
+    shifts = (np.arange(per_byte)[::-1] * depth).astype(np.int64)
+    samples = (byte_rows.astype(np.int64)[:, :, None] >> shifts) & (
+        (1 << depth) - 1
+    )
+    return samples.reshape(h, -1)[:, :n]
+
+
+def _samples_to_byte_rows(
+    samples: np.ndarray, depth: int
+) -> tuple[np.ndarray, int]:
+    """(h, w, cs) samples -> (filtered-stream byte rows, bpp) for the
+    given bit depth.  bpp is the byte distance between corresponding
+    bytes of adjacent pixels (min 1 — RFC 2083 §6.2)."""
+    h, w, cs = samples.shape
+    vals = samples.astype(np.int64)
+    if depth == 16:
+        rows = np.stack([vals >> 8, vals & 255], axis=-1).reshape(
+            h, w * cs * 2
+        )
+        return rows, cs * 2
+    if depth == 8:
+        return vals.reshape(h, w * cs), cs
+    if cs != 1:
+        raise ValueError("sub-byte depths carry one channel per pixel")
+    return _pack_sub_byte(vals.reshape(h, w), depth), 1
+
+
+def _byte_rows_to_samples(
+    rows: np.ndarray, w: int, cs: int, depth: int
+) -> np.ndarray:
+    """Inverse of _samples_to_byte_rows: defiltered byte rows ->
+    (h, w, cs) integer samples (16-bit pairs folded, sub-byte bits
+    unpacked)."""
+    h = rows.shape[0]
+    if depth == 16:
+        pairs = rows.reshape(h, w, cs, 2)
+        return pairs[..., 0] * 256 + pairs[..., 1]
+    if depth == 8:
+        return rows.reshape(h, w, cs)
+    return _unpack_sub_byte(rows, w, depth).reshape(h, w, 1)
+
+
+def _pass_dims(w: int, h: int) -> list[tuple[int, int, int, int, int, int]]:
+    """Adam7 sub-image dimensions: (x0, y0, dx, dy, subw, subh)."""
+    return [
+        (x0, y0, dx, dy, (w - x0 + dx - 1) // dx, (h - y0 + dy - 1) // dy)
+        for x0, y0, dx, dy in _ADAM7
+    ]
+
+
+def _filtered_body(
+    samples: np.ndarray, depth: int, filter_cycle: bool, interlace: bool
+) -> bytes:
+    """Filter an (h, w, cs) sample image into the IDAT byte body —
+    one filtered sub-image per Adam7 pass when ``interlace``."""
+    if not interlace:
+        rows, bpp = _samples_to_byte_rows(samples, depth)
+        return _filter_scanlines(rows, bpp, filter_cycle)
+    h, w, _cs = samples.shape
+    body = bytearray()
+    for x0, y0, dx, dy, subw, subh in _pass_dims(w, h):
+        if subw == 0 or subh == 0:
+            continue
+        sub = samples[y0::dy, x0::dx, :]
+        rows, bpp = _samples_to_byte_rows(sub, depth)
+        body += _filter_scanlines(rows, bpp, filter_cycle)
+    return bytes(body)
+
+
+def encode_png(
+    img: np.ndarray, filter_cycle: bool = True, interlace: bool = False
+) -> bytes:
     """Encode an (h, w) or (h, w, c) array as a valid PNG: uint8 input
     writes bit depth 8, uint16 input writes bit depth 16 (big-endian
     sample bytes, RFC 2083 §7.2).  ``filter_cycle=True`` rotates the
     row filter through 0..4 so every defilter path gets exercised;
-    False writes filter 0 everywhere."""
+    ``interlace`` writes the Adam7 seven-pass layout."""
     if img.ndim == 2:
         img = img[:, :, None]
     h, w, c = img.shape
     color_type = {1: 0, 2: 4, 3: 2, 4: 6}[c]
-    if img.dtype == np.uint16:
-        depth = 16
-        vals = img.astype(np.int64)
-        byte_rows = np.stack([vals >> 8, vals & 255], axis=-1).reshape(
-            h, w * c * 2
-        )
-        bpp = c * 2
-    else:
-        depth = 8
-        byte_rows = img.astype(np.int64).reshape(h, w * c)
-        bpp = c
-    body = _filter_scanlines(byte_rows, bpp, filter_cycle)
-    ihdr = struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, 0)
+    depth = 16 if img.dtype == np.uint16 else 8
+    body = _filtered_body(
+        img.astype(np.int64), depth, filter_cycle, interlace
+    )
+    ihdr = struct.pack(
+        ">IIBBBBB", w, h, depth, color_type, 0, 0, int(interlace)
+    )
     return (
         PNG_MAGIC
         + _chunk(b"IHDR", ihdr)
@@ -142,15 +241,27 @@ def encode_png(img: np.ndarray, filter_cycle: bool = True) -> bytes:
 
 
 def encode_png_palette(
-    idx: np.ndarray, palette: np.ndarray, filter_cycle: bool = True
+    idx: np.ndarray,
+    palette: np.ndarray,
+    filter_cycle: bool = True,
+    depth: int = 8,
+    interlace: bool = False,
 ) -> bytes:
-    """Encode an (h, w) uint8 index array + (n, 3) uint8 palette as an
-    8-bit color-type-3 PNG (PLTE chunk, one index byte per pixel)."""
+    """Encode an (h, w) index array + (n, 3) uint8 palette as a
+    color-type-3 PNG.  ``depth`` ∈ {1, 2, 4, 8} selects the index
+    packing (sub-byte depths pack leftmost-pixel-high per RFC 2083
+    §7.2); ``interlace`` writes Adam7."""
+    if depth not in (1, 2, 4, 8):
+        raise ValueError(f"invalid palette bit depth {depth}")
+    if int(idx.max(initial=0)) >= (1 << depth):
+        raise ValueError(f"palette index exceeds bit depth {depth}")
     h, w = idx.shape
-    body = _filter_scanlines(
-        idx.astype(np.int64).reshape(h, w), 1, filter_cycle
+    body = _filtered_body(
+        idx.astype(np.int64)[:, :, None], depth, filter_cycle, interlace
     )
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+    ihdr = struct.pack(
+        ">IIBBBBB", w, h, depth, 3, 0, 0, int(interlace)
+    )
     return (
         PNG_MAGIC
         + _chunk(b"IHDR", ihdr)
@@ -165,14 +276,16 @@ def decode_png(payload: bytes) -> np.ndarray:
     integer defiltering — bit-deterministic.  Supported envelope:
 
     - 8-bit grayscale/gray+alpha/RGB/RGBA -> (h, w, c) uint8
-    - 8-bit palette (color type 3, PLTE lookup) -> (h, w, 3) uint8
+    - 1/2/4/8-bit palette (color type 3, PLTE lookup; sub-byte
+      indices unpacked high-bits-first) -> (h, w, 3) uint8
     - 16-bit grayscale/gray+alpha/RGB/RGBA (big-endian byte-pair
       fold) -> (h, w, c) uint16
+    - Adam7 interlace for every supported depth/type (seven
+      independently-filtered sub-images scattered back, RFC 2083 §8.2)
 
-    Raises ``NotImplementedError`` for sub-byte palette depths,
-    interlaced images, or tRNS transparency (outside the
-    integer-exact envelope this container can guarantee) and
-    ``ValueError`` for corrupt streams."""
+    Raises ``NotImplementedError`` for sub-byte GRAYSCALE depths and
+    tRNS transparency (outside the integer-exact envelope this tier
+    guarantees) and ``ValueError`` for corrupt streams."""
     if payload[:8] != PNG_MAGIC:
         raise ValueError("not a PNG stream")
     pos = 8
@@ -206,37 +319,67 @@ def decode_png(payload: bytes) -> np.ndarray:
     w, h, depth, color_type, comp, filt, interlace = ihdr
     is_palette = color_type == 3
     if is_palette:
-        if depth != 8:
-            raise NotImplementedError(
-                f"palette PNG bit depth {depth}: sub-byte index "
-                "packing requires imaging libraries; only 8-bit "
-                "palette decodes"
-            )
+        if depth not in (1, 2, 4, 8):
+            raise ValueError(f"invalid palette PNG bit depth {depth}")
     elif color_type not in _COLOR_CHANNELS or depth not in (8, 16):
         raise NotImplementedError(
             f"PNG bit depth {depth} / color type {color_type} requires "
             "imaging libraries not present in this environment; only "
-            "8/16-bit grayscale/gray+alpha/RGB/RGBA and 8-bit palette "
-            "decode"
+            "8/16-bit grayscale/gray+alpha/RGB/RGBA and 1/2/4/8-bit "
+            "palette decode"
         )
-    if interlace != 0:
-        raise NotImplementedError("interlaced PNG not supported")
+    if interlace not in (0, 1):
+        raise ValueError(f"invalid PNG interlace method {interlace}")
     if comp != 0 or filt != 0:
         raise ValueError("invalid PNG compression/filter method")
-    # channels in the FILTERED byte stream (palette rows carry one
-    # index byte per pixel; 16-bit rows carry two bytes per sample)
+    # channels in the FILTERED byte stream (palette rows carry index
+    # samples; 16-bit rows carry two bytes per sample)
     cs = 1 if is_palette else _COLOR_CHANNELS[color_type]
-    bs = depth // 8
-    stride = w * cs * bs
     raw = zlib.decompress(bytes(idat))
-    if len(raw) != h * (stride + 1):
+    if interlace == 0:
+        samples, offset = _read_subimage(raw, 0, w, h, cs, depth)
+    else:
+        # Adam7: seven independently-filtered sub-images, scattered
+        # back onto the (x0 + i·dx, y0 + j·dy) grid; empty passes
+        # contribute zero bytes
+        samples = np.zeros((h, w, cs), dtype=np.int64)
+        offset = 0
+        for x0, y0, dx, dy, subw, subh in _pass_dims(w, h):
+            if subw == 0 or subh == 0:
+                continue
+            sub, offset = _read_subimage(raw, offset, subw, subh, cs, depth)
+            samples[y0::dy, x0::dx, :] = sub
+    if offset != len(raw):
+        raise ValueError("PNG pixel data length mismatch")
+    if is_palette:
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE chunk")
+        idx = samples.reshape(h, w)
+        if int(idx.max(initial=0)) >= plte.shape[0]:
+            raise ValueError("palette index out of PLTE range")
+        return plte[idx]  # (h, w, 3) uint8 — join-free integer map
+    if depth == 16:
+        return samples.astype(np.uint16)
+    return samples.astype(np.uint8)
+
+
+def _read_subimage(
+    raw: bytes, offset: int, w: int, h: int, cs: int, depth: int
+) -> tuple[np.ndarray, int]:
+    """Defilter one (sub-)image of ``h`` scanlines starting at
+    ``offset`` in the inflated stream; -> ((h, w, cs) samples, next
+    offset)."""
+    stride = (w * cs * depth + 7) // 8
+    bpp = max(1, cs * (depth // 8))
+    need = h * (stride + 1)
+    if offset + need > len(raw):
         raise ValueError("PNG pixel data length mismatch")
     out = np.zeros((h, stride), dtype=np.int64)
-    bpp = cs * bs
     for y in range(h):
-        ft = raw[y * (stride + 1)]
+        base = offset + y * (stride + 1)
+        ft = raw[base]
         line = np.frombuffer(
-            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+            raw, dtype=np.uint8, count=stride, offset=base + 1
         ).astype(np.int64)
         prev = out[y - 1] if y else np.zeros(stride, dtype=np.int64)
         if ft == 0:
@@ -261,42 +404,40 @@ def decode_png(payload: bytes) -> np.ndarray:
         else:
             raise ValueError(f"invalid PNG filter type {ft}")
         out[y] = rec
-    if is_palette:
-        if plte is None:
-            raise ValueError("palette PNG missing PLTE chunk")
-        idx = out.astype(np.int64).reshape(h, w)
-        if int(idx.max(initial=0)) >= plte.shape[0]:
-            raise ValueError("palette index out of PLTE range")
-        return plte[idx]  # (h, w, 3) uint8 — join-free integer map
-    if depth == 16:
-        pairs = out.reshape(h, w, cs, 2)
-        return (pairs[..., 0] * 256 + pairs[..., 1]).astype(np.uint16)
-    return out.astype(np.uint8).reshape(h, w, cs)
+    return _byte_rows_to_samples(out, w, cs, depth), offset + need
 
 
 # ---------------------------------------------------------------------------
 # Fixtures + the distributed operator
 # ---------------------------------------------------------------------------
 
+def _palette_fixture(media_id: int, h: int, w: int, depth: int):
+    """Deterministic (idx, palette) pair bounded to 2**depth colors."""
+    n_colors = min(64, 1 << depth)
+    yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    idx = ((media_id * 31 + yy * 7 + xx * 13) % n_colors).astype(np.uint8)
+    palette = (
+        (
+            np.arange(n_colors)[:, None] * np.array([3, 7, 11])
+            + media_id * 29
+        )
+        % 256
+    ).astype(np.uint8)
+    return idx, palette
+
+
 def make_png_image(media_id: int) -> bytes:
     """Deterministic PNG: gradient-ish integer pixels (same generator
     family as multimodal.make_raw_image), cycling through the full
-    supported envelope — 8-bit gray/RGB/RGBA, 8-bit palette (PLTE),
-    and 16-bit grayscale — so every corpus exercises every decode
-    path."""
-    variant = media_id % 5
+    supported envelope — 8-bit gray/RGB/RGBA, 8/4/2/1-bit palette
+    (PLTE), 16-bit grayscale, and Adam7-interlaced RGB + 4-bit
+    palette — so every corpus exercises every decode path (r9 verdict
+    #4 widened the cycle with the sub-byte and interlaced variants)."""
+    variant = media_id % 9
     w = 16 + (media_id * 7) % 48
     h = 16 + (media_id * 11) % 48
     if variant == 3:  # 8-bit palette
-        yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
-        idx = ((media_id * 31 + yy * 7 + xx * 13) % 64).astype(np.uint8)
-        palette = (
-            (
-                np.arange(64)[:, None] * np.array([3, 7, 11])
-                + media_id * 29
-            )
-            % 256
-        ).astype(np.uint8)
+        idx, palette = _palette_fixture(media_id, h, w, 8)
         return encode_png_palette(idx, palette)
     if variant == 4:  # 16-bit grayscale
         yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
@@ -304,6 +445,23 @@ def make_png_image(media_id: int) -> bytes:
             (media_id * 131 + yy * 257 + xx * 523) % 65536
         ).astype(np.uint16)
         return encode_png(img16)
+    if variant == 5:  # 4-bit palette (sub-byte index packing)
+        idx, palette = _palette_fixture(media_id, h, w, 4)
+        return encode_png_palette(idx, palette, depth=4)
+    if variant == 6:  # 1-bit palette, non-byte-aligned rows
+        idx, palette = _palette_fixture(media_id, h, w + 3, 1)
+        return encode_png_palette(idx, palette, depth=1)
+    if variant == 7:  # Adam7-interlaced RGB
+        yy, xx, cc = np.meshgrid(
+            np.arange(h), np.arange(w), np.arange(3), indexing="ij"
+        )
+        img = (
+            (media_id * 31 + yy * 7 + xx * 13 + cc * 97) % 256
+        ).astype(np.uint8)
+        return encode_png(img, interlace=True)
+    if variant == 8:  # Adam7-interlaced 2-bit palette
+        idx, palette = _palette_fixture(media_id, h, w, 2)
+        return encode_png_palette(idx, palette, depth=2, interlace=True)
     c = (1, 3, 4)[variant]
     yy, xx, cc = np.meshgrid(
         np.arange(h), np.arange(w), np.arange(c), indexing="ij"

@@ -104,18 +104,21 @@ def test_loud_fail_on_unsupported_and_corrupt():
         png.decode_png(b"JFIF" + good[4:])
     with pytest.raises(ValueError):
         png.decode_png(good[:40])  # truncated chunk
-    # sub-byte depth: flip IHDR depth byte to 4 (offset 8+8=IHDR data
-    # at 16; depth is byte 8 of IHDR data) — 8 and 16 now DECODE, so
-    # the loud-fail frontier is depths below a byte
+    # sub-byte NON-palette depth: flip IHDR depth byte to 4 (offset
+    # 8+8=IHDR data at 16; depth is byte 8 of IHDR data) — the
+    # loud-fail frontier after r10 is sub-byte GRAYSCALE/RGB only
+    # (sub-byte palette now decodes)
     deep = bytearray(good)
     deep[16 + 8] = 4
     with pytest.raises(NotImplementedError):
         png.decode_png(bytes(deep))
-    # sub-byte palette (depth 4 + color type 3)
+    # sub-byte palette is IN-envelope now — relabeling this 8-bit RGB
+    # stream as 4-bit palette must fail as CORRUPT (stream-length
+    # mismatch), not as unimplemented
     pal = bytearray(good)
     pal[16 + 8] = 4
     pal[16 + 9] = 3
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         png.decode_png(bytes(pal))
     # tRNS transparency is outside the envelope (would silently drop)
     trns = good[:33] + png._chunk(b"tRNS", b"\x00") + good[33:]
@@ -207,3 +210,59 @@ def test_resize_media_accepts_png_payloads(spark):
 
         assert out[mid]["checksum"] == hashlib.sha256(expect).hexdigest()[:16]
         assert out[mid]["channels"] == c
+
+
+def test_roundtrip_sub_byte_palette_and_adam7():
+    """r9 verdict #4: 1/2/4-bit palette index unpacking and Adam7
+    interlace, exact for every size including images smaller than one
+    pass tile (empty passes contribute zero bytes)."""
+    rng = np.random.default_rng(11)
+    for h, w in [(1, 1), (3, 2), (7, 9), (8, 8), (16, 19)]:
+        for depth in (1, 2, 4, 8):
+            idx = rng.integers(0, 1 << depth, size=(h, w)).astype(np.uint8)
+            pal = rng.integers(0, 256, size=(1 << depth, 3)).astype(np.uint8)
+            for inter in (False, True):
+                payload = png.encode_png_palette(
+                    idx, pal, depth=depth, interlace=inter
+                )
+                assert np.array_equal(png.decode_png(payload), pal[idx])
+        src = rng.integers(0, 256, size=(h, w, 3)).astype(np.uint8)
+        assert np.array_equal(
+            png.decode_png(png.encode_png(src, interlace=True)), src
+        )
+        src16 = rng.integers(0, 65536, size=(h, w, 1)).astype(np.uint16)
+        assert np.array_equal(
+            png.decode_png(png.encode_png(src16, interlace=True)), src16
+        )
+
+
+def test_sub_byte_bit_packing_pinned():
+    """Pin the §7.2 packing order: leftmost pixel in the HIGH bits.
+    1-bit row [1,0,1,1,0,1,0,0,1] packs to 0b10110100, 0b10000000."""
+    rows = np.array([[1, 0, 1, 1, 0, 1, 0, 0, 1]])
+    packed = png._pack_sub_byte(rows, 1)
+    assert packed.tolist() == [[0b10110100, 0b10000000]]
+    back = png._unpack_sub_byte(packed, 9, 1)
+    assert back.tolist() == rows.tolist()
+    # 2-bit: [3,0,2,1,1] -> 0b11001001, 0b01000000
+    rows2 = np.array([[3, 0, 2, 1, 1]])
+    packed2 = png._pack_sub_byte(rows2, 2)
+    assert packed2.tolist() == [[0b11001001, 0b01000000]]
+    assert png._unpack_sub_byte(packed2, 5, 2).tolist() == rows2.tolist()
+
+
+def test_fixture_cycle_covers_new_variants():
+    """All nine fixture variants decode and the new ones really carry
+    the advertised IHDR (depth/interlace bytes checked raw)."""
+    seen = set()
+    for mid in range(18):
+        payload = png.make_png_image(mid)
+        depth, ctype, _c, _f, inter = struct.unpack_from(
+            ">BBBBB", payload, 16 + 8
+        )
+        seen.add((depth, ctype, inter))
+        png.png_stats(payload)  # must decode
+    assert (4, 3, 0) in seen  # 4-bit palette
+    assert (1, 3, 0) in seen  # 1-bit palette
+    assert (8, 2, 1) in seen  # interlaced RGB
+    assert (2, 3, 1) in seen  # interlaced 2-bit palette
