@@ -813,6 +813,34 @@ def _q_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return training_ops.training_manifest(_docs(spark, sf_dir))
 
 
+def _q_multimodal_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal training-set assembly (r9 verdict #3): curated
+    documents + the router's DECODED media features interleaved into
+    packed sequences — text token counts and media token blocks
+    (pixels/samples per trainer token) first-fit packed per
+    leakage-free split.  One scan per modality; the oracle composes
+    the build_training_set curation SQL with a locally-recomputed
+    media VALUES literal (the router-oracle discipline)."""
+    docs = _docs(spark, sf_dir)
+    routed = router_ops.route_media(
+        router_ops.synthesize_mixed_corpus(spark, n=72)
+    )
+    return training_ops.multimodal_training_set(docs, routed).orderBy(
+        "modality", "item_id"
+    )
+
+
+def _q_multimodal_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal set's per-shard manifest: item/text/media
+    counts, token fill, and the exact SUM-mod membership checksum —
+    shard-identity provable without re-reading the corpus."""
+    docs = _docs(spark, sf_dir)
+    routed = router_ops.route_media(
+        router_ops.synthesize_mixed_corpus(spark, n=72)
+    )
+    return training_ops.multimodal_manifest(docs, routed)
+
+
 def _q_manifest_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental-rebuild audit: the 'old' corpus is the documents
     table minus a content-hash decile (the late-arriving 10%), the
@@ -2175,6 +2203,8 @@ GATE_TAIL = [
     # window rotation lands)
     "gold_store_retained",
     "url_canonical_dedup",
+    "multimodal_training_set",
+    "multimodal_manifest",
 ]
 
 
@@ -2244,6 +2274,8 @@ def _all_queries() -> dict[str, QueryFn]:
         "tar_ingest_docs": _q_tar_ingest_docs,
         "media_type_census": _q_media_type_census,
         "url_canonical_dedup": _q_url_canonical_dedup,
+        "multimodal_training_set": _q_multimodal_training_set,
+        "multimodal_manifest": _q_multimodal_manifest,
         "video_near_dup": _q_video_near_dup,
         "audio_near_dup": _q_audio_near_dup,
         "html_extract_docs": _q_html_extract_docs,
@@ -2979,6 +3011,19 @@ def oracle_sql() -> dict[str, str]:
     oracles["tar_ingest_docs"] = archive_ops.oracle_tar_roundtrip_sql()
     oracles["url_canonical_dedup"] = (
         url_ops.oracle_url_canonical_dedup_sql()
+    )
+    # multimodal training set: the media leg's (id, type, units) rows
+    # recomputed locally from the same deterministic corpus (the
+    # router-oracle composition)
+    _mm_rows = [
+        (mid, *router_ops.decode_any(bytes(p))[:2])
+        for mid, p in router_ops._mixed_payloads(72)
+    ]
+    oracles["multimodal_training_set"] = (
+        training_ops.oracle_multimodal_training_set_sql(_mm_rows)
+    )
+    oracles["multimodal_manifest"] = (
+        training_ops.oracle_multimodal_manifest_sql(_mm_rows)
     )
     _census_rows = [
         f"('{k}', {n}, {u}, '{fold}')"

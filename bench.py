@@ -264,6 +264,10 @@ STANDALONE = [
     "gold_store_retained",
     # r10: crawl-provenance dedup through real WARC bytes
     "url_canonical_dedup",
+    # r10: multimodal training-set assembly (curated text + decoded
+    # media token blocks, leakage-free split, first-fit pack)
+    "multimodal_training_set",
+    "multimodal_manifest",
     # r9 (cont.): compressed audio (RIFF/WAV + IMA ADPCM) and
     # compressed video (AVI + MJPEG) decode
     "wav_features",

@@ -252,3 +252,121 @@ def test_manifest_diff_blast_radius(spark, sf_dir):
             assert r["status"] == "unchanged", (
                 f"shard before the first new doc changed: {r}"
             )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal training-set assembly (r9 verdict #3)
+# ---------------------------------------------------------------------------
+
+
+def _mm_inputs(spark, sf_dir):
+    from retail_etl_pipeline_airflow_s3_athena_spark.operators import router
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    routed = router.route_media(router.synthesize_mixed_corpus(spark, n=36))
+    return docs, routed
+
+
+def test_multimodal_set_interleaves_and_packs(spark, sf_dir):
+    docs, routed = _mm_inputs(spark, sf_dir)
+    rows = training.multimodal_training_set(docs, routed).collect()
+    mods = {r["modality"] for r in rows}
+    assert "text" in mods
+    assert mods & set(training.MEDIA_TOKEN_DIVISORS)  # media really in
+    assert "unknown" not in mods  # undecodable payloads excluded
+    # media token blocks = ceil(units / divisor) exactly
+    units = {r["media_id"]: r for r in routed.collect()}
+    for r in rows:
+        if r["modality"] == "text":
+            continue
+        d = training.MEDIA_TOKEN_DIVISORS[r["modality"]]
+        u = units[r["item_id"]]["units"]
+        assert r["n_tokens"] == (u + d - 1) // d
+    # at least one bin mixes text and media (the interleaving claim)
+    by_bin: dict = {}
+    for r in rows:
+        by_bin.setdefault((r["split"], r["bin_id"]), set()).add(
+            r["modality"] == "text"
+        )
+    assert any(len(v) == 2 for v in by_bin.values())
+
+
+def test_multimodal_split_is_leakage_free(spark, sf_dir):
+    """Split assignment is a pure function of modality:item_id — the
+    same item lands in the same split when the corpus grows (late
+    media shards, more documents)."""
+    from retail_etl_pipeline_airflow_s3_athena_spark.operators import router
+
+    docs, routed = _mm_inputs(spark, sf_dir)
+    full = {
+        (r["modality"], r["item_id"]): r["split"]
+        for r in training.multimodal_training_set(docs, routed).collect()
+    }
+    small_routed = router.route_media(
+        router.synthesize_mixed_corpus(spark, n=18)
+    )
+    small = {
+        (r["modality"], r["item_id"]): r["split"]
+        for r in training.multimodal_training_set(
+            docs.limit(200), small_routed
+        ).collect()
+    }
+    for k, s in small.items():
+        assert full[k] == s  # same item, same split, smaller corpus
+
+
+def test_multimodal_bins_never_straddle_splits(spark, sf_dir):
+    docs, routed = _mm_inputs(spark, sf_dir)
+    rows = training.multimodal_training_set(docs, routed).collect()
+    seen: dict = {}
+    for r in rows:
+        key = (r["split"], r["bin_id"])
+        seen.setdefault(key, r["split"])
+        assert seen[key] == r["split"]
+    # first-fit invariant: within a split, the EXCLUSIVE running token
+    # count of each item maps to its bin (floor(cum/target)) — verify
+    # against a local replay in item_key order
+    for split in {r["split"] for r in rows}:
+        members = sorted(
+            (f"{r['modality']}:{r['item_id']}", r["n_tokens"], r["bin_id"])
+            for r in rows
+            if r["split"] == split
+        )
+        cum = 0
+        for _key, ntk, bin_id in members:
+            assert bin_id == cum // training.PACK_TOKENS
+            cum += ntk
+
+
+def test_multimodal_plan_one_scan_per_modality(spark, sf_dir):
+    """The verdict's plan audit: the fused plan reads the documents
+    parquet ONCE; the media leg adds no second file scan (it is a
+    routed in-memory projection)."""
+    docs, routed = _mm_inputs(spark, sf_dir)
+    plan = training.multimodal_training_set(
+        docs, routed
+    )._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1, plan
+
+
+def test_multimodal_manifest_checksum_flags_membership(spark, sf_dir):
+    docs, routed = _mm_inputs(spark, sf_dir)
+    m_full = {
+        (r["split"], r["bin_id"]): r
+        for r in training.multimodal_manifest(docs, routed).collect()
+    }
+    assert sum(r["n_media"] for r in m_full.values()) > 0
+    assert sum(r["n_text"] for r in m_full.values()) > 0
+    # dropping one document flips some shard's checksum or count
+    m_less = {
+        (r["split"], r["bin_id"]): r
+        for r in training.multimodal_manifest(
+            docs.filter(F.col("doc_id") != 7), routed
+        ).collect()
+    }
+    assert any(
+        k not in m_less
+        or m_less[k]["checksum"] != v["checksum"]
+        or m_less[k]["n_items"] != v["n_items"]
+        for k, v in m_full.items()
+    )
