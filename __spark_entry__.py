@@ -1977,72 +1977,33 @@ def entry(spark: SparkSession) -> DataFrame:
 # tail holds entries whose driver evidence is exactly one round old.
 # ---------------------------------------------------------------------------
 
-# r9 rotation (r8 VERDICT #2): lead with the seven new r9 entries
-# (ANN maintenance pair, bronze CSV round-trip, unigram tokenizer pair,
-# quality-classifier pair), then the r6-era rows whose driver evidence
-# turned 3 rounds old, then the deferred r4 rows, then the oldest
-# r5-verified rows that fit, then the reference-parity core (kept
-# fresh every round).  Evicted r8-green rows go to the BACK of the
-# tail (freshest evidence); the tail head is next in line for r10.
+# r10 rotation (r9 VERDICT #2): lead with the four in-round additions
+# (gold-store retention, URL canonical dedup, the multimodal
+# training-set pair), then every entry whose implementing module
+# changed this round — the classifier pair (the r9 hash-red row now
+# surfaced as BIGINT), the PNG-consuming entries (png.py's fixture
+# cycle widened to 9 variants: Adam7 + sub-byte palettes), warc (url
+# plumbing), and the daily gold-store lifecycle (watermark guard) —
+# then the 15 displaced GATE_TAIL-head rows carrying the oldest
+# driver evidence, then the next-in-line r5-green rows, then the
+# reference-parity core (kept fresh every round).  Evicted r9-green
+# rows go to the BACK of the tail (freshest evidence).
 GATE_FIRST_50 = [
-    # in-round additions (never driver-verified): the incremental
-    # gold-store trio
+    "gold_store_retained",
+    "url_canonical_dedup",
+    "multimodal_training_set",
+    "multimodal_manifest",
+    "quality_model_scores",
+    "quality_model_fit",
+    "png_features",
+    "resize_raw_images",
+    "media_type_census",
+    "image_near_dup",
+    "multimodal_pipeline",
+    "warc_ingest_docs",
     "gold_store_daily",
     "gold_store_compacted",
-    "gold_store_top_customers",
-    "gold_store_products",
     "gold_stream_daily",
-    "wav_features",
-    "wav_band_energy",
-    "mjpeg_frame_luma",
-    "gif_frame_luma",
-    "warc_ingest_docs",
-    "tar_ingest_docs",
-    "media_type_census",
-    "video_near_dup",
-    "audio_near_dup",
-    "html_extract_docs",
-    "ann_index_compacted_topk",
-    "ann_index_staleness",
-    "ann_index_rebuilt_topk",
-    "bronze_roundtrip",
-    "unigram_vocab",
-    "unigram_encode_docs",
-    "unigram_encode_persisted",
-    "jpeg_features",
-    "quality_model_fit",
-    "quality_model_scores",
-    "scd2_customers",
-    "tfidf_top_terms",
-    "decontaminate_docs",
-    "asof_join_events",
-    "simhash_near_dup",
-    "near_dup_pairs",
-    "embedding_near_dup_lsh",
-    "simhash_signatures",
-    "text_features",
-    "topk_events_per_type",
-    "user_event_pivot",
-    "user_event_unpivot",
-    "extract_props",
-    "category_reach",
-    "repeat_buyers_intersect",
-    "corpus_shuffle",
-    "source_cap_docs",
-    "daily_sales_summary",
-    "top_customers",
-    "product_performance",
-    "store_performance",
-    "daily_revenue",
-    "top_performing_customers",
-    "product_analysis",
-    "revenue_by_category",
-]
-
-GATE_TAIL = [
-    # displaced from the window by the in-round gold-store quartet,
-    # the wav/mjpeg/gif codec entries, and warc ingest — FIRST in
-    # line for r10
     "event_value_quantiles",
     "anomalous_revenue_days",
     "bloom_decontaminate",
@@ -2058,21 +2019,29 @@ GATE_TAIL = [
     "dedup_rate_report",
     "dup_span_stats",
     "funnel_conversion",
-    # evicted from the r9 window to fit the persisted-unigram and
-    # jpeg entries — r5-green, next in line for r10
     "hll_distinct_users",
     "fuzzy_part_names",
     "fuzzy_decontaminate",
     "customer_value_tiles",
     "brand_corr_stats",
     "encode_token_ids",
-    "multimodal_pipeline",
     "big_orders",
     "bigram_vocab",
     "churned_buyers",
     "concurrent_sessions",
     "dedup_exact",
     "doc_chunks",
+    "daily_sales_summary",
+    "top_customers",
+    "product_performance",
+    "store_performance",
+    "daily_revenue",
+    "top_performing_customers",
+    "product_analysis",
+    "revenue_by_category",
+]
+
+GATE_TAIL = [
     "hash_sample_events",
     "late_shipment_priority",
     "pack_bins",
@@ -2142,7 +2111,6 @@ GATE_TAIL = [
     "ngram_novelty",
     "pricing_summary",
     "promo_revenue",
-    "resize_raw_images",
     "returned_item_customers",
     "rolling_distinct_users",
     "scd2_stream_replay",
@@ -2164,8 +2132,6 @@ GATE_TAIL = [
     "zorder_layout",
     "length_model_fit",
     "length_model_outliers",
-    "png_features",
-    "image_near_dup",
     "stored_near_dups",
     "store_ingest_loop",
     "store_compacted_dedup",
@@ -2199,12 +2165,41 @@ GATE_TAIL = [
     "silver_clean_events",
     "union_all_orders",
     "embedding_near_dup",
-    # r10 in-round additions (temporary tail placement until the r10
-    # window rotation lands)
-    "gold_store_retained",
-    "url_canonical_dedup",
-    "multimodal_training_set",
-    "multimodal_manifest",
+    "gold_store_top_customers",
+    "gold_store_products",
+    "wav_features",
+    "wav_band_energy",
+    "mjpeg_frame_luma",
+    "gif_frame_luma",
+    "tar_ingest_docs",
+    "video_near_dup",
+    "audio_near_dup",
+    "html_extract_docs",
+    "ann_index_compacted_topk",
+    "ann_index_staleness",
+    "ann_index_rebuilt_topk",
+    "bronze_roundtrip",
+    "unigram_vocab",
+    "unigram_encode_docs",
+    "unigram_encode_persisted",
+    "jpeg_features",
+    "scd2_customers",
+    "tfidf_top_terms",
+    "decontaminate_docs",
+    "asof_join_events",
+    "simhash_near_dup",
+    "near_dup_pairs",
+    "embedding_near_dup_lsh",
+    "simhash_signatures",
+    "text_features",
+    "topk_events_per_type",
+    "user_event_pivot",
+    "user_event_unpivot",
+    "extract_props",
+    "category_reach",
+    "repeat_buyers_intersect",
+    "corpus_shuffle",
+    "source_cap_docs",
 ]
 
 
