@@ -40,6 +40,10 @@ AUDIT = [
     "video_near_dup",
     "audio_near_dup",
     "html_extract_docs",
+    "gold_store_retained",
+    "url_canonical_dedup",
+    "multimodal_training_set",
+    "multimodal_manifest",
     "near_dup_pairs",
     "simhash_near_dup",
     "embedding_near_dup_lsh",
