@@ -78,6 +78,7 @@ from retail_etl_pipeline_airflow_s3_athena_spark.operators import winnow as winn
 from retail_etl_pipeline_airflow_s3_athena_spark.functions import sampling, sketches
 from retail_etl_pipeline_airflow_s3_athena_spark.plans import (
     analytics,
+    crawl as crawl_plans,
     gold,
     goldstore,
     relational,
@@ -1613,6 +1614,19 @@ def _q_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return url_ops.url_canonical_dedup(caps).orderBy("canonical_url")
 
 
+def _q_crawl_to_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FUSED crawl front door (plans/crawl.py): real WARC bytes
+    (HTML bodies under three messy capture URIs per resource) →
+    shuffle-free ingest → URL-canonical keep-first dedup → HTML
+    main-text extraction → fingerprint dedup + quality gate +
+    leakage-free split + first-fit pack — one lazy plan, one value
+    hash over SIX composed stages.  The oracle re-derives every stage
+    in DuckDB SQL."""
+    return crawl_plans.crawl_to_training_set(_docs(spark, sf_dir)).orderBy(
+        "doc_id"
+    )
+
+
 def _q_media_type_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ONE ingest surface over the whole codec tier
     (operators/router.py): a 76-item corpus mixing all ten payload
@@ -1993,6 +2007,7 @@ GATE_FIRST_50 = [
     "url_canonical_dedup",
     "multimodal_training_set",
     "multimodal_manifest",
+    "crawl_to_training_set",
     "quality_model_scores",
     "quality_model_fit",
     "png_features",
@@ -2030,7 +2045,6 @@ GATE_FIRST_50 = [
     "churned_buyers",
     "concurrent_sessions",
     "dedup_exact",
-    "doc_chunks",
     "daily_sales_summary",
     "top_customers",
     "product_performance",
@@ -2042,6 +2056,9 @@ GATE_FIRST_50 = [
 ]
 
 GATE_TAIL = [
+    # displaced from the r10 window to fit crawl_to_training_set —
+    # next in line for r11
+    "doc_chunks",
     "hash_sample_events",
     "late_shipment_priority",
     "pack_bins",
@@ -2271,6 +2288,7 @@ def _all_queries() -> dict[str, QueryFn]:
         "url_canonical_dedup": _q_url_canonical_dedup,
         "multimodal_training_set": _q_multimodal_training_set,
         "multimodal_manifest": _q_multimodal_manifest,
+        "crawl_to_training_set": _q_crawl_to_training_set,
         "video_near_dup": _q_video_near_dup,
         "audio_near_dup": _q_audio_near_dup,
         "html_extract_docs": _q_html_extract_docs,
@@ -3019,6 +3037,9 @@ def oracle_sql() -> dict[str, str]:
     )
     oracles["multimodal_manifest"] = (
         training_ops.oracle_multimodal_manifest_sql(_mm_rows)
+    )
+    oracles["crawl_to_training_set"] = (
+        crawl_plans.oracle_crawl_to_training_set_sql()
     )
     _census_rows = [
         f"('{k}', {n}, {u}, '{fold}')"

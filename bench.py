@@ -268,6 +268,9 @@ STANDALONE = [
     # media token blocks, leakage-free split, first-fit pack)
     "multimodal_training_set",
     "multimodal_manifest",
+    # r10: the fused crawl front door (WARC -> URL dedup -> HTML
+    # extract -> curation/split/pack, one lazy plan)
+    "crawl_to_training_set",
     # r9 (cont.): compressed audio (RIFF/WAV + IMA ADPCM) and
     # compressed video (AVI + MJPEG) decode
     "wav_features",

@@ -136,11 +136,11 @@ def html_extract(pages: DataFrame) -> DataFrame:
     return pages.mapInPandas(batches, EXTRACT_SCHEMA)
 
 
-def wrap_docs_as_pages(docs: DataFrame) -> DataFrame:
-    """Wrap each document's text in a realistic page template — pure
-    native concat expressions (codegen), with entity escaping of the
-    payload (&, <, > — the three HTML must escape) so arbitrary text
-    survives the round-trip."""
+def html_page_expr() -> "F.Column":
+    """The page template as a reusable column expression over
+    (doc_id, text, source) — shared by wrap_docs_as_pages and the
+    fused crawl pipeline (plans/crawl.py), which needs to carry extra
+    columns (the capture URL) alongside the page."""
     esc = F.regexp_replace(
         F.regexp_replace(
             F.regexp_replace(F.col("text"), "&", "&amp;"), "<", "&lt;"
@@ -148,7 +148,7 @@ def wrap_docs_as_pages(docs: DataFrame) -> DataFrame:
         ">",
         "&gt;",
     )
-    page = F.concat(
+    return F.concat(
         F.lit("<html><head><title>Doc "),
         F.col("doc_id").cast("string"),
         F.lit("</title><script>var tracker = 'id-"),
@@ -161,7 +161,14 @@ def wrap_docs_as_pages(docs: DataFrame) -> DataFrame:
         F.col("source"),
         F.lit(" &middot; all rights reserved</footer></body></html>"),
     )
-    return docs.select("doc_id", "source", page.alias("html"))
+
+
+def wrap_docs_as_pages(docs: DataFrame) -> DataFrame:
+    """Wrap each document's text in a realistic page template — pure
+    native concat expressions (codegen), with entity escaping of the
+    payload (&, <, > — the three HTML must escape) so arbitrary text
+    survives the round-trip."""
+    return docs.select("doc_id", "source", html_page_expr().alias("html"))
 
 
 def html_extract_roundtrip(docs: DataFrame) -> DataFrame:

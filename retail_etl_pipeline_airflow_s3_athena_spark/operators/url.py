@@ -111,6 +111,28 @@ def url_canonical_dedup(
     )
 
 
+def url_dedup_keep_first(
+    captures: DataFrame, url_col: str = "target_uri"
+) -> DataFrame:
+    """Row-preserving variant of url_canonical_dedup: keep the WHOLE
+    capture row (payload columns included) of the lexicographically
+    first raw URI per canonical URL — the form a pipeline composes
+    (the collapsed captures continue downstream, e.g. into content
+    extraction).  One window shuffle on the canonical key; same flat
+    skew profile as the aggregate form."""
+    from pyspark.sql import Window
+
+    canon = captures.withColumn(
+        "canonical_url", canonical_url(url_col)
+    )
+    w = Window.partitionBy("canonical_url").orderBy(url_col)
+    return (
+        canon.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Deterministic messy-URL fixture: three capture variants per resource
 # ---------------------------------------------------------------------------

@@ -1,0 +1,86 @@
+"""The fused crawl → training pipeline (plans/crawl.py).
+
+Reference scope: none — end-to-end composition of the crawl-tier
+extensions (WARC ingest, URL canonical dedup, HTML extraction,
+curation/split/pack)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from retail_etl_pipeline_airflow_s3_athena_spark.operators import training
+from retail_etl_pipeline_airflow_s3_athena_spark.operators import url as url_ops
+from retail_etl_pipeline_airflow_s3_athena_spark.operators import warc as warc_ops
+from retail_etl_pipeline_airflow_s3_athena_spark.plans import crawl
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def test_fixture_packs_every_capture(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    caps = warc_ops.warc_ingest_uris(crawl.crawl_fixture_warcs(docs))
+    assert caps.count() == docs.count()  # one capture per doc, none lost
+
+
+def test_kept_capture_is_min_uri_variant(spark, sf_dir):
+    """For full 3-variant resources the kept capture is the v1 URI
+    ('HTTP://EXAMPLE.COM:80/…' sorts first) — so the surviving text
+    is the doc_id % 3 == 1 member's page."""
+    docs = _docs(spark, sf_dir).limit(60)
+    caps = warc_ops.warc_ingest_uris(crawl.crawl_fixture_warcs(docs))
+    kept = url_ops.url_dedup_keep_first(caps).collect()
+    for r in kept:
+        assert r["target_uri"] == min(
+            c["target_uri"]
+            for c in caps.collect()
+            if url_ops and c["target_uri"].split("/doc/")[1].split("?")[0]
+            == r["target_uri"].split("/doc/")[1].split("?")[0]
+        )
+
+
+def test_end_to_end_equals_training_set_over_kept_docs(spark, sf_dir):
+    """The fused plan equals build_training_set applied to the
+    locally-derived kept-doc table (resource id, kept variant's
+    text) — each stage's semantics survive the composition."""
+    docs = _docs(spark, sf_dir)
+    rows = {
+        r["doc_id"]: r["text"]
+        for r in docs.select("doc_id", "text").collect()
+    }
+    # local re-derivation of the kept capture per resource
+    import itertools
+
+    kept = {}
+    for did, text in rows.items():
+        g, v = did // 3, did % 3
+        uri = {
+            0: f"http://example.com/doc/{g}?page=2",
+            1: f"HTTP://EXAMPLE.COM:80/doc/{g}?utm_campaign=retail&page=2",
+            2: f"http://Example.Com:80/doc/{g}?page=2&fbclid=abc123#frag-{did}",
+        }[v]
+        if g not in kept or uri < kept[g][0]:
+            kept[g] = (uri, text)
+    kept_df = spark.createDataFrame(
+        [(g, t) for g, (_u, t) in kept.items()], ["doc_id", "text"]
+    )
+    want = sorted(
+        tuple(r)
+        for r in training.build_training_set(kept_df).collect()
+    )
+    got = sorted(
+        tuple(r) for r in crawl.crawl_to_training_set(docs).collect()
+    )
+    assert got == want
+    assert len(got) > 0
+
+
+def test_single_scan_plan(spark, sf_dir):
+    plan = (
+        crawl.crawl_to_training_set(_docs(spark, sf_dir))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Scan parquet") == 1, plan

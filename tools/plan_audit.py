@@ -44,6 +44,7 @@ AUDIT = [
     "url_canonical_dedup",
     "multimodal_training_set",
     "multimodal_manifest",
+    "crawl_to_training_set",
     "near_dup_pairs",
     "simhash_near_dup",
     "embedding_near_dup_lsh",
