@@ -16,7 +16,7 @@ Everything is stdlib-implementable and integer-exact:
   compositing), which keeps every frame decodable in isolation —
   the MJPEG-style frame-granularity parallelism.
 
-Loud-fail frontier: interlaced images, transparency compositing
+Loud-fail frontier: transparency compositing
 (GCE transparent-color index), partial-frame placement (a frame whose
 descriptor is not the full canvas), and sorted/missing color tables
 degrade to ``NotImplementedError`` with the reason — the
@@ -187,10 +187,11 @@ def _sub_blocks(data: bytes) -> bytes:
 
 
 def write_gif(frames: list[np.ndarray], palette: np.ndarray,
-              delay_cs: int = 10) -> bytes:
+              delay_cs: int = 10, interlace: bool = False) -> bytes:
     """Index frames (h, w) uint8 + palette (n, 3) uint8 -> a complete
     GIF89a: global color table, one GCE + full-canvas image descriptor
-    per frame, LZW-compressed."""
+    per frame, LZW-compressed.  ``interlace`` transmits rows in the
+    appendix-E four-pass order (descriptor flag 0x40)."""
     h, w = frames[0].shape
     n = len(palette)
     depth = max(2, (n - 1).bit_length())
@@ -209,18 +210,36 @@ def write_gif(frames: list[np.ndarray], palette: np.ndarray,
         out += b"\x21\xf9\x04" + struct.pack(
             "<BHB", 0x04, delay_cs, 0
         ) + b"\x00"  # GCE: disposal=1 (keep), no transparency
-        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        out += b"\x2c" + struct.pack(
+            "<HHHHB", 0, 0, w, h, 0x40 if interlace else 0
+        )
         mcs = max(2, depth)
         out += bytes([mcs])
-        out += _sub_blocks(lzw_encode(frame.reshape(-1).tobytes(), mcs))
+        rows = frame[_interlace_order(h)] if interlace else frame
+        out += _sub_blocks(lzw_encode(rows.reshape(-1).tobytes(), mcs))
     out += b"\x3b"
     return bytes(out)
 
 
+def _interlace_order(h: int) -> np.ndarray:
+    """GIF 89a appendix E interlace: the four-pass row transmission
+    order (rows 0::8, then 4::8, then 2::4, then 1::2)."""
+    return np.concatenate(
+        [
+            np.arange(0, h, 8),
+            np.arange(4, h, 8),
+            np.arange(2, h, 4),
+            np.arange(1, h, 2),
+        ]
+    )
+
+
 def parse_gif(payload: bytes) -> tuple[np.ndarray, list[np.ndarray]]:
     """-> (palette (n,3) uint8, [index frames (h,w) uint8]).
-    Loud-fails on non-GIF input, interlace, transparency, partial-
-    frame placement, local color tables, and missing GCT."""
+    Interlaced frames (the four-pass row order) are de-interlaced by
+    the inverse row scatter — decoded pixels are identical to the
+    progressive transport.  Loud-fails on non-GIF input, transparency,
+    partial-frame placement, local color tables, and missing GCT."""
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise NotImplementedError(
             "not a GIF payload; only GIF87a/89a decode here"
@@ -259,8 +278,6 @@ def parse_gif(payload: bytes) -> tuple[np.ndarray, list[np.ndarray]]:
                 "<HHHHB", payload, pos + 1
             )
             pos += 10
-            if iflags & 0x40:
-                raise NotImplementedError("interlaced GIF not supported")
             if iflags & 0x80:
                 raise NotImplementedError(
                     "GIF local color tables not supported"
@@ -285,6 +302,11 @@ def parse_gif(payload: bytes) -> tuple[np.ndarray, list[np.ndarray]]:
             idx = np.frombuffer(
                 lzw_decode(bytes(data), mcs, w * h), dtype=np.uint8
             ).reshape(h, w)
+            if iflags & 0x40:
+                # interlaced: stream row k is image row order[k]
+                out = np.empty_like(idx)
+                out[_interlace_order(h)] = idx
+                idx = out
             frames.append(idx)
         else:
             raise ValueError(f"unknown GIF block 0x{b:02X}")
@@ -321,7 +343,10 @@ def make_gif_clip(media_id: int) -> bytes:
         ((media_id * 3 + f * 5 + yy + xx * 2) % 32).astype(np.uint8)
         for f in range(n_frames)
     ]
-    return write_gif(frames, pal)
+    # every 3rd clip ships interlaced (appendix-E row order) — decoded
+    # pixels are identical, so the stats oracle is transport-blind
+    # while the corpus exercises the de-interlace path
+    return write_gif(frames, pal, interlace=(media_id % 3 == 1))
 
 
 def synthesize_gif_corpus(spark: SparkSession, n: int = 25) -> DataFrame:

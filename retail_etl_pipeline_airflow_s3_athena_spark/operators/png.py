@@ -214,18 +214,30 @@ def _filtered_body(
 
 
 def encode_png(
-    img: np.ndarray, filter_cycle: bool = True, interlace: bool = False
+    img: np.ndarray,
+    filter_cycle: bool = True,
+    interlace: bool = False,
+    gray_depth: int | None = None,
 ) -> bytes:
     """Encode an (h, w) or (h, w, c) array as a valid PNG: uint8 input
     writes bit depth 8, uint16 input writes bit depth 16 (big-endian
     sample bytes, RFC 2083 §7.2).  ``filter_cycle=True`` rotates the
     row filter through 0..4 so every defilter path gets exercised;
-    ``interlace`` writes the Adam7 seven-pass layout."""
+    ``interlace`` writes the Adam7 seven-pass layout.  ``gray_depth``
+    in {1, 2, 4} writes sub-byte grayscale — the input then holds
+    LEVEL values below 2**gray_depth (one channel)."""
     if img.ndim == 2:
         img = img[:, :, None]
     h, w, c = img.shape
     color_type = {1: 0, 2: 4, 3: 2, 4: 6}[c]
-    depth = 16 if img.dtype == np.uint16 else 8
+    if gray_depth is not None:
+        if gray_depth not in (1, 2, 4) or c != 1:
+            raise ValueError("gray_depth requires 1/2/4 and one channel")
+        if int(img.max(initial=0)) >= (1 << gray_depth):
+            raise ValueError(f"gray level exceeds bit depth {gray_depth}")
+        depth = gray_depth
+    else:
+        depth = 16 if img.dtype == np.uint16 else 8
     body = _filtered_body(
         img.astype(np.int64), depth, filter_cycle, interlace
     )
@@ -278,14 +290,17 @@ def decode_png(payload: bytes) -> np.ndarray:
     - 8-bit grayscale/gray+alpha/RGB/RGBA -> (h, w, c) uint8
     - 1/2/4/8-bit palette (color type 3, PLTE lookup; sub-byte
       indices unpacked high-bits-first) -> (h, w, 3) uint8
+    - 1/2/4-bit grayscale (exact ×255/×85/×17 §7.2 sample scaling)
+      -> (h, w, 1) uint8
     - 16-bit grayscale/gray+alpha/RGB/RGBA (big-endian byte-pair
       fold) -> (h, w, c) uint16
     - Adam7 interlace for every supported depth/type (seven
       independently-filtered sub-images scattered back, RFC 2083 §8.2)
 
-    Raises ``NotImplementedError`` for sub-byte GRAYSCALE depths and
-    tRNS transparency (outside the integer-exact envelope this tier
-    guarantees) and ``ValueError`` for corrupt streams."""
+    This is the complete LEGAL IHDR envelope (every valid bit-depth ×
+    color-type combination).  The one remaining
+    ``NotImplementedError`` is tRNS transparency; corrupt streams and
+    illegal depth/type combinations raise ``ValueError``."""
     if payload[:8] != PNG_MAGIC:
         raise ValueError("not a PNG stream")
     pos = 8
@@ -318,15 +333,17 @@ def decode_png(payload: bytes) -> np.ndarray:
         raise ValueError("PNG missing IHDR/IDAT")
     w, h, depth, color_type, comp, filt, interlace = ihdr
     is_palette = color_type == 3
+    is_subbyte_gray = color_type == 0 and depth in (1, 2, 4)
     if is_palette:
         if depth not in (1, 2, 4, 8):
             raise ValueError(f"invalid palette PNG bit depth {depth}")
-    elif color_type not in _COLOR_CHANNELS or depth not in (8, 16):
-        raise NotImplementedError(
-            f"PNG bit depth {depth} / color type {color_type} requires "
-            "imaging libraries not present in this environment; only "
-            "8/16-bit grayscale/gray+alpha/RGB/RGBA and 1/2/4/8-bit "
-            "palette decode"
+    elif color_type not in _COLOR_CHANNELS or (
+        depth not in (8, 16) and not is_subbyte_gray
+    ):
+        # sub-byte depths are only LEGAL for grayscale and palette
+        # (RFC 2083 §4.1.1) — anything else is a corrupt header
+        raise ValueError(
+            f"invalid PNG bit depth {depth} / color type {color_type}"
         )
     if interlace not in (0, 1):
         raise ValueError(f"invalid PNG interlace method {interlace}")
@@ -360,6 +377,10 @@ def decode_png(payload: bytes) -> np.ndarray:
         return plte[idx]  # (h, w, 3) uint8 — join-free integer map
     if depth == 16:
         return samples.astype(np.uint16)
+    if is_subbyte_gray:
+        # RFC 2083 §7.2 sample scaling: 255/(2^d − 1) is EXACTLY
+        # 255/85/17 for d=1/2/4, so sub-byte gray stays integer-exact
+        return (samples * (255 // ((1 << depth) - 1))).astype(np.uint8)
     return samples.astype(np.uint8)
 
 
@@ -433,9 +454,13 @@ def make_png_image(media_id: int) -> bytes:
     (PLTE), 16-bit grayscale, and Adam7-interlaced RGB + 4-bit
     palette — so every corpus exercises every decode path (r9 verdict
     #4 widened the cycle with the sub-byte and interlaced variants)."""
-    variant = media_id % 9
+    variant = media_id % 10
     w = 16 + (media_id * 7) % 48
     h = 16 + (media_id * 11) % 48
+    if variant == 9:  # interlaced 2-bit grayscale (levels 0..3)
+        yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+        levels = ((media_id + yy * 3 + xx) % 4).astype(np.uint8)
+        return encode_png(levels, gray_depth=2, interlace=True)
     if variant == 3:  # 8-bit palette
         idx, palette = _palette_fixture(media_id, h, w, 8)
         return encode_png_palette(idx, palette)

@@ -40,12 +40,6 @@ def test_container_roundtrip_is_pixel_exact():
 def test_loud_fail_frontier():
     with pytest.raises(NotImplementedError):
         G.parse_gif(b"\x89PNG" + b"\x00" * 30)
-    p = bytearray(G.make_gif_clip(1))
-    # flip the first image descriptor's interlace flag
-    idx = bytes(p).index(b"\x2c")
-    p[idx + 9] |= 0x40
-    with pytest.raises(NotImplementedError, match="interlaced"):
-        G.parse_gif(bytes(p))
     # transparency flag in the GCE
     p = bytearray(G.make_gif_clip(1))
     gce = bytes(p).index(b"\x21\xf9")
@@ -61,3 +55,32 @@ def test_distributed_matches_local(spark):
         got.setdefault(r["media_id"], []).append(tuple(r)[1:])
     for mid in range(10):
         assert got[mid] == G.gif_frame_stats(G.make_gif_clip(mid))
+
+
+def test_interlace_is_transport_blind():
+    """r10: appendix-E interlace decodes to EXACTLY the progressive
+    pixels — same frames, same stats — while the bytes differ (the
+    four-pass row order really is on the wire)."""
+    import numpy as np
+
+    h, w = 13, 9  # odd sizes exercise ragged pass boundaries
+    yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    frames = [((f * 5 + yy * 3 + xx) % 16).astype(np.uint8) for f in range(3)]
+    pal = (np.arange(16 * 3).reshape(16, 3) % 256).astype(np.uint8)
+    prog = G.write_gif(frames, pal)
+    inter = G.write_gif(frames, pal, interlace=True)
+    assert prog != inter
+    _, got_p = G.parse_gif(prog)
+    _, got_i = G.parse_gif(inter)
+    for a, b, src in zip(got_p, got_i, frames):
+        assert (a == src).all() and (b == src).all()
+    # the fixture cycle really ships interlaced clips (flag 0x40)
+    clip = G.make_gif_clip(1)  # 1 % 3 == 1 -> interlaced
+    idx = clip.index(b"\x2c")
+    assert clip[idx + 9] & 0x40
+    G.gif_frame_stats(clip)  # decodes
+
+
+def test_interlace_order_pinned():
+    """Appendix E for h=10: rows 0,8 | 4 | 2,6 | 1,3,5,7,9."""
+    assert G._interlace_order(10).tolist() == [0, 8, 4, 2, 6, 1, 3, 5, 7, 9]

@@ -104,13 +104,13 @@ def test_loud_fail_on_unsupported_and_corrupt():
         png.decode_png(b"JFIF" + good[4:])
     with pytest.raises(ValueError):
         png.decode_png(good[:40])  # truncated chunk
-    # sub-byte NON-palette depth: flip IHDR depth byte to 4 (offset
-    # 8+8=IHDR data at 16; depth is byte 8 of IHDR data) — the
-    # loud-fail frontier after r10 is sub-byte GRAYSCALE/RGB only
-    # (sub-byte palette now decodes)
+    # sub-byte RGB: depth 4 + color type 2 is ILLEGAL PNG (sub-byte
+    # is legal only for grayscale and palette) — corrupt header, not
+    # an unimplemented feature (r10 widened gray/palette sub-byte
+    # into the envelope; tRNS is the only NotImplementedError left)
     deep = bytearray(good)
     deep[16 + 8] = 4
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         png.decode_png(bytes(deep))
     # sub-byte palette is IN-envelope now — relabeling this 8-bit RGB
     # stream as 4-bit palette must fail as CORRUPT (stream-length
@@ -266,3 +266,23 @@ def test_fixture_cycle_covers_new_variants():
     assert (1, 3, 0) in seen  # 1-bit palette
     assert (8, 2, 1) in seen  # interlaced RGB
     assert (2, 3, 1) in seen  # interlaced 2-bit palette
+
+
+def test_roundtrip_sub_byte_grayscale():
+    """r10: 1/2/4-bit grayscale — exact x255/x85/x17 sample scaling,
+    progressive and Adam7, odd sizes."""
+    rng = np.random.default_rng(5)
+    for h, w in [(1, 1), (5, 7), (8, 8), (11, 30)]:
+        for depth in (1, 2, 4):
+            levels = rng.integers(0, 1 << depth, size=(h, w)).astype(
+                np.uint8
+            )
+            want = (levels * (255 // ((1 << depth) - 1)))[:, :, None]
+            for inter in (False, True):
+                got = png.decode_png(
+                    png.encode_png(
+                        levels, gray_depth=depth, interlace=inter
+                    )
+                )
+                assert got.dtype == np.uint8
+                assert np.array_equal(got, want)
