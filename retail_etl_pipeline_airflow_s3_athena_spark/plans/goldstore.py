@@ -367,7 +367,14 @@ def retain_gold_daily(
     Plan shape: one scan of the (KB-to-MB-scale) partial store, one
     groupBy merge of the expired rows, one partitioned write, atomic
     swap.  Never touches the fact table."""
-    store = spark.read.parquet(path)
+    # batch ids are STRINGS even when they look numeric (the streaming
+    # writer keys partitions by Spark's integer batchId): partition
+    # type inference would otherwise type `batch` BIGINT and the
+    # `__compacted__` literal could never join the column (caught by
+    # test_streaming_loop_composes_with_retention)
+    store = spark.read.parquet(path).withColumn(
+        "batch", F.col("batch").cast("string")
+    )
     frontier_row = store.agg(F.max("sale_date").alias("f")).collect()[0]
     if frontier_row["f"] is None:
         return {"cutoff": None, "folded_dates": 0, "batches_after": 0}

@@ -185,3 +185,25 @@ def test_retention_refuses_replay_behind_watermark(spark, sf_dir):
     served = _rows(goldstore.serve_gold_daily(spark, path))
     direct = _rows(gold.daily_sales_summary(st))
     assert served == direct
+
+
+def test_streaming_loop_composes_with_retention(spark, sf_dir):
+    """The full lifecycle under the STREAMING writer: stream
+    micro-batches into the partial store, RETAIN mid-stream, keep
+    ingesting ahead of the watermark — serve stays bit-identical to
+    the batch recompute, and a replay of a folded early batch is
+    refused (write_gold_partials is the foreachBatch sink, so the
+    guard protects the streaming path too)."""
+    st, b0, b1, b2 = _batches(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="goldstore_stream_ret_")
+    # streamed history: the foreachBatch sink is write_gold_partials
+    # keyed by batch_id — drive it directly (the micro-batch contract)
+    goldstore.write_gold_partials(b0, path, "0")
+    goldstore.write_gold_partials(b1, path, "1")
+    goldstore.retain_gold_daily(spark, path, keep_days=120)
+    with pytest.raises(ValueError, match="watermark"):
+        goldstore.write_gold_partials(b0, path, "0")  # crash-replay of 0
+    goldstore.write_gold_partials(b2, path, "2")
+    goldstore.write_gold_partials(b2, path, "2")  # replay AHEAD: fine
+    served = _rows(goldstore.serve_gold_daily(spark, path))
+    assert served == _rows(gold.daily_sales_summary(st))
