@@ -1614,6 +1614,39 @@ def _q_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return url_ops.url_canonical_dedup(caps).orderBy("canonical_url")
 
 
+def _q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines source + sink under the oracle gate (the bronze CSV
+    discipline applied to the training-data interchange format):
+    documents written as JSONL shards partitioned by source
+    (writers.write_jsonl_shards), read back with an explicit schema
+    (readers.read_jsonl — no inference pass), reduced to the per-doc
+    text surface.  Any character the RFC 8259 escape/unescape path
+    corrupts — quotes, control chars, unicode — flips the hash
+    against plain SQL over the original parquet; the source partition
+    column round-trips through the directory layout."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    base = tempfile.mkdtemp(prefix="jsonl_gate_")
+    docs = _docs(spark, sf_dir).select("doc_id", "source", "text")
+    writers.write_jsonl_shards(docs, base, "docs", shard_cols=["source"])
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("source", T.StringType()),
+        ]
+    )
+    back = readers.read_jsonl(spark, f"{base}/docs", schema)
+    return back.select(
+        "doc_id",
+        "source",
+        "text",
+        F.length("text").cast("long").alias("n_chars"),
+    ).orderBy("doc_id")
+
+
 def _q_crawl_to_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The FUSED crawl front door (plans/crawl.py): real WARC bytes
     (HTML bodies under three messy capture URIs per resource) →
@@ -2008,6 +2041,7 @@ GATE_FIRST_50 = [
     "multimodal_training_set",
     "multimodal_manifest",
     "crawl_to_training_set",
+    "jsonl_roundtrip",
     "quality_model_scores",
     "quality_model_fit",
     "png_features",
@@ -2044,7 +2078,6 @@ GATE_FIRST_50 = [
     "bigram_vocab",
     "churned_buyers",
     "concurrent_sessions",
-    "dedup_exact",
     "daily_sales_summary",
     "top_customers",
     "product_performance",
@@ -2056,9 +2089,10 @@ GATE_FIRST_50 = [
 ]
 
 GATE_TAIL = [
-    # displaced from the r10 window to fit crawl_to_training_set —
-    # next in line for r11
+    # displaced from the r10 window to fit crawl_to_training_set and
+    # jsonl_roundtrip — next in line for r11
     "doc_chunks",
+    "dedup_exact",
     "hash_sample_events",
     "late_shipment_priority",
     "pack_bins",
@@ -2289,6 +2323,7 @@ def _all_queries() -> dict[str, QueryFn]:
         "multimodal_training_set": _q_multimodal_training_set,
         "multimodal_manifest": _q_multimodal_manifest,
         "crawl_to_training_set": _q_crawl_to_training_set,
+        "jsonl_roundtrip": _q_jsonl_roundtrip,
         "video_near_dup": _q_video_near_dup,
         "audio_near_dup": _q_audio_near_dup,
         "html_extract_docs": _q_html_extract_docs,
@@ -3040,6 +3075,11 @@ def oracle_sql() -> dict[str, str]:
     )
     oracles["crawl_to_training_set"] = (
         crawl_plans.oracle_crawl_to_training_set_sql()
+    )
+    oracles["jsonl_roundtrip"] = (
+        "SELECT doc_id, source, text, "
+        "CAST(LENGTH(text) AS BIGINT) AS n_chars "
+        "FROM documents ORDER BY doc_id"
     )
     _census_rows = [
         f"('{k}', {n}, {u}, '{fold}')"

@@ -271,6 +271,8 @@ STANDALONE = [
     # r10: the fused crawl front door (WARC -> URL dedup -> HTML
     # extract -> curation/split/pack, one lazy plan)
     "crawl_to_training_set",
+    # r10: JSONL shard sink/source round-trip (RFC 8259 escaping)
+    "jsonl_roundtrip",
     # r9 (cont.): compressed audio (RIFF/WAV + IMA ADPCM) and
     # compressed video (AVI + MJPEG) decode
     "wav_features",

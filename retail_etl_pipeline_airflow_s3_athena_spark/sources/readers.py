@@ -356,3 +356,14 @@ def read_silver_merged(
     return (
         spark.read.option("mergeSchema", "true").parquet(f"{base_dir}/{table}")
     )
+
+
+def read_jsonl(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """JSON-lines source.  With ``schema`` the read is a pure parse
+    (no inference pass — the 100 TB default: schema lives in the
+    manifest, not in a second full scan); without it Spark samples for
+    inference, acceptable only for exploration."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)

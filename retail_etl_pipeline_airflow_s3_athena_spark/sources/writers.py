@@ -139,3 +139,25 @@ def write_clustered(
         .parquet(path)
     )
     return path
+
+
+def write_jsonl_shards(
+    df: DataFrame, base_dir: str, table: str, shard_cols: list[str] | None = None
+) -> str:
+    """JSON-lines sink — the interchange format training pipelines
+    actually feed tokenizer/trainer jobs (one JSON object per line,
+    gzip-friendly, schema-on-read).  ``shard_cols`` (e.g.
+    ['split', 'bin_id']) directory-partitions the output so a trainer
+    reads exactly its shard.  Spark's native json writer escapes
+    control characters, quotes, and non-BMP text per RFC 8259, so
+    arbitrary document text round-trips; compression stays splittable
+    at the file level (one shard = a few files).
+
+    Reference scope: none (the reference stops at CSV/parquet) —
+    extension coverage for the training-data tier."""
+    path = f"{base_dir}/{table}"
+    w = df.write.mode("overwrite")
+    if shard_cols:
+        w = w.partitionBy(*shard_cols)
+    w.json(path)
+    return path

@@ -594,3 +594,37 @@ def test_gated_bucketed_join_is_shuffle_free_on_key(spark, sf_dir):
         if re.search(r"Exchange.*custkey", l)
     ]
     assert not key_exchanges, key_exchanges
+
+
+def test_jsonl_shards_escape_hostile_text(spark):
+    """The JSONL round-trip must survive text CSV would mangle:
+    quotes, backslashes, newlines, tabs, unicode, emoji, and the JSON
+    control range."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from retail_etl_pipeline_airflow_s3_athena_spark.sources import readers, writers
+
+    hostile = [
+        (0, "a", 'he said "hi"' + chr(10) + "then left" + chr(9) + "\\end"),
+        (1, "a", "unicode: café — \U0001f600 " + chr(1) + "ctl"),
+        (2, "b", '{"not": "json"}'),
+        (3, "b", ""),
+    ]
+    df = spark.createDataFrame(hostile, ["doc_id", "source", "text"])
+    base = tempfile.mkdtemp(prefix="jsonl_t_")
+    writers.write_jsonl_shards(df, base, "docs", shard_cols=["source"])
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("source", T.StringType()),
+        ]
+    )
+    back = {
+        r["doc_id"]: (r["source"], r["text"])
+        for r in readers.read_jsonl(spark, f"{base}/docs", schema).collect()
+    }
+    for did, src, text in hostile:
+        assert back[did] == (src, text)
