@@ -1614,6 +1614,30 @@ def _q_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return url_ops.url_canonical_dedup(caps).orderBy("canonical_url")
 
 
+def _q_multimodal_manifest_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-rebuild audit across modalities: the 'old' build is
+    the documents table minus a content-hash decile AND a media corpus
+    missing its last shard (54 of 72 items); the 'new' build is both
+    in full.  The diff names exactly which interleaved shards the late
+    text + media dirty and proves the rest checksum-identical without
+    re-decoding any payload."""
+    from retail_etl_pipeline_airflow_s3_athena_spark.operators.dedup import _md5_hash
+
+    docs = _docs(spark, sf_dir)
+    old_docs = docs.filter(
+        _md5_hash(F.col("doc_id").cast("string")) % 10 < 9
+    )
+    routed_old = router_ops.route_media(
+        router_ops.synthesize_mixed_corpus(spark, n=54)
+    )
+    routed_new = router_ops.route_media(
+        router_ops.synthesize_mixed_corpus(spark, n=72)
+    )
+    return training_ops.multimodal_manifest_diff(
+        old_docs, routed_old, docs, routed_new
+    )
+
+
 def _q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON-lines source + sink under the oracle gate (the bronze CSV
     discipline applied to the training-data interchange format):
@@ -2042,6 +2066,7 @@ GATE_FIRST_50 = [
     "multimodal_manifest",
     "crawl_to_training_set",
     "jsonl_roundtrip",
+    "multimodal_manifest_diff",
     "quality_model_scores",
     "quality_model_fit",
     "png_features",
@@ -2077,7 +2102,6 @@ GATE_FIRST_50 = [
     "big_orders",
     "bigram_vocab",
     "churned_buyers",
-    "concurrent_sessions",
     "daily_sales_summary",
     "top_customers",
     "product_performance",
@@ -2093,6 +2117,7 @@ GATE_TAIL = [
     # jsonl_roundtrip — next in line for r11
     "doc_chunks",
     "dedup_exact",
+    "concurrent_sessions",
     "hash_sample_events",
     "late_shipment_priority",
     "pack_bins",
@@ -2324,6 +2349,7 @@ def _all_queries() -> dict[str, QueryFn]:
         "multimodal_manifest": _q_multimodal_manifest,
         "crawl_to_training_set": _q_crawl_to_training_set,
         "jsonl_roundtrip": _q_jsonl_roundtrip,
+        "multimodal_manifest_diff": _q_multimodal_manifest_diff,
         "video_near_dup": _q_video_near_dup,
         "audio_near_dup": _q_audio_near_dup,
         "html_extract_docs": _q_html_extract_docs,
@@ -3080,6 +3106,17 @@ def oracle_sql() -> dict[str, str]:
         "SELECT doc_id, source, text, "
         "CAST(LENGTH(text) AS BIGINT) AS n_chars "
         "FROM documents ORDER BY doc_id"
+    )
+    _mm_rows_old = [
+        (mid, *router_ops.decode_any(bytes(p))[:2])
+        for mid, p in router_ops._mixed_payloads(54)
+    ]
+    oracles["multimodal_manifest_diff"] = (
+        training_ops.oracle_multimodal_manifest_diff_sql(
+            _mm_rows_old,
+            _mm_rows,
+            f"{_diff_hash('CAST(doc_id AS VARCHAR)')} % 10 < 9",
+        )
     )
     _census_rows = [
         f"('{k}', {n}, {u}, '{fold}')"

@@ -273,6 +273,8 @@ STANDALONE = [
     "crawl_to_training_set",
     # r10: JSONL shard sink/source round-trip (RFC 8259 escaping)
     "jsonl_roundtrip",
+    # r10: incremental rebuild audit across modalities
+    "multimodal_manifest_diff",
     # r9 (cont.): compressed audio (RIFF/WAV + IMA ADPCM) and
     # compressed video (AVI + MJPEG) decode
     "wav_features",

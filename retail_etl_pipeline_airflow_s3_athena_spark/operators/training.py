@@ -915,3 +915,87 @@ def oracle_multimodal_manifest_sql(
         GROUP BY 1, 2
         ORDER BY split, bin_id"""
     )
+
+
+def multimodal_manifest_diff(
+    docs_old: DataFrame,
+    routed_old: DataFrame,
+    docs_new: DataFrame,
+    routed_new: DataFrame,
+) -> DataFrame:
+    """Shard-level diff of two multimodal builds via their
+    :func:`multimodal_manifest` rows — the manifest_diff discipline
+    extended across modalities.  The incremental scenario it audits:
+    a late media shard (or a document backfill) lands, and the diff
+    names exactly which interleaved training shards must re-emit
+    while proving the rest identical by checksum, without re-decoding
+    a single payload.  Same plan shape as manifest_diff: two manifest
+    builds + one full outer join on the #shards-row key space."""
+    a = multimodal_manifest(docs_old, routed_old).withColumnsRenamed(
+        {
+            "n_items": "n_items_old",
+            "shard_tokens": "tokens_old",
+            "checksum": "ck_old",
+        }
+    ).drop("n_text", "n_media")
+    b = multimodal_manifest(docs_new, routed_new).withColumnsRenamed(
+        {
+            "n_items": "n_items_new",
+            "shard_tokens": "tokens_new",
+            "checksum": "ck_new",
+        }
+    ).drop("n_text", "n_media")
+    j = a.join(b, ["split", "bin_id"], "full_outer")
+    status = (
+        F.when(F.col("ck_old").isNull(), F.lit("added"))
+        .when(F.col("ck_new").isNull(), F.lit("removed"))
+        .when(
+            (F.col("ck_old") == F.col("ck_new"))
+            & (F.col("n_items_old") == F.col("n_items_new"))
+            & (F.col("tokens_old") == F.col("tokens_new")),
+            F.lit("unchanged"),
+        )
+        .otherwise(F.lit("changed"))
+    )
+    return j.select(
+        "split",
+        "bin_id",
+        status.alias("status"),
+        F.coalesce("n_items_old", F.lit(0)).alias("n_items_old"),
+        F.coalesce("n_items_new", F.lit(0)).alias("n_items_new"),
+        F.coalesce("tokens_old", F.lit(0)).alias("tokens_old"),
+        F.coalesce("tokens_new", F.lit(0)).alias("tokens_new"),
+    ).orderBy("split", "bin_id")
+
+
+def oracle_multimodal_manifest_diff_sql(
+    media_rows_old: list[tuple[int, str, int]],
+    media_rows_new: list[tuple[int, str, int]],
+    old_filter: str,
+    table: str = "documents",
+    t: str = "text",
+) -> str:
+    a = oracle_multimodal_manifest_sql(
+        media_rows_old,
+        table=f"(SELECT * FROM {table} WHERE {old_filter}) old_docs",
+        t=t,
+    )
+    b = oracle_multimodal_manifest_sql(media_rows_new, table, t)
+    return f"""
+        SELECT COALESCE(a.split, b.split) AS split,
+               COALESCE(a.bin_id, b.bin_id) AS bin_id,
+               CASE WHEN a.checksum IS NULL THEN 'added'
+                    WHEN b.checksum IS NULL THEN 'removed'
+                    WHEN a.checksum = b.checksum
+                         AND a.n_items = b.n_items
+                         AND a.shard_tokens = b.shard_tokens
+                        THEN 'unchanged'
+                    ELSE 'changed' END AS status,
+               CAST(COALESCE(a.n_items, 0) AS BIGINT) AS n_items_old,
+               CAST(COALESCE(b.n_items, 0) AS BIGINT) AS n_items_new,
+               CAST(COALESCE(a.shard_tokens, 0) AS BIGINT) AS tokens_old,
+               CAST(COALESCE(b.shard_tokens, 0) AS BIGINT) AS tokens_new
+        FROM ({a}) a
+        FULL OUTER JOIN ({b}) b
+          ON a.split = b.split AND a.bin_id = b.bin_id
+        ORDER BY split, bin_id"""

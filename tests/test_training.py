@@ -370,3 +370,22 @@ def test_multimodal_manifest_checksum_flags_membership(spark, sf_dir):
         or m_less[k]["n_items"] != v["n_items"]
         for k, v in m_full.items()
     )
+
+
+def test_multimodal_manifest_diff_blast_radius(spark, sf_dir):
+    """Removing one doc and adding late media dirties SOME shards and
+    leaves the rest checksum-identical; identical builds diff to all
+    'unchanged'."""
+    from retail_etl_pipeline_airflow_s3_athena_spark.operators import router
+
+    docs, routed = _mm_inputs(spark, sf_dir)
+    same = training.multimodal_manifest_diff(docs, routed, docs, routed)
+    assert {r["status"] for r in same.collect()} == {"unchanged"}
+
+    routed_old = router.route_media(router.synthesize_mixed_corpus(spark, n=18))
+    diff = training.multimodal_manifest_diff(
+        docs.filter(F.col("doc_id") != 7), routed_old, docs, routed
+    ).collect()
+    statuses = {r["status"] for r in diff}
+    assert "unchanged" in statuses  # blast radius is bounded
+    assert statuses & {"changed", "added", "removed"}  # and nonzero
