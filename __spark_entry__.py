@@ -1638,6 +1638,14 @@ def _q_multimodal_manifest_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_crawl_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tiered crawl-dedup FUNNEL as one gated row: captures →
+    URL-canonical dedup → content-fingerprint dedup → quality gate,
+    with exact e4 drop rates per tier (plans/crawl.py).  The oracle
+    re-derives all four counts and every rate in SQL."""
+    return crawl_plans.crawl_dedup_report(_docs(spark, sf_dir))
+
+
 def _q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON-lines source + sink under the oracle gate (the bronze CSV
     discipline applied to the training-data interchange format):
@@ -2067,6 +2075,7 @@ GATE_FIRST_50 = [
     "crawl_to_training_set",
     "jsonl_roundtrip",
     "multimodal_manifest_diff",
+    "crawl_dedup_report",
     "quality_model_scores",
     "quality_model_fit",
     "png_features",
@@ -2101,7 +2110,6 @@ GATE_FIRST_50 = [
     "encode_token_ids",
     "big_orders",
     "bigram_vocab",
-    "churned_buyers",
     "daily_sales_summary",
     "top_customers",
     "product_performance",
@@ -2118,6 +2126,7 @@ GATE_TAIL = [
     "doc_chunks",
     "dedup_exact",
     "concurrent_sessions",
+    "churned_buyers",
     "hash_sample_events",
     "late_shipment_priority",
     "pack_bins",
@@ -2350,6 +2359,7 @@ def _all_queries() -> dict[str, QueryFn]:
         "crawl_to_training_set": _q_crawl_to_training_set,
         "jsonl_roundtrip": _q_jsonl_roundtrip,
         "multimodal_manifest_diff": _q_multimodal_manifest_diff,
+        "crawl_dedup_report": _q_crawl_dedup_report,
         "video_near_dup": _q_video_near_dup,
         "audio_near_dup": _q_audio_near_dup,
         "html_extract_docs": _q_html_extract_docs,
@@ -3101,6 +3111,9 @@ def oracle_sql() -> dict[str, str]:
     )
     oracles["crawl_to_training_set"] = (
         crawl_plans.oracle_crawl_to_training_set_sql()
+    )
+    oracles["crawl_dedup_report"] = (
+        crawl_plans.oracle_crawl_dedup_report_sql()
     )
     oracles["jsonl_roundtrip"] = (
         "SELECT doc_id, source, text, "

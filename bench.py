@@ -275,6 +275,8 @@ STANDALONE = [
     "jsonl_roundtrip",
     # r10: incremental rebuild audit across modalities
     "multimodal_manifest_diff",
+    # r10: tiered crawl dedup funnel report
+    "crawl_dedup_report",
     # r9 (cont.): compressed audio (RIFF/WAV + IMA ADPCM) and
     # compressed video (AVI + MJPEG) decode
     "wav_features",

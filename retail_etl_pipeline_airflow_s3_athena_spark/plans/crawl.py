@@ -102,3 +102,151 @@ def oracle_crawl_to_training_set_sql(table: str = "documents") -> str:
         GROUP BY canonical_url
     ) kept_docs"""
     return training.oracle_build_training_set_sql(table=kept)
+
+
+def crawl_dedup_report(docs: DataFrame) -> DataFrame:
+    """One-row crawl dedup FUNNEL over the WARC fixture — the report a
+    crawl-processing run publishes: captures ingested, resources after
+    URL-canonical dedup, unique documents after content-fingerprint
+    dedup, survivors of the quality gate, plus exact e4-scaled drop
+    rates per tier (integer arithmetic — no float in gate-checked
+    values).  Demonstrates WHY the tiers run in this order at 100 TB:
+    each stage's input is the previous stage's (strictly smaller)
+    output, and the cheap tiers (URL string groupBy) run before any
+    shingling or scoring.
+
+    Plan: the ingest lineage feeds one count branch and one
+    window+aggregate branch; the three 1-row aggregates combine via
+    bounded crossJoins (the documented scalar pattern)."""
+    from pyspark.sql import Window
+
+    from retail_etl_pipeline_airflow_s3_athena_spark.operators.dedup import _md5_hash
+    from retail_etl_pipeline_airflow_s3_athena_spark.operators.text import (
+        norm_expr,
+        quality_score,
+    )
+    from retail_etl_pipeline_airflow_s3_athena_spark.operators.training import (
+        CURATION_QUALITY_CUTOFF,
+    )
+
+    captures = warc_ops.warc_ingest_uris(crawl_fixture_warcs(docs))
+    kept = url_ops.url_dedup_keep_first(captures)
+    pages = kept.select(
+        F.regexp_extract("canonical_url", _RESOURCE_RE, 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.col("canonical_url").alias("source"),
+        F.col("text").alias("html"),
+    )
+    recovered = html_ops.html_extract(pages).select("doc_id", "text")
+    base = recovered.select(
+        "doc_id", norm_expr(F.col("text")).alias("norm_text")
+    ).withColumn("fingerprint", _md5_hash(F.col("norm_text")))
+    keeper = F.min("doc_id").over(Window.partitionBy("fingerprint"))
+    staged = base.withColumn("keeper", keeper)
+    a = captures.agg(F.count("*").alias("n_captures"))
+    b = staged.agg(
+        F.count("*").alias("n_resources"),
+        F.countDistinct("fingerprint").alias("n_unique_docs"),
+        F.sum(
+            (
+                (F.col("doc_id") == F.col("keeper"))
+                & (
+                    quality_score(F.col("norm_text"))
+                    >= CURATION_QUALITY_CUTOFF
+                )
+            ).cast("long")
+        ).alias("n_curated"),
+    )
+    return a.crossJoin(b).select(
+        "n_captures",
+        "n_resources",
+        "n_unique_docs",
+        "n_curated",
+        F.expr(
+            "CAST((n_captures - n_resources) * 10000"
+            " DIV n_captures AS BIGINT)"
+        ).alias("url_dup_rate_e4"),
+        F.expr(
+            "CAST((n_resources - n_unique_docs) * 10000"
+            " DIV n_resources AS BIGINT)"
+        ).alias("content_dup_rate_e4"),
+        F.expr(
+            "CAST((n_unique_docs - n_curated) * 10000"
+            " DIV n_unique_docs AS BIGINT)"
+        ).alias("quality_drop_rate_e4"),
+    )
+
+
+def oracle_crawl_dedup_report_sql(table: str = "documents") -> str:
+    from retail_etl_pipeline_airflow_s3_athena_spark.operators.dedup import (
+        _sql_md5_hash,
+    )
+    from retail_etl_pipeline_airflow_s3_athena_spark.operators.text import (
+        _sql_punct_ratio,
+        _sql_stopword_ratio,
+        _sql_token_count,
+        sql_dround,
+        sql_norm_expr,
+    )
+    from retail_etl_pipeline_airflow_s3_athena_spark.operators.training import (
+        CURATION_QUALITY_CUTOFF,
+    )
+
+    nt = "norm_text"
+    quality = sql_dround(
+        f"LEAST(1.0, {_sql_token_count(nt)} / 50.0)"
+        f" * (1.0 - {_sql_punct_ratio(nt)})"
+        f" * (0.5 + 0.5 * LEAST(1.0, {_sql_stopword_ratio(nt, 'en')} * 5.0))",
+        6,
+    )
+    return f"""
+        WITH caps AS (
+            SELECT text, {url_ops.sql_messy_url()} AS target_uri
+            FROM {table}
+        ),
+        canon AS (
+            SELECT text, target_uri,
+                   {url_ops.sql_canonical_url('target_uri')}
+                       AS canonical_url
+            FROM caps
+        ),
+        kept AS (
+            SELECT CAST(regexp_extract(canonical_url, '{_RESOURCE_RE}', 1)
+                        AS BIGINT) AS doc_id,
+                   arg_min(text, target_uri) AS text
+            FROM canon GROUP BY canonical_url
+        ),
+        base AS (
+            SELECT doc_id,
+                   {sql_norm_expr('text')} AS norm_text,
+                   {_sql_md5_hash(sql_norm_expr('text'))} AS fingerprint
+            FROM kept
+        ),
+        keepers AS (
+            SELECT fingerprint, MIN(doc_id) AS keeper
+            FROM base GROUP BY fingerprint
+        ),
+        counts AS (
+            SELECT (SELECT COUNT(*) FROM caps) AS n_captures,
+                   (SELECT COUNT(*) FROM base) AS n_resources,
+                   (SELECT COUNT(DISTINCT fingerprint) FROM base)
+                       AS n_unique_docs,
+                   (SELECT COUNT(*) FROM base b
+                    JOIN keepers k
+                      ON b.fingerprint = k.fingerprint
+                     AND b.doc_id = k.keeper
+                    WHERE {quality} >= {CURATION_QUALITY_CUTOFF})
+                       AS n_curated
+        )
+        SELECT CAST(n_captures AS BIGINT) AS n_captures,
+               CAST(n_resources AS BIGINT) AS n_resources,
+               CAST(n_unique_docs AS BIGINT) AS n_unique_docs,
+               CAST(n_curated AS BIGINT) AS n_curated,
+               CAST((n_captures - n_resources) * 10000
+                    // n_captures AS BIGINT) AS url_dup_rate_e4,
+               CAST((n_resources - n_unique_docs) * 10000
+                    // n_resources AS BIGINT) AS content_dup_rate_e4,
+               CAST((n_unique_docs - n_curated) * 10000
+                    // n_unique_docs AS BIGINT) AS quality_drop_rate_e4
+        FROM counts"""

@@ -84,3 +84,20 @@ def test_single_scan_plan(spark, sf_dir):
         .toString()
     )
     assert plan.count("Scan parquet") == 1, plan
+
+
+def test_dedup_report_funnel_invariants(spark, sf_dir):
+    [r] = crawl.crawl_dedup_report(_docs(spark, sf_dir)).collect()
+    assert (
+        r["n_captures"]
+        >= r["n_resources"]
+        >= r["n_unique_docs"]
+        >= r["n_curated"]
+        > 0
+    )
+    # three capture variants per full resource -> URL tier removes ~2/3
+    assert 6000 <= r["url_dup_rate_e4"] <= 6800
+    # exact integer rate arithmetic
+    assert r["url_dup_rate_e4"] == (
+        (r["n_captures"] - r["n_resources"]) * 10000 // r["n_captures"]
+    )
