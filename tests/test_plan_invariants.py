@@ -44,11 +44,13 @@ GLOBAL_WINDOW_OK = {
 }
 
 # cartesian sites: calendar-bounded day list (rolling window), the
-# 1-row funnel total, the 1-row doc-count scalar in tf-idf
+# 1-row funnel total, the 1-row doc-count scalar in tf-idf, and the
+# crawl report's 1-row x 1-row aggregate combine
 CARTESIAN_OK = {
     "rolling_distinct_users": 2,
     "funnel_conversion": 1,
     "tfidf_top_terms": 2,
+    "crawl_dedup_report": 2,
 }
 
 # current BNLJ counts (all bounded-broadcast sites) + headroom of 2;
@@ -88,6 +90,9 @@ BNLJ_CEILING = {
     # reviewed r8: the bounded K-row centroid crossJoin of the IVF
     # cell assignment, reprinted in the persisted-subtree text
     "pq_sdc_near_dup": 6,
+    # reviewed r10: the funnel report combines three 1-row aggregates
+    # (captures / staged / curated counts) — 1x1 crossJoins only
+    "crawl_dedup_report": 3,
 }
 
 

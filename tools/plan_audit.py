@@ -45,6 +45,9 @@ AUDIT = [
     "multimodal_training_set",
     "multimodal_manifest",
     "crawl_to_training_set",
+    "crawl_dedup_report",
+    "jsonl_roundtrip",
+    "multimodal_manifest_diff",
     "near_dup_pairs",
     "simhash_near_dup",
     "embedding_near_dup_lsh",
