@@ -158,23 +158,22 @@ def crawl_dedup_report(docs: DataFrame) -> DataFrame:
             ).cast("long")
         ).alias("n_curated"),
     )
+    def rate(num: str, den: str) -> F.Column:
+        # empty-corpus guard: ANSI DIV throws on a zero denominator
+        # (the empty-input sweep drives every query with zero rows)
+        return F.expr(
+            f"CASE WHEN {den} = 0 THEN CAST(0 AS BIGINT) "
+            f"ELSE CAST(({den} - {num}) * 10000 DIV {den} AS BIGINT) END"
+        )
+
     return a.crossJoin(b).select(
         "n_captures",
         "n_resources",
         "n_unique_docs",
         "n_curated",
-        F.expr(
-            "CAST((n_captures - n_resources) * 10000"
-            " DIV n_captures AS BIGINT)"
-        ).alias("url_dup_rate_e4"),
-        F.expr(
-            "CAST((n_resources - n_unique_docs) * 10000"
-            " DIV n_resources AS BIGINT)"
-        ).alias("content_dup_rate_e4"),
-        F.expr(
-            "CAST((n_unique_docs - n_curated) * 10000"
-            " DIV n_unique_docs AS BIGINT)"
-        ).alias("quality_drop_rate_e4"),
+        rate("n_resources", "n_captures").alias("url_dup_rate_e4"),
+        rate("n_unique_docs", "n_resources").alias("content_dup_rate_e4"),
+        rate("n_curated", "n_unique_docs").alias("quality_drop_rate_e4"),
     )
 
 

@@ -42,6 +42,7 @@ ALLOWED = (
     T.StringType,
     T.DateType,
     T.TimestampType,
+    T.TimestampNTZType,  # the repo standard (see verify gotchas)
     T.BooleanType,
 )
 
