@@ -181,6 +181,20 @@ def quality_model_scores(
         term = _lit_dec(w) * F.col(name).cast(_DEC)
         score = term if score is None else score + term
     margin = _lit_dec(2 * E6) * score - _lit_dec(thr)
+    # Runtime overflow guard: under non-ANSI Spark, decimal->long cast
+    # silently NULLs on overflow.  The bound is proven for the CURRENT
+    # weight/feature scales (test_margin_fits_bigint); if either grows,
+    # fail loudly per-row rather than serve NULL margins.
+    margin = F.when(
+        F.abs(margin) < _lit_dec(1 << 62), margin
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                "quality_model margin exceeds the BIGINT bound — "
+                "weights or feature scales grew past the fitted range"
+            )
+        )
+    )
     return feats.select(
         "doc_id",
         "label",

@@ -119,13 +119,28 @@ def url_dedup_keep_first(
     first raw URI per canonical URL — the form a pipeline composes
     (the collapsed captures continue downstream, e.g. into content
     extraction).  One window shuffle on the canonical key; same flat
-    skew profile as the aggregate form."""
+    skew profile as the aggregate form.
+
+    Determinism: the raw URI alone ties when the SAME URI is captured
+    twice (the common recrawl case), so every other orderable payload
+    column is a secondary sort key — the kept row is then a pure
+    function of the row set, never of partition order.  Rows that tie
+    on ALL orderable columns are full duplicates, where any keeper is
+    the same row."""
     from pyspark.sql import Window
+    from pyspark.sql.types import MapType
 
     canon = captures.withColumn(
         "canonical_url", canonical_url(url_col)
     )
-    w = Window.partitionBy("canonical_url").orderBy(url_col)
+    tiebreak = [
+        F.col(f.name)
+        for f in captures.schema.fields
+        if f.name != url_col and not isinstance(f.dataType, MapType)
+    ]
+    w = Window.partitionBy("canonical_url").orderBy(
+        F.col(url_col), *tiebreak
+    )
     return (
         canon.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)

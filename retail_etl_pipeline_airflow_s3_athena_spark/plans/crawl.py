@@ -88,7 +88,7 @@ def oracle_crawl_to_training_set_sql(table: str = "documents") -> str:
     kept = f"""(
         SELECT CAST(regexp_extract(canonical_url, '{_RESOURCE_RE}', 1)
                     AS BIGINT) AS doc_id,
-               arg_min(text, target_uri) AS text
+               arg_min(text, target_uri || chr(0) || text) AS text
         FROM (
             SELECT text, target_uri,
                    {url_ops.sql_canonical_url('target_uri')}
@@ -158,6 +158,11 @@ def crawl_dedup_report(docs: DataFrame) -> DataFrame:
             ).cast("long")
         ).alias("n_curated"),
     )
+    # SUM over zero rows is NULL; the oracle's COUNT-shaped twin gives 0
+    b = b.withColumn(
+        "n_curated", F.coalesce(F.col("n_curated"), F.lit(0).cast("long"))
+    )
+
     def rate(num: str, den: str) -> F.Column:
         # empty-corpus guard: ANSI DIV throws on a zero denominator
         # (the empty-input sweep drives every query with zero rows)
@@ -213,7 +218,7 @@ def oracle_crawl_dedup_report_sql(table: str = "documents") -> str:
         kept AS (
             SELECT CAST(regexp_extract(canonical_url, '{_RESOURCE_RE}', 1)
                         AS BIGINT) AS doc_id,
-                   arg_min(text, target_uri) AS text
+                   arg_min(text, target_uri || chr(0) || text) AS text
             FROM canon GROUP BY canonical_url
         ),
         base AS (
@@ -242,10 +247,15 @@ def oracle_crawl_dedup_report_sql(table: str = "documents") -> str:
                CAST(n_resources AS BIGINT) AS n_resources,
                CAST(n_unique_docs AS BIGINT) AS n_unique_docs,
                CAST(n_curated AS BIGINT) AS n_curated,
-               CAST((n_captures - n_resources) * 10000
-                    // n_captures AS BIGINT) AS url_dup_rate_e4,
-               CAST((n_resources - n_unique_docs) * 10000
-                    // n_resources AS BIGINT) AS content_dup_rate_e4,
-               CAST((n_unique_docs - n_curated) * 10000
-                    // n_unique_docs AS BIGINT) AS quality_drop_rate_e4
+               CAST(CASE WHEN n_captures = 0 THEN 0
+                    ELSE (n_captures - n_resources) * 10000 // n_captures
+                    END AS BIGINT) AS url_dup_rate_e4,
+               CAST(CASE WHEN n_resources = 0 THEN 0
+                    ELSE (n_resources - n_unique_docs) * 10000
+                         // n_resources
+                    END AS BIGINT) AS content_dup_rate_e4,
+               CAST(CASE WHEN n_unique_docs = 0 THEN 0
+                    ELSE (n_unique_docs - n_curated) * 10000
+                         // n_unique_docs
+                    END AS BIGINT) AS quality_drop_rate_e4
         FROM counts"""

@@ -217,19 +217,13 @@ def compact_gold_partials(
     """Fold all accumulated batch partitions into ONE
     ``batch=__compacted__`` partition.  Content-preserving by the
     monoid argument (a SUM of SUMs), so served tables are bit-identical
-    before/after — asserted in tests and by the gate oracle.  Atomic
-    swap via write-to-temp + Hadoop FS rename."""
+    before/after — asserted in tests and by the gate oracle.
+    Crash-recoverable swap via write-to-temp + aside-rename
+    (_swap_store)."""
     merged = _merged(spark, path, key, partial_cols)
     tmp = f"{path}__compacting"
     merged.write.mode("overwrite").parquet(f"{tmp}/batch={COMPACTED}")
-    jvm = spark._jvm
-    conf = spark._jsc.hadoopConfiguration()
-    p_old = jvm.org.apache.hadoop.fs.Path(path)
-    p_tmp = jvm.org.apache.hadoop.fs.Path(tmp)
-    fs = p_old.getFileSystem(conf)
-    fs.delete(p_old, True)
-    if not fs.rename(p_tmp, p_old):
-        raise IOError(f"compact_gold_partials: rename {tmp} -> {path} failed")
+    _swap_store(spark, path, tmp, "compact_gold_partials")
     return {
         "batches_after": spark.read.parquet(path)
         .select("batch")
@@ -317,6 +311,28 @@ def _hadoop_fs(spark: SparkSession, path: str):
     return jvm, p.getFileSystem(conf)
 
 
+def _swap_store(spark: SparkSession, path: str, tmp: str, op: str) -> None:
+    """Crash-recoverable store swap: rename the live store aside
+    (``<path>__old``), rename the rewritten ``tmp`` into place, then
+    delete the aside copy.  Every crash point leaves a recoverable
+    store — before the second rename the data survives at ``__old``
+    AND ``tmp``; delete-then-rename (the previous pattern) had a
+    window where a crash stranded the only copy at ``tmp`` with
+    nothing at ``path``.  A stale ``__old`` from a prior crashed run
+    is cleared first (the live store at ``path`` supersedes it)."""
+    jvm, fs = _hadoop_fs(spark, path)
+    p_old = jvm.org.apache.hadoop.fs.Path(path)
+    p_tmp = jvm.org.apache.hadoop.fs.Path(tmp)
+    p_aside = jvm.org.apache.hadoop.fs.Path(f"{path}__old")
+    if fs.exists(p_aside):
+        fs.delete(p_aside, True)
+    if fs.exists(p_old) and not fs.rename(p_old, p_aside):
+        raise IOError(f"{op}: rename {path} -> {path}__old failed")
+    if not fs.rename(p_tmp, p_old):
+        raise IOError(f"{op}: rename {tmp} -> {path} failed")
+    fs.delete(p_aside, True)
+
+
 def read_gold_watermark(spark: SparkSession, path: str) -> str | None:
     """The store's retention watermark (ISO date string) or None.
 
@@ -394,13 +410,8 @@ def retain_gold_daily(
     new_store = folded.unionByName(live.select(*folded.columns))
     tmp = f"{path}__retaining"
     new_store.write.mode("overwrite").partitionBy("batch").parquet(tmp)
-    jvm, fs = _hadoop_fs(spark, path)
-    p_old = jvm.org.apache.hadoop.fs.Path(path)
-    p_tmp = jvm.org.apache.hadoop.fs.Path(tmp)
     n_folded = folded.count()
-    fs.delete(p_old, True)
-    if not fs.rename(p_tmp, p_old):
-        raise IOError(f"retain_gold_daily: rename {tmp} -> {path} failed")
+    _swap_store(spark, path, tmp, "retain_gold_daily")
     _write_gold_watermark(spark, path, cutoff.isoformat())
     return {
         "cutoff": cutoff.isoformat(),
