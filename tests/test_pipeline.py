@@ -458,12 +458,27 @@ def test_cache_ownership_sweep_no_leaks(spark):
     ]
     jsc = spark.sparkContext._jsc.sc()
     spark.catalog.clearCache()
+
+    def persisted_ids() -> set[int]:
+        ids, it = set(), jsc.getPersistentRDDs().keysIterator()
+        while it.hasNext():
+            ids.add(int(it.next()))
+        return ids
+
     for name in owners:
+        # Scope the assertion to RDDs REGISTERED DURING this owner's
+        # run: the sweep once red-flagged near_dup_pairs in a run
+        # overlapping a co-tenant Spark session (r10), and an
+        # assertion over process-global persistent-RDD state can be
+        # polluted by background cleanup timing it doesn't own.  The
+        # blocking-unpersist contract stays strict — an RDD this
+        # query persisted and failed to release still fails here.
+        before = persisted_ids()
         df = qs[name](spark, sf_dir)
         df.collect()
         release_cached(df, blocking=True)
-        leaked = jsc.getPersistentRDDs().size()
-        assert leaked == 0, f"{name} leaked {leaked} persisted RDD(s)"
+        leaked = persisted_ids() - before
+        assert not leaked, f"{name} leaked persisted RDD id(s) {leaked}"
 
 
 def test_all_queries_tolerate_empty_input(spark, tmp_path_factory):
