@@ -12,10 +12,12 @@ module implements:
   #7 widened it): 8-bit gray/GA/RGB/RGBA, 8-bit palette (PLTE lookup —
   a join-free integer map; 1/2/4-bit sub-byte index unpacking — r9
   verdict #4), 16-bit channels (big-endian byte-pair fold → uint16),
-  and Adam7 interlace (seven independently-filtered sub-images
-  scattered back onto the pass grid).  Refuses (loudly) anything
-  outside the deterministic-integer envelope: sub-byte grayscale,
-  tRNS transparency, and truncated/corrupt streams.
+  Adam7 interlace (seven independently-filtered sub-images
+  scattered back onto the pass grid), and tRNS transparency (r10
+  verdict #3: palette alpha table as a second join-free map;
+  gray/RGB key matching to a 0/opaque alpha channel — all integer).
+  Refuses (loudly) truncated/corrupt streams and illegal
+  depth/type/chunk combinations.
 - ``encode_png`` / ``encode_png_palette``: the fixture-side inverses
   (filter + compress), with a per-row filter cycle so the decoder's
   Sub/Up/Average/Paeth paths are all exercised by every synthesized
@@ -218,6 +220,7 @@ def encode_png(
     filter_cycle: bool = True,
     interlace: bool = False,
     gray_depth: int | None = None,
+    trns_key: int | tuple[int, int, int] | None = None,
 ) -> bytes:
     """Encode an (h, w) or (h, w, c) array as a valid PNG: uint8 input
     writes bit depth 8, uint16 input writes bit depth 16 (big-endian
@@ -225,7 +228,9 @@ def encode_png(
     row filter through 0..4 so every defilter path gets exercised;
     ``interlace`` writes the Adam7 seven-pass layout.  ``gray_depth``
     in {1, 2, 4} writes sub-byte grayscale — the input then holds
-    LEVEL values below 2**gray_depth (one channel)."""
+    LEVEL values below 2**gray_depth (one channel).  ``trns_key``
+    writes a §4.2.1 tRNS chunk: one raw sample value (grayscale) or
+    an (r, g, b) triple (RGB) that decodes to alpha 0."""
     if img.ndim == 2:
         img = img[:, :, None]
     h, w, c = img.shape
@@ -244,9 +249,18 @@ def encode_png(
     ihdr = struct.pack(
         ">IIBBBBB", w, h, depth, color_type, 0, 0, int(interlace)
     )
+    trns_chunk = b""
+    if trns_key is not None:
+        if c == 1:
+            trns_chunk = _chunk(b"tRNS", struct.pack(">H", int(trns_key)))
+        elif c == 3:
+            trns_chunk = _chunk(b"tRNS", struct.pack(">3H", *trns_key))
+        else:
+            raise ValueError("trns_key requires grayscale or RGB input")
     return (
         PNG_MAGIC
         + _chunk(b"IHDR", ihdr)
+        + trns_chunk
         + _chunk(b"IDAT", zlib.compress(body, 6))
         + _chunk(b"IEND", b"")
     )
@@ -258,11 +272,14 @@ def encode_png_palette(
     filter_cycle: bool = True,
     depth: int = 8,
     interlace: bool = False,
+    trns_alpha: np.ndarray | None = None,
 ) -> bytes:
     """Encode an (h, w) index array + (n, 3) uint8 palette as a
     color-type-3 PNG.  ``depth`` ∈ {1, 2, 4, 8} selects the index
     packing (sub-byte depths pack leftmost-pixel-high per RFC 2083
-    §7.2); ``interlace`` writes Adam7."""
+    §7.2); ``interlace`` writes Adam7; ``trns_alpha`` writes a tRNS
+    per-palette-entry alpha table (may be shorter than the palette —
+    the tail defaults to opaque on decode)."""
     if depth not in (1, 2, 4, 8):
         raise ValueError(f"invalid palette bit depth {depth}")
     if int(idx.max(initial=0)) >= (1 << depth):
@@ -274,10 +291,18 @@ def encode_png_palette(
     ihdr = struct.pack(
         ">IIBBBBB", w, h, depth, 3, 0, 0, int(interlace)
     )
+    trns_chunk = b""
+    if trns_alpha is not None:
+        if trns_alpha.shape[0] > palette.shape[0]:
+            raise ValueError("tRNS alpha table longer than palette")
+        trns_chunk = _chunk(
+            b"tRNS", trns_alpha.astype(np.uint8).tobytes()
+        )
     return (
         PNG_MAGIC
         + _chunk(b"IHDR", ihdr)
         + _chunk(b"PLTE", palette.astype(np.uint8).tobytes())
+        + trns_chunk
         + _chunk(b"IDAT", zlib.compress(body, 6))
         + _chunk(b"IEND", b"")
     )
@@ -296,17 +321,22 @@ def decode_png(payload: bytes) -> np.ndarray:
       fold) -> (h, w, c) uint16
     - Adam7 interlace for every supported depth/type (seven
       independently-filtered sub-images scattered back, RFC 2083 §8.2)
+    - tRNS transparency (§4.2.1): palette alpha table appends an
+      alpha channel via a second join-free lookup -> (h, w, 4);
+      gray/RGB key matching appends a 0-or-opaque alpha channel
+      (uint16-scaled for 16-bit images)
 
     This is the complete LEGAL IHDR envelope (every valid bit-depth ×
-    color-type combination).  The one remaining
-    ``NotImplementedError`` is tRNS transparency; corrupt streams and
-    illegal depth/type combinations raise ``ValueError``."""
+    color-type combination) plus the tRNS ancillary chunk; corrupt
+    streams and illegal depth/type/chunk combinations raise
+    ``ValueError``."""
     if payload[:8] != PNG_MAGIC:
         raise ValueError("not a PNG stream")
     pos = 8
     ihdr = None
     idat = bytearray()
     plte = None
+    trns = None
     while pos + 8 <= len(payload):
         (length,) = struct.unpack_from(">I", payload, pos)
         tag = payload[pos + 4 : pos + 8]
@@ -320,10 +350,7 @@ def decode_png(payload: bytes) -> np.ndarray:
                 raise ValueError("PLTE length not a multiple of 3")
             plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
         elif tag == b"tRNS":
-            raise NotImplementedError(
-                "PNG tRNS transparency not supported (would be "
-                "silently dropped; route through imaging libraries)"
-            )
+            trns = data
         elif tag == b"IDAT":
             idat.extend(data)
         elif tag == b"IEND":
@@ -374,14 +401,48 @@ def decode_png(payload: bytes) -> np.ndarray:
         idx = samples.reshape(h, w)
         if int(idx.max(initial=0)) >= plte.shape[0]:
             raise ValueError("palette index out of PLTE range")
-        return plte[idx]  # (h, w, 3) uint8 — join-free integer map
-    if depth == 16:
-        return samples.astype(np.uint16)
+        rgb = plte[idx]  # (h, w, 3) uint8 — join-free integer map
+        if trns is None:
+            return rgb
+        # tRNS §4.2.1: one alpha byte per palette entry (a shorter
+        # table defaults the tail to opaque) — a second join-free map
+        if len(trns) > plte.shape[0]:
+            raise ValueError("tRNS longer than PLTE")
+        alpha_tab = np.full(plte.shape[0], 255, dtype=np.uint8)
+        alpha_tab[: len(trns)] = np.frombuffer(trns, dtype=np.uint8)
+        return np.concatenate(
+            [rgb, alpha_tab[idx][:, :, None]], axis=2
+        )  # (h, w, 4) uint8
+    # tRNS §4.2.1 for non-palette: ONE raw sample value (gray) or
+    # sample triple (RGB), 16-bit fields regardless of depth; matching
+    # pixels get alpha 0, everything else full opacity
+    alpha = None
+    if trns is not None:
+        if color_type not in (0, 2):
+            raise ValueError(
+                "tRNS chunk is illegal for alpha color types (4/6)"
+            )
+        n_key = 1 if color_type == 0 else 3
+        if len(trns) != 2 * n_key:
+            raise ValueError("bad tRNS chunk length")
+        key = np.array(
+            struct.unpack(f">{n_key}H", trns), dtype=np.int64
+        )
+        if int(key.max()) >= (1 << depth):
+            raise ValueError("tRNS key exceeds bit depth")
+        opaque = (1 << depth) - 1 if depth == 16 else 255
+        alpha = np.where(
+            (samples == key).all(axis=2), 0, opaque
+        )[:, :, None]
     if is_subbyte_gray:
         # RFC 2083 §7.2 sample scaling: 255/(2^d − 1) is EXACTLY
         # 255/85/17 for d=1/2/4, so sub-byte gray stays integer-exact
-        return (samples * (255 // ((1 << depth) - 1))).astype(np.uint8)
-    return samples.astype(np.uint8)
+        out = samples * (255 // ((1 << depth) - 1))
+    else:
+        out = samples
+    if alpha is not None:
+        out = np.concatenate([out, alpha], axis=2)
+    return out.astype(np.uint16 if depth == 16 else np.uint8)
 
 
 def _read_subimage(
@@ -451,10 +512,12 @@ def make_png_image(media_id: int) -> bytes:
     """Deterministic PNG: gradient-ish integer pixels (same generator
     family as multimodal.make_raw_image), cycling through the full
     supported envelope — 8-bit gray/RGB/RGBA, 8/4/2/1-bit palette
-    (PLTE), 16-bit grayscale, and Adam7-interlaced RGB + 4-bit
-    palette — so every corpus exercises every decode path (r9 verdict
-    #4 widened the cycle with the sub-byte and interlaced variants)."""
-    variant = media_id % 10
+    (PLTE), 16-bit grayscale, Adam7-interlaced RGB + 4-bit palette,
+    and the four tRNS transparency shapes (palette alpha table,
+    gray-8 key, interlaced-RGB key, gray-16 key) — so every corpus
+    exercises every decode path (r9 verdict #4 widened the cycle with
+    the sub-byte and interlaced variants; r11 with tRNS)."""
+    variant = media_id % 14
     w = 16 + (media_id * 7) % 48
     h = 16 + (media_id * 11) % 48
     if variant == 9:  # interlaced 2-bit grayscale (levels 0..3)
@@ -487,6 +550,34 @@ def make_png_image(media_id: int) -> bytes:
     if variant == 8:  # Adam7-interlaced 2-bit palette
         idx, palette = _palette_fixture(media_id, h, w, 2)
         return encode_png_palette(idx, palette, depth=2, interlace=True)
+    if variant == 10:  # 8-bit palette + partial tRNS alpha table
+        idx, palette = _palette_fixture(media_id, h, w, 8)
+        n_colors = palette.shape[0]
+        alpha = (
+            (np.arange(n_colors // 2 + 1) * 37 + media_id * 11) % 256
+        ).astype(np.uint8)
+        return encode_png_palette(idx, palette, trns_alpha=alpha)
+    if variant == 11:  # 8-bit grayscale + tRNS key (hits real pixels)
+        yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+        gray = ((media_id * 31 + yy * 7 + xx * 13) % 256).astype(
+            np.uint8
+        )
+        return encode_png(gray, trns_key=int(gray[0, 0]))
+    if variant == 12:  # Adam7-interlaced RGB + tRNS color key
+        yy, xx, cc = np.meshgrid(
+            np.arange(h), np.arange(w), np.arange(3), indexing="ij"
+        )
+        img = (
+            (media_id * 31 + yy * 7 + xx * 13 + cc * 97) % 256
+        ).astype(np.uint8)
+        key = tuple(int(v) for v in img[0, 0])
+        return encode_png(img, interlace=True, trns_key=key)
+    if variant == 13:  # 16-bit grayscale + tRNS key
+        yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+        img16 = (
+            (media_id * 131 + yy * 257 + xx * 523) % 65536
+        ).astype(np.uint16)
+        return encode_png(img16, trns_key=int(img16[0, 0]))
     c = (1, 3, 4)[variant]
     yy, xx, cc = np.meshgrid(
         np.arange(h), np.arange(w), np.arange(c), indexing="ij"

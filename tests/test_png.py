@@ -107,7 +107,8 @@ def test_loud_fail_on_unsupported_and_corrupt():
     # sub-byte RGB: depth 4 + color type 2 is ILLEGAL PNG (sub-byte
     # is legal only for grayscale and palette) — corrupt header, not
     # an unimplemented feature (r10 widened gray/palette sub-byte
-    # into the envelope; tRNS is the only NotImplementedError left)
+    # into the envelope; r11 widened tRNS — png.py has no
+    # NotImplementedError left)
     deep = bytearray(good)
     deep[16 + 8] = 4
     with pytest.raises(ValueError):
@@ -120,10 +121,18 @@ def test_loud_fail_on_unsupported_and_corrupt():
     pal[16 + 9] = 3
     with pytest.raises(ValueError):
         png.decode_png(bytes(pal))
-    # tRNS transparency is outside the envelope (would silently drop)
+    # tRNS is IN-envelope now (r11) — but a malformed chunk length is
+    # corrupt (RGB needs a 6-byte sample triple), and tRNS on an
+    # alpha-bearing color type is illegal per §4.2.1
     trns = good[:33] + png._chunk(b"tRNS", b"\x00") + good[33:]
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         png.decode_png(trns)
+    rgba = png.encode_png(np.zeros((2, 3, 4), dtype=np.uint8))
+    bad_rgba = (
+        rgba[:33] + png._chunk(b"tRNS", b"\x00\x01") + rgba[33:]
+    )
+    with pytest.raises(ValueError):
+        png.decode_png(bad_rgba)
     # palette stream without its PLTE chunk
     src_idx = (_img(3, 1)[:, :, 0] % 64).astype(np.uint8)
     palette = (np.arange(64 * 3).reshape(64, 3) % 256).astype(np.uint8)
@@ -252,20 +261,76 @@ def test_sub_byte_bit_packing_pinned():
 
 
 def test_fixture_cycle_covers_new_variants():
-    """All nine fixture variants decode and the new ones really carry
-    the advertised IHDR (depth/interlace bytes checked raw)."""
+    """All fourteen fixture variants decode and the new ones really
+    carry the advertised IHDR (depth/interlace bytes checked raw) and
+    tRNS chunks."""
     seen = set()
-    for mid in range(18):
+    trns_seen = set()
+    for mid in range(28):
         payload = png.make_png_image(mid)
         depth, ctype, _c, _f, inter = struct.unpack_from(
             ">BBBBB", payload, 16 + 8
         )
         seen.add((depth, ctype, inter))
+        if b"tRNS" in payload:
+            trns_seen.add((depth, ctype, inter))
         png.png_stats(payload)  # must decode
     assert (4, 3, 0) in seen  # 4-bit palette
     assert (1, 3, 0) in seen  # 1-bit palette
     assert (8, 2, 1) in seen  # interlaced RGB
     assert (2, 3, 1) in seen  # interlaced 2-bit palette
+    # r11 tRNS variants: palette alpha table, gray-8/gray-16 key,
+    # interlaced-RGB key
+    assert (8, 3, 0) in trns_seen
+    assert (8, 0, 0) in trns_seen
+    assert (8, 2, 1) in trns_seen
+    assert (16, 0, 0) in trns_seen
+
+
+def test_roundtrip_trns_transparency():
+    """r11: tRNS — palette alpha table (partial, tail defaults
+    opaque), gray/RGB key matching at 8/16-bit and sub-byte depths,
+    composing with Adam7."""
+    rng = np.random.default_rng(11)
+    # palette alpha table, shorter than the palette
+    idx = rng.integers(0, 6, size=(9, 7)).astype(np.uint8)
+    pal = rng.integers(0, 256, size=(6, 3)).astype(np.uint8)
+    alpha = np.array([0, 40, 255], dtype=np.uint8)
+    for inter in (False, True):
+        img = png.decode_png(
+            png.encode_png_palette(
+                idx, pal, trns_alpha=alpha, interlace=inter
+            )
+        )
+        assert img.shape == (9, 7, 4)
+        full = np.concatenate([alpha, [255, 255, 255]])
+        assert (img[:, :, 3] == full[idx]).all()
+        assert (img[:, :, :3] == pal[idx]).all()
+    # gray-8 key
+    g = rng.integers(0, 4, size=(5, 6)).astype(np.uint8)
+    img = png.decode_png(png.encode_png(g, trns_key=2))
+    assert (img[:, :, 1] == np.where(g == 2, 0, 255)).all()
+    assert (img[:, :, 0] == g).all()
+    # RGB key hits only exact triple matches
+    rgb = rng.integers(0, 256, size=(4, 4, 3)).astype(np.uint8)
+    key = tuple(int(v) for v in rgb[2, 2])
+    img = png.decode_png(png.encode_png(rgb, interlace=True, trns_key=key))
+    want = np.where(
+        (rgb.astype(int) == np.array(key)).all(axis=2), 0, 255
+    )
+    assert (img[:, :, 3] == want).all()
+    # 16-bit key -> uint16 alpha plane
+    g16 = rng.integers(0, 65536, size=(3, 5)).astype(np.uint16)
+    img = png.decode_png(png.encode_png(g16, trns_key=int(g16[1, 1])))
+    assert img.dtype == np.uint16
+    assert (
+        img[:, :, 1] == np.where(g16 == g16[1, 1], 0, 65535)
+    ).all()
+    # sub-byte gray key compares in LEVEL space, scales the gray plane
+    lv = rng.integers(0, 4, size=(6, 5)).astype(np.uint8)
+    img = png.decode_png(png.encode_png(lv, gray_depth=2, trns_key=3))
+    assert (img[:, :, 0] == lv * 85).all()
+    assert (img[:, :, 1] == np.where(lv == 3, 0, 255)).all()
 
 
 def test_roundtrip_sub_byte_grayscale():
