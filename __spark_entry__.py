@@ -1519,7 +1519,9 @@ def _q_wav_band_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     Oracle: locally-recomputed VALUES literal — the defined fixed-
     point algorithm reproduces bit-for-bit distributed."""
     media = wav_ops.synthesize_wav_corpus(spark, n=40)
-    return wav_ops.wav_band_energy(media).orderBy("media_id", "band_m")
+    return wav_ops.wav_band_energy(media).orderBy(
+        "media_id", "channel", "band_m"
+    )
 
 
 def _q_mjpeg_frame_luma(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3031,35 +3033,38 @@ def oracle_sql() -> dict[str, str]:
     )
     _wav_rows = []
     for _mid in range(40):
-        _wc, _wr, _wn, _wrms, _wzc, _wpk = wav_ops.wav_stats(
+        _wc, _wch, _wr, _wn, _wrms, _wzc, _wpk = wav_ops.wav_stats(
             wav_ops.make_wav_clip(_mid)
         )
         _wav_rows.append(
-            f"({_mid}, '{_wc}', {_wr}, {_wn}, {_wrms}, {_wzc}, {_wpk})"
+            f"({_mid}, '{_wc}', {_wch}, {_wr}, {_wn}, {_wrms},"
+            f" {_wzc}, {_wpk})"
         )
     oracles["wav_features"] = (
         "SELECT CAST(media_id AS BIGINT) AS media_id, codec, "
+        "CAST(channels AS INT) AS channels, "
         "CAST(sample_rate AS INT) AS sample_rate, "
         "CAST(n_samples AS BIGINT) AS n_samples, "
         "CAST(rms_e6 AS BIGINT) AS rms_e6, "
         "CAST(zero_crossings AS BIGINT) AS zero_crossings, "
         "CAST(peak AS INT) AS peak FROM (VALUES "
         + ", ".join(_wav_rows)
-        + ") AS t(media_id, codec, sample_rate, n_samples, rms_e6,"
-        " zero_crossings, peak) ORDER BY media_id"
+        + ") AS t(media_id, codec, channels, sample_rate, n_samples,"
+        " rms_e6, zero_crossings, peak) ORDER BY media_id"
     )
     _band_rows = []
     for _mid in range(40):
-        for _bc, _bm, _be in wav_ops.wav_band_stats(
+        for _bc, _bch, _bm, _be in wav_ops.wav_band_stats(
             wav_ops.make_wav_clip(_mid)
         ):
-            _band_rows.append(f"({_mid}, '{_bc}', {_bm}, {_be})")
+            _band_rows.append(f"({_mid}, '{_bc}', {_bch}, {_bm}, {_be})")
     oracles["wav_band_energy"] = (
         "SELECT CAST(media_id AS BIGINT) AS media_id, codec, "
+        "CAST(channel AS INT) AS channel, "
         "CAST(band_m AS INT) AS band_m, CAST(energy AS BIGINT) AS energy "
         "FROM (VALUES " + ", ".join(_band_rows)
-        + ") AS t(media_id, codec, band_m, energy) "
-        "ORDER BY media_id, band_m"
+        + ") AS t(media_id, codec, channel, band_m, energy) "
+        "ORDER BY media_id, channel, band_m"
     )
     _mjpeg_rows = []
     for _mid in range(25):

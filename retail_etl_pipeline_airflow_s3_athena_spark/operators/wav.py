@@ -84,7 +84,7 @@ def _clamp16(v: int) -> int:
 
 
 # ---------------------------------------------------------------------------
-# IMA ADPCM core (mono)
+# IMA ADPCM core (mono + interleaved multi-channel)
 # ---------------------------------------------------------------------------
 
 def _vpdiff(step: int, delta: int) -> int:
@@ -101,6 +101,40 @@ def _vpdiff(step: int, delta: int) -> int:
     return d
 
 
+def _encode_ima_nibbles(
+    samples, pred: int, index: int, n_out: int
+) -> tuple[list[int], int]:
+    """Encode ``samples`` against the running (pred, index) state ->
+    (exactly ``n_out`` nibbles, final step index).  Shorter inputs
+    pad with zero nibbles (decodes deterministically; the ``fact``
+    chunk's n_samples marks the true length so decode truncates the
+    padding).  Shared by the mono and interleaved multi-channel
+    encoders — both MUST use this exact quantizer or transcode
+    near-dup fixtures drift."""
+    nibbles = []
+    for s in samples:
+        step = int(_STEP_TABLE[index])
+        diff = int(s) - pred
+        delta = 8 if diff < 0 else 0
+        if diff < 0:
+            diff = -diff
+        if diff >= step:
+            delta |= 4
+            diff -= step
+        if diff >= step >> 1:
+            delta |= 2
+            diff -= step >> 1
+        if diff >= step >> 2:
+            delta |= 1
+        vp = _vpdiff(step, delta)
+        pred = _clamp16(pred - vp if delta & 8 else pred + vp)
+        index = int(min(88, max(0, index + _INDEX_TABLE[delta])))
+        nibbles.append(delta)
+    while len(nibbles) < n_out:
+        nibbles.append(0)
+    return nibbles, index
+
+
 def encode_ima_adpcm(samples: np.ndarray, block_align: int = BLOCK_ALIGN) -> bytes:
     """Mono int16 -> WAV-framed IMA ADPCM blocks.  Each block:
     <i2 predictor, u1 step index, u1 reserved> header + 2 samples per
@@ -115,32 +149,52 @@ def encode_ima_adpcm(samples: np.ndarray, block_align: int = BLOCK_ALIGN) -> byt
         chunk = samples[pos:pos + spb]
         pred = int(chunk[0])
         out += struct.pack("<hBB", pred, index, 0)
-        nibbles = []
-        for s in chunk[1:]:
-            step = int(_STEP_TABLE[index])
-            diff = int(s) - pred
-            delta = 8 if diff < 0 else 0
-            if diff < 0:
-                diff = -diff
-            if diff >= step:
-                delta |= 4
-                diff -= step
-            if diff >= step >> 1:
-                delta |= 2
-                diff -= step >> 1
-            if diff >= step >> 2:
-                delta |= 1
-            vp = _vpdiff(step, delta)
-            pred = _clamp16(pred - vp if delta & 8 else pred + vp)
-            index = int(min(88, max(0, index + _INDEX_TABLE[delta])))
-            nibbles.append(delta)
-        # pad the final partial block with zero nibbles (decodes
-        # deterministically; the ``fact`` chunk's n_samples marks the
-        # true length so decode truncates the padding)
-        while len(nibbles) < spb - 1:
-            nibbles.append(0)
+        nibbles, index = _encode_ima_nibbles(
+            chunk[1:], pred, index, spb - 1
+        )
         for i in range(0, len(nibbles), 2):
             out.append((nibbles[i] & 0x0F) | ((nibbles[i + 1] & 0x0F) << 4))
+        pos += spb
+    return bytes(out)
+
+
+def encode_ima_adpcm_multi(
+    frames: np.ndarray, block_align: int = BLOCK_ALIGN
+) -> bytes:
+    """(n, ch) int16 frames -> interleaved IMA ADPCM blocks, the
+    standard WAV multi-channel layout: one 4-byte <i2 predictor,
+    u1 step index, u1 reserved> header PER CHANNEL, then 4-byte
+    nibble groups (8 samples) rotating channel by channel.  Each
+    block encodes 1 + 2*(block_align - 4*ch)/ch frames; the group
+    rotation requires (block_align - 4*ch) % (4*ch) == 0 (true for
+    the default 256-byte blocks at 1/2/4 channels)."""
+    n, ch = frames.shape
+    data_bytes = block_align - 4 * ch
+    if data_bytes <= 0 or data_bytes % (4 * ch) != 0:
+        raise ValueError(
+            f"block_align {block_align} incompatible with {ch} channels"
+        )
+    spb = 1 + 2 * data_bytes // ch
+    out = bytearray()
+    indices = [0] * ch
+    pos = 0
+    while pos < n:
+        chunk = frames[pos:pos + spb]
+        per_chan = []
+        for c in range(ch):
+            pred = int(chunk[0, c])
+            out += struct.pack("<hBB", pred, indices[c], 0)
+            nibbles, indices[c] = _encode_ima_nibbles(
+                chunk[1:, c], pred, indices[c], spb - 1
+            )
+            per_chan.append(nibbles)
+        for g in range(0, spb - 1, 8):
+            for c in range(ch):
+                grp = per_chan[c][g:g + 8]
+                for i in range(0, 8, 2):
+                    out.append(
+                        (grp[i] & 0x0F) | ((grp[i + 1] & 0x0F) << 4)
+                    )
         pos += spb
     return bytes(out)
 
@@ -184,31 +238,97 @@ def _decode_ima_blocks(data: bytes, block_align: int, n_samples: int) -> np.ndar
     )
 
 
+def _decode_ima_block_multi(
+    block: bytes, ch: int, n_frames: int
+) -> np.ndarray:
+    """One multi-channel block -> (n_frames, ch) int64 frames: ch
+    per-channel headers, then 4-byte nibble groups rotating channel
+    by channel (encode_ima_adpcm_multi's inverse).  Each channel's
+    recurrence is independent — stereo costs exactly 2x mono, no
+    cross-channel state."""
+    preds, idxs = [], []
+    for c in range(ch):
+        p, ix, _ = struct.unpack_from("<hBB", block, 4 * c)
+        preds.append(int(p))
+        idxs.append(int(ix))
+    data = np.frombuffer(block, dtype=np.uint8, offset=4 * ch)
+    groups = data[: (len(data) // (4 * ch)) * 4 * ch].reshape(-1, ch, 4)
+    out = np.empty((1 + groups.shape[0] * 8, ch), dtype=np.int64)
+    for c in range(ch):
+        chan_bytes = groups[:, c, :].reshape(-1)
+        nib = np.empty(len(chan_bytes) * 2, dtype=np.int64)
+        nib[0::2] = chan_bytes & 0x0F
+        nib[1::2] = chan_bytes >> 4
+        pred = preds[c]
+        index = idxs[c]
+        out[0, c] = pred
+        for i, delta in enumerate(nib):
+            d = int(delta)
+            step = int(_STEP_TABLE[index])
+            vp = _vpdiff(step, d)
+            pred = _clamp16(pred - vp if d & 8 else pred + vp)
+            index = int(min(88, max(0, index + _INDEX_TABLE[d])))
+            out[i + 1, c] = pred
+    return out[:n_frames]
+
+
+def _decode_ima_blocks_multi(
+    data: bytes, block_align: int, ch: int, n_frames: int
+) -> np.ndarray:
+    spb = 1 + 2 * (block_align - 4 * ch) // ch
+    chunks = []
+    remaining = n_frames
+    for off in range(0, len(data), block_align):
+        if remaining <= 0:
+            break
+        block = data[off:off + block_align]
+        take = min(spb, remaining)
+        chunks.append(_decode_ima_block_multi(block, ch, take))
+        remaining -= take
+    return (
+        np.concatenate(chunks)
+        if chunks
+        else np.empty((0, ch), dtype=np.int64)
+    )
+
+
 # ---------------------------------------------------------------------------
 # RIFF/WAVE container
 # ---------------------------------------------------------------------------
 
 def write_wav(samples: np.ndarray, sample_rate: int,
               codec: str = "pcm16", block_align: int = BLOCK_ALIGN) -> bytes:
-    """Mono int16 samples -> a complete RIFF/WAVE file, PCM16 or IMA
-    ADPCM.  The ADPCM path writes the extended fmt chunk
-    (samples-per-block extension) plus the mandatory ``fact`` chunk."""
+    """int16 samples -> a complete RIFF/WAVE file, PCM16 or IMA
+    ADPCM.  A 1-D input writes mono (byte-identical to the pre-stereo
+    encoder); an (n, ch) input writes ``ch`` interleaved channels.
+    The ADPCM path writes the extended fmt chunk (samples-per-block
+    extension) plus the mandatory ``fact`` chunk (sample FRAMES per
+    channel)."""
+    ch = 1 if samples.ndim == 1 else samples.shape[1]
     n = len(samples)
     if codec == "pcm16":
         fmt = struct.pack(
-            "<HHIIHH", WAVE_FORMAT_PCM, 1, sample_rate,
-            sample_rate * 2, 2, 16,
+            "<HHIIHH", WAVE_FORMAT_PCM, ch, sample_rate,
+            sample_rate * 2 * ch, 2 * ch, 16,
         )
+        # C-order (n, ch) int16 IS the interleaved frame layout
         data = samples.astype("<i2").tobytes()
         chunks = [(b"fmt ", fmt), (b"data", data)]
     elif codec == "ima_adpcm":
-        spb = 1 + (block_align - 4) * 2
+        if ch == 1:
+            spb = 1 + (block_align - 4) * 2
+            flat = samples if samples.ndim == 1 else samples[:, 0]
+            data = encode_ima_adpcm(flat.astype(np.int64), block_align)
+        else:
+            spb = 1 + 2 * (block_align - 4 * ch) // ch
+            data = encode_ima_adpcm_multi(
+                samples.astype(np.int64), block_align
+            )
         byte_rate = (sample_rate * block_align + spb - 1) // spb
         fmt = struct.pack(
-            "<HHIIHHHH", WAVE_FORMAT_IMA_ADPCM, 1, sample_rate,
+            "<HHIIHHHH", WAVE_FORMAT_IMA_ADPCM, ch, sample_rate,
             byte_rate, block_align, 4, 2, spb,
         )
-        data = encode_ima_adpcm(samples.astype(np.int64), block_align)
         chunks = [(b"fmt ", fmt), (b"fact", struct.pack("<I", n)),
                   (b"data", data)]
     else:
@@ -260,23 +380,56 @@ def parse_wav(payload: bytes) -> dict:
             f"WAV format tag {fmt['format_tag']} not implemented; only "
             "PCM (1) and IMA ADPCM (17) decode in this tier"
         )
-    if fmt["channels"] != 1:
-        raise NotImplementedError("only mono WAV decodes in this tier")
+    ch = fmt["channels"]
+    if ch < 1 or ch > 8:
+        raise NotImplementedError(
+            f"{ch}-channel WAV outside the 1..8 envelope"
+        )
     fmt["data"] = data
+    # n_samples counts FRAMES (samples per channel): the fact chunk
+    # stores frames per spec; PCM derives frames from the byte length
     fmt["n_samples"] = (
-        fact_samples if fact_samples is not None else len(data) // 2
+        fact_samples
+        if fact_samples is not None
+        else len(data) // (2 * ch)
     )
     return fmt
 
 
-def decode_wav(payload: bytes) -> tuple[int, str, np.ndarray]:
-    """-> (sample_rate, codec_name, int64 samples)."""
+def decode_wav_frames(payload: bytes) -> tuple[int, str, np.ndarray]:
+    """-> (sample_rate, codec_name, (n_frames, ch) int64 frames).
+    The multi-channel decode surface (r10 verdict #4): PCM16
+    deinterleaves the frame stream; multi-channel IMA ADPCM decodes
+    the per-channel headers + rotating 4-byte nibble groups."""
     w = parse_wav(payload)
+    ch = w["channels"]
     if w["format_tag"] == WAVE_FORMAT_PCM:
         x = np.frombuffer(w["data"], dtype="<i2").astype(np.int64)
-        return w["sample_rate"], "pcm16", x[: w["n_samples"]]
-    x = _decode_ima_blocks(w["data"], w["block_align"], w["n_samples"])
+        x = x[: w["n_samples"] * ch].reshape(-1, ch)
+        return w["sample_rate"], "pcm16", x
+    if ch == 1:
+        x = _decode_ima_blocks(
+            w["data"], w["block_align"], w["n_samples"]
+        )[:, None]
+    else:
+        x = _decode_ima_blocks_multi(
+            w["data"], w["block_align"], ch, w["n_samples"]
+        )
     return w["sample_rate"], "ima_adpcm", x
+
+
+def decode_wav(payload: bytes) -> tuple[int, str, np.ndarray]:
+    """-> (sample_rate, codec_name, int64 MONO samples).  Mono clips
+    return their samples verbatim (unchanged pre-stereo contract);
+    multi-channel clips return the exact integer downmix
+    ``sum(channels) // ch`` (floor division — deterministic, and the
+    identity when all channels carry equal content, which is what
+    lets audio_near_dup match a mono clip against its stereo
+    duplication)."""
+    rate, codec, frames = decode_wav_frames(payload)
+    if frames.shape[1] == 1:
+        return rate, codec, frames[:, 0]
+    return rate, codec, frames.sum(axis=1) // frames.shape[1]
 
 
 # ---------------------------------------------------------------------------
@@ -284,17 +437,30 @@ def decode_wav(payload: bytes) -> tuple[int, str, np.ndarray]:
 # ---------------------------------------------------------------------------
 
 def make_wav_clip(media_id: int) -> bytes:
-    """Deterministic mono clip, alternating PCM16 / IMA-ADPCM so every
-    corpus exercises both container paths and the compressed codec.
-    Same integer triangle-wave generator family as
-    multimodal.make_raw_audio (platform-exact, no float synthesis)."""
+    """Deterministic clip cycling mono-PCM16 / mono-ADPCM /
+    stereo-PCM16 / stereo-ADPCM so every corpus exercises both
+    container paths, the compressed codec, and the interleaved
+    multi-channel layouts (r10 verdict #4).  Same integer
+    triangle-wave generator family as multimodal.make_raw_audio
+    (platform-exact, no float synthesis); the stereo right channel is
+    a phase-shifted, attenuated copy — distinct per channel but
+    deterministic."""
     n = 1200 + (media_id * 61) % 2600
     i = np.arange(n, dtype=np.int64)
     period = 40 + (media_id % 53)
     tri = np.abs((i % period) * 2 - period)
     amp = 800 + (media_id * 131) % 18000
-    samples = ((tri * amp) // period - amp // 2).astype(np.int64)
-    codec = "pcm16" if media_id % 2 == 0 else "ima_adpcm"
+    left = ((tri * amp) // period - amp // 2).astype(np.int64)
+    variant = media_id % 4
+    if variant >= 2:
+        tri_r = np.abs(((i + period // 3) % period) * 2 - period)
+        right = ((tri_r * amp * 3 // 4) // period - amp * 3 // 8).astype(
+            np.int64
+        )
+        samples = np.stack([left, right], axis=1)
+    else:
+        samples = left
+    codec = "pcm16" if variant % 2 == 0 else "ima_adpcm"
     return write_wav(samples, 8000 + 8000 * (media_id % 3), codec)
 
 
@@ -307,6 +473,7 @@ WAV_FEATURE_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),
         T.StructField("codec", T.StringType()),
+        T.StructField("channels", T.IntegerType()),
         T.StructField("sample_rate", T.IntegerType()),
         T.StructField("n_samples", T.LongType()),
         T.StructField("rms_e6", T.LongType()),
@@ -321,14 +488,19 @@ def wav_stats(payload: bytes) -> tuple:
     container walk + ADPCM recurrence ran) — shared by the operator
     and the locally-recomputed VALUES oracle, the jpeg_stats shape.
     Feature arithmetic is multimodal.audio_features' exact-integer
-    trio (isqrt RMS, zero crossings, peak)."""
+    trio (isqrt RMS, zero crossings, peak), computed over the exact
+    integer downmix for multi-channel clips (n_samples counts
+    frames); the channel count is surfaced as its own column."""
     import math
 
-    rate, codec, x = decode_wav(payload)
+    rate, codec, frames = decode_wav_frames(payload)
+    ch = frames.shape[1]
+    x = frames[:, 0] if ch == 1 else frames.sum(axis=1) // ch
     n = len(x)
     sq = int((x * x).sum())
     return (
         codec,
+        ch,
         int(rate),
         n,
         math.isqrt(sq * 10**12 // max(n, 1)),
@@ -346,8 +518,12 @@ def wav_features(media: DataFrame) -> DataFrame:
         for pdf in it:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                codec, rate, n, rms, zc, peak = wav_stats(bytes(payload))
-                rows.append((int(mid), codec, rate, n, rms, zc, peak))
+                codec, ch, rate, n, rms, zc, peak = wav_stats(
+                    bytes(payload)
+                )
+                rows.append(
+                    (int(mid), codec, ch, rate, n, rms, zc, peak)
+                )
             yield pd.DataFrame(
                 rows, columns=[f.name for f in WAV_FEATURE_SCHEMA.fields]
             )
@@ -388,6 +564,7 @@ WAV_BAND_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),
         T.StructField("codec", T.StringType()),
+        T.StructField("channel", T.IntegerType()),
         T.StructField("band_m", T.IntegerType()),
         T.StructField("energy", T.LongType()),
     ]
@@ -395,27 +572,34 @@ WAV_BAND_SCHEMA = T.StructType(
 
 
 def wav_band_stats(payload: bytes) -> list[tuple]:
-    """Per-band rows for one clip (operator + VALUES-oracle twin):
-    Goertzel energies at the four fixed frequencies over the DECODED
-    samples — spectral features that see through the ADPCM codec, not
-    just container stats."""
-    _rate, codec, x = decode_wav(payload)
-    xs = [int(v) for v in x]
-    return [
-        (codec, m, band_energy(xs, c)) for m, c in GOERTZEL_BANDS
-    ]
+    """Per-(channel, band) rows for one clip (operator +
+    VALUES-oracle twin): Goertzel energies at the four fixed
+    frequencies over each DECODED channel — spectral features that
+    see through the ADPCM codec, not just container stats.  Mono
+    clips emit channel 0 only (r10 verdict #4 widened this to
+    per-channel)."""
+    _rate, codec, frames = decode_wav_frames(payload)
+    rows = []
+    for c in range(frames.shape[1]):
+        xs = [int(v) for v in frames[:, c]]
+        rows.extend(
+            (codec, c, m, band_energy(xs, coeff))
+            for m, coeff in GOERTZEL_BANDS
+        )
+    return rows
 
 
 def wav_band_energy(media: DataFrame) -> DataFrame:
-    """Distributed spectral feature extraction: decode (PCM or ADPCM)
-    then integer Goertzel at 4 fixed bands; no shuffle."""
+    """Distributed spectral feature extraction: decode (PCM or ADPCM,
+    any channel count) then integer Goertzel at 4 fixed bands per
+    channel; no shuffle."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                for codec, m, e in wav_band_stats(bytes(payload)):
-                    rows.append((int(mid), codec, m, e))
+                for codec, c, m, e in wav_band_stats(bytes(payload)):
+                    rows.append((int(mid), codec, c, m, e))
             yield pd.DataFrame(
                 rows, columns=[f.name for f in WAV_BAND_SCHEMA.fields]
             )
@@ -539,8 +723,11 @@ def audio_near_dup(
 
 def make_audio_dup_corpus_clip(i: int) -> bytes:
     """Planted-pair audio corpus: even/odd ids share a tone SEQUENCE
-    (frequency hopping across the four analysis bands, seed-keyed),
-    one leg PCM16 and one leg the lossy ADPCM transcode; every third
+    (frequency hopping across the four analysis bands, seed-keyed).
+    Planted pairs alternate the odd leg between the lossy ADPCM
+    transcode and a STEREO PCM re-master (left = the mono content,
+    right = an attenuated copy — the downmix fingerprint must still
+    land within the Hamming budget, r10 verdict #4); every third
     pair is unique content (negatives)."""
     import numpy as np
 
@@ -568,6 +755,12 @@ def make_audio_dup_corpus_clip(i: int) -> bytes:
         x[wi * FP_WINDOW:(wi + 1) * FP_WINDOW] = (
             (tri * amp) // period - amp // 2
         )
+    if planted and i % 2 == 1 and pair_seed % 2 == 1:
+        # stereo re-master leg: downmix (x + 3x//4)//2 rescales the
+        # triangle amplitude ~7/8 — dominant-band ordering (what the
+        # fingerprint extracts) is scale-invariant
+        stereo = np.stack([x, (x * 3) // 4], axis=1)
+        return write_wav(stereo, 16000, "pcm16")
     codec = "pcm16" if (not planted or i % 2 == 0) else "ima_adpcm"
     return write_wav(x, 16000, codec)
 

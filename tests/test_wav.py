@@ -99,10 +99,15 @@ def test_band_energy_deterministic_and_distributed(spark):
     got = {}
     for r in W.wav_band_energy(media).collect():
         got.setdefault(r["media_id"], []).append(
-            (r["codec"], r["band_m"], r["energy"])
+            (r["codec"], r["channel"], r["band_m"], r["energy"])
         )
     for mid in range(12):
-        assert got[mid] == W.wav_band_stats(W.make_wav_clip(mid))
+        assert sorted(got[mid]) == sorted(
+            W.wav_band_stats(W.make_wav_clip(mid))
+        )
+        # stereo fixture variants carry both channels
+        expect_rows = 8 if mid % 4 >= 2 else 4
+        assert len(got[mid]) == expect_rows
 
 
 def test_audio_fingerprint_survives_adpcm_transcode():
@@ -131,3 +136,57 @@ def test_audio_near_dup_finds_exactly_planted_pairs(spark):
     got = sorted((r["id_a"], r["id_b"]) for r in W.audio_near_dup(media).collect())
     expect = sorted((2 * s, 2 * s + 1) for s in range(15) if s % 3 != 2)
     assert got == expect
+
+
+def test_stereo_roundtrips_and_downmix_rule():
+    """r11: interleaved stereo — PCM16 exact round-trip, ADPCM
+    bounded-error round-trip with independent per-channel recurrences,
+    and decode_wav's exact integer downmix (identity on duplicated
+    channels)."""
+    import numpy as np
+
+    n = 2600
+    i = np.arange(n, dtype=np.int64)
+    period = 52
+    tri = np.abs((i % period) * 2 - period)
+    left = (tri * 11000) // period - 5500
+    right = ((np.abs(((i + 17) % period) * 2 - period)) * 8000) // period - 4000
+    st = np.stack([left, right], axis=1)
+
+    _, codec, fr = W.decode_wav_frames(W.write_wav(st, 16000, "pcm16"))
+    assert codec == "pcm16" and fr.shape == (n, 2) and (fr == st).all()
+
+    _, codec, fa = W.decode_wav_frames(W.write_wav(st, 16000, "ima_adpcm"))
+    assert codec == "ima_adpcm" and fa.shape == (n, 2)
+    assert int(np.abs(fa - st).max()) < 2000
+    # channel independence: a mono encode of each channel with the
+    # SAME samples-per-block (stereo 256-byte blocks carry 249 frames
+    # per channel = mono 128-byte blocks) reproduces the stereo
+    # channel decode exactly — same quantizer, same per-channel state
+    for c in range(2):
+        _, _, ym = W.decode_wav(
+            W.write_wav(st[:, c], 16000, "ima_adpcm", block_align=128)
+        )
+        assert (ym == fa[:, c]).all()
+
+    _, _, dm = W.decode_wav(W.write_wav(st, 16000, "pcm16"))
+    assert (dm == st.sum(axis=1) // 2).all()
+    dup = np.stack([left, left], axis=1)
+    _, _, dmx = W.decode_wav(W.write_wav(dup, 16000, "pcm16"))
+    assert (dmx == left).all()
+
+
+def test_stereo_remaster_lands_in_near_dup_budget():
+    """A mono clip and its stereo re-master (attenuated right channel)
+    fingerprint within the Hamming budget via the downmix — the
+    mono-vs-stereo transcode case audio_near_dup now covers."""
+    # pair_seed 1, 3 are the stereo-remaster planted pairs in the
+    # fixture corpus (planted and pair_seed odd)
+    for ps in (1, 3):
+        a, b = 2 * ps, 2 * ps + 1
+        pa = W.make_audio_dup_corpus_clip(a)
+        pb = W.make_audio_dup_corpus_clip(b)
+        assert W.parse_wav(pa)["channels"] == 1
+        assert W.parse_wav(pb)["channels"] == 2
+        d = bin(W.audio_fingerprint(pa) ^ W.audio_fingerprint(pb)).count("1")
+        assert d <= W.AUDIO_MAX_HAMMING
