@@ -1657,14 +1657,17 @@ def _q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     text surface.  Any character the RFC 8259 escape/unescape path
     corrupts — quotes, control chars, unicode — flips the hash
     against plain SQL over the original parquet; the source partition
-    column round-trips through the directory layout."""
+    column round-trips through the directory layout.  r11: the same
+    corpus round-trips through BOTH codecs — plain .json and
+    whole-member gzip .json.gz shards (the format trainers consume) —
+    and the union is hashed, so a corruption in either codec path
+    flips the gate."""
     import tempfile
 
     from pyspark.sql import types as T
 
     base = tempfile.mkdtemp(prefix="jsonl_gate_")
     docs = _docs(spark, sf_dir).select("doc_id", "source", "text")
-    writers.write_jsonl_shards(docs, base, "docs", shard_cols=["source"])
     schema = T.StructType(
         [
             T.StructField("doc_id", T.LongType()),
@@ -1672,13 +1675,25 @@ def _q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("source", T.StringType()),
         ]
     )
-    back = readers.read_jsonl(spark, f"{base}/docs", schema)
-    return back.select(
+    legs = []
+    for codec in ("plain", "gzip"):
+        writers.write_jsonl_shards(
+            docs,
+            base,
+            f"docs_{codec}",
+            shard_cols=["source"],
+            codec=None if codec == "plain" else codec,
+        )
+        back = readers.read_jsonl(spark, f"{base}/docs_{codec}", schema)
+        legs.append(back.withColumn("codec", F.lit(codec)))
+    both = legs[0].unionByName(legs[1])
+    return both.select(
+        "codec",
         "doc_id",
         "source",
         "text",
         F.length("text").cast("long").alias("n_chars"),
-    ).orderBy("doc_id")
+    ).orderBy("codec", "doc_id")
 
 
 def _q_crawl_to_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3121,9 +3136,11 @@ def oracle_sql() -> dict[str, str]:
         crawl_plans.oracle_crawl_dedup_report_sql()
     )
     oracles["jsonl_roundtrip"] = (
-        "SELECT doc_id, source, text, "
-        "CAST(LENGTH(text) AS BIGINT) AS n_chars "
-        "FROM documents ORDER BY doc_id"
+        "SELECT c.codec, d.doc_id, d.source, d.text, "
+        "CAST(LENGTH(d.text) AS BIGINT) AS n_chars "
+        "FROM documents d CROSS JOIN "
+        "(VALUES ('plain'), ('gzip')) AS c(codec) "
+        "ORDER BY c.codec, d.doc_id"
     )
     _mm_rows_old = [
         (mid, *router_ops.decode_any(bytes(p))[:2])

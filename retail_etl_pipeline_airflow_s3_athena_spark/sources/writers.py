@@ -142,7 +142,11 @@ def write_clustered(
 
 
 def write_jsonl_shards(
-    df: DataFrame, base_dir: str, table: str, shard_cols: list[str] | None = None
+    df: DataFrame,
+    base_dir: str,
+    table: str,
+    shard_cols: list[str] | None = None,
+    codec: str | None = None,
 ) -> str:
     """JSON-lines sink — the interchange format training pipelines
     actually feed tokenizer/trainer jobs (one JSON object per line,
@@ -150,13 +154,23 @@ def write_jsonl_shards(
     ['split', 'bin_id']) directory-partitions the output so a trainer
     reads exactly its shard.  Spark's native json writer escapes
     control characters, quotes, and non-BMP text per RFC 8259, so
-    arbitrary document text round-trips; compression stays splittable
-    at the file level (one shard = a few files).
+    arbitrary document text round-trips.
+
+    ``codec`` ('gzip' in practice — trainer-interchange JSONL is
+    gzipped in the wild; 'none'/None writes plain) compresses each
+    shard file whole through Spark's JVM-side codec path — no Python
+    in the loop, and readers.read_jsonl decompresses transparently by
+    file extension.  Gzip members are NOT splittable, so at 100 TB
+    the parallelism unit is the shard FILE: size shards via the
+    upstream partitioning (one task per .jsonl.gz), exactly how
+    WebDataset/trainer shards are consumed.
 
     Reference scope: none (the reference stops at CSV/parquet) —
     extension coverage for the training-data tier."""
     path = f"{base_dir}/{table}"
     w = df.write.mode("overwrite")
+    if codec:
+        w = w.option("compression", codec)
     if shard_cols:
         w = w.partitionBy(*shard_cols)
     w.json(path)

@@ -643,3 +643,23 @@ def test_jsonl_shards_escape_hostile_text(spark):
     }
     for did, src, text in hostile:
         assert back[did] == (src, text)
+    # r11: the gzip codec path round-trips the same hostile corpus,
+    # and the shard files really are .json.gz gzip members
+    import glob
+    import gzip
+
+    writers.write_jsonl_shards(
+        df, base, "docs_gz", shard_cols=["source"], codec="gzip"
+    )
+    gz_files = glob.glob(f"{base}/docs_gz/source=*/part-*.json.gz")
+    assert gz_files, "no .json.gz shard files written"
+    with gzip.open(gz_files[0], "rb") as fh:
+        assert fh.read(1) == b"{"  # a real gzip member holding JSONL
+    back_gz = {
+        r["doc_id"]: (r["source"], r["text"])
+        for r in readers.read_jsonl(
+            spark, f"{base}/docs_gz", schema
+        ).collect()
+    }
+    for did, src, text in hostile:
+        assert back_gz[did] == (src, text)
