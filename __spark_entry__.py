@@ -2085,65 +2085,90 @@ def entry(spark: SparkSession) -> DataFrame:
 # reference-parity core (kept fresh every round).  Evicted r9-green
 # rows go to the BACK of the tail (freshest evidence).
 GATE_FIRST_50 = [
-    "gold_store_retained",
-    "url_canonical_dedup",
+    # r11 rotation (r10 verdict #1 + the r9 lesson): first the nine
+    # queries whose OUTPUT VALUES changed this round (widened fixture
+    # cycles: PNG tRNS variants, stereo WAV, the mixed-media corpus
+    # they feed, and the two-codec JSONL round-trip) — changed
+    # surfaces must earn driver evidence the round they change; then
+    # the 41 stalest rows by driver-evidence age: all 19 queries last
+    # driver-gated in r5 and the 22 oldest r6 rows.  The 9 remaining
+    # r6-evidence rows lead GATE_TAIL for r12.
+    "png_features",
+    "media_type_census",
     "multimodal_training_set",
     "multimodal_manifest",
-    "crawl_to_training_set",
-    "jsonl_roundtrip",
     "multimodal_manifest_diff",
-    "crawl_dedup_report",
-    "quality_model_scores",
-    "quality_model_fit",
-    "png_features",
-    "resize_raw_images",
-    "media_type_census",
-    "image_near_dup",
-    "multimodal_pipeline",
-    "warc_ingest_docs",
-    "gold_store_daily",
-    "gold_store_compacted",
-    "gold_stream_daily",
-    "event_value_quantiles",
-    "anomalous_revenue_days",
-    "bloom_decontaminate",
-    "cheapest_part_supplier",
-    "cms_heavy_hitters",
-    "containment_pairs",
-    "corpus_stats",
-    "curated_docs",
-    "customer_order_distribution",
-    "daily_revenue_ma7",
-    "dataset_split_docs",
-    "dedup_corpus",
-    "dedup_rate_report",
-    "dup_span_stats",
-    "funnel_conversion",
-    "hll_distinct_users",
-    "fuzzy_part_names",
-    "fuzzy_decontaminate",
-    "customer_value_tiles",
-    "brand_corr_stats",
-    "encode_token_ids",
-    "big_orders",
-    "bigram_vocab",
-    "daily_sales_summary",
-    "top_customers",
-    "product_performance",
-    "store_performance",
-    "daily_revenue",
-    "top_performing_customers",
-    "product_analysis",
-    "revenue_by_category",
+    "wav_features",
+    "wav_band_energy",
+    "audio_near_dup",
+    "jsonl_roundtrip",
+    "part_supplier_breadth",
+    "promo_part_suppliers",
+    "incremental_near_dups",
+    "weekly_retention",
+    "snapshot_diff_customers",
+    "value_histogram",
+    "lone_late_supplier",
+    "linestatus_priority_mix",
+    "kmeans_refine",
+    "kmeans_two_round",
+    "normalize_text",
+    "winnow_fingerprints",
+    "winnow_shared_pairs",
+    "knn_graph",
+    "semantic_dedup",
+    "pagerank_near_dups",
+    "profile_customers",
+    "rp_lsh_signatures",
+    "near_dup_clusters",
+    "event_transitions",
+    "build_training_set",
+    "basket_rules",
+    "dup_triangles",
+    "rolling_distinct_users",
+    "bigram_prob_score",
+    "ngram_novelty",
+    "cluster_size_histogram",
+    "embedding_outliers",
+    "nation_year_profit",
+    "dormant_customers",
+    "small_quantity_revenue",
+    "daily_revenue_delta",
+    "nation_trade_volume",
+    "brand_basket_revenue",
+    "nation_market_share",
+    "above_avg_dormant_value",
+    "supplier_revenue_share",
+    "discount_band_revenue",
+    "returned_item_customers",
+    "top_revenue_supplier",
+    "segment_year_cube",
 ]
 
 GATE_TAIL = [
-    # displaced from the r10 window to fit crawl_to_training_set and
-    # jsonl_roundtrip — next in line for r11
-    "doc_chunks",
-    "dedup_exact",
-    "concurrent_sessions",
+    # stalest-first (evidence round, then gate order) — the r12
+    # window is simply the head of this list plus whatever changes
+    "customer_order_gaps",
+    "daily_revenue_running",
+    "segment_sales_rollup",
+    "pricing_summary",
+    "shipping_priority",
+    "local_supplier_volume",
+    "promo_revenue",
+    "windowed_event_stats",
+    "sessionize_events",
+    "label_centroids",
+    "standardize_embeddings",
+    "dedup_keep_best",
+    "source_overlap",
+    "audio_features_raw",
+    "video_frame_luma",
+    "scd2_stream_replay",
+    "hll_stream_estimates",
     "churned_buyers",
+    "concurrent_sessions",
+    "dedup_exact",
+    "doc_chunks",
     "hash_sample_events",
     "late_shipment_priority",
     "pack_bins",
@@ -2169,64 +2194,6 @@ GATE_TAIL = [
     "data_card",
     "cms_stream_heavy_hitters",
     "curriculum_mix",
-    "incremental_near_dups",
-    "kmeans_refine",
-    "kmeans_two_round",
-    "knn_graph",
-    "linestatus_priority_mix",
-    "lone_late_supplier",
-    "near_dup_clusters",
-    "normalize_text",
-    "pagerank_near_dups",
-    "part_supplier_breadth",
-    "profile_customers",
-    "promo_part_suppliers",
-    "rp_lsh_signatures",
-    "semantic_dedup",
-    "snapshot_diff_customers",
-    "value_histogram",
-    "weekly_retention",
-    "winnow_fingerprints",
-    "winnow_shared_pairs",
-    "above_avg_dormant_value",
-    "audio_features_raw",
-    "basket_rules",
-    "bigram_prob_score",
-    "brand_basket_revenue",
-    "build_training_set",
-    "cluster_size_histogram",
-    "customer_order_gaps",
-    "daily_revenue_delta",
-    "daily_revenue_running",
-    "dedup_keep_best",
-    "discount_band_revenue",
-    "dormant_customers",
-    "dup_triangles",
-    "embedding_outliers",
-    "event_transitions",
-    "hll_stream_estimates",
-    "label_centroids",
-    "local_supplier_volume",
-    "nation_market_share",
-    "nation_trade_volume",
-    "nation_year_profit",
-    "ngram_novelty",
-    "pricing_summary",
-    "promo_revenue",
-    "returned_item_customers",
-    "rolling_distinct_users",
-    "scd2_stream_replay",
-    "segment_sales_rollup",
-    "segment_year_cube",
-    "sessionize_events",
-    "shipping_priority",
-    "small_quantity_revenue",
-    "source_overlap",
-    "standardize_embeddings",
-    "supplier_revenue_share",
-    "top_revenue_supplier",
-    "video_frame_luma",
-    "windowed_event_stats",
     "bpe_encode_docs",
     "pq_codes",
     "near_dup_recall",
@@ -2269,13 +2236,10 @@ GATE_TAIL = [
     "embedding_near_dup",
     "gold_store_top_customers",
     "gold_store_products",
-    "wav_features",
-    "wav_band_energy",
     "mjpeg_frame_luma",
     "gif_frame_luma",
     "tar_ingest_docs",
     "video_near_dup",
-    "audio_near_dup",
     "html_extract_docs",
     "ann_index_compacted_topk",
     "ann_index_staleness",
@@ -2302,6 +2266,50 @@ GATE_TAIL = [
     "repeat_buyers_intersect",
     "corpus_shuffle",
     "source_cap_docs",
+    "gold_store_retained",
+    "url_canonical_dedup",
+    "crawl_to_training_set",
+    "crawl_dedup_report",
+    "quality_model_scores",
+    "quality_model_fit",
+    "resize_raw_images",
+    "image_near_dup",
+    "multimodal_pipeline",
+    "warc_ingest_docs",
+    "gold_store_daily",
+    "gold_store_compacted",
+    "gold_stream_daily",
+    "event_value_quantiles",
+    "anomalous_revenue_days",
+    "bloom_decontaminate",
+    "cheapest_part_supplier",
+    "cms_heavy_hitters",
+    "containment_pairs",
+    "corpus_stats",
+    "curated_docs",
+    "customer_order_distribution",
+    "daily_revenue_ma7",
+    "dataset_split_docs",
+    "dedup_corpus",
+    "dedup_rate_report",
+    "dup_span_stats",
+    "funnel_conversion",
+    "hll_distinct_users",
+    "fuzzy_part_names",
+    "fuzzy_decontaminate",
+    "customer_value_tiles",
+    "brand_corr_stats",
+    "encode_token_ids",
+    "big_orders",
+    "bigram_vocab",
+    "daily_sales_summary",
+    "top_customers",
+    "product_performance",
+    "store_performance",
+    "daily_revenue",
+    "top_performing_customers",
+    "product_analysis",
+    "revenue_by_category",
 ]
 
 
