@@ -2085,15 +2085,17 @@ def entry(spark: SparkSession) -> DataFrame:
 # reference-parity core (kept fresh every round).  Evicted r9-green
 # rows go to the BACK of the tail (freshest evidence).
 GATE_FIRST_50 = [
-    # r11 rotation (r10 verdict #1 + the r9 lesson): first the nine
+    # r11 rotation (r10 verdict #1 + the r9 lesson): first the ten
     # queries whose OUTPUT VALUES changed this round (widened fixture
-    # cycles: PNG tRNS variants, stereo WAV, the mixed-media corpus
-    # they feed, and the two-codec JSONL round-trip) — changed
-    # surfaces must earn driver evidence the round they change; then
-    # the 41 stalest rows by driver-evidence age: all 19 queries last
-    # driver-gated in r5 and the 22 oldest r6 rows.  The 9 remaining
-    # r6-evidence rows lead GATE_TAIL for r12.
+    # cycles: PNG tRNS variants, GIF compositing variants, stereo
+    # WAV, the mixed-media corpus they feed, and the two-codec JSONL
+    # round-trip) — changed surfaces must earn driver evidence the
+    # round they change; then the 40 stalest rows by driver-evidence
+    # age: all 19 queries last driver-gated in r5 and the 21 oldest
+    # r6 rows.  The 10 remaining r6-evidence rows lead GATE_TAIL for
+    # r12.
     "png_features",
+    "gif_frame_luma",
     "media_type_census",
     "multimodal_training_set",
     "multimodal_manifest",
@@ -2142,12 +2144,12 @@ GATE_FIRST_50 = [
     "discount_band_revenue",
     "returned_item_customers",
     "top_revenue_supplier",
-    "segment_year_cube",
 ]
 
 GATE_TAIL = [
     # stalest-first (evidence round, then gate order) — the r12
     # window is simply the head of this list plus whatever changes
+    "segment_year_cube",
     "customer_order_gaps",
     "daily_revenue_running",
     "segment_sales_rollup",
@@ -2237,7 +2239,6 @@ GATE_TAIL = [
     "gold_store_top_customers",
     "gold_store_products",
     "mjpeg_frame_luma",
-    "gif_frame_luma",
     "tar_ingest_docs",
     "video_near_dup",
     "html_extract_docs",

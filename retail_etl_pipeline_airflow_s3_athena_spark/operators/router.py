@@ -101,11 +101,14 @@ def decode_any(payload: bytes) -> tuple[str, int, int]:
         units = img.shape[0] * img.shape[1]
         digest = hashlib.sha256(img.tobytes())
     elif kind == "gif":
-        palette, frames = gif_ops.parse_gif(payload)
+        # the composited decoder (r11): identical pixels on full-canvas
+        # clips, and partial/transparent/LCT animations decode instead
+        # of loud-failing
+        frames = gif_ops.decode_gif_animation(payload)
         units = sum(f.shape[0] * f.shape[1] for f in frames)
         digest = hashlib.sha256()
         for f in frames:
-            digest.update(gif_ops.decode_gif_frame(palette, f).tobytes())
+            digest.update(f.tobytes())
     elif kind == "wav":
         _rate, _codec, x = wav_ops.decode_wav(payload)
         units = len(x)

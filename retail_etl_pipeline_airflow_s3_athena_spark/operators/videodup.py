@@ -127,10 +127,10 @@ def clip_frame_hashes(payload: bytes) -> list[int]:
         _w, _h, frames = avi_ops.parse_avi_mjpeg(payload)
         return [frame_dhash(jpeg_ops.decode_jpeg(f)) for f in frames]
     if payload[:6] in (b"GIF87a", b"GIF89a"):
-        palette, frames = gif_ops.parse_gif(payload)
+        # composited canvases (r11): identical hashes on full-canvas
+        # clips; partial/transparent animations hash what a viewer sees
         return [
-            frame_dhash(gif_ops.decode_gif_frame(palette, f))
-            for f in frames
+            frame_dhash(f) for f in gif_ops.decode_gif_animation(payload)
         ]
     raise NotImplementedError(
         "video near-dup supports raw MM04, AVI/MJPEG, and GIF clips"

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import struct
+
 import numpy as np
 import pytest
 
@@ -84,3 +86,153 @@ def test_interlace_is_transport_blind():
 def test_interlace_order_pinned():
     """Appendix E for h=10: rows 0,8 | 4 | 2,6 | 1,3,5,7,9."""
     assert G._interlace_order(10).tolist() == [0, 8, 4, 2, 6, 1, 3, 5, 7, 9]
+
+
+def test_composited_decoder_matches_fast_path_on_legacy_envelope():
+    """decode_gif_animation is pixel-identical to parse_gif +
+    decode_gif_frame on full-canvas/opaque/GCT clips — so switching
+    the census/stats/videodup GIF legs to it changed no legacy hash."""
+    for mid in (0, 1, 5, 6):  # variants 0/1 of the widened cycle
+        clip = G.make_gif_clip(mid)
+        pal, idx_frames = G.parse_gif(clip)
+        comp = G.decode_gif_animation(clip)
+        assert len(comp) == len(idx_frames)
+        for canvas, idx in zip(comp, idx_frames):
+            assert (canvas == G.decode_gif_frame(pal, idx)).all()
+
+
+def test_gif_compositing_semantics():
+    """r11 compositing rules, each checked against a hand-computed
+    canvas: partial placement, transparency holes, disposal 2
+    (restore background) and 3 (restore previous), local color
+    tables, interlace composition."""
+    gp = np.array(
+        [[0, 0, 0], [255, 0, 0], [0, 255, 0], [0, 0, 255]],
+        dtype=np.uint8,
+    )
+    base = np.full((4, 4), 1, dtype=np.uint8)
+    patch = np.full((2, 2), 2, dtype=np.uint8)
+
+    # partial placement composites onto the previous canvas
+    fr = G.decode_gif_animation(
+        G.write_gif_animation(
+            4, 4, gp, [{"idx": base}, {"idx": patch, "left": 1, "top": 2}]
+        )
+    )
+    want = gp[base].copy()
+    want[2:4, 1:3] = gp[2]
+    assert (fr[1] == want).all()
+
+    # transparent pixels leave the underlying canvas untouched
+    overlay = np.array([[3, 0], [0, 3]], dtype=np.uint8)
+    fr = G.decode_gif_animation(
+        G.write_gif_animation(
+            4, 4, gp,
+            [{"idx": base}, {"idx": overlay, "transparent": 0}],
+        )
+    )
+    want = gp[base].copy()
+    want[0, 0] = gp[3]
+    want[1, 1] = gp[3]
+    assert (fr[1] == want).all()
+
+    # disposal 2 clears the frame rect to the background color
+    fr = G.decode_gif_animation(
+        G.write_gif_animation(
+            4, 4, gp,
+            [
+                {"idx": patch, "disposal": 2},
+                {"idx": patch, "left": 2, "top": 2, "transparent": 255},
+            ],
+            bg_index=1,
+        )
+    )
+    want = np.empty((4, 4, 3), dtype=np.uint8)
+    want[:, :] = gp[1]
+    want[2:4, 2:4] = gp[2]
+    assert (fr[1] == want).all()
+
+    # disposal 3 restores the pre-frame canvas
+    fr = G.decode_gif_animation(
+        G.write_gif_animation(
+            4, 4, gp,
+            [
+                {"idx": base},
+                {"idx": patch, "left": 1, "top": 1, "disposal": 3},
+                {
+                    "idx": np.full((1, 1), 3, dtype=np.uint8),
+                    "transparent": 255,
+                },
+            ],
+        )
+    )
+    want = gp[base].copy()
+    want[0, 0] = gp[3]
+    assert (fr[2] == want).all()
+
+    # a local color table overrides the global one for its frame
+    lct = np.array([[9, 9, 9], [7, 7, 7]], dtype=np.uint8)
+    idx = np.array([[0, 1], [1, 0]], dtype=np.uint8)
+    fr = G.decode_gif_animation(
+        G.write_gif_animation(2, 2, gp, [{"idx": idx, "palette": lct}])
+    )
+    assert (fr[0] == lct[idx]).all()
+
+    # interlace composes with the compositing path
+    tall = (np.arange(64, dtype=np.uint8).reshape(8, 8)) % 4
+    fr = G.decode_gif_animation(
+        G.write_gif_animation(8, 8, gp, [{"idx": tall, "interlace": True}])
+    )
+    assert (fr[0] == gp[tall]).all()
+
+    # a frame rect outside the canvas is corrupt
+    import pytest
+
+    with pytest.raises(ValueError):
+        G.decode_gif_animation(
+            G.write_gif_animation(
+                2, 2, gp, [{"idx": patch, "left": 1, "top": 1}]
+            )
+        )
+
+
+def test_widened_fixture_cycle_decodes_and_carries_new_features():
+    """Variants 2/3/4 really ship partial frames, LCTs, transparency,
+    and disposal codes (checked raw in the byte stream), and all
+    decode through gif_frame_stats."""
+    seen_partial = seen_lct = seen_trans = False
+    seen_disposal = set()
+    for mid in range(10):
+        clip = G.make_gif_clip(mid)
+        G.gif_frame_stats(clip)  # must decode
+        w, h = struct.unpack_from("<HH", clip, 6)
+        pos = 13 + (2 << (clip[10] & 7)) * 3
+        while pos < len(clip) and clip[pos] != 0x3B:
+            if clip[pos] == 0x21:
+                if clip[pos + 1] == 0xF9:
+                    flags = clip[pos + 3]
+                    seen_disposal.add((flags >> 2) & 7)
+                    if flags & 1:
+                        seen_trans = True
+                pos += 2
+                while clip[pos] != 0:
+                    pos += 1 + clip[pos]
+                pos += 1
+            elif clip[pos] == 0x2C:
+                left, top, fw, fh, iflags = struct.unpack_from(
+                    "<HHHHB", clip, pos + 1
+                )
+                if (left, top, fw, fh) != (0, 0, w, h):
+                    seen_partial = True
+                pos += 10
+                if iflags & 0x80:
+                    seen_lct = True
+                    pos += (2 << (iflags & 7)) * 3
+                pos += 1
+                while clip[pos] != 0:
+                    pos += 1 + clip[pos]
+                pos += 1
+            else:
+                raise AssertionError(f"unknown block 0x{clip[pos]:02X}")
+    assert seen_partial and seen_lct and seen_trans
+    assert {1, 2, 3} <= seen_disposal
