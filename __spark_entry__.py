@@ -2085,17 +2085,19 @@ def entry(spark: SparkSession) -> DataFrame:
 # reference-parity core (kept fresh every round).  Evicted r9-green
 # rows go to the BACK of the tail (freshest evidence).
 GATE_FIRST_50 = [
-    # r11 rotation (r10 verdict #1 + the r9 lesson): first the ten
+    # r11 rotation (r10 verdict #1 + the r9 lesson): first the eleven
     # queries whose OUTPUT VALUES changed this round (widened fixture
-    # cycles: PNG tRNS variants, GIF compositing variants, stereo
-    # WAV, the mixed-media corpus they feed, and the two-codec JSONL
-    # round-trip) — changed surfaces must earn driver evidence the
-    # round they change; then the 40 stalest rows by driver-evidence
-    # age: all 19 queries last driver-gated in r5 and the 21 oldest
-    # r6 rows.  The 10 remaining r6-evidence rows lead GATE_TAIL for
+    # cycles: PNG tRNS variants, GIF compositing variants, 16-bit-DQT
+    # JPEG, stereo WAV, the mixed-media corpus they feed, and the
+    # two-codec JSONL round-trip) — changed surfaces must earn driver
+    # evidence the
+    # round they change; then the 39 stalest rows by driver-evidence
+    # age: all 19 queries last driver-gated in r5 and the 20 oldest
+    # r6 rows.  The 11 remaining r6-evidence rows lead GATE_TAIL for
     # r12.
     "png_features",
     "gif_frame_luma",
+    "jpeg_features",
     "media_type_census",
     "multimodal_training_set",
     "multimodal_manifest",
@@ -2143,13 +2145,13 @@ GATE_FIRST_50 = [
     "supplier_revenue_share",
     "discount_band_revenue",
     "returned_item_customers",
-    "top_revenue_supplier",
 ]
 
 GATE_TAIL = [
     # stalest-first (evidence round, then gate order) — the r12
     # window is simply the head of this list plus whatever changes
     "segment_year_cube",
+    "top_revenue_supplier",
     "customer_order_gaps",
     "daily_revenue_running",
     "segment_sales_rollup",
@@ -2249,7 +2251,6 @@ GATE_TAIL = [
     "unigram_vocab",
     "unigram_encode_docs",
     "unigram_encode_persisted",
-    "jpeg_features",
     "scd2_customers",
     "tfidf_top_terms",
     "decontaminate_docs",

@@ -412,7 +412,10 @@ def _pad_plane(plane: np.ndarray, ph: int, pw: int) -> np.ndarray:
 
 
 def encode_jpeg(
-    img: np.ndarray, subsample: bool = False, restart_interval: int = 0
+    img: np.ndarray,
+    subsample: bool = False,
+    restart_interval: int = 0,
+    qt_16bit: bool = False,
 ) -> bytes:
     """Encode (h, w) or (h, w, 1|3) uint8 as a baseline JPEG with
     Annex-K tables: 4:4:4 by default, 4:2:0 (the dominant web
@@ -421,7 +424,10 @@ def encode_jpeg(
     emits a DRI segment and RSTn markers every that-many MCUs (the
     error-resilience feature real encoders default on) — restart
     coding is LOSSLESS, so decoded pixels are identical either way.
-    Pure integer; deterministic."""
+    ``qt_16bit`` writes the quantization tables in Pq=1 16-bit form
+    (r11) — the same values in the wider container encoding, so
+    decoded pixels are identical to the Pq=0 stream while the 16-bit
+    DQT parse path is exercised.  Pure integer; deterministic."""
     if img.ndim == 2:
         img = img[:, :, None]
     h, w, c = img.shape
@@ -463,10 +469,20 @@ def encode_jpeg(
     qt_luma = _scaled_qt(_QT_LUMA)
     qt_chroma = _scaled_qt(_QT_CHROMA)
     out = bytearray(b"\xff\xd8")  # SOI
-    # DQT
+    # DQT (Pq=0 one-byte or Pq=1 big-endian two-byte entries)
     for tid, qt in ([(0, qt_luma)] + ([(1, qt_chroma)] if c == 3 else [])):
-        z = bytes(int(qt.reshape(-1)[_ZIGZAG[i]]) for i in range(64))
-        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tid]) + z
+        zz = [int(qt.reshape(-1)[_ZIGZAG[i]]) for i in range(64)]
+        if qt_16bit:
+            z = b"".join(struct.pack(">H", v) for v in zz)
+            out += (
+                b"\xff\xdb" + struct.pack(">H", 131)
+                + bytes([0x10 | tid]) + z
+            )
+        else:
+            out += (
+                b"\xff\xdb" + struct.pack(">H", 67)
+                + bytes([tid]) + bytes(zz)
+            )
     # SOF0
     comps = b""
     for cid in range(1, c + 1):
@@ -686,6 +702,33 @@ def encode_jpeg_progressive(img: np.ndarray) -> bytes:
     return bytes(out)
 
 
+def _parse_dqt(seg: bytes, qts: dict[int, "np.ndarray"]) -> None:
+    """One DQT segment -> quantization tables, both precisions
+    (T.81 B.2.4.1): Pq=0 packs 64 one-byte entries, Pq=1 (r11 -
+    previously loud-failed) packs 64 big-endian two-byte entries.
+    Values land in the same int64 tables, so 16-bit quantizers flow
+    through dequant/IDCT unchanged."""
+    p = 0
+    while p < len(seg):
+        prec_id = seg[p]
+        pq = prec_id >> 4
+        tid = prec_id & 0x0F
+        if pq not in (0, 1):
+            raise ValueError(f"invalid DQT precision {pq}")
+        width = 1 + pq
+        z = seg[p + 1 : p + 1 + 64 * width]
+        if len(z) != 64 * width:
+            raise ValueError("truncated JPEG DQT segment")
+        qt = np.zeros(64, dtype=np.int64)
+        for i in range(64):
+            if pq:
+                qt[_ZIGZAG[i]] = (z[2 * i] << 8) | z[2 * i + 1]
+            else:
+                qt[_ZIGZAG[i]] = z[i]
+        qts[tid] = qt.reshape(8, 8)
+        p += 1 + 64 * width
+
+
 def _decode_progressive(payload: bytes) -> np.ndarray:
     """Progressive (SOF2) decode: coefficient accumulation across
     scans, then one dequant + integer IDCT pass.  Supported envelope:
@@ -711,20 +754,7 @@ def _decode_progressive(payload: bytes) -> np.ndarray:
         (seglen,) = struct.unpack_from(">H", payload, pos + 2)
         seg = payload[pos + 4 : pos + 2 + seglen]
         if marker == 0xDB:
-            p = 0
-            while p < len(seg):
-                prec_id = seg[p]
-                if prec_id >> 4 != 0:
-                    raise NotImplementedError("16-bit DQT not supported")
-                tid = prec_id & 0x0F
-                z = seg[p + 1 : p + 65]
-                if len(z) != 64:
-                    raise ValueError("truncated JPEG DQT segment")
-                qt = np.zeros(64, dtype=np.int64)
-                for i in range(64):
-                    qt[_ZIGZAG[i]] = z[i]
-                qts[tid] = qt.reshape(8, 8)
-                p += 65
+            _parse_dqt(seg, qts)
         elif marker == 0xC4:
             p = 0
             while p < len(seg):
@@ -916,20 +946,7 @@ def _decode_baseline(payload: bytes) -> np.ndarray:
         (seglen,) = struct.unpack_from(">H", payload, pos + 2)
         seg = payload[pos + 4 : pos + 2 + seglen]
         if marker == 0xDB:  # DQT
-            p = 0
-            while p < len(seg):
-                prec_id = seg[p]
-                if prec_id >> 4 != 0:
-                    raise NotImplementedError("16-bit DQT not supported")
-                tid = prec_id & 0x0F
-                z = seg[p + 1 : p + 65]
-                if len(z) != 64:
-                    raise ValueError("truncated JPEG DQT segment")
-                qt = np.zeros(64, dtype=np.int64)
-                for i in range(64):
-                    qt[_ZIGZAG[i]] = z[i]
-                qts[tid] = qt.reshape(8, 8)
-                p += 65
+            _parse_dqt(seg, qts)
         elif marker == 0xC4:  # DHT
             p = 0
             while p < len(seg):
@@ -1075,9 +1092,9 @@ def _decode_baseline(payload: bytes) -> np.ndarray:
 def make_jpeg_image(media_id: int) -> bytes:
     """Deterministic JPEG: smooth integer gradients (block-friendly —
     the content JPEG is FOR), cycling grayscale / RGB 4:4:4 (+DRI) /
-    RGB 4:2:0 / RGB 4:2:2 / PROGRESSIVE so every supported profile
-    appears in every corpus."""
-    variant = media_id % 5
+    RGB 4:2:0 / RGB 4:2:2 / PROGRESSIVE / 16-bit-DQT 4:4:4 (r11) so
+    every supported profile appears in every corpus."""
+    variant = media_id % 6
     c = 1 if variant == 0 else 3
     w = 24 + (media_id * 7) % 40
     h = 24 + (media_id * 11) % 40
@@ -1091,12 +1108,14 @@ def make_jpeg_image(media_id: int) -> bytes:
     if variant == 4:
         return encode_jpeg_progressive(img)
     # variant 1 also carries restart markers so every corpus exercises
-    # the RSTn resync path end-to-end
-    subsample = {0: False, 1: False, 2: True, 3: "422"}[variant]
+    # the RSTn resync path end-to-end; variant 5 writes its quant
+    # tables in Pq=1 16-bit form (identical values, wider encoding)
+    subsample = {0: False, 1: False, 2: True, 3: "422", 5: False}[variant]
     return encode_jpeg(
         img,
         subsample=subsample,
         restart_interval=2 if variant == 1 else 0,
+        qt_16bit=(variant == 5),
     )
 
 
