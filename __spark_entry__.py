@@ -37,6 +37,7 @@ from retail_etl_pipeline_airflow_s3_athena_spark.operators import archive as arc
 from retail_etl_pipeline_airflow_s3_athena_spark.operators import router as router_ops
 from retail_etl_pipeline_airflow_s3_athena_spark.operators import html as html_ops
 from retail_etl_pipeline_airflow_s3_athena_spark.operators import videodup as vdup_ops
+from retail_etl_pipeline_airflow_s3_athena_spark.operators import robots as robots_ops
 from retail_etl_pipeline_airflow_s3_athena_spark.operators import url as url_ops
 from retail_etl_pipeline_airflow_s3_athena_spark.operators import warc as warc_ops
 from retail_etl_pipeline_airflow_s3_athena_spark.operators import wav as wav_ops
@@ -1586,6 +1587,34 @@ def _q_video_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vdup_ops.video_near_dup(media).orderBy("id_a", "id_b")
 
 
+def _q_robots_rules_parsed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 9309 robots.txt parsing, distributed (operators/robots.py):
+    comment stripping, case-insensitive keys, stacked User-agent
+    runs, empty-value rules dropped — the stateful group association
+    as two windows over (host, line_no).  Oracle: VALUES literal from
+    the LOCAL reference parser over the same fixture bodies (the
+    codec twin discipline)."""
+    rules = robots_ops.parse_robots(robots_ops.synthesize_robots(spark))
+    return rules.orderBy("host", "agent", "rule", "pattern")
+
+
+def _q_robots_filter_captures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl admission control: every capture (host/path derived from
+    doc_id) decided against its host's parsed robots.txt for one
+    agent — group override, longest-match precedence, Allow beating
+    Disallow on ties, ``*``/``$`` pattern semantics via dialect-shared
+    LIKE...ESCAPE, missing robots.txt allowing by default.  The rules
+    reach the decision through the DISTRIBUTED parser; the oracle
+    re-derives them through the local reference parser and replays
+    match + precedence in real SQL."""
+    docs = _docs(spark, sf_dir)
+    captures = robots_ops.with_capture_paths(docs)
+    rules = robots_ops.parse_robots(robots_ops.synthesize_robots(spark))
+    return robots_ops.robots_decisions(
+        captures, rules, robots_ops.FIXTURE_AGENT
+    ).orderBy("doc_id")
+
+
 def _q_warc_ingest_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC round-trip under a REAL SQL oracle (stronger than the
     VALUES codecs): the documents table packed into one gzip-membered
@@ -2085,19 +2114,23 @@ def entry(spark: SparkSession) -> DataFrame:
 # reference-parity core (kept fresh every round).  Evicted r9-green
 # rows go to the BACK of the tail (freshest evidence).
 GATE_FIRST_50 = [
-    # r11 rotation (r10 verdict #1 + the r9 lesson): first the eleven
+    # r11 rotation (r10 verdict #1 + the r9 lesson): first the thirteen
+    # entries: the eleven
     # queries whose OUTPUT VALUES changed this round (widened fixture
     # cycles: PNG tRNS variants, GIF compositing variants, 16-bit-DQT
     # JPEG, stereo WAV, the mixed-media corpus they feed, and the
     # two-codec JSONL round-trip) — changed surfaces must earn driver
     # evidence the
-    # round they change; then the 39 stalest rows by driver-evidence
-    # age: all 19 queries last driver-gated in r5 and the 20 oldest
-    # r6 rows.  The 11 remaining r6-evidence rows lead GATE_TAIL for
+    # round they change; then the two brand-new robots.txt queries (never
+    # driver-gated), then the 37 stalest rows by driver-evidence
+    # age: all 19 queries last driver-gated in r5 and the 18 oldest
+    # r6 rows.  The 13 remaining r6-evidence rows lead GATE_TAIL for
     # r12.
     "png_features",
     "gif_frame_luma",
     "jpeg_features",
+    "robots_rules_parsed",
+    "robots_filter_captures",
     "media_type_census",
     "multimodal_training_set",
     "multimodal_manifest",
@@ -2143,8 +2176,6 @@ GATE_FIRST_50 = [
     "nation_market_share",
     "above_avg_dormant_value",
     "supplier_revenue_share",
-    "discount_band_revenue",
-    "returned_item_customers",
 ]
 
 GATE_TAIL = [
@@ -2152,6 +2183,8 @@ GATE_TAIL = [
     # window is simply the head of this list plus whatever changes
     "segment_year_cube",
     "top_revenue_supplier",
+    "discount_band_revenue",
+    "returned_item_customers",
     "customer_order_gaps",
     "daily_revenue_running",
     "segment_sales_rollup",
@@ -2378,6 +2411,8 @@ def _all_queries() -> dict[str, QueryFn]:
         "mjpeg_frame_luma": _q_mjpeg_frame_luma,
         "gif_frame_luma": _q_gif_frame_luma,
         "warc_ingest_docs": _q_warc_ingest_docs,
+        "robots_rules_parsed": _q_robots_rules_parsed,
+        "robots_filter_captures": _q_robots_filter_captures,
         "tar_ingest_docs": _q_tar_ingest_docs,
         "media_type_census": _q_media_type_census,
         "url_canonical_dedup": _q_url_canonical_dedup,
@@ -3123,6 +3158,20 @@ def oracle_sql() -> dict[str, str]:
         "FROM documents ORDER BY doc_id"
     )
     oracles["tar_ingest_docs"] = archive_ops.oracle_tar_roundtrip_sql()
+    _robots_rows = robots_ops.fixture_rule_rows()
+    oracles["robots_rules_parsed"] = (
+        "SELECT host, agent, rule, pattern FROM (VALUES "
+        + ", ".join(
+            f"('{h}', '{a}', '{r}', '{p}')" for h, a, r, p in _robots_rows
+        )
+        + ") AS t(host, agent, rule, pattern) "
+        "ORDER BY host, agent, rule, pattern"
+    )
+    oracles["robots_filter_captures"] = robots_ops.oracle_decisions_sql(
+        _robots_rows,
+        robots_ops.sql_capture_paths("documents"),
+        robots_ops.FIXTURE_AGENT,
+    )
     oracles["url_canonical_dedup"] = (
         url_ops.oracle_url_canonical_dedup_sql()
     )

@@ -277,6 +277,9 @@ STANDALONE = [
     "multimodal_manifest_diff",
     # r10: tiered crawl dedup funnel report
     "crawl_dedup_report",
+    # r11: robots.txt admission control (RFC 9309 parse + match)
+    "robots_rules_parsed",
+    "robots_filter_captures",
     # r9 (cont.): compressed audio (RIFF/WAV + IMA ADPCM) and
     # compressed video (AVI + MJPEG) decode
     "wav_features",

@@ -1,0 +1,450 @@
+"""robots.txt politeness filter (RFC 9309) — the crawl tier's
+admission control, upstream of URL-canonical dedup.
+
+A crawl-processing pipeline must not TRAIN on what the crawler was
+not allowed to FETCH: re-checking captures against each host's
+robots.txt is the standard provenance hygiene step (CommonCrawl
+re-filters the same way).  This module implements the RFC 9309
+matching core as pure relational operators:
+
+- ``parse_robots``: (host, robots_txt) rows -> (host, agent, rule,
+  pattern) rows, distributed.  Group semantics per RFC 9309 §2.1:
+  consecutive ``User-agent:`` lines stack onto the following rule
+  block; comments (#) strip; keys are case-insensitive; empty
+  Allow/Disallow values carry no rule.  The stateful group
+  association is two window functions over (host, line_no) — robots
+  files are KB-scale, so the per-host window is bounded and the
+  parse shuffles one exchange on host.
+- ``robots_decisions`` / ``robots_filter``: captures (host, path)
+  against the parsed rules for one user agent.  RFC matching:
+  a rule pattern is a path prefix with ``*`` wildcards and an
+  optional ``$`` end anchor; the applicable group is the agent's own
+  if the host has one, else the ``*`` group; the winning rule is the
+  LONGEST matching pattern (octet length), Allow beating Disallow on
+  ties; no matching rule means allowed.  The match compiles each
+  pattern to a SQL LIKE pattern (``*``->``%``, specials escaped,
+  ``$`` dropping the implicit trailing ``%``) evaluated JVM-side
+  with ``LIKE ... ESCAPE`` — no regex, no UDF, and the DuckDB twin
+  evaluates the IDENTICAL pattern column, so the gate hashes the
+  full match + precedence semantics.
+
+Scale (100 TB of captures): rules are small data (one robots.txt per
+host) — ``robots_decisions`` broadcasts the applicable rules and the
+only shuffle over captures is the per-capture winner aggregation,
+keyed by the capture id (no skew: one group per capture row ×
+matched rules, bounded by rules-per-host).  The parse side never
+touches the capture table.
+
+Reference scope: none (the reference ingests CSVs) — extension
+coverage for the crawl tier, composing with operators/url.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# Local (driver-side) reference parser — shared by tests and the
+# VALUES-literal oracle builders, the png_stats/wav_stats discipline:
+# the distributed parser must reproduce THIS bit-for-bit.
+# ---------------------------------------------------------------------------
+
+
+def parse_robots_text(text: str) -> list[tuple[str, str, str]]:
+    """One robots.txt body -> [(agent, rule, pattern)] per RFC 9309:
+    consecutive User-agent lines stack; rules before any User-agent
+    line are ignored; empty values carry no rule; agents lowercase
+    (case-insensitive product tokens), patterns verbatim."""
+    rows: list[tuple[str, str, str]] = []
+    agents: list[str] = []
+    in_ua_run = False
+    for raw in text.split("\n"):
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, val = line.partition(":")
+        key = key.strip().lower()
+        val = val.strip()
+        if key == "user-agent":
+            if not in_ua_run:
+                agents = []
+            in_ua_run = True
+            if val:
+                agents.append(val.lower())
+            continue
+        in_ua_run = False
+        if key in ("allow", "disallow") and val:
+            rows.extend((a, key, val) for a in agents)
+    return rows
+
+
+# ---------------------------------------------------------------------------
+# Distributed parser
+# ---------------------------------------------------------------------------
+
+def parse_robots(
+    robots: DataFrame, host_col: str = "host", text_col: str = "robots_txt"
+) -> DataFrame:
+    """(host, robots_txt) -> (host, agent, rule, pattern), the
+    distributed twin of parse_robots_text.  Plan: one posexplode of
+    the line split (robots files are KB-scale), two windows over
+    (host, line_no) — a running group counter that increments where a
+    User-agent run starts, and a last-group forward fill for rule
+    lines — then an equi-join of rule lines to their group's agent
+    lines.  Everything is JVM string expressions; one exchange on
+    host."""
+    from pyspark.sql import Window
+
+    lines = robots.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias(
+            "line_no", "raw"
+        ),
+    ).select(
+        "host",
+        "line_no",
+        F.trim(F.regexp_replace("raw", "#.*$", "")).alias("line"),
+    )
+    parsed = lines.filter(F.col("line").contains(":")).select(
+        "host",
+        "line_no",
+        F.lower(
+            F.trim(F.substring_index("line", ":", 1))
+        ).alias("key"),
+        F.trim(
+            F.expr("substring(line, instr(line, ':') + 1)")
+        ).alias("val"),
+    ).filter(F.col("key").isin("user-agent", "allow", "disallow"))
+    w = Window.partitionBy("host").orderBy("line_no")
+    is_ua = (F.col("key") == "user-agent").cast("int")
+    prev_ua = F.coalesce(F.lag(is_ua).over(w), F.lit(0))
+    staged = parsed.withColumn(
+        "grp",
+        F.sum(
+            ((is_ua == 1) & (prev_ua == 0)).cast("int")
+        ).over(w),
+    )
+    ua = staged.filter(
+        (F.col("key") == "user-agent") & (F.col("val") != "")
+    ).select(
+        "host", "grp", F.lower("val").alias("agent")
+    )
+    rules = staged.filter(
+        (F.col("key") != "user-agent") & (F.col("val") != "")
+    ).select(
+        "host",
+        "grp",
+        F.col("key").alias("rule"),
+        F.col("val").alias("pattern"),
+        "line_no",
+    )
+    return (
+        rules.join(ua, ["host", "grp"])
+        .select("host", "agent", "rule", "pattern", "line_no")
+        .orderBy("host", "line_no", "agent")
+        .drop("line_no")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Matching + precedence
+# ---------------------------------------------------------------------------
+
+def like_pattern(pattern: F.Column) -> F.Column:
+    """robots path pattern -> SQL LIKE pattern (column expression):
+    escape LIKE specials (backslash first), map ``*`` to ``%``, and
+    either drop a trailing ``$`` (end-anchored: LIKE is already
+    fully anchored) or append ``%`` (prefix match).  Pure literal
+    ``replace`` chains — no regex."""
+    esc = pattern
+    for ch in ("\\", "%", "_"):
+        esc = F.replace(esc, F.lit(ch), F.lit("\\" + ch))
+    esc = F.replace(esc, F.lit("*"), F.lit("%"))
+    return F.when(
+        pattern.endswith("$"),
+        esc.substr(F.lit(1), F.length(esc) - 1),
+    ).otherwise(F.concat(esc, F.lit("%")))
+
+
+def sql_like_pattern(pattern: str) -> str:
+    """DuckDB twin of like_pattern over a column reference."""
+    esc = (
+        f"replace(replace(replace(replace({pattern}, '\\', '\\\\'),"
+        f" '%', '\\%'), '_', '\\_'), '*', '%')"
+    )
+    return (
+        f"CASE WHEN {pattern} LIKE '%$' "
+        f"THEN substring({esc}, 1, length({esc}) - 1) "
+        f"ELSE {esc} || '%' END"
+    )
+
+
+def applicable_rules(rules: DataFrame, agent: str) -> DataFrame:
+    """Per host: the agent's own group if it exists, else the ``*``
+    group (RFC 9309 §2.2.1).  Rules data is host-cardinality small —
+    one tiny aggregation + a re-join on host."""
+    agent = agent.lower()
+    scoped = rules.filter(F.col("agent").isin(agent, "*"))
+    has_exact = scoped.groupBy("host").agg(
+        F.max((F.col("agent") == agent).cast("int")).alias("has_exact")
+    )
+    return (
+        scoped.join(has_exact, "host")
+        .filter(
+            (F.col("agent") == agent)
+            | ((F.col("agent") == "*") & (F.col("has_exact") == 0))
+        )
+        .select("host", "rule", "pattern")
+    )
+
+
+def robots_decisions(
+    captures: DataFrame,
+    rules: DataFrame,
+    agent: str,
+    id_col: str = "doc_id",
+    host_col: str = "host",
+    path_col: str = "path",
+) -> DataFrame:
+    """Per-capture admission decision: (id, host, path, allowed,
+    rule, pattern) where (rule, pattern) is the winning rule (NULL
+    when no rule matched — allowed by default).  Precedence is the
+    RFC's longest-match with Allow winning ties, computed as one
+    max(struct) aggregation per capture over its broadcast-joined
+    matching rules."""
+    app = applicable_rules(rules, agent).select(
+        F.col("host").alias("__rhost"),
+        "rule",
+        "pattern",
+        like_pattern(F.col("pattern")).alias("__like"),
+    )
+    joined = captures.join(
+        F.broadcast(app),
+        (F.col(host_col) == F.col("__rhost"))
+        & F.expr(f"{path_col} LIKE __like ESCAPE '\\\\'"),
+        "left",
+    )
+    win = F.max(
+        F.when(
+            F.col("pattern").isNotNull(),
+            F.struct(
+                F.octet_length("pattern").alias("len"),
+                (F.col("rule") == "allow").cast("int").alias("is_allow"),
+                F.col("rule").alias("rule"),
+                F.col("pattern").alias("pattern"),
+            ),
+        )
+    ).alias("w")
+    agg = joined.groupBy(id_col, host_col, path_col).agg(win)
+    return agg.select(
+        id_col,
+        host_col,
+        path_col,
+        F.coalesce(F.col("w.is_allow") == 1, F.lit(True)).alias(
+            "allowed"
+        ),
+        F.col("w.rule").alias("rule"),
+        F.col("w.pattern").alias("pattern"),
+    )
+
+
+def robots_filter(
+    captures: DataFrame,
+    rules: DataFrame,
+    agent: str,
+    id_col: str = "doc_id",
+    host_col: str = "host",
+    path_col: str = "path",
+) -> DataFrame:
+    """Admission filter: captures whose decision is allowed, original
+    columns preserved (the form the crawl pipeline composes)."""
+    dec = robots_decisions(
+        captures, rules, agent, id_col, host_col, path_col
+    ).select(id_col, "allowed")
+    return (
+        captures.join(dec, id_col)
+        .filter(F.col("allowed"))
+        .drop("allowed")
+    )
+
+
+def oracle_decisions_sql(
+    rule_rows: list[tuple[str, str, str, str]],
+    captures_sql: str,
+    agent: str,
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of robots_decisions: the parsed rules as a VALUES
+    literal (locally recomputed via parse_robots_text — the codec
+    oracle discipline), the match + precedence as REAL SQL over the
+    identical LIKE patterns."""
+    agent = agent.lower()
+    if rule_rows:
+        vals = ", ".join(
+            "('{}', '{}', '{}', '{}')".format(
+                h.replace("'", "''"),
+                a.replace("'", "''"),
+                r,
+                p.replace("'", "''"),
+            )
+            for h, a, r, p in rule_rows
+        )
+        rules_cte = f"(VALUES {vals})"
+    else:
+        rules_cte = (
+            "(SELECT NULL, NULL, NULL, NULL WHERE FALSE)"
+        )
+    return f"""
+        WITH rules(host, agent, rule, pattern) AS (
+            SELECT * FROM {rules_cte}
+        ),
+        scoped AS (
+            SELECT r.*, mh.has_exact FROM rules r JOIN (
+                SELECT host,
+                       MAX(CASE WHEN agent = '{agent}' THEN 1
+                           ELSE 0 END) AS has_exact
+                FROM rules WHERE agent IN ('{agent}', '*')
+                GROUP BY host
+            ) mh USING (host)
+            WHERE r.agent = '{agent}'
+               OR (r.agent = '*' AND mh.has_exact = 0)
+        ),
+        app AS (
+            SELECT host, rule, pattern,
+                   {sql_like_pattern('pattern')} AS like_pat
+            FROM scoped
+        ),
+        caps AS ({captures_sql}),
+        matched AS (
+            SELECT c.{id_col}, c.host, c.path,
+                   a.rule, a.pattern,
+                   strlen(a.pattern) AS plen
+            FROM caps c LEFT JOIN app a
+              ON c.host = a.host
+             AND c.path LIKE a.like_pat ESCAPE '\\'
+        ),
+        ranked AS (
+            SELECT {id_col}, host, path, rule, pattern,
+                   -- mirrors Spark's max(struct(len, is_allow, rule,
+                   -- pattern)): longest pattern, then allow over
+                   -- disallow, then the string fields break exact
+                   -- ties deterministically
+                   ROW_NUMBER() OVER (
+                       PARTITION BY {id_col}
+                       ORDER BY plen DESC NULLS LAST,
+                                CASE WHEN rule = 'allow' THEN 0
+                                     ELSE 1 END,
+                                rule DESC, pattern DESC
+                   ) AS rn
+            FROM matched
+        )
+        SELECT {id_col}, host, path,
+               COALESCE(rule = 'allow', TRUE) AS allowed,
+               rule, pattern
+        FROM ranked WHERE rn = 1"""
+
+
+# ---------------------------------------------------------------------------
+# Deterministic fixture: five hosts' admission policies + capture
+# paths derived from doc_id, exercising every RFC 9309 semantic the
+# operators implement (group override, stacked agents, wildcard, $
+# anchor, longest-match precedence, allow-beats-disallow, empty
+# value, missing robots.txt).  The SQL twins re-derive the capture
+# construction so the gate hashes fixture + parse + match together.
+# ---------------------------------------------------------------------------
+
+FIXTURE_AGENT = "databot"
+
+ROBOTS_FIXTURE_TEXTS: dict[str, str] = {
+    # group override: databot's own group wins over *
+    "h0.example.com": (
+        "# admission policy\n"
+        "User-agent: *\n"
+        "Disallow: /private*\n"
+        "Allow: /private/ok*\n"
+        "\n"
+        "User-agent: databot\n"
+        "Disallow: /tmp*\n"
+    ),
+    # longest-match: Allow /public* beats Disallow /
+    "h1.example.com": (
+        "User-agent: *\n"
+        "Disallow: /\n"
+        "Allow: /public*\n"
+    ),
+    # stacked agents + $ anchor + literal-underscore pattern +
+    # empty Disallow (carries no rule)
+    "h2.example.com": (
+        "User-agent: databot\n"
+        "User-agent: otherbot\n"
+        "Disallow: /*.png$\n"
+        "Disallow: /*_*\n"
+        "User-agent: *\n"
+        "Disallow:\n"
+    ),
+    # h3.example.com has no robots.txt at all -> everything allowed
+    # $ anchor negative: the query string defeats the end anchor
+    "h4.example.com": (
+        "User-agent: *\n"
+        "Disallow: /cgi-bin*\n"
+        "Allow: /cgi-bin/run$\n"
+    ),
+}
+
+
+def fixture_rule_rows() -> list[tuple[str, str, str, str]]:
+    """(host, agent, rule, pattern) rows via the LOCAL reference
+    parser — the VALUES side of both gate oracles."""
+    return [
+        (host, agent, rule, pattern)
+        for host, text in sorted(ROBOTS_FIXTURE_TEXTS.items())
+        for agent, rule, pattern in parse_robots_text(text)
+    ]
+
+
+def synthesize_robots(spark) -> DataFrame:
+    rows = sorted(ROBOTS_FIXTURE_TEXTS.items())
+    return spark.createDataFrame(rows, ["host", "robots_txt"])
+
+
+def with_capture_paths(docs: DataFrame) -> DataFrame:
+    """documents -> (doc_id, host, path) captures: host cycles five
+    fixture hosts, path cycles six shapes (public/private/ok/tmp/
+    query-string/underscore-png) so every rule family sees matching
+    and non-matching traffic."""
+    did = F.col("doc_id")
+    host = F.concat(
+        F.lit("h"), (did % 5).cast("string"), F.lit(".example.com")
+    )
+    ds = did.cast("string")
+    path = (
+        F.when(did % 6 == 0, F.concat(F.lit("/public/doc/"), ds))
+        .when(did % 6 == 1, F.concat(F.lit("/private/doc/"), ds))
+        .when(did % 6 == 2, F.concat(F.lit("/private/ok/"), ds))
+        .when(did % 6 == 3, F.concat(F.lit("/tmp/"), ds, F.lit(".html")))
+        .when(did % 6 == 4, F.concat(F.lit("/cgi-bin/run?q="), ds))
+        .otherwise(F.concat(F.lit("/public/img_"), ds, F.lit(".png")))
+    )
+    return docs.select(
+        "doc_id", host.alias("host"), path.alias("path")
+    )
+
+
+def sql_capture_paths(table: str = "documents") -> str:
+    """DuckDB twin of with_capture_paths."""
+    return f"""
+        SELECT doc_id,
+               'h' || CAST(doc_id % 5 AS VARCHAR) || '.example.com'
+                   AS host,
+               CASE doc_id % 6
+                   WHEN 0 THEN '/public/doc/' || CAST(doc_id AS VARCHAR)
+                   WHEN 1 THEN '/private/doc/' || CAST(doc_id AS VARCHAR)
+                   WHEN 2 THEN '/private/ok/' || CAST(doc_id AS VARCHAR)
+                   WHEN 3 THEN '/tmp/' || CAST(doc_id AS VARCHAR)
+                        || '.html'
+                   WHEN 4 THEN '/cgi-bin/run?q=' || CAST(doc_id AS VARCHAR)
+                   ELSE '/public/img_' || CAST(doc_id AS VARCHAR)
+                        || '.png'
+               END AS path
+        FROM {table}"""

@@ -203,6 +203,79 @@ def sql_messy_url(id_col: str = "doc_id") -> str:
     END"""
 
 
+def url_host(url: Column | str) -> Column:
+    """The URL's host key for robots.txt grouping (r11): lowercased
+    authority with the scheme's default port stripped — the same host
+    normalization canonical_url applies, exposed standalone so the
+    robots admission tier (operators/robots.py) can key captures
+    without canonicalizing them first."""
+    u = F.col(url) if isinstance(url, str) else url
+    base = F.regexp_replace(
+        F.regexp_replace(u, "#.*$", ""), r"\?.*$", ""
+    )
+    scheme = F.lower(F.regexp_extract(base, _SCHEME_RE, 1))
+    rest = F.regexp_replace(base, _SCHEME_RE, "")
+    authority = F.lower(F.regexp_extract(rest, "^([^/]*)", 1))
+    return (
+        F.when(
+            (scheme == "http") & authority.endswith(":80"),
+            F.substring(authority, F.lit(1), F.length(authority) - F.lit(3)),
+        )
+        .when(
+            (scheme == "https") & authority.endswith(":443"),
+            F.substring(authority, F.lit(1), F.length(authority) - F.lit(4)),
+        )
+        .otherwise(authority)
+    )
+
+
+def url_path_query(url: Column | str) -> Column:
+    """The URL's path plus RAW query string, fragment stripped, empty
+    path normalized to ``/`` (r11) — what RFC 9309 matches robots
+    rules against: the URI as fetched, BEFORE canonicalization drops
+    tracking params."""
+    u = F.col(url) if isinstance(url, str) else url
+    no_frag = F.regexp_replace(u, "#.*$", "")
+    rest = F.regexp_replace(no_frag, _SCHEME_RE, "")
+    authority = F.regexp_extract(rest, "^([^/?]*)", 1)
+    pq = F.substring(
+        rest, F.length(authority) + F.lit(1), F.lit(_MAXLEN)
+    )
+    return F.when(pq == "", F.lit("/")).otherwise(
+        F.when(pq.startswith("?"), F.concat(F.lit("/"), pq)).otherwise(pq)
+    )
+
+
+def sql_url_host(col: str) -> str:
+    """DuckDB twin of url_host."""
+    base = (
+        f"regexp_replace(regexp_replace({col}, '#.*$', ''),"
+        f" '\\?.*$', '')"
+    )
+    scheme = f"lower(regexp_extract({base}, '{_SCHEME_RE}', 1))"
+    rest = f"regexp_replace({base}, '{_SCHEME_RE}', '')"
+    authority = f"lower(regexp_extract({rest}, '^([^/]*)', 1))"
+    return f"""CASE
+        WHEN {scheme} = 'http' AND {authority} LIKE '%:80'
+            THEN substring({authority}, 1, length({authority}) - 3)
+        WHEN {scheme} = 'https' AND {authority} LIKE '%:443'
+            THEN substring({authority}, 1, length({authority}) - 4)
+        ELSE {authority} END"""
+
+
+def sql_url_path_query(col: str) -> str:
+    """DuckDB twin of url_path_query."""
+    no_frag = f"regexp_replace({col}, '#.*$', '')"
+    rest = f"regexp_replace({no_frag}, '{_SCHEME_RE}', '')"
+    authority = f"regexp_extract({rest}, '^([^/?]*)', 1)"
+    pq = f"substring({rest}, length({authority}) + 1)"
+    return (
+        f"CASE WHEN {pq} = '' THEN '/' "
+        f"WHEN {pq} LIKE '?%' THEN '/' || {pq} "
+        f"ELSE {pq} END"
+    )
+
+
 def sql_canonical_url(col: str) -> str:
     """DuckDB twin of canonical_url — every rule re-derived
     independently (RE2 + list lambdas instead of Java regex +

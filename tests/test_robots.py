@@ -1,0 +1,151 @@
+"""robots.txt politeness filter (operators/robots.py) — RFC 9309."""
+
+from __future__ import annotations
+
+import pytest
+
+from retail_etl_pipeline_airflow_s3_athena_spark.operators import robots as R
+
+
+def test_reference_parser_rfc_semantics():
+    text = (
+        "# comment-only line\n"
+        "Disallow: /ignored-no-group\n"      # before any UA: ignored
+        "USER-AGENT: AlphaBot\n"             # case-insensitive key+agent
+        "User-agent: BetaBot\n"              # stacked run
+        "Disallow: /a # trailing comment\n"
+        "Allow:\n"                           # empty value: no rule
+        "allow: /a/ok\n"
+        "User-agent: *\n"                    # new run after rules
+        "Disallow: /b\n"
+        "not-a-directive\n"
+        "Crawl-delay: 10\n"                  # unknown key: ignored
+    )
+    rows = R.parse_robots_text(text)
+    assert rows == [
+        ("alphabot", "disallow", "/a"),
+        ("betabot", "disallow", "/a"),
+        ("alphabot", "allow", "/a/ok"),
+        ("betabot", "allow", "/a/ok"),
+        ("*", "disallow", "/b"),
+    ]
+
+
+def test_distributed_parser_matches_reference(spark):
+    hosts = sorted(R.ROBOTS_FIXTURE_TEXTS)
+    got = {
+        (r["host"], r["agent"], r["rule"], r["pattern"])
+        for r in R.parse_robots(R.synthesize_robots(spark)).collect()
+    }
+    want = {
+        (h, a, rule, pat)
+        for h in hosts
+        for a, rule, pat in R.parse_robots_text(R.ROBOTS_FIXTURE_TEXTS[h])
+    }
+    assert got == want
+
+
+def _decide(spark, rules_rows, captures_rows, agent="databot"):
+    rules = spark.createDataFrame(
+        rules_rows, ["host", "agent", "rule", "pattern"]
+    )
+    caps = spark.createDataFrame(captures_rows, ["doc_id", "host", "path"])
+    return {
+        r["doc_id"]: (r["allowed"], r["rule"], r["pattern"])
+        for r in R.robots_decisions(caps, rules, agent).collect()
+    }
+
+
+def test_match_precedence_and_defaults(spark):
+    rules = [
+        ("h", "*", "disallow", "/"),
+        ("h", "*", "allow", "/public*"),
+        ("h", "*", "disallow", "/public/secret*"),
+    ]
+    caps = [
+        (0, "h", "/public/doc"),       # allow /public* (len 8) beats /
+        (1, "h", "/private/doc"),      # only / matches -> disallowed
+        (2, "h", "/public/secret/x"),  # longest disallow wins
+        (3, "nowhere", "/anything"),   # no rules for host -> allowed
+    ]
+    got = _decide(spark, rules, caps)
+    assert got[0] == (True, "allow", "/public*")
+    assert got[1] == (False, "disallow", "/")
+    assert got[2] == (False, "disallow", "/public/secret*")
+    assert got[3] == (True, None, None)
+
+
+def test_allow_wins_length_ties(spark):
+    rules = [
+        ("h", "*", "disallow", "/p/x*"),
+        ("h", "*", "allow", "/p/x$"),  # same length (5)
+    ]
+    got = _decide(spark, rules, [(0, "h", "/p/x"), (1, "h", "/p/xy")])
+    assert got[0] == (True, "allow", "/p/x$")
+    assert got[1] == (False, "disallow", "/p/x*")  # $ leg doesn't match
+
+
+def test_group_override_not_merge(spark):
+    """A host with the agent's own group uses ONLY that group — the
+    star group's rules do not merge in (RFC 9309 §2.2.1)."""
+    rules = [
+        ("h", "*", "disallow", "/private*"),
+        ("h", "databot", "disallow", "/tmp*"),
+    ]
+    got = _decide(
+        spark, rules,
+        [(0, "h", "/private/x"), (1, "h", "/tmp/x")],
+    )
+    assert got[0] == (True, None, None)  # star rule ignored
+    assert got[1] == (False, "disallow", "/tmp*")
+
+
+def test_wildcard_anchor_and_like_escaping(spark):
+    rules = [
+        ("h", "*", "disallow", "/*.png$"),
+        ("h", "*", "disallow", "/under_score"),
+    ]
+    caps = [
+        (0, "h", "/a/b.png"),          # wildcard + anchor hit
+        (1, "h", "/a/b.png?x=1"),      # anchor defeated by query
+        (2, "h", "/under_score/x"),    # literal underscore prefix
+        (3, "h", "/underXscore/x"),    # _ must NOT behave as LIKE _
+    ]
+    got = _decide(spark, rules, caps)
+    assert got[0][0] is False
+    assert got[1][0] is True
+    assert got[2][0] is False
+    assert got[3][0] is True
+
+
+def test_robots_filter_keeps_original_columns(spark):
+    rules = [("h", "*", "disallow", "/no*")]
+    caps = spark.createDataFrame(
+        [(0, "h", "/ok", "keep-me"), (1, "h", "/no/x", "drop-me")],
+        ["doc_id", "host", "path", "payload"],
+    )
+    rdf = spark.createDataFrame(rules, ["host", "agent", "rule", "pattern"])
+    out = R.robots_filter(caps, rdf, "databot").collect()
+    assert [(r["doc_id"], r["payload"]) for r in out] == [(0, "keep-me")]
+
+
+def test_decisions_plan_broadcasts_rules(spark):
+    """The capture-side plan must broadcast the (small) rules table —
+    no shuffle of the capture stream for the join."""
+    from pyspark.sql import functions as F
+
+    rules = R.parse_robots(R.synthesize_robots(spark))
+    caps = (
+        spark.range(2000)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.concat(
+                F.lit("h"), (F.col("id") % 5).cast("string"),
+                F.lit(".example.com"),
+            ).alias("host"),
+            F.concat(F.lit("/private/doc/"), F.col("id")).alias("path"),
+        )
+    )
+    plan = R.robots_decisions(caps, rules, "databot")._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan

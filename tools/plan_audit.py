@@ -48,6 +48,8 @@ AUDIT = [
     "crawl_dedup_report",
     "jsonl_roundtrip",
     "multimodal_manifest_diff",
+    "robots_rules_parsed",
+    "robots_filter_captures",
     "near_dup_pairs",
     "simhash_near_dup",
     "embedding_near_dup_lsh",
