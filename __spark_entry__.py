@@ -1738,6 +1738,21 @@ def _q_crawl_to_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_crawl_admitted_training_set(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """crawl_to_training_set with RFC 9309 admission fused in front
+    (r11): real robots.txt bytes parsed by the DISTRIBUTED parser,
+    every capture decided on its raw URI's host + path?query, THEN
+    URL dedup → HTML extraction → curate/split/pack — SEVEN composed
+    stages, one lazy plan, one value hash.  The oracle re-derives the
+    admission through the local reference parser + the general match/
+    precedence SQL, then the unchanged crawl chain."""
+    return crawl_plans.crawl_admitted_training_set(
+        _docs(spark, sf_dir)
+    ).orderBy("doc_id")
+
+
 def _q_media_type_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ONE ingest surface over the whole codec tier
     (operators/router.py): a 76-item corpus mixing all ten payload
@@ -2114,23 +2129,25 @@ def entry(spark: SparkSession) -> DataFrame:
 # reference-parity core (kept fresh every round).  Evicted r9-green
 # rows go to the BACK of the tail (freshest evidence).
 GATE_FIRST_50 = [
-    # r11 rotation (r10 verdict #1 + the r9 lesson): first the thirteen
+    # r11 rotation (r10 verdict #1 + the r9 lesson): first the fourteen
     # entries: the eleven
     # queries whose OUTPUT VALUES changed this round (widened fixture
     # cycles: PNG tRNS variants, GIF compositing variants, 16-bit-DQT
     # JPEG, stereo WAV, the mixed-media corpus they feed, and the
     # two-codec JSONL round-trip) — changed surfaces must earn driver
     # evidence the
-    # round they change; then the two brand-new robots.txt queries (never
-    # driver-gated), then the 37 stalest rows by driver-evidence
-    # age: all 19 queries last driver-gated in r5 and the 18 oldest
-    # r6 rows.  The 13 remaining r6-evidence rows lead GATE_TAIL for
+    # round they change; then the three brand-new r11 queries (robots.txt x2,
+    # the admitted crawl composition) (never
+    # driver-gated), then the 36 stalest rows by driver-evidence
+    # age: all 19 queries last driver-gated in r5 and the 17 oldest
+    # r6 rows.  The 14 remaining r6-evidence rows lead GATE_TAIL for
     # r12.
     "png_features",
     "gif_frame_luma",
     "jpeg_features",
     "robots_rules_parsed",
     "robots_filter_captures",
+    "crawl_admitted_training_set",
     "media_type_census",
     "multimodal_training_set",
     "multimodal_manifest",
@@ -2175,7 +2192,6 @@ GATE_FIRST_50 = [
     "brand_basket_revenue",
     "nation_market_share",
     "above_avg_dormant_value",
-    "supplier_revenue_share",
 ]
 
 GATE_TAIL = [
@@ -2185,6 +2201,7 @@ GATE_TAIL = [
     "top_revenue_supplier",
     "discount_band_revenue",
     "returned_item_customers",
+    "supplier_revenue_share",
     "customer_order_gaps",
     "daily_revenue_running",
     "segment_sales_rollup",
@@ -2419,6 +2436,7 @@ def _all_queries() -> dict[str, QueryFn]:
         "multimodal_training_set": _q_multimodal_training_set,
         "multimodal_manifest": _q_multimodal_manifest,
         "crawl_to_training_set": _q_crawl_to_training_set,
+        "crawl_admitted_training_set": _q_crawl_admitted_training_set,
         "jsonl_roundtrip": _q_jsonl_roundtrip,
         "multimodal_manifest_diff": _q_multimodal_manifest_diff,
         "crawl_dedup_report": _q_crawl_dedup_report,
@@ -3190,6 +3208,9 @@ def oracle_sql() -> dict[str, str]:
     )
     oracles["crawl_to_training_set"] = (
         crawl_plans.oracle_crawl_to_training_set_sql()
+    )
+    oracles["crawl_admitted_training_set"] = (
+        crawl_plans.oracle_crawl_admitted_training_set_sql()
     )
     oracles["crawl_dedup_report"] = (
         crawl_plans.oracle_crawl_dedup_report_sql()

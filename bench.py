@@ -277,9 +277,11 @@ STANDALONE = [
     "multimodal_manifest_diff",
     # r10: tiered crawl dedup funnel report
     "crawl_dedup_report",
-    # r11: robots.txt admission control (RFC 9309 parse + match)
+    # r11: robots.txt admission control (RFC 9309 parse + match) and
+    # the admitted crawl pipeline (admission fused before dedup)
     "robots_rules_parsed",
     "robots_filter_captures",
+    "crawl_admitted_training_set",
     # r9 (cont.): compressed audio (RIFF/WAV + IMA ADPCM) and
     # compressed video (AVI + MJPEG) decode
     "wav_features",

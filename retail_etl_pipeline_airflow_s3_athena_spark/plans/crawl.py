@@ -259,3 +259,107 @@ def oracle_crawl_dedup_report_sql(table: str = "documents") -> str:
                          // n_unique_docs
                     END AS BIGINT) AS quality_drop_rate_e4
         FROM counts"""
+
+
+# ---------------------------------------------------------------------------
+# r11: the ADMITTED crawl pipeline — robots.txt politeness fused in
+# front of provenance dedup, the order a compliant crawl processor
+# actually runs (admission is string matching, cheaper than any
+# dedup tier, and content the crawler may not fetch must never reach
+# training).
+# ---------------------------------------------------------------------------
+
+# The fixture crawl's single-host admission policy: resources whose id
+# ends in 0 are off-limits, except the ids ending in 00 (a
+# longest-match Allow override) — both rules see every capture
+# variant (the trailing * spans the query string).
+CRAWL_ROBOTS_TEXT = (
+    "# example.com admission policy\n"
+    "User-agent: *\n"
+    "Disallow: /doc/*0?*\n"
+    "Allow: /doc/*00?*\n"
+)
+CRAWL_ROBOTS_HOST = "example.com"
+CRAWL_AGENT = "databot"
+
+
+def crawl_admitted_training_set(docs: DataFrame) -> DataFrame:
+    """crawl_to_training_set with RFC 9309 admission fused in front:
+    WARC ingest → per-capture robots decision on the RAW URI's
+    host + path?query (operators/robots.py; rules parsed by the
+    DISTRIBUTED parser from real robots.txt bytes) → URL-canonical
+    keep-first dedup → HTML extraction → curate/split/pack.  Still
+    ONE lazy plan: the admission tier adds one broadcast join + one
+    winner aggregation keyed by the capture URI, upstream of the
+    canonical-URL window."""
+    from retail_etl_pipeline_airflow_s3_athena_spark.operators import (
+        robots as robots_ops,
+    )
+
+    spark = docs.sparkSession
+    captures = warc_ops.warc_ingest_uris(crawl_fixture_warcs(docs))
+    keyed = captures.withColumn(
+        "host", url_ops.url_host("target_uri")
+    ).withColumn("path", url_ops.url_path_query("target_uri"))
+    robots = spark.createDataFrame(
+        [(CRAWL_ROBOTS_HOST, CRAWL_ROBOTS_TEXT)],
+        ["host", "robots_txt"],
+    )
+    rules = robots_ops.parse_robots(robots)
+    admitted = robots_ops.robots_filter(
+        keyed, rules, CRAWL_AGENT, id_col="target_uri"
+    ).drop("host", "path")
+    kept = url_ops.url_dedup_keep_first(admitted)
+    pages = kept.select(
+        F.regexp_extract("canonical_url", _RESOURCE_RE, 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.col("canonical_url").alias("source"),
+        F.col("text").alias("html"),
+    )
+    recovered = html_ops.html_extract(pages).select("doc_id", "text")
+    return training.build_training_set(recovered)
+
+
+def oracle_crawl_admitted_training_set_sql(table: str = "documents") -> str:
+    """oracle_crawl_to_training_set_sql with the admission stage
+    re-derived: the rules via the LOCAL reference parser (VALUES),
+    host/path via the url twins, match + precedence via the general
+    robots decision SQL — then the unchanged canon/kept/training
+    chain over admitted captures only."""
+    from retail_etl_pipeline_airflow_s3_athena_spark.operators import (
+        robots as robots_ops,
+    )
+
+    rule_rows = [
+        (CRAWL_ROBOTS_HOST, agent, rule, pattern)
+        for agent, rule, pattern in robots_ops.parse_robots_text(
+            CRAWL_ROBOTS_TEXT
+        )
+    ]
+    keyed_sql = f"""
+        SELECT target_uri AS cap_id, text, target_uri,
+               {url_ops.sql_url_host('target_uri')} AS host,
+               {url_ops.sql_url_path_query('target_uri')} AS path
+        FROM (
+            SELECT text, {url_ops.sql_messy_url()} AS target_uri
+            FROM {table}
+        ) c0"""
+    decisions = robots_ops.oracle_decisions_sql(
+        rule_rows, keyed_sql, CRAWL_AGENT, id_col="cap_id"
+    )
+    kept = f"""(
+        SELECT CAST(regexp_extract(canonical_url, '{_RESOURCE_RE}', 1)
+                    AS BIGINT) AS doc_id,
+               arg_min(text, target_uri || chr(0) || text) AS text
+        FROM (
+            SELECT k.text, k.target_uri,
+                   {url_ops.sql_canonical_url('k.target_uri')}
+                       AS canonical_url
+            FROM ({keyed_sql}) k
+            JOIN ({decisions}) d
+              ON k.cap_id = d.cap_id AND d.allowed
+        ) c1
+        GROUP BY canonical_url
+    ) kept_docs"""
+    return training.oracle_build_training_set_sql(table=kept)

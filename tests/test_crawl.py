@@ -101,3 +101,38 @@ def test_dedup_report_funnel_invariants(spark, sf_dir):
     assert r["url_dup_rate_e4"] == (
         (r["n_captures"] - r["n_resources"]) * 10000 // r["n_captures"]
     )
+
+
+def test_admitted_pipeline_drops_exactly_the_disallowed_resources(
+    spark, sf_dir
+):
+    """r11: the robots admission tier removes exactly the resources
+    the policy names — ids ending in 0 unless overridden by the
+    longest-match Allow for ids ending in 00 — and changes nothing
+    else about the surviving training set."""
+    base = {
+        r["doc_id"]: (r["split"], r["n_tokens"], r["bin_id"])
+        for r in crawl.crawl_to_training_set(_docs(spark, sf_dir)).collect()
+    }
+    admitted = {
+        r["doc_id"]: (r["split"], r["n_tokens"], r["bin_id"])
+        for r in crawl.crawl_admitted_training_set(
+            _docs(spark, sf_dir)
+        ).collect()
+    }
+    assert set(admitted) < set(base)
+    dropped = set(base) - set(admitted)
+    assert dropped, "admission must drop something in the fixture"
+    def off_limits(g: int) -> bool:
+        # the patterns match the DECIMAL STRING: "0" ends in one
+        # zero (disallowed), "100" in two (the Allow override)
+        return str(g).endswith("0") and not str(g).endswith("00")
+
+    for g in dropped:
+        assert off_limits(g), g
+    for g in admitted:
+        assert not off_limits(g), g
+    # survivors keep their split and token counts (bin packing may
+    # renumber bins within a split once members change)
+    for g, (split, n_tokens, _bin) in admitted.items():
+        assert (split, n_tokens) == base[g][:2]

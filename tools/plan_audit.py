@@ -50,6 +50,7 @@ AUDIT = [
     "multimodal_manifest_diff",
     "robots_rules_parsed",
     "robots_filter_captures",
+    "crawl_admitted_training_set",
     "near_dup_pairs",
     "simhash_near_dup",
     "embedding_near_dup_lsh",
