@@ -783,6 +783,17 @@ def _q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.repetition_signals(_docs(spark, sf_dir))
 
 
+def _q_compression_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression-ratio quality signal (r11, the CCNet-style
+    low-entropy detector): zlib DEFLATE ratio in e6 fixed point over
+    a deterministic corpus spanning template spam / natural prose /
+    near-random payloads.  Arrow mapInPandas projection (the codec
+    shape); oracle: locally-recomputed VALUES literal — zlib is not
+    SQL-expressible."""
+    corpus = text_ops.synthesize_compression_corpus(spark, n=60)
+    return text_ops.compression_signals(corpus).orderBy("doc_id")
+
+
 def _q_dedup_rate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_ops.dedup_rate_report(readers.read_documents(spark, sf_dir))
 
@@ -2129,18 +2140,18 @@ def entry(spark: SparkSession) -> DataFrame:
 # reference-parity core (kept fresh every round).  Evicted r9-green
 # rows go to the BACK of the tail (freshest evidence).
 GATE_FIRST_50 = [
-    # r11 rotation (r10 verdict #1 + the r9 lesson): first the fourteen
+    # r11 rotation (r10 verdict #1 + the r9 lesson): first the fifteen
     # entries: the eleven
     # queries whose OUTPUT VALUES changed this round (widened fixture
     # cycles: PNG tRNS variants, GIF compositing variants, 16-bit-DQT
     # JPEG, stereo WAV, the mixed-media corpus they feed, and the
     # two-codec JSONL round-trip) — changed surfaces must earn driver
     # evidence the
-    # round they change; then the three brand-new r11 queries (robots.txt x2,
-    # the admitted crawl composition) (never
-    # driver-gated), then the 36 stalest rows by driver-evidence
-    # age: all 19 queries last driver-gated in r5 and the 17 oldest
-    # r6 rows.  The 14 remaining r6-evidence rows lead GATE_TAIL for
+    # round they change; then the four brand-new r11 queries (robots.txt x2, the
+    # admitted crawl composition, the compression signal) (never
+    # driver-gated), then the 35 stalest rows by driver-evidence
+    # age: all 19 queries last driver-gated in r5 and the 16 oldest
+    # r6 rows.  The 15 remaining r6-evidence rows lead GATE_TAIL for
     # r12.
     "png_features",
     "gif_frame_luma",
@@ -2148,6 +2159,7 @@ GATE_FIRST_50 = [
     "robots_rules_parsed",
     "robots_filter_captures",
     "crawl_admitted_training_set",
+    "compression_signals",
     "media_type_census",
     "multimodal_training_set",
     "multimodal_manifest",
@@ -2191,7 +2203,6 @@ GATE_FIRST_50 = [
     "nation_trade_volume",
     "brand_basket_revenue",
     "nation_market_share",
-    "above_avg_dormant_value",
 ]
 
 GATE_TAIL = [
@@ -2202,6 +2213,7 @@ GATE_TAIL = [
     "discount_band_revenue",
     "returned_item_customers",
     "supplier_revenue_share",
+    "above_avg_dormant_value",
     "customer_order_gaps",
     "daily_revenue_running",
     "segment_sales_rollup",
@@ -2570,6 +2582,7 @@ def _all_queries() -> dict[str, QueryFn]:
         "value_histogram": _q_value_histogram,
         "language_id": _q_language_id,
         "repetition_signals": _q_repetition_signals,
+        "compression_signals": _q_compression_signals,
         "pii_redact_docs": _q_pii_redact_docs,
         "source_cap_docs": _q_source_cap_docs,
         "corpus_shuffle": _q_corpus_shuffle,
@@ -2756,6 +2769,9 @@ def oracle_sql() -> dict[str, str]:
     oracles["corpus_stats"] = text_ops.oracle_corpus_stats_sql()
     oracles["language_id"] = text_ops.oracle_language_id_sql()
     oracles["repetition_signals"] = text_ops.oracle_repetition_signals_sql()
+    oracles["compression_signals"] = (
+        text_ops.oracle_compression_signals_values(n=60)
+    )
     oracles["pii_redact_docs"] = text_ops.oracle_pii_redact_sql()
     oracles["scd2_customers"] = scd_ops.oracle_scd2_sql(
         current_cte=(

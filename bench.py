@@ -282,6 +282,8 @@ STANDALONE = [
     "robots_rules_parsed",
     "robots_filter_captures",
     "crawl_admitted_training_set",
+    # r11: compression-ratio quality signal (zlib, codec-shape)
+    "compression_signals",
     # r9 (cont.): compressed audio (RIFF/WAV + IMA ADPCM) and
     # compressed video (AVI + MJPEG) decode
     "wav_features",

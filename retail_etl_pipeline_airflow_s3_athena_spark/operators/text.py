@@ -590,3 +590,114 @@ def oracle_normalize_text_sql(table: str = "documents", t: str = "text") -> str:
                    '\\s+', ' ', 'g'))) AS BIGINT) AS n_chars_norm
         FROM {table}
     """
+
+
+# ---------------------------------------------------------------------------
+# r11: compression-ratio quality signal (the CCNet/RefinedWeb-style
+# low-entropy detector): boilerplate, keyword stuffing, and template
+# spam compress far better than natural prose; near-random payloads
+# barely compress at all.  zlib is not SQL-expressible, so the gate
+# follows the codec discipline — a deterministic synthetic corpus
+# spanning the entropy range, a local twin (compression_stats), and a
+# VALUES-literal oracle.  The distributed operator is the codec-tier
+# shape: Arrow mapInPandas projection, no shuffle, memory bounded by
+# batch size.  DEFLATE output bytes are a pure function of
+# (input, level) for a fixed zlib build, and both gate sides run the
+# same build; the RATIO is a heuristic signal either way.
+# ---------------------------------------------------------------------------
+
+COMPRESSION_LEVEL = 6
+
+
+def compression_stats(text: str) -> tuple[int, int, int]:
+    """(n_raw_bytes, n_gz_bytes, ratio_e6) for one document — the
+    local twin shared with the VALUES oracle.  ratio_e6 =
+    compressed/raw in e6 fixed point (integer floor — no float in
+    gate-checked values); empty text is defined as ratio 10^6
+    (incompressible)."""
+    import zlib
+
+    raw = text.encode("utf-8")
+    n_raw = len(raw)
+    if n_raw == 0:
+        return 0, 0, 10**6
+    n_gz = len(zlib.compress(raw, COMPRESSION_LEVEL))
+    return n_raw, n_gz, n_gz * 10**6 // n_raw
+
+
+def compression_signals(
+    docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, n_raw_bytes, n_gz_bytes, ratio_e6) per document."""
+    from collections.abc import Iterator
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("n_raw_bytes", T.LongType()),
+            T.StructField("n_gz_bytes", T.LongType()),
+            T.StructField("ratio_e6", T.LongType()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = [
+                (int(did), *compression_stats(str(txt)))
+                for did, txt in zip(pdf["doc_id"], pdf[text_col])
+            ]
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in schema.fields]
+            )
+
+    return docs.select("doc_id", text_col).mapInPandas(batches, schema)
+
+
+def make_compression_doc(i: int) -> str:
+    """Deterministic fixture doc spanning the entropy range: i%3==0
+    is template spam (one phrase repeated), ==1 is natural-ish prose
+    (rotating sentences), ==2 is near-random (sha256 hex chain —
+    ratio close to or above 10^6 once the gzip header amortizes)."""
+    import hashlib
+
+    kind = i % 3
+    n = 20 + (i * 7) % 60
+    if kind == 0:
+        return ("click here to win big prizes now " * n).strip()
+    if kind == 1:
+        sents = [
+            "The quarterly report shows steady growth in retail.",
+            "Customers in the northern region ordered more parts.",
+            "Suppliers adjusted their prices after the holidays.",
+            "The committee reviewed shipping priorities on Monday.",
+            "Analysts expect the trend to continue next year.",
+        ]
+        return " ".join(sents[(i + k) % len(sents)] for k in range(n))
+    h = hashlib.sha256(str(i).encode()).hexdigest()
+    parts = []
+    for _ in range(n):
+        parts.append(h)
+        h = hashlib.sha256(h.encode()).hexdigest()
+    return "".join(parts)
+
+
+def synthesize_compression_corpus(spark, n: int = 60) -> DataFrame:
+    rows = [(i, make_compression_doc(i)) for i in range(n)]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def oracle_compression_signals_values(n: int = 60) -> str:
+    rows = ", ".join(
+        "({}, {}, {}, {})".format(i, *compression_stats(make_compression_doc(i)))
+        for i in range(n)
+    )
+    return (
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+        "CAST(n_raw_bytes AS BIGINT) AS n_raw_bytes, "
+        "CAST(n_gz_bytes AS BIGINT) AS n_gz_bytes, "
+        "CAST(ratio_e6 AS BIGINT) AS ratio_e6 "
+        f"FROM (VALUES {rows}) AS t(doc_id, n_raw_bytes, n_gz_bytes,"
+        " ratio_e6) ORDER BY doc_id"
+    )

@@ -1082,3 +1082,31 @@ def test_key_skew_report_semantics(spark):
     # empty input -> empty report, no division error
     empty = df.filter("k = 'nope'")
     assert skewreport.key_skew_report(empty, "k").count() == 0
+
+
+def test_compression_signal_separates_entropy_classes(spark):
+    """r11: template spam compresses far better than prose, prose far
+    better than near-random hex — the ordering the curation filter
+    relies on; empty text is defined incompressible."""
+    from retail_etl_pipeline_airflow_s3_athena_spark.operators import text as T
+
+    corpus = T.synthesize_compression_corpus(spark, n=18)
+    got = {
+        r["doc_id"]: r["ratio_e6"]
+        for r in T.compression_signals(corpus).collect()
+    }
+    assert got == {
+        i: T.compression_stats(T.make_compression_doc(i))[2]
+        for i in range(18)
+    }
+    import statistics
+
+    spam = [got[i] for i in range(18) if i % 3 == 0]
+    prose = [got[i] for i in range(18) if i % 3 == 1]
+    rand = [got[i] for i in range(18) if i % 3 == 2]
+    # ratio co-varies with length, so classes are compared by median
+    # (the filter thresholds against a length-bucketed baseline);
+    # near-random is separable outright
+    assert statistics.median(spam) < statistics.median(prose)
+    assert max(prose) < min(rand)
+    assert T.compression_stats("") == (0, 0, 10**6)

@@ -51,6 +51,7 @@ AUDIT = [
     "robots_rules_parsed",
     "robots_filter_captures",
     "crawl_admitted_training_set",
+    "compression_signals",
     "near_dup_pairs",
     "simhash_near_dup",
     "embedding_near_dup_lsh",
