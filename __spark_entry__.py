@@ -2038,6 +2038,77 @@ def _q_ann_index_compacted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ANN_DELETE_MOD = 7
+ANN_DELETE_RESIDUE = 3
+
+
+def _deleted_ids(emb, shifted):
+    all_ids = emb.select("vec_id").unionByName(shifted.select("vec_id"))
+    return all_ids.filter(
+        F.col("vec_id") % ANN_DELETE_MOD == ANN_DELETE_RESIDUE
+    )
+
+
+def _q_ann_index_deleted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index deletes without retraining (r11 — FAISS `remove_ids`):
+    found + append the shifted twins, then TOMBSTONE every id ≡3
+    (mod 7) across both populations; the serve path anti-joins the
+    tombstones so deleted vectors never surface as neighbors while
+    centroids/codebooks/cells stay frozen.  Oracle: the doubled-corpus
+    ivf_pq_topk twin with the same residue excluded from the CANDIDATE
+    set only — training still sees every vector, exactly the
+    tombstone semantics."""
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix="anndel_gate_")
+    emb = _emb(spark, sf_dir)
+    annindex_ops.write_ann_index(emb, path)
+    shifted = emb.withColumn(
+        "vec_id", F.col("vec_id") + F.lit(ANN_APPEND_SHIFT)
+    )
+    annindex_ops.append_to_ann_index(shifted, path)
+    annindex_ops.delete_from_ann_index(_deleted_ids(emb, shifted), path)
+    out = annindex_ops.ann_query(
+        spark, path, annindex_ops.corpus_queries(emb)
+    )
+    return attach_cached_deps(
+        out.orderBy("query_id", "rank"), *carried_deps(out)
+    )
+
+
+def _q_ann_index_delete_compacted(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Compaction FOLDS the tombstones (r11): after the delete gate's
+    setup, compact_ann_index physically drops the tombstoned codes,
+    clears the tombstone table, and the post-compaction query must
+    answer the SAME deleted-corpus oracle — a hash mismatch means the
+    fold lost, kept, or duplicated the wrong vectors."""
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix="anndelc_gate_")
+    emb = _emb(spark, sf_dir)
+    annindex_ops.write_ann_index(emb, path)
+    shifted = emb.withColumn(
+        "vec_id", F.col("vec_id") + F.lit(ANN_APPEND_SHIFT)
+    )
+    annindex_ops.append_to_ann_index(shifted, path)
+    n_del = annindex_ops.delete_from_ann_index(
+        _deleted_ids(emb, shifted), path
+    )
+    manifest = annindex_ops.compact_ann_index(spark, path)
+    assert manifest["deletes_folded"] == n_del, manifest
+    assert annindex_ops._read_tombstones(spark, path) is None, (
+        "tombstones must clear after the fold"
+    )
+    out = annindex_ops.ann_query(
+        spark, path, annindex_ops.corpus_queries(emb)
+    )
+    return attach_cached_deps(
+        out.orderBy("query_id", "rank"), *carried_deps(out)
+    )
+
+
 def _q_ann_index_staleness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The measured WHEN-to-rebuild trigger (r8 verdict #1): found the
     index, append a distribution-shifted batch (coords +0.5, ids out
@@ -2140,18 +2211,19 @@ def entry(spark: SparkSession) -> DataFrame:
 # reference-parity core (kept fresh every round).  Evicted r9-green
 # rows go to the BACK of the tail (freshest evidence).
 GATE_FIRST_50 = [
-    # r11 rotation (r10 verdict #1 + the r9 lesson): first the fifteen
+    # r11 rotation (r10 verdict #1 + the r9 lesson): first the seventeen
     # entries: the eleven
     # queries whose OUTPUT VALUES changed this round (widened fixture
     # cycles: PNG tRNS variants, GIF compositing variants, 16-bit-DQT
     # JPEG, stereo WAV, the mixed-media corpus they feed, and the
     # two-codec JSONL round-trip) — changed surfaces must earn driver
     # evidence the
-    # round they change; then the four brand-new r11 queries (robots.txt x2, the
-    # admitted crawl composition, the compression signal) (never
-    # driver-gated), then the 35 stalest rows by driver-evidence
-    # age: all 19 queries last driver-gated in r5 and the 16 oldest
-    # r6 rows.  The 15 remaining r6-evidence rows lead GATE_TAIL for
+    # round they change; then the six brand-new r11 queries (robots.txt x2, the
+    # admitted crawl composition, the compression signal, the ANN
+    # delete lifecycle x2) (never
+    # driver-gated), then the 33 stalest rows by driver-evidence
+    # age: all 19 queries last driver-gated in r5 and the 14 oldest
+    # r6 rows.  The 17 remaining r6-evidence rows lead GATE_TAIL for
     # r12.
     "png_features",
     "gif_frame_luma",
@@ -2160,6 +2232,8 @@ GATE_FIRST_50 = [
     "robots_filter_captures",
     "crawl_admitted_training_set",
     "compression_signals",
+    "ann_index_deleted_topk",
+    "ann_index_delete_compacted",
     "media_type_census",
     "multimodal_training_set",
     "multimodal_manifest",
@@ -2201,8 +2275,6 @@ GATE_FIRST_50 = [
     "small_quantity_revenue",
     "daily_revenue_delta",
     "nation_trade_volume",
-    "brand_basket_revenue",
-    "nation_market_share",
 ]
 
 GATE_TAIL = [
@@ -2214,6 +2286,8 @@ GATE_TAIL = [
     "returned_item_customers",
     "supplier_revenue_share",
     "above_avg_dormant_value",
+    "brand_basket_revenue",
+    "nation_market_share",
     "customer_order_gaps",
     "daily_revenue_running",
     "segment_sales_rollup",
@@ -2462,6 +2536,8 @@ def _all_queries() -> dict[str, QueryFn]:
         "ann_index_topk": _q_ann_index_topk,
         "ann_index_append_topk": _q_ann_index_append_topk,
         "ann_index_compacted_topk": _q_ann_index_compacted_topk,
+        "ann_index_deleted_topk": _q_ann_index_deleted_topk,
+        "ann_index_delete_compacted": _q_ann_index_delete_compacted,
         "ann_index_staleness": _q_ann_index_staleness,
         "ann_index_rebuilt_topk": _q_ann_index_rebuilt_topk,
         "bronze_roundtrip": _q_bronze_roundtrip,
@@ -3055,6 +3131,23 @@ def oracle_sql() -> dict[str, str]:
     # compaction is content-preserving, so the compacted gate answers
     # the SAME doubled-corpus oracle as the append gate
     oracles["ann_index_compacted_topk"] = oracles["ann_index_append_topk"]
+    # deletes exclude candidates only (training/cells/probing still see
+    # every vector — the tombstone semantics); compaction folds the
+    # tombstones physically and answers the SAME oracle
+    oracles["ann_index_deleted_topk"] = pq_ops.oracle_ivf_pq_topk_sql(
+        table=(
+            "(SELECT vec_id, embedding, label FROM embeddings"
+            " UNION ALL"
+            f" SELECT vec_id + {ANN_APPEND_SHIFT}, embedding, label"
+            " FROM embeddings) dbl"
+        ),
+        cand_pred=(
+            f"{{c}}.vec_id % {ANN_DELETE_MOD} <> {ANN_DELETE_RESIDUE}"
+        ),
+    )
+    oracles["ann_index_delete_compacted"] = (
+        oracles["ann_index_deleted_topk"]
+    )
     oracles["ann_index_staleness"] = annindex_ops.oracle_ann_staleness_sql()
     oracles["ann_index_rebuilt_topk"] = (
         annindex_ops.oracle_ann_rebuilt_topk_sql()

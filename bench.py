@@ -284,6 +284,9 @@ STANDALONE = [
     "crawl_admitted_training_set",
     # r11: compression-ratio quality signal (zlib, codec-shape)
     "compression_signals",
+    # r11: ANN delete lifecycle (tombstone serve + compaction fold)
+    "ann_index_deleted_topk",
+    "ann_index_delete_compacted",
     # r9 (cont.): compressed audio (RIFF/WAV + IMA ADPCM) and
     # compressed video (AVI + MJPEG) decode
     "wav_features",

@@ -84,6 +84,7 @@ NPROBE = 2
 CENTROIDS_SCHEMA = "label INT, pos INT, val DOUBLE"
 CODEBOOKS_SCHEMA = "m INT, code INT, pos INT, val DOUBLE"
 CODES_SCHEMA = "vec_id BIGINT, m INT, code INT, cell INT"
+TOMBSTONES_SCHEMA = "vec_id BIGINT"
 
 
 def _reassemble_vec(df: DataFrame, key_cols: list[str], out: str) -> DataFrame:
@@ -215,6 +216,34 @@ def append_to_ann_index(
     return n
 
 
+def delete_from_ann_index(vec_ids: DataFrame, path: str) -> int:
+    """Logical delete (r11 — the FAISS `remove_ids` of this index):
+    append the ids to a ``tombstones/`` side table.  O(batch) — no
+    codes rewrite, no retrain; ``ann_query`` anti-joins candidates
+    against the tombstones and ``compact_ann_index`` folds them into
+    the codes rewrite (physical removal) and clears the table.
+    Between compactions the tombstone set is bounded by delete
+    traffic — the same contract as the gold store's partial batches.
+    Returns the number of ids tombstoned."""
+    ids = vec_ids.select(F.col("vec_id").cast("long")).distinct()
+    n = ids.count()
+    ids.write.mode("append").parquet(f"{path}/tombstones")
+    return n
+
+
+def _read_tombstones(spark: SparkSession, path: str) -> DataFrame | None:
+    from retail_etl_pipeline_airflow_s3_athena_spark.functions.fsutil import (
+        hadoop_fs,
+    )
+
+    jvm, fs = hadoop_fs(spark, path)
+    if not fs.exists(jvm.org.apache.hadoop.fs.Path(f"{path}/tombstones")):
+        return None
+    return spark.read.schema(TOMBSTONES_SCHEMA).parquet(
+        f"{path}/tombstones"
+    )
+
+
 def ann_query(
     spark: SparkSession,
     path: str,
@@ -303,6 +332,12 @@ def ann_query(
     cand = codes.join(F.broadcast(probed), "cell").filter(
         F.col("vec_id") != F.col("query_id")
     )
+    tomb = _read_tombstones(spark, path)
+    if tomb is not None:
+        # logical deletes: tombstoned vectors never surface as
+        # neighbors (broadcast anti-join — the set is bounded by
+        # delete traffic between compactions)
+        cand = cand.join(F.broadcast(tomb), "vec_id", "left_anti")
     scored = (
         cand.join(F.broadcast(dist_table), ["query_id", "m", "code"])
         .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
@@ -352,17 +387,32 @@ def _codes_data_files(spark: SparkSession, path: str) -> int:
 
 def compact_ann_index(spark: SparkSession, path: str) -> dict:
     """Rewrite the accumulated append fragments of ``codes/`` into ONE
-    sorted file per cell.  Content-preserving by construction (a
-    repartition-by-cell + sortWithinPartitions of the same rows), so
-    ``ann_query`` answers are bit-identical before/after — asserted in
-    tests and by the gate entry's doubled-corpus oracle.
+    sorted file per cell, FOLDING tombstones (r11): logically-deleted
+    vectors are dropped from the rewrite and the tombstone table is
+    cleared — physical removal amortized into the maintenance pass a
+    serving index runs anyway.  Content-preserving for the SERVED
+    answer set by construction (same rows minus deletes, which the
+    serve path already excluded), so ``ann_query`` answers are
+    bit-identical before/after — asserted in tests and by the gate
+    oracles.
 
-    Write-to-temp then atomic-swap via the Hadoop FS rename (the
-    ``object_store`` publish discipline): readers either see the old
-    fragment layout or the compacted one, never a half-deleted mix.
-    Returns {files_before, files_after, codes}."""
+    Write-to-temp then crash-recoverable swap (functions/fsutil
+    aside-rename: every crash point leaves a recoverable copy); the
+    tombstone clear happens only AFTER the swap lands, so a crash
+    mid-compaction at worst re-folds the same deletes.  Returns
+    {files_before, files_after, codes, deletes_folded}."""
+    from retail_etl_pipeline_airflow_s3_athena_spark.functions.fsutil import (
+        hadoop_fs,
+        swap_dir,
+    )
+
     files_before = _codes_data_files(spark, path)
     codes = spark.read.schema(CODES_SCHEMA).parquet(f"{path}/codes")
+    tomb = _read_tombstones(spark, path)
+    deletes_folded = 0
+    if tomb is not None:
+        deletes_folded = tomb.distinct().count()
+        codes = codes.join(F.broadcast(tomb), "vec_id", "left_anti")
     tmp = f"{path}/codes__compacting"
     (
         codes.repartition(F.col("cell"))
@@ -371,18 +421,17 @@ def compact_ann_index(spark: SparkSession, path: str) -> dict:
         .partitionBy("cell")
         .parquet(tmp)
     )
-    jvm = spark._jvm
-    conf = spark._jsc.hadoopConfiguration()
-    p_codes = jvm.org.apache.hadoop.fs.Path(f"{path}/codes")
-    p_tmp = jvm.org.apache.hadoop.fs.Path(tmp)
-    fs = p_codes.getFileSystem(conf)
-    fs.delete(p_codes, True)
-    if not fs.rename(p_tmp, p_codes):
-        raise IOError(f"compact_ann_index: rename {tmp} -> {path}/codes failed")
+    swap_dir(spark, f"{path}/codes", tmp, "compact_ann_index")
+    if tomb is not None:
+        jvm, fs = hadoop_fs(spark, path)
+        fs.delete(
+            jvm.org.apache.hadoop.fs.Path(f"{path}/tombstones"), True
+        )
     return {
         "files_before": files_before,
         "files_after": _codes_data_files(spark, path),
         "codes": spark.read.schema(CODES_SCHEMA).parquet(f"{path}/codes").count(),
+        "deletes_folded": deletes_folded,
     }
 
 

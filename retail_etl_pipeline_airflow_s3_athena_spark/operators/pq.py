@@ -776,13 +776,22 @@ def oracle_ivf_pq_topk_sql(
     nprobe: int = 2,
     rounds: int = PQ_ROUNDS,
     query_pred: str | None = None,
+    cand_pred: str | None = None,
 ) -> str:
     """``query_pred`` (an expression template with ``{a}`` for the
     row alias) overrides the default ``vec_id < n_queries``
     calibration-set convention — used by the staleness evaluator,
-    whose queries are appended-batch ids outside the founding range."""
+    whose queries are appended-batch ids outside the founding range.
+    ``cand_pred`` (template with ``{c}`` for the candidate alias)
+    additionally restricts the CANDIDATE set only — training, cells,
+    and probing still see every vector, exactly the tombstone-delete
+    semantics of the persisted index (r11): deleted vectors stop
+    surfacing as neighbors without a retrain."""
     if query_pred is None:
         query_pred = f"{{a}}.vec_id < {n_queries}"
+    cand_extra = (
+        f" AND ({cand_pred.format(c='c')})" if cand_pred else ""
+    )
     sql, books = _sql_train_ctes(table, rounds)
     return (
         sql
@@ -822,7 +831,7 @@ def oracle_ivf_pq_topk_sql(
         cand AS (
             SELECT p.query_id, c.vec_id
             FROM cells c JOIN probed p ON c.cell = p.cell
-            WHERE c.vec_id <> p.query_id
+            WHERE c.vec_id <> p.query_id{cand_extra}
         ),
         dist_table AS (
             SELECT c.vec_id AS query_id, c.m, k.code,

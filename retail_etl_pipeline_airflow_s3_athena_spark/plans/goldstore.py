@@ -312,25 +312,12 @@ def _hadoop_fs(spark: SparkSession, path: str):
 
 
 def _swap_store(spark: SparkSession, path: str, tmp: str, op: str) -> None:
-    """Crash-recoverable store swap: rename the live store aside
-    (``<path>__old``), rename the rewritten ``tmp`` into place, then
-    delete the aside copy.  Every crash point leaves a recoverable
-    store — before the second rename the data survives at ``__old``
-    AND ``tmp``; delete-then-rename (the previous pattern) had a
-    window where a crash stranded the only copy at ``tmp`` with
-    nothing at ``path``.  A stale ``__old`` from a prior crashed run
-    is cleared first (the live store at ``path`` supersedes it)."""
-    jvm, fs = _hadoop_fs(spark, path)
-    p_old = jvm.org.apache.hadoop.fs.Path(path)
-    p_tmp = jvm.org.apache.hadoop.fs.Path(tmp)
-    p_aside = jvm.org.apache.hadoop.fs.Path(f"{path}__old")
-    if fs.exists(p_aside):
-        fs.delete(p_aside, True)
-    if fs.exists(p_old) and not fs.rename(p_old, p_aside):
-        raise IOError(f"{op}: rename {path} -> {path}__old failed")
-    if not fs.rename(p_tmp, p_old):
-        raise IOError(f"{op}: rename {tmp} -> {path} failed")
-    fs.delete(p_aside, True)
+    """Crash-recoverable store swap — shared with the ANN index via
+    functions/fsutil.swap_dir (aside-rename sequence: every crash
+    point leaves a recoverable copy)."""
+    from retail_etl_pipeline_airflow_s3_athena_spark.functions.fsutil import swap_dir
+
+    swap_dir(spark, path, tmp, op)
 
 
 def read_gold_watermark(spark: SparkSession, path: str) -> str | None:

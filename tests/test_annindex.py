@@ -231,3 +231,48 @@ def test_append_without_retrain(spark, tmp_path):
         for (r1, n1, d1), (r2, n2, d2) in zip(lst, lst[1:]):
             if n2 == n1 + (1 << 40):
                 assert d1 == d2 and r2 == r1 + 1
+
+
+def test_delete_tombstones_then_compaction_folds(spark, tmp_path):
+    """r11 delete lifecycle: tombstoned vectors vanish from neighbor
+    lists immediately (no retrain, codes untouched); compaction
+    physically drops them, clears the tombstone table, and the served
+    answers are bit-identical before/after the fold."""
+    path = str(tmp_path / "idx")
+    emb = _emb(spark)
+    annindex.write_ann_index(emb, path)
+    q = annindex.corpus_queries(emb)
+    base = annindex.ann_query(spark, path, q)
+    victims = {
+        r["neighbor_id"]
+        for r in base.filter(F.col("rank") <= 2).collect()
+    }
+    release_cached(base)
+    n_codes_before = spark.read.parquet(f"{path}/codes").count()
+    n = annindex.delete_from_ann_index(
+        spark.createDataFrame(
+            [(int(v),) for v in sorted(victims)], ["vec_id"]
+        ),
+        path,
+    )
+    assert n == len(victims)
+    # logical: codes table untouched, neighbors gone
+    assert spark.read.parquet(f"{path}/codes").count() == n_codes_before
+    after = annindex.ann_query(spark, path, q)
+    rows_after = after.collect()
+    release_cached(after)
+    assert not ({r["neighbor_id"] for r in rows_after} & victims)
+    # physical: compaction folds + clears, answers identical
+    manifest = annindex.compact_ann_index(spark, path)
+    assert manifest["deletes_folded"] == len(victims)
+    assert annindex._read_tombstones(spark, path) is None
+    m_sub = len({r["m"] for r in spark.read.parquet(f"{path}/codes").select("m").distinct().collect()})
+    assert (
+        spark.read.parquet(f"{path}/codes").count()
+        == n_codes_before - len(victims) * m_sub
+    )
+    folded = annindex.ann_query(spark, path, q)
+    rows_folded = folded.collect()
+    release_cached(folded)
+    key = lambda r: (r["query_id"], r["rank"])
+    assert sorted(map(tuple, rows_folded)) == sorted(map(tuple, rows_after))

@@ -52,6 +52,8 @@ AUDIT = [
     "robots_filter_captures",
     "crawl_admitted_training_set",
     "compression_signals",
+    "ann_index_deleted_topk",
+    "ann_index_delete_compacted",
     "near_dup_pairs",
     "simhash_near_dup",
     "embedding_near_dup_lsh",
