@@ -38,6 +38,7 @@ from retail_etl_pipeline_airflow_s3_athena_spark.operators import router as rout
 from retail_etl_pipeline_airflow_s3_athena_spark.operators import html as html_ops
 from retail_etl_pipeline_airflow_s3_athena_spark.operators import videodup as vdup_ops
 from retail_etl_pipeline_airflow_s3_athena_spark.operators import robots as robots_ops
+from retail_etl_pipeline_airflow_s3_athena_spark.operators import sitemap as sitemap_ops
 from retail_etl_pipeline_airflow_s3_athena_spark.operators import url as url_ops
 from retail_etl_pipeline_airflow_s3_athena_spark.operators import warc as warc_ops
 from retail_etl_pipeline_airflow_s3_athena_spark.operators import wav as wav_ops
@@ -1639,6 +1640,35 @@ def _q_warc_ingest_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_sitemap_urls_parsed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap ingestion (sitemaps.org protocol, r11 — the crawl
+    DISCOVERY tier pairing with robots admission): per-host sitemap
+    XML built deterministically from the capture fixture, parsed to
+    (host, loc, lastmod) by two dialect-shared regexes.  The oracle
+    re-derives the XML CONSTRUCTION and the parse in DuckDB, so the
+    gate hashes build + extraction together."""
+    docs = _docs(spark, sf_dir)
+    return sitemap_ops.parse_sitemaps(
+        sitemap_ops.fixture_sitemaps(docs)
+    ).orderBy("host", "loc")
+
+
+def _q_crawl_coverage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discovery-vs-capture audit (r11): sitemap entries full-outer
+    joined to captures on (host, path) -> per-host sitemap size,
+    capture count, matches, fetch gaps (listed but never captured —
+    the fixture's phantom entries) and discovery gaps (captured but
+    off-sitemap — the fixture's doc_id%4==1 rows)."""
+    docs = _docs(spark, sf_dir)
+    from retail_etl_pipeline_airflow_s3_athena_spark.operators import (
+        robots as robots_ops2,
+    )
+
+    sm = sitemap_ops.parse_sitemaps(sitemap_ops.fixture_sitemaps(docs))
+    caps = robots_ops2.with_capture_paths(docs)
+    return sitemap_ops.crawl_coverage_report(sm, caps).orderBy("host")
+
+
 def _q_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Provenance-level crawl dedup (operators/url.py) composed into
     the WARC front door: three deterministic capture variants per
@@ -2211,19 +2241,19 @@ def entry(spark: SparkSession) -> DataFrame:
 # reference-parity core (kept fresh every round).  Evicted r9-green
 # rows go to the BACK of the tail (freshest evidence).
 GATE_FIRST_50 = [
-    # r11 rotation (r10 verdict #1 + the r9 lesson): first the seventeen
+    # r11 rotation (r10 verdict #1 + the r9 lesson): first the nineteen
     # entries: the eleven
     # queries whose OUTPUT VALUES changed this round (widened fixture
     # cycles: PNG tRNS variants, GIF compositing variants, 16-bit-DQT
     # JPEG, stereo WAV, the mixed-media corpus they feed, and the
     # two-codec JSONL round-trip) — changed surfaces must earn driver
     # evidence the
-    # round they change; then the six brand-new r11 queries (robots.txt x2, the
-    # admitted crawl composition, the compression signal, the ANN
-    # delete lifecycle x2) (never
-    # driver-gated), then the 33 stalest rows by driver-evidence
-    # age: all 19 queries last driver-gated in r5 and the 14 oldest
-    # r6 rows.  The 17 remaining r6-evidence rows lead GATE_TAIL for
+    # round they change; then the eight brand-new r11 queries (robots.txt x2,
+    # sitemap discovery x2, the admitted crawl composition, the
+    # compression signal, the ANN delete lifecycle x2) (never
+    # driver-gated), then the 31 stalest rows by driver-evidence
+    # age: all 19 queries last driver-gated in r5 and the 12 oldest
+    # r6 rows.  The 19 remaining r6-evidence rows lead GATE_TAIL for
     # r12.
     "png_features",
     "gif_frame_luma",
@@ -2234,6 +2264,8 @@ GATE_FIRST_50 = [
     "compression_signals",
     "ann_index_deleted_topk",
     "ann_index_delete_compacted",
+    "sitemap_urls_parsed",
+    "crawl_coverage_report",
     "media_type_census",
     "multimodal_training_set",
     "multimodal_manifest",
@@ -2273,8 +2305,6 @@ GATE_FIRST_50 = [
     "nation_year_profit",
     "dormant_customers",
     "small_quantity_revenue",
-    "daily_revenue_delta",
-    "nation_trade_volume",
 ]
 
 GATE_TAIL = [
@@ -2288,6 +2318,8 @@ GATE_TAIL = [
     "above_avg_dormant_value",
     "brand_basket_revenue",
     "nation_market_share",
+    "daily_revenue_delta",
+    "nation_trade_volume",
     "customer_order_gaps",
     "daily_revenue_running",
     "segment_sales_rollup",
@@ -2516,6 +2548,8 @@ def _all_queries() -> dict[str, QueryFn]:
         "warc_ingest_docs": _q_warc_ingest_docs,
         "robots_rules_parsed": _q_robots_rules_parsed,
         "robots_filter_captures": _q_robots_filter_captures,
+        "sitemap_urls_parsed": _q_sitemap_urls_parsed,
+        "crawl_coverage_report": _q_crawl_coverage_report,
         "tar_ingest_docs": _q_tar_ingest_docs,
         "media_type_census": _q_media_type_census,
         "url_canonical_dedup": _q_url_canonical_dedup,
@@ -3298,6 +3332,15 @@ def oracle_sql() -> dict[str, str]:
         _robots_rows,
         robots_ops.sql_capture_paths("documents"),
         robots_ops.FIXTURE_AGENT,
+    )
+    oracles["sitemap_urls_parsed"] = (
+        sitemap_ops.sql_parse_sitemaps(
+            sitemap_ops.sql_fixture_sitemaps("documents")
+        )
+        + " ORDER BY host, loc"
+    )
+    oracles["crawl_coverage_report"] = (
+        sitemap_ops.oracle_coverage_report_sql("documents")
     )
     oracles["url_canonical_dedup"] = (
         url_ops.oracle_url_canonical_dedup_sql()

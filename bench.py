@@ -282,6 +282,9 @@ STANDALONE = [
     "robots_rules_parsed",
     "robots_filter_captures",
     "crawl_admitted_training_set",
+    # r11: sitemap discovery + coverage audit
+    "sitemap_urls_parsed",
+    "crawl_coverage_report",
     # r11: compression-ratio quality signal (zlib, codec-shape)
     "compression_signals",
     # r11: ANN delete lifecycle (tombstone serve + compaction fold)

@@ -1,0 +1,264 @@
+"""Sitemap ingestion (sitemaps.org protocol) + crawl-coverage audit —
+the DISCOVERY side of the crawl tier, pairing with the robots.txt
+admission side (operators/robots.py):
+
+    discover (sitemap) → admit (robots) → dedup (url) → extract → curate
+
+- ``parse_sitemaps``: (host, xml) rows -> (host, loc, lastmod) URL
+  entries, distributed.  The sitemap format is a fixed, flat XML
+  subset (<urlset><url><loc/><lastmod/>…), so extraction is two
+  dialect-shared regexes (``regexp_extract_all`` with (?s) dotall —
+  identical in Java regex and RE2) — no XML library, no UDF, full
+  SQL twin.  Index files (<sitemapindex>) carry no <url> entries and
+  parse to zero rows here; ``sitemap_index_children`` lists their
+  child sitemap locations for the fetch frontier.
+- ``crawl_coverage_report``: per host, the discovery-vs-capture
+  audit a crawl operator runs — how many sitemap URLs were captured,
+  how many never were (fetch gap), and how many captures are
+  off-sitemap (discovery gap).  One full-outer join on canonical
+  (host, path) + one groupBy — plain relational, full SQL oracle.
+
+Scale: sitemaps are KB-to-MB per host (protocol caps one file at
+50k URLs) — the parse is a per-row projection + explode; the
+coverage join keys on (host, path) whose skew is bounded by the 50k
+cap times index fan-out, flat next to the capture table's own host
+skew (and the report GROUPS by host anyway, so the join output is
+host-cardinality).
+
+Reference scope: none — extension coverage for the crawl tier.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_URL_BLOCK_RE = r"(?s)<url>(.*?)</url>"
+_SITEMAP_BLOCK_RE = r"(?s)<sitemap>(.*?)</sitemap>"
+_LOC_RE = r"(?s)<loc>\s*(.*?)\s*</loc>"
+_LASTMOD_RE = r"(?s)<lastmod>\s*(.*?)\s*</lastmod>"
+
+
+def parse_sitemaps(
+    sitemaps: DataFrame, host_col: str = "host", xml_col: str = "xml"
+) -> DataFrame:
+    """(host, xml) -> (host, loc, lastmod DATE-or-NULL): one row per
+    <url> entry.  lastmod takes the W3C datetime's date prefix
+    (sitemaps.org allows bare dates and full timestamps); entries
+    without <lastmod> carry NULL."""
+    blocks = sitemaps.select(
+        F.col(host_col).alias("host"),
+        F.explode(
+            F.regexp_extract_all(F.col(xml_col), F.lit(_URL_BLOCK_RE), 1)
+        ).alias("block"),
+    )
+    loc = F.regexp_extract("block", _LOC_RE, 1)
+    lastmod = F.regexp_extract("block", _LASTMOD_RE, 1)
+    return blocks.select(
+        "host",
+        loc.alias("loc"),
+        F.to_date(
+            F.nullif(F.substring(lastmod, 1, 10), F.lit(""))
+        ).alias("lastmod"),
+    ).filter(F.col("loc") != "")
+
+
+def sitemap_index_children(
+    sitemaps: DataFrame, host_col: str = "host", xml_col: str = "xml"
+) -> DataFrame:
+    """(host, child_loc): the fetch frontier named by <sitemapindex>
+    files — feed these through the fetcher and their bodies back into
+    parse_sitemaps (one level per pass; the protocol forbids nested
+    indexes)."""
+    return sitemaps.select(
+        F.col(host_col).alias("host"),
+        F.explode(
+            F.regexp_extract_all(
+                F.col(xml_col), F.lit(_SITEMAP_BLOCK_RE), 1
+            )
+        ).alias("block"),
+    ).select(
+        "host",
+        F.regexp_extract("block", _LOC_RE, 1).alias("child_loc"),
+    ).filter(F.col("child_loc") != "")
+
+
+def sql_parse_sitemaps(sitemaps_sql: str) -> str:
+    """DuckDB twin of parse_sitemaps over ``(host, xml)`` rows."""
+    return f"""
+        SELECT host,
+               regexp_extract(block, '{_LOC_RE}', 1) AS loc,
+               CAST(nullif(substring(
+                   regexp_extract(block, '{_LASTMOD_RE}', 1), 1, 10
+               ), '') AS DATE) AS lastmod
+        FROM (
+            SELECT host,
+                   unnest(regexp_extract_all(
+                       xml, '{_URL_BLOCK_RE}', 1)) AS block
+            FROM ({sitemaps_sql}) sm
+        ) b
+        WHERE regexp_extract(block, '{_LOC_RE}', 1) <> ''"""
+
+
+def crawl_coverage_report(
+    sitemap_urls: DataFrame, captures: DataFrame
+) -> DataFrame:
+    """Per-host discovery-vs-capture audit: sitemap entries and
+    captures matched on (host, path) via a full-outer join ->
+    (host, n_sitemap, n_captured, n_matched, n_uncaptured,
+    n_off_sitemap).  ``sitemap_urls`` is parse_sitemaps output (loc =
+    absolute URL); ``captures`` carries (host, path)."""
+    from retail_etl_pipeline_airflow_s3_athena_spark.operators import url as url_ops
+
+    sm = sitemap_urls.select(
+        "host", url_ops.url_path_query("loc").alias("path")
+    ).distinct().withColumn("in_sitemap", F.lit(1))
+    cap = captures.select("host", "path").distinct().withColumn(
+        "captured", F.lit(1)
+    )
+    j = sm.join(cap, ["host", "path"], "full_outer")
+    return (
+        j.groupBy("host")
+        .agg(
+            F.sum(F.coalesce("in_sitemap", F.lit(0))).alias("n_sitemap"),
+            F.sum(F.coalesce("captured", F.lit(0))).alias("n_captured"),
+            F.sum(
+                (
+                    F.col("in_sitemap").isNotNull()
+                    & F.col("captured").isNotNull()
+                ).cast("long")
+            ).alias("n_matched"),
+            F.sum(
+                (
+                    F.col("in_sitemap").isNotNull()
+                    & F.col("captured").isNull()
+                ).cast("long")
+            ).alias("n_uncaptured"),
+            F.sum(
+                (
+                    F.col("in_sitemap").isNull()
+                    & F.col("captured").isNotNull()
+                ).cast("long")
+            ).alias("n_off_sitemap"),
+        )
+        .select(
+            "host",
+            F.col("n_sitemap").cast("long").alias("n_sitemap"),
+            F.col("n_captured").cast("long").alias("n_captured"),
+            "n_matched",
+            "n_uncaptured",
+            "n_off_sitemap",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic fixture: per-host sitemap XML over the robots capture
+# fixture's hosts/paths, with DELIBERATE gaps in both directions —
+# docs with doc_id % 4 == 1 are captured but missing from the sitemap
+# (discovery gap) and each host lists phantom entries that were never
+# captured (fetch gap).  The SQL twin re-derives the XML CONSTRUCTION
+# too, so the gate hashes build + parse + join + report together.
+# ---------------------------------------------------------------------------
+
+PHANTOM_BASE = 1_000_000
+
+
+def fixture_sitemaps(docs: DataFrame) -> DataFrame:
+    """documents -> one (host, xml) sitemap per fixture host: entries
+    for every capture path with doc_id % 4 != 1 (lastmod = a
+    deterministic date), plus one phantom entry per listed doc
+    (doc_id + PHANTOM_BASE) that no capture matches."""
+    from retail_etl_pipeline_airflow_s3_athena_spark.operators import robots as robots_ops
+
+    caps = robots_ops.with_capture_paths(docs)
+    listed = caps.filter(F.col("doc_id") % 4 != 1)
+    entry = F.concat(
+        F.lit("<url><loc>http://"),
+        F.col("host"),
+        F.col("path"),
+        F.lit("</loc><lastmod>2024-01-"),
+        F.lpad((F.col("doc_id") % 28 + 1).cast("string"), 2, "0"),
+        F.lit("</lastmod></url>"),
+        F.lit("<url><loc>http://"),
+        F.col("host"),
+        F.lit("/phantom/"),
+        (F.col("doc_id") + PHANTOM_BASE).cast("string"),
+        F.lit("</loc></url>"),
+    )
+    per_host = listed.select("host", "doc_id", entry.alias("e"))
+    return per_host.groupBy("host").agg(
+        F.concat(
+            F.lit('<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("doc_id", "e"))
+                    ),
+                    lambda s: s.e,
+                ),
+                "",
+            ),
+            F.lit("</urlset>"),
+        ).alias("xml")
+    )
+
+
+def sql_fixture_sitemaps(table: str = "documents") -> str:
+    """DuckDB twin of fixture_sitemaps over the documents table."""
+    from retail_etl_pipeline_airflow_s3_athena_spark.operators import robots as robots_ops
+
+    caps = robots_ops.sql_capture_paths(table)
+    return f"""
+        SELECT host,
+               '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+               || string_agg(
+                      '<url><loc>http://' || host || path
+                      || '</loc><lastmod>2024-01-'
+                      || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+                      || '</lastmod></url>'
+                      || '<url><loc>http://' || host || '/phantom/'
+                      || CAST(doc_id + {PHANTOM_BASE} AS VARCHAR)
+                      || '</loc></url>',
+                      '' ORDER BY doc_id)
+               || '</urlset>' AS xml
+        FROM ({caps}) c
+        WHERE doc_id % 4 <> 1
+        GROUP BY host"""
+
+
+def oracle_coverage_report_sql(table: str = "documents") -> str:
+    """Full SQL twin of fixture build -> parse -> coverage report."""
+    from retail_etl_pipeline_airflow_s3_athena_spark.operators import robots as robots_ops
+    from retail_etl_pipeline_airflow_s3_athena_spark.operators import url as url_ops
+
+    parsed = sql_parse_sitemaps(sql_fixture_sitemaps(table))
+    return f"""
+        WITH sm AS (
+            SELECT DISTINCT host,
+                   {url_ops.sql_url_path_query('loc')} AS path
+            FROM ({parsed}) p
+        ),
+        cap AS (
+            SELECT DISTINCT host, path
+            FROM ({robots_ops.sql_capture_paths(table)}) c
+        ),
+        j AS (
+            SELECT COALESCE(sm.host, cap.host) AS host,
+                   sm.path IS NOT NULL AS in_sitemap,
+                   cap.path IS NOT NULL AS captured
+            FROM sm FULL OUTER JOIN cap
+              ON sm.host = cap.host AND sm.path = cap.path
+        )
+        SELECT host,
+               CAST(SUM(CASE WHEN in_sitemap THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_sitemap,
+               CAST(SUM(CASE WHEN captured THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_captured,
+               CAST(SUM(CASE WHEN in_sitemap AND captured THEN 1
+                        ELSE 0 END) AS BIGINT) AS n_matched,
+               CAST(SUM(CASE WHEN in_sitemap AND NOT captured THEN 1
+                        ELSE 0 END) AS BIGINT) AS n_uncaptured,
+               CAST(SUM(CASE WHEN NOT in_sitemap AND captured THEN 1
+                        ELSE 0 END) AS BIGINT) AS n_off_sitemap
+        FROM j GROUP BY host"""

@@ -149,3 +149,69 @@ def test_decisions_plan_broadcasts_rules(spark):
     plan = R.robots_decisions(caps, rules, "databot")._jdf.queryExecution(
     ).executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_sitemap_parse_and_index_children(spark):
+    """Sitemap subset extraction: url entries with/without lastmod,
+    whitespace tolerance, index files yielding children (and zero url
+    rows)."""
+    import datetime as dt
+
+    from retail_etl_pipeline_airflow_s3_athena_spark.operators import (
+        sitemap as S,
+    )
+
+    urlset = (
+        '<?xml version="1.0"?><urlset>'
+        "<url><loc> http://h/a </loc><lastmod>2024-03-05T10:00:00Z"
+        "</lastmod></url>"
+        "<url>\n<loc>http://h/b</loc>\n</url>"
+        "</urlset>"
+    )
+    index = (
+        "<sitemapindex><sitemap><loc>http://h/maps/1.xml</loc>"
+        "</sitemap><sitemap><loc>http://h/maps/2.xml</loc></sitemap>"
+        "</sitemapindex>"
+    )
+    df = spark.createDataFrame(
+        [("h", urlset), ("h2", index)], ["host", "xml"]
+    )
+    rows = {
+        (r["host"], r["loc"]): r["lastmod"]
+        for r in S.parse_sitemaps(df).collect()
+    }
+    assert rows == {
+        ("h", "http://h/a"): dt.date(2024, 3, 5),
+        ("h", "http://h/b"): None,
+    }
+    kids = sorted(
+        r["child_loc"] for r in S.sitemap_index_children(df).collect()
+    )
+    assert kids == ["http://h/maps/1.xml", "http://h/maps/2.xml"]
+
+
+def test_coverage_report_counts_both_gap_directions(spark):
+    from retail_etl_pipeline_airflow_s3_athena_spark.operators import (
+        sitemap as S,
+    )
+
+    sm = spark.createDataFrame(
+        [
+            ("h", "http://h/a", None),
+            ("h", "http://h/b", None),
+            ("h", "http://h/phantom", None),
+        ],
+        "host STRING, loc STRING, lastmod DATE",
+    )
+    caps = spark.createDataFrame(
+        [(0, "h", "/a"), (1, "h", "/b"), (2, "h", "/off")],
+        ["doc_id", "host", "path"],
+    )
+    [r] = S.crawl_coverage_report(sm, caps).collect()
+    assert (
+        r["n_sitemap"],
+        r["n_captured"],
+        r["n_matched"],
+        r["n_uncaptured"],
+        r["n_off_sitemap"],
+    ) == (3, 3, 2, 1, 1)

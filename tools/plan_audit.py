@@ -51,6 +51,8 @@ AUDIT = [
     "robots_rules_parsed",
     "robots_filter_captures",
     "crawl_admitted_training_set",
+    "sitemap_urls_parsed",
+    "crawl_coverage_report",
     "compression_signals",
     "ann_index_deleted_topk",
     "ann_index_delete_compacted",
