@@ -87,6 +87,12 @@ BNLJ_CEILING = {
     "ann_index_compacted_topk": 8,
     "ann_index_rebuilt_topk": 8,
     "ann_index_staleness": 8,
+    # reviewed r11: the delete gates share the serve shape exactly
+    # (bounded probe/centroid crossJoins, reprinted per persisted-
+    # subtree consumer — measured 4 build-only / 6 executed); the
+    # tombstone anti-join is a plain BroadcastHashJoin
+    "ann_index_deleted_topk": 8,
+    "ann_index_delete_compacted": 8,
     # reviewed r8: the bounded K-row centroid crossJoin of the IVF
     # cell assignment, reprinted in the persisted-subtree text
     "pq_sdc_near_dup": 6,
