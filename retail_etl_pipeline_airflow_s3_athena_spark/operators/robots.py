@@ -73,8 +73,16 @@ def parse_robots_text(text: str) -> list[tuple[str, str, str]]:
             if val:
                 agents.append(val.lower())
             continue
+        if key not in ("allow", "disallow"):
+            # unsupported directives (Crawl-delay, Sitemap, ...) are
+            # ignored ENTIRELY per RFC 9309 §2.2.4 — they neither
+            # carry rules nor terminate a User-agent run (a UA line
+            # after one still stacks onto the same group, matching
+            # the distributed parser, which filters them out before
+            # the grouping window)
+            continue
         in_ua_run = False
-        if key in ("allow", "disallow") and val:
+        if val:
             rows.extend((a, key, val) for a in agents)
     return rows
 

@@ -645,7 +645,11 @@ def compression_signals(
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = [
-                (int(did), *compression_stats(str(txt)))
+                # NULL text = empty (not the string "None")
+                (
+                    int(did),
+                    *compression_stats("" if txt is None else str(txt)),
+                )
                 for did, txt in zip(pdf["doc_id"], pdf[text_col])
             ]
             yield pd.DataFrame(

@@ -31,6 +31,33 @@ def test_reference_parser_rfc_semantics():
     ]
 
 
+def test_unknown_directives_do_not_split_ua_runs(spark):
+    """RFC 9309 §2.2.4: unsupported directives are ignored entirely —
+    a User-agent line after one STACKS onto the same run.  Both
+    parsers must agree (the local one once diverged here)."""
+    text = (
+        "User-agent: a\n"
+        "Crawl-delay: 10\n"          # unknown: ignored, run continues
+        "User-agent: b\n"
+        "Disallow: /x\n"
+        "Sitemap: http://h/s.xml\n"  # unknown after rules: ignored
+        "User-agent: c\n"            # rules DID end the run -> new group
+        "Disallow: /y\n"
+    )
+    local = R.parse_robots_text(text)
+    assert local == [
+        ("a", "disallow", "/x"),
+        ("b", "disallow", "/x"),
+        ("c", "disallow", "/y"),
+    ]
+    df = spark.createDataFrame([("h", text)], ["host", "robots_txt"])
+    got = sorted(
+        (r["agent"], r["rule"], r["pattern"])
+        for r in R.parse_robots(df).collect()
+    )
+    assert got == sorted(local)
+
+
 def test_distributed_parser_matches_reference(spark):
     hosts = sorted(R.ROBOTS_FIXTURE_TEXTS)
     got = {
