@@ -1646,11 +1646,46 @@ def _q_sitemap_urls_parsed(spark: SparkSession, sf_dir: str) -> DataFrame:
     XML built deterministically from the capture fixture, parsed to
     (host, loc, lastmod) by two dialect-shared regexes.  The oracle
     re-derives the XML CONSTRUCTION and the parse in DuckDB, so the
-    gate hashes build + extraction together."""
+    gate hashes build + extraction together.
+
+    r12: the fixture reaches the parser as WIRE BYTES — gzipped
+    (.xml.gz, allowed by sitemaps.org) for even-digit hosts, plain
+    UTF-8 for the rest — through sitemaps_from_bytes, so the gate
+    hashes the gunzip leg too (a broken decode drops half the rows)."""
     docs = _docs(spark, sf_dir)
     return sitemap_ops.parse_sitemaps(
-        sitemap_ops.fixture_sitemaps(docs)
+        sitemap_ops.sitemaps_from_bytes(
+            sitemap_ops.fixture_sitemap_payloads(docs)
+        )
     ).orderBy("host", "loc")
+
+
+def _q_robots_declared_sitemaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``Sitemap:`` directive extraction from robots.txt (r12 —
+    sitemaps.org cross-spec, how crawlers actually discover the
+    sitemaps the coverage audit consumes).  Stateless JVM projection;
+    oracle: VALUES literal from the LOCAL twin
+    (sitemap_directives_text) over the same fixture bodies."""
+    rules = sitemap_ops.parse_sitemap_directives(
+        robots_ops.synthesize_robots(spark)
+    )
+    return rules.orderBy("host", "sitemap_url")
+
+
+def _q_crawl_coverage_discovered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The coverage audit as a crawler actually runs it (r12): only
+    robots-DECLARED sitemaps (h0/h2/h4/h5 — h1's sitemap exists but
+    is undeclared, h3 has no robots.txt) are fetched (gz/plain wire
+    bytes), parsed, and joined against captures; undeclared hosts'
+    captures all land off-sitemap.  Oracle: the declared-host list
+    locally recomputed, then the same build -> parse -> coverage SQL
+    restricted to it."""
+    docs = _docs(spark, sf_dir)
+    return sitemap_ops.coverage_report_discovered(
+        robots_ops.synthesize_robots(spark),
+        sitemap_ops.fixture_sitemap_payloads(docs),
+        robots_ops.with_capture_paths(docs),
+    ).orderBy("host")
 
 
 def _q_crawl_coverage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1814,6 +1849,18 @@ def _q_tar_ingest_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/archive.py) — so the oracle hashes the codec ROUTING as
     well as the text.  zstd and non-file members fail loudly."""
     return archive_ops.tar_roundtrip_stats(_docs(spark, sf_dir)).orderBy(
+        "doc_id"
+    )
+
+
+def _q_zip_ingest_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZIP round-trip under a REAL SQL oracle (r12 — VERDICT r11 #4):
+    documents packed per source into deterministic ZIP archives whose
+    member method cycles STORED/DEFLATED on doc_id % 2
+    (operators/archive.py make_zip/zip_ingest) — the oracle re-derives
+    the method column, so member-method routing is value-hashed with
+    the text.  Encrypted members and exotic methods fail loudly."""
+    return archive_ops.zip_roundtrip_stats(_docs(spark, sf_dir)).orderBy(
         "doc_id"
     )
 
@@ -2480,6 +2527,11 @@ GATE_TAIL = [
     "top_performing_customers",
     "product_analysis",
     "revenue_by_category",
+    # r12 additions parked here until the round-close window rotation
+    # moves the changed/new surfaces into GATE_FIRST_50
+    "zip_ingest_docs",
+    "robots_declared_sitemaps",
+    "crawl_coverage_discovered",
 ]
 
 
@@ -2549,8 +2601,11 @@ def _all_queries() -> dict[str, QueryFn]:
         "robots_rules_parsed": _q_robots_rules_parsed,
         "robots_filter_captures": _q_robots_filter_captures,
         "sitemap_urls_parsed": _q_sitemap_urls_parsed,
+        "robots_declared_sitemaps": _q_robots_declared_sitemaps,
+        "crawl_coverage_discovered": _q_crawl_coverage_discovered,
         "crawl_coverage_report": _q_crawl_coverage_report,
         "tar_ingest_docs": _q_tar_ingest_docs,
+        "zip_ingest_docs": _q_zip_ingest_docs,
         "media_type_census": _q_media_type_census,
         "url_canonical_dedup": _q_url_canonical_dedup,
         "multimodal_training_set": _q_multimodal_training_set,
@@ -3319,6 +3374,7 @@ def oracle_sql() -> dict[str, str]:
         "FROM documents ORDER BY doc_id"
     )
     oracles["tar_ingest_docs"] = archive_ops.oracle_tar_roundtrip_sql()
+    oracles["zip_ingest_docs"] = archive_ops.oracle_zip_roundtrip_sql()
     _robots_rows = robots_ops.fixture_rule_rows()
     oracles["robots_rules_parsed"] = (
         "SELECT host, agent, rule, pattern FROM (VALUES "
@@ -3341,6 +3397,22 @@ def oracle_sql() -> dict[str, str]:
     )
     oracles["crawl_coverage_report"] = (
         sitemap_ops.oracle_coverage_report_sql("documents")
+    )
+    _declared = sorted(
+        (host, u)
+        for host, text in robots_ops.ROBOTS_FIXTURE_TEXTS.items()
+        for u in sitemap_ops.sitemap_directives_text(text)
+    )
+    oracles["robots_declared_sitemaps"] = (
+        "SELECT host, sitemap_url FROM (VALUES "
+        + ", ".join(f"('{h}', '{u}')" for h, u in _declared)
+        + ") AS t(host, sitemap_url) ORDER BY host, sitemap_url"
+    )
+    oracles["crawl_coverage_discovered"] = (
+        sitemap_ops.oracle_coverage_discovered_sql(
+            sorted({h for h, _ in _declared})
+        )
+        + " ORDER BY host"
     )
     oracles["url_canonical_dedup"] = (
         url_ops.oracle_url_canonical_dedup_sql()

@@ -224,24 +224,45 @@ def delete_from_ann_index(vec_ids: DataFrame, path: str) -> int:
     the codes rewrite (physical removal) and clears the table.
     Between compactions the tombstone set is bounded by delete
     traffic — the same contract as the gold store's partial batches.
-    Returns the number of ids tombstoned."""
-    ids = vec_ids.select(F.col("vec_id").cast("long")).distinct()
-    n = ids.count()
-    ids.write.mode("append").parquet(f"{path}/tombstones")
+    Returns the number of ids tombstoned; the id set is PINNED
+    (persist) between the count and the write so a non-deterministic
+    input cannot report a count that differs from the rows actually
+    tombstoned (ADVICE r11)."""
+    ids = vec_ids.select(F.col("vec_id").cast("long")).distinct().persist()
+    try:
+        n = ids.count()
+        ids.write.mode("append").parquet(f"{path}/tombstones")
+    finally:
+        ids.unpersist()
     return n
 
 
-def _read_tombstones(spark: SparkSession, path: str) -> DataFrame | None:
+def _tombstone_files(spark: SparkSession, path: str) -> list[str]:
+    """Snapshot the tombstone table's parquet DATA files (driver-side
+    FS glob, bounded by delete-batch count).  Compaction folds and
+    clears exactly this snapshot: ids appended by a concurrent
+    ``delete_from_ann_index`` AFTER the snapshot survive to the next
+    compaction instead of being silently discarded (ADVICE r11)."""
     from retail_etl_pipeline_airflow_s3_athena_spark.functions.fsutil import (
         hadoop_fs,
     )
 
     jvm, fs = hadoop_fs(spark, path)
-    if not fs.exists(jvm.org.apache.hadoop.fs.Path(f"{path}/tombstones")):
+    pattern = jvm.org.apache.hadoop.fs.Path(f"{path}/tombstones/*.parquet")
+    statuses = fs.globStatus(pattern)
+    if statuses is None:
+        return []
+    return sorted(str(s.getPath()) for s in statuses)
+
+
+def _read_tombstones(spark: SparkSession, path: str) -> DataFrame | None:
+    """None when no tombstone DATA files exist (a cleared table may
+    leave an empty directory behind — compaction deletes only the
+    data files it folded, never the directory)."""
+    files = _tombstone_files(spark, path)
+    if not files:
         return None
-    return spark.read.schema(TOMBSTONES_SCHEMA).parquet(
-        f"{path}/tombstones"
-    )
+    return spark.read.schema(TOMBSTONES_SCHEMA).parquet(*files)
 
 
 def ann_query(
@@ -399,7 +420,13 @@ def compact_ann_index(spark: SparkSession, path: str) -> dict:
     Write-to-temp then crash-recoverable swap (functions/fsutil
     aside-rename: every crash point leaves a recoverable copy); the
     tombstone clear happens only AFTER the swap lands, so a crash
-    mid-compaction at worst re-folds the same deletes.  Returns
+    mid-compaction at worst re-folds the same deletes (the anti-join
+    fold is idempotent).  The fold works over a FILE-LIST SNAPSHOT of
+    the tombstone table and clears exactly those files — ids appended
+    by a concurrent ``delete_from_ann_index`` between the snapshot and
+    the clear stay tombstoned (served via the anti-join) until the
+    next compaction folds them (ADVICE r11; no single-writer
+    assumption needed between deleters and the compactor).  Returns
     {files_before, files_after, codes, deletes_folded}."""
     from retail_etl_pipeline_airflow_s3_athena_spark.functions.fsutil import (
         hadoop_fs,
@@ -408,9 +435,10 @@ def compact_ann_index(spark: SparkSession, path: str) -> dict:
 
     files_before = _codes_data_files(spark, path)
     codes = spark.read.schema(CODES_SCHEMA).parquet(f"{path}/codes")
-    tomb = _read_tombstones(spark, path)
+    tomb_files = _tombstone_files(spark, path)
     deletes_folded = 0
-    if tomb is not None:
+    if tomb_files:
+        tomb = spark.read.schema(TOMBSTONES_SCHEMA).parquet(*tomb_files)
         deletes_folded = tomb.distinct().count()
         codes = codes.join(F.broadcast(tomb), "vec_id", "left_anti")
     tmp = f"{path}/codes__compacting"
@@ -422,11 +450,10 @@ def compact_ann_index(spark: SparkSession, path: str) -> dict:
         .parquet(tmp)
     )
     swap_dir(spark, f"{path}/codes", tmp, "compact_ann_index")
-    if tomb is not None:
+    if tomb_files:
         jvm, fs = hadoop_fs(spark, path)
-        fs.delete(
-            jvm.org.apache.hadoop.fs.Path(f"{path}/tombstones"), True
-        )
+        for tf in tomb_files:
+            fs.delete(jvm.org.apache.hadoop.fs.Path(tf), False)
     return {
         "files_before": files_before,
         "files_after": _codes_data_files(spark, path),

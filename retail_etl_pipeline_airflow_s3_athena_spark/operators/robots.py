@@ -55,10 +55,20 @@ def parse_robots_text(text: str) -> list[tuple[str, str, str]]:
     """One robots.txt body -> [(agent, rule, pattern)] per RFC 9309:
     consecutive User-agent lines stack; rules before any User-agent
     line are ignored; empty values carry no rule; agents lowercase
-    (case-insensitive product tokens), patterns verbatim."""
+    (case-insensitive product tokens), patterns verbatim.
+
+    r12 (ADVICE r11): a group whose rule block carries NO rules (no
+    Allow/Disallow lines, or only empty-valued ones — RFC 9309 §2.2.1
+    allow-everything groups) emits a ``(agent, 'group', '')``
+    GROUP-EXISTENCE sentinel per agent, so downstream precedence can
+    see that the agent HAS a group (its own empty group beats the
+    ``*`` group) even though it has no rules.  Sentinels never match
+    paths — ``applicable_rules`` keys group existence off them and
+    drops them from the match side."""
     rows: list[tuple[str, str, str]] = []
     agents: list[str] = []
     in_ua_run = False
+    group_has_rule = False
     for raw in text.split("\n"):
         line = raw.split("#", 1)[0].strip()
         if not line or ":" not in line:
@@ -68,7 +78,10 @@ def parse_robots_text(text: str) -> list[tuple[str, str, str]]:
         val = val.strip()
         if key == "user-agent":
             if not in_ua_run:
+                if agents and not group_has_rule:
+                    rows.extend((a, "group", "") for a in agents)
                 agents = []
+                group_has_rule = False
             in_ua_run = True
             if val:
                 agents.append(val.lower())
@@ -82,8 +95,11 @@ def parse_robots_text(text: str) -> list[tuple[str, str, str]]:
             # the grouping window)
             continue
         in_ua_run = False
-        if val:
+        if val and agents:
             rows.extend((a, key, val) for a in agents)
+            group_has_rule = True
+    if agents and not group_has_rule:
+        rows.extend((a, "group", "") for a in agents)
     return rows
 
 
@@ -147,9 +163,20 @@ def parse_robots(
         F.col("val").alias("pattern"),
         "line_no",
     )
+    # LEFT join from the agent side (r12, ADVICE r11): a group whose
+    # rule block is empty still EXISTS for its agents — RFC 9309
+    # §2.2.1's allow-everything group.  Such agents surface as
+    # (agent, 'group', '') existence sentinels, exactly like the
+    # local reference parser
     return (
-        rules.join(ua, ["host", "grp"])
-        .select("host", "agent", "rule", "pattern", "line_no")
+        ua.join(rules, ["host", "grp"], "left")
+        .select(
+            "host",
+            "agent",
+            F.coalesce("rule", F.lit("group")).alias("rule"),
+            F.coalesce("pattern", F.lit("")).alias("pattern"),
+            "line_no",
+        )
         .orderBy("host", "line_no", "agent")
         .drop("line_no")
     )
@@ -190,8 +217,13 @@ def sql_like_pattern(pattern: str) -> str:
 
 def applicable_rules(rules: DataFrame, agent: str) -> DataFrame:
     """Per host: the agent's own group if it exists, else the ``*``
-    group (RFC 9309 §2.2.1).  Rules data is host-cardinality small —
-    one tiny aggregation + a re-join on host."""
+    group (RFC 9309 §2.2.1).  Group existence is keyed off ANY row
+    for the agent — including the ``(agent, 'group', '')`` existence
+    sentinels the parsers emit for rule-less groups (ADVICE r11: an
+    explicit empty group means allow-everything for that agent, NOT
+    fall-through to ``*``); sentinels are dropped from the returned
+    match side.  Rules data is host-cardinality small — one tiny
+    aggregation + a re-join on host."""
     agent = agent.lower()
     scoped = rules.filter(F.col("agent").isin(agent, "*"))
     has_exact = scoped.groupBy("host").agg(
@@ -203,6 +235,7 @@ def applicable_rules(rules: DataFrame, agent: str) -> DataFrame:
             (F.col("agent") == agent)
             | ((F.col("agent") == "*") & (F.col("has_exact") == 0))
         )
+        .filter(F.col("rule").isin("allow", "disallow"))
         .select("host", "rule", "pattern")
     )
 
@@ -319,9 +352,11 @@ def oracle_decisions_sql(
                OR (r.agent = '*' AND mh.has_exact = 0)
         ),
         app AS (
+            -- group-existence sentinels (rule = 'group') feed
+            -- has_exact above but never match paths
             SELECT host, rule, pattern,
                    {sql_like_pattern('pattern')} AS like_pat
-            FROM scoped
+            FROM scoped WHERE rule IN ('allow', 'disallow')
         ),
         caps AS ({captures_sql}),
         matched AS (
@@ -365,9 +400,12 @@ def oracle_decisions_sql(
 FIXTURE_AGENT = "databot"
 
 ROBOTS_FIXTURE_TEXTS: dict[str, str] = {
-    # group override: databot's own group wins over *
+    # group override: databot's own group wins over *; Sitemap
+    # directive mid-file (r12 — ignored by the RULE parse, feeds
+    # discovery)
     "h0.example.com": (
         "# admission policy\n"
+        "Sitemap: http://h0.example.com/sitemap.xml\n"
         "User-agent: *\n"
         "Disallow: /private*\n"
         "Allow: /private/ok*\n"
@@ -375,7 +413,9 @@ ROBOTS_FIXTURE_TEXTS: dict[str, str] = {
         "User-agent: databot\n"
         "Disallow: /tmp*\n"
     ),
-    # longest-match: Allow /public* beats Disallow /
+    # longest-match: Allow /public* beats Disallow /; NO Sitemap
+    # directive — its sitemap exists but is undeclared (the robots-
+    # level discovery gap coverage_report_discovered measures)
     "h1.example.com": (
         "User-agent: *\n"
         "Disallow: /\n"
@@ -390,13 +430,25 @@ ROBOTS_FIXTURE_TEXTS: dict[str, str] = {
         "Disallow: /*_*\n"
         "User-agent: *\n"
         "Disallow:\n"
+        "Sitemap: http://h2.example.com/sitemap.xml\n"
     ),
     # h3.example.com has no robots.txt at all -> everything allowed
     # $ anchor negative: the query string defeats the end anchor
     "h4.example.com": (
+        "Sitemap: http://h4.example.com/sitemap.xml\n"
         "User-agent: *\n"
         "Disallow: /cgi-bin*\n"
         "Allow: /cgi-bin/run$\n"
+    ),
+    # r12 (ADVICE r11): explicit EMPTY group for the specific agent —
+    # RFC 9309 §2.2.1 allow-everything — must beat the blanket *
+    # disallow (group existence via the 'group' sentinel)
+    "h5.example.com": (
+        "User-agent: *\n"
+        "Disallow: /\n"
+        "User-agent: databot\n"
+        "Disallow:\n"
+        "Sitemap: http://h5.example.com/sitemap.xml\n"
     ),
 }
 
@@ -417,21 +469,25 @@ def synthesize_robots(spark) -> DataFrame:
 
 
 def with_capture_paths(docs: DataFrame) -> DataFrame:
-    """documents -> (doc_id, host, path) captures: host cycles five
-    fixture hosts, path cycles six shapes (public/private/ok/tmp/
+    """documents -> (doc_id, host, path) captures: host cycles six
+    fixture hosts (h3 has no robots.txt; h5 has the empty-group
+    override), path cycles six shapes (public/private/ok/tmp/
     query-string/underscore-png) so every rule family sees matching
     and non-matching traffic."""
     did = F.col("doc_id")
     host = F.concat(
-        F.lit("h"), (did % 5).cast("string"), F.lit(".example.com")
+        F.lit("h"), (did % 6).cast("string"), F.lit(".example.com")
     )
     ds = did.cast("string")
+    # path shape keyed on the NEXT senary digit (doc_id div 6) so
+    # host and shape stay decorrelated — every host sees every shape
+    pk = F.expr("(doc_id div 6) % 6")
     path = (
-        F.when(did % 6 == 0, F.concat(F.lit("/public/doc/"), ds))
-        .when(did % 6 == 1, F.concat(F.lit("/private/doc/"), ds))
-        .when(did % 6 == 2, F.concat(F.lit("/private/ok/"), ds))
-        .when(did % 6 == 3, F.concat(F.lit("/tmp/"), ds, F.lit(".html")))
-        .when(did % 6 == 4, F.concat(F.lit("/cgi-bin/run?q="), ds))
+        F.when(pk == 0, F.concat(F.lit("/public/doc/"), ds))
+        .when(pk == 1, F.concat(F.lit("/private/doc/"), ds))
+        .when(pk == 2, F.concat(F.lit("/private/ok/"), ds))
+        .when(pk == 3, F.concat(F.lit("/tmp/"), ds, F.lit(".html")))
+        .when(pk == 4, F.concat(F.lit("/cgi-bin/run?q="), ds))
         .otherwise(F.concat(F.lit("/public/img_"), ds, F.lit(".png")))
     )
     return docs.select(
@@ -443,9 +499,9 @@ def sql_capture_paths(table: str = "documents") -> str:
     """DuckDB twin of with_capture_paths."""
     return f"""
         SELECT doc_id,
-               'h' || CAST(doc_id % 5 AS VARCHAR) || '.example.com'
+               'h' || CAST(doc_id % 6 AS VARCHAR) || '.example.com'
                    AS host,
-               CASE doc_id % 6
+               CASE (doc_id // 6) % 6
                    WHEN 0 THEN '/public/doc/' || CAST(doc_id AS VARCHAR)
                    WHEN 1 THEN '/private/doc/' || CAST(doc_id AS VARCHAR)
                    WHEN 2 THEN '/private/ok/' || CAST(doc_id AS VARCHAR)

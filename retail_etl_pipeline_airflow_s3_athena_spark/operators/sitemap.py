@@ -30,8 +30,14 @@ Reference scope: none — extension coverage for the crawl tier.
 
 from __future__ import annotations
 
+import gzip as _gzip
+import io
+from collections.abc import Iterator
+
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 _URL_BLOCK_RE = r"(?s)<url>(.*?)</url>"
 _SITEMAP_BLOCK_RE = r"(?s)<sitemap>(.*?)</sitemap>"
@@ -81,6 +87,91 @@ def sitemap_index_children(
         "host",
         F.regexp_extract("block", _LOC_RE, 1).alias("child_loc"),
     ).filter(F.col("child_loc") != "")
+
+
+# ---------------------------------------------------------------------------
+# Wire formats (r12 — VERDICT r11 #5/#6): sitemaps.org allows gzipped
+# sitemap files (.xml.gz), and the way crawlers actually DISCOVER
+# sitemaps is the cross-spec ``Sitemap:`` directive in robots.txt.
+# ---------------------------------------------------------------------------
+
+SITEMAP_PAYLOAD_SCHEMA = T.StructType(
+    [
+        T.StructField("host", T.StringType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+_SITEMAP_XML_SCHEMA = T.StructType(
+    [
+        T.StructField("host", T.StringType()),
+        T.StructField("xml", T.StringType()),
+    ]
+)
+
+
+def sitemaps_from_bytes(
+    payloads: DataFrame,
+    host_col: str = "host",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """(host, payload binary) -> (host, xml string): gunzip payloads
+    carrying the gzip magic (the ``.xml.gz`` leg sitemaps.org allows),
+    UTF-8 decode the rest.  Arrow ``mapInPandas`` projection —
+    shuffle-free, stdlib zlib, the warc/archive ingest shape; sitemap
+    files are KB–MB (protocol cap 50k URLs / 50 MB uncompressed), so
+    batch memory is bounded."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for host, payload in zip(pdf[host_col], pdf[payload_col]):
+                raw = bytes(payload)
+                if raw[:2] == b"\x1f\x8b":
+                    raw = _gzip.decompress(raw)
+                rows.append((str(host), raw.decode("utf-8")))
+            yield pd.DataFrame(rows, columns=["host", "xml"])
+
+    return payloads.mapInPandas(batches, _SITEMAP_XML_SCHEMA)
+
+
+def parse_sitemap_directives(
+    robots: DataFrame, host_col: str = "host", text_col: str = "robots_txt"
+) -> DataFrame:
+    """robots.txt bodies -> (host, sitemap_url): the ``Sitemap:``
+    directive (sitemaps.org cross-spec; per RFC 9309 §2.2.4 it is
+    independent of any User-agent group, so the parse is stateless —
+    split lines, strip comments, keep ``sitemap:`` keys).  All JVM
+    string expressions, one projection."""
+    lines = robots.select(
+        F.col(host_col).alias("host"),
+        F.explode(F.split(F.col(text_col), "\n")).alias("raw"),
+    ).select(
+        "host",
+        F.trim(F.regexp_replace("raw", "#.*$", "")).alias("line"),
+    )
+    key = F.lower(F.trim(F.substring_index("line", ":", 1)))
+    val = F.trim(F.expr("substring(line, instr(line, ':') + 1)"))
+    return (
+        lines.filter(F.col("line").contains(":"))
+        .filter(key == "sitemap")
+        .select("host", val.alias("sitemap_url"))
+        .filter(F.col("sitemap_url") != "")
+    )
+
+
+def sitemap_directives_text(text: str) -> list[str]:
+    """Local reference twin of ``parse_sitemap_directives`` for one
+    robots.txt body (the VALUES-oracle builder)."""
+    out = []
+    for raw in text.split("\n"):
+        line = raw.split("#", 1)[0].strip()
+        if ":" not in line:
+            continue
+        key, _, val = line.partition(":")
+        if key.strip().lower() == "sitemap" and val.strip():
+            out.append(val.strip())
+    return out
 
 
 def sql_parse_sitemaps(sitemaps_sql: str) -> str:
@@ -225,6 +316,101 @@ def sql_fixture_sitemaps(table: str = "documents") -> str:
         FROM ({caps}) c
         WHERE doc_id % 4 <> 1
         GROUP BY host"""
+
+
+def fixture_sitemap_payloads(docs: DataFrame) -> DataFrame:
+    """The wire-format leg of the sitemap fixture (r12): each host's
+    XML encoded to BYTES, gzipped (deterministic, mtime=0) for hosts
+    whose digit is even and plain UTF-8 for the rest — so the gate
+    round-trips both codecs every run."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for host, xml in zip(pdf["host"], pdf["xml"]):
+                raw = str(xml).encode("utf-8")
+                if int(str(host)[1]) % 2 == 0:
+                    buf = io.BytesIO()
+                    with _gzip.GzipFile(
+                        fileobj=buf, mode="wb", mtime=0
+                    ) as f:
+                        f.write(raw)
+                    raw = buf.getvalue()
+                rows.append((str(host), raw))
+            yield pd.DataFrame(rows, columns=["host", "payload"])
+
+    return fixture_sitemaps(docs).mapInPandas(
+        batches, SITEMAP_PAYLOAD_SCHEMA
+    )
+
+
+def coverage_report_discovered(
+    robots: DataFrame, payloads: DataFrame, captures: DataFrame
+) -> DataFrame:
+    """The coverage audit as a crawler actually runs it (r12): only
+    sitemaps DECLARED via robots.txt ``Sitemap:`` directives are
+    fetched and parsed — undeclared hosts' captures all count as
+    off-sitemap.  Chain: parse directives -> restrict the payload
+    table to declared (host, url) -> gunzip/decode -> parse ->
+    coverage join.  The directive table is host-cardinality small and
+    broadcast."""
+    from retail_etl_pipeline_airflow_s3_athena_spark.operators import url as url_ops
+
+    declared = parse_sitemap_directives(robots).select(
+        url_ops.url_host("sitemap_url").alias("host"),
+        url_ops.url_path_query("sitemap_url").alias("sm_path"),
+    ).filter(F.col("sm_path") == "/sitemap.xml").distinct()
+    fetched = payloads.join(F.broadcast(declared), "host").select(
+        "host", "payload"
+    )
+    sm = parse_sitemaps(sitemaps_from_bytes(fetched))
+    return crawl_coverage_report(sm, captures)
+
+
+def oracle_coverage_discovered_sql(
+    declared_hosts: list[str], table: str = "documents"
+) -> str:
+    """DuckDB twin of coverage_report_discovered: the robots-declared
+    host list locally recomputed (VALUES-style IN list — the codec
+    oracle discipline), then the same fixture-build -> parse ->
+    coverage SQL restricted to it."""
+    from retail_etl_pipeline_airflow_s3_athena_spark.operators import robots as robots_ops
+    from retail_etl_pipeline_airflow_s3_athena_spark.operators import url as url_ops
+
+    hosts = ", ".join(f"'{h}'" for h in sorted(declared_hosts))
+    parsed = sql_parse_sitemaps(
+        f"SELECT * FROM ({sql_fixture_sitemaps(table)}) fs "
+        f"WHERE host IN ({hosts})"
+    )
+    return f"""
+        WITH sm AS (
+            SELECT DISTINCT host,
+                   {url_ops.sql_url_path_query('loc')} AS path
+            FROM ({parsed}) p
+        ),
+        cap AS (
+            SELECT DISTINCT host, path
+            FROM ({robots_ops.sql_capture_paths(table)}) c
+        ),
+        j AS (
+            SELECT COALESCE(sm.host, cap.host) AS host,
+                   sm.path IS NOT NULL AS in_sitemap,
+                   cap.path IS NOT NULL AS captured
+            FROM sm FULL OUTER JOIN cap
+              ON sm.host = cap.host AND sm.path = cap.path
+        )
+        SELECT host,
+               CAST(SUM(CASE WHEN in_sitemap THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_sitemap,
+               CAST(SUM(CASE WHEN captured THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_captured,
+               CAST(SUM(CASE WHEN in_sitemap AND captured THEN 1
+                        ELSE 0 END) AS BIGINT) AS n_matched,
+               CAST(SUM(CASE WHEN in_sitemap AND NOT captured THEN 1
+                        ELSE 0 END) AS BIGINT) AS n_uncaptured,
+               CAST(SUM(CASE WHEN NOT in_sitemap AND captured THEN 1
+                        ELSE 0 END) AS BIGINT) AS n_off_sitemap
+        FROM j GROUP BY host"""
 
 
 def oracle_coverage_report_sql(table: str = "documents") -> str:

@@ -52,7 +52,10 @@ def crawl_fixture_warcs(docs: DataFrame) -> DataFrame:
     fixture).  Each doc becomes one capture; each resource
     (doc_id DIV 3) appears under up to three cosmetically different
     URIs with three DIFFERENT page bodies — exactly what a recrawl
-    series looks like."""
+    series looks like.  Bodies are HTTP content-encoded on the
+    identity/gzip/deflate cycle (r12) — real crawl shards compress
+    response bodies, so the whole crawl tier gates over the decode
+    path."""
     messy = url_ops.with_messy_url(docs)
     pages = messy.select(
         "doc_id",
@@ -60,7 +63,7 @@ def crawl_fixture_warcs(docs: DataFrame) -> DataFrame:
         "url",
         html_ops.html_page_expr().alias("text"),
     )
-    return warc_ops.docs_to_warc(pages, url_col="url")
+    return warc_ops.docs_to_warc(pages, url_col="url", encode_bodies=True)
 
 
 def crawl_to_training_set(docs: DataFrame) -> DataFrame:

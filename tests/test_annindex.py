@@ -276,3 +276,56 @@ def test_delete_tombstones_then_compaction_folds(spark, tmp_path):
     release_cached(folded)
     key = lambda r: (r["query_id"], r["rank"])
     assert sorted(map(tuple, rows_folded)) == sorted(map(tuple, rows_after))
+
+
+def test_concurrent_delete_during_compaction_survives(spark, tmp_path, monkeypatch):
+    """ADVICE r11 (medium): compaction folds a FILE-LIST SNAPSHOT of
+    the tombstone table and clears only those files — ids appended by
+    a delete that lands between the snapshot and the clear must stay
+    tombstoned (never resurface as neighbors) and fold on the NEXT
+    compaction."""
+    path = str(tmp_path / "idx")
+    emb = _emb(spark)
+    annindex.write_ann_index(emb, path)
+    q = annindex.corpus_queries(emb)
+    base = annindex.ann_query(spark, path, q)
+    ranked = base.filter(F.col("rank") <= 2).collect()
+    release_cached(base)
+    victims = sorted({r["neighbor_id"] for r in ranked})
+    early, late = victims[: len(victims) // 2], victims[len(victims) // 2:]
+    assert early and late
+    annindex.delete_from_ann_index(
+        spark.createDataFrame([(int(v),) for v in early], ["vec_id"]), path
+    )
+
+    orig_snapshot = annindex._tombstone_files
+
+    def snapshot_then_concurrent_delete(s, p):
+        files = orig_snapshot(s, p)
+        # a deleter races the compactor: its batch lands AFTER the
+        # compactor snapshotted the tombstone table
+        annindex.delete_from_ann_index(
+            spark.createDataFrame([(int(v),) for v in late], ["vec_id"]), p
+        )
+        return files
+
+    monkeypatch.setattr(
+        annindex, "_tombstone_files", snapshot_then_concurrent_delete
+    )
+    manifest = annindex.compact_ann_index(spark, path)
+    monkeypatch.setattr(annindex, "_tombstone_files", orig_snapshot)
+
+    # only the snapshot was folded + cleared; the late batch survives
+    assert manifest["deletes_folded"] == len(early)
+    tomb = annindex._read_tombstones(spark, path)
+    assert tomb is not None
+    assert {r["vec_id"] for r in tomb.collect()} == set(late)
+    # serve path: BOTH batches stay invisible
+    served = annindex.ann_query(spark, path, q)
+    neighbors = {r["neighbor_id"] for r in served.collect()}
+    release_cached(served)
+    assert not (neighbors & set(victims))
+    # next compaction folds the late batch and clears the table
+    manifest2 = annindex.compact_ann_index(spark, path)
+    assert manifest2["deletes_folded"] == len(late)
+    assert annindex._read_tombstones(spark, path) is None

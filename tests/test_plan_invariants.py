@@ -41,6 +41,13 @@ GLOBAL_WINDOW_OK = {
     "encode_token_ids": 2,
     "bpe_encode_docs": 2,
     "unigram_encode_docs": 1,
+    # r12 (full-registry audit): day-grain post-agg running windows —
+    # the input is one row per calendar day (the gold daily grain),
+    # so the unpartitioned ordered window is bounded by the calendar,
+    # not the data (VERDICT r11 reviewed daily_revenue_running live)
+    "daily_revenue_running": 1,
+    "daily_revenue_delta": 1,
+    "daily_revenue_ma7": 1,
 }
 
 # cartesian sites: calendar-bounded day list (rolling window), the
@@ -51,6 +58,17 @@ CARTESIAN_OK = {
     "funnel_conversion": 1,
     "tfidf_top_terms": 2,
     "crawl_dedup_report": 2,
+    # r12 (full-registry audit): 1-row scalar crossJoins — a grand
+    # total / threshold aggregate broadcast onto the fact side
+    "supplier_revenue_share": 1,   # total revenue scalar
+    "above_avg_dormant_value": 1,  # avg-order-value threshold scalar
+    "dq_summary_customer": 1,      # row-count x col-stat combine
+    "anomalous_revenue_days": 3,   # mean/stddev scalars + their combine
+    # size-dispatched exact path: all-pairs cosine runs ONLY under
+    # EXACT_NEAR_DUP_MAX_ROWS (similarity.py:434 dispatch — above it
+    # the rp-LSH bucketed path takes over); the cartesian is the
+    # calibration-scale oracle twin, bounded by the dispatch constant
+    "embedding_near_dup": 1,
 }
 
 # current BNLJ counts (all bounded-broadcast sites) + headroom of 2;
@@ -99,6 +117,24 @@ BNLJ_CEILING = {
     # reviewed r10: the funnel report combines three 1-row aggregates
     # (captures / staged / curated counts) — 1x1 crossJoins only
     "crawl_dedup_report": 3,
+    # r12 (full-registry audit) — measured + 2 headroom, every site a
+    # bounded broadcast:
+    # the K-row (label-count) centroid crossJoin of the Lloyd
+    # assignment (similarity.py kmeans_fit — same family as the IVF
+    # probe scoring)
+    "kmeans_refine": 3,
+    "kmeans_two_round": 4,
+    # the broadcast 51-row powers-of-two msb table of the
+    # deterministic-log2 lookup (functions/detmath.py), reprinted per
+    # L() site / per persisted-subtree consumer
+    "bigram_prob_score": 3,
+    "dsir_select": 3,
+    "dsir_stream_importance": 3,
+    "chisq_stream_drift": 4,
+    "kl_stream_drift": 3,
+    # the n_queries-row broadcast query set of the brute-force cosine
+    # baseline (similarity.py:113 — non-equi self-exclusion join)
+    "cosine_topk": 3,
 }
 
 

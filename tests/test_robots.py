@@ -242,3 +242,166 @@ def test_coverage_report_counts_both_gap_directions(spark):
         r["n_uncaptured"],
         r["n_off_sitemap"],
     ) == (3, 3, 2, 1, 1)
+
+
+def test_empty_group_emits_existence_sentinel():
+    """ADVICE r11: an explicit rule-less group (RFC 9309 §2.2.1
+    allow-everything) must be VISIBLE — both parsers emit an
+    (agent, 'group', '') sentinel for it, for a bare UA run at EOF
+    and for a group whose only rules are empty-valued."""
+    text = (
+        "User-agent: *\n"
+        "Disallow: /\n"
+        "User-agent: databot\n"
+        "Disallow:\n"            # empty value: no rule, group exists
+        "User-agent: tailbot\n"  # bare run at EOF: group exists
+    )
+    rows = R.parse_robots_text(text)
+    assert rows == [
+        ("*", "disallow", "/"),
+        ("databot", "group", ""),
+        ("tailbot", "group", ""),
+    ]
+
+
+def test_empty_group_distributed_matches_local(spark):
+    text = (
+        "User-agent: a\nUser-agent: b\n"  # stacked empty group
+        "Allow:\n"
+        "User-agent: *\nDisallow: /x\n"
+    )
+    local = sorted(R.parse_robots_text(text))
+    df = spark.createDataFrame([("h", text)], ["host", "robots_txt"])
+    got = sorted(
+        (r["agent"], r["rule"], r["pattern"])
+        for r in R.parse_robots(df).collect()
+    )
+    assert got == local == [
+        ("*", "disallow", "/x"),
+        ("a", "group", ""),
+        ("b", "group", ""),
+    ]
+
+
+def test_explicit_empty_group_beats_star(spark):
+    """The ADVICE scenario end-to-end: 'User-agent: databot' +
+    'Disallow:' means allow-everything for databot even when the *
+    group disallows everything — previously the * group incorrectly
+    applied (over-blocking)."""
+    text = (
+        "User-agent: *\n"
+        "Disallow: /\n"
+        "User-agent: databot\n"
+        "Disallow:\n"
+    )
+    rules = R.parse_robots(
+        spark.createDataFrame([("h", text)], ["host", "robots_txt"])
+    )
+    caps = spark.createDataFrame(
+        [(0, "h", "/anything"), (1, "h", "/deep/path")],
+        ["doc_id", "host", "path"],
+    )
+    got = {
+        r["doc_id"]: (r["allowed"], r["rule"], r["pattern"])
+        for r in R.robots_decisions(caps, rules, "databot").collect()
+    }
+    assert got[0] == (True, None, None)
+    assert got[1] == (True, None, None)
+    # a generic agent still falls through to * and is blocked
+    other = {
+        r["doc_id"]: r["allowed"]
+        for r in R.robots_decisions(caps, rules, "otherbot").collect()
+    }
+    assert other == {0: False, 1: False}
+
+
+def test_sitemap_directives_and_gz_payloads(spark):
+    """r12: Sitemap: directives extract host-statelessly (local twin
+    == distributed), and gz/plain sitemap wire bytes decode to the
+    same parse."""
+    from retail_etl_pipeline_airflow_s3_athena_spark.operators import (
+        sitemap as S,
+    )
+
+    text = (
+        "User-agent: *\n"
+        "Disallow: /x\n"
+        "Sitemap: http://h/sitemap.xml\n"
+        "sitemap: http://h/other.xml  # case-insensitive + comment\n"
+        "Sitemap:\n"                    # empty value: no directive
+    )
+    assert S.sitemap_directives_text(text) == [
+        "http://h/sitemap.xml",
+        "http://h/other.xml",
+    ]
+    df = spark.createDataFrame([("h", text)], ["host", "robots_txt"])
+    got = sorted(
+        (r["host"], r["sitemap_url"])
+        for r in S.parse_sitemap_directives(df).collect()
+    )
+    assert got == [("h", "http://h/other.xml"), ("h", "http://h/sitemap.xml")]
+    # and the rule parse still ignores the directive lines entirely
+    rules = R.parse_robots(df.withColumnRenamed("robots_txt", "robots_txt"))
+    assert sorted(
+        (r["agent"], r["rule"], r["pattern"]) for r in rules.collect()
+    ) == [("*", "disallow", "/x")]
+
+    import gzip
+
+    xml = (
+        '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+        "<url><loc>http://h/a</loc></url></urlset>"
+    )
+    payloads = spark.createDataFrame(
+        [("h", xml.encode()), ("g", gzip.compress(xml.encode(), mtime=0))],
+        ["host", "payload"],
+    )
+    decoded = {
+        r["host"]: r["xml"]
+        for r in S.sitemaps_from_bytes(payloads).collect()
+    }
+    assert decoded == {"h": xml, "g": xml}
+
+
+def test_coverage_discovered_only_counts_declared_hosts(spark, sf_dir):
+    """h1's sitemap exists but is undeclared; h3 has no robots.txt —
+    in the discovered report both have n_sitemap=0 and all their
+    captures off-sitemap, while declared hosts match the full
+    report's rows exactly."""
+    from retail_etl_pipeline_airflow_s3_athena_spark.operators import (
+        sitemap as S,
+    )
+    from retail_etl_pipeline_airflow_s3_athena_spark.sources import readers
+
+    docs = readers.read_documents(spark, sf_dir)
+    robots = R.synthesize_robots(spark)
+    declared = {
+        r["host"].split("//")[1].split("/")[0]
+        for r in S.parse_sitemap_directives(robots)
+        .selectExpr("sitemap_url as host")
+        .collect()
+    }
+    assert declared == {
+        "h0.example.com", "h2.example.com", "h4.example.com",
+        "h5.example.com",
+    }
+    caps = R.with_capture_paths(docs)
+    full = {
+        r["host"]: r.asDict()
+        for r in S.crawl_coverage_report(
+            S.parse_sitemaps(S.fixture_sitemaps(docs)), caps
+        ).collect()
+    }
+    disc = {
+        r["host"]: r.asDict()
+        for r in S.coverage_report_discovered(
+            robots, S.fixture_sitemap_payloads(docs), caps
+        ).collect()
+    }
+    assert set(disc) == set(full)
+    for h, row in disc.items():
+        if h in declared:
+            assert row == full[h]
+        else:
+            assert row["n_sitemap"] == 0 and row["n_matched"] == 0
+            assert row["n_off_sitemap"] == row["n_captured"] > 0

@@ -65,3 +65,42 @@ def test_distributed_roundtrip_equals_source_table(spark, sf_dir):
             s["doc_id"], s["source"], s["text"]
         )
         assert o["n_bytes"] == len(s["text"].encode("utf-8"))
+
+
+def test_content_encoded_bodies_roundtrip():
+    """r12 (VERDICT r11 #3): gzip/deflate/identity Content-Encoding
+    legs decode back to the original bytes, for both member layouts."""
+    encs = ["gzip", "deflate", None]
+    for gz in (True, False):
+        payload = W.write_warc(RECS, gzip_members=gz, encodings=encs)
+        assert W.parse_warc(payload) == RECS
+    # the encoded wire bytes really are compressed (not passthrough):
+    # a 3000-byte run-of-x body must shrink inside the plain archive
+    plain = W.write_warc([RECS[2]], gzip_members=False)
+    enc = W.write_warc([RECS[2]], gzip_members=False, encodings=["gzip"])
+    assert b"Content-Encoding: gzip" in enc
+    assert len(enc) < len(plain) - 2000
+
+
+def test_raw_deflate_fallback():
+    """Non-conforming servers send RAW deflate under
+    'Content-Encoding: deflate' — the decoder must fall back."""
+    import zlib
+
+    body = "fallback wörld".encode("utf-8")
+    raw = zlib.compress(body)[2:-4]  # strip zlib header + adler32
+    http = (
+        b"HTTP/1.1 200 OK\r\nContent-Encoding: deflate\r\n"
+        b"Content-Length: " + str(len(raw)).encode() + b"\r\n\r\n" + raw
+    )
+    assert W._strip_http(http) == body
+
+
+def test_unsupported_content_encodings_loud_fail():
+    for enc in (b"br", b"zstd"):
+        http = (
+            b"HTTP/1.1 200 OK\r\nContent-Encoding: " + enc
+            + b"\r\n\r\npayload"
+        )
+        with pytest.raises(NotImplementedError):
+            W._strip_http(http)

@@ -20,7 +20,17 @@ from retail_etl_pipeline_airflow_s3_athena_spark.functions.caching import (
     release_cached,
 )
 
-AUDIT = [
+# r12 (VERDICT r11 #1): the audit covers EVERY queries() entry —
+# generated from the registry so a new query can never ship without a
+# plan-invariant row.  The list is registry-ordered (the order bench
+# and the gate run in, and the order the r12 full-complement scan
+# validated).  HEADLINE below marks the subset main() EXECUTES
+# (collect) before auditing so AQE-finalized signals (broadcast
+# rewrites, pushdown) are real; the rest are audited build-only —
+# window/cartesian/BNLJ presence is static.  (AUDIT is assigned
+# right after HEADLINE.)
+
+HEADLINE = [
     "pricing_summary",
     "shipping_priority",
     "daily_sales_summary",
@@ -119,6 +129,9 @@ AUDIT = [
     "ann_index_rebuilt_topk",
 ]
 
+AUDIT = list(entrymod.queries())
+assert set(HEADLINE) <= set(AUDIT), sorted(set(HEADLINE) - set(AUDIT))
+
 
 def _unpartitioned_windows(plan: str) -> int:
     """Count Window operators with an EMPTY partition spec — the
@@ -185,8 +198,12 @@ def main() -> None:
         df = qs[name](spark, sf_dir)
         # collect() executes THIS DataFrame's queryExecution, flipping
         # AdaptiveSparkPlan to isFinalPlan=true with codegen spans
-        # annotated (count() would finalize a different execution)
-        df.collect()
+        # annotated (count() would finalize a different execution).
+        # Only the HEADLINE subset is executed — the scale-killer
+        # signals (windows/cartesians/BNLJ) are static, so the rest
+        # of the registry is audited build-only (cheap)
+        if name in HEADLINE:
+            df.collect()
         rows.append(audit_one(name, df))
         release_cached(df)
         spark.catalog.clearCache()
@@ -194,7 +211,12 @@ def main() -> None:
     out = [
         "# Physical-plan audit (generated by tools/plan_audit.py)",
         "",
-        f"Signals extracted from `executedPlan` at `{sf_dir}`.",
+        f"Signals extracted from `executedPlan` at `{sf_dir}` for",
+        "EVERY `queries()` entry (r12: registry-generated — a query",
+        "cannot ship un-audited).  The HEADLINE subset is executed",
+        "(AQE-finalized plans: broadcast rewrites + pushdown real);",
+        "the rest are audited build-only — the scale-killer signals",
+        "(global windows, cartesians, BNLJ) are static.",
         "Exchanges = shuffle boundaries in the final plan (AQE may",
         "coalesce further at runtime).  NOTE: operators that persist a",
         "shared intermediate (e.g. the near-dup pipelines' flat-shingle",
