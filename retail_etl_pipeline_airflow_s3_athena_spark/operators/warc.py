@@ -33,9 +33,17 @@ those legs (``write_warc(..., encodings=...)`` /
 ``docs_to_warc(..., encode_bodies=True)``) so the round-trip gate
 hashes the decode path.
 
-Loud-fail frontier: non-WARC/1.x versions, chunked transfer encoding,
-and ``br``/``zstd`` content encodings (no stdlib decoder) raise
-``NotImplementedError`` — the codec-tier honesty discipline.
+Chunked transfer encoding (r12): raw captures preserve the HTTP
+framing the server sent, which is routinely ``Transfer-Encoding:
+chunked`` — ``_strip_http`` dechunks (hex sizes, chunk extensions
+ignored, trailer section tolerated) BEFORE content decoding, per the
+RFC 9112 layering; the pack side can emit chunked legs so the
+round-trip gates the dechunker.
+
+Loud-fail frontier: non-WARC/1.x versions, transfer encodings other
+than chunked/identity, and ``br``/``zstd`` content encodings (no
+stdlib decoder) raise ``NotImplementedError`` — the codec-tier
+honesty discipline.
 
 Correctness story (stronger than the VALUES codecs): the gate entry
 round-trips the DRIVER'S OWN documents table — ``docs_to_warc`` packs
@@ -88,15 +96,49 @@ def _encode_body(body: bytes, encoding: str | None) -> bytes:
     raise NotImplementedError(f"content encoding {encoding!r} not supported")
 
 
+_CHUNK_SIZE = 500
+
+
+def _chunk_body(wire: bytes) -> bytes:
+    """Apply RFC 9112 chunked framing (pack side): fixed 500-byte
+    chunks, a final 0-chunk, empty trailer section."""
+    out = bytearray()
+    for i in range(0, len(wire), _CHUNK_SIZE):
+        chunk = wire[i : i + _CHUNK_SIZE]
+        out += f"{len(chunk):x}".encode() + _CRLF + chunk + _CRLF
+    out += b"0" + _CRLF + _CRLF
+    return bytes(out)
+
+
+def _dechunk(payload: bytes) -> bytes:
+    """Invert chunked framing: hex size line (chunk extensions after
+    ';' ignored), chunk bytes, CRLF; the 0-chunk ends the body (any
+    trailer section is ignored — the WARC record framing bounds the
+    read)."""
+    out = bytearray()
+    pos = 0
+    while True:
+        eol = payload.index(_CRLF, pos)
+        size = int(payload[pos:eol].split(b";", 1)[0], 16)
+        pos = eol + 2
+        if size == 0:
+            return bytes(out)
+        out += payload[pos : pos + size]
+        pos += size + 2  # chunk data + its trailing CRLF
+
+
 def write_warc(records: list[tuple[str, bytes]],
                gzip_members: bool = True,
-               encodings: list[str | None] | None = None) -> bytes:
+               encodings: list[str | None] | None = None,
+               chunked: list[bool] | None = None) -> bytes:
     """[(target_uri, body bytes)] -> a WARC/1.0 archive of response
     records, one gzip member per record when ``gzip_members`` (the
     Common Crawl layout).  ``encodings`` (optional, parallel to
     ``records``) applies a per-record HTTP Content-Encoding —
-    gzip/deflate/identity/None — the compressed-body legs real crawls
-    carry."""
+    gzip/deflate/identity/None; ``chunked`` (optional, parallel)
+    additionally frames the (already content-encoded) body with
+    chunked transfer encoding, replacing Content-Length per RFC 9112
+    — the raw-capture legs real crawls carry."""
     out = bytearray()
     for i, (uri, body) in enumerate(records):
         enc = encodings[i] if encodings is not None else None
@@ -106,11 +148,14 @@ def write_warc(records: list[tuple[str, bytes]],
             if enc not in (None, "identity")
             else b""
         )
+        if chunked is not None and chunked[i]:
+            wire = _chunk_body(wire)
+            frame_hdr = b"Transfer-Encoding: chunked" + _CRLF
+        else:
+            frame_hdr = b"Content-Length: " + str(len(wire)).encode() + _CRLF
         http = (
             b"HTTP/1.1 200 OK\r\nContent-Type: text/plain; charset=utf-8"
-            + _CRLF + enc_hdr
-            + b"Content-Length: " + str(len(wire)).encode()
-            + _CRLF + _CRLF + wire
+            + _CRLF + enc_hdr + frame_hdr + _CRLF + wire
         )
         headers = (
             WARC_VERSION + _CRLF
@@ -164,26 +209,32 @@ def _parse_records(data: bytes) -> Iterator[tuple[str, bytes]]:
 
 
 def _strip_http(body: bytes) -> bytes:
-    """HTTP/1.1 response envelope -> payload bytes, decoding the
-    Content-Encoding real crawls carry (r12): gzip/x-gzip (gzip
-    container), deflate (zlib container per RFC 9110, raw-deflate
-    fallback for the non-conforming servers that send it bare),
-    identity passthrough.  Loud-fails by name on chunked transfer
-    encoding and on br/zstd (no stdlib decoder)."""
+    """HTTP/1.1 response envelope -> payload bytes, inverting the
+    framing + encoding real crawls carry (r12): chunked transfer
+    encoding is dechunked FIRST (RFC 9112 layering), then the
+    Content-Encoding decodes — gzip/x-gzip (gzip container), deflate
+    (zlib container per RFC 9110, raw-deflate fallback for the
+    non-conforming servers that send it bare), identity passthrough.
+    Loud-fails by name on transfer encodings other than
+    chunked/identity and on br/zstd (no stdlib decoder)."""
     if not body.startswith(b"HTTP/1."):
         return body  # resource record: body IS the payload
     head_end = body.index(_CRLF + _CRLF)
     head = body[:head_end].decode("utf-8").lower()
     payload = body[head_end + 4 :]
-    if "transfer-encoding: chunked" in head:
-        raise NotImplementedError(
-            "chunked transfer encoding not supported in this tier"
-        )
-    enc = "identity"
+    enc, te = "identity", "identity"
     for line in head.split("\r\n"):
         k, _, v = line.partition(":")
         if k.strip() == "content-encoding":
             enc = v.strip()
+        elif k.strip() == "transfer-encoding":
+            te = v.strip()
+    if te == "chunked":
+        payload = _dechunk(payload)
+    elif te != "identity":
+        raise NotImplementedError(
+            f"transfer encoding {te!r} not supported in this tier"
+        )
     if enc in ("identity", ""):
         return payload
     if enc in ("gzip", "x-gzip"):
@@ -249,8 +300,10 @@ def docs_to_warc(
     per-doc target URI with a real one (the crawl-provenance path
     feeding url_canonical_dedup).  ``encode_bodies`` cycles each
     record's HTTP Content-Encoding by doc_id % 3 —
-    identity/gzip/deflate — so the round-trip gates hash the decode
-    path over every leg (r12)."""
+    identity/gzip/deflate — and chunk-frames every doc_id % 5 == 2
+    record (decorrelated from the encoding cycle, so chunked legs hit
+    all three encodings), so the round-trip gates hash the full
+    decode path (r12)."""
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("doc_id")
@@ -271,9 +324,14 @@ def docs_to_warc(
             if encode_bodies
             else None
         )
+        chunked = (
+            [int(did) % 5 == 2 for did in pdf["doc_id"]]
+            if encode_bodies
+            else None
+        )
         src = str(pdf["source"].iloc[0])
         return pd.DataFrame(
-            [(src, write_warc(records, gzip_members, encodings))],
+            [(src, write_warc(records, gzip_members, encodings, chunked))],
             columns=["archive_id", "payload"],
         )
 

@@ -136,3 +136,33 @@ def test_admitted_pipeline_drops_exactly_the_disallowed_resources(
     # renumber bins within a split once members change)
     for g, (split, n_tokens, _bin) in admitted.items():
         assert (split, n_tokens) == base[g][:2]
+
+
+def test_concat_key_tiebreak_inputs_stay_collation_safe(spark, sf_dir):
+    """ADVICE r11: the crawl oracles break arg_min ties with the
+    composite string key ``target_uri || chr(0) || text``, which
+    matches Spark's (target_uri, text, ...) tuple ordering ONLY while
+    both fields are NUL-free and contain no code point in/above the
+    surrogate range (Java's UTF-16 code-unit order and DuckDB's UTF-8
+    byte order agree exactly on U+0001..U+D7FF).  Pin that fixture
+    invariant so the trick can't silently drift: every string entering
+    the concat keys — the messy capture URIs and the capture text —
+    stays inside the safe set."""
+    docs = _docs(spark, sf_dir)
+    keyed = url_ops.with_messy_url(docs).select(
+        F.col("url").alias("s")
+    ).union(docs.select(F.col("text").alias("s")))
+    [r] = (
+        keyed.filter(F.col("s").isNotNull())
+        .select(
+            F.max(
+                F.array_max(
+                    F.transform(F.split("s", ""), lambda c: F.ascii(c))
+                )
+            ).alias("max_cp"),
+            F.max(F.col("s").contains("\x00").cast("int")).alias("has_nul"),
+        )
+        .collect()
+    )
+    assert r["has_nul"] == 0
+    assert r["max_cp"] is None or r["max_cp"] < 0xD800, hex(r["max_cp"])

@@ -44,9 +44,8 @@ def test_loud_fail_frontier():
     )
     with pytest.raises(NotImplementedError):
         W.parse_warc(bad)
-    # chunked transfer encoding inside the HTTP envelope
-    body = (b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n"
-            b"3\r\nabc\r\n0\r\n\r\n")
+    # unsupported transfer encoding inside the HTTP envelope
+    body = (b"HTTP/1.1 200 OK\r\nTransfer-Encoding: gzip\r\n\r\nxx")
     with pytest.raises(NotImplementedError):
         W._strip_http(body)
 
@@ -104,3 +103,23 @@ def test_unsupported_content_encodings_loud_fail():
         )
         with pytest.raises(NotImplementedError):
             W._strip_http(http)
+
+
+def test_chunked_transfer_encoding_roundtrip():
+    """r12: chunked framing dechunks (multi-chunk bodies, chunk
+    extensions, trailer section) and layers UNDER content encoding
+    per RFC 9112 — TE inverted first, then CE."""
+    chunked = [True, True, True]
+    for encs in (None, ["gzip", "deflate", None]):
+        payload = W.write_warc(
+            RECS, gzip_members=False, encodings=encs, chunked=chunked
+        )
+        assert b"Transfer-Encoding: chunked" in payload
+        assert W.parse_warc(payload) == RECS
+    # the 3000-byte body really is multi-chunk at 500-byte framing
+    wire = W._chunk_body(b"x" * 3000)
+    assert wire.count(b"1f4\r\n") == 6  # hex(500) == '1f4'
+    assert W._dechunk(wire) == b"x" * 3000
+    # chunk extensions and trailers are tolerated
+    ext = b"3;name=val\r\nabc\r\n0\r\nTrailer: x\r\n\r\n"
+    assert W._dechunk(ext) == b"abc"
