@@ -1688,6 +1688,34 @@ def _q_crawl_coverage_discovered(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("host")
 
 
+def _q_sitemap_index_expanded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level sitemap walk (r12 — sitemapindex files are how large
+    sites actually ship discovery): parse the per-host <sitemapindex>
+    for child locations, fetch exactly the named children, parse
+    their urlsets.  Every fixture entry lands in exactly one named
+    child, so the oracle is the FLAT fixture parse — any child lost
+    or duplicated in the index walk flips the hash."""
+    docs = _docs(spark, sf_dir)
+    index, children = sitemap_ops.fixture_sitemap_index(docs)
+    return sitemap_ops.expand_sitemap_index(index, children).orderBy(
+        "host", "loc"
+    )
+
+
+def _q_sitemap_recrawl_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recrawl scheduling (r12): sitemap entries whose <lastmod> is
+    newer than the capture date — one (host, path) equi-join + a date
+    compare over deterministic, decorrelated lastmod/captured-date
+    cycles.  Full SQL oracle re-derives build -> parse -> join ->
+    stale filter."""
+    docs = _docs(spark, sf_dir)
+    sm = sitemap_ops.parse_sitemaps(sitemap_ops.fixture_sitemaps(docs))
+    caps = sitemap_ops.with_capture_dates(
+        robots_ops.with_capture_paths(docs)
+    )
+    return sitemap_ops.recrawl_candidates(sm, caps).orderBy("host", "path")
+
+
 def _q_crawl_coverage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Discovery-vs-capture audit (r11): sitemap entries full-outer
     joined to captures on (host, path) -> per-host sitemap size,
@@ -2276,87 +2304,36 @@ def entry(spark: SparkSession) -> DataFrame:
 # tail holds entries whose driver evidence is exactly one round old.
 # ---------------------------------------------------------------------------
 
-# r10 rotation (r9 VERDICT #2): lead with the four in-round additions
-# (gold-store retention, URL canonical dedup, the multimodal
-# training-set pair), then every entry whose implementing module
-# changed this round — the classifier pair (the r9 hash-red row now
-# surfaced as BIGINT), the PNG-consuming entries (png.py's fixture
-# cycle widened to 9 variants: Adam7 + sub-byte palettes), warc (url
-# plumbing), and the daily gold-store lifecycle (watermark guard) —
-# then the 15 displaced GATE_TAIL-head rows carrying the oldest
-# driver evidence, then the next-in-line r5-green rows, then the
-# reference-parity core (kept fresh every round).  Evicted r9-green
-# rows go to the BACK of the tail (freshest evidence).
+# ---------------------------------------------------------------------------
+# Driver-gate window (r12 rotation — VERDICT r11 #2): the 50-slot
+# window is the 15 surfaces that changed this round — 5 NEW queries
+# (zip ingest, robots-declared sitemaps, discovered coverage, the
+# sitemapindex walk, recrawl scheduling), 4 whose OUTPUT VALUES
+# changed (robots fixture gained h5 + the empty-group sentinels and
+# the 6-host capture cycle; the sitemap fixtures follow it), and 6
+# whose code paths changed under value-stable outputs (the WARC
+# content-encoding/chunked legs and the ANN tombstone-snapshot fold)
+# — followed by the 35 STALEST rows by driver-evidence age (all 27
+# remaining r6 rows + the 8 oldest r7 rows, the head of r11's
+# stalest-first GATE_TAIL).  After r12 no row's driver evidence
+# predates r7.
+# ---------------------------------------------------------------------------
 GATE_FIRST_50 = [
-    # r11 rotation (r10 verdict #1 + the r9 lesson): first the nineteen
-    # entries: the eleven
-    # queries whose OUTPUT VALUES changed this round (widened fixture
-    # cycles: PNG tRNS variants, GIF compositing variants, 16-bit-DQT
-    # JPEG, stereo WAV, the mixed-media corpus they feed, and the
-    # two-codec JSONL round-trip) — changed surfaces must earn driver
-    # evidence the
-    # round they change; then the eight brand-new r11 queries (robots.txt x2,
-    # sitemap discovery x2, the admitted crawl composition, the
-    # compression signal, the ANN delete lifecycle x2) (never
-    # driver-gated), then the 31 stalest rows by driver-evidence
-    # age: all 19 queries last driver-gated in r5 and the 12 oldest
-    # r6 rows.  The 19 remaining r6-evidence rows lead GATE_TAIL for
-    # r12.
-    "png_features",
-    "gif_frame_luma",
-    "jpeg_features",
+    "zip_ingest_docs",
+    "robots_declared_sitemaps",
+    "crawl_coverage_discovered",
+    "sitemap_index_expanded",
+    "sitemap_recrawl_candidates",
     "robots_rules_parsed",
     "robots_filter_captures",
-    "crawl_admitted_training_set",
-    "compression_signals",
-    "ann_index_deleted_topk",
-    "ann_index_delete_compacted",
     "sitemap_urls_parsed",
     "crawl_coverage_report",
-    "media_type_census",
-    "multimodal_training_set",
-    "multimodal_manifest",
-    "multimodal_manifest_diff",
-    "wav_features",
-    "wav_band_energy",
-    "audio_near_dup",
-    "jsonl_roundtrip",
-    "part_supplier_breadth",
-    "promo_part_suppliers",
-    "incremental_near_dups",
-    "weekly_retention",
-    "snapshot_diff_customers",
-    "value_histogram",
-    "lone_late_supplier",
-    "linestatus_priority_mix",
-    "kmeans_refine",
-    "kmeans_two_round",
-    "normalize_text",
-    "winnow_fingerprints",
-    "winnow_shared_pairs",
-    "knn_graph",
-    "semantic_dedup",
-    "pagerank_near_dups",
-    "profile_customers",
-    "rp_lsh_signatures",
-    "near_dup_clusters",
-    "event_transitions",
-    "build_training_set",
-    "basket_rules",
-    "dup_triangles",
-    "rolling_distinct_users",
-    "bigram_prob_score",
-    "ngram_novelty",
-    "cluster_size_histogram",
-    "embedding_outliers",
-    "nation_year_profit",
-    "dormant_customers",
-    "small_quantity_revenue",
-]
-
-GATE_TAIL = [
-    # stalest-first (evidence round, then gate order) — the r12
-    # window is simply the head of this list plus whatever changes
+    "warc_ingest_docs",
+    "crawl_admitted_training_set",
+    "crawl_to_training_set",
+    "url_canonical_dedup",
+    "ann_index_deleted_topk",
+    "ann_index_delete_compacted",
     "segment_year_cube",
     "top_revenue_supplier",
     "discount_band_revenue",
@@ -2392,6 +2369,11 @@ GATE_TAIL = [
     "late_shipment_priority",
     "pack_bins",
     "pack_sequences",
+]
+
+GATE_TAIL = [
+    # stalest-first (evidence round, then gate order) — the r13
+    # window is simply the head of this list plus whatever changes
     "quality_filter_docs",
     "quantize_embeddings",
     "stratified_sample_docs",
@@ -2484,15 +2466,12 @@ GATE_TAIL = [
     "corpus_shuffle",
     "source_cap_docs",
     "gold_store_retained",
-    "url_canonical_dedup",
-    "crawl_to_training_set",
     "crawl_dedup_report",
     "quality_model_scores",
     "quality_model_fit",
     "resize_raw_images",
     "image_near_dup",
     "multimodal_pipeline",
-    "warc_ingest_docs",
     "gold_store_daily",
     "gold_store_compacted",
     "gold_stream_daily",
@@ -2527,11 +2506,49 @@ GATE_TAIL = [
     "top_performing_customers",
     "product_analysis",
     "revenue_by_category",
-    # r12 additions parked here until the round-close window rotation
-    # moves the changed/new surfaces into GATE_FIRST_50
-    "zip_ingest_docs",
-    "robots_declared_sitemaps",
-    "crawl_coverage_discovered",
+    "png_features",
+    "gif_frame_luma",
+    "jpeg_features",
+    "compression_signals",
+    "media_type_census",
+    "multimodal_training_set",
+    "multimodal_manifest",
+    "multimodal_manifest_diff",
+    "wav_features",
+    "wav_band_energy",
+    "audio_near_dup",
+    "jsonl_roundtrip",
+    "part_supplier_breadth",
+    "promo_part_suppliers",
+    "incremental_near_dups",
+    "weekly_retention",
+    "snapshot_diff_customers",
+    "value_histogram",
+    "lone_late_supplier",
+    "linestatus_priority_mix",
+    "kmeans_refine",
+    "kmeans_two_round",
+    "normalize_text",
+    "winnow_fingerprints",
+    "winnow_shared_pairs",
+    "knn_graph",
+    "semantic_dedup",
+    "pagerank_near_dups",
+    "profile_customers",
+    "rp_lsh_signatures",
+    "near_dup_clusters",
+    "event_transitions",
+    "build_training_set",
+    "basket_rules",
+    "dup_triangles",
+    "rolling_distinct_users",
+    "bigram_prob_score",
+    "ngram_novelty",
+    "cluster_size_histogram",
+    "embedding_outliers",
+    "nation_year_profit",
+    "dormant_customers",
+    "small_quantity_revenue",
 ]
 
 
@@ -2603,6 +2620,8 @@ def _all_queries() -> dict[str, QueryFn]:
         "sitemap_urls_parsed": _q_sitemap_urls_parsed,
         "robots_declared_sitemaps": _q_robots_declared_sitemaps,
         "crawl_coverage_discovered": _q_crawl_coverage_discovered,
+        "sitemap_index_expanded": _q_sitemap_index_expanded,
+        "sitemap_recrawl_candidates": _q_sitemap_recrawl_candidates,
         "crawl_coverage_report": _q_crawl_coverage_report,
         "tar_ingest_docs": _q_tar_ingest_docs,
         "zip_ingest_docs": _q_zip_ingest_docs,
@@ -3413,6 +3432,14 @@ def oracle_sql() -> dict[str, str]:
             sorted({h for h, _ in _declared})
         )
         + " ORDER BY host"
+    )
+    oracles["sitemap_index_expanded"] = (
+        sitemap_ops.oracle_index_expanded_sql("documents")
+        + " ORDER BY host, loc"
+    )
+    oracles["sitemap_recrawl_candidates"] = (
+        sitemap_ops.oracle_recrawl_sql("documents")
+        + " ORDER BY host, path"
     )
     oracles["url_canonical_dedup"] = (
         url_ops.oracle_url_canonical_dedup_sql()

@@ -255,11 +255,9 @@ def crawl_coverage_report(
 PHANTOM_BASE = 1_000_000
 
 
-def fixture_sitemaps(docs: DataFrame) -> DataFrame:
-    """documents -> one (host, xml) sitemap per fixture host: entries
-    for every capture path with doc_id % 4 != 1 (lastmod = a
-    deterministic date), plus one phantom entry per listed doc
-    (doc_id + PHANTOM_BASE) that no capture matches."""
+def _fixture_entries(docs: DataFrame) -> DataFrame:
+    """(host, doc_id, e): the per-doc <url> entry text shared by the
+    flat and the index-split sitemap fixtures."""
     from retail_etl_pipeline_airflow_s3_athena_spark.operators import robots as robots_ops
 
     caps = robots_ops.with_capture_paths(docs)
@@ -277,10 +275,25 @@ def fixture_sitemaps(docs: DataFrame) -> DataFrame:
         (F.col("doc_id") + PHANTOM_BASE).cast("string"),
         F.lit("</loc></url>"),
     )
-    per_host = listed.select("host", "doc_id", entry.alias("e"))
+    return listed.select("host", "doc_id", entry.alias("e"))
+
+
+def _urlset(agg_col: F.Column) -> F.Column:
+    return F.concat(
+        F.lit('<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'),
+        agg_col,
+        F.lit("</urlset>"),
+    )
+
+
+def fixture_sitemaps(docs: DataFrame) -> DataFrame:
+    """documents -> one (host, xml) sitemap per fixture host: entries
+    for every capture path with doc_id % 4 != 1 (lastmod = a
+    deterministic date), plus one phantom entry per listed doc
+    (doc_id + PHANTOM_BASE) that no capture matches."""
+    per_host = _fixture_entries(docs)
     return per_host.groupBy("host").agg(
-        F.concat(
-            F.lit('<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'),
+        _urlset(
             F.array_join(
                 F.transform(
                     F.array_sort(
@@ -289,8 +302,7 @@ def fixture_sitemaps(docs: DataFrame) -> DataFrame:
                     lambda s: s.e,
                 ),
                 "",
-            ),
-            F.lit("</urlset>"),
+            )
         ).alias("xml")
     )
 
@@ -342,6 +354,140 @@ def fixture_sitemap_payloads(docs: DataFrame) -> DataFrame:
     return fixture_sitemaps(docs).mapInPandas(
         batches, SITEMAP_PAYLOAD_SCHEMA
     )
+
+
+def fixture_sitemap_index(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Two-level fixture (r12): per host a <sitemapindex> naming two
+    child sitemaps (/sitemap-a.xml, /sitemap-b.xml) that split the
+    host's entries by doc_id parity.  Returns (index, children) —
+    children as (host, child, xml) with ``child`` the path the index
+    names."""
+    per_host = _fixture_entries(docs).withColumn(
+        "child",
+        F.when(F.col("doc_id") % 2 == 0, F.lit("/sitemap-a.xml")).otherwise(
+            F.lit("/sitemap-b.xml")
+        ),
+    )
+    children = per_host.groupBy("host", "child").agg(
+        _urlset(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("doc_id", "e"))),
+                    lambda s: s.e,
+                ),
+                "",
+            )
+        ).alias("xml")
+    )
+    index = children.groupBy("host").agg(
+        F.concat(
+            F.lit(
+                '<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+            ),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("child")),
+                    lambda c: F.concat(
+                        F.lit("<sitemap><loc>http://"),
+                        F.col("host"),
+                        c,
+                        F.lit("</loc></sitemap>"),
+                    ),
+                ),
+                "",
+            ),
+            F.lit("</sitemapindex>"),
+        ).alias("xml")
+    )
+    return index, children
+
+
+def expand_sitemap_index(index: DataFrame, children: DataFrame) -> DataFrame:
+    """The two-level walk a crawler runs (r12): parse the
+    <sitemapindex> for child locations, fetch exactly the named
+    children, parse their <urlset> bodies.  The child-name table is
+    host-cardinality small (protocol: one level, 50k children max) —
+    broadcast onto the child bodies; everything else is the flat
+    parse."""
+    from retail_etl_pipeline_airflow_s3_athena_spark.operators import url as url_ops
+
+    named = sitemap_index_children(index).select(
+        "host", url_ops.url_path_query("child_loc").alias("child")
+    ).distinct()
+    fetched = children.join(F.broadcast(named), ["host", "child"]).select(
+        "host", "xml"
+    )
+    return parse_sitemaps(fetched)
+
+
+def oracle_index_expanded_sql(table: str = "documents") -> str:
+    """DuckDB twin of the index walk over the fixture: every entry
+    lands in exactly one named child, so the expansion equals the
+    FLAT fixture parse — the twin re-derives that equivalence."""
+    return sql_parse_sitemaps(sql_fixture_sitemaps(table))
+
+
+def recrawl_candidates(
+    sitemap_urls: DataFrame,
+    captures: DataFrame,
+    date_col: str = "captured_date",
+) -> DataFrame:
+    """Recrawl scheduling (r12): sitemap entries whose <lastmod> is
+    NEWER than the capture date — the page changed since we fetched
+    it.  (Never-captured entries are the coverage report's fetch-gap
+    column, not recrawls.)  One equi-join on (host, path) + a date
+    compare; the sitemap side is 50k-capped per host, flat skew."""
+    from retail_etl_pipeline_airflow_s3_athena_spark.operators import url as url_ops
+
+    sm = sitemap_urls.filter(F.col("lastmod").isNotNull()).select(
+        "host",
+        url_ops.url_path_query("loc").alias("path"),
+        "lastmod",
+    )
+    cap = captures.select("host", "path", date_col)
+    return (
+        sm.join(cap, ["host", "path"])
+        .filter(F.col("lastmod") > F.col(date_col))
+        .select("host", "path", "lastmod", date_col)
+    )
+
+
+def with_capture_dates(captures: DataFrame) -> DataFrame:
+    """Deterministic capture-date fixture: 2024-01-01 + (doc_id*11)%28
+    days — decorrelated from the lastmod cycle so the stale subset is
+    nontrivial in both directions."""
+    return captures.withColumn(
+        "captured_date",
+        F.date_add(
+            F.lit("2024-01-01").cast("date"),
+            ((F.col("doc_id") * 11) % 28).cast("int"),
+        ),
+    )
+
+
+def oracle_recrawl_sql(table: str = "documents") -> str:
+    """DuckDB twin: fixture build -> parse -> capture dates -> join ->
+    stale filter."""
+    from retail_etl_pipeline_airflow_s3_athena_spark.operators import robots as robots_ops
+    from retail_etl_pipeline_airflow_s3_athena_spark.operators import url as url_ops
+
+    parsed = sql_parse_sitemaps(sql_fixture_sitemaps(table))
+    return f"""
+        WITH sm AS (
+            SELECT host, {url_ops.sql_url_path_query('loc')} AS path,
+                   lastmod
+            FROM ({parsed}) p WHERE lastmod IS NOT NULL
+        ),
+        cap AS (
+            SELECT host, path,
+                   DATE '2024-01-01'
+                       + CAST((doc_id * 11) % 28 AS INTEGER)
+                       AS captured_date
+            FROM ({robots_ops.sql_capture_paths(table)}) c
+        )
+        SELECT host, path, lastmod, captured_date
+        FROM sm JOIN cap USING (host, path)
+        WHERE lastmod > captured_date"""
 
 
 def coverage_report_discovered(

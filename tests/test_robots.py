@@ -405,3 +405,67 @@ def test_coverage_discovered_only_counts_declared_hosts(spark, sf_dir):
         else:
             assert row["n_sitemap"] == 0 and row["n_matched"] == 0
             assert row["n_off_sitemap"] == row["n_captured"] > 0
+
+
+def test_index_walk_fetches_only_named_children(spark, sf_dir):
+    """r12: the expansion parses exactly the children the index names
+    — an unnamed extra child body must not leak into the output, and
+    the named-children walk reproduces the flat parse."""
+    from pyspark.sql import functions as F
+
+    from retail_etl_pipeline_airflow_s3_athena_spark.operators import (
+        sitemap as S,
+    )
+    from retail_etl_pipeline_airflow_s3_athena_spark.sources import readers
+
+    docs = readers.read_documents(spark, sf_dir)
+    index, children = S.fixture_sitemap_index(docs)
+    rogue = spark.createDataFrame(
+        [(
+            "h0.example.com",
+            "/sitemap-rogue.xml",
+            '<urlset><url><loc>http://h0.example.com/rogue</loc></url>'
+            "</urlset>",
+        )],
+        ["host", "child", "xml"],
+    )
+    got = sorted(
+        map(tuple, S.expand_sitemap_index(index, children.union(rogue)).collect())
+    )
+    want = sorted(
+        map(tuple, S.parse_sitemaps(S.fixture_sitemaps(docs)).collect())
+    )
+    assert got == want
+    assert not any("/rogue" in r[1] for r in got)
+
+
+def test_recrawl_candidates_semantics(spark):
+    from datetime import date
+
+    from retail_etl_pipeline_airflow_s3_athena_spark.operators import (
+        sitemap as S,
+    )
+
+    sm = spark.createDataFrame(
+        [
+            ("h", "http://h/stale", date(2024, 1, 20)),
+            ("h", "http://h/fresh", date(2024, 1, 2)),
+            ("h", "http://h/same-day", date(2024, 1, 5)),
+            ("h", "http://h/no-lastmod", None),
+            ("h", "http://h/uncaptured", date(2024, 1, 28)),
+        ],
+        ["host", "loc", "lastmod"],
+    )
+    caps = spark.createDataFrame(
+        [
+            ("h", "/stale", date(2024, 1, 5)),
+            ("h", "/fresh", date(2024, 1, 10)),
+            ("h", "/same-day", date(2024, 1, 5)),
+            ("h", "/no-lastmod", date(2024, 1, 1)),
+        ],
+        ["host", "path", "captured_date"],
+    )
+    got = S.recrawl_candidates(sm, caps).collect()
+    assert [(r["path"], r["lastmod"], r["captured_date"]) for r in got] == [
+        ("/stale", date(2024, 1, 20), date(2024, 1, 5))
+    ]
