@@ -40,6 +40,13 @@ ignored, trailer section tolerated) BEFORE content decoding, per the
 RFC 9112 layering; the pack side can emit chunked legs so the
 round-trip gates the dechunker.
 
+Legacy charsets (r12): real crawls declare ``iso-8859-1`` /
+``windows-1252`` / ``us-ascii`` bodies constantly — ``_strip_http``
+reads the Content-Type ``charset`` parameter and TRANSCODES the body
+to UTF-8 (the normalization every corpus pipeline performs at the
+front door), so downstream text handling stays single-encoding.
+Unknown charsets loud-fail by name.
+
 Loud-fail frontier: non-WARC/1.x versions, transfer encodings other
 than chunked/identity, and ``br``/``zstd`` content encodings (no
 stdlib decoder) raise ``NotImplementedError`` — the codec-tier
@@ -130,18 +137,22 @@ def _dechunk(payload: bytes) -> bytes:
 def write_warc(records: list[tuple[str, bytes]],
                gzip_members: bool = True,
                encodings: list[str | None] | None = None,
-               chunked: list[bool] | None = None) -> bytes:
+               chunked: list[bool] | None = None,
+               charsets: list[str] | None = None) -> bytes:
     """[(target_uri, body bytes)] -> a WARC/1.0 archive of response
     records, one gzip member per record when ``gzip_members`` (the
     Common Crawl layout).  ``encodings`` (optional, parallel to
     ``records``) applies a per-record HTTP Content-Encoding —
     gzip/deflate/identity/None; ``chunked`` (optional, parallel)
     additionally frames the (already content-encoded) body with
-    chunked transfer encoding, replacing Content-Length per RFC 9112
-    — the raw-capture legs real crawls carry."""
+    chunked transfer encoding, replacing Content-Length per RFC 9112;
+    ``charsets`` (optional, parallel) sets the Content-Type charset
+    LABEL — the caller must have encoded the body bytes accordingly —
+    the raw-capture legs real crawls carry."""
     out = bytearray()
     for i, (uri, body) in enumerate(records):
         enc = encodings[i] if encodings is not None else None
+        cs = charsets[i] if charsets is not None else "utf-8"
         wire = _encode_body(body, enc)
         enc_hdr = (
             b"Content-Encoding: " + enc.encode() + _CRLF
@@ -154,8 +165,8 @@ def write_warc(records: list[tuple[str, bytes]],
         else:
             frame_hdr = b"Content-Length: " + str(len(wire)).encode() + _CRLF
         http = (
-            b"HTTP/1.1 200 OK\r\nContent-Type: text/plain; charset=utf-8"
-            + _CRLF + enc_hdr + frame_hdr + _CRLF + wire
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/plain; charset="
+            + cs.encode() + _CRLF + enc_hdr + frame_hdr + _CRLF + wire
         )
         headers = (
             WARC_VERSION + _CRLF
@@ -222,31 +233,69 @@ def _strip_http(body: bytes) -> bytes:
     head_end = body.index(_CRLF + _CRLF)
     head = body[:head_end].decode("utf-8").lower()
     payload = body[head_end + 4 :]
-    enc, te = "identity", "identity"
+    enc, te, ctype = "identity", "identity", ""
     for line in head.split("\r\n"):
         k, _, v = line.partition(":")
         if k.strip() == "content-encoding":
             enc = v.strip()
         elif k.strip() == "transfer-encoding":
             te = v.strip()
+        elif k.strip() == "content-type":
+            ctype = v.strip()
     if te == "chunked":
         payload = _dechunk(payload)
     elif te != "identity":
         raise NotImplementedError(
             f"transfer encoding {te!r} not supported in this tier"
         )
-    if enc in ("identity", ""):
-        return payload
     if enc in ("gzip", "x-gzip"):
-        return zlib.decompress(payload, 16 + zlib.MAX_WBITS)
-    if enc == "deflate":
+        payload = zlib.decompress(payload, 16 + zlib.MAX_WBITS)
+    elif enc == "deflate":
         try:
-            return zlib.decompress(payload)
+            payload = zlib.decompress(payload)
         except zlib.error:
-            return zlib.decompress(payload, -zlib.MAX_WBITS)
-    raise NotImplementedError(
-        f"HTTP content encoding {enc!r} not supported in this tier"
-    )
+            payload = zlib.decompress(payload, -zlib.MAX_WBITS)
+    elif enc not in ("identity", ""):
+        raise NotImplementedError(
+            f"HTTP content encoding {enc!r} not supported in this tier"
+        )
+    return _to_utf8(payload, ctype)
+
+
+# charset aliases stdlib maps 1:1; windows-1252 is the de-facto
+# superset servers mean when they say latin-1, but we honor the
+# DECLARED label exactly — the pack side writes what it encoded
+_CHARSETS = {
+    "utf-8": "utf-8",
+    "utf8": "utf-8",
+    "us-ascii": "ascii",
+    "ascii": "ascii",
+    "iso-8859-1": "latin-1",
+    "latin-1": "latin-1",
+    "windows-1252": "cp1252",
+    "cp1252": "cp1252",
+}
+
+
+def _to_utf8(payload: bytes, ctype: str) -> bytes:
+    """Transcode a text body to UTF-8 per the Content-Type charset
+    parameter (absent/UTF-8 charsets pass through untouched — the
+    bytes for ASCII/UTF-8 are already normal form)."""
+    charset = ""
+    for part in ctype.split(";")[1:]:
+        k, _, v = part.partition("=")
+        if k.strip() == "charset":
+            charset = v.strip().strip('"').lower()
+    if charset in ("", "utf-8", "utf8"):
+        return payload
+    codec = _CHARSETS.get(charset)
+    if codec is None:
+        raise NotImplementedError(
+            f"charset {charset!r} not supported in this tier"
+        )
+    if codec == "ascii":
+        return payload  # ASCII is a UTF-8 subset byte-for-byte
+    return payload.decode(codec).encode("utf-8")
 
 
 def parse_warc(payload: bytes) -> list[tuple[str, bytes]]:
@@ -300,10 +349,20 @@ def docs_to_warc(
     per-doc target URI with a real one (the crawl-provenance path
     feeding url_canonical_dedup).  ``encode_bodies`` cycles each
     record's HTTP Content-Encoding by doc_id % 3 —
-    identity/gzip/deflate — and chunk-frames every doc_id % 5 == 2
-    record (decorrelated from the encoding cycle, so chunked legs hit
-    all three encodings), so the round-trip gates hash the full
-    decode path (r12)."""
+    identity/gzip/deflate — chunk-frames every doc_id % 5 == 2 record
+    and declares+encodes every latin-1-encodable doc_id % 7 == 3 body
+    as iso-8859-1 (all three cycles decorrelated, so the legs
+    compose), so the round-trip gates hash the full decode path
+    (r12)."""
+
+    def _charset_for(did: int, txt: str) -> str:
+        if did % 7 == 3:
+            try:
+                txt.encode("latin-1")
+                return "iso-8859-1"
+            except UnicodeEncodeError:
+                return "utf-8"
+        return "utf-8"
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("doc_id")
@@ -315,9 +374,20 @@ def docs_to_warc(
                 for did, src in zip(pdf["doc_id"], pdf["source"])
             ]
         )
+        texts = [
+            "" if txt is None else str(txt) for txt in pdf["text"]
+        ]
+        charsets = (
+            [
+                _charset_for(int(did), txt)
+                for did, txt in zip(pdf["doc_id"], texts)
+            ]
+            if encode_bodies
+            else ["utf-8"] * len(texts)
+        )
         records = [
-            (uri, ("" if txt is None else str(txt)).encode("utf-8"))
-            for uri, txt in zip(uris, pdf["text"])
+            (uri, txt.encode("latin-1" if cs == "iso-8859-1" else cs))
+            for uri, txt, cs in zip(uris, texts, charsets)
         ]
         encodings = (
             [_BODY_ENCODING_CYCLE[int(did) % 3] for did in pdf["doc_id"]]
@@ -331,7 +401,12 @@ def docs_to_warc(
         )
         src = str(pdf["source"].iloc[0])
         return pd.DataFrame(
-            [(src, write_warc(records, gzip_members, encodings, chunked))],
+            [(
+                src,
+                write_warc(
+                    records, gzip_members, encodings, chunked, charsets
+                ),
+            )],
             columns=["archive_id", "payload"],
         )
 

@@ -123,3 +123,59 @@ def test_chunked_transfer_encoding_roundtrip():
     # chunk extensions and trailers are tolerated
     ext = b"3;name=val\r\nabc\r\n0\r\nTrailer: x\r\n\r\n"
     assert W._dechunk(ext) == b"abc"
+
+
+def test_charset_transcode_to_utf8():
+    """r12: declared legacy charsets transcode to UTF-8 at ingest;
+    the transcode composes UNDER content encoding and chunking."""
+    text = "héllo çafé"                      # latin-1 encodable
+    body_l1 = text.encode("latin-1")
+    recs = [("http://x.invalid/a/1", body_l1)]
+    payload = W.write_warc(
+        recs, gzip_members=False, encodings=["gzip"], chunked=[True],
+        charsets=["iso-8859-1"],
+    )
+    [(uri, body)] = W.parse_warc(payload)
+    assert body == text.encode("utf-8")
+    # windows-1252 (curly quote, not in latin-1's printable set)
+    w = "“hi”".encode("cp1252")
+    http = (
+        b"HTTP/1.1 200 OK\r\n"
+        b'Content-Type: text/html; charset="windows-1252"\r\n'
+        b"Content-Length: " + str(len(w)).encode() + b"\r\n\r\n" + w
+    )
+    assert W._strip_http(http) == "“hi”".encode("utf-8")
+    # us-ascii passes through; unknown charsets loud-fail by name
+    http_a = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/plain; charset=us-ascii"
+        b"\r\nContent-Length: 2\r\n\r\nok"
+    )
+    assert W._strip_http(http_a) == b"ok"
+    http_u = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/plain; charset=shift_jis"
+        b"\r\nContent-Length: 2\r\n\r\nxx"
+    )
+    with pytest.raises(NotImplementedError):
+        W._strip_http(http_u)
+
+
+def test_distributed_charset_legs_with_non_ascii(spark):
+    """The gate corpus is ASCII, so the iso-8859-1 leg there only
+    exercises the label path — this pins the REAL transcode through
+    the distributed pack/ingest: non-ASCII latin-1-encodable text at
+    doc_id % 7 == 3 (declared iso-8859-1, body latin-1 bytes) and a
+    non-latin-1 text at the same cycle position (falls back to
+    utf-8), round-tripping byte-identically."""
+    rows = [
+        (3, "s", "héllo çafé nº3"),        # latin-1 leg, real transcode
+        (10, "s", "plain ascii"),
+        (17, "s", "emoji \U0001f600 defeats latin-1"),  # fallback leg
+        (24, "s", "ümlaut ünd ß"),          # another latin-1 leg
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    out = {
+        r["doc_id"]: (r["text"], r["n_bytes"])
+        for r in W.warc_roundtrip_stats(docs).collect()
+    }
+    for did, _, txt in rows:
+        assert out[did] == (txt, len(txt.encode("utf-8")))
