@@ -1870,6 +1870,19 @@ def _q_media_type_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     return router_ops.media_type_census(media)
 
 
+def _q_warc_revisit_resolved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC revisit records (r12 — ISO 28500 §6.7.2, the
+    identical-payload-digest dedup Common Crawl emits for unchanged
+    recrawls): the pack writes doc_id % 4 == 1 captures after each
+    source's first response as REVISIT records referring to the last
+    response URI; ingest surfaces them; resolution is one equi-join
+    on the referred URI.  Oracle: the revisit construction re-derived
+    as a last-response-before-me window over documents."""
+    return warc_ops.warc_revisit_roundtrip(_docs(spark, sf_dir)).orderBy(
+        "doc_id"
+    )
+
+
 def _q_tar_ingest_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Compressed tar round-trip under a REAL SQL oracle: documents
     packed per source into deterministic tar archives whose codec
@@ -2306,17 +2319,17 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Driver-gate window (r12 rotation — VERDICT r11 #2): the 50-slot
-# window is the 15 surfaces that changed this round — 5 NEW queries
+# window is the 16 surfaces that changed this round — 6 NEW queries
 # (zip ingest, robots-declared sitemaps, discovered coverage, the
-# sitemapindex walk, recrawl scheduling), 4 whose OUTPUT VALUES
-# changed (robots fixture gained h5 + the empty-group sentinels and
-# the 6-host capture cycle; the sitemap fixtures follow it), and 6
-# whose code paths changed under value-stable outputs (the WARC
-# content-encoding/chunked legs and the ANN tombstone-snapshot fold)
-# — followed by the 35 STALEST rows by driver-evidence age (all 27
-# remaining r6 rows + the 8 oldest r7 rows, the head of r11's
-# stalest-first GATE_TAIL).  After r12 no row's driver evidence
-# predates r7.
+# sitemapindex walk, recrawl scheduling, WARC revisit resolution), 4
+# whose OUTPUT VALUES changed (robots fixture gained h5 + the
+# empty-group sentinels and the 6-host capture cycle; the sitemap
+# fixtures follow it), and 6 whose code paths changed under
+# value-stable outputs (the WARC content-encoding/chunked/charset
+# legs and the ANN tombstone-snapshot fold) — followed by the 34
+# STALEST rows by driver-evidence age (all 27 remaining r6 rows + the
+# 7 oldest r7 rows, the head of r11's stalest-first GATE_TAIL).
+# After r12 no row's driver evidence predates r7.
 # ---------------------------------------------------------------------------
 GATE_FIRST_50 = [
     "zip_ingest_docs",
@@ -2334,6 +2347,7 @@ GATE_FIRST_50 = [
     "url_canonical_dedup",
     "ann_index_deleted_topk",
     "ann_index_delete_compacted",
+    "warc_revisit_resolved",
     "segment_year_cube",
     "top_revenue_supplier",
     "discount_band_revenue",
@@ -2368,12 +2382,12 @@ GATE_FIRST_50 = [
     "hash_sample_events",
     "late_shipment_priority",
     "pack_bins",
-    "pack_sequences",
 ]
 
 GATE_TAIL = [
     # stalest-first (evidence round, then gate order) — the r13
     # window is simply the head of this list plus whatever changes
+    "pack_sequences",
     "quality_filter_docs",
     "quantize_embeddings",
     "stratified_sample_docs",
@@ -2623,6 +2637,7 @@ def _all_queries() -> dict[str, QueryFn]:
         "sitemap_index_expanded": _q_sitemap_index_expanded,
         "sitemap_recrawl_candidates": _q_sitemap_recrawl_candidates,
         "crawl_coverage_report": _q_crawl_coverage_report,
+        "warc_revisit_resolved": _q_warc_revisit_resolved,
         "tar_ingest_docs": _q_tar_ingest_docs,
         "zip_ingest_docs": _q_zip_ingest_docs,
         "media_type_census": _q_media_type_census,
@@ -3391,6 +3406,9 @@ def oracle_sql() -> dict[str, str]:
         "SELECT doc_id, source, text, "
         "CAST(strlen(text) AS BIGINT) AS n_bytes "
         "FROM documents ORDER BY doc_id"
+    )
+    oracles["warc_revisit_resolved"] = (
+        warc_ops.oracle_warc_revisit_sql("documents") + " ORDER BY doc_id"
     )
     oracles["tar_ingest_docs"] = archive_ops.oracle_tar_roundtrip_sql()
     oracles["zip_ingest_docs"] = archive_ops.oracle_zip_roundtrip_sql()

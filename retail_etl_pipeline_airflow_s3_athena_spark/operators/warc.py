@@ -192,7 +192,8 @@ def _split_gzip_members(payload: bytes) -> Iterator[bytes]:
         rest = d.unused_data
 
 
-def _parse_records(data: bytes) -> Iterator[tuple[str, bytes]]:
+def _walk_records(data: bytes) -> Iterator[tuple[dict, bytes]]:
+    """Low-level record walk: (header fields lowercased, raw body)."""
     pos = 0
     while pos < len(data):
         # skip inter-record CRLFs
@@ -215,8 +216,39 @@ def _parse_records(data: bytes) -> Iterator[tuple[str, bytes]]:
         length = int(fields["content-length"])
         body = data[head_end + 4 : head_end + 4 + length]
         pos = head_end + 4 + length
+        yield fields, body
+
+
+def _parse_records(data: bytes) -> Iterator[tuple[str, bytes]]:
+    for fields, body in _walk_records(data):
         if fields.get("warc-type") == "response":
             yield fields.get("warc-target-uri", ""), _strip_http(body)
+
+
+def _parse_records_with_revisits(
+    data: bytes,
+) -> Iterator[tuple[str, str, str | None, bytes | None]]:
+    """(warc_type, target_uri, refers_to, body): response records
+    carry their decoded body; revisit records (ISO 28500 §6.7.2 —
+    the identical-payload-digest dedup Common Crawl emits for
+    unchanged recrawls) carry the WARC-Refers-To-Target-URI and NO
+    body; other record types are skipped."""
+    for fields, body in _walk_records(data):
+        wt = fields.get("warc-type")
+        if wt == "response":
+            yield (
+                "response",
+                fields.get("warc-target-uri", ""),
+                None,
+                _strip_http(body),
+            )
+        elif wt == "revisit":
+            yield (
+                "revisit",
+                fields.get("warc-target-uri", ""),
+                fields.get("warc-refers-to-target-uri", ""),
+                None,
+            )
 
 
 def _strip_http(body: bytes) -> bytes:
@@ -442,6 +474,193 @@ def warc_ingest(warcs: DataFrame) -> DataFrame:
             )
 
     return warcs.mapInPandas(batches, WARC_DOC_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Revisit records (r12 — ISO 28500 §6.7.2): Common Crawl emits
+# ``WARC-Type: revisit`` for recrawls whose payload digest matched an
+# earlier capture — the archive stores the REFERENCE, not the bytes.
+# Ingesting real CC shards therefore requires resolving revisits back
+# to their referenced response payloads — relationally, one equi-join
+# on the referred URI.
+# ---------------------------------------------------------------------------
+
+_REVISIT_PROFILE = (
+    b"http://netpreserve.org/warc/1.0/revisit/identical-payload-digest"
+)
+
+
+def _revisit_record(uri: str, refers_to: str) -> bytes:
+    headers = (
+        WARC_VERSION + _CRLF
+        + b"WARC-Type: revisit" + _CRLF
+        + b"WARC-Target-URI: " + uri.encode() + _CRLF
+        + b"WARC-Refers-To-Target-URI: " + refers_to.encode() + _CRLF
+        + b"WARC-Profile: " + _REVISIT_PROFILE + _CRLF
+        + b"WARC-Date: 2024-01-01T00:00:00Z" + _CRLF
+        + b"Content-Length: 0" + _CRLF
+        + _CRLF
+    )
+    return headers + _CRLF + _CRLF
+
+
+def docs_to_warc_revisits(docs: DataFrame) -> DataFrame:
+    """Pack documents into per-source WARC archives where every
+    doc_id % 4 == 1 capture AFTER the archive's first response is a
+    REVISIT record referring to the most recent response's URI (the
+    recrawl-of-unchanged-page shape); everything else is a normal
+    response record.  Deterministic bytes, one gzip member per
+    record."""
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        src = str(pdf["source"].iloc[0])
+        out = bytearray()
+        last_resp_uri = None
+        for did, txt in zip(pdf["doc_id"], pdf["text"]):
+            uri = f"http://corpus.invalid/{src}/{int(did)}"
+            if int(did) % 4 == 1 and last_resp_uri is not None:
+                out += _gzip_member(_revisit_record(uri, last_resp_uri))
+            else:
+                body = ("" if txt is None else str(txt)).encode("utf-8")
+                out += _gzip_member(
+                    write_warc([(uri, body)], gzip_members=False)
+                )
+                last_resp_uri = uri
+        return pd.DataFrame(
+            [(src, bytes(out))], columns=["archive_id", "payload"]
+        )
+
+    return (
+        docs.select("doc_id", "text", "source")
+        .groupBy("source")
+        .applyInPandas(pack, WARC_ARCHIVE_SCHEMA)
+    )
+
+
+WARC_REVISIT_SCHEMA = T.StructType(
+    [
+        T.StructField("warc_type", T.StringType()),
+        T.StructField("target_uri", T.StringType()),
+        T.StructField("refers_to", T.StringType()),
+        T.StructField("text", T.StringType()),
+    ]
+)
+
+
+def warc_ingest_revisits(warcs: DataFrame) -> DataFrame:
+    """WARC binaries -> one row per response OR revisit record:
+    responses carry text, revisits carry refers_to and NULL text.
+    Shuffle-free Arrow projection."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for payload in pdf["payload"]:
+                raw = bytes(payload)
+                members = (
+                    _split_gzip_members(raw)
+                    if raw[:2] == b"\x1f\x8b"
+                    else [raw]
+                )
+                for member in members:
+                    for wt, uri, ref, body in _parse_records_with_revisits(
+                        member
+                    ):
+                        rows.append(
+                            (
+                                wt,
+                                uri,
+                                ref,
+                                None if body is None else body.decode("utf-8"),
+                            )
+                        )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in WARC_REVISIT_SCHEMA.fields]
+            )
+
+    return warcs.mapInPandas(batches, WARC_REVISIT_SCHEMA)
+
+
+def resolve_revisits(captures: DataFrame) -> DataFrame:
+    """Resolve revisit records to their referenced payloads: ONE
+    equi-join of the revisit rows against the response rows on the
+    referred URI (response URIs are unique per crawl; skew = recrawl
+    frequency of hot pages, AQE territory).  Output one row per
+    capture: (target_uri, text, n_bytes, was_revisit)."""
+    resp = captures.filter(F.col("warc_type") == "response").select(
+        "target_uri", "text"
+    )
+    rev = captures.filter(F.col("warc_type") == "revisit").select(
+        "target_uri", F.col("refers_to").alias("__ref")
+    )
+    resolved_rev = rev.join(
+        resp.select(
+            F.col("target_uri").alias("__ref"), F.col("text")
+        ),
+        "__ref",
+    ).select("target_uri", "text", F.lit(True).alias("was_revisit"))
+    return (
+        resp.select("target_uri", "text", F.lit(False).alias("was_revisit"))
+        .unionByName(resolved_rev)
+        .select(
+            "target_uri",
+            "text",
+            F.octet_length("text").cast("long").alias("n_bytes"),
+            "was_revisit",
+        )
+    )
+
+
+def warc_revisit_roundtrip(docs: DataFrame) -> DataFrame:
+    """Gate query (r12): documents -> per-source archives with
+    revisit records -> ingest -> resolve -> per-doc (doc_id, text,
+    n_bytes, was_revisit).  The oracle re-derives the revisit
+    construction as a last-response-before-me window over the
+    documents table."""
+    resolved = resolve_revisits(
+        warc_ingest_revisits(docs_to_warc_revisits(docs))
+    )
+    return resolved.select(
+        F.regexp_extract("target_uri", r"/(\d+)$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        "text",
+        "n_bytes",
+        "was_revisit",
+    )
+
+
+def oracle_warc_revisit_sql(table: str = "documents") -> str:
+    """DuckDB twin: a response is any doc_id % 4 != 1 row plus each
+    source's FIRST row (a revisit cannot refer to nothing); every
+    other %4==1 row resolves to the last response before it."""
+    return f"""
+        WITH base AS (
+            SELECT doc_id, source, text,
+                   (doc_id % 4 <> 1
+                    OR ROW_NUMBER() OVER (
+                           PARTITION BY source ORDER BY doc_id) = 1)
+                       AS is_resp
+            FROM {table}
+        ),
+        resolved AS (
+            SELECT doc_id,
+                   CASE WHEN is_resp THEN text
+                        ELSE last_value(
+                                 CASE WHEN is_resp THEN text END
+                                 IGNORE NULLS) OVER (
+                                 PARTITION BY source ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND 1 PRECEDING)
+                   END AS text,
+                   NOT is_resp AS was_revisit
+            FROM base
+        )
+        SELECT doc_id, text,
+               CAST(strlen(text) AS BIGINT) AS n_bytes,
+               was_revisit
+        FROM resolved"""
 
 
 def warc_roundtrip_stats(docs: DataFrame) -> DataFrame:

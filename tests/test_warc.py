@@ -179,3 +179,43 @@ def test_distributed_charset_legs_with_non_ascii(spark):
     }
     for did, _, txt in rows:
         assert out[did] == (txt, len(txt.encode("utf-8")))
+
+
+def test_revisit_records_roundtrip_and_resolution(spark):
+    """r12 revisit lifecycle: pack writes revisits after each
+    source's first response, ingest surfaces them, resolution joins
+    back to the referenced payload.  A leading %4==1 doc falls back
+    to a response (a revisit cannot refer to nothing) and later
+    revisits may refer to IT."""
+    rows = [
+        (1, "s", "first — %4==1 but leading: response"),
+        (2, "s", "second response"),
+        (5, "s", "unused (revisit of 2)"),
+        (8, "s", "third response"),
+        (9, "s", "unused (revisit of 8)"),
+        (1, "t", "t-first"),
+        (5, "t", "unused (revisit of t-1)"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    archives = W.docs_to_warc_revisits(docs)
+    ingested = W.warc_ingest_revisits(archives)
+    by_type = {
+        (r["warc_type"], r["target_uri"]): r for r in ingested.collect()
+    }
+    assert sum(1 for (t, _) in by_type if t == "revisit") == 3
+    rev5 = by_type[("revisit", "http://corpus.invalid/s/5")]
+    assert rev5["refers_to"] == "http://corpus.invalid/s/2"
+    assert rev5["text"] is None
+    assert by_type[("revisit", "http://corpus.invalid/t/5")][
+        "refers_to"
+    ] == "http://corpus.invalid/t/1"
+
+    out = {
+        r["target_uri"]: (r["text"], r["was_revisit"])
+        for r in W.resolve_revisits(ingested).collect()
+    }
+    assert out["http://corpus.invalid/s/1"] == (rows[0][2], False)
+    assert out["http://corpus.invalid/s/5"] == ("second response", True)
+    assert out["http://corpus.invalid/s/9"] == ("third response", True)
+    assert out["http://corpus.invalid/t/5"] == ("t-first", True)
+    assert len(out) == len(rows)
