@@ -1870,6 +1870,17 @@ def _q_media_type_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     return router_ops.media_type_census(media)
 
 
+def _q_wet_ingest_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WET round-trip (r12 — Common Crawl's extracted-text derivative:
+    WARC/1.0 conversion records whose body IS the text, the format
+    text pipelines actually consume): documents packed per source
+    into gzip-membered WET archives, ingested back by the conversion
+    walk.  Oracle: plain SQL over documents."""
+    return warc_ops.wet_roundtrip_stats(_docs(spark, sf_dir)).orderBy(
+        "doc_id"
+    )
+
+
 def _q_warc_revisit_resolved(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC revisit records (r12 — ISO 28500 §6.7.2, the
     identical-payload-digest dedup Common Crawl emits for unchanged
@@ -2319,16 +2330,17 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Driver-gate window (r12 rotation — VERDICT r11 #2): the 50-slot
-# window is the 16 surfaces that changed this round — 6 NEW queries
+# window is the 17 surfaces that changed this round — 7 NEW queries
 # (zip ingest, robots-declared sitemaps, discovered coverage, the
-# sitemapindex walk, recrawl scheduling, WARC revisit resolution), 4
+# sitemapindex walk, recrawl scheduling, WARC revisit resolution,
+# WET ingest), 4
 # whose OUTPUT VALUES changed (robots fixture gained h5 + the
 # empty-group sentinels and the 6-host capture cycle; the sitemap
 # fixtures follow it), and 6 whose code paths changed under
 # value-stable outputs (the WARC content-encoding/chunked/charset
-# legs and the ANN tombstone-snapshot fold) — followed by the 34
+# legs and the ANN tombstone-snapshot fold) — followed by the 33
 # STALEST rows by driver-evidence age (all 27 remaining r6 rows + the
-# 7 oldest r7 rows, the head of r11's stalest-first GATE_TAIL).
+# 6 oldest r7 rows, the head of r11's stalest-first GATE_TAIL).
 # After r12 no row's driver evidence predates r7.
 # ---------------------------------------------------------------------------
 GATE_FIRST_50 = [
@@ -2348,6 +2360,7 @@ GATE_FIRST_50 = [
     "ann_index_deleted_topk",
     "ann_index_delete_compacted",
     "warc_revisit_resolved",
+    "wet_ingest_docs",
     "segment_year_cube",
     "top_revenue_supplier",
     "discount_band_revenue",
@@ -2381,12 +2394,12 @@ GATE_FIRST_50 = [
     "doc_chunks",
     "hash_sample_events",
     "late_shipment_priority",
-    "pack_bins",
 ]
 
 GATE_TAIL = [
     # stalest-first (evidence round, then gate order) — the r13
     # window is simply the head of this list plus whatever changes
+    "pack_bins",
     "pack_sequences",
     "quality_filter_docs",
     "quantize_embeddings",
@@ -2638,6 +2651,7 @@ def _all_queries() -> dict[str, QueryFn]:
         "sitemap_recrawl_candidates": _q_sitemap_recrawl_candidates,
         "crawl_coverage_report": _q_crawl_coverage_report,
         "warc_revisit_resolved": _q_warc_revisit_resolved,
+        "wet_ingest_docs": _q_wet_ingest_docs,
         "tar_ingest_docs": _q_tar_ingest_docs,
         "zip_ingest_docs": _q_zip_ingest_docs,
         "media_type_census": _q_media_type_census,
@@ -3403,6 +3417,11 @@ def oracle_sql() -> dict[str, str]:
                 f" '{_r[5]}')"
             )
     oracles["warc_ingest_docs"] = (
+        "SELECT doc_id, source, text, "
+        "CAST(strlen(text) AS BIGINT) AS n_bytes "
+        "FROM documents ORDER BY doc_id"
+    )
+    oracles["wet_ingest_docs"] = (
         "SELECT doc_id, source, text, "
         "CAST(strlen(text) AS BIGINT) AS n_bytes "
         "FROM documents ORDER BY doc_id"

@@ -477,6 +477,104 @@ def warc_ingest(warcs: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# WET (r12): Common Crawl's extracted-text derivative ships as
+# ``WARC-Type: conversion`` records whose body is the plain text
+# itself (no HTTP envelope) — the format most text-pipeline consumers
+# actually read.  Same framing walk, no envelope stripping.
+# ---------------------------------------------------------------------------
+
+
+def write_wet(records: list[tuple[str, bytes]]) -> bytes:
+    """[(refers-to URI, extracted text bytes)] -> a WET archive:
+    WARC/1.0 conversion records, one gzip member each (the CC
+    layout)."""
+    out = bytearray()
+    for uri, body in records:
+        headers = (
+            WARC_VERSION + _CRLF
+            + b"WARC-Type: conversion" + _CRLF
+            + b"WARC-Target-URI: " + uri.encode() + _CRLF
+            + b"WARC-Refers-To-Target-URI: " + uri.encode() + _CRLF
+            + b"WARC-Date: 2024-01-01T00:00:00Z" + _CRLF
+            + b"Content-Type: text/plain" + _CRLF
+            + b"Content-Length: " + str(len(body)).encode() + _CRLF
+            + _CRLF
+        )
+        out += _gzip_member(headers + body + _CRLF + _CRLF)
+    return bytes(out)
+
+
+def docs_to_wet(docs: DataFrame) -> DataFrame:
+    """Pack documents into one WET archive per source (conversion
+    records, text bodies) — the docs_to_warc shape."""
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        src = str(pdf["source"].iloc[0])
+        records = [
+            (
+                f"http://corpus.invalid/{src}/{int(did)}",
+                ("" if txt is None else str(txt)).encode("utf-8"),
+            )
+            for did, txt in zip(pdf["doc_id"], pdf["text"])
+        ]
+        return pd.DataFrame(
+            [(src, write_wet(records))], columns=["archive_id", "payload"]
+        )
+
+    return (
+        docs.select("doc_id", "text", "source")
+        .groupBy("source")
+        .applyInPandas(pack, WARC_ARCHIVE_SCHEMA)
+    )
+
+
+def wet_ingest(warcs: DataFrame) -> DataFrame:
+    """WET binaries -> one row per conversion record: the body IS the
+    text (no HTTP envelope).  Shuffle-free Arrow projection."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for aid, payload in zip(pdf["archive_id"], pdf["payload"]):
+                raw = bytes(payload)
+                members = (
+                    _split_gzip_members(raw)
+                    if raw[:2] == b"\x1f\x8b"
+                    else [raw]
+                )
+                for member in members:
+                    for fields, body in _walk_records(member):
+                        if fields.get("warc-type") != "conversion":
+                            continue
+                        uri = fields.get("warc-target-uri", "")
+                        rows.append(
+                            (
+                                int(uri.rsplit("/", 1)[1]),
+                                str(aid),
+                                body.decode("utf-8"),
+                                len(body),
+                            )
+                        )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in WARC_DOC_SCHEMA.fields]
+            )
+
+    return warcs.mapInPandas(batches, WARC_DOC_SCHEMA)
+
+
+def wet_roundtrip_stats(docs: DataFrame) -> DataFrame:
+    """Gate query (r12): documents -> per-source WET archives ->
+    ingest; oracle = plain SQL over ``documents``."""
+    return wet_ingest(docs_to_wet(docs)).select(
+        "doc_id",
+        F.col("archive_id").alias("source"),
+        "text",
+        "n_bytes",
+    )
+
+
+# ---------------------------------------------------------------------------
 # Revisit records (r12 — ISO 28500 §6.7.2): Common Crawl emits
 # ``WARC-Type: revisit`` for recrawls whose payload digest matched an
 # earlier capture — the archive stores the REFERENCE, not the bytes.

@@ -219,3 +219,31 @@ def test_revisit_records_roundtrip_and_resolution(spark):
     assert out["http://corpus.invalid/s/9"] == ("third response", True)
     assert out["http://corpus.invalid/t/5"] == ("t-first", True)
     assert len(out) == len(rows)
+
+
+def test_wet_conversion_records_roundtrip(spark):
+    """r12 WET: conversion records carry the text as the record body
+    (no HTTP envelope); response/revisit records in the same stream
+    are ignored by the WET walk."""
+    recs = [("http://x.invalid/s/1", "wét tëxt".encode("utf-8")),
+            ("http://x.invalid/s/2", b"")]
+    payload = W.write_wet(recs)
+    members = list(W._split_gzip_members(payload))
+    assert len(members) == 2
+    docs = spark.createDataFrame(
+        [(1, "s", "wét tëxt"), (2, "s", ""), (3, "t", "other")],
+        ["doc_id", "source", "text"],
+    )
+    out = {
+        r["doc_id"]: (r["source"], r["text"], r["n_bytes"])
+        for r in W.wet_roundtrip_stats(docs).collect()
+    }
+    assert out == {
+        1: ("s", "wét tëxt", len("wét tëxt".encode("utf-8"))),
+        2: ("s", "", 0),
+        3: ("t", "other", 5),
+    }
+    # a response record mixed into the stream is skipped by wet_ingest
+    mixed = payload + W.write_warc([("http://x.invalid/s/9", b"resp")])
+    df = spark.createDataFrame([("s", mixed)], ["archive_id", "payload"])
+    assert {r["doc_id"] for r in W.wet_ingest(df).collect()} == {1, 2}
