@@ -39,6 +39,7 @@ from retail_etl_pipeline_airflow_s3_athena_spark.operators import html as html_o
 from retail_etl_pipeline_airflow_s3_athena_spark.operators import videodup as vdup_ops
 from retail_etl_pipeline_airflow_s3_athena_spark.operators import robots as robots_ops
 from retail_etl_pipeline_airflow_s3_athena_spark.operators import sitemap as sitemap_ops
+from retail_etl_pipeline_airflow_s3_athena_spark.operators import cdx as cdx_ops
 from retail_etl_pipeline_airflow_s3_athena_spark.operators import url as url_ops
 from retail_etl_pipeline_airflow_s3_athena_spark.operators import warc as warc_ops
 from retail_etl_pipeline_airflow_s3_athena_spark.operators import wav as wav_ops
@@ -1894,6 +1895,29 @@ def _q_warc_revisit_resolved(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_cdx_index_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDX URL index (r12 — the crawl tier's lookup artifact, the
+    public Common Crawl index semantics): documents packed as varied
+    captures (404/301 statuses, text/html media types, per-record
+    capture times, gzip/deflate/chunked/iso-8859-1 body legs), then
+    the index cut in one shuffle-free walk — SURT urlkey, 14-digit
+    timestamp, decoded-payload sha256.  Oracle re-derives every field
+    in SQL from documents (operators/cdx.py); offset/length are
+    unit-gated (slice must re-parse)."""
+    return cdx_ops.cdx_fixture_index(_docs(spark, sf_dir)).orderBy(
+        "urlkey", "cdx_ts", "url"
+    )
+
+
+def _q_cdx_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CDX index CONSUMED relationally (r12): per reversed-host
+    key — captures, distinct URL keys, 200-count, latest capture —
+    the recrawl-scheduler read that never touches an archive byte."""
+    return cdx_ops.cdx_host_stats(
+        cdx_ops.cdx_fixture_index(_docs(spark, sf_dir))
+    )
+
+
 def _q_tar_ingest_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Compressed tar round-trip under a REAL SQL oracle: documents
     packed per source into deterministic tar archives whose codec
@@ -2344,6 +2368,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # After r12 no row's driver evidence predates r7.
 # ---------------------------------------------------------------------------
 GATE_FIRST_50 = [
+    "cdx_index_records",
+    "cdx_host_stats",
     "zip_ingest_docs",
     "robots_declared_sitemaps",
     "crawl_coverage_discovered",
@@ -2392,13 +2418,13 @@ GATE_FIRST_50 = [
     "concurrent_sessions",
     "dedup_exact",
     "doc_chunks",
-    "hash_sample_events",
-    "late_shipment_priority",
 ]
 
 GATE_TAIL = [
     # stalest-first (evidence round, then gate order) — the r13
     # window is simply the head of this list plus whatever changes
+    "hash_sample_events",
+    "late_shipment_priority",
     "pack_bins",
     "pack_sequences",
     "quality_filter_docs",
@@ -2652,6 +2678,8 @@ def _all_queries() -> dict[str, QueryFn]:
         "crawl_coverage_report": _q_crawl_coverage_report,
         "warc_revisit_resolved": _q_warc_revisit_resolved,
         "wet_ingest_docs": _q_wet_ingest_docs,
+        "cdx_index_records": _q_cdx_index_records,
+        "cdx_host_stats": _q_cdx_host_stats,
         "tar_ingest_docs": _q_tar_ingest_docs,
         "zip_ingest_docs": _q_zip_ingest_docs,
         "media_type_census": _q_media_type_census,
@@ -3429,6 +3457,8 @@ def oracle_sql() -> dict[str, str]:
     oracles["warc_revisit_resolved"] = (
         warc_ops.oracle_warc_revisit_sql("documents") + " ORDER BY doc_id"
     )
+    oracles["cdx_index_records"] = cdx_ops.oracle_cdx_index_sql()
+    oracles["cdx_host_stats"] = cdx_ops.oracle_cdx_host_stats_sql()
     oracles["tar_ingest_docs"] = archive_ops.oracle_tar_roundtrip_sql()
     oracles["zip_ingest_docs"] = archive_ops.oracle_zip_roundtrip_sql()
     _robots_rows = robots_ops.fixture_rule_rows()

@@ -1,0 +1,329 @@
+"""CDX URL-index generation — the crawl tier's lookup artifact.
+
+A web archive is unusable without its index: the CDX(J) files that
+map a canonicalized URL key to (capture timestamp, archive file,
+byte offset, length, payload digest) are what URL-lookup services,
+crawl-over-crawl dedup, and selective re-fetch read INSTEAD of
+scanning archives.  Common Crawl publishes exactly this artifact
+next to its WARC/WAT/WET shards (the public columnar/CDXJ index);
+the reference pipeline has no crawl tier, so this module implements
+the public semantics (SURT keys + 14-digit timestamps + per-record
+archive coordinates) Spark-first:
+
+- ``cdx_records(warcs)``: the only non-relational step — an Arrow
+  ``mapInPandas`` walk over the binary archive column emitting one
+  row per record with its HTTP status, media type, WARC-Date, the
+  sha256 of the DECODED payload (after dechunk / content-decoding /
+  charset transcode — the digest crawl-dedup compares), and the
+  (offset, length) of the smallest archive slice that re-parses to
+  that record: the compressed gzip MEMBER for the member-per-record
+  Common Crawl layout, the record byte-span for bare WARC.  Digest
+  is computed inside the walk (stdlib hashlib) so bodies never leave
+  the executor — the index is metadata-sized, not corpus-sized.
+- ``surt_key(url)``: SURT canonicalization as a pure built-in column
+  expression layered on ``url.canonical_url`` (scheme dropped, host
+  reversed and comma-joined, ``)`` separator, canonical path+query)
+  — JVM-side, codegen-friendly, with an independently-derived DuckDB
+  twin (``sql_surt_key_cte``) so the gate hashes the key function
+  itself.  Reversed-host keys give the index its lookup power: one
+  SORT puts all of ``com,example``'s captures (any subdomain)
+  adjacent, so host- and prefix-queries are range scans.
+- ``cdx_index(warcs)``: records + urlkey + the 14-digit timestamp
+  (string ops over WARC-Date), all relational after the walk.
+- ``cdx_host_stats(index)``: the index CONSUMED relationally — per
+  host: captures, distinct URL keys, OK-rate, latest capture — the
+  shape a recrawl scheduler or coverage monitor reads off the index
+  without touching a single archive byte.
+
+Correctness: the gate packs the driver's documents table through
+``docs_to_warc(vary_captures=True, encode_bodies=True)`` — statuses
+404/301, text/html media types, per-record capture times, gzip /
+deflate / chunked / iso-8859-1 body legs — and the oracle re-derives
+every index field in pure SQL from the documents table (the pack
+cycles are deterministic functions of doc_id), so a byte lost
+anywhere in the walk, the decode stack, or the SURT key flips the
+value hash.  (offset, length) are NOT SQL-predictable (gzip member
+sizes); they are gated by the unit suite instead: slicing
+``archive[offset : offset + length]`` must re-parse to exactly that
+record — the range-request contract.
+
+Scale: the walk is a shuffle-free projection (one archive per row,
+the CC processing unit); everything after is one groupBy at most.
+At 100 TB the index build is a single pass over the shards — exactly
+how the real CC index is cut — and index consumers never read the
+archives at all.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .url import canonical_url, sql_canonical_url
+from .warc import _strip_http, _walk_members, docs_to_warc
+
+_MAXLEN = 1 << 20
+
+CDX_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("archive_id", T.StringType()),
+        T.StructField("url", T.StringType()),
+        T.StructField("warc_date", T.StringType()),
+        T.StructField("status", T.IntegerType()),
+        T.StructField("mime", T.StringType()),
+        T.StructField("digest", T.StringType()),
+        T.StructField("offset", T.LongType()),
+        T.StructField("length", T.LongType()),
+    ]
+)
+
+
+def with_capture_url(docs: DataFrame) -> DataFrame:
+    """Provenance URLs for the CDX fixture: one SUBDOMAIN per source
+    (so SURT adjacency and the per-host stats are exercised over many
+    hosts, not one), with the same three messiness legs the URL-dedup
+    fixture cycles — default port, uppercase scheme/host, tracking
+    params, fragments."""
+    g = F.expr("doc_id DIV 3")
+    v = F.pmod(F.col("doc_id"), F.lit(3))
+    url = (
+        F.when(
+            v == 0,
+            F.concat(
+                F.lit("http://"), F.col("source"),
+                F.lit(".example.com/doc/"), g, F.lit("?page=2"),
+            ),
+        )
+        .when(
+            v == 1,
+            F.concat(
+                F.lit("HTTP://"), F.upper(F.col("source")),
+                F.lit(".EXAMPLE.COM:80/doc/"), g,
+                F.lit("?utm_campaign=retail&page=2"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("http://"), F.col("source"),
+                F.lit(".Example.Com:80/doc/"), g,
+                F.lit("?page=2&fbclid=abc123#frag-"), F.col("doc_id"),
+            )
+        )
+    )
+    return docs.withColumn("url", url)
+
+
+def sql_capture_url() -> str:
+    """DuckDB twin of with_capture_url's construction."""
+    g = "CAST(doc_id // 3 AS VARCHAR)"
+    return f"""CASE doc_id % 3
+        WHEN 0 THEN 'http://' || source || '.example.com/doc/'
+                    || {g} || '?page=2'
+        WHEN 1 THEN 'HTTP://' || upper(source) || '.EXAMPLE.COM:80/doc/'
+                    || {g} || '?utm_campaign=retail&page=2'
+        ELSE 'http://' || source || '.Example.Com:80/doc/' || {g}
+             || '?page=2&fbclid=abc123#frag-' || CAST(doc_id AS VARCHAR)
+    END"""
+
+
+def _http_status_mime(body: bytes) -> tuple[int, str]:
+    """(status, media type) from a raw HTTP/1.1 response envelope;
+    resource records (no envelope) index as (200, '')."""
+    if not body.startswith(b"HTTP/1."):
+        return 200, ""
+    head_end = body.index(b"\r\n\r\n")
+    lines = body[:head_end].decode("utf-8").split("\r\n")
+    status = int(lines[0].split(" ")[1])
+    mime = ""
+    for line in lines[1:]:
+        k, _, v = line.partition(":")
+        if k.strip().lower() == "content-type":
+            mime = v.split(";")[0].strip()
+    return status, mime
+
+
+def cdx_records(warcs: DataFrame) -> DataFrame:
+    """WARC binaries -> one index row per response/resource record
+    (url, WARC-Date, HTTP status, media type, decoded-payload sha256,
+    archive offset + length).  Shuffle-free Arrow projection; bodies
+    are hashed in place and never shipped."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for aid, payload in zip(pdf["archive_id"], pdf["payload"]):
+                for off, length, fields, body in _walk_members(
+                    bytes(payload)
+                ):
+                    if fields.get("warc-type") not in (
+                        "response",
+                        "resource",
+                    ):
+                        continue
+                    status, mime = _http_status_mime(body)
+                    digest = hashlib.sha256(
+                        _strip_http(body)
+                    ).hexdigest()
+                    rows.append(
+                        (
+                            str(aid),
+                            fields.get("warc-target-uri", ""),
+                            fields.get("warc-date", ""),
+                            status,
+                            mime,
+                            digest,
+                            off,
+                            length,
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in CDX_RAW_SCHEMA.fields]
+            )
+
+    return warcs.mapInPandas(batches, CDX_RAW_SCHEMA)
+
+
+def surt_key(url) -> F.Column:
+    """SURT (Sort-friendly URI Reordering Transform) key of ``url``:
+    canonicalize (url.canonical_url — lowercased host, default ports
+    and fragments and tracking params dropped), then drop the scheme
+    and reverse the host labels comma-joined ahead of a ``)``
+    separator: ``http://news.example.com/a?q=1`` ->
+    ``com,example,news)/a?q=1``.  Pure built-in expression."""
+    canon = canonical_url(url)
+    rest = F.regexp_replace(canon, "^[a-z][a-z0-9+.-]*://", "")
+    host = F.regexp_extract(rest, "^([^/]*)", 1)
+    pathq = F.substring(rest, F.length(host) + F.lit(1), F.lit(_MAXLEN))
+    return F.concat(
+        F.array_join(F.reverse(F.split(host, "[.]")), ","),
+        F.lit(")"),
+        pathq,
+    )
+
+
+def cdx_index(warcs: DataFrame) -> DataFrame:
+    """The full CDX index of an archive set: the record walk plus the
+    relational key layer — SURT urlkey and the 14-digit timestamp
+    (digits of WARC-Date; ISO 8601 UTC by the WARC spec, so digit
+    order IS yyyyMMddHHmmss)."""
+    return cdx_records(warcs).select(
+        surt_key("url").alias("urlkey"),
+        F.regexp_replace("warc_date", "[^0-9]", "").alias("cdx_ts"),
+        "url",
+        "mime",
+        "status",
+        "digest",
+        F.col("archive_id").alias("filename"),
+        "offset",
+        "length",
+    )
+
+
+def cdx_fixture_index(docs: DataFrame) -> DataFrame:
+    """The gate plan: documents -> messy provenance URLs -> varied
+    captures (statuses/mimes/dates + gzip/deflate/chunked/iso-8859-1
+    body legs) -> one WARC per source -> the index, SQL-predictable
+    columns only (offset/length are unit-gated — gzip member sizes
+    aren't SQL-expressible)."""
+    warcs = docs_to_warc(
+        with_capture_url(docs),
+        url_col="url",
+        encode_bodies=True,
+        vary_captures=True,
+    )
+    return cdx_index(warcs).select(
+        "urlkey", "cdx_ts", "url", "mime", "status", "digest", "filename"
+    )
+
+
+def _surt_cte(url_expr: str, extra_cols: str) -> str:
+    """Shared CTE chain deriving urlkey stepwise in DuckDB (the twin
+    of surt_key, re-derived independently: RE2 + list functions)."""
+    return f"""
+    WITH m AS (
+        SELECT doc_id, source, text, {url_expr} AS url FROM documents
+    ),
+    c AS (SELECT *, {sql_canonical_url('url')} AS canon FROM m),
+    r AS (
+        SELECT *,
+            regexp_replace(canon, '^[a-z][a-z0-9+.-]*://', '') AS rest
+        FROM c
+    ),
+    h AS (
+        SELECT *, regexp_extract(rest, '^([^/]*)', 1) AS host FROM r
+    ),
+    k AS (
+        SELECT *,
+            array_to_string(
+                list_reverse(string_split(host, '.')), ','
+            ) || ')' || substring(rest, length(host) + 1) AS urlkey,
+            '2024010100'
+                || lpad(CAST((doc_id % 97) // 60 AS VARCHAR), 2, '0')
+                || lpad(CAST((doc_id % 97) % 60 AS VARCHAR), 2, '0')
+                AS cdx_ts,
+            CASE doc_id % 4 WHEN 2 THEN 404 WHEN 3 THEN 301
+                ELSE 200 END AS status,
+            CASE WHEN (doc_id % 13) % 2 = 1 THEN 'text/html'
+                ELSE 'text/plain' END AS mime,
+            sha256(coalesce(text, '')) AS digest,
+            {extra_cols}
+        FROM h
+    )"""
+
+
+def oracle_cdx_index_sql() -> str:
+    """DuckDB twin of cdx_fixture_index: every index field re-derived
+    from the documents table (the pack cycles are deterministic
+    functions of doc_id; docs_to_warc pins WARC-Date to the epoch
+    minute plus doc_id % 97 seconds)."""
+    return (
+        _surt_cte(sql_capture_url(), "source AS filename")
+        + """
+    SELECT urlkey, cdx_ts, url, mime,
+           CAST(status AS INTEGER) AS status, digest, filename
+    FROM k
+    ORDER BY urlkey, cdx_ts, url"""
+    )
+
+
+def cdx_host_stats(index: DataFrame) -> DataFrame:
+    """Consume the index relationally: per reversed-host key — all of
+    a registered domain's captures are ADJACENT under SURT order —
+    capture count, distinct URL keys, 200-rate, latest capture
+    timestamp.  One groupBy over metadata-sized input; no archive
+    byte is read."""
+    host = F.regexp_extract("urlkey", r"^([^)]*)", 1)
+    return (
+        index.groupBy(host.alias("host_key"))
+        .agg(
+            F.count("*").alias("n_captures"),
+            F.countDistinct("urlkey").alias("n_urls"),
+            F.sum(
+                F.when(F.col("status") == 200, 1).otherwise(0)
+            ).alias("n_ok"),
+            F.max("cdx_ts").alias("latest_ts"),
+        )
+        .orderBy("host_key")
+    )
+
+
+def oracle_cdx_host_stats_sql() -> str:
+    """DuckDB twin of cdx_host_stats over the fixture index."""
+    return (
+        _surt_cte(sql_capture_url(), "source AS filename")
+        + """
+    SELECT regexp_extract(urlkey, '^([^)]*)', 1) AS host_key,
+           COUNT(*) AS n_captures,
+           COUNT(DISTINCT urlkey) AS n_urls,
+           CAST(SUM(CASE WHEN status = 200 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_ok,
+           MAX(cdx_ts) AS latest_ts
+    FROM k
+    GROUP BY 1
+    ORDER BY host_key"""
+    )

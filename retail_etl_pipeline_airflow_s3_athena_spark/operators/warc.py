@@ -134,11 +134,17 @@ def _dechunk(payload: bytes) -> bytes:
         pos += size + 2  # chunk data + its trailing CRLF
 
 
+_HTTP_REASONS = {200: "OK", 301: "Moved Permanently", 404: "Not Found"}
+
+
 def write_warc(records: list[tuple[str, bytes]],
                gzip_members: bool = True,
                encodings: list[str | None] | None = None,
                chunked: list[bool] | None = None,
-               charsets: list[str] | None = None) -> bytes:
+               charsets: list[str] | None = None,
+               statuses: list[int] | None = None,
+               mimes: list[str] | None = None,
+               dates: list[str] | None = None) -> bytes:
     """[(target_uri, body bytes)] -> a WARC/1.0 archive of response
     records, one gzip member per record when ``gzip_members`` (the
     Common Crawl layout).  ``encodings`` (optional, parallel to
@@ -148,11 +154,18 @@ def write_warc(records: list[tuple[str, bytes]],
     chunked transfer encoding, replacing Content-Length per RFC 9112;
     ``charsets`` (optional, parallel) sets the Content-Type charset
     LABEL — the caller must have encoded the body bytes accordingly —
-    the raw-capture legs real crawls carry."""
+    the raw-capture legs real crawls carry.  ``statuses`` / ``mimes``
+    / ``dates`` (optional, parallel; r12, for the CDX index tier) vary
+    the HTTP status line, the Content-Type media type, and the
+    WARC-Date header per record — real crawls capture 404s and
+    redirects too, and the URL index must record them."""
     out = bytearray()
     for i, (uri, body) in enumerate(records):
         enc = encodings[i] if encodings is not None else None
         cs = charsets[i] if charsets is not None else "utf-8"
+        status = statuses[i] if statuses is not None else 200
+        mime = mimes[i] if mimes is not None else "text/plain"
+        date = dates[i] if dates is not None else "2024-01-01T00:00:00Z"
         wire = _encode_body(body, enc)
         enc_hdr = (
             b"Content-Encoding: " + enc.encode() + _CRLF
@@ -164,15 +177,19 @@ def write_warc(records: list[tuple[str, bytes]],
             frame_hdr = b"Transfer-Encoding: chunked" + _CRLF
         else:
             frame_hdr = b"Content-Length: " + str(len(wire)).encode() + _CRLF
+        status_line = (
+            f"HTTP/1.1 {status} {_HTTP_REASONS[status]}".encode() + _CRLF
+        )
         http = (
-            b"HTTP/1.1 200 OK\r\nContent-Type: text/plain; charset="
+            status_line
+            + b"Content-Type: " + mime.encode() + b"; charset="
             + cs.encode() + _CRLF + enc_hdr + frame_hdr + _CRLF + wire
         )
         headers = (
             WARC_VERSION + _CRLF
             + b"WARC-Type: response" + _CRLF
             + b"WARC-Target-URI: " + uri.encode() + _CRLF
-            + b"WARC-Date: 2024-01-01T00:00:00Z" + _CRLF
+            + b"WARC-Date: " + date.encode() + _CRLF
             + b"Content-Type: application/http; msgtype=response" + _CRLF
             + b"Content-Length: " + str(len(http)).encode() + _CRLF
             + _CRLF
@@ -192,8 +209,14 @@ def _split_gzip_members(payload: bytes) -> Iterator[bytes]:
         rest = d.unused_data
 
 
-def _walk_records(data: bytes) -> Iterator[tuple[dict, bytes]]:
-    """Low-level record walk: (header fields lowercased, raw body)."""
+def _walk_records_spans(
+    data: bytes,
+) -> Iterator[tuple[int, int, dict, bytes]]:
+    """Low-level record walk with byte spans: (start, end, header
+    fields lowercased, raw body), where data[start:end] is the
+    record's own bytes (version line through its Content-Length'd
+    body) — a slice that re-parses standalone, the contract a
+    CDX-driven range request depends on."""
     pos = 0
     while pos < len(data):
         # skip inter-record CRLFs
@@ -215,8 +238,41 @@ def _walk_records(data: bytes) -> Iterator[tuple[dict, bytes]]:
             fields[k.strip().lower()] = v.strip()
         length = int(fields["content-length"])
         body = data[head_end + 4 : head_end + 4 + length]
-        pos = head_end + 4 + length
+        start, pos = pos, head_end + 4 + length
+        yield start, pos, fields, body
+
+
+def _walk_records(data: bytes) -> Iterator[tuple[dict, bytes]]:
+    """Low-level record walk: (header fields lowercased, raw body)."""
+    for _start, _end, fields, body in _walk_records_spans(data):
         yield fields, body
+
+
+def _walk_members(payload: bytes) -> Iterator[tuple[int, int, dict, bytes]]:
+    """Record walk over a whole archive with ARCHIVE-level offsets:
+    (offset, length, header fields, raw body) where
+    archive[offset : offset + length] is the smallest slice that
+    re-parses to exactly this record — the compressed gzip MEMBER for
+    the member-per-record Common Crawl layout (readers seek + inflate
+    one member), the record's own byte span for bare WARC.  This is
+    the (offset, length) contract CDX index rows publish."""
+    if payload[:2] == b"\x1f\x8b":
+        pos, rest = 0, payload
+        while rest:
+            d = zlib.decompressobj(16 + zlib.MAX_WBITS)
+            data = d.decompress(rest)
+            consumed = len(rest) - len(d.unused_data)
+            for _s, _e, fields, body in _walk_records_spans(data):
+                yield pos, consumed, fields, body
+            pos += consumed
+            rest = d.unused_data
+        return
+    if not payload.startswith(b"WARC/"):
+        raise NotImplementedError(
+            "not a WARC payload (neither gzip members nor WARC/1.x)"
+        )
+    for start, end, fields, body in _walk_records_spans(payload):
+        yield start, end - start, fields, body
 
 
 def _parse_records(data: bytes) -> Iterator[tuple[str, bytes]]:
@@ -373,6 +429,7 @@ def docs_to_warc(
     gzip_members: bool = True,
     url_col: str | None = None,
     encode_bodies: bool = False,
+    vary_captures: bool = False,
 ) -> DataFrame:
     """Pack documents into one WARC archive per source via
     ``applyInPandas`` (the distributed pack direction).  Record order
@@ -385,7 +442,11 @@ def docs_to_warc(
     and declares+encodes every latin-1-encodable doc_id % 7 == 3 body
     as iso-8859-1 (all three cycles decorrelated, so the legs
     compose), so the round-trip gates hash the full decode path
-    (r12)."""
+    (r12).  ``vary_captures`` (r12, the CDX tier's fixture leg)
+    additionally cycles the HTTP status (doc_id % 4: 2 -> 404,
+    3 -> 301, else 200), the media type (doc_id % 13 odd ->
+    text/html), and the WARC-Date capture second (doc_id % 97 past
+    the epoch minute) — the capture metadata a URL index records."""
 
     def _charset_for(did: int, txt: str) -> str:
         if did % 7 == 3:
@@ -431,12 +492,27 @@ def docs_to_warc(
             if encode_bodies
             else None
         )
+        statuses = mimes = dates = None
+        if vary_captures:
+            dids = [int(d) for d in pdf["doc_id"]]
+            statuses = [
+                {2: 404, 3: 301}.get(d % 4, 200) for d in dids
+            ]
+            mimes = [
+                "text/html" if (d % 13) % 2 else "text/plain"
+                for d in dids
+            ]
+            dates = [
+                f"2024-01-01T00:{(d % 97) // 60:02d}:{(d % 97) % 60:02d}Z"
+                for d in dids
+            ]
         src = str(pdf["source"].iloc[0])
         return pd.DataFrame(
             [(
                 src,
                 write_warc(
-                    records, gzip_members, encodings, chunked, charsets
+                    records, gzip_members, encodings, chunked, charsets,
+                    statuses, mimes, dates,
                 ),
             )],
             columns=["archive_id", "payload"],
