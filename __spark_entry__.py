@@ -40,6 +40,7 @@ from retail_etl_pipeline_airflow_s3_athena_spark.operators import videodup as vd
 from retail_etl_pipeline_airflow_s3_athena_spark.operators import robots as robots_ops
 from retail_etl_pipeline_airflow_s3_athena_spark.operators import sitemap as sitemap_ops
 from retail_etl_pipeline_airflow_s3_athena_spark.operators import cdx as cdx_ops
+from retail_etl_pipeline_airflow_s3_athena_spark.operators import links as links_ops
 from retail_etl_pipeline_airflow_s3_athena_spark.operators import url as url_ops
 from retail_etl_pipeline_airflow_s3_athena_spark.operators import warc as warc_ops
 from retail_etl_pipeline_airflow_s3_athena_spark.operators import wav as wav_ops
@@ -1918,6 +1919,40 @@ def _q_cdx_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_page_outlinks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WAT-style outlink extraction (r12 — the crawl graph's raw
+    material): documents wrapped in a page template whose anchors
+    cover every RFC 3986 resolution branch (absolute, root-relative,
+    ../ path-relative, protocol-relative, fragment self-link, plus
+    mailto/javascript chaff that must drop), parsed and resolved by
+    the distributed stdlib walk (operators/links.py).  Oracle
+    re-derives extraction + resolution from the construction rules."""
+    return links_ops.fixture_links(_docs(spark, sf_dir)).orderBy(
+        "doc_id", "href"
+    )
+
+
+def _q_host_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The host-level link graph (r12): one exact groupBy over the
+    resolved edge list — the input centrality / spam-cluster jobs
+    read.  Hosts via the shared url_host normalization."""
+    return links_ops.host_link_graph(
+        links_ops.fixture_links(_docs(spark, sf_dir))
+    )
+
+
+def _q_crawl_frontier_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frontier expansion (r12): outlink destinations anti-joined
+    against the captured URL set, aggregated per destination host
+    with in-degree — the next crawl round's seed list, produced
+    without fetching anything."""
+    docs = _docs(spark, sf_dir)
+    return links_ops.crawl_frontier(
+        links_ops.fixture_links(docs),
+        docs.select(links_ops.capture_base_url().alias("url")),
+    )
+
+
 def _q_tar_ingest_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Compressed tar round-trip under a REAL SQL oracle: documents
     packed per source into deterministic tar archives whose codec
@@ -2370,6 +2405,9 @@ def entry(spark: SparkSession) -> DataFrame:
 GATE_FIRST_50 = [
     "cdx_index_records",
     "cdx_host_stats",
+    "page_outlinks",
+    "host_link_graph",
+    "crawl_frontier_hosts",
     "zip_ingest_docs",
     "robots_declared_sitemaps",
     "crawl_coverage_discovered",
@@ -2415,14 +2453,14 @@ GATE_FIRST_50 = [
     "scd2_stream_replay",
     "hll_stream_estimates",
     "churned_buyers",
-    "concurrent_sessions",
-    "dedup_exact",
-    "doc_chunks",
 ]
 
 GATE_TAIL = [
     # stalest-first (evidence round, then gate order) — the r13
     # window is simply the head of this list plus whatever changes
+    "concurrent_sessions",
+    "dedup_exact",
+    "doc_chunks",
     "hash_sample_events",
     "late_shipment_priority",
     "pack_bins",
@@ -2680,6 +2718,9 @@ def _all_queries() -> dict[str, QueryFn]:
         "wet_ingest_docs": _q_wet_ingest_docs,
         "cdx_index_records": _q_cdx_index_records,
         "cdx_host_stats": _q_cdx_host_stats,
+        "page_outlinks": _q_page_outlinks,
+        "host_link_graph": _q_host_link_graph,
+        "crawl_frontier_hosts": _q_crawl_frontier_hosts,
         "tar_ingest_docs": _q_tar_ingest_docs,
         "zip_ingest_docs": _q_zip_ingest_docs,
         "media_type_census": _q_media_type_census,
@@ -3459,6 +3500,9 @@ def oracle_sql() -> dict[str, str]:
     )
     oracles["cdx_index_records"] = cdx_ops.oracle_cdx_index_sql()
     oracles["cdx_host_stats"] = cdx_ops.oracle_cdx_host_stats_sql()
+    oracles["page_outlinks"] = links_ops.oracle_page_outlinks_sql()
+    oracles["host_link_graph"] = links_ops.oracle_host_link_graph_sql()
+    oracles["crawl_frontier_hosts"] = links_ops.oracle_crawl_frontier_sql()
     oracles["tar_ingest_docs"] = archive_ops.oracle_tar_roundtrip_sql()
     oracles["zip_ingest_docs"] = archive_ops.oracle_zip_roundtrip_sql()
     _robots_rows = robots_ops.fixture_rule_rows()
