@@ -1953,6 +1953,20 @@ def _q_crawl_frontier_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_host_authority_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host authority (r12): directed, WEIGHTED, dangling-aware
+    fixed-point PageRank over the host link graph — the fetch-first
+    signal a crawl scheduler ranks its frontier by.  Dangling hubs'
+    mass redistributes uniformly each step via a 1-row scalar
+    crossJoin (bounded).  Oracle: the iteration unrolled into CTEs,
+    term-for-term integer arithmetic (operators/links.py)."""
+    return links_ops.host_authority(
+        links_ops.host_link_graph(
+            links_ops.fixture_links(_docs(spark, sf_dir))
+        )
+    )
+
+
 def _q_tar_ingest_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Compressed tar round-trip under a REAL SQL oracle: documents
     packed per source into deterministic tar archives whose codec
@@ -2408,6 +2422,7 @@ GATE_FIRST_50 = [
     "page_outlinks",
     "host_link_graph",
     "crawl_frontier_hosts",
+    "host_authority_rank",
     "zip_ingest_docs",
     "robots_declared_sitemaps",
     "crawl_coverage_discovered",
@@ -2452,12 +2467,12 @@ GATE_FIRST_50 = [
     "video_frame_luma",
     "scd2_stream_replay",
     "hll_stream_estimates",
-    "churned_buyers",
 ]
 
 GATE_TAIL = [
     # stalest-first (evidence round, then gate order) — the r13
     # window is simply the head of this list plus whatever changes
+    "churned_buyers",
     "concurrent_sessions",
     "dedup_exact",
     "doc_chunks",
@@ -2721,6 +2736,7 @@ def _all_queries() -> dict[str, QueryFn]:
         "page_outlinks": _q_page_outlinks,
         "host_link_graph": _q_host_link_graph,
         "crawl_frontier_hosts": _q_crawl_frontier_hosts,
+        "host_authority_rank": _q_host_authority_rank,
         "tar_ingest_docs": _q_tar_ingest_docs,
         "zip_ingest_docs": _q_zip_ingest_docs,
         "media_type_census": _q_media_type_census,
@@ -3503,6 +3519,7 @@ def oracle_sql() -> dict[str, str]:
     oracles["page_outlinks"] = links_ops.oracle_page_outlinks_sql()
     oracles["host_link_graph"] = links_ops.oracle_host_link_graph_sql()
     oracles["crawl_frontier_hosts"] = links_ops.oracle_crawl_frontier_sql()
+    oracles["host_authority_rank"] = links_ops.oracle_host_authority_sql()
     oracles["tar_ingest_docs"] = archive_ops.oracle_tar_roundtrip_sql()
     oracles["zip_ingest_docs"] = archive_ops.oracle_zip_roundtrip_sql()
     _robots_rows = robots_ops.fixture_rule_rows()

@@ -56,6 +56,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..functions.caching import attach_cached_deps
 from .url import sql_url_host, url_host
 
 LINKS_SCHEMA = T.StructType(
@@ -155,6 +156,104 @@ def crawl_frontier(links: DataFrame, captured: DataFrame) -> DataFrame:
         )
         .orderBy("dst_host")
     )
+
+
+# fixed-point PageRank constants shared with the near-dup tier
+# (operators/cluster.py:384-388 — same scale/damping so ranks are
+# comparable across graph families)
+PR_SCALE = 1_000_000
+PR_DAMP_NUM = 85
+PR_DAMP_DEN = 100
+PR_BASE = 150_000
+AUTH_ITERS = 3
+
+
+def host_authority(graph: DataFrame, iters: int = AUTH_ITERS) -> DataFrame:
+    """Host authority: fixed-point PageRank over the DIRECTED,
+    WEIGHTED host link graph — the fetch-first signal a crawl
+    scheduler ranks its frontier by.
+
+    Differs from the near-dup tier's undirected PageRank
+    (cluster.py:415) in the two ways a real link graph demands:
+    edges carry weights (contribution proportional to n_links /
+    total out-weight) and DANGLING hosts exist (all-incoming hubs
+    and CDNs have no outlinks) — their mass redistributes uniformly
+    each step, as a 1-row scalar aggregate cross-joined back (the
+    bounded-broadcast shape the plan audit whitelists), so rank mass
+    is conserved in integer arithmetic up to per-node floor
+    truncation.
+
+    All arithmetic is exact integer fixed-point (scale 1e6, damping
+    85/100, floor division) — bit-reproducible across partitionings,
+    and mirrored term-for-term by the unrolled-CTE DuckDB oracle.
+
+    Scale: iterations are host-table-sized hash joins (hosts number
+    ~1e7 per web crawl — tiny next to the page table); each step is
+    one join + one map-side-combinable SUM + one 1-row broadcast.
+    ``n_hosts`` is read once as a driver scalar (a count, not a
+    collect)."""
+    edges = graph.select(
+        F.col("src_host").alias("src"),
+        F.col("dst_host").alias("dst"),
+        F.col("n_links").cast("long").alias("w"),
+    ).persist()
+    # nodes / out-weights / the weighted edge table each feed EVERY
+    # iteration (3 lineage sites per step) — persist and materialize
+    # once or the whole upstream extraction re-runs per site per
+    # iteration (measured: 189 exchanges in the unpersisted plan vs
+    # ~a dozen persisted; same lesson as cluster.pagerank_near_dups)
+    nodes = (
+        edges.select(F.col("src").alias("host"))
+        .union(edges.select(F.col("dst").alias("host")))
+        .distinct()
+        .persist()
+    )
+    outw = edges.groupBy("src").agg(F.sum("w").alias("out_w")).persist()
+    e = edges.join(outw, "src").persist()
+    n_hosts = nodes.count()
+    e.count()
+    outw.count()
+    edges.unpersist()
+    pr = nodes.select(
+        "host", F.lit(PR_SCALE).cast("long").alias("pr")
+    )
+    for _ in range(iters):
+        dm = pr.join(
+            outw, pr.host == outw.src, "left_anti"
+        ).agg(
+            F.coalesce(F.sum("pr"), F.lit(0)).cast("long").alias("dm")
+        )
+        contrib = (
+            e.join(pr, e.src == pr.host)
+            .groupBy("dst")
+            .agg(
+                F.sum(
+                    F.expr(
+                        f"(pr * {PR_DAMP_NUM} * w) DIV "
+                        f"(out_w * {PR_DAMP_DEN})"
+                    )
+                ).alias("c")
+            )
+        )
+        pr = (
+            nodes.join(contrib, nodes.host == contrib.dst, "left")
+            .crossJoin(dm)
+            .select(
+                "host",
+                (
+                    F.lit(PR_BASE)
+                    + F.coalesce(F.col("c"), F.lit(0))
+                    + F.expr(
+                        f"(dm * {PR_DAMP_NUM}) DIV "
+                        f"({n_hosts} * {PR_DAMP_DEN})"
+                    )
+                ).cast("long").alias("pr"),
+            )
+        )
+    out = pr.select(
+        "host", F.col("pr").alias("authority_scaled")
+    ).orderBy("host")
+    return attach_cached_deps(out, nodes, outw, e)
 
 
 # ---------------------------------------------------------------------------
@@ -302,6 +401,72 @@ def oracle_host_link_graph_sql() -> str:
     FROM links
     GROUP BY 1, 2
     ORDER BY src_host, dst_host"""
+    )
+
+
+def oracle_host_authority_sql(iters: int = AUTH_ITERS) -> str:
+    """DuckDB twin of host_authority over the fixture graph: the
+    weighted, dangling-aware iteration unrolled into CTEs,
+    term-for-term integer arithmetic."""
+    steps = []
+    for i in range(iters):
+        steps.append(
+            f"""dm{i} AS (
+        SELECT CAST(COALESCE(SUM(pr), 0) AS BIGINT) AS dm
+        FROM pr{i} p
+        WHERE NOT EXISTS (SELECT 1 FROM outw o WHERE o.src = p.host)
+    ),
+    c{i} AS (
+        SELECT e.dst AS host,
+               CAST(SUM((p.pr * {PR_DAMP_NUM} * e.w)
+                    // (e.out_w * {PR_DAMP_DEN})) AS BIGINT) AS c
+        FROM e JOIN pr{i} p ON e.src = p.host
+        GROUP BY e.dst
+    ),
+    pr{i + 1} AS (
+        SELECT nodes.host,
+               CAST({PR_BASE} + COALESCE(c.c, 0)
+                    + (dm.dm * {PR_DAMP_NUM})
+                      // (nn.n * {PR_DAMP_DEN}) AS BIGINT) AS pr
+        FROM nodes
+        LEFT JOIN c{i} c ON nodes.host = c.host
+        CROSS JOIN dm{i} dm CROSS JOIN nn
+    )"""
+        )
+    chain = ",\n    ".join(steps)
+    return (
+        sql_fixture_links_cte()
+        + f"""
+    , hl AS (
+        SELECT {sql_url_host('src_url')} AS src_host,
+               {sql_url_host('dst_url')} AS dst_host
+        FROM links
+    ),
+    g AS (
+        SELECT src_host, dst_host, COUNT(*) AS w
+        FROM hl GROUP BY 1, 2
+    ),
+    nodes AS (
+        SELECT src_host AS host FROM g
+        UNION
+        SELECT dst_host FROM g
+    ),
+    outw AS (
+        SELECT src_host AS src, CAST(SUM(w) AS BIGINT) AS out_w
+        FROM g GROUP BY 1
+    ),
+    e AS (
+        SELECT g.src_host AS src, g.dst_host AS dst,
+               CAST(g.w AS BIGINT) AS w, outw.out_w
+        FROM g JOIN outw ON g.src_host = outw.src
+    ),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+    pr0 AS (
+        SELECT host, CAST({PR_SCALE} AS BIGINT) AS pr FROM nodes
+    ),
+    {chain}
+    SELECT host, pr AS authority_scaled FROM pr{iters}
+    ORDER BY host"""
     )
 
 

@@ -93,3 +93,51 @@ def test_graph_and_frontier(spark):
     # b.ex/2 is discovered twice and never captured; everything else
     # anti-joins away
     assert frontier == {"b.ex": (1, 2)}
+
+
+def _py_host_authority(edges, iters):
+    """Independent pure-Python twin: edges = [(src, dst, w)]."""
+    from retail_etl_pipeline_airflow_s3_athena_spark.operators.links import (
+        PR_BASE,
+        PR_DAMP_DEN,
+        PR_DAMP_NUM,
+        PR_SCALE,
+    )
+
+    nodes = sorted({s for s, _, _ in edges} | {d for _, d, _ in edges})
+    outw = {}
+    for s, _, w in edges:
+        outw[s] = outw.get(s, 0) + w
+    pr = {h: PR_SCALE for h in nodes}
+    for _ in range(iters):
+        dm = sum(p for h, p in pr.items() if h not in outw)
+        nxt = {h: PR_BASE + (dm * PR_DAMP_NUM) // (len(nodes) * PR_DAMP_DEN)
+               for h in nodes}
+        for s, d, w in edges:
+            nxt[d] += (pr[s] * PR_DAMP_NUM * w) // (outw[s] * PR_DAMP_DEN)
+        pr = nxt
+    return pr
+
+
+def test_host_authority_fixed_point(spark):
+    """Weighted contributions, dangling redistribution, and exact
+    integer arithmetic against an independent local twin."""
+    from retail_etl_pipeline_airflow_s3_athena_spark.functions.caching import (
+        release_cached,
+    )
+
+    edges = [("a", "b", 2), ("a", "c", 1), ("b", "a", 1)]
+    graph = spark.createDataFrame(
+        edges, ["src_host", "dst_host", "n_links"]
+    )
+    for iters in (1, 3):
+        df = links_ops.host_authority(graph, iters=iters)
+        got = {r["host"]: r["authority_scaled"] for r in df.collect()}
+        release_cached(df)
+        assert got == _py_host_authority(edges, iters)
+    # hand-check one step: c is dangling with pr 1e6; its mass spreads
+    # (1e6*85)//(3*100) to every node
+    one = _py_host_authority(edges, 1)
+    assert one["a"] == 150_000 + 850_000 + 283_333
+    assert one["b"] == 150_000 + 566_666 + 283_333
+    assert one["c"] == 150_000 + 283_333 + 283_333

@@ -135,6 +135,11 @@ BNLJ_CEILING = {
     # the n_queries-row broadcast query set of the brute-force cosine
     # baseline (similarity.py:113 — non-equi self-exclusion join)
     "cosine_topk": 3,
+    # reviewed r12: host_authority's dangling-mass redistribution —
+    # one 1-row scalar aggregate (the dangling PR sum x the 1-row
+    # host count) cross-joined back per iteration (3 iterations,
+    # persisted-subtree reprints; measured 7 build-only)
+    "host_authority_rank": 9,
 }
 
 
