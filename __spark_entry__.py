@@ -1612,6 +1612,24 @@ def _q_robots_rules_parsed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rules.orderBy("host", "agent", "rule", "pattern")
 
 
+def _q_polite_fetch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Politeness scheduling (r12): robots-admitted captures slotted
+    into per-host fetch queues at Crawl-delay spacing — the schedule
+    a polite fetcher executes.  Delay precedence follows group
+    selection (an exact group WITHOUT a delay means the default, not
+    ``*``'s delay); malformed values are ignored by try-cast; the
+    slot window is partitioned by host (per-host order is the
+    politeness constraint; hosts parallelize).  Oracle: admission
+    decisions nested as a CTE + the delay derivation re-derived over
+    the same VALUES rules + the same window."""
+    docs = _docs(spark, sf_dir)
+    captures = robots_ops.with_capture_paths(docs)
+    rules = robots_ops.parse_robots(robots_ops.synthesize_robots(spark))
+    return robots_ops.polite_fetch_plan(
+        captures, rules, robots_ops.FIXTURE_AGENT
+    ).orderBy("host", "fetch_at_s", "doc_id")
+
+
 def _q_robots_filter_captures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl admission control: every capture (host/path derived from
     doc_id) decided against its host's parsed robots.txt for one
@@ -2423,6 +2441,7 @@ GATE_FIRST_50 = [
     "host_link_graph",
     "crawl_frontier_hosts",
     "host_authority_rank",
+    "polite_fetch_plan",
     "zip_ingest_docs",
     "robots_declared_sitemaps",
     "crawl_coverage_discovered",
@@ -2466,12 +2485,12 @@ GATE_FIRST_50 = [
     "audio_features_raw",
     "video_frame_luma",
     "scd2_stream_replay",
-    "hll_stream_estimates",
 ]
 
 GATE_TAIL = [
     # stalest-first (evidence round, then gate order) — the r13
     # window is simply the head of this list plus whatever changes
+    "hll_stream_estimates",
     "churned_buyers",
     "concurrent_sessions",
     "dedup_exact",
@@ -2737,6 +2756,7 @@ def _all_queries() -> dict[str, QueryFn]:
         "host_link_graph": _q_host_link_graph,
         "crawl_frontier_hosts": _q_crawl_frontier_hosts,
         "host_authority_rank": _q_host_authority_rank,
+        "polite_fetch_plan": _q_polite_fetch_plan,
         "tar_ingest_docs": _q_tar_ingest_docs,
         "zip_ingest_docs": _q_zip_ingest_docs,
         "media_type_census": _q_media_type_census,
@@ -3535,6 +3555,14 @@ def oracle_sql() -> dict[str, str]:
         _robots_rows,
         robots_ops.sql_capture_paths("documents"),
         robots_ops.FIXTURE_AGENT,
+    )
+    oracles["polite_fetch_plan"] = (
+        robots_ops.oracle_fetch_plan_sql(
+            _robots_rows,
+            robots_ops.sql_capture_paths("documents"),
+            robots_ops.FIXTURE_AGENT,
+        )
+        + " ORDER BY host, fetch_at_s, doc_id"
     )
     oracles["sitemap_urls_parsed"] = (
         sitemap_ops.sql_parse_sitemaps(

@@ -86,6 +86,18 @@ def parse_robots_text(text: str) -> list[tuple[str, str, str]]:
             if val:
                 agents.append(val.lower())
             continue
+        if key == "crawl-delay":
+            # de-facto group directive (r12): emitted verbatim as a
+            # ('crawl-delay', value) row — it belongs to the group
+            # (terminates the UA run) and marks the group non-empty,
+            # but never matches paths (applicable_rules keeps the
+            # match side allow/disallow only).  Value validation is
+            # the CONSUMER's job (crawl_delays try-casts).
+            in_ua_run = False
+            if val and agents:
+                rows.extend((a, "crawl-delay", val) for a in agents)
+                group_has_rule = True
+            continue
         if key not in ("allow", "disallow"):
             # unsupported directives (Crawl-delay, Sitemap, ...) are
             # ignored ENTIRELY per RFC 9309 §2.2.4 — they neither
@@ -139,7 +151,9 @@ def parse_robots(
         F.trim(
             F.expr("substring(line, instr(line, ':') + 1)")
         ).alias("val"),
-    ).filter(F.col("key").isin("user-agent", "allow", "disallow"))
+    ).filter(
+        F.col("key").isin("user-agent", "allow", "disallow", "crawl-delay")
+    )
     w = Window.partitionBy("host").orderBy("line_no")
     is_ua = (F.col("key") == "user-agent").cast("int")
     prev_ua = F.coalesce(F.lag(is_ua).over(w), F.lit(0))
@@ -310,6 +324,149 @@ def robots_filter(
     )
 
 
+def crawl_delays(rules: DataFrame, agent: str) -> DataFrame:
+    """Per host: the Crawl-delay (seconds) of the APPLICABLE group —
+    the agent's own group if it exists (even when that group carries
+    no delay: group selection happens FIRST, so an exact group
+    without a delay means no delay, not fall-through to ``*``'s),
+    else the ``*`` group's.  Values try-cast to BIGINT (malformed
+    delays are ignored); multiple valid delay lines take the MAX
+    (the conservative politeness reading).  Hosts with no applicable
+    delay are absent — consumers coalesce their own default."""
+    agent = agent.lower()
+    scoped = rules.filter(F.col("agent").isin(agent, "*"))
+    has_exact = scoped.groupBy("host").agg(
+        F.max((F.col("agent") == agent).cast("int")).alias("has_exact")
+    )
+    return (
+        scoped.join(has_exact, "host")
+        .filter(
+            (F.col("agent") == agent)
+            | ((F.col("agent") == "*") & (F.col("has_exact") == 0))
+        )
+        .filter(F.col("rule") == "crawl-delay")
+        .withColumn(
+            "delay_s", F.expr("try_cast(pattern AS BIGINT)")
+        )
+        .filter(F.col("delay_s").isNotNull())
+        .groupBy("host")
+        .agg(F.max("delay_s").alias("delay_s"))
+    )
+
+
+def polite_fetch_plan(
+    captures: DataFrame,
+    rules: DataFrame,
+    agent: str,
+    default_delay_s: int = 1,
+    id_col: str = "doc_id",
+    host_col: str = "host",
+    path_col: str = "path",
+) -> DataFrame:
+    """The politeness schedule a fetcher executes: robots-admitted
+    captures, one per-host queue ordered by (path, id), each URL
+    slotted at ``(position - 1) x the host's Crawl-delay`` seconds
+    (declared delay per ``crawl_delays``, else the default).  The
+    window is PARTITIONED by host — per-host fetch order is
+    inherently sequential (that is the politeness constraint), and
+    hosts parallelize freely, so the plan scales with host count,
+    not URL count."""
+    from pyspark.sql import Window
+
+    admitted = robots_filter(
+        captures, rules, agent, id_col, host_col, path_col
+    )
+    delays = crawl_delays(rules, agent).withColumnRenamed(
+        "host", "__dhost"
+    )
+    w = Window.partitionBy(host_col).orderBy(path_col, id_col)
+    return (
+        admitted.join(
+            F.broadcast(delays),
+            F.col(host_col) == F.col("__dhost"),
+            "left",
+        )
+        .withColumn(
+            "delay_s",
+            F.coalesce(
+                F.col("delay_s"), F.lit(default_delay_s)
+            ).cast("long"),
+        )
+        .select(
+            id_col,
+            host_col,
+            path_col,
+            "delay_s",
+            (
+                (F.row_number().over(w) - F.lit(1))
+                * F.col("delay_s")
+            ).cast("long").alias("fetch_at_s"),
+        )
+    )
+
+
+def oracle_fetch_plan_sql(
+    rule_rows: list[tuple[str, str, str, str]],
+    captures_sql: str,
+    agent: str,
+    default_delay_s: int = 1,
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of polite_fetch_plan: the admission decisions
+    oracle as a nested CTE, the delay derivation re-derived over the
+    same VALUES rules (group precedence -> try-cast -> max), and the
+    per-host slot window."""
+    agent_l = agent.lower()
+    dec = oracle_decisions_sql(rule_rows, captures_sql, agent, id_col)
+    if rule_rows:
+        vals = ", ".join(
+            "('{}', '{}', '{}', '{}')".format(
+                h.replace("'", "''"),
+                a.replace("'", "''"),
+                r,
+                p.replace("'", "''"),
+            )
+            for h, a, r, p in rule_rows
+        )
+        rules_cte = f"(VALUES {vals})"
+    else:
+        rules_cte = "(SELECT NULL, NULL, NULL, NULL WHERE FALSE)"
+    return f"""
+        WITH dec AS ({dec}),
+        admitted AS (
+            SELECT {id_col}, host, path FROM dec WHERE allowed
+        ),
+        drules(host, agent, rule, pattern) AS (
+            SELECT * FROM {rules_cte}
+        ),
+        dscoped AS (
+            SELECT r.* FROM drules r JOIN (
+                SELECT host,
+                       MAX(CASE WHEN agent = '{agent_l}' THEN 1
+                           ELSE 0 END) AS has_exact
+                FROM drules WHERE agent IN ('{agent_l}', '*')
+                GROUP BY host
+            ) mh USING (host)
+            WHERE r.agent = '{agent_l}'
+               OR (r.agent = '*' AND mh.has_exact = 0)
+        ),
+        delays AS (
+            SELECT host,
+                   MAX(TRY_CAST(pattern AS BIGINT)) AS delay_s
+            FROM dscoped
+            WHERE rule = 'crawl-delay'
+              AND TRY_CAST(pattern AS BIGINT) IS NOT NULL
+            GROUP BY host
+        )
+        SELECT a.{id_col}, a.host, a.path,
+               COALESCE(d.delay_s, {default_delay_s}) AS delay_s,
+               (ROW_NUMBER() OVER (
+                    PARTITION BY a.host ORDER BY a.path, a.{id_col}
+                ) - 1) * COALESCE(d.delay_s, {default_delay_s})
+                   AS fetch_at_s
+        FROM admitted a LEFT JOIN delays d USING (host)"""
+
+
 def oracle_decisions_sql(
     rule_rows: list[tuple[str, str, str, str]],
     captures_sql: str,
@@ -412,6 +569,7 @@ ROBOTS_FIXTURE_TEXTS: dict[str, str] = {
         "\n"
         "User-agent: databot\n"
         "Disallow: /tmp*\n"
+        "Crawl-delay: 2\n"
     ),
     # longest-match: Allow /public* beats Disallow /; NO Sitemap
     # directive — its sitemap exists but is undeclared (the robots-
@@ -420,9 +578,13 @@ ROBOTS_FIXTURE_TEXTS: dict[str, str] = {
         "User-agent: *\n"
         "Disallow: /\n"
         "Allow: /public*\n"
+        "Crawl-delay: 5\n"
     ),
     # stacked agents + $ anchor + literal-underscore pattern +
     # empty Disallow (carries no rule)
+    # the * group carries a Crawl-delay databot must NOT inherit —
+    # databot's own group exists (group selection precedes delay
+    # lookup), so databot's delay is the default
     "h2.example.com": (
         "User-agent: databot\n"
         "User-agent: otherbot\n"
@@ -430,15 +592,20 @@ ROBOTS_FIXTURE_TEXTS: dict[str, str] = {
         "Disallow: /*_*\n"
         "User-agent: *\n"
         "Disallow:\n"
+        "Crawl-delay: 9\n"
         "Sitemap: http://h2.example.com/sitemap.xml\n"
     ),
     # h3.example.com has no robots.txt at all -> everything allowed
     # $ anchor negative: the query string defeats the end anchor
+    # malformed delay value must be ignored by the try-cast consumer;
+    # the valid 10 survives (max of valid lines)
     "h4.example.com": (
         "Sitemap: http://h4.example.com/sitemap.xml\n"
         "User-agent: *\n"
         "Disallow: /cgi-bin*\n"
         "Allow: /cgi-bin/run$\n"
+        "Crawl-delay: fast\n"
+        "Crawl-delay: 10\n"
     ),
     # r12 (ADVICE r11): explicit EMPTY group for the specific agent —
     # RFC 9309 §2.2.1 allow-everything — must beat the blanket *

@@ -19,7 +19,7 @@ def test_reference_parser_rfc_semantics():
         "User-agent: *\n"                    # new run after rules
         "Disallow: /b\n"
         "not-a-directive\n"
-        "Crawl-delay: 10\n"                  # unknown key: ignored
+        "Crawl-delay: 10\n"                  # group directive (r12)
     )
     rows = R.parse_robots_text(text)
     assert rows == [
@@ -28,6 +28,7 @@ def test_reference_parser_rfc_semantics():
         ("alphabot", "allow", "/a/ok"),
         ("betabot", "allow", "/a/ok"),
         ("*", "disallow", "/b"),
+        ("*", "crawl-delay", "10"),
     ]
 
 
@@ -37,18 +38,23 @@ def test_unknown_directives_do_not_split_ua_runs(spark):
     parsers must agree (the local one once diverged here)."""
     text = (
         "User-agent: a\n"
-        "Crawl-delay: 10\n"          # unknown: ignored, run continues
+        "Request-rate: 1/10\n"       # unknown: ignored, run continues
         "User-agent: b\n"
         "Disallow: /x\n"
         "Sitemap: http://h/s.xml\n"  # unknown after rules: ignored
         "User-agent: c\n"            # rules DID end the run -> new group
         "Disallow: /y\n"
+        "User-agent: d\n"
+        "Crawl-delay: 3\n"           # KNOWN since r12: ends the run
+        "User-agent: e\n"            # -> new group, its own sentinel
     )
     local = R.parse_robots_text(text)
     assert local == [
         ("a", "disallow", "/x"),
         ("b", "disallow", "/x"),
         ("c", "disallow", "/y"),
+        ("d", "crawl-delay", "3"),
+        ("e", "group", ""),
     ]
     df = spark.createDataFrame([("h", text)], ["host", "robots_txt"])
     got = sorted(
@@ -469,3 +475,67 @@ def test_recrawl_candidates_semantics(spark):
     assert [(r["path"], r["lastmod"], r["captured_date"]) for r in got] == [
         ("/stale", date(2024, 1, 20), date(2024, 1, 5))
     ]
+
+
+def test_crawl_delay_parse_and_precedence(spark):
+    """Crawl-delay rows parse in both parsers; delay lookup follows
+    GROUP selection (an exact group without a delay means default,
+    not *'s delay); malformed values are ignored; multiple valid
+    lines take the max."""
+    texts = [
+        ("a.ex", "User-agent: *\nCrawl-delay: 5\nDisallow: /x\n"),
+        # bot's own group exists but carries no delay -> no delay row
+        ("b.ex", "User-agent: bot\nDisallow: /y\n"
+                 "User-agent: *\nCrawl-delay: 9\n"),
+        # malformed + valid: max of the valid lines
+        ("c.ex", "User-agent: bot\nCrawl-delay: fast\n"
+                 "Crawl-delay: 3\nCrawl-delay: 7\n"),
+    ]
+    local = {
+        (h, a, r, p)
+        for h, t in texts
+        for a, r, p in R.parse_robots_text(t)
+    }
+    assert ("a.ex", "*", "crawl-delay", "5") in local
+    assert ("c.ex", "bot", "crawl-delay", "fast") in local
+    rules = R.parse_robots(
+        spark.createDataFrame(texts, ["host", "robots_txt"])
+    )
+    dist = {
+        (r["host"], r["agent"], r["rule"], r["pattern"])
+        for r in rules.collect()
+    }
+    assert dist == local
+    delays = {
+        r["host"]: r["delay_s"]
+        for r in R.crawl_delays(rules, "bot").collect()
+    }
+    assert delays == {"a.ex": 5, "c.ex": 7}
+
+
+def test_polite_fetch_plan_slots(spark):
+    """Admitted URLs queue per host at delay spacing; disallowed
+    captures never occupy a slot."""
+    rules = R.parse_robots(
+        spark.createDataFrame(
+            [("h.ex", "User-agent: *\nDisallow: /no*\nCrawl-delay: 3\n")],
+            ["host", "robots_txt"],
+        )
+    )
+    captures = spark.createDataFrame(
+        [
+            (1, "h.ex", "/a"),
+            (2, "h.ex", "/no/skip"),
+            (3, "h.ex", "/b"),
+            (4, "other.ex", "/c"),
+        ],
+        ["doc_id", "host", "path"],
+    )
+    plan = {
+        r["doc_id"]: (r["delay_s"], r["fetch_at_s"])
+        for r in R.polite_fetch_plan(
+            captures, rules, "bot"
+        ).collect()
+    }
+    # h.ex: /a then /b at 3s spacing; other.ex: default delay 1
+    assert plan == {1: (3, 0), 3: (3, 3), 4: (1, 0)}
