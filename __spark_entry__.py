@@ -1985,6 +1985,16 @@ def _q_host_authority_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_crawl_delta_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-over-crawl delta (r12 — the reason archive indexes
+    exist): two synthetic crawl snapshots packed through the real
+    WARC pipeline and CDX-indexed, then diffed index-to-index on
+    (urlkey, digest) into per-host unchanged/changed/new/gone counts
+    — the monthly-crawl dedup read that never touches archive bytes.
+    Oracle re-derives both snapshots and the classification in SQL."""
+    return cdx_ops.crawl_delta_fixture(_docs(spark, sf_dir))
+
+
 def _q_tar_ingest_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Compressed tar round-trip under a REAL SQL oracle: documents
     packed per source into deterministic tar archives whose codec
@@ -2442,6 +2452,7 @@ GATE_FIRST_50 = [
     "crawl_frontier_hosts",
     "host_authority_rank",
     "polite_fetch_plan",
+    "crawl_delta_report",
     "zip_ingest_docs",
     "robots_declared_sitemaps",
     "crawl_coverage_discovered",
@@ -2484,12 +2495,12 @@ GATE_FIRST_50 = [
     "source_overlap",
     "audio_features_raw",
     "video_frame_luma",
-    "scd2_stream_replay",
 ]
 
 GATE_TAIL = [
     # stalest-first (evidence round, then gate order) — the r13
     # window is simply the head of this list plus whatever changes
+    "scd2_stream_replay",
     "hll_stream_estimates",
     "churned_buyers",
     "concurrent_sessions",
@@ -2757,6 +2768,7 @@ def _all_queries() -> dict[str, QueryFn]:
         "crawl_frontier_hosts": _q_crawl_frontier_hosts,
         "host_authority_rank": _q_host_authority_rank,
         "polite_fetch_plan": _q_polite_fetch_plan,
+        "crawl_delta_report": _q_crawl_delta_report,
         "tar_ingest_docs": _q_tar_ingest_docs,
         "zip_ingest_docs": _q_zip_ingest_docs,
         "media_type_census": _q_media_type_census,
@@ -3536,6 +3548,7 @@ def oracle_sql() -> dict[str, str]:
     )
     oracles["cdx_index_records"] = cdx_ops.oracle_cdx_index_sql()
     oracles["cdx_host_stats"] = cdx_ops.oracle_cdx_host_stats_sql()
+    oracles["crawl_delta_report"] = cdx_ops.oracle_crawl_delta_sql()
     oracles["page_outlinks"] = links_ops.oracle_page_outlinks_sql()
     oracles["host_link_graph"] = links_ops.oracle_host_link_graph_sql()
     oracles["crawl_frontier_hosts"] = links_ops.oracle_crawl_frontier_sql()

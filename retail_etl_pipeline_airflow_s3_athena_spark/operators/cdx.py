@@ -291,6 +291,126 @@ def oracle_cdx_index_sql() -> str:
     )
 
 
+def crawl_delta(index_a: DataFrame, index_b: DataFrame) -> DataFrame:
+    """Crawl-over-crawl delta — the reason archive indexes exist:
+    comparing two crawls' CDX indexes on (urlkey, payload digest)
+    classifies every URL as unchanged / changed / new / gone WITHOUT
+    reading a single archive byte (the monthly-crawl dedup Common
+    Crawl itself performs, emitting revisit records for the
+    unchanged class).  One full-outer join on urlkey + one host
+    rollup; both sides are metadata-sized."""
+    a = index_a.select("urlkey", F.col("digest").alias("digest_a"))
+    b = index_b.select("urlkey", F.col("digest").alias("digest_b"))
+    j = a.join(b, "urlkey", "full_outer")
+    host = F.regexp_extract("urlkey", r"^([^)]*)", 1)
+    da, db = F.col("digest_a"), F.col("digest_b")
+    cls = (
+        F.when(da.isNotNull() & db.isNotNull() & (da == db), "unchanged")
+        .when(da.isNotNull() & db.isNotNull(), "changed")
+        .when(db.isNotNull(), "new")
+        .otherwise("gone")
+    )
+    return (
+        j.select(host.alias("host_key"), cls.alias("cls"))
+        .groupBy("host_key")
+        .agg(
+            F.sum(F.when(F.col("cls") == "unchanged", 1).otherwise(0))
+            .alias("n_unchanged"),
+            F.sum(F.when(F.col("cls") == "changed", 1).otherwise(0))
+            .alias("n_changed"),
+            F.sum(F.when(F.col("cls") == "new", 1).otherwise(0))
+            .alias("n_new"),
+            F.sum(F.when(F.col("cls") == "gone", 1).otherwise(0))
+            .alias("n_gone"),
+        )
+        .orderBy("host_key")
+    )
+
+
+def delta_page_url() -> F.Column:
+    """Unique per-doc page URL for the delta fixture (no dedup legs —
+    the delta is keyed on urlkey, so the fixture keeps urlkey
+    1:1 with doc)."""
+    return F.concat(
+        F.lit("http://"),
+        F.col("source"),
+        F.lit(".example.com/page/"),
+        F.col("doc_id").cast("string"),
+    )
+
+
+def crawl_delta_fixture(docs: DataFrame) -> DataFrame:
+    """Two synthetic crawl snapshots of the documents corpus —
+    crawl A misses every doc_id % 13 == 7 page (discovered later),
+    crawl B drops every doc_id % 11 == 3 page (gone) and re-captures
+    every doc_id % 5 == 0 page with mutated content — each packed
+    through the real WARC pipeline and indexed; the delta is then
+    computed index-to-index."""
+    a_docs = docs.filter(F.col("doc_id") % 13 != 7).withColumn(
+        "url", delta_page_url()
+    )
+    b_docs = (
+        docs.filter(F.col("doc_id") % 11 != 3)
+        .withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(
+                    F.coalesce(F.col("text"), F.lit("")), F.lit(" v2")
+                ),
+            ).otherwise(F.col("text")),
+        )
+        .withColumn("url", delta_page_url())
+    )
+    ia = cdx_index(docs_to_warc(a_docs, url_col="url"))
+    ib = cdx_index(docs_to_warc(b_docs, url_col="url"))
+    return crawl_delta(ia, ib)
+
+
+def oracle_crawl_delta_sql() -> str:
+    """DuckDB twin of crawl_delta_fixture: both snapshots' (urlkey,
+    digest) sets re-derived from documents (urlkey in closed form —
+    the fixture URL is already canonical; digests via sha256 over the
+    same mutation rules), the same full-outer classification."""
+    return """
+    WITH base AS (
+        SELECT doc_id, source, text,
+               'com,example,' || source || ')/page/'
+                   || CAST(doc_id AS VARCHAR) AS urlkey
+        FROM documents
+    ),
+    a AS (
+        SELECT urlkey, sha256(coalesce(text, '')) AS dg
+        FROM base WHERE doc_id % 13 <> 7
+    ),
+    b AS (
+        SELECT urlkey,
+               sha256(CASE WHEN doc_id % 5 = 0
+                      THEN coalesce(text, '') || ' v2'
+                      ELSE coalesce(text, '') END) AS dg
+        FROM base WHERE doc_id % 11 <> 3
+    ),
+    j AS (
+        SELECT COALESCE(a.urlkey, b.urlkey) AS urlkey,
+               a.dg AS da, b.dg AS db
+        FROM a FULL OUTER JOIN b ON a.urlkey = b.urlkey
+    )
+    SELECT regexp_extract(urlkey, '^([^)]*)', 1) AS host_key,
+           CAST(SUM(CASE WHEN da IS NOT NULL AND db IS NOT NULL
+                    AND da = db THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_unchanged,
+           CAST(SUM(CASE WHEN da IS NOT NULL AND db IS NOT NULL
+                    AND da <> db THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_changed,
+           CAST(SUM(CASE WHEN da IS NULL AND db IS NOT NULL
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+           CAST(SUM(CASE WHEN db IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_gone
+    FROM j
+    GROUP BY 1
+    ORDER BY host_key"""
+
+
 def cdx_host_stats(index: DataFrame) -> DataFrame:
     """Consume the index relationally: per reversed-host key — all of
     a registered domain's captures are ADJACENT under SURT order —

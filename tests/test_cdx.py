@@ -129,3 +129,32 @@ def test_write_warc_defaults_byte_identical():
         dates=["2024-01-01T00:00:00Z"] * 3,
     )
     assert plain == explicit
+
+
+def test_crawl_delta_classification(spark):
+    """Hand-built indexes: unchanged, changed, new, gone — per host."""
+    cols = ["urlkey", "digest"]
+    ia = spark.createDataFrame(
+        [
+            ("ex,a)/1", "d1"),
+            ("ex,a)/2", "d2"),
+            ("ex,b)/1", "d3"),
+        ],
+        cols,
+    )
+    ib = spark.createDataFrame(
+        [
+            ("ex,a)/1", "d1"),       # unchanged
+            ("ex,a)/2", "d2x"),      # changed
+            ("ex,a)/3", "d4"),       # new
+            # ex,b)/1 gone
+        ],
+        cols,
+    )
+    got = {
+        r["host_key"]: (
+            r["n_unchanged"], r["n_changed"], r["n_new"], r["n_gone"]
+        )
+        for r in cdx_ops.crawl_delta(ia, ib).collect()
+    }
+    assert got == {"ex,a": (1, 1, 1, 0), "ex,b": (0, 0, 0, 1)}
