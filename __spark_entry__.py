@@ -32,6 +32,7 @@ from retail_etl_pipeline_airflow_s3_athena_spark.operators import imagehash as i
 from retail_etl_pipeline_airflow_s3_athena_spark.operators import jpeg as jpeg_ops
 from retail_etl_pipeline_airflow_s3_athena_spark.operators import png as png_ops
 from retail_etl_pipeline_airflow_s3_athena_spark.operators import avi as avi_ops
+from retail_etl_pipeline_airflow_s3_athena_spark.operators import bmp as bmp_ops
 from retail_etl_pipeline_airflow_s3_athena_spark.operators import gif as gif_ops
 from retail_etl_pipeline_airflow_s3_athena_spark.operators import archive as archive_ops
 from retail_etl_pipeline_airflow_s3_athena_spark.operators import router as router_ops
@@ -1505,6 +1506,17 @@ def _q_png_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return png_ops.png_features(media).orderBy("media_id")
 
 
+def _q_bmp_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL uncompressed-raster decode (r12): BITMAPINFOHEADER parse,
+    palette expansion, 4-byte row padding, bottom-up AND top-down row
+    orders over 24-bit / 8-bit-palette BI_RGB payloads
+    (operators/bmp.py), Arrow mapInPandas, integer stats +
+    decoded-pixel checksums out.  Oracle: locally-recomputed VALUES
+    literal (the png_features pattern)."""
+    media = bmp_ops.synthesize_bmp_images(spark, n=40)
+    return bmp_ops.bmp_features(media).orderBy("media_id")
+
+
 def _q_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL baseline-JPEG decode: stdlib Huffman + dequant + integer
     Q14 IDCT over valid SOF0 4:4:4 payloads (operators/jpeg.py), Arrow
@@ -2453,6 +2465,7 @@ GATE_FIRST_50 = [
     "host_authority_rank",
     "polite_fetch_plan",
     "crawl_delta_report",
+    "bmp_features",
     "zip_ingest_docs",
     "robots_declared_sitemaps",
     "crawl_coverage_discovered",
@@ -2494,12 +2507,12 @@ GATE_FIRST_50 = [
     "dedup_keep_best",
     "source_overlap",
     "audio_features_raw",
-    "video_frame_luma",
 ]
 
 GATE_TAIL = [
     # stalest-first (evidence round, then gate order) — the r13
     # window is simply the head of this list plus whatever changes
+    "video_frame_luma",
     "scd2_stream_replay",
     "hll_stream_estimates",
     "churned_buyers",
@@ -2769,6 +2782,7 @@ def _all_queries() -> dict[str, QueryFn]:
         "host_authority_rank": _q_host_authority_rank,
         "polite_fetch_plan": _q_polite_fetch_plan,
         "crawl_delta_report": _q_crawl_delta_report,
+        "bmp_features": _q_bmp_features,
         "tar_ingest_docs": _q_tar_ingest_docs,
         "zip_ingest_docs": _q_zip_ingest_docs,
         "media_type_census": _q_media_type_census,
@@ -3451,6 +3465,24 @@ def oracle_sql() -> dict[str, str]:
         "CAST(mean_c0_e2 AS BIGINT) AS mean_c0_e2, "
         "CAST(edge_energy AS BIGINT) AS edge_energy, pixel_checksum "
         "FROM (VALUES " + ", ".join(_png_rows)
+        + ") AS t(media_id, width, height, channels, mean_c0_e2,"
+        " edge_energy, pixel_checksum) ORDER BY media_id"
+    )
+    _bmp_rows = []
+    for _mid in range(40):
+        _bh, _bw, _bc, _bmean, _bedge, _bck = bmp_ops.bmp_stats(
+            bmp_ops.make_bmp_image(_mid)
+        )
+        _bmp_rows.append(
+            f"({_mid}, {_bw}, {_bh}, {_bc}, {_bmean}, {_bedge}, '{_bck}')"
+        )
+    oracles["bmp_features"] = (
+        "SELECT CAST(media_id AS BIGINT) AS media_id, "
+        "CAST(width AS INT) AS width, CAST(height AS INT) AS height, "
+        "CAST(channels AS INT) AS channels, "
+        "CAST(mean_c0_e2 AS BIGINT) AS mean_c0_e2, "
+        "CAST(edge_energy AS BIGINT) AS edge_energy, pixel_checksum "
+        "FROM (VALUES " + ", ".join(_bmp_rows)
         + ") AS t(media_id, width, height, channels, mean_c0_e2,"
         " edge_energy, pixel_checksum) ORDER BY media_id"
     )
