@@ -2466,6 +2466,10 @@ GATE_FIRST_50 = [
     "polite_fetch_plan",
     "crawl_delta_report",
     "bmp_features",
+    "media_type_census",
+    "multimodal_training_set",
+    "multimodal_manifest",
+    "multimodal_manifest_diff",
     "zip_ingest_docs",
     "robots_declared_sitemaps",
     "crawl_coverage_discovered",
@@ -2503,15 +2507,15 @@ GATE_FIRST_50 = [
     "windowed_event_stats",
     "sessionize_events",
     "label_centroids",
-    "standardize_embeddings",
-    "dedup_keep_best",
-    "source_overlap",
-    "audio_features_raw",
 ]
 
 GATE_TAIL = [
     # stalest-first (evidence round, then gate order) — the r13
     # window is simply the head of this list plus whatever changes
+    "standardize_embeddings",
+    "dedup_keep_best",
+    "source_overlap",
+    "audio_features_raw",
     "video_frame_luma",
     "scd2_stream_replay",
     "hll_stream_estimates",
@@ -2659,10 +2663,6 @@ GATE_TAIL = [
     "gif_frame_luma",
     "jpeg_features",
     "compression_signals",
-    "media_type_census",
-    "multimodal_training_set",
-    "multimodal_manifest",
-    "multimodal_manifest_diff",
     "wav_features",
     "wav_band_energy",
     "audio_near_dup",

@@ -40,6 +40,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from retail_etl_pipeline_airflow_s3_athena_spark.operators import avi as avi_ops
+from retail_etl_pipeline_airflow_s3_athena_spark.operators import bmp as bmp_ops
 from retail_etl_pipeline_airflow_s3_athena_spark.operators import gif as gif_ops
 from retail_etl_pipeline_airflow_s3_athena_spark.operators import jpeg as jpeg_ops
 from retail_etl_pipeline_airflow_s3_athena_spark.operators import multimodal as mm_ops
@@ -65,6 +66,8 @@ def sniff_media(payload: bytes) -> str:
         )
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         return "gif"
+    if payload[:2] == b"BM":
+        return "bmp"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "wav"
     if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
@@ -98,6 +101,10 @@ def decode_any(payload: bytes) -> tuple[str, int, int]:
         digest = hashlib.sha256(img.tobytes())
     elif kind in ("jpeg_baseline", "jpeg_progressive"):
         img = jpeg_ops.decode_jpeg(payload)
+        units = img.shape[0] * img.shape[1]
+        digest = hashlib.sha256(img.tobytes())
+    elif kind == "bmp":
+        img = bmp_ops.decode_bmp(payload)
         units = img.shape[0] * img.shape[1]
         digest = hashlib.sha256(img.tobytes())
     elif kind == "gif":
@@ -188,8 +195,10 @@ def _mixed_payloads(n: int = 72) -> list[tuple[int, bytes]]:
     the fixture and the locally-recomputed VALUES oracle)."""
     rows = []
     for i in range(n):
-        v = i % 9
-        if v == 0:
+        v = i % 10
+        if v == 9:
+            payload = bmp_ops.make_bmp_image(i)
+        elif v == 0:
             payload = mm_ops.make_raw_image(i)
         elif v == 1:
             payload = mm_ops.make_raw_audio(i)

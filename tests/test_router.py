@@ -9,7 +9,7 @@ def test_sniff_classifies_every_class():
     kinds = {R.sniff_media(bytes(p)) for _i, p in R._mixed_payloads(72)}
     assert kinds == {
         "raw_image", "raw_audio", "raw_video", "png", "jpeg_baseline",
-        "jpeg_progressive", "gif", "wav", "avi_mjpeg", "unknown",
+        "jpeg_progressive", "gif", "bmp", "wav", "avi_mjpeg", "unknown",
     }
 
 
@@ -40,4 +40,4 @@ def test_distributed_census_matches_local(spark):
     got = [tuple(r) for r in R.media_type_census(media).collect()]
     want = [(k, n, u, fold) for k, n, u, fold in R.local_census(72)]
     assert got == want
-    assert len(got) == 10
+    assert len(got) == 11
