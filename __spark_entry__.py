@@ -1997,6 +1997,28 @@ def _q_host_authority_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_cdx_store_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDX store + pruned lookup (r12 — the layout leg of the index
+    story): the fixture index materialized hive-partitioned by host
+    bucket and urlkey-sorted within files, then three hosts looked up
+    through partition pruning + a pushed StringStartsWith prefix scan
+    (plan-asserted in tests/test_cdx.py).  At 100 TB this is the
+    difference between a lookup and a scan.  Oracle: the index SQL
+    restricted to the looked-up hosts — the pruned path must return
+    exactly what a full recompute would."""
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix="cdx_store_gate_")
+    idx = cdx_ops.cdx_fixture_index(_docs(spark, sf_dir))
+    cdx_ops.write_cdx_store(idx, path)
+    hosts = ("src3.example.com", "src7.example.com", "src11.example.com")
+    out = None
+    for h in hosts:
+        df = cdx_ops.cdx_store_lookup(spark, path, h)
+        out = df if out is None else out.unionByName(df)
+    return out.orderBy("urlkey", "cdx_ts", "url")
+
+
 def _q_crawl_delta_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl-over-crawl delta (r12 — the reason archive indexes
     exist): two synthetic crawl snapshots packed through the real
@@ -2465,6 +2487,7 @@ GATE_FIRST_50 = [
     "host_authority_rank",
     "polite_fetch_plan",
     "crawl_delta_report",
+    "cdx_store_lookup",
     "bmp_features",
     "media_type_census",
     "multimodal_training_set",
@@ -2506,12 +2529,12 @@ GATE_FIRST_50 = [
     "promo_revenue",
     "windowed_event_stats",
     "sessionize_events",
-    "label_centroids",
 ]
 
 GATE_TAIL = [
     # stalest-first (evidence round, then gate order) — the r13
     # window is simply the head of this list plus whatever changes
+    "label_centroids",
     "standardize_embeddings",
     "dedup_keep_best",
     "source_overlap",
@@ -2782,6 +2805,7 @@ def _all_queries() -> dict[str, QueryFn]:
         "host_authority_rank": _q_host_authority_rank,
         "polite_fetch_plan": _q_polite_fetch_plan,
         "crawl_delta_report": _q_crawl_delta_report,
+        "cdx_store_lookup": _q_cdx_store_lookup,
         "bmp_features": _q_bmp_features,
         "tar_ingest_docs": _q_tar_ingest_docs,
         "zip_ingest_docs": _q_zip_ingest_docs,
@@ -3581,6 +3605,9 @@ def oracle_sql() -> dict[str, str]:
     oracles["cdx_index_records"] = cdx_ops.oracle_cdx_index_sql()
     oracles["cdx_host_stats"] = cdx_ops.oracle_cdx_host_stats_sql()
     oracles["crawl_delta_report"] = cdx_ops.oracle_crawl_delta_sql()
+    oracles["cdx_store_lookup"] = cdx_ops.oracle_cdx_lookup_sql(
+        ("src3", "src7", "src11")
+    )
     oracles["page_outlinks"] = links_ops.oracle_page_outlinks_sql()
     oracles["host_link_graph"] = links_ops.oracle_host_link_graph_sql()
     oracles["crawl_frontier_hosts"] = links_ops.oracle_crawl_frontier_sql()

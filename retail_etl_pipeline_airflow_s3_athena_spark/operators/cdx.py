@@ -291,6 +291,57 @@ def oracle_cdx_index_sql() -> str:
     )
 
 
+CDX_BUCKETS = 64
+
+
+def _host_bucket(host_key: F.Column) -> F.Column:
+    """Deterministic bucket of a SURT host key — the store's
+    partition column.  Murmur3 (Spark's ``hash``) is stable across
+    runs; the bucket only PRUNES (correctness never depends on it),
+    so the oracle stays bucket-free."""
+    return F.pmod(F.hash(host_key), F.lit(CDX_BUCKETS))
+
+
+def write_cdx_store(index: DataFrame, path: str) -> None:
+    """Materialize the index for lookup: hive-partitioned by host
+    bucket (bounded directory count), urlkey-sorted within files so
+    parquet row-group min/max stats make prefix scans skip.  A host
+    lookup then reads ONE partition directory and the row groups
+    whose [min, max] straddle the prefix — at 100 TB the difference
+    between a lookup and a scan."""
+    (
+        index.withColumn(
+            "host_bucket",
+            _host_bucket(F.regexp_extract("urlkey", r"^([^)]*)", 1)),
+        )
+        .repartition(CDX_BUCKETS, "host_bucket")
+        .sortWithinPartitions("host_bucket", "urlkey")
+        .write.mode("overwrite")
+        .partitionBy("host_bucket")
+        .parquet(path)
+    )
+
+
+def cdx_store_lookup(spark, path: str, host: str) -> DataFrame:
+    """Range-scan one host's captures out of the store: partition
+    pruning on the host bucket (a 1-row scalar read of the same hash
+    expression) + a pushed StringStartsWith on the sorted urlkey.
+    Returns index rows for every subdomain-free exact host match."""
+    host_key = ",".join(reversed(host.lower().split(".")))
+    bucket = (
+        spark.range(1)
+        .select(_host_bucket(F.lit(host_key)).alias("b"))
+        .first()["b"]
+    )
+    prefix = host_key + ")"
+    return (
+        spark.read.parquet(path)
+        .filter(F.col("host_bucket") == bucket)
+        .filter(F.col("urlkey").startswith(prefix))
+        .drop("host_bucket")
+    )
+
+
 def crawl_delta(index_a: DataFrame, index_b: DataFrame) -> DataFrame:
     """Crawl-over-crawl delta — the reason archive indexes exist:
     comparing two crawls' CDX indexes on (urlkey, payload digest)
@@ -409,6 +460,23 @@ def oracle_crawl_delta_sql() -> str:
     FROM j
     GROUP BY 1
     ORDER BY host_key"""
+
+
+def oracle_cdx_lookup_sql(sources: tuple[str, ...]) -> str:
+    """DuckDB twin of the store lookup: the fixture index restricted
+    to the looked-up hosts (one subdomain per source, so the host
+    restriction IS a source restriction) — bucket-free, proving the
+    pruned path returns exactly what a full recompute would."""
+    in_list = ", ".join(f"'{s}'" for s in sources)
+    return (
+        _surt_cte(sql_capture_url(), "source AS filename")
+        + f"""
+    SELECT urlkey, cdx_ts, url, mime,
+           CAST(status AS INTEGER) AS status, digest, filename
+    FROM k
+    WHERE source IN ({in_list})
+    ORDER BY urlkey, cdx_ts, url"""
+    )
 
 
 def cdx_host_stats(index: DataFrame) -> DataFrame:

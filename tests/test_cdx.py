@@ -158,3 +158,33 @@ def test_crawl_delta_classification(spark):
         for r in cdx_ops.crawl_delta(ia, ib).collect()
     }
     assert got == {"ex,a": (1, 1, 1, 0), "ex,b": (0, 0, 0, 1)}
+
+
+def test_store_lookup_prunes_partitions_and_pushes_prefix(spark, tmp_path):
+    """The layout contract: a host lookup must hit ONE bucket
+    partition (PartitionFilters) and push the urlkey prefix into the
+    parquet scan (PushedFilters StringStartsWith) — and return
+    exactly what a full-scan filter would."""
+    idx = spark.createDataFrame(
+        [
+            (f"ex,h{i % 5})/p/{i}", f"2024010100000{i % 10}",
+             f"http://h{i % 5}.ex/p/{i}", "text/plain", 200,
+             f"d{i}", "s")
+            for i in range(50)
+        ],
+        ["urlkey", "cdx_ts", "url", "mime", "status", "digest",
+         "filename"],
+    )
+    path = str(tmp_path / "cdx_store")
+    cdx_ops.write_cdx_store(idx, path)
+    looked = cdx_ops.cdx_store_lookup(spark, path, "h3.ex")
+    plan = looked._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "host_bucket" in plan.split("PartitionFilters: [", 1)[1]
+    assert "StartsWith(urlkey,ex,h3)" in plan.replace(" ", "")
+    got = sorted(r["urlkey"] for r in looked.collect())
+    want = sorted(
+        r["urlkey"]
+        for r in idx.filter(idx.urlkey.startswith("ex,h3)")).collect()
+    )
+    assert got == want and len(got) == 10
