@@ -310,6 +310,33 @@ STANDALONE = [
     "audio_near_dup",
     # r9 (cont.): HTML main-content extraction round-trip
     "html_extract_docs",
+    # r12: discovery-chain widenings (sitemapindex walk, recrawl
+    # scheduling, robots-declared sitemaps + discovered coverage)
+    "sitemap_index_expanded",
+    "sitemap_recrawl_candidates",
+    "robots_declared_sitemaps",
+    "crawl_coverage_discovered",
+    # r12: wire-format closure (ZIP archives, WARC revisit
+    # resolution, WET extracted-text shards)
+    "zip_ingest_docs",
+    "warc_revisit_resolved",
+    "wet_ingest_docs",
+    # r12: CDX index tier (build, host rollup, partitioned-store
+    # pruned lookup, crawl-over-crawl delta)
+    "cdx_index_records",
+    "cdx_host_stats",
+    "cdx_store_lookup",
+    "crawl_delta_report",
+    # r12: WAT link tier (outlink extraction, host graph, frontier,
+    # weighted dangling-aware authority rank)
+    "page_outlinks",
+    "host_link_graph",
+    "crawl_frontier_hosts",
+    "host_authority_rank",
+    # r12: politeness scheduling (Crawl-delay fetch slots)
+    "polite_fetch_plan",
+    # r12: BMP decode
+    "bmp_features",
 ]
 
 

@@ -293,6 +293,22 @@ def oracle_cdx_index_sql() -> str:
 
 CDX_BUCKETS = 64
 
+# the store is a TYPED artifact (like the real CDX files): fixed
+# column set, so readers never depend on schema inference — an EMPTY
+# store (no captures yet) still reads as a valid zero-row frame
+CDX_STORE_SCHEMA = T.StructType(
+    [
+        T.StructField("urlkey", T.StringType()),
+        T.StructField("cdx_ts", T.StringType()),
+        T.StructField("url", T.StringType()),
+        T.StructField("mime", T.StringType()),
+        T.StructField("status", T.IntegerType()),
+        T.StructField("digest", T.StringType()),
+        T.StructField("filename", T.StringType()),
+        T.StructField("host_bucket", T.IntegerType()),
+    ]
+)
+
 
 def _host_bucket(host_key: F.Column) -> F.Column:
     """Deterministic bucket of a SURT host key — the store's
@@ -335,7 +351,8 @@ def cdx_store_lookup(spark, path: str, host: str) -> DataFrame:
     )
     prefix = host_key + ")"
     return (
-        spark.read.parquet(path)
+        spark.read.schema(CDX_STORE_SCHEMA)
+        .parquet(path)
         .filter(F.col("host_bucket") == bucket)
         .filter(F.col("urlkey").startswith(prefix))
         .drop("host_bucket")
