@@ -324,7 +324,20 @@ def write_cdx_store(index: DataFrame, path: str) -> None:
     parquet row-group min/max stats make prefix scans skip.  A host
     lookup then reads ONE partition directory and the row groups
     whose [min, max] straddle the prefix — at 100 TB the difference
-    between a lookup and a scan."""
+    between a lookup and a scan.
+
+    The store is a TYPED artifact: columns are cast to
+    ``CDX_STORE_SCHEMA`` at WRITE time, so a writer handing in wider
+    types (e.g. a LongType status from a hand-built frame) cannot
+    produce files the schema'd reader rejects with a parquet
+    physical-type mismatch."""
+    index = index.select(
+        *[
+            F.col(f.name).cast(f.dataType)
+            for f in CDX_STORE_SCHEMA.fields
+            if f.name != "host_bucket"
+        ]
+    )
     (
         index.withColumn(
             "host_bucket",
