@@ -81,6 +81,21 @@ def _band_rows(sig: DataFrame) -> DataFrame:
     ).select("doc_id", "b.band", "b.bh")
 
 
+def _union_counts(spark: SparkSession, tables: list[str]) -> DataFrame:
+    """(t, n) labelled counts of catalog tables, unioned so a manifest
+    reads back in ONE action.  groupBy over a literal yields no row
+    for an empty table — callers default missing keys to 0."""
+    out = None
+    for t in tables:
+        c = (
+            spark.table(t)
+            .groupBy(F.lit(t).alias("t"))
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        out = c if out is None else out.unionByName(c)
+    return out
+
+
 def _write_bucketed(
     df: DataFrame, name: str, keys: list[str] | None, buckets: int
 ) -> None:
@@ -134,11 +149,17 @@ def write_fingerprint_store(
     sizes = capped.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     _write_bucketed(sizes, f"{store}_sizes", ["doc_id"], buckets)
     flat.unpersist()
+    # read-back receipt in ONE job (union of labelled counts) instead
+    # of four — fixed per-action overhead dominates tiny counts
+    counted = {
+        r["t"]: r["n"]
+        for r in _union_counts(
+            spark, [f"{store}_{t}" for t in ("bands", "shingles", "sizes", "stop")]
+        ).collect()
+    }
     return {
-        "bands": spark.table(f"{store}_bands").count(),
-        "shingles": spark.table(f"{store}_shingles").count(),
-        "sizes": spark.table(f"{store}_sizes").count(),
-        "stop": spark.table(f"{store}_stop").count(),
+        t: counted.get(f"{store}_{t}", 0)
+        for t in ("bands", "shingles", "sizes", "stop")
     }
 
 
@@ -160,11 +181,28 @@ def append_to_fingerprint_store(
     matter when it arrived.  Returns appended row counts."""
     spark = new_docs.sparkSession
     flat = _flat_shingles(new_docs, text_col).persist()
-    bands = _band_rows(_signatures_from(flat))
+    # persisted across the count + the bucketed write below: the
+    # band-row derivation (minhash signatures over the batch) would
+    # otherwise run twice per append
+    bands = _band_rows(_signatures_from(flat)).persist()
     stop = spark.table(f"{store}_stop")
     capped = flat.join(F.broadcast(stop), "s", "left_anti")
     sizes = capped.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    n_bands = bands.count()
+    # ONE receipt job for all three appended counts (also materializes
+    # the bands/flat caches the writes below reuse) — three separate
+    # .count() actions paid 3x the fixed per-action overhead
+    def _lc(df: DataFrame, t: str) -> DataFrame:
+        return df.groupBy(F.lit(t).alias("t")).agg(
+            F.count(F.lit(1)).alias("n")
+        )
+
+    counted = {
+        r["t"]: r["n"]
+        for r in _lc(bands, "bands")
+        .unionByName(_lc(flat, "shingles"))
+        .unionByName(_lc(sizes, "sizes"))
+        .collect()
+    }
     (
         bands.write.bucketBy(STORE_BUCKETS, "band", "bh")
         .sortBy("band", "bh")
@@ -172,7 +210,6 @@ def append_to_fingerprint_store(
         .mode("append")
         .saveAsTable(f"{store}_bands")
     )
-    n_shingles = flat.count()
     (
         flat.write.bucketBy(STORE_BUCKETS, "doc_id")
         .sortBy("doc_id")
@@ -180,7 +217,6 @@ def append_to_fingerprint_store(
         .mode("append")
         .saveAsTable(f"{store}_shingles")
     )
-    n_sizes = sizes.count()
     (
         sizes.write.bucketBy(STORE_BUCKETS, "doc_id")
         .sortBy("doc_id")
@@ -188,8 +224,11 @@ def append_to_fingerprint_store(
         .mode("append")
         .saveAsTable(f"{store}_sizes")
     )
+    bands.unpersist()
     flat.unpersist()
-    return {"bands": n_bands, "shingles": n_shingles, "sizes": n_sizes}
+    return {
+        t: counted.get(t, 0) for t in ("bands", "shingles", "sizes")
+    }
 
 
 def compact_fingerprint_store(
@@ -220,9 +259,15 @@ def compact_fingerprint_store(
     )
     sizes = capped.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     _write_bucketed(sizes, f"{store}_sizes", ["doc_id"], buckets)
+    counted = {
+        r["t"]: r["n"]
+        for r in _union_counts(
+            spark, [f"{store}_stop", f"{store}_sizes"]
+        ).collect()
+    }
     return {
-        "stop": spark.table(f"{store}_stop").count(),
-        "sizes": spark.table(f"{store}_sizes").count(),
+        "stop": counted.get(f"{store}_stop", 0),
+        "sizes": counted.get(f"{store}_sizes", 0),
     }
 
 

@@ -217,6 +217,13 @@ def host_authority(graph: DataFrame, iters: int = AUTH_ITERS) -> DataFrame:
     pr = nodes.select(
         "host", F.lit(PR_SCALE).cast("long").alias("pr")
     )
+    # each iteration references pr TWICE (dangling-mass scalar +
+    # contributions), so an unpersisted chain doubles per step —
+    # 2^iters evaluations of the first iteration by the time the
+    # caller collects.  Persisting every step keeps the DAG linear;
+    # the blocks materialize once inside the caller's single action
+    # and ownership transfers via attach_cached_deps.
+    step_deps = []
     for _ in range(iters):
         dm = pr.join(
             outw, pr.host == outw.src, "left_anti"
@@ -249,11 +256,12 @@ def host_authority(graph: DataFrame, iters: int = AUTH_ITERS) -> DataFrame:
                     )
                 ).cast("long").alias("pr"),
             )
-        )
+        ).persist()
+        step_deps.append(pr)
     out = pr.select(
         "host", F.col("pr").alias("authority_scaled")
     ).orderBy("host")
-    return attach_cached_deps(out, nodes, outw, e)
+    return attach_cached_deps(out, nodes, outw, e, *step_deps)
 
 
 # ---------------------------------------------------------------------------

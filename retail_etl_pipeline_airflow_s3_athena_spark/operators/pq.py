@@ -48,10 +48,13 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from retail_etl_pipeline_airflow_s3_athena_spark.functions.caching import (
     attach_cached_deps,
     carried_deps,
+    local_relation,
+    materialize_model,
 )
 from retail_etl_pipeline_airflow_s3_athena_spark.functions.money import (
     cents,
@@ -75,6 +78,15 @@ from retail_etl_pipeline_airflow_s3_athena_spark.operators.text import dround, s
 
 M_SUB = 4              # subspaces
 SUB_DIM = EMB_DIM // M_SUB  # dims per subspace (16)
+
+# the (m, code, scv) codebook shape shared by the Lloyd loops
+BOOKS_SCHEMA = T.StructType(
+    [
+        T.StructField("m", T.IntegerType(), False),
+        T.StructField("code", T.IntegerType(), False),
+        T.StructField("scv", T.ArrayType(T.DoubleType(), True), False),
+    ]
+)
 PQ_ROUNDS = 2          # Lloyd rounds per subspace codebook
 N_QUERIES = 5
 TOP_K = 10
@@ -123,11 +135,17 @@ def _sub_corpus(embeddings: DataFrame) -> DataFrame:
     )
 
 
-def _init_codebooks(embeddings: DataFrame) -> DataFrame:
+def _init_codebooks(
+    embeddings: DataFrame, cents_df: DataFrame | None = None
+) -> DataFrame:
     """(m, code, scv): per-subspace codebooks seeded from the
     per-label centroid slices (slice of the mean == mean of the
-    slice, so this is exactly ``label_centroids`` restated)."""
-    cents_df = _centroid_vectors(embeddings)  # (label, cv)
+    slice, so this is exactly ``label_centroids`` restated).
+    ``cents_df`` lets a caller that already materialized the (label,
+    cv) centroid table share it instead of re-aggregating the
+    corpus."""
+    if cents_df is None:
+        cents_df = _centroid_vectors(embeddings)  # (label, cv)
     entries = F.array(
         *[
             F.struct(
@@ -187,22 +205,62 @@ def _reassemble(means: DataFrame) -> DataFrame:
     )
 
 
-def _train(embeddings: DataFrame, rounds: int) -> tuple[DataFrame, DataFrame, DataFrame]:
+def _train(
+    embeddings: DataFrame,
+    rounds: int,
+    cents_df: DataFrame | None = None,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Run the per-subspace Lloyd loop.  Returns (sub, books, means)
     where ``sub`` is the PERSISTED subvector corpus (ownership passes
     to the caller via ``attach_cached_deps``), ``books`` the final
-    reassembled codebooks, and ``means`` the final exploded rows."""
+    codebooks, and ``means`` the final exploded rows.
+
+    ``books``/``means`` come back as driver-LOCAL relations
+    (``materialize_model``): each Lloyd round is ONE bounded job (the
+    corpus assign + mean agg, collected as M*K*SUB_DIM rows), and
+    downstream consumers that reference the codebooks several times
+    (ADC distance table + code assignment) no longer re-evaluate the
+    whole training chain per reference — before this, ivf_pq_topk's
+    physical plan carried 86 Exchange nodes of duplicated Lloyd
+    subtree (plans/r12/ivf_pq_topk_before.txt).  The per-round books
+    reassembly happens on the collected rows at the driver (sort by
+    pos — exactly ``_reassemble``'s array_sort on unique pos), so the
+    values are bit-identical."""
     if rounds < 1:
         raise ValueError(
             f"rounds={rounds}: PQ training needs at least one Lloyd "
             "round (the init codebooks have no membership counts)"
         )
+    spark = embeddings.sparkSession
     sub = _sub_corpus(embeddings).persist()
-    books = _init_codebooks(embeddings)
+    books = _init_codebooks(embeddings, cents_df)
+    if cents_df is None:
+        # no shared centroid table: truncate the corpus-aggregation
+        # lineage once so round 1 doesn't re-run it per reference
+        books = materialize_model(books)
     means = None
-    for _ in range(rounds):
-        means = _book_means(_assign(sub, books))
-        books = _reassemble(means)
+    for rnd in range(rounds):
+        means_plan = _book_means(_assign(sub, books))
+        rows = means_plan.collect()
+        if rnd == rounds - 1:
+            # only the final round's exploded means are consumed
+            # (codebook writes / pq_codebooks); building the local
+            # relation per round would pay an extra driver relation
+            # per round for nothing
+            means = local_relation(spark, rows, means_plan.schema)
+        by_mc: dict[tuple, list] = {}
+        for r in rows:
+            by_mc.setdefault((r["m"], r["code"]), []).append(
+                (r["pos"], r["val"])
+            )
+        books = local_relation(
+            spark,
+            [
+                (m, code, [v for _, v in sorted(pv)])
+                for (m, code), pv in sorted(by_mc.items())
+            ],
+            BOOKS_SCHEMA,
+        )
     return sub, books, means
 
 
@@ -363,17 +421,18 @@ def ivf_pq_topk(
     probed-cell list against the cell table; the ADC sum is the same
     exact-integer aggregation as ``pq_topk`` restricted to candidates.
     """
-    sub, books, _ = _train(embeddings, rounds)
+    # ONE corpus centroid aggregation, materialized as a K-row local
+    # relation shared by the Lloyd init, the cell assignment and the
+    # probe scoring (before: each reference re-ran the 2-exchange
+    # centroid aggregation).
+    cents_vec = materialize_model(_centroid_vectors(embeddings))
+    sub, books, _ = _train(embeddings, rounds, cents_df=cents_vec)
     codes = _assign(sub, books).select("vec_id", "m", "code")
 
     corpus = _normed(embeddings, dim)
-    coarse = (
-        _centroid_vectors(embeddings)
-        .select(
-            "label", "cv",
-            F.sqrt(dot(F.col("cv"), F.col("cv"), dim)).alias("cnrm"),
-        )
-        .persist()
+    coarse = cents_vec.select(
+        "label", "cv",
+        F.sqrt(dot(F.col("cv"), F.col("cv"), dim)).alias("cnrm"),
     )
     cells = (
         corpus.crossJoin(F.broadcast(coarse))
@@ -438,7 +497,7 @@ def ivf_pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "adc_e6", "rank")
     )
-    return attach_cached_deps(out, sub, coarse)
+    return attach_cached_deps(out, sub)
 
 
 def ivf_pq_topk_for(
@@ -459,17 +518,14 @@ def ivf_pq_topk_for(
     Same plan discipline as ``ivf_pq_topk``: one broadcast centroid
     argmax for cells, a bounded probed-cell broadcast, the exact-e6
     ADC table join, pinned (adc asc, neighbor asc) tie-break."""
-    sub, books, _ = _train(embeddings, rounds)
+    cents_vec = materialize_model(_centroid_vectors(embeddings))
+    sub, books, _ = _train(embeddings, rounds, cents_df=cents_vec)
     codes = _assign(sub, books).select("vec_id", "m", "code")
 
     corpus = _normed(embeddings, dim)
-    coarse = (
-        _centroid_vectors(embeddings)
-        .select(
-            "label", "cv",
-            F.sqrt(dot(F.col("cv"), F.col("cv"), dim)).alias("cnrm"),
-        )
-        .persist()
+    coarse = cents_vec.select(
+        "label", "cv",
+        F.sqrt(dot(F.col("cv"), F.col("cv"), dim)).alias("cnrm"),
     )
     cells = (
         corpus.crossJoin(F.broadcast(coarse))
@@ -547,7 +603,7 @@ def ivf_pq_topk_for(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "adc_e6", "rank")
     )
-    return attach_cached_deps(out, sub, coarse)
+    return attach_cached_deps(out, sub)
 
 
 def exact_subspace_topk_for(
@@ -888,15 +944,17 @@ def ivf_pq_residual_topk(
     the (adc asc, id asc) ranking are unchanged.
     """
     corpus = _normed(embeddings, dim)
-    coarse = (
-        _centroid_vectors(embeddings)
-        .select(
+    # K-row bounded table, materialized as a local relation: the five
+    # downstream references (cells, residual corpus, probe scoring,
+    # residual ADC table) share one evaluation and the plan stops
+    # reprinting the centroid-aggregation subtree.
+    coarse = materialize_model(
+        _centroid_vectors(embeddings).select(
             "label", "cv",
             F.sqrt(dot(F.col("cv"), F.col("cv"), dim)).alias("cnrm"),
         )
-        .persist()
     )
-    n_codes = coarse.count()  # K-row bounded table; also materializes it
+    n_codes = coarse.count()
     # persisted: cells feeds BOTH the residual corpus and candidate
     # generation — unpersisted, the corpus x K scoring scan would
     # execute twice (a second full corpus pass at 100 TB)
@@ -943,14 +1001,33 @@ def ivf_pq_residual_topk(
         )
         .persist()
     )
-    books = (
+    # Seed books materialized (K*M rows; the collect also materializes
+    # the persisted rsub cache), then each Lloyd round is one bounded
+    # job whose result is re-emitted locally — the `_train` discipline
+    # applied to the residual frame, so the codes assignment and the
+    # ADC distance table below stop re-evaluating the training chain.
+    spark = embeddings.sparkSession
+    books = materialize_model(
         rsub.filter(F.col("vec_id") < n_codes)
         .select("m", F.col("vec_id").cast("int").alias("code"),
                 F.col("sv").alias("scv"))
     )
     plain = rsub.select("vec_id", "m", "sv")
     for _ in range(rounds):
-        books = _reassemble(_book_means(_assign(plain, books)))
+        mrows = _book_means(_assign(plain, books)).collect()
+        by_mc: dict[tuple, list] = {}
+        for r in mrows:
+            by_mc.setdefault((r["m"], r["code"]), []).append(
+                (r["pos"], r["val"])
+            )
+        books = local_relation(
+            spark,
+            [
+                (m, code, [v for _, v in sorted(pv)])
+                for (m, code), pv in sorted(by_mc.items())
+            ],
+            BOOKS_SCHEMA,
+        )
     codes = _assign(plain, books).select("vec_id", "m", "code")
 
     queries = corpus.filter(F.col("vec_id") < n_queries).select(
@@ -1023,7 +1100,7 @@ def ivf_pq_residual_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "adc_e6", "rank")
     )
-    return attach_cached_deps(out, rsub, coarse, cells)
+    return attach_cached_deps(out, rsub, cells)
 
 
 def oracle_ivf_pq_residual_topk_sql(
@@ -1201,17 +1278,17 @@ def pq_sdc_near_dup(
     table, so the gate is hash-exact; accuracy-wise SDC adds the
     query-side quantization error (Jégou §III.A) — right for
     corpus×corpus dedup where neither side has a raw vector."""
-    sub, books, _ = _train(embeddings, rounds)
+    cents_vec = materialize_model(_centroid_vectors(embeddings))
+    sub, books, _ = _train(embeddings, rounds, cents_df=cents_vec)
     codes = _assign(sub, books).select("vec_id", "m", "code")
 
     corpus = _normed(embeddings, dim)
-    coarse = (
-        _centroid_vectors(embeddings)
-        .select(
-            "label", "cv",
-            F.sqrt(dot(F.col("cv"), F.col("cv"), dim)).alias("cnrm"),
-        )
+    coarse = cents_vec.select(
+        "label", "cv",
+        F.sqrt(dot(F.col("cv"), F.col("cv"), dim)).alias("cnrm"),
     )
+    # persisted: the self-join below references cells twice; without
+    # the persist the corpus x K cell scoring would run twice
     cells = (
         corpus.crossJoin(F.broadcast(coarse))
         .select(
@@ -1226,6 +1303,7 @@ def pq_sdc_near_dup(
                 F.col("label"), F.struct(F.col("c_cos"), (-F.col("label")))
             ).alias("cell")
         )
+        .persist()
     )
     b1, b2 = books.alias("b1"), books.alias("b2")
     sdc = b1.join(b2, F.col("b1.m") == F.col("b2.m")).select(
@@ -1259,7 +1337,7 @@ def pq_sdc_near_dup(
         .agg(F.sum("d_e6").alias("sdc_e6"))
         .filter(F.col("sdc_e6") <= threshold_e6)
     )
-    return attach_cached_deps(out, sub)
+    return attach_cached_deps(out, sub, cells)
 
 
 def oracle_pq_sdc_near_dup_sql(

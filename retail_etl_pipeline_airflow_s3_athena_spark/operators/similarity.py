@@ -1013,15 +1013,21 @@ def kmeans_fit(
     transfers to the caller (``functions.caching.release_cached``)."""
     from retail_etl_pipeline_airflow_s3_athena_spark.functions.caching import (
         attach_cached_deps,
+        materialize_model,
     )
 
     corpus = _normed(embeddings, dim).persist()
-    cents = _cents_norm(_centroid_vectors(embeddings), dim)
+    # Each round's K-row centroid table is materialized as a local
+    # relation: rounds stop nesting into one deep plan (the unrolled
+    # 64-dim cosine per round multiplied the Catalyst/codegen cost),
+    # and each round runs as one bounded job over the persisted corpus.
+    cents = materialize_model(_cents_norm(_centroid_vectors(embeddings), dim))
     exploded = None
     for r in range(rounds):
         assigned = _assign_to_cents(corpus, cents, dim)
         exploded = _cluster_means(assigned)
         if r < rounds - 1:
+            exploded = materialize_model(exploded)
             cents = _reassemble_cents(exploded, dim)
     out = exploded.orderBy("cluster", "pos")
     return attach_cached_deps(out, corpus)

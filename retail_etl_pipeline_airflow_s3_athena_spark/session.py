@@ -51,6 +51,18 @@ def get_spark(
         # Adaptive execution: the scale story
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Coalesce to the ADVISORY SIZE, not to defaultParallelism:
+        # with the default (true), AQE keeps ~core-count partitions
+        # even for KB-sized shuffles, so every tiny exchange pays a
+        # full fleet of scheduling-overhead tasks.  false is the
+        # Spark-documented recommendation ("it's recommended to set
+        # this config to false and respect the configured target
+        # size"); at-scale shuffles exceed the advisory size and keep
+        # full width, so this is not a local-mode tune.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.parallelismFirst",
+            "false",
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # Broadcast policy: estimate-driven static broadcasts are OFF —
         # pre-shuffle size estimates under-count exploded/derived tables

@@ -100,24 +100,17 @@ def _parse_byte_conf(conf: str, default: int = 134217728) -> int:
     return int(s) * mult
 
 
-def _estimated_scan_splits(df: DataFrame) -> int | None:
-    """Estimate the scan's split count from the source file listing —
-    no ``df.rdd`` conversion (which forces a full plan analysis per
-    read; measurable driver overhead at query rates).
-
-    Returns None when the estimate can't be made cheaply (non-local
-    files, no file source) — callers should treat None as "big enough"
-    so at-scale tables never pay an unnecessary shuffle."""
-    import math
+def _estimated_scan_bytes(df: DataFrame) -> int | None:
+    """Total source bytes from the scan's file listing — no
+    ``df.rdd`` conversion (which forces a full plan analysis per read;
+    measurable driver overhead at query rates).  Returns None when the
+    estimate can't be made cheaply (non-local files, no file source) —
+    callers should treat None as "big enough"."""
     import os
 
     files = df.inputFiles()
     if not files:
         return None
-    conf = df.sparkSession.conf.get(
-        "spark.sql.files.maxPartitionBytes", "134217728b"
-    )
-    max_pb = _parse_byte_conf(conf)
     total = 0
     for f in files:
         path = f[len("file:"):] if f.startswith("file:") else f
@@ -127,12 +120,54 @@ def _estimated_scan_splits(df: DataFrame) -> int | None:
             total += os.path.getsize(path)
         except OSError:
             return None
+    return total
+
+
+def _estimated_scan_splits(df: DataFrame) -> int | None:
+    """Estimate the scan's split count from the source file listing.
+
+    Returns None when the estimate can't be made cheaply — callers
+    should treat None as "big enough" so at-scale tables never pay an
+    unnecessary shuffle."""
+    import math
+
+    total = _estimated_scan_bytes(df)
+    if total is None:
+        return None
+    conf = df.sparkSession.conf.get(
+        "spark.sql.files.maxPartitionBytes", "134217728b"
+    )
+    max_pb = _parse_byte_conf(conf)
     # Spark packs small files into maxPartitionBytes bins and splits
     # large ones by bytes; total/max_pb is the monotone proxy for both
     return max(1, math.ceil(total / max_pb))
 
 
-def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+# Source bytes per compute partition when fanning out a small scan.
+# CPU-dense operators (hashing, tokenization, unrolled vector math) do
+# useful work at ~100-1000x the cost of scanning the bytes, so ~256 KB
+# of columnar input per task keeps tasks in the tens-of-milliseconds
+# range — big enough to amortize scheduling, small enough that a
+# single-file source still spreads across cores.  r12 measurement: the
+# previous unconditional fan-out to defaultParallelism put 62 rows in
+# each of 32 tasks at sf0.1 (2000-vector embeddings), and the 32-task
+# stages cost ~0.3-0.6 s of pure scheduling per shuffle — the dominant
+# term of every PQ/ANN/dedup query at bench scale.  Deriving the width
+# from input size (guide §2: scale-adaptive partitioning) keeps sf>=1
+# and any real cluster at full width while small scans stop paying for
+# parallelism they cannot use.
+import os as _os
+
+FAN_OUT_BYTES_PER_PARTITION = int(
+    _os.environ.get("SPARK_GRAFT_FANOUT_BYTES", 256 << 10)
+)
+
+
+def fan_out(
+    df: DataFrame,
+    min_partitions: int | None = None,
+    bytes_per_partition: int | None = None,
+) -> DataFrame:
     """Raise scan parallelism for CPU-DENSE downstream work (hashing,
     tokenization, vector math).
 
@@ -140,22 +175,50 @@ def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     right proxy for IO-bound plans but starves compute-bound ones: a
     594 KB documents file is one split, so md5-ing 300k tokens runs on
     1 of 32 cores.  This helper is conditional — when the source's
-    estimated split count already reaches defaultParallelism (any real
+    estimated split count already reaches the target (any real
     at-scale table) or can't be estimated cheaply, it is a no-op; only
     provably-small local scans pay the cheap up-front round-robin
-    shuffle."""
+    shuffle.  The target width is SIZE-DERIVED (one partition per
+    ``FAN_OUT_BYTES_PER_PARTITION`` of source, capped at
+    defaultParallelism) so a tiny table is not sliced into
+    scheduling-overhead-sized tasks; ``min_partitions`` overrides for
+    callers that know their per-row cost."""
     sc = df.sparkSession.sparkContext
-    target = min_partitions or sc.defaultParallelism
+    est_bytes = _estimated_scan_bytes(df)
+    if min_partitions is not None:
+        target = min_partitions
+    elif est_bytes is None:
+        target = sc.defaultParallelism
+    else:
+        import math
+
+        bpp = bytes_per_partition or FAN_OUT_BYTES_PER_PARTITION
+        target = min(
+            sc.defaultParallelism,
+            max(1, math.ceil(est_bytes / bpp)),
+        )
     est = _estimated_scan_splits(df)
     if est is not None and est < target:
         return df.repartition(target)
     return df
 
 
+# Documents feed token-at-a-time hashing (128 MinHash permutations per
+# shingle, md5 per token): measured r12, the per-byte work is ~10x the
+# vector-math paths', so documents fan out ~10x wider for the same
+# source size (16 KB/partition vs the 256 KB default).  At sf0.1 that
+# keeps the old full-width layout; tiny test fixtures stop paying 32
+# near-empty tasks per stage.
+DOCS_BYTES_PER_PARTITION = 16 << 10
+
+
 def read_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Documents fixture, fanned out for the tokenize/hash-heavy
     dedup and text-analysis operators."""
-    return fan_out(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    return fan_out(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"),
+        bytes_per_partition=DOCS_BYTES_PER_PARTITION,
+    )
 
 
 def read_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
