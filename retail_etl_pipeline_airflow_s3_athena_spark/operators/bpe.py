@@ -586,14 +586,27 @@ def write_bpe_model(
         f"{path}/words"
     )
     release_checkpoint(words)
+    # read-back receipt in ONE job (labelled union) instead of two
+    counted = {
+        r["t"]: r["n"]
+        for r in (
+            spark.read.schema(WORDS_SCHEMA)
+            .parquet(f"{path}/words")
+            .groupBy(F.lit("words").alias("t"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .unionByName(
+                spark.read.schema(VOCAB_SCHEMA)
+                .parquet(f"{path}/vocab")
+                .groupBy(F.lit("vocab").alias("t"))
+                .agg(F.count(F.lit(1)).alias("n"))
+            )
+            .collect()
+        )
+    }
     return {
         "merges": len(merges),
-        "words": spark.read.schema(WORDS_SCHEMA)
-        .parquet(f"{path}/words")
-        .count(),
-        "vocab": spark.read.schema(VOCAB_SCHEMA)
-        .parquet(f"{path}/vocab")
-        .count(),
+        "words": counted.get("words", 0),
+        "vocab": counted.get("vocab", 0),
     }
 
 

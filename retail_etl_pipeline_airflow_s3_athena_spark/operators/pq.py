@@ -1280,7 +1280,10 @@ def pq_sdc_near_dup(
     corpus×corpus dedup where neither side has a raw vector."""
     cents_vec = materialize_model(_centroid_vectors(embeddings))
     sub, books, _ = _train(embeddings, rounds, cents_df=cents_vec)
-    codes = _assign(sub, books).select("vec_id", "m", "code")
+    # persisted: the pair scoring references codes twice (both pair
+    # sides) — unpersisted, the codeword assignment over the corpus
+    # would run twice
+    codes = _assign(sub, books).select("vec_id", "m", "code").persist()
 
     corpus = _normed(embeddings, dim)
     coarse = cents_vec.select(
@@ -1337,7 +1340,7 @@ def pq_sdc_near_dup(
         .agg(F.sum("d_e6").alias("sdc_e6"))
         .filter(F.col("sdc_e6") <= threshold_e6)
     )
-    return attach_cached_deps(out, sub, cells)
+    return attach_cached_deps(out, sub, cells, codes)
 
 
 def oracle_pq_sdc_near_dup_sql(

@@ -397,14 +397,22 @@ def write_unigram_model(
     )
     release_checkpoint(final_words)
     release_checkpoint(vocab)
-    return {
-        t: spark.read.schema(s).parquet(f"{path}/{t}").count()
-        for t, s in [
-            ("scores", UNIGRAM_SCORES_SCHEMA),
-            ("words", UNIGRAM_WORDS_SCHEMA),
-            ("vocab", UNIGRAM_VOCAB_SCHEMA),
-        ]
-    }
+    # read-back receipt in ONE job (labelled union) instead of three
+    receipt = None
+    for t, s in [
+        ("scores", UNIGRAM_SCORES_SCHEMA),
+        ("words", UNIGRAM_WORDS_SCHEMA),
+        ("vocab", UNIGRAM_VOCAB_SCHEMA),
+    ]:
+        c = (
+            spark.read.schema(s)
+            .parquet(f"{path}/{t}")
+            .groupBy(F.lit(t).alias("t"))
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        receipt = c if receipt is None else receipt.unionByName(c)
+    counted = {r["t"]: r["n"] for r in receipt.collect()}
+    return {t: counted.get(t, 0) for t in ("scores", "words", "vocab")}
 
 
 def encode_with_unigram_model(
