@@ -169,7 +169,13 @@ def write_ann_index(
     )
     cells = _cell_assign(embeddings, dim, coarse=coarse)
     (
+        # written in the COMPACTED layout (one sorted file per cell —
+        # exactly what compact_ann_index produces): partition-pruned
+        # serves read one file per probed cell, and a maintenance
+        # rebuild needs no follow-up compaction rewrite
         codes.join(cells, "vec_id")
+        .repartition(F.col("cell"))
+        .sortWithinPartitions("vec_id", "m")
         .write.mode("overwrite")
         .partitionBy("cell")
         .parquet(f"{path}/codes")
@@ -648,6 +654,26 @@ def maintain_ann_index(
     rebuilt = bool(rows) and mean_drop >= rebuild_drop_e6
     if rebuilt:
         write_ann_index(current, path, rounds, dim)
+        if not _tombstone_files(spark, path):
+            # a rebuild writes the compacted layout (one sorted file
+            # per cell); with no tombstones to fold, a compaction here
+            # would be a byte-identical rewrite of what was just
+            # written — skip it and report the fresh state as the
+            # receipt
+            n_files = _codes_data_files(spark, path)
+            n_codes = (
+                spark.read.schema(CODES_SCHEMA)
+                .parquet(f"{path}/codes")
+                .count()
+            )
+            return {
+                "mean_drop_e6": mean_drop,
+                "rebuilt": True,
+                "files_before": n_files,
+                "files_after": n_files,
+                "codes": n_codes,
+                "deletes_folded": 0,
+            }
     manifest = compact_ann_index(spark, path)
     return {"mean_drop_e6": mean_drop, "rebuilt": rebuilt, **manifest}
 

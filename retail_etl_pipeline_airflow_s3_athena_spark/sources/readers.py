@@ -204,12 +204,12 @@ def fan_out(
 
 
 # Documents feed token-at-a-time hashing (128 MinHash permutations per
-# shingle, md5 per token): measured r12, the per-byte work is ~10x the
-# vector-math paths', so documents fan out ~10x wider for the same
-# source size (16 KB/partition vs the 256 KB default).  At sf0.1 that
-# keeps the old full-width layout; tiny test fixtures stop paying 32
-# near-empty tasks per stage.
-DOCS_BYTES_PER_PARTITION = 16 << 10
+# shingle, md5 per token): the per-byte work is ~4x the vector-math
+# paths', so documents fan out 4x wider for the same source size
+# (64 KB/partition vs the 256 KB default — the measured sf0.1 sweet
+# spot across the store/dedup/text families; 16 KB over-splits and
+# 256 KB under-parallelizes the minhash stages).
+DOCS_BYTES_PER_PARTITION = 64 << 10
 
 
 def read_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
