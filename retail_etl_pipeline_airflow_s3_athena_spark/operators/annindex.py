@@ -139,15 +139,26 @@ def write_ann_index(
     path: str,
     rounds: int = PQ_ROUNDS,
     dim: int = EMB_DIM,
+    model: tuple | None = None,
 ) -> dict:
     """Train and persist the IVF-PQ index.  Returns the manifest
-    (row counts per table) — the offline job's receipt."""
+    (row counts per table) — the offline job's receipt.  ``model`` is
+    an optional pre-trained ``(sub, books, means, cents_vec)`` from
+    ``pq._train`` over these embeddings with these rounds."""
     spark = embeddings.sparkSession
     # ONE corpus centroid aggregation (materialized local), shared by
     # the Lloyd init, the centroids write and the cell assignment —
     # before, each of the three re-ran the 2-exchange aggregation.
-    cents_vec = materialize_model(_centroid_vectors(embeddings))
-    sub, books, means = _train(embeddings, rounds, cents_df=cents_vec)
+    if model is None:
+        cents_vec = materialize_model(_centroid_vectors(embeddings))
+        sub, books, means = _train(embeddings, rounds, cents_df=cents_vec)
+        own_sub = True
+    else:
+        # a maintenance loop that already trained on THIS corpus with
+        # THESE rounds (training is deterministic) hands the model in;
+        # sub's persist stays owned by the caller
+        sub, books, means, cents_vec = model
+        own_sub = False
 
     centroids = cents_vec.select(
         F.col("label").cast("int").alias("label"),
@@ -180,7 +191,8 @@ def write_ann_index(
         .partitionBy("cell")
         .parquet(f"{path}/codes")
     )
-    sub.unpersist()
+    if own_sub:
+        sub.unpersist()
     # Read-back receipt in ONE job (a union of three labelled counts)
     # instead of three — at ~0.2 s of fixed per-action overhead each,
     # the receipt was a measurable slice of every found/rebuild call.
@@ -557,11 +569,14 @@ def ann_index_staleness(
     nprobe: int = NPROBE,
     rounds: int = PQ_ROUNDS,
     dim: int = EMB_DIM,
+    model: tuple | None = None,
 ) -> DataFrame:
     """The measured rebuild trigger: per query, recall@k of the
     PERSISTED (appended, never-retrained) index vs a FRESH retrain on
     the current corpus, both against the exact subspace-integer-grid
-    top-k.  Output (query_id, k, stale_hits, fresh_hits,
+    top-k.  ``model`` optionally carries a pre-trained
+    ``(sub, books, cents_vec)`` over ``current`` for the fresh side
+    (see ``pq.ivf_pq_topk_for``).  Output (query_id, k, stale_hits, fresh_hits,
     stale_recall_e6, fresh_recall_e6, recall_drop_e6); a sustained
     positive drop is the WHEN-to-rebuild signal the append path's
     docstring defers to (the ``pq_recall`` evaluation pattern applied
@@ -572,7 +587,9 @@ def ann_index_staleness(
     maintenance JOB, not the serve path), one exact scan bounded by
     the calibration-query broadcast."""
     stale_full = ann_query(spark, path, queries, k, nprobe, dim)
-    fresh_full = ivf_pq_topk_for(current, queries, k, nprobe, rounds, dim)
+    fresh_full = ivf_pq_topk_for(
+        current, queries, k, nprobe, rounds, dim, model=model
+    )
     # .select() returns a fresh DataFrame without the cached-deps tag —
     # capture ownership from the originals (caching.carried_deps doc)
     stale = stale_full.select("query_id", "neighbor_id")
@@ -642,18 +659,33 @@ def maintain_ann_index(
     from retail_etl_pipeline_airflow_s3_athena_spark.functions.caching import (
         release_cached,
     )
+    from retail_etl_pipeline_airflow_s3_athena_spark.operators.pq import _train
 
-    stale_df = ann_index_staleness(
-        spark, path, current, queries, k, nprobe, rounds, dim
-    )
-    rows = stale_df.collect()
-    release_cached(stale_df)
-    mean_drop = (
-        sum(r["recall_drop_e6"] for r in rows) // len(rows) if rows else 0
-    )
-    rebuilt = bool(rows) and mean_drop >= rebuild_drop_e6
+    # ONE training pass over the current corpus, shared by the fresh
+    # comparator inside the staleness measurement AND the conditional
+    # rebuild below — training is deterministic (dround(6) means,
+    # pinned tie-breaks), so the reuse is bit-identical to retraining.
+    cents_vec = materialize_model(_centroid_vectors(current))
+    sub, books, means = _train(current, rounds, cents_df=cents_vec)
+    try:
+        stale_df = ann_index_staleness(
+            spark, path, current, queries, k, nprobe, rounds, dim,
+            model=(sub, books, cents_vec),
+        )
+        rows = stale_df.collect()
+        release_cached(stale_df)
+        mean_drop = (
+            sum(r["recall_drop_e6"] for r in rows) // len(rows) if rows else 0
+        )
+        rebuilt = bool(rows) and mean_drop >= rebuild_drop_e6
+        if rebuilt:
+            write_ann_index(
+                current, path, rounds, dim,
+                model=(sub, books, means, cents_vec),
+            )
+    finally:
+        sub.unpersist()
     if rebuilt:
-        write_ann_index(current, path, rounds, dim)
         if not _tombstone_files(spark, path):
             # a rebuild writes the compacted layout (one sorted file
             # per cell); with no tombstones to fold, a compaction here

@@ -507,6 +507,7 @@ def ivf_pq_topk_for(
     nprobe: int = 2,
     rounds: int = PQ_ROUNDS,
     dim: int = EMB_DIM,
+    model: tuple | None = None,
 ) -> DataFrame:
     """``ivf_pq_topk`` with an EXPLICIT (query_id, embedding) query
     set instead of the vec_id < n_queries convention — the evaluator
@@ -517,9 +518,21 @@ def ivf_pq_topk_for(
 
     Same plan discipline as ``ivf_pq_topk``: one broadcast centroid
     argmax for cells, a bounded probed-cell broadcast, the exact-e6
-    ADC table join, pinned (adc asc, neighbor asc) tie-break."""
-    cents_vec = materialize_model(_centroid_vectors(embeddings))
-    sub, books, _ = _train(embeddings, rounds, cents_df=cents_vec)
+    ADC table join, pinned (adc asc, neighbor asc) tie-break.
+
+    ``model`` is an optional pre-trained ``(sub, books, cents_vec)``
+    (from ``_train`` over THESE embeddings with THESE rounds): a
+    maintenance loop that both measures freshness and rebuilds trains
+    ONCE and passes it here — training is deterministic, so the reuse
+    is bit-identical.  Ownership of the persisted ``sub`` then stays
+    with the caller (not tagged on the result)."""
+    if model is None:
+        cents_vec = materialize_model(_centroid_vectors(embeddings))
+        sub, books, _ = _train(embeddings, rounds, cents_df=cents_vec)
+        own_deps: tuple = (sub,)
+    else:
+        sub, books, cents_vec = model
+        own_deps = ()
     codes = _assign(sub, books).select("vec_id", "m", "code")
 
     corpus = _normed(embeddings, dim)
@@ -603,7 +616,7 @@ def ivf_pq_topk_for(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "adc_e6", "rank")
     )
-    return attach_cached_deps(out, sub)
+    return attach_cached_deps(out, *own_deps)
 
 
 def exact_subspace_topk_for(
