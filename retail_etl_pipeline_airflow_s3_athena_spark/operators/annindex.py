@@ -47,6 +47,7 @@ from retail_etl_pipeline_airflow_s3_athena_spark.functions.caching import (
     local_relation,
     materialize_model,
 )
+from retail_etl_pipeline_airflow_s3_athena_spark.functions.jobs import run_jobs
 from retail_etl_pipeline_airflow_s3_athena_spark.functions.money import (
     cents,
     sql_cents,
@@ -164,32 +165,40 @@ def write_ann_index(
         F.col("label").cast("int").alias("label"),
         F.posexplode("cv").alias("pos", "val"),
     )
-    centroids.write.mode("overwrite").parquet(f"{path}/centroids")
-
     codebooks = means.select(
         "m", "code",
         F.col("pos").cast("int").alias("pos"),
         "val",
     )
-    codebooks.write.mode("overwrite").parquet(f"{path}/codebooks")
-
     codes = _assign(sub, books).select("vec_id", "m", "code")
     coarse = cents_vec.select(
         "label", "cv",
         F.sqrt(dot(F.col("cv"), F.col("cv"), dim)).alias("cnrm"),
     )
     cells = _cell_assign(embeddings, dim, coarse=coarse)
-    (
-        # written in the COMPACTED layout (one sorted file per cell —
-        # exactly what compact_ann_index produces): partition-pruned
-        # serves read one file per probed cell, and a maintenance
-        # rebuild needs no follow-up compaction rewrite
-        codes.join(cells, "vec_id")
-        .repartition(F.col("cell"))
-        .sortWithinPartitions("vec_id", "m")
-        .write.mode("overwrite")
-        .partitionBy("cell")
-        .parquet(f"{path}/codes")
+    # The three table writes are INDEPENDENT jobs (centroids/codebooks
+    # project the already-materialized model; codes derives from the
+    # persisted sub-corpus) — submit them together so the small jobs'
+    # fixed latencies overlap instead of summing (guide §2.6).
+    run_jobs(
+        lambda: centroids.write.mode("overwrite").parquet(
+            f"{path}/centroids"
+        ),
+        lambda: codebooks.write.mode("overwrite").parquet(
+            f"{path}/codebooks"
+        ),
+        lambda: (
+            # written in the COMPACTED layout (one sorted file per cell
+            # — exactly what compact_ann_index produces): partition-
+            # pruned serves read one file per probed cell, and a
+            # maintenance rebuild needs no follow-up compaction rewrite
+            codes.join(cells, "vec_id")
+            .repartition(F.col("cell"))
+            .sortWithinPartitions("vec_id", "m")
+            .write.mode("overwrite")
+            .partitionBy("cell")
+            .parquet(f"{path}/codes")
+        ),
     )
     if own_sub:
         sub.unpersist()

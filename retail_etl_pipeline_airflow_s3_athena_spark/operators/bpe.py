@@ -60,7 +60,11 @@ from collections import Counter
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from retail_etl_pipeline_airflow_s3_athena_spark.functions.caching import attach_cached_deps
+from retail_etl_pipeline_airflow_s3_athena_spark.functions.caching import (
+    attach_cached_deps,
+    local_relation,
+)
+from retail_etl_pipeline_airflow_s3_athena_spark.functions.jobs import run_jobs
 from retail_etl_pipeline_airflow_s3_athena_spark.operators.text import _sql_tokens, tokens
 
 
@@ -100,6 +104,20 @@ WORDS_PER_PARTITION = 65536
 # for a GPT-scale vocabulary (tens of thousands of merges) should run
 # batched rounds with checkpointing, not this loop — refuse loudly.
 MAX_MERGES = 4096
+# Unique-word bound for the DRIVER merge loop: below it the whole
+# merge iteration runs in-process on the collected (tok, freq) table
+# (bounded: <= ~1.5 MB of driver rows) instead of paying n_merges
+# Spark actions at ~0.2 s fixed overhead each — the train-then-
+# broadcast dispatch (guide §5: the model fits on the driver, so the
+# iteration belongs there; embedding_near_dup's EXACT/LSH dispatch is
+# the same shape).  The in-process loop is the published algorithm
+# (py_learn_bpe's core) whose output the oracle gate already proves
+# IDENTICAL to the distributed loop; above the bound the distributed
+# loop runs unchanged.  Env-overridable for A/B and forced-distributed
+# tests.
+DRIVER_BPE_MAX_WORDS = int(
+    os.environ.get("SPARK_GRAFT_BPE_DRIVER_WORDS", 65536)
+)
 
 ORACLE_SF_DIR_ENV = "SPARK_GRAFT_ORACLE_SF_DIR"
 DEFAULT_ORACLE_SF_DIR = "/root/testdata/sf0.01"
@@ -175,10 +193,13 @@ def learn_bpe(
 ) -> tuple[list[tuple[str, str, int]], DataFrame]:
     """Run the merge loop.  Returns ``(merges, final_words)`` where
     ``merges`` is the learned ``[(left, right, pair_freq), ...]`` in
-    rank order and ``final_words`` is the CHECKPOINTED fully-segmented
-    unique-word table (tok, freq, syms) — the caller owns its release
-    via :func:`release_checkpoint` (directly, or through
-    ``release_cached`` on a result tagged with :class:`_CheckpointDep`).
+    rank order and ``final_words`` is the fully-segmented unique-word
+    table (tok, freq, syms): a driver LocalRelation when the vocabulary
+    fit the ``DRIVER_BPE_MAX_WORDS`` dispatch bound, otherwise the
+    CHECKPOINTED distributed table — either way the caller releases it
+    via :func:`release_checkpoint` (a no-op on the local form), either
+    directly or through ``release_cached`` on a result tagged with
+    :class:`_CheckpointDep`.
 
     Stops early when the best pair's frequency drops below
     ``min_pair_freq`` (the classic stopping rule: merging hapax pairs
@@ -192,6 +213,37 @@ def learn_bpe(
             "checkpointed lineage, not this entry point"
         )
     cached = word_freq_table(docs, text_col).persist()
+    # Bounded-dispatch probe (one action): when the unique-word table
+    # fits the driver bound, the whole merge iteration runs in-process
+    # on the collected (tok, freq) rows — n_merges Spark actions at
+    # ~0.2 s fixed overhead each collapse into microseconds of Python
+    # over a dictionary-sized table (guide §5: the model-sized loop
+    # belongs on the driver; train-then-broadcast).  limit(N+1) bounds
+    # the collect even when the corpus is huge; the N+1th row routes
+    # to the distributed loop below, which runs unchanged.
+    probe = cached.select("tok", "freq").limit(
+        DRIVER_BPE_MAX_WORDS + 1
+    ).collect()
+    if len(probe) <= DRIVER_BPE_MAX_WORDS:
+        cached.unpersist()
+        spark = docs.sparkSession
+        freqs = {r["tok"]: int(r["freq"]) for r in probe}
+        merges, syms = _py_merge_loop(freqs, n_merges, min_pair_freq)
+        from pyspark.sql import types as T
+
+        words_schema = T.StructType(
+            [
+                T.StructField("tok", T.StringType(), False),
+                T.StructField("freq", T.LongType(), False),
+                T.StructField("syms", T.ArrayType(T.StringType(), True), False),
+            ]
+        )
+        words = local_relation(
+            spark,
+            [(w, freqs[w], syms[w]) for w in sorted(freqs)],
+            words_schema,
+        )
+        return merges, words
     # One bounded count materializes the corpus pass and sizes the loop
     # partitioning: every merge round inherits this layout (the rewrite
     # is a narrow per-row fold), so round cost tracks |unique words|,
@@ -436,6 +488,21 @@ def py_learn_bpe(
         for w in re.split(r"\s+", (t or "").lower()):
             if w:
                 freqs[w] += 1
+    return _py_merge_loop(freqs, n_merges, min_pair_freq)
+
+
+def _py_merge_loop(
+    freqs: dict[str, int],
+    n_merges: int = N_MERGES,
+    min_pair_freq: int = MIN_PAIR_FREQ,
+) -> tuple[list[tuple[str, str, int]], dict[str, list[str]]]:
+    """The merge iteration over an already-aggregated unique-word
+    frequency table — shared by the oracle twin (which derives
+    ``freqs`` from raw texts) and ``learn_bpe``'s bounded driver
+    dispatch (which collects the distributed word-frequency table).
+    Same argmax tie-break ((freq DESC, left ASC, right ASC)), same
+    greedy left-to-right fold, same stopping rule as the distributed
+    loop — the oracle gate hash-proves the equivalence."""
     syms: dict[str, list[str]] = {w: list(w) + [EOW] for w in freqs}
     merges: list[tuple[str, str, int]] = []
     for _ in range(n_merges):
@@ -577,13 +644,19 @@ def write_bpe_model(
     ``vocab`` (piece -> dense id).  Returns row counts."""
     spark = docs.sparkSession
     merges, words = learn_bpe(docs, n_merges, text_col, min_pair_freq)
-    spark.createDataFrame(
-        [(i, l, r, f) for i, (l, r, f) in enumerate(merges)],
-        MERGES_SCHEMA,
-    ).write.mode("overwrite").parquet(f"{path}/merges")
-    bpe_vocab(words).write.mode("overwrite").parquet(f"{path}/vocab")
-    words.select("tok", "syms").write.mode("overwrite").parquet(
-        f"{path}/words"
+    # three INDEPENDENT writes (all read the materialized word table /
+    # driver-local merge list) — overlap their job latencies (§2.6)
+    run_jobs(
+        lambda: spark.createDataFrame(
+            [(i, l, r, f) for i, (l, r, f) in enumerate(merges)],
+            MERGES_SCHEMA,
+        ).write.mode("overwrite").parquet(f"{path}/merges"),
+        lambda: bpe_vocab(words).write.mode("overwrite").parquet(
+            f"{path}/vocab"
+        ),
+        lambda: words.select("tok", "syms").write.mode("overwrite").parquet(
+            f"{path}/words"
+        ),
     )
     release_checkpoint(words)
     # read-back receipt in ONE job (labelled union) instead of two

@@ -57,6 +57,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..functions.caching import attach_cached_deps
+from .bpe import _CheckpointDep
 from .url import sql_url_host, url_host
 
 LINKS_SCHEMA = T.StructType(
@@ -220,9 +221,14 @@ def host_authority(graph: DataFrame, iters: int = AUTH_ITERS) -> DataFrame:
     # each iteration references pr TWICE (dangling-mass scalar +
     # contributions), so an unpersisted chain doubles per step —
     # 2^iters evaluations of the first iteration by the time the
-    # caller collects.  Persisting every step keeps the DAG linear;
-    # the blocks materialize once inside the caller's single action
-    # and ownership transfers via attach_cached_deps.
+    # caller collects.  A LAZY localCheckpoint per step (the bpe merge
+    # loop's lineage discipline) keeps the DAG linear AND truncates
+    # the Catalyst plan to a constant size per step: the r12 persist()
+    # version evaluated linearly but still ANALYZED a plan that nested
+    # per iteration (5,271 lines at 10 iterations — driver-side
+    # planning cost grows with iters).  eager=False adds NO extra
+    # action: each step's blocks materialize inside the caller's
+    # single action; ownership transfers via attach_cached_deps.
     step_deps = []
     for _ in range(iters):
         dm = pr.join(
@@ -256,8 +262,8 @@ def host_authority(graph: DataFrame, iters: int = AUTH_ITERS) -> DataFrame:
                     )
                 ).cast("long").alias("pr"),
             )
-        ).persist()
-        step_deps.append(pr)
+        ).localCheckpoint(eager=False)
+        step_deps.append(_CheckpointDep(pr))
     out = pr.select(
         "host", F.col("pr").alias("authority_scaled")
     ).orderBy("host")

@@ -442,7 +442,15 @@ def embedding_near_dup_exact(
     """Exact all-pairs cosine near-duplicates (a < b, cos >= threshold).
     Verification-scale only; at corpus scale bucket by rp_lsh_signatures
     or ivf cell first so the pair space is bounded (see
-    ``embedding_near_dup``'s dispatch)."""
+    ``embedding_near_dup``'s dispatch).
+
+    Join shape note (r13, measured): keep the plain non-equi join —
+    Spark plans a CartesianProduct whose task grid is left×right scan
+    partitions (16 tasks at bench scale) and whose pair scoring stays
+    inside WholeStageCodegen.  The tempting BroadcastNestedLoopJoin
+    (broadcast the bounded side, fan the stream side) measured 7x
+    SLOWER (18.6 s vs 2.7 s at sf0.1): BNLJ evaluates the unrolled
+    64-term projection outside codegen, one pair at a time."""
     e = _normed(embeddings, dim)
     a = e.alias("a")
     b = e.alias("b")
@@ -1013,21 +1021,26 @@ def kmeans_fit(
     transfers to the caller (``functions.caching.release_cached``)."""
     from retail_etl_pipeline_airflow_s3_athena_spark.functions.caching import (
         attach_cached_deps,
-        materialize_model,
     )
 
     corpus = _normed(embeddings, dim).persist()
-    # Each round's K-row centroid table is materialized as a local
-    # relation: rounds stop nesting into one deep plan (the unrolled
-    # 64-dim cosine per round multiplied the Catalyst/codegen cost),
-    # and each round runs as one bounded job over the persisted corpus.
-    cents = materialize_model(_cents_norm(_centroid_vectors(embeddings), dim))
+    # Rounds chain LAZILY: each round's K·dim-row centroid table is
+    # referenced exactly ONCE (broadcast into the next assignment), so
+    # the whole fit is a single job at the caller's action — no
+    # per-round driver collect (r12's materialize-per-round cost MORE
+    # than the nesting it saved: kmeans_two_round 4.66→7.84 s), and no
+    # re-evaluation either (the broadcast side computes once, reading
+    # the PERSISTED corpus).  Plan depth grows linearly in ``rounds``
+    # (each round adds one assign+means subtree), the acceptable shape
+    # for the single-digit round counts this operator runs; the
+    # exponential-blowup risk needs a table referenced twice per round
+    # (see links.host_authority), which this loop does not have.
+    cents = _cents_norm(_centroid_vectors(embeddings), dim)
     exploded = None
     for r in range(rounds):
         assigned = _assign_to_cents(corpus, cents, dim)
         exploded = _cluster_means(assigned)
         if r < rounds - 1:
-            exploded = materialize_model(exploded)
             cents = _reassemble_cents(exploded, dim)
     out = exploded.orderBy("cluster", "pos")
     return attach_cached_deps(out, corpus)

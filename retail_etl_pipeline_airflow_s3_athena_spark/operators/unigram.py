@@ -60,7 +60,9 @@ from pyspark.sql import functions as F
 
 from retail_etl_pipeline_airflow_s3_athena_spark.functions.caching import (
     attach_cached_deps,
+    local_relation,
 )
+from retail_etl_pipeline_airflow_s3_athena_spark.functions.jobs import run_jobs
 from retail_etl_pipeline_airflow_s3_athena_spark.functions.detmath import (
     attach_det_log2_e20,
     log2_e20,
@@ -83,6 +85,14 @@ PIECE_MAX_LEN = 4
 MIN_PIECE_FREQ = 2
 EM_ROUNDS = 2
 VOCAB_SIZE = 48
+# Unique-word bound for the DRIVER EM loop (the learn_bpe dispatch
+# rationale: the model-sized iteration belongs on the driver; the
+# distributed loop serves corpora whose vocabulary exceeds it).  The
+# py Viterbi is O(words · len · PIECE_MAX_LEN) per round — ~ms at this
+# bound.  Env-overridable for A/B and forced-distributed tests.
+DRIVER_UNIGRAM_MAX_WORDS = int(
+    os.environ.get("SPARK_GRAFT_UNIGRAM_DRIVER_WORDS", 65536)
+)
 
 
 def _word_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -211,12 +221,70 @@ def learn_unigram(
 ) -> tuple[DataFrame, DataFrame]:
     """Run the hard-EM loop.  Returns ``(vocab, final_words)``:
     ``vocab`` = (piece, freq, cost_e20) for the pruned vocabulary,
-    ``final_words`` = the CHECKPOINTED (tok, freq, pieces) dictionary
-    under that vocabulary (caller owns its release, the learn_bpe
-    contract)."""
+    ``final_words`` = the (tok, freq, pieces) dictionary under that
+    vocabulary — driver LocalRelations when the vocabulary fit the
+    ``DRIVER_UNIGRAM_MAX_WORDS`` dispatch bound, otherwise
+    CHECKPOINTED distributed tables (caller owns the release either
+    way, the learn_bpe contract; ``release_checkpoint`` no-ops on the
+    local form)."""
     spark = docs.sparkSession
+    # Bounded-dispatch probe (one action): when the unique-word table
+    # fits the driver bound, the whole EM iteration runs in-process on
+    # the collected (tok, freq) rows — every per-round checkpoint job
+    # (~0.2 s fixed overhead each) collapses into Python over a
+    # dictionary-sized table (guide §5; the learn_bpe dispatch).  The
+    # in-process loop is the published algorithm (py_learn_unigram's
+    # core) whose output the oracle gate already proves IDENTICAL to
+    # the distributed loop; above the bound the distributed loop runs
+    # unchanged.
+    cached = _word_table(docs, text_col).persist()
+    probe = cached.limit(DRIVER_UNIGRAM_MAX_WORDS + 1).collect()
+    if len(probe) <= DRIVER_UNIGRAM_MAX_WORDS:
+        cached.unpersist()
+        freqs = {r["tok"]: int(r["freq"]) for r in probe}
+        # empty corpus: no words, no pieces (the distributed loop's
+        # empty tables flow through; the py scorer would divide by a
+        # zero total)
+        out_vocab, seg = (
+            _py_unigram_from_freqs(freqs, rounds, vocab_size)
+            if freqs
+            else ({}, {})
+        )
+        from pyspark.sql import types as T
+
+        vocab_schema = T.StructType(
+            [
+                T.StructField("piece", T.StringType(), False),
+                T.StructField("freq", T.LongType(), False),
+                T.StructField("cost_e20", T.LongType(), False),
+            ]
+        )
+        words_schema = T.StructType(
+            [
+                T.StructField("tok", T.StringType(), False),
+                T.StructField("freq", T.LongType(), False),
+                T.StructField(
+                    "pieces", T.ArrayType(T.StringType(), True), False
+                ),
+            ]
+        )
+        vocab_local = local_relation(
+            spark,
+            [
+                (p, int(f), int(c))
+                for p, (f, c) in sorted(out_vocab.items())
+            ],
+            vocab_schema,
+        )
+        words_local = local_relation(
+            spark,
+            [(w, int(freqs[w]), seg[w]) for w in sorted(freqs)],
+            words_schema,
+        )
+        return vocab_local, words_local
     log_df = log2_table_df(spark)
-    words = _word_table(docs, text_col).localCheckpoint()
+    words = cached.localCheckpoint()
+    cached.unpersist()
     sub_pairs = words.select(
         "tok", F.explode(F.expr(_SUBSTRINGS_EXPR)).alias("piece")
     ).distinct().localCheckpoint()
@@ -381,19 +449,23 @@ def write_unigram_model(
     ``vocab`` (emitted piece -> dense id).  Returns row counts."""
     spark = docs.sparkSession
     vocab, final_words = learn_unigram(docs, text_col, rounds, vocab_size)
-    vocab.select("piece", "cost_e20").write.mode("overwrite").parquet(
-        f"{path}/scores"
-    )
-    final_words.select("tok", "pieces").write.mode("overwrite").parquet(
-        f"{path}/words"
-    )
     idw = Window.orderBy(F.asc("piece"))
-    (
-        final_words.select(F.explode("pieces").alias("piece"))
-        .distinct()
-        .withColumn("piece_id", F.row_number().over(idw))
+    # three INDEPENDENT writes (all read the materialized model
+    # tables) — overlap their job latencies (§2.6)
+    run_jobs(
+        lambda: vocab.select("piece", "cost_e20")
         .write.mode("overwrite")
-        .parquet(f"{path}/vocab")
+        .parquet(f"{path}/scores"),
+        lambda: final_words.select("tok", "pieces")
+        .write.mode("overwrite")
+        .parquet(f"{path}/words"),
+        lambda: (
+            final_words.select(F.explode("pieces").alias("piece"))
+            .distinct()
+            .withColumn("piece_id", F.row_number().over(idw))
+            .write.mode("overwrite")
+            .parquet(f"{path}/vocab")
+        ),
     )
     release_checkpoint(final_words)
     release_checkpoint(vocab)
@@ -535,6 +607,20 @@ def py_learn_unigram(
         for w in re.split(r"\s+", (t or "").lower()):
             if w:
                 freqs[w] += 1
+    return _py_unigram_from_freqs(freqs, rounds, vocab_size)
+
+
+def _py_unigram_from_freqs(
+    freqs: dict[str, int],
+    rounds: int = EM_ROUNDS,
+    vocab_size: int = VOCAB_SIZE,
+) -> tuple[dict[str, tuple[int, int]], dict[str, list[str]]]:
+    """The hard-EM iteration over an already-aggregated unique-word
+    frequency table — shared by the oracle twin (which derives
+    ``freqs`` from raw texts) and ``learn_unigram``'s bounded driver
+    dispatch (which collects the distributed word table).  Same seed
+    threshold, same smoothing, same prune and tie-breaks as the
+    distributed loop — the oracle gate hash-proves the equivalence."""
     seed: Counter[str] = Counter()
     for w, f in freqs.items():
         for i in range(len(w)):

@@ -179,3 +179,25 @@ def test_persisted_model_segments_unseen_words(spark, tmp_path):
     inv = {v: k for k, v in vocab.items()}
     got_pieces = [inv[i] for i in rows[0]["token_ids"]]
     assert got_pieces == [p for _, p in expect_ids]
+
+
+def test_distributed_loop_matches_driver_dispatch(spark, monkeypatch):
+    # r13: learn_bpe dispatches to the in-process merge loop when the
+    # vocabulary fits DRIVER_BPE_MAX_WORDS.  Force the DISTRIBUTED
+    # path (bound 0) and assert merges AND final segmentation are
+    # identical to the driver path — the dispatch must be invisible.
+    texts = [
+        "low low low low low",
+        "lower lower newest newest newest newest newest newest",
+        "widest widest widest",
+        "low lower newest widest",
+    ]
+    merges_drv, words_drv = bpe.learn_bpe(_docs(spark, texts), n_merges=8)
+    seg_drv = {r["tok"]: r["syms"] for r in words_drv.collect()}
+    bpe.release_checkpoint(words_drv)
+    monkeypatch.setattr(bpe, "DRIVER_BPE_MAX_WORDS", 0)
+    merges_dist, words_dist = bpe.learn_bpe(_docs(spark, texts), n_merges=8)
+    seg_dist = {r["tok"]: r["syms"] for r in words_dist.collect()}
+    bpe.release_checkpoint(words_dist)
+    assert merges_dist == merges_drv
+    assert seg_dist == seg_drv

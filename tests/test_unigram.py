@@ -169,3 +169,37 @@ def test_drifted_word_segments_with_learned_pieces(spark):
     scores = {p: s for p, (_c, s) in vocab.items()}
     ps = ug._py_viterbi("catsmat", scores)
     assert "".join(ps) == "catsmat"
+
+
+def test_distributed_loop_matches_driver_dispatch(spark, monkeypatch):
+    # r13: learn_unigram dispatches to the in-process EM loop when the
+    # vocabulary fits DRIVER_UNIGRAM_MAX_WORDS.  Force the DISTRIBUTED
+    # path (bound 0) and assert vocab AND final segmentation are
+    # identical to the driver path — the dispatch must be invisible.
+    from retail_etl_pipeline_airflow_s3_athena_spark.operators import unigram
+
+    texts = [
+        "abab abab banana",
+        "ban ban banana abab",
+        "nana banana ban",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id LONG, text STRING"
+    )
+    vocab_drv, words_drv = unigram.learn_unigram(docs)
+    v_drv = {
+        r["piece"]: (r["freq"], r["cost_e20"]) for r in vocab_drv.collect()
+    }
+    s_drv = {r["tok"]: r["pieces"] for r in words_drv.collect()}
+    unigram.release_checkpoint(vocab_drv)
+    unigram.release_checkpoint(words_drv)
+    monkeypatch.setattr(unigram, "DRIVER_UNIGRAM_MAX_WORDS", 0)
+    vocab_dist, words_dist = unigram.learn_unigram(docs)
+    v_dist = {
+        r["piece"]: (r["freq"], r["cost_e20"]) for r in vocab_dist.collect()
+    }
+    s_dist = {r["tok"]: r["pieces"] for r in words_dist.collect()}
+    unigram.release_checkpoint(vocab_dist)
+    unigram.release_checkpoint(words_dist)
+    assert v_dist == v_drv
+    assert s_dist == s_drv
