@@ -179,20 +179,31 @@ def write_ann_index(
     # The three table writes are INDEPENDENT jobs (centroids/codebooks
     # project the already-materialized model; codes derives from the
     # persisted sub-corpus) — submit them together so the small jobs'
-    # fixed latencies overlap instead of summing (guide §2.6).
+    # fixed latencies overlap instead of summing (guide §2.6).  The
+    # manifest counts ride each write job as OBSERVED metrics (r13) —
+    # the write computes every row anyway, so counting there replaces
+    # the read-back receipt job (one full action at ~0.2-0.5 s fixed
+    # overhead per found/rebuild call) with zero extra work; observed
+    # counts equal the read-back by the all-or-nothing parquet commit.
+    from pyspark.sql import Observation
+
+    obs = {t: Observation(f"write_ann_{t}") for t in
+           ("centroids", "codebooks", "codes")}
+    n_rows = F.count(F.lit(1)).alias("n")
     run_jobs(
-        lambda: centroids.write.mode("overwrite").parquet(
-            f"{path}/centroids"
-        ),
-        lambda: codebooks.write.mode("overwrite").parquet(
-            f"{path}/codebooks"
-        ),
+        lambda: centroids.observe(obs["centroids"], n_rows)
+        .write.mode("overwrite")
+        .parquet(f"{path}/centroids"),
+        lambda: codebooks.observe(obs["codebooks"], n_rows)
+        .write.mode("overwrite")
+        .parquet(f"{path}/codebooks"),
         lambda: (
             # written in the COMPACTED layout (one sorted file per cell
             # — exactly what compact_ann_index produces): partition-
             # pruned serves read one file per probed cell, and a
             # maintenance rebuild needs no follow-up compaction rewrite
             codes.join(cells, "vec_id")
+            .observe(obs["codes"], n_rows)
             .repartition(F.col("cell"))
             .sortWithinPartitions("vec_id", "m")
             .write.mode("overwrite")
@@ -202,21 +213,7 @@ def write_ann_index(
     )
     if own_sub:
         sub.unpersist()
-    # Read-back receipt in ONE job (a union of three labelled counts)
-    # instead of three — at ~0.2 s of fixed per-action overhead each,
-    # the receipt was a measurable slice of every found/rebuild call.
-    counted = {
-        r["t"]: r["n"]
-        for r in (
-            _labelled_count(spark, "centroids", CENTROIDS_SCHEMA, path)
-            .unionByName(
-                _labelled_count(spark, "codebooks", CODEBOOKS_SCHEMA, path)
-            )
-            .unionByName(_labelled_count(spark, "codes", CODES_SCHEMA, path))
-            .collect()
-        )
-    }
-    return {t: counted.get(t, 0) for t in ("centroids", "codebooks", "codes")}
+    return {t: obs[t].get["n"] for t in ("centroids", "codebooks", "codes")}
 
 
 def _labelled_count(
@@ -267,19 +264,26 @@ def append_to_ann_index(
     cells = _cell_assign(
         new_embeddings, dim, coarse=_read_coarse(spark, path, dim)
     )
-    # persisted across the count + the write: the batch assignment
-    # (codebook join + centroid argmax) would otherwise run twice
-    appended = codes.join(cells, "vec_id").persist()
-    try:
-        n = appended.select("vec_id").distinct().count()
-        (
-            appended.write.mode("append")
-            .partitionBy("cell")
-            .parquet(f"{path}/codes")
-        )
-    finally:
-        appended.unpersist()
-    return n
+    # The appended-vector count rides the write job as an OBSERVED
+    # metric (r13): the r12 shape persisted the batch across a distinct
+    # count + the write (two actions); observing counts the very rows
+    # the write commits — a STRONGER pinning than the persist, with one
+    # action and no cache.  ``_assign`` emits exactly M_SUB rows per
+    # vec_id (groupBy (vec_id, m) over the M_SUB-way subvector
+    # explode), and ``cells`` is one row per vec_id, so distinct
+    # vectors = rows DIV M_SUB exactly.
+    from pyspark.sql import Observation
+
+    obs = Observation("ann_append_receipt")
+    appended = codes.join(cells, "vec_id").observe(
+        obs, F.count(F.lit(1)).alias("n_rows")
+    )
+    (
+        appended.write.mode("append")
+        .partitionBy("cell")
+        .parquet(f"{path}/codes")
+    )
+    return int(obs.get["n_rows"]) // M_SUB
 
 
 def delete_from_ann_index(vec_ids: DataFrame, path: str) -> int:
@@ -290,17 +294,20 @@ def delete_from_ann_index(vec_ids: DataFrame, path: str) -> int:
     the codes rewrite (physical removal) and clears the table.
     Between compactions the tombstone set is bounded by delete
     traffic — the same contract as the gold store's partial batches.
-    Returns the number of ids tombstoned; the id set is PINNED
-    (persist) between the count and the write so a non-deterministic
-    input cannot report a count that differs from the rows actually
-    tombstoned (ADVICE r11)."""
-    ids = vec_ids.select(F.col("vec_id").cast("long")).distinct().persist()
-    try:
-        n = ids.count()
-        ids.write.mode("append").parquet(f"{path}/tombstones")
-    finally:
-        ids.unpersist()
-    return n
+    Returns the number of ids tombstoned, counted as an OBSERVED
+    metric on the write itself (r13) — the count is over the very rows
+    the write commits, a stronger pinning than the r12 persist across
+    count+write (ADVICE r11), with one action instead of two."""
+    from pyspark.sql import Observation
+
+    obs = Observation("ann_delete_receipt")
+    ids = (
+        vec_ids.select(F.col("vec_id").cast("long"))
+        .distinct()
+        .observe(obs, F.count(F.lit(1)).alias("n"))
+    )
+    ids.write.mode("append").parquet(f"{path}/tombstones")
+    return int(obs.get["n"])
 
 
 def _tombstone_files(spark: SparkSession, path: str) -> list[str]:
@@ -501,6 +508,8 @@ def compact_ann_index(spark: SparkSession, path: str) -> dict:
         swap_dir,
     )
 
+    from pyspark.sql import Observation
+
     files_before = _codes_data_files(spark, path)
     codes = spark.read.schema(CODES_SCHEMA).parquet(f"{path}/codes")
     tomb_files = _tombstone_files(spark, path)
@@ -508,35 +517,40 @@ def compact_ann_index(spark: SparkSession, path: str) -> dict:
         tomb = spark.read.schema(TOMBSTONES_SCHEMA).parquet(*tomb_files)
         codes = codes.join(F.broadcast(tomb), "vec_id", "left_anti")
     tmp = f"{path}/codes__compacting"
+    # the rewritten-codes count rides the rewrite job as an OBSERVED
+    # metric (r13; equals the r12 read-back by the all-or-nothing
+    # parquet commit + atomic swap) — the separate receipt job remains
+    # only for the folded-delete count, and only when deletes exist
+    obs = Observation("ann_compact_receipt")
     (
-        codes.repartition(F.col("cell"))
+        codes.observe(obs, F.count(F.lit(1)).alias("n"))
+        .repartition(F.col("cell"))
         .sortWithinPartitions("vec_id", "m")
         .write.mode("overwrite")
         .partitionBy("cell")
         .parquet(tmp)
     )
     swap_dir(spark, f"{path}/codes", tmp, "compact_ann_index")
-    # ONE receipt job: the rewritten codes count and the folded-delete
-    # count union into a single action (the tombstone snapshot files
-    # still exist here — they are deleted only after the receipt).
-    receipt = _labelled_count(spark, "codes", CODES_SCHEMA, path)
+    n_codes = int(obs.get["n"])
+    deletes_folded = 0
     if tomb_files:
-        receipt = receipt.unionByName(
+        # tombstone snapshot files still exist here — they are deleted
+        # only after this count lands
+        deletes_folded = (
             spark.read.schema(TOMBSTONES_SCHEMA)
             .parquet(*tomb_files)
-            .groupBy(F.lit("tombs").alias("t"))
-            .agg(F.count_distinct("vec_id").alias("n"))
+            .select("vec_id")
+            .distinct()
+            .count()
         )
-    counted = {r["t"]: r["n"] for r in receipt.collect()}
-    if tomb_files:
         jvm, fs = hadoop_fs(spark, path)
         for tf in tomb_files:
             fs.delete(jvm.org.apache.hadoop.fs.Path(tf), False)
     return {
         "files_before": files_before,
         "files_after": _codes_data_files(spark, path),
-        "codes": counted.get("codes", 0),
-        "deletes_folded": counted.get("tombs", 0),
+        "codes": n_codes,
+        "deletes_folded": deletes_folded,
     }
 
 
