@@ -48,6 +48,7 @@ from pyspark.sql import functions as F
 from retail_etl_pipeline_airflow_s3_athena_spark.functions.caching import (
     attach_cached_deps,
 )
+from retail_etl_pipeline_airflow_s3_athena_spark.functions.jobs import run_jobs
 from retail_etl_pipeline_airflow_s3_athena_spark.operators.dedup import (
     MAX_SHINGLE_DF,
     NUM_BANDS,
@@ -81,27 +82,17 @@ def _band_rows(sig: DataFrame) -> DataFrame:
     ).select("doc_id", "b.band", "b.bh")
 
 
-def _union_counts(spark: SparkSession, tables: list[str]) -> DataFrame:
-    """(t, n) labelled counts of catalog tables, unioned so a manifest
-    reads back in ONE action.  groupBy over a literal yields no row
-    for an empty table — callers default missing keys to 0."""
-    out = None
-    for t in tables:
-        c = (
-            spark.table(t)
-            .groupBy(F.lit(t).alias("t"))
-            .agg(F.count(F.lit(1)).alias("n"))
-        )
-        out = c if out is None else out.unionByName(c)
-    return out
-
-
 def _write_bucketed(
     df: DataFrame, name: str, keys: list[str] | None, buckets: int
-) -> None:
+) -> int:
     """saveAsTable, bucketed+sorted by ``keys`` when given (clearing
     any orphaned managed location first — the
-    catalog.write_bucketed_table discipline, multi-key variant)."""
+    catalog.write_bucketed_table discipline, multi-key variant).
+    Returns the written row count, OBSERVED on the write job itself
+    (r13) — equal to a read-back by the all-or-nothing table commit,
+    with zero extra actions."""
+    from pyspark.sql import Observation
+
     spark = df.sparkSession
     spark.sql(f"DROP TABLE IF EXISTS {name}")
     warehouse = spark.conf.get("spark.sql.warehouse.dir")
@@ -109,6 +100,8 @@ def _write_bucketed(
     jpath = jvm.org.apache.hadoop.fs.Path(f"{warehouse}/{name}")
     fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
     fs.delete(jpath, True)
+    obs = Observation(f"write_{name}")
+    df = df.observe(obs, F.count(F.lit(1)).alias("n"))
     if keys:
         # Align write tasks to the bucket layout: without this every
         # input partition writes its own file per bucket it touches
@@ -122,6 +115,7 @@ def _write_bucketed(
     if keys:
         w = w.bucketBy(buckets, *keys).sortBy(*keys)
     w.saveAsTable(name)
+    return int(obs.get["n"])
 
 
 def write_fingerprint_store(
@@ -133,42 +127,45 @@ def write_fingerprint_store(
 ) -> dict:
     """One corpus pass -> four bucketed catalog tables.  Returns the
     manifest (row counts) — the offline job's receipt."""
-    spark = docs.sparkSession
     flat = _flat_shingles(docs, text_col).persist()
+    # materialize the shared shingle cache ONCE before the concurrent
+    # writes below (two jobs racing an unmaterialized persist would
+    # each compute it); the count doubles as the shingles manifest row
+    n_shingles = flat.count()
     sig = _signatures_from(flat)
-    _write_bucketed(
-        _band_rows(sig), f"{store}_bands", ["band", "bh"], buckets
-    )
     stop = (
         flat.groupBy("s")
         .agg(F.count(F.lit(1)).alias("df"))
         .filter(F.col("df") > (max_df if max_df is not None else 2**62))
         .select("s")
     )
-    # _stop is tiny; plain table (no bucketing needed)
-    _write_bucketed(stop, f"{store}_stop", None, buckets)
-    # shingles stored UNCAPPED: the stop set is applied at read time
-    # (a broadcast anti-join — no extra shuffle), which is what makes
-    # `compact_fingerprint_store` possible: a cap baked into the
-    # stored rows would destroy the information a later recompute
-    # needs.  Sizes ARE capped (they're derived serving state, cheap
-    # to rewrite at compaction).
-    _write_bucketed(flat, f"{store}_shingles", ["doc_id"], buckets)
     capped = _cap_frequent_shingles(flat, max_df)
     sizes = capped.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    _write_bucketed(sizes, f"{store}_sizes", ["doc_id"], buckets)
+    # Four INDEPENDENT writes over the materialized shingle cache —
+    # submitted together so the three cheap ones overlap the minhash
+    # band job (guide §2.6); each write OBSERVES its own row count
+    # (the r12 read-back receipt job is subsumed, values identical).
+    # shingles are stored UNCAPPED: the stop set is applied at read
+    # time (a broadcast anti-join — no extra shuffle), which is what
+    # makes `compact_fingerprint_store` possible.  Sizes ARE capped
+    # (derived serving state, cheap to rewrite at compaction).
+    n_bands, n_stop, _, n_sizes = run_jobs(
+        lambda: _write_bucketed(
+            _band_rows(sig), f"{store}_bands", ["band", "bh"], buckets
+        ),
+        # stop is tiny; plain table (no bucketing needed)
+        lambda: _write_bucketed(stop, f"{store}_stop", None, buckets),
+        lambda: _write_bucketed(
+            flat, f"{store}_shingles", ["doc_id"], buckets
+        ),
+        lambda: _write_bucketed(sizes, f"{store}_sizes", ["doc_id"], buckets),
+    )
     flat.unpersist()
-    # read-back receipt in ONE job (union of labelled counts) instead
-    # of four — fixed per-action overhead dominates tiny counts
-    counted = {
-        r["t"]: r["n"]
-        for r in _union_counts(
-            spark, [f"{store}_{t}" for t in ("bands", "shingles", "sizes", "stop")]
-        ).collect()
-    }
     return {
-        t: counted.get(f"{store}_{t}", 0)
-        for t in ("bands", "shingles", "sizes", "stop")
+        "bands": n_bands,
+        "shingles": n_shingles,
+        "sizes": n_sizes,
+        "stop": n_stop,
     }
 
 
@@ -188,61 +185,58 @@ def append_to_fingerprint_store(
     per-batch path): batch shingles are capped against the FOUNDING
     corpus's stop set, keeping every batch's scores reproducible no
     matter when it arrived.  Returns appended row counts."""
+    from pyspark.sql import Observation
+
     spark = new_docs.sparkSession
     flat = _flat_shingles(new_docs, text_col).persist()
-    # persisted across the count + the bucketed write below: the
-    # band-row derivation (minhash signatures over the batch) would
-    # otherwise run twice per append
-    bands = _band_rows(_signatures_from(flat)).persist()
+    # materialize the shared batch-shingle cache ONCE before the
+    # concurrent writes (the count doubles as the shingles manifest
+    # row; r12 ran a separate 3-way receipt job for the same numbers)
+    n_shingles = flat.count()
+    bands = _band_rows(_signatures_from(flat))
     stop = spark.table(f"{store}_stop")
     capped = flat.join(F.broadcast(stop), "s", "left_anti")
     sizes = capped.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    # ONE receipt job for all three appended counts (also materializes
-    # the bands/flat caches the writes below reuse) — three separate
-    # .count() actions paid 3x the fixed per-action overhead
-    def _lc(df: DataFrame, t: str) -> DataFrame:
-        return df.groupBy(F.lit(t).alias("t")).agg(
-            F.count(F.lit(1)).alias("n")
-        )
-
-    counted = {
-        r["t"]: r["n"]
-        for r in _lc(bands, "bands")
-        .unionByName(_lc(flat, "shingles"))
-        .unionByName(_lc(sizes, "sizes"))
-        .collect()
-    }
     # appends align to the bucket layout too (see _write_bucketed):
     # one file per bucket per append instead of one per input
-    # partition per bucket
-    (
-        bands.repartition(STORE_BUCKETS, "band", "bh")
-        .write.bucketBy(STORE_BUCKETS, "band", "bh")
-        .sortBy("band", "bh")
-        .format("parquet")
-        .mode("append")
-        .saveAsTable(f"{store}_bands")
+    # partition per bucket; the three appends are INDEPENDENT jobs
+    # over the materialized cache — submitted together (§2.6), each
+    # observing its own appended count on the write itself
+    obs_b = Observation("append_bands")
+    obs_z = Observation("append_sizes")
+    run_jobs(
+        lambda: (
+            bands.observe(obs_b, F.count(F.lit(1)).alias("n"))
+            .repartition(STORE_BUCKETS, "band", "bh")
+            .write.bucketBy(STORE_BUCKETS, "band", "bh")
+            .sortBy("band", "bh")
+            .format("parquet")
+            .mode("append")
+            .saveAsTable(f"{store}_bands")
+        ),
+        lambda: (
+            flat.repartition(STORE_BUCKETS, "doc_id")
+            .write.bucketBy(STORE_BUCKETS, "doc_id")
+            .sortBy("doc_id")
+            .format("parquet")
+            .mode("append")
+            .saveAsTable(f"{store}_shingles")
+        ),
+        lambda: (
+            sizes.observe(obs_z, F.count(F.lit(1)).alias("n"))
+            .repartition(STORE_BUCKETS, "doc_id")
+            .write.bucketBy(STORE_BUCKETS, "doc_id")
+            .sortBy("doc_id")
+            .format("parquet")
+            .mode("append")
+            .saveAsTable(f"{store}_sizes")
+        ),
     )
-    (
-        flat.repartition(STORE_BUCKETS, "doc_id")
-        .write.bucketBy(STORE_BUCKETS, "doc_id")
-        .sortBy("doc_id")
-        .format("parquet")
-        .mode("append")
-        .saveAsTable(f"{store}_shingles")
-    )
-    (
-        sizes.repartition(STORE_BUCKETS, "doc_id")
-        .write.bucketBy(STORE_BUCKETS, "doc_id")
-        .sortBy("doc_id")
-        .format("parquet")
-        .mode("append")
-        .saveAsTable(f"{store}_sizes")
-    )
-    bands.unpersist()
     flat.unpersist()
     return {
-        t: counted.get(t, 0) for t in ("bands", "shingles", "sizes")
+        "bands": int(obs_b.get["n"]),
+        "shingles": n_shingles,
+        "sizes": int(obs_z.get["n"]),
     }
 
 
@@ -268,22 +262,16 @@ def compact_fingerprint_store(
         .filter(F.col("df") > (max_df if max_df is not None else 2**62))
         .select("s")
     )
-    _write_bucketed(stop, f"{store}_stop", None, buckets)
+    # the sizes rewrite reads the stop TABLE back (not the plan), so
+    # the two writes are inherently sequential; both counts ride their
+    # write jobs as observed metrics (the r12 receipt job subsumed)
+    n_stop = _write_bucketed(stop, f"{store}_stop", None, buckets)
     capped = flat.join(
         F.broadcast(spark.table(f"{store}_stop")), "s", "left_anti"
     )
     sizes = capped.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    _write_bucketed(sizes, f"{store}_sizes", ["doc_id"], buckets)
-    counted = {
-        r["t"]: r["n"]
-        for r in _union_counts(
-            spark, [f"{store}_stop", f"{store}_sizes"]
-        ).collect()
-    }
-    return {
-        "stop": counted.get(f"{store}_stop", 0),
-        "sizes": counted.get(f"{store}_sizes", 0),
-    }
+    n_sizes = _write_bucketed(sizes, f"{store}_sizes", ["doc_id"], buckets)
+    return {"stop": n_stop, "sizes": n_sizes}
 
 
 def stored_near_dups(
