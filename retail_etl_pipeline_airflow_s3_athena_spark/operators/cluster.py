@@ -131,17 +131,19 @@ def connected_components(
         .distinct()
         .persist()
     )
-    n_edges = base.count()
     spark = base.sparkSession
-    if n_edges <= max_driver_edges:
-        labeled = _driver_components(
-            [(r["src"], r["dst"]) for r in base.collect()]
-        )
+    # bounded-dispatch probe in ONE action (the learn_bpe pattern): a
+    # limit(N+1) collect both sizes the graph and, on the driver path,
+    # IS the edge list — the r12 shape paid a count THEN a collect
+    probe = base.limit(max_driver_edges + 1).collect()
+    if len(probe) <= max_driver_edges:
+        labeled = _driver_components([(r["src"], r["dst"]) for r in probe])
         base.unpersist()
         out = spark.createDataFrame(
             labeled, "doc_id bigint, cluster_id bigint"
         ).persist()
         return attach_cached_deps(out, out)
+    n_edges = base.count()
     sc = spark.sparkContext
     p = int(max(1, min(sc.defaultParallelism, n_edges // 100_000 + 1)))
     und = base.repartition(p, "dst").persist()
@@ -439,11 +441,16 @@ def pagerank_near_dups(
     # materialize it first or the whole near-dup pipeline re-runs per
     # site (measured 12s vs ~4s at sf0.1).
     pairs = near_dup_pairs(docs, text_col, threshold).persist()
-    n_pairs = pairs.count()
     spark = pairs.sparkSession
-    if n_pairs <= max_driver_edges:
+    # bounded-dispatch probe in ONE action (the learn_bpe pattern): the
+    # limit(N+1) collect both sizes the pair table and, on the driver
+    # path, IS the edge list — r12 paid a count THEN a collect
+    probe = pairs.select("doc_a", "doc_b").limit(
+        max_driver_edges + 1
+    ).collect()
+    if len(probe) <= max_driver_edges:
         ranked = _driver_pagerank(
-            [(r["doc_a"], r["doc_b"]) for r in pairs.collect()], iters
+            [(r["doc_a"], r["doc_b"]) for r in probe], iters
         )
         release_cached(pairs)
         pairs.unpersist()
