@@ -642,44 +642,37 @@ def write_bpe_model(
     ranked merge list — what a tokenizer release ships), ``words``
     (the segmented unique-word dictionary — the encode fast path),
     ``vocab`` (piece -> dense id).  Returns row counts."""
+    from pyspark.sql import Observation
+
     spark = docs.sparkSession
     merges, words = learn_bpe(docs, n_merges, text_col, min_pair_freq)
     # three INDEPENDENT writes (all read the materialized word table /
-    # driver-local merge list) — overlap their job latencies (§2.6)
+    # driver-local merge list) — overlap their job latencies (§2.6);
+    # the words/vocab manifest counts ride the write jobs as OBSERVED
+    # metrics (equal to the r12 read-back receipt by the all-or-nothing
+    # parquet commit, zero extra actions)
+    obs_w = Observation("bpe_words_receipt")
+    obs_v = Observation("bpe_vocab_receipt")
+    n_count = F.count(F.lit(1)).alias("n")
     run_jobs(
         lambda: spark.createDataFrame(
             [(i, l, r, f) for i, (l, r, f) in enumerate(merges)],
             MERGES_SCHEMA,
         ).write.mode("overwrite").parquet(f"{path}/merges"),
-        lambda: bpe_vocab(words).write.mode("overwrite").parquet(
-            f"{path}/vocab"
-        ),
-        lambda: words.select("tok", "syms").write.mode("overwrite").parquet(
-            f"{path}/words"
-        ),
+        lambda: bpe_vocab(words)
+        .observe(obs_v, n_count)
+        .write.mode("overwrite")
+        .parquet(f"{path}/vocab"),
+        lambda: words.select("tok", "syms")
+        .observe(obs_w, n_count)
+        .write.mode("overwrite")
+        .parquet(f"{path}/words"),
     )
     release_checkpoint(words)
-    # read-back receipt in ONE job (labelled union) instead of two
-    counted = {
-        r["t"]: r["n"]
-        for r in (
-            spark.read.schema(WORDS_SCHEMA)
-            .parquet(f"{path}/words")
-            .groupBy(F.lit("words").alias("t"))
-            .agg(F.count(F.lit(1)).alias("n"))
-            .unionByName(
-                spark.read.schema(VOCAB_SCHEMA)
-                .parquet(f"{path}/vocab")
-                .groupBy(F.lit("vocab").alias("t"))
-                .agg(F.count(F.lit(1)).alias("n"))
-            )
-            .collect()
-        )
-    }
     return {
         "merges": len(merges),
-        "words": counted.get("words", 0),
-        "vocab": counted.get("vocab", 0),
+        "words": int(obs_w.get["n"]),
+        "vocab": int(obs_v.get["n"]),
     }
 
 

@@ -448,43 +448,38 @@ def write_unigram_model(
     (the segmented unique-word dictionary — the encode fast path),
     ``vocab`` (emitted piece -> dense id).  Returns row counts."""
     spark = docs.sparkSession
+    from pyspark.sql import Observation
+
     vocab, final_words = learn_unigram(docs, text_col, rounds, vocab_size)
     idw = Window.orderBy(F.asc("piece"))
     # three INDEPENDENT writes (all read the materialized model
-    # tables) — overlap their job latencies (§2.6)
+    # tables) — overlap their job latencies (§2.6); the manifest
+    # counts ride the write jobs as OBSERVED metrics (equal to the r12
+    # read-back receipt by the all-or-nothing parquet commit)
+    obs = {t: Observation(f"unigram_{t}_receipt")
+           for t in ("scores", "words", "vocab")}
+    n_count = F.count(F.lit(1)).alias("n")
     run_jobs(
         lambda: vocab.select("piece", "cost_e20")
+        .observe(obs["scores"], n_count)
         .write.mode("overwrite")
         .parquet(f"{path}/scores"),
         lambda: final_words.select("tok", "pieces")
+        .observe(obs["words"], n_count)
         .write.mode("overwrite")
         .parquet(f"{path}/words"),
         lambda: (
             final_words.select(F.explode("pieces").alias("piece"))
             .distinct()
             .withColumn("piece_id", F.row_number().over(idw))
+            .observe(obs["vocab"], n_count)
             .write.mode("overwrite")
             .parquet(f"{path}/vocab")
         ),
     )
     release_checkpoint(final_words)
     release_checkpoint(vocab)
-    # read-back receipt in ONE job (labelled union) instead of three
-    receipt = None
-    for t, s in [
-        ("scores", UNIGRAM_SCORES_SCHEMA),
-        ("words", UNIGRAM_WORDS_SCHEMA),
-        ("vocab", UNIGRAM_VOCAB_SCHEMA),
-    ]:
-        c = (
-            spark.read.schema(s)
-            .parquet(f"{path}/{t}")
-            .groupBy(F.lit(t).alias("t"))
-            .agg(F.count(F.lit(1)).alias("n"))
-        )
-        receipt = c if receipt is None else receipt.unionByName(c)
-    counted = {r["t"]: r["n"] for r in receipt.collect()}
-    return {t: counted.get(t, 0) for t in ("scores", "words", "vocab")}
+    return {t: int(obs[t].get["n"]) for t in ("scores", "words", "vocab")}
 
 
 def encode_with_unigram_model(
