@@ -19,6 +19,20 @@ from collections.abc import Callable
 from concurrent.futures import ThreadPoolExecutor
 
 
+def observed_count(obs, key: str = "n") -> int:
+    """The observed row count of a finished action, tolerating the
+    ZERO-TASK case: a job over an empty 0-partition source (e.g. a
+    ``limit(0)`` parquet staging table) runs no tasks, so its
+    observation never fires and the JVM-side metrics row is invalid —
+    which can only mean no row passed the observed node.  Any real
+    failure of the action raised from the action call itself, before
+    this accessor runs."""
+    try:
+        return int(obs.get[key])
+    except Exception:  # noqa: BLE001 — invalid row == task-less job
+        return 0
+
+
 def run_jobs(*thunks: Callable[[], object]) -> list[object]:
     """Run the given zero-arg actions concurrently; return their
     results in argument order.  Exceptions propagate (the first one

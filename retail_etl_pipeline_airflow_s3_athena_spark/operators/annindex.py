@@ -47,7 +47,10 @@ from retail_etl_pipeline_airflow_s3_athena_spark.functions.caching import (
     local_relation,
     materialize_model,
 )
-from retail_etl_pipeline_airflow_s3_athena_spark.functions.jobs import run_jobs
+from retail_etl_pipeline_airflow_s3_athena_spark.functions.jobs import (
+    observed_count,
+    run_jobs,
+)
 from retail_etl_pipeline_airflow_s3_athena_spark.functions.money import (
     cents,
     sql_cents,
@@ -213,7 +216,10 @@ def write_ann_index(
     )
     if own_sub:
         sub.unpersist()
-    return {t: obs[t].get["n"] for t in ("centroids", "codebooks", "codes")}
+    return {
+        t: observed_count(obs[t])
+        for t in ("centroids", "codebooks", "codes")
+    }
 
 
 def _labelled_count(
@@ -283,7 +289,7 @@ def append_to_ann_index(
         .partitionBy("cell")
         .parquet(f"{path}/codes")
     )
-    return int(obs.get["n_rows"]) // M_SUB
+    return observed_count(obs, "n_rows") // M_SUB
 
 
 def delete_from_ann_index(vec_ids: DataFrame, path: str) -> int:
@@ -307,7 +313,7 @@ def delete_from_ann_index(vec_ids: DataFrame, path: str) -> int:
         .observe(obs, F.count(F.lit(1)).alias("n"))
     )
     ids.write.mode("append").parquet(f"{path}/tombstones")
-    return int(obs.get["n"])
+    return observed_count(obs)
 
 
 def _tombstone_files(spark: SparkSession, path: str) -> list[str]:
@@ -531,7 +537,7 @@ def compact_ann_index(spark: SparkSession, path: str) -> dict:
         .parquet(tmp)
     )
     swap_dir(spark, f"{path}/codes", tmp, "compact_ann_index")
-    n_codes = int(obs.get["n"])
+    n_codes = observed_count(obs)
     deletes_folded = 0
     if tomb_files:
         # tombstone snapshot files still exist here — they are deleted

@@ -64,7 +64,10 @@ from retail_etl_pipeline_airflow_s3_athena_spark.functions.caching import (
     attach_cached_deps,
     local_relation,
 )
-from retail_etl_pipeline_airflow_s3_athena_spark.functions.jobs import run_jobs
+from retail_etl_pipeline_airflow_s3_athena_spark.functions.jobs import (
+    observed_count,
+    run_jobs,
+)
 from retail_etl_pipeline_airflow_s3_athena_spark.operators.text import _sql_tokens, tokens
 
 
@@ -671,8 +674,8 @@ def write_bpe_model(
     release_checkpoint(words)
     return {
         "merges": len(merges),
-        "words": int(obs_w.get["n"]),
-        "vocab": int(obs_v.get["n"]),
+        "words": observed_count(obs_w),
+        "vocab": observed_count(obs_v),
     }
 
 

@@ -48,7 +48,10 @@ from pyspark.sql import functions as F
 from retail_etl_pipeline_airflow_s3_athena_spark.functions.caching import (
     attach_cached_deps,
 )
-from retail_etl_pipeline_airflow_s3_athena_spark.functions.jobs import run_jobs
+from retail_etl_pipeline_airflow_s3_athena_spark.functions.jobs import (
+    observed_count,
+    run_jobs,
+)
 from retail_etl_pipeline_airflow_s3_athena_spark.operators.dedup import (
     MAX_SHINGLE_DF,
     NUM_BANDS,
@@ -115,7 +118,7 @@ def _write_bucketed(
     if keys:
         w = w.bucketBy(buckets, *keys).sortBy(*keys)
     w.saveAsTable(name)
-    return int(obs.get["n"])
+    return observed_count(obs)
 
 
 def write_fingerprint_store(
@@ -234,9 +237,9 @@ def append_to_fingerprint_store(
     )
     flat.unpersist()
     return {
-        "bands": int(obs_b.get["n"]),
+        "bands": observed_count(obs_b),
         "shingles": n_shingles,
-        "sizes": int(obs_z.get["n"]),
+        "sizes": observed_count(obs_z),
     }
 
 

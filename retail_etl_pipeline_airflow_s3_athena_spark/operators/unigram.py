@@ -62,7 +62,10 @@ from retail_etl_pipeline_airflow_s3_athena_spark.functions.caching import (
     attach_cached_deps,
     local_relation,
 )
-from retail_etl_pipeline_airflow_s3_athena_spark.functions.jobs import run_jobs
+from retail_etl_pipeline_airflow_s3_athena_spark.functions.jobs import (
+    observed_count,
+    run_jobs,
+)
 from retail_etl_pipeline_airflow_s3_athena_spark.functions.detmath import (
     attach_det_log2_e20,
     log2_e20,
@@ -479,7 +482,7 @@ def write_unigram_model(
     )
     release_checkpoint(final_words)
     release_checkpoint(vocab)
-    return {t: int(obs[t].get["n"]) for t in ("scores", "words", "vocab")}
+    return {t: observed_count(obs[t]) for t in ("scores", "words", "vocab")}
 
 
 def encode_with_unigram_model(

@@ -14,7 +14,14 @@ SF_DIR_MED = "/root/testdata/sf0.01"
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark("tests", shuffle_partitions=8)
+    # local[8], not the bench's local[32]: the suite runs KB-scale
+    # fixtures where per-stage scheduling overhead dominates — the
+    # r12 driver's own scaling block measured 8 cores ≥ 32 cores on
+    # every lifecycle query at small scale, and the suite wall-clock
+    # is what gates the driver's pytest window (r12: truncated).
+    # Bench/production sessions are unaffected (session.py reads
+    # SPARK_GRAFT_CPUS).
+    s = get_spark("tests", master="local[8]", shuffle_partitions=8)
     yield s
 
 
