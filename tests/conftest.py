@@ -28,3 +28,31 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir():
     return SF_DIR
+
+
+# The 7 analytics entries register shared temp views and keep
+# module-global gold cache state (plans/analytics._GOLD_STATE) — NOT
+# safe to run concurrently with each other or themselves.  Every other
+# queries() entry uses per-call tempdirs / per-query table names.
+ANALYTICS_VIEW_QUERIES = {
+    "daily_revenue", "daily_revenue_running", "daily_revenue_ma7",
+    "segment_sales_rollup", "top_performing_customers",
+    "product_analysis", "revenue_by_category",
+}
+
+
+def run_query_sweep(items, worker, max_workers: int = 4):
+    """Run ``worker(name, fn)`` over (name, fn) pairs — the
+    view-registering analytics entries sequentially, everything else
+    on a small thread pool (Spark's scheduler interleaves the jobs;
+    guide §2.6).  The whole-registry sweeps were the suite's
+    wall-clock: 4 concurrent tiny queries cut their driver-bound
+    latency ~2-3x without changing what any sweep asserts."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    seq = [(n, f) for n, f in items if n in ANALYTICS_VIEW_QUERIES]
+    par = [(n, f) for n, f in items if n not in ANALYTICS_VIEW_QUERIES]
+    with ThreadPoolExecutor(max_workers=max_workers) as pool:
+        list(pool.map(lambda nf: worker(*nf), par))
+    for n, f in seq:
+        worker(n, f)

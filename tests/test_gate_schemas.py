@@ -50,14 +50,19 @@ ALLOWED = (
 def test_all_gate_outputs_are_atomic(spark, sf_dir):
     queries = entrymod.queries()
     offenders: list[str] = []
-    for name in sorted(queries):
-        df = queries[name](spark, sf_dir)
+
+    def check(name, fn):
+        df = fn(spark, sf_dir)
         for field in df.schema.fields:
             if not isinstance(field.dataType, ALLOWED):
                 offenders.append(
                     f"{name}.{field.name}: {field.dataType.simpleString()}"
                 )
         release_cached(df)
+
+    from tests.conftest import run_query_sweep
+
+    run_query_sweep(sorted(queries.items()), check)
     assert not offenders, (
         "queries() outputs must be canonical atomics — no array/map/"
         "struct (r7 verdict: unhashable) and no decimal/float (r9 "

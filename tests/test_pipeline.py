@@ -500,14 +500,19 @@ def test_all_queries_tolerate_empty_input(spark, tmp_path_factory):
             "overwrite"
         ).parquet(f"{d}/{t}.parquet")
     failures = []
-    for name, fn in entry.queries().items():
+
+    def check(name, fn):
         try:
             df = fn(spark, d)
             df.collect()
             release_cached(df)
         except Exception as ex:  # noqa: BLE001 - collecting all failures
             failures.append(f"{name}: {str(ex).splitlines()[0][:90]}")
-        spark.catalog.clearCache()
+
+    from tests.conftest import run_query_sweep
+
+    run_query_sweep(entry.queries().items(), check)
+    spark.catalog.clearCache()
     assert not failures, failures
 
 
@@ -551,14 +556,19 @@ def test_all_queries_tolerate_null_rows(spark, tmp_path_factory):
             )
         df.write.mode("overwrite").parquet(f"{d}/{t}.parquet")
     failures = []
-    for name, fn in entry.queries().items():
+
+    def check(name, fn):
         try:
             df = fn(spark, d)
             df.collect()
             release_cached(df)
         except Exception as ex:  # noqa: BLE001
             failures.append(f"{name}: {str(ex).splitlines()[0][:90]}")
-        spark.catalog.clearCache()
+
+    from tests.conftest import run_query_sweep
+
+    run_query_sweep(entry.queries().items(), check)
+    spark.catalog.clearCache()
     assert not failures, failures
 
 

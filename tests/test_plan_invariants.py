@@ -153,15 +153,19 @@ EXECUTED = {"shipping_priority", "daily_sales_summary", "top_customers"}
 @pytest.fixture(scope="module")
 def audits(spark, sf_dir):
     import __spark_entry__ as entry
+    from tests.conftest import run_query_sweep
 
     qs = entry.queries()
     out = {}
-    for name in AUDIT:
-        df = qs[name](spark, sf_dir)
+
+    def build(name, fn):
+        df = fn(spark, sf_dir)
         if name in EXECUTED:
             df.collect()
         out[name] = audit_one(name, df)
         release_cached(df)
+
+    run_query_sweep([(n, qs[n]) for n in AUDIT], build)
     return out
 
 
