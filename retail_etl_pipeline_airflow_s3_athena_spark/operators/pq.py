@@ -960,14 +960,17 @@ def ivf_pq_residual_topk(
     # K-row bounded table, materialized as a local relation: the five
     # downstream references (cells, residual corpus, probe scoring,
     # residual ADC table) share one evaluation and the plan stops
-    # reprinting the centroid-aggregation subtree.
-    coarse = materialize_model(
-        _centroid_vectors(embeddings).select(
-            "label", "cv",
-            F.sqrt(dot(F.col("cv"), F.col("cv"), dim)).alias("cnrm"),
-        )
+    # reprinting the centroid-aggregation subtree.  The collect that
+    # builds the relation also yields K — the r12 shape paid a
+    # separate count action for it.
+    spark = embeddings.sparkSession
+    coarse_plan = _centroid_vectors(embeddings).select(
+        "label", "cv",
+        F.sqrt(dot(F.col("cv"), F.col("cv"), dim)).alias("cnrm"),
     )
-    n_codes = coarse.count()
+    coarse_rows = coarse_plan.collect()
+    coarse = local_relation(spark, coarse_rows, coarse_plan.schema)
+    n_codes = len(coarse_rows)
     # persisted: cells feeds BOTH the residual corpus and candidate
     # generation — unpersisted, the corpus x K scoring scan would
     # execute twice (a second full corpus pass at 100 TB)
@@ -1019,7 +1022,6 @@ def ivf_pq_residual_topk(
     # job whose result is re-emitted locally — the `_train` discipline
     # applied to the residual frame, so the codes assignment and the
     # ADC distance table below stop re-evaluating the training chain.
-    spark = embeddings.sparkSession
     books = materialize_model(
         rsub.filter(F.col("vec_id") < n_codes)
         .select("m", F.col("vec_id").cast("int").alias("code"),
