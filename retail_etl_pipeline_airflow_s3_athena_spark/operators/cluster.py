@@ -132,18 +132,22 @@ def connected_components(
         .persist()
     )
     spark = base.sparkSession
-    # bounded-dispatch probe in ONE action (the learn_bpe pattern): a
-    # limit(N+1) collect both sizes the graph and, on the driver path,
-    # IS the edge list — the r12 shape paid a count THEN a collect
-    probe = base.limit(max_driver_edges + 1).collect()
-    if len(probe) <= max_driver_edges:
-        labeled = _driver_components([(r["src"], r["dst"]) for r in probe])
+    # NOTE (r13, measured): a limit(N+1) probe looks like it merges the
+    # count and the bounded collect into one action, but CollectLimit
+    # executes as an INCREMENTAL multi-job scan (1, 4, 16, ... partition
+    # batches) that leaves the persist partially materialized — the
+    # full bench showed near_dup_clusters +1.2 s.  count-then-collect
+    # (two single-pass jobs over the cache) stays.
+    n_edges = base.count()
+    if n_edges <= max_driver_edges:
+        labeled = _driver_components(
+            [(r["src"], r["dst"]) for r in base.collect()]
+        )
         base.unpersist()
         out = spark.createDataFrame(
             labeled, "doc_id bigint, cluster_id bigint"
         ).persist()
         return attach_cached_deps(out, out)
-    n_edges = base.count()
     sc = spark.sparkContext
     p = int(max(1, min(sc.defaultParallelism, n_edges // 100_000 + 1)))
     und = base.repartition(p, "dst").persist()
@@ -441,16 +445,11 @@ def pagerank_near_dups(
     # materialize it first or the whole near-dup pipeline re-runs per
     # site (measured 12s vs ~4s at sf0.1).
     pairs = near_dup_pairs(docs, text_col, threshold).persist()
+    n_pairs = pairs.count()
     spark = pairs.sparkSession
-    # bounded-dispatch probe in ONE action (the learn_bpe pattern): the
-    # limit(N+1) collect both sizes the pair table and, on the driver
-    # path, IS the edge list — r12 paid a count THEN a collect
-    probe = pairs.select("doc_a", "doc_b").limit(
-        max_driver_edges + 1
-    ).collect()
-    if len(probe) <= max_driver_edges:
+    if n_pairs <= max_driver_edges:
         ranked = _driver_pagerank(
-            [(r["doc_a"], r["doc_b"]) for r in probe], iters
+            [(r["doc_a"], r["doc_b"]) for r in pairs.collect()], iters
         )
         release_cached(pairs)
         pairs.unpersist()
